@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operator-coverage queries over the driver's TPC-H-ish tables.
+  *
+  * Registry design: every operator family from SURVEY.md §2 gets a named
+  * query (Spark side) plus, where ANSI-SQL-expressible, a DuckDB oracle in
+  * [[oracles]]. Doubles are rounded on BOTH sides (reference precedent:
+  * `round(·,10)` at /root/reference/vectorized_impute.py:656) so that
+  * floating-point summation-order differences between engines can't flip
+  * the driver's hash compare.
+  */
+object Queries {
+
+  import SparkEntry.table
+
+  /** Round every DoubleType column to `p` places for stable hashing. */
+  private def roundDoubles(df: DataFrame, p: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == DoubleType) d.withColumn(f.name, round(col(f.name), p))
+      else d
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Aggregations (SURVEY §2.4)
+  // ---------------------------------------------------------------------
+
+  /** A1/A4/A7: pricing-summary — group means, sums, counts in one pass. */
+  def q_agg_pricing(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n"))
+
+  /** A1: group mean per key (impute.py:112-118 shape). */
+  def q_a1_group_mean(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(round(avg("value"), 6).as("avg_value"), count(lit(1)).as("n"))
+
+  /** A2: group max per entity (impute.py:63-69 shape). */
+  def q_a2_group_max(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(round(max("l_extendedprice"), 4).as("max_price"))
+
+  /** A3: conditional exact percentile ×2 upper bound (impute.py:55-90). */
+  def q_a3_percentile(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_extendedprice") > 1000.0)
+      .groupBy("l_returnflag")
+      .agg(round(percentile(col("l_extendedprice"), lit(0.95)) * 2, 4)
+        .as("upper_bound"))
+
+  /** A5: sum gated by min_count (≥60% non-null) (aggregate.py:659-686). */
+  def q_a5_sum_min_count(spark: SparkSession, dir: String): DataFrame = {
+    val v = when(col("l_quantity") > 45.0, lit(null)).otherwise(col("l_extendedprice"))
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        when(count(v) >= ceil(count(lit(1)) * 0.6), round(sum(v), 4))
+          .as("sum_gated"),
+        count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Projections / filters (SURVEY §2.2)
+  // ---------------------------------------------------------------------
+
+  /** P1/P5: column select + equality / range / inequality filters. */
+  def q_p5_filter(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") >= 50000.0
+        && col("o_custkey") =!= 7)
+      .withColumn("o_totalprice", round(col("o_totalprice"), 4))
+
+  // ---------------------------------------------------------------------
+  // Joins (SURVEY §2.3)
+  // ---------------------------------------------------------------------
+
+  /** J1: fact ⟕ broadcast dimension enrichment + agg. */
+  def q_j1_join_dim(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------------------
+  // Windows (SURVEY §2.5)
+  // ---------------------------------------------------------------------
+
+  private def wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** W5/W11: lag + diff vs previous reading per entity. */
+  def q_w5_lag_diff(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("prev_value", lag("value", 1).over(wUser))
+      .select(col("event_id"), col("user_id"),
+        round(col("value") - col("prev_value"), 6).as("value_diff"))
+
+  /** W7: running cumulative sum per entity (cumsum rebuild shape). */
+  def q_w7_cumsum(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("running_value",
+        round(sum("value").over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
+      .select("event_id", "user_id", "running_value")
+
+  /** W8: forward-fill (last non-null) within entity, ordered. */
+  def q_w8_ffill(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("v", when(col("event_type") === "error", lit(null))
+        .otherwise(col("value")))
+      .withColumn("filled",
+        round(last("v", ignoreNulls = true).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
+      .select("event_id", "user_id", "filled")
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing" -> (q_agg_pricing _),
+    "q_a1_group_mean" -> (q_a1_group_mean _),
+    "q_a2_group_max" -> (q_a2_group_max _),
+    "q_a3_percentile" -> (q_a3_percentile _),
+    "q_a5_sum_min_count" -> (q_a5_sum_min_count _),
+    "q_p5_filter" -> (q_p5_filter _),
+    "q_j1_join_dim" -> (q_j1_join_dim _),
+    "q_w5_lag_diff" -> (q_w5_lag_diff _),
+    "q_w7_cumsum" -> (q_w7_cumsum _),
+    "q_w8_ffill" -> (q_w8_ffill _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_a1_group_mean" ->
+      """SELECT event_type, round(avg(value), 6) AS avg_value, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_a2_group_max" ->
+      """SELECT l_suppkey, round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "q_a3_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.95) * 2, 4) AS upper_bound
+        |FROM lineitem WHERE l_extendedprice > 1000.0 GROUP BY l_returnflag""".stripMargin,
+    "q_a5_sum_min_count" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CASE WHEN count(CASE WHEN l_quantity > 45.0 THEN NULL ELSE l_extendedprice END)
+        |            >= ceil(count(*) * 0.6)
+        |       THEN round(sum(CASE WHEN l_quantity > 45.0 THEN NULL ELSE l_extendedprice END), 4)
+        |  END AS sum_gated,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_p5_filter" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0 AND o_custkey <> 7""".stripMargin,
+    "q_j1_join_dim" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q_w5_lag_diff" ->
+      """SELECT event_id, user_id,
+        |  round(value - lag(value, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id), 6) AS value_diff
+        |FROM events""".stripMargin,
+    "q_w7_cumsum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+        |FROM events""".stripMargin,
+    "q_w8_ffill" ->
+      """SELECT event_id, user_id,
+        |  round(last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+        |FROM events""".stripMargin,
+  )
+}
