@@ -6,25 +6,20 @@ import org.apache.spark.sql.functions._
 
 /** Operator-coverage queries over the driver's TPC-H-ish tables.
   *
-  * Registry design: every operator family from SURVEY.md §2 gets a named
+  * Registry design: each implemented operator from SURVEY.md §2 gets a named
   * query (Spark side) plus, where ANSI-SQL-expressible, a DuckDB oracle in
-  * [[oracles]]. Doubles are rounded on BOTH sides (reference precedent:
-  * `round(·,10)` at /root/reference/vectorized_impute.py:656) so that
+  * [[oracles]]. The full registry is assembled in [[all]] from the per-domain
+  * query objects (QueriesEtd, QueriesLLM, ...). Doubles are rounded on BOTH
+  * sides (reference precedent: `round(·,10)` at
+  * /root/reference/etdtransform/vectorized_impute.py:656) so that
   * floating-point summation-order differences between engines can't flip
-  * the driver's hash compare.
+  * the driver's hash compare. Sums over large magnitudes (~1e8+) are rounded
+  * to 2 decimals so cross-engine partial-sum order drift (~1e-5) stays
+  * orders of magnitude below the rounding half-step (ADVICE r1).
   */
 object Queries {
 
   import SparkEntry.table
-
-  /** Round every DoubleType column to `p` places for stable hashing. */
-  private def roundDoubles(df: DataFrame, p: Int = 4): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
-    df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.dataType == DoubleType) d.withColumn(f.name, round(col(f.name), p))
-      else d
-    }
-  }
 
   // ---------------------------------------------------------------------
   // Aggregations (SURVEY §2.4)
@@ -35,9 +30,9 @@ object Queries {
     table(spark, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("sum_disc_price"),
         round(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("n"))
@@ -68,7 +63,7 @@ object Queries {
     table(spark, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        when(count(v) >= ceil(count(lit(1)) * 0.6), round(sum(v), 4))
+        when(count(v) >= ceil(count(lit(1)) * 0.6), round(sum(v), 2))
           .as("sum_gated"),
         count(lit(1)).as("n"))
   }
@@ -94,7 +89,7 @@ object Queries {
     table(spark, dir, "lineitem")
       .join(broadcast(table(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"),
         count(lit(1)).as("n"))
 
@@ -149,9 +144,9 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -169,7 +164,7 @@ object Queries {
       """SELECT l_returnflag, l_linestatus,
         |  CASE WHEN count(CASE WHEN l_quantity > 45.0 THEN NULL ELSE l_extendedprice END)
         |            >= ceil(count(*) * 0.6)
-        |       THEN round(sum(CASE WHEN l_quantity > 45.0 THEN NULL ELSE l_extendedprice END), 4)
+        |       THEN round(sum(CASE WHEN l_quantity > 45.0 THEN NULL ELSE l_extendedprice END), 2)
         |  END AS sum_gated,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -179,7 +174,7 @@ object Queries {
         |WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0 AND o_custkey <> 7""".stripMargin,
     "q_j1_join_dim" ->
       """SELECT p_brand,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,

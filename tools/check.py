@@ -6,11 +6,14 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 Reads each <outDir>/<name>/ parquet (Spark output), runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sf tables,
 sorts columns by name and rows by all columns, and compares values
-(exact for non-floats, tiny tolerance reporting for floats so we can see
-whether a driver-style hash compare would pass).
+exactly (floats included — the driver hashes exact values, so anything
+short of bit-equality after rounding is a FAIL; the first mismatching
+cell is printed with both values and their absolute difference to make
+rounding-step diagnosis easy).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -57,7 +60,7 @@ def main():
     import glob
     ok = fail = 0
     names = sorted(
-        p.rsplit("/", 1)[-1] for p in glob.glob(f"{out_dir}/*") if "." not in p.rsplit("/", 1)[-1])
+        p.rsplit("/", 1)[-1] for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p))
     for name in names:
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
@@ -97,7 +100,11 @@ def main():
                     if first is None:
                         first = (c, i, a, b)
         if bad:
-            print(f"FAIL {name}: {bad} mismatched cells; first={first}")
+            c, i, a, b = first
+            absdiff = abs(a - b) if isinstance(a, float) and isinstance(b, float) \
+                and not (math.isnan(a) or math.isnan(b)) else None
+            print(f"FAIL {name}: {bad} mismatched cells; "
+                  f"first=({c}, row {i}, {a!r} != {b!r}, absdiff={absdiff})")
             fail += 1
         else:
             print(f"OK   {name}: rows={len(g)} cols={len(g.columns)}")
