@@ -1,0 +1,50 @@
+package graft.etd
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** min_count-gated aggregate expressions (SURVEY §2.4 A5-A7).
+  *
+  * The reference gates group aggregates on data presence: a sum/max is NA
+  * unless >= min_count non-null values are present
+  * (/root/reference/etdtransform/aggregate.py:659-716 with min_count =
+  * 60% of group size; /root/reference/etdtransform/aggregate.py:918-1041
+  * with fixed per-interval counts), and avg is sum/count under the same gate
+  * (/root/reference/etdtransform/aggregate.py:719-761).
+  *
+  * In Spark these are plain two-expression patterns — `when(count >= k, agg)`
+  * — which stay inside partial+final hash aggregation and whole-stage
+  * codegen; no UDAF needed. All expressions here are single-pass: one
+  * groupBy computes every gated aggregate at once (the reference loops
+  * per column and outer-joins results back together — J6 — which we
+  * deliberately collapse into one agg pass).
+  */
+object Aggregates {
+
+  /** Sum of `c`, null unless >= minCount non-null values (pandas
+    * `sum(min_count=k)`).
+    */
+  def sumMinCount(c: Column, minCount: Column): Column =
+    when(count(c) >= minCount, sum(c))
+
+  /** Max of `c`, null unless >= minCount non-null values. */
+  def maxMinCount(c: Column, minCount: Column): Column =
+    when(count(c) >= minCount, max(c))
+
+  /** Average as gated sum/count (aggregate.py:745-761 computes sum and count
+    * then np.where(count >= k, sum/count, NA)).
+    */
+  def avgMinCount(c: Column, minCount: Column): Column =
+    when(count(c) >= minCount, sum(c) / count(c))
+
+  /** The project-aggregation gate: 60% of the full group size including
+    * null rows (aggregate.py:685: `min_count=size["n"] * 0.6`).
+    */
+  def sixtyPctOfGroup: Column = count(lit(1)) * 0.6
+
+  /** Exact percentile with linear interpolation — matches pandas
+    * `quantile(q)` default used at impute.py:59; deliberately NOT
+    * approx_percentile (oracle exactness, SURVEY §2.4 A3).
+    */
+  def exactPercentile(c: Column, q: Double): Column = percentile(c, lit(q))
+}

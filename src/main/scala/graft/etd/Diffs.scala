@@ -1,0 +1,97 @@
+package graft.etd
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Model._
+
+/** Average-diff preparation feeding imputation (SURVEY §2.9 I1/I2).
+  *
+  * Reference: calculate_average_diff at
+  * /root/reference/etdtransform/impute.py:12-131 and
+  * prepare_diffs_for_impute at impute.py:469-537.
+  *
+  * Pipeline per diff column:
+  *   1. per-house max of the diff (A2),
+  *   2. per-project 95th exact percentile of those maxima restricted to
+  *      values > 1e-8, doubled, as the outlier upper bound (A3) — computed
+  *      over house maxima (rows = households), so the exact percentile sort
+  *      is tiny at any data scale (VERDICT r1 plan audit),
+  *   3. households whose max is strictly below the bound are included via a
+  *      left_semi join (P6/J12 — never a collected isin list),
+  *   4. per (project, ReadingDate) mean over included households (A1).
+  *
+  * All 13 columns share the two aggregation passes (single groupBy each)
+  * instead of the reference's per-column Python loop.
+  */
+object Diffs {
+
+  /** Per-house maxima for each diff column, one pass
+    * (impute.py:63-69; columns named `<diff>_huis_max`).
+    */
+  def householdMax(df: DataFrame, diffCols: Seq[String]): DataFrame = {
+    val aggs = diffCols.map(c => max(c).as(huisMaxCol(c)))
+    df.groupBy(col(ProjectId), col(HouseId)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-project upper bounds: 2 x exact p95 of house maxima > 1e-8
+    * (impute.py:55-60, 80-90). NA when no house qualifies.
+    */
+  def upperBounds(houseMax: DataFrame, diffCols: Seq[String]): DataFrame = {
+    val aggs = diffCols.map { c =>
+      (Aggregates.exactPercentile(
+        when(col(huisMaxCol(c)) > 1e-8, col(huisMaxCol(c))), 0.95) * 2)
+        .as(upperBoundCol(c))
+    }
+    houseMax.groupBy(col(ProjectId)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Household max + bound table (`household_diff_max_bounds`,
+    * impute.py:532-535): house maxima joined with their project bounds.
+    * The bounds side is per-project (tiny) -> broadcast.
+    */
+  def householdMaxWithBounds(houseMax: DataFrame, bounds: DataFrame): DataFrame =
+    houseMax.join(broadcast(bounds), Seq(ProjectId), "left")
+
+  /** The `avg_diffs` table: per (project, ReadingDate) mean of each diff
+    * column over *included* households only (impute.py:93-118) — one output
+    * column `<diff>_avg` per input. Exclusion is per column, so each column
+    * is averaged under its own inclusion mask in a single aggregation pass:
+    * avg(when(houseMax < bound, diff)).
+    */
+  def averageDiffs(df: DataFrame, maxBounds: DataFrame,
+                   diffCols: Seq[String]): DataFrame = {
+    val withBounds = df.join(
+      broadcast(maxBounds), Seq(ProjectId, HouseId), "left")
+    def masked(c: String) =
+      when(col(huisMaxCol(c)) < col(upperBoundCol(c)), col(c))
+    val aggs = diffCols.map(c => avg(masked(c)).as(c + "_avg"))
+    withBounds.groupBy(col(ProjectId), col(ReadingDate))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** I2 — the full preparation: returns (avg_diffs, household_diff_max_bounds)
+    * (prepare_diffs_for_impute, impute.py:469-537). Negative diffs raise in
+    * the reference (impute.py:107-109); use [[Impute.violationCounts]] as
+    * the pre-commit gate.
+    */
+  def prepare(df: DataFrame, cumulativeCols: Seq[String]): (DataFrame, DataFrame) = {
+    val diffCols = cumulativeCols.map(diffCol)
+    val hm = householdMax(df, diffCols)
+    val ub = upperBounds(hm, diffCols)
+    val maxBounds = householdMaxWithBounds(hm, ub)
+    (averageDiffs(df, maxBounds, diffCols), maxBounds)
+  }
+
+  /** J4 — join the prepared averages back onto the household frame on
+    * (ProjectIdBSV, ReadingDate) (impute.py:642). The averages table is
+    * |projects| x |timestamps| — medium-sized; at reference scale broadcast
+    * wins, at 100 TB co-partition both sides by ProjectIdBSV instead
+    * (SURVEY §4 physical decision 2).
+    */
+  def joinAverages(df: DataFrame, avgDiffs: DataFrame,
+                   broadcastAverages: Boolean = true): DataFrame = {
+    val right = if (broadcastAverages) broadcast(avgDiffs) else avgDiffs
+    df.join(right, Seq(ProjectId, ReadingDate), "left")
+  }
+}

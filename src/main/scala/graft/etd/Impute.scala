@@ -1,0 +1,236 @@
+package graft.etd
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Model._
+
+/** The vectorized gap-imputation core (SURVEY §2.9 I3-I9), re-expressed as
+  * Catalyst column expressions over per-house windows.
+  *
+  * Reference semantics: /root/reference/etdtransform/vectorized_impute.py —
+  * gap/cumulative grouping at :343-426 (I3), gap statistics at :481-530
+  * (I4), impute inputs at :532-552 (I5), house scaling factor at :554-587
+  * (I6), the impute cascade with known gap jump at :630-686 (I7) and
+  * without at :688-756 (I8), threshold clamping at :58-109 (I9).
+  *
+  * Spark-first translation notes:
+  *   - The reference shifts/cumsums over a *globally sorted* frame and
+  *     hand-masks house transitions (vectorized_impute.py:390-395). Here
+  *     every window partitions by (ProjectIdBSV, HuisIdBSV), which removes
+  *     the masking and makes group ids per-house (SURVEY §7.4.2): all
+  *     downstream logic grouping by gap therefore keys on
+  *     (house keys, cumulative_value_group), never on the id alone.
+  *   - One shuffle to (ProjectIdBSV, HuisIdBSV) sorted by ReadingDate
+  *     serves every window below — Catalyst reuses the exchange+sort for
+  *     identical window specs, so the 13-column fan-out does not re-shuffle.
+  *   - pandas nullable Float64 NA maps to Spark null; the divisions in I6
+  *     guard zero denominators explicitly because Spark double division
+  *     yields Infinity, not null (SURVEY §7.4.3).
+  */
+object Impute {
+
+  /** W(house): the single ordering every impute window shares
+    * (mirrors sort_for_impute, /root/reference/etdtransform/impute.py:441).
+    */
+  def houseWindow = Window.partitionBy(ProjectId, HouseId).orderBy(ReadingDate)
+
+  private def houseAll = Window.partitionBy(ProjectId, HouseId)
+    .orderBy(ReadingDate)
+    .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+  private def runningHouse = houseWindow
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Whole-gap frame: all rows of one gap group, in reading order. */
+  private def gapAll = Window
+    .partitionBy(ProjectId, HouseId, "cumulative_value_group")
+    .orderBy(ReadingDate)
+    .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+  /** I3 — gap & cumulative-value grouping
+    * (vectorized_impute.py:343-426, process_gap_and_cumulative_groups).
+    *
+    * Adds:
+    *   - `cumulative_value_group` (long, per house; null on rows where the
+    *     diff is present): id of the NA-run sub-split at rows where the
+    *     cumulative column IS present inside a gap,
+    *   - `gap_length` (long, null outside gaps): rows in the group.
+    */
+  def withGapGroups(df: DataFrame, diffC: String, cumC: String): DataFrame = {
+    val isNa = col(diffC).isNull
+    // First row of a house: lag is null -> coalesce(false) -> gap starts iff NA
+    // (replaces the reference's explicit house-transition mask).
+    val gapStart = isNa && !coalesce(lag(isNa, 1).over(houseWindow), lit(false))
+    // Sub-split boundary: the row AFTER a non-NA cumulative value inside a gap.
+    val cumSeen = col(cumC).isNotNull && isNa
+    val bump = coalesce(lag(cumSeen, 1).over(houseWindow), lit(false)) || gapStart
+    val group = sum(bump.cast("long")).over(runningHouse)
+    val out = df
+      .withColumn("cumulative_value_group", when(isNa, group))
+    out.withColumn("gap_length",
+      when(col("cumulative_value_group").isNotNull, count(lit(1)).over(gapAll)))
+  }
+
+  /** I4 — per-gap statistics (vectorized_impute.py:481-530, 607-617).
+    *
+    * Adds `prev_cum_value` (cumulative value on the row immediately before
+    * the gap; null if negative or at house start), `end_cum_value` (last
+    * non-null cumulative value inside the gap; null if negative),
+    * `gap_jump` = end - prev, and `gap_jump_is_na`.
+    */
+  def withGapStats(df: DataFrame, cumC: String): DataFrame = {
+    val grp = col("cumulative_value_group")
+    val firstInGroup = grp.isNotNull &&
+      !(lag(grp, 1).over(houseWindow) <=> grp)
+    val prevCandidate = {
+      val p = lag(col(cumC), 1).over(houseWindow)
+      when(firstInGroup && p >= 0, p) // negative prev invalid (vi.py:498-500)
+    }
+    df
+      // only the group's first row carries the candidate -> max broadcasts it
+      .withColumn("prev_cum_value", when(grp.isNotNull, max(prevCandidate).over(gapAll)))
+      .withColumn("end_cum_value", {
+        val e = last(col(cumC), ignoreNulls = true).over(gapAll)
+        when(grp.isNotNull && !(e < 0), e) // end<0 -> NA (vi.py:611-614)
+      })
+      .withColumn("gap_jump", col("end_cum_value") - col("prev_cum_value"))
+      .withColumn("gap_jump_is_na", col("gap_jump").isNull && grp.isNotNull)
+  }
+
+  /** I5 — impute inputs (vectorized_impute.py:532-552).
+    * `impute_values` = avg with nulls as 0, `impute_jump` = their sum per
+    * gap, `impute_na_ratio` = missing-average share of the gap.
+    */
+  def withImputeInputs(df: DataFrame, avgC: String): DataFrame = {
+    val grp = col("cumulative_value_group")
+    df
+      .withColumn("impute_values", coalesce(col(avgC), lit(0.0)))
+      .withColumn("impute_jump", when(grp.isNotNull, sum("impute_values").over(gapAll)))
+      .withColumn("impute_na_ratio",
+        when(grp.isNotNull,
+          sum(col(avgC).isNull.cast("long")).over(gapAll) / col("gap_length")))
+  }
+
+  /** I6 — per-house scaling factor for averages
+    * (vectorized_impute.py:554-587): Σavg/Σdiff over rows where both are
+    * present and diff >= 0; forced to 1.0 when fewer than half the house's
+    * rows are comparable, when the ratio is non-finite, or when missing.
+    */
+  def withHouseFactor(df: DataFrame, diffC: String, avgC: String): DataFrame = {
+    val comparable = col(avgC).isNotNull && col(diffC).isNotNull && col(diffC) >= 0
+    val avgSum = sum(when(comparable, col(avgC))).over(houseAll)
+    val diffSum = sum(when(comparable, col(diffC))).over(houseAll)
+    val nComparable = sum(comparable.cast("long")).over(houseAll)
+    val nTotal = count(lit(1)).over(houseAll)
+    val ratio = when(diffSum =!= 0.0, avgSum / diffSum) // inf guard
+    df.withColumn("house_impute_factor",
+      when(nComparable <= nTotal / 2.0, lit(1.0))
+        .otherwise(coalesce(ratio, lit(1.0))))
+  }
+
+  /** I7 + I8 — the seven-branch impute cascade
+    * (vectorized_impute.py:630-756). Branch conditions reproduce the
+    * reference comparisons exactly, including the strict 1e-8 bounds.
+    * Returns (imputedDiff, imputeType) column expressions.
+    */
+  def imputeCascade(diffC: String): (Column, Column) = {
+    val grp = col("cumulative_value_group")
+    val hasJump = !col("gap_jump_is_na") && grp.isNotNull
+    val noJump = col("gap_jump_is_na") && grp.isNotNull
+    val jump = col("gap_jump")
+    val end = col("end_cum_value")
+    val prev = col("prev_cum_value")
+    val iv = col("impute_values")
+
+    val imputed =
+      when(hasJump && jump < 0, lit(0.0))
+        .when(hasJump && jump >= 0 && jump < 1e-8, lit(0.0))
+        .when(hasJump && jump >= 1e-8 && col("impute_jump") < 1e-8,
+          round(jump / col("gap_length"), 10))
+        .when(hasJump && jump >= 1e-8 && col("impute_jump") >= 1e-8,
+          round(iv * (jump / col("impute_jump")), 10))
+        .when(noJump && end.isNotNull && prev.isNull && end < 1e-8, lit(0.0))
+        .when(noJump && end.isNotNull && prev.isNull && end > 1e-8, iv)
+        .when(noJump && end.isNull && prev.isNotNull,
+          iv * col("house_impute_factor"))
+        .otherwise(col(diffC)) // incl. no-start-no-end: left NA, logged upstream
+
+    val imputeType =
+      when(hasJump && jump < 0, lit(ImputeType.NegativeGapJump))
+        .when(hasJump && jump >= 0 && jump < 1e-8, lit(ImputeType.NearZeroGapJump))
+        .when(hasJump && jump >= 1e-8 && col("impute_jump") < 1e-8,
+          lit(ImputeType.LinearFill))
+        .when(hasJump && jump >= 1e-8 && col("impute_jump") >= 1e-8,
+          lit(ImputeType.ScaledFill))
+        .when(noJump && end.isNotNull && prev.isNull && end < 1e-8,
+          lit(ImputeType.ZeroEndValue))
+        .when(noJump && end.isNotNull && prev.isNull && end > 1e-8,
+          lit(ImputeType.PositiveEndValue))
+        .when(noJump && end.isNull && prev.isNotNull, lit(ImputeType.NoEndValue))
+
+    (imputed, imputeType)
+  }
+
+  /** I9 — threshold clamping (vectorized_impute.py:58-109): values outside
+    * [lo, hi] are replaced by the project average and OR-flagged
+    * THRESHOLD_ADJUSTED on top of any earlier impute type.
+    */
+  def applyThresholds(df: DataFrame, diffC: String, avgC: String,
+                      isImputedC: String, imputeTypeC: String,
+                      lo: Double, hi: Double): DataFrame = {
+    val outside = (col(diffC) < lo || col(diffC) > hi) && col(diffC).isNotNull
+    df
+      .withColumn(imputeTypeC,
+        when(outside,
+          coalesce(col(imputeTypeC), lit(ImputeType.None))
+            .bitwiseOR(lit(ImputeType.ThresholdAdjusted)))
+          .otherwise(col(imputeTypeC)))
+      .withColumn(isImputedC, when(outside, lit(true)).otherwise(col(isImputedC)))
+      .withColumn(diffC, when(outside, col(avgC)).otherwise(col(diffC)))
+  }
+
+  private val tempCols = Seq(
+    "cumulative_value_group", "gap_length", "prev_cum_value", "end_cum_value",
+    "gap_jump", "gap_jump_is_na", "impute_values", "impute_jump",
+    "impute_na_ratio", "house_impute_factor")
+
+  /** Full single-column imputation: I3..I9 composed, flag columns added,
+    * temp columns dropped (mirrors process_imputation_vectorized,
+    * vectorized_impute.py:428-782). `keepGapCols=true` retains
+    * cumulative_value_group/gap_length for the gap-stats pass (I10).
+    */
+  def imputeColumn(df: DataFrame, cum: String,
+                   keepGapCols: Boolean = false): DataFrame = {
+    val diffC = diffCol(cum)
+    val avgC = avgCol(cum)
+    val isImp = isImputedCol(cum)
+    val impTy = imputeTypeCol(cum)
+    val staged = withHouseFactor(
+      withImputeInputs(
+        withGapStats(
+          withGapGroups(df, diffC, cum), cum), avgC), diffC, avgC)
+    val (imputedDiff, imputeType) = imputeCascade(diffC)
+    val cascaded = staged
+      .withColumn(impTy, imputeType)
+      .withColumn(isImp, col(impTy).isNotNull)
+      .withColumn(diffC, imputedDiff)
+    val (lo, hi) = thresholds.getOrElse(diffC, (Double.NegativeInfinity, Double.PositiveInfinity))
+    val clamped = applyThresholds(cascaded, diffC, avgC, isImp, impTy, lo, hi)
+    val drop = if (keepGapCols) tempCols.diff(Seq("cumulative_value_group", "gap_length"))
+               else tempCols
+    clamped.drop(drop: _*)
+  }
+
+  /** Data-quality gates the reference enforces with exceptions
+    * (impute.py:107-109 negative diffs; vectorized_impute.py:540-541
+    * negative impute values; :731-735 negative gap-end). Returns violation
+    * counts; callers raise before committing the stage (SURVEY §4 note 4).
+    */
+  def violationCounts(df: DataFrame, diffC: String, avgC: String): DataFrame = {
+    df.agg(
+      count(when(col(diffC) < 0, 1)).as("negative_diffs"),
+      count(when(col(avgC) < 0, 1)).as("negative_avgs"))
+  }
+}

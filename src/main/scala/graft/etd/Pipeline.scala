@@ -1,0 +1,142 @@
+package graft.etd
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Model._
+
+/** Staged pipeline orchestration (SURVEY §3.1) and the analysis-loading
+  * facade (SURVEY §3.2).
+  *
+  * Reference flow (README.md:157-297, enacted by
+  * /root/reference/tests/test_total_imputation_workflow.py:24-152):
+  * combine -> prepare diffs -> impute -> calculated -> resample
+  * {5min,15min,60min,6h,24h} -> project aggregate. Each stage is a lazy
+  * DataFrame -> DataFrame function; parquet writes between stages keep the
+  * reference's restartability checkpoints, but *within* a stage Catalyst
+  * pipelines everything (SURVEY §3.1 IR note).
+  *
+  * Scale: one repartition to (ProjectIdBSV, HuisIdBSV) ahead of the impute
+  * stage serves all 13 columns' windows (exchange reuse); the project
+  * aggregation reuses the project-hash partitioning; sinks partition by
+  * project so downstream reads prune.
+  */
+object Pipeline {
+
+  case class Stages(
+    imputed: DataFrame,
+    gapStats: DataFrame,
+    householdSummary: DataFrame,
+    projectSummary: DataFrame,
+    calculated: DataFrame,
+    resampled: Map[String, DataFrame],
+    projectAggregated: Map[String, DataFrame])
+
+  /** Run the full transformation pipeline lazily over a combined household
+    * frame (cumulative meters + Diff columns present). Nothing executes
+    * until the caller writes/collects a stage.
+    */
+  def run(household: DataFrame,
+          cumulativeCols: Seq[String] = cumulativeColumns,
+          intervals: Seq[String] = Seq("5min", "15min", "60min", "6h", "24h"))
+      : Stages = {
+    val diffCols = cumulativeCols.map(diffCol)
+
+    // One shuffle serves all per-house windows of every column below
+    // (mirrors sort_for_impute, impute.py:415-441, as a physical hint).
+    val sorted = household
+      .repartition(col(ProjectId), col(HouseId))
+      .sortWithinPartitions(ProjectId, HouseId, ReadingDate)
+
+    // I1/I2 — averages + bounds, then J4 join-back.
+    val (avgDiffs, _) = Diffs.prepare(sorted, cumulativeCols)
+    val withAvgs = Diffs.joinAverages(sorted, avgDiffs)
+
+    // I3..I9 per column; temp gap cols kept for the stats pass, then
+    // dropped. Each column's windows share the same (house) partitioning.
+    val imputedAll = cumulativeCols.foldLeft(withAvgs) { (acc, cum) =>
+      val done = Impute.imputeColumn(acc, cum, keepGapCols = true)
+      done
+        .withColumn(s"__gap_length_$cum", col("gap_length"))
+        .withColumn(s"__cvg_$cum", col("cumulative_value_group"))
+        .drop("gap_length", "cumulative_value_group")
+    }
+
+    // I10 — per-column gap stats, unioned.
+    val statsPerCol = cumulativeCols.map { cum =>
+      ImputeSummaries.gapStats(
+        imputedAll
+          .withColumn("gap_length", col(s"__gap_length_$cum"))
+          .withColumn("cumulative_value_group", col(s"__cvg_$cum")),
+        cum)
+    }
+    val gapStats = ImputeSummaries.gapStatsAll(statsPerCol)
+    val tempStatCols = cumulativeCols.flatMap(c =>
+      Seq(s"__gap_length_$c", s"__cvg_$c"))
+    val imputed = ProjectAggregate.rebuildCumulative(
+      imputedAll.drop(tempStatCols: _*), cumulativeCols)
+
+    val houseSummary = ImputeSummaries.householdSummary(gapStats, imputed)
+    val projSummary = ImputeSummaries.projectSummary(gapStats, imputed)
+
+    // I13 — calculated energy-balance columns.
+    val calculated = Calculated.addEnergyBalance(imputed)
+
+    // A8 — resample each interval from the calculated 5-min frame.
+    val resampled = intervals.map { iv =>
+      iv -> (if (iv == "5min") calculated
+             else Resample.resampleStandard(calculated, iv))
+    }.toMap
+
+    // A5-A7/J6/J7 — project aggregation per interval.
+    val projectAgg = resampled.map { case (iv, df) =>
+      iv -> ProjectAggregate.aggregateStandard(df)
+    }
+
+    Stages(imputed, gapStats, houseSummary, projSummary, calculated,
+      resampled, projectAgg)
+  }
+
+  /** Write every stage as the reference's staged parquet layout
+    * (SURVEY §1.1 eager-pipeline row; names mirror
+    * aggregate.py:118-121,224-261,294-297,411-414,481-484).
+    */
+  def writeStages(stages: Stages, dir: String): Unit = {
+    Sources.writeStage(stages.imputed, dir, "household_imputed")
+    Sources.writeStage(stages.gapStats, dir, "impute_gap_stats")
+    Sources.writeStage(stages.householdSummary, dir, "impute_summary_household")
+    Sources.writeStage(stages.projectSummary, dir, "impute_summary_project")
+    Sources.writeStage(stages.calculated, dir, "household_calculated")
+    stages.resampled.foreach { case (iv, df) =>
+      Sources.writeStage(df, dir, s"household_$iv")
+    }
+    stages.projectAggregated.foreach { case (iv, df) =>
+      Sources.writeStage(df, dir, s"project_$iv")
+    }
+  }
+}
+
+/** Analysis-loading facade (SURVEY §3.2): lazy tables per interval, like
+  * the reference's get_household_tables/get_project_tables
+  * (/root/reference/etdtransform/load_data.py:23-67,320-351) — DataFrame
+  * lineage IS the deferred expression tree; Catalyst prunes and pushes
+  * down, so the "load quickly despite many columns" property is native.
+  */
+object Tables {
+
+  val intervals = Seq("5min", "15min", "60min", "6h", "24h")
+
+  def household(spark: SparkSession, dir: String,
+                index: Option[DataFrame] = None): Map[String, DataFrame] =
+    intervals.map { iv =>
+      val df = Sources.normalizeLegacyColumns(
+        spark.read.parquet(s"$dir/household_$iv.parquet"))
+      iv -> index.fold(df)(ix =>
+        df.join(broadcast(ix), Seq(Model.HouseId, Model.ProjectId), "left"))
+    }.toMap
+
+  def project(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    intervals.map { iv =>
+      iv -> spark.read.parquet(s"$dir/project_$iv.parquet")
+    }.toMap
+}

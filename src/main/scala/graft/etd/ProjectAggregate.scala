@@ -1,0 +1,83 @@
+package graft.etd
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Model._
+
+/** Project-level aggregation and the cumulative rebuild
+  * (SURVEY §2.9 I11/I12, §2.3 J6/J7, §2.4 A5-A7 over real keys).
+  *
+  * Reference: aggregate_and_save / aggregate_by_columns / aggregate_variable
+  * at /root/reference/etdtransform/aggregate.py:419-761 (per-variable gated
+  * aggregates with the 60% min_count, then iterative outer-join assembly
+  * and a separate size join), and the per-house cumulative rebuild at
+  * aggregate.py:188-211.
+  *
+  * The reference's per-variable loop + outer-join assembly (J6) and its
+  * group-size join (J7) collapse here into ONE groupBy computing every
+  * gated aggregate and `n` together — one shuffle instead of |variables|+1.
+  */
+object ProjectAggregate {
+
+  /** Aggregate household data to (ProjectIdBSV, ReadingDate) with the 60%
+    * gate and group size n (aggregate.py:419-479, 659-761). `variables`
+    * maps column -> method ("sum" | "max" | "avg").
+    */
+  def aggregate(df: DataFrame, variables: Seq[(String, String)],
+                groupCols: Seq[String] = Seq(ProjectId)): DataFrame = {
+    val gate = Aggregates.sixtyPctOfGroup
+    val aggs = variables.map { case (v, method) =>
+      val gated = method match {
+        case "sum" => Aggregates.sumMinCount(col(v), gate)
+        case "max" => Aggregates.maxMinCount(col(v), gate)
+        case "avg" => Aggregates.avgMinCount(col(v), gate)
+        case other => throw new IllegalArgumentException(s"Unknown method $other")
+      }
+      gated.as(v)
+    } :+ count(lit(1)).as("n")
+    df.groupBy((Seq(ReadingDate) ++ groupCols).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Aggregate every standard variable present in the frame
+    * (aggregate_by_columns, aggregate.py:511-539).
+    */
+  def aggregateStandard(df: DataFrame,
+                        groupCols: Seq[String] = Seq(ProjectId)): DataFrame = {
+    val present = df.columns.toSet
+    val vars = aggregationVariables.collect {
+      case (v, _, aggMethod) if present(v) => (v, aggMethod)
+    }
+    aggregate(df, vars, groupCols)
+  }
+
+  /** I12 — mean of all diff columns per (project, ReadingDate)
+    * (aggregate.py:188-194), one pass.
+    */
+  def aggregatedDiff(df: DataFrame, diffCols: Seq[String]): DataFrame = {
+    val aggs = diffCols.map(c => avg(c).as(c))
+    df.groupBy(col(ProjectId), col(ReadingDate)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** I11 — per-house cumulative rebuild + check columns
+    * (aggregate.py:199-211): XOriginal = X, X = cumsum(XDiff),
+    * XCheck = diff(X - XOriginal). The reference loops over the full
+    * global cumulative_columns list regardless of the cum_cols param
+    * (SURVEY §2.9 I11 note); here the caller passes the list explicitly.
+    */
+  def rebuildCumulative(df: DataFrame, cumulativeCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(ProjectId, HouseId).orderBy(ReadingDate)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cumulativeCols.foldLeft(df) { (acc, c) =>
+      acc
+        .withColumn(originalCol(c), col(c))
+        .withColumn(c, sum(diffCol(c)).over(running))
+        .withColumn(checkCol(c), {
+          val delta = col(c) - col(originalCol(c))
+          delta - lag(delta, 1).over(w)
+        })
+    }
+  }
+}

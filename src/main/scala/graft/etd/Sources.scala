@@ -1,0 +1,111 @@
+package graft.etd
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources and sinks (SURVEY §2.1 S1-S8).
+  *
+  * Reference: per-household combine at
+  * /root/reference/etdtransform/aggregate.py:84-121, KNMI CSV ingest at
+  * /root/reference/etdtransform/knmi.py:49-76, index/Meenemen filter at
+  * aggregate.py:95-99.
+  */
+object Sources {
+
+  /** S1/S2 — parquet scan. Plain `spark.read.parquet`: Catalyst does the
+    * column pruning and predicate pushdown the reference delegates to its
+    * Ibis backend (load_data.py:50). Pass a schema to validate on read.
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S3 — multi-file combine with lineage columns
+    * (aggregate.py:84-121). The reference loops per household file,
+    * stamping ProjectIdBSV/HuisIdBSV literals and concatenating — a
+    * driver-RAM wall (">25GB" for ~300 households, README.md:167). Here:
+    * ONE glob scan of `household_*_table.parquet`, key extraction from the
+    * file path via input_file_name() (no driver loop, no union of
+    * thousands of plans), then a broadcast join to the index for the
+    * project id and the Meenemen include-filter (left_semi, J12/P6).
+    */
+  def combineHouseholds(spark: SparkSession, mappedDir: String,
+                        index: DataFrame): DataFrame = {
+    val raw = spark.read.parquet(s"$mappedDir/household_*_table.parquet")
+      .withColumn(Model.HouseId,
+        regexp_extract(input_file_name(), "household_(\\d+)_table\\.parquet", 1)
+          .cast("long"))
+    val keep = index.filter(col("Meenemen"))
+      .select(col(Model.HouseId), col(Model.ProjectId))
+    raw.join(broadcast(keep), Seq(Model.HouseId), "inner")
+  }
+
+  /** S8 — household index source with the Meenemen update hook
+    * (etdmap.read_index/update_meenemen, aggregate.py:74-78,95).
+    */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Model.indexSchema).parquet(path)
+
+  /** S4 — KNMI CSV with '#'-comment preamble (knmi.py:49-76): the *last*
+    * commented line is the header; column names are stripped and
+    * "# STN" -> STN. The header discovery is a tiny driver-side read of
+    * the first KB of one file (the preamble is bounded); the data load is
+    * a distributed CSV scan with `comment='#'` so Spark skips every
+    * commented line — including the header line itself — and the schema
+    * comes from the parsed header.
+    */
+  def readKnmiCsv(spark: SparkSession, path: String): DataFrame = {
+    val headerLine = spark.read.text(path)
+      .filter(col("value").startsWith("#"))
+      .orderBy(monotonically_increasing_id())
+      .collect()
+      .lastOption
+      .map(_.getString(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"No '#' header preamble found in $path"))
+    val names = headerLine.stripPrefix("#").split(",").map(_.trim)
+      .map { case "STN" | "# STN" => "STN"; case n => n }
+    val df = spark.read
+      .option("comment", "#")
+      .option("inferSchema", "true")
+      .csv(path)
+    df.toDF(names: _*)
+  }
+
+  /** S5 — Excel weather-station mapping (knmi.py:19-27). Spark has no
+    * built-in xlsx reader and this environment vendors no POI; the
+    * supported path is the CSV export of the `ProjectWeatherStation` sheet
+    * with the same columns (Weerstation upper-cased, STN = Nummer).
+    */
+  def readStationMappingCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      .withColumn("Weerstation", upper(col("Weerstation")))
+      .withColumn("STN", col("Nummer"))
+
+  /** S6 — in-memory table (ibis.memtable, load_data.py:143). */
+  def memTable(spark: SparkSession, rows: Seq[(Long, String)],
+               colNames: Seq[String]): DataFrame = {
+    import spark.implicits._
+    rows.toDF(colNames: _*)
+  }
+
+  /** S7 — staged parquet sink (aggregate.py:118-121 etc.): one directory
+    * per stage, `{name}_{interval}` naming, partition-parallel writes (the
+    * reference writes single files; at 100 TB the sink partitions by
+    * ProjectIdBSV so downstream project-grain reads prune).
+    */
+  def writeStage(df: DataFrame, dir: String, name: String,
+                 partitionByProject: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    val path = s"$dir/$name.parquet"
+    if (partitionByProject) w.partitionBy(Model.ProjectId).parquet(path)
+    else w.parquet(path)
+  }
+
+  /** Legacy-schema normalization: HuisCode -> HuisIdBSV when the old name
+    * appears (load_data.py:52-54, 97-99).
+    */
+  def normalizeLegacyColumns(df: DataFrame): DataFrame =
+    if (df.columns.contains("HuisCode") && !df.columns.contains(Model.HouseId))
+      df.withColumnRenamed("HuisCode", Model.HouseId)
+    else df
+}

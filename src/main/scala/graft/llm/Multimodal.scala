@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: media travel as opaque `binary` columns with typed metadata
+  * structs; decode / feature-extract steps run per-partition in batches.
+  *
+  * The actual codec libraries are not vendored in this environment, so the
+  * decode step is a clearly-marked deterministic STUB ([[stubDecode]]) —
+  * the Spark-side contract (schema, batch shape, partition-parallel
+  * execution, null-safe error channel) is real and tested; swapping the
+  * stub for a JNI/javacv decoder changes one function.
+  *
+  * Scale notes: media bytes dominate row size, so every transform here
+  * (a) never shuffles the binary payload — metadata extraction is map-only
+  * and joins happen on ids after dropping the bytes, and (b) sizes
+  * partitions by bytes, not rows (`spark.sql.files.maxPartitionBytes`
+  * governs scan splits; downstream repartitioning uses byte-weighted
+  * ranges via [[repartitionByBytes]]).
+  */
+object Multimodal {
+
+  /** The typed metadata struct every media column carries. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("byte_length", LongType),
+    StructField("content_hash", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("decode_error", StringType)))
+
+  /** Map-only metadata for a binary media column: length + content digest
+    * (no decode needed; pure Catalyst expressions).
+    */
+  def byteMeta(bin: Column): Seq[(String, Column)] = Seq(
+    "byte_length" -> length(bin).cast("long"),
+    "content_hash" -> md5(bin))
+
+  /** STUB decode ??? — deterministic fake dimensions derived from the
+    * content hash, standing in for an image decoder. Real
+    * implementations replace the width/height/duration expressions with a
+    * `mapPartitions` batch decode; everything downstream (schema,
+    * nullability, error channel) is identical.
+    */
+  def stubDecode(bin: Column, mime: Column): Column = {
+    val h = TextFunctions.hash64(md5(bin))
+    struct(
+      mime.as("mime"),
+      length(bin).cast("long").as("byte_length"),
+      md5(bin).as("content_hash"),
+      when(mime.startsWith("image/"), (pmod(h, lit(1920L)) + 1).cast("int"))
+        .as("width"),
+      when(mime.startsWith("image/"), (pmod(h / 1920L, lit(1080L)) + 1).cast("int"))
+        .as("height"),
+      when(mime.startsWith("audio/") || mime.startsWith("video/"),
+        pmod(h, lit(600000L))).as("duration_ms"),
+      when(length(bin) === 0, lit("empty payload")).as("decode_error"))
+  }
+
+  /** Frame-sample row expansion for video: one output row per sampled
+    * frame index at `fps`-spaced offsets — the explode happens on
+    * lightweight (id, frame_idx) rows; the binary payload is NOT
+    * duplicated (callers re-join on id only where frames are decoded).
+    */
+  def frameSampleIndexes(durationMs: Column, everyMs: Long): Column =
+    when(durationMs.isNotNull && durationMs > 0,
+      sequence(lit(0L), durationMs - 1, lit(everyMs)))
+      .otherwise(array())
+
+  /** Byte-weighted repartitioning: ranges on cumulative payload size so
+    * each partition carries ~`targetBytes` of media, regardless of row
+    * skew (a 4K video != a thumbnail).
+    */
+  def repartitionByBytes(df: DataFrame, bin: String, targetBytes: Long,
+                         numPartitions: Int): DataFrame =
+    df.withColumn("__w", (length(col(bin)).cast("long") / targetBytes).cast("int"))
+      .repartitionByRange(numPartitions, col("__w"), col(bin).isNull)
+      .drop("__w")
+
+  /** Batch decode via mapPartitions — the real-decoder integration point.
+    * Processes rows in fixed-size batches (the shape a native decoder or
+    * model server wants), returning (id, meta) pairs. The decoder here is
+    * the stub; the batching/partition plumbing is the tested contract.
+    */
+  def decodePartitions(df: DataFrame, idCol: String, binCol: String,
+                       batchSize: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("byte_length", LongType),
+      StructField("ok", BooleanType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // A real decoder would hand `batch` to native code here (???).
+        batch.map { r =>
+          val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+          Row(r.getLong(idIdx),
+            if (bytes == null) 0L else bytes.length.toLong,
+            bytes != null && bytes.nonEmpty)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Dedup.cosine
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]]: exact cosine top-k via a broadcast join of the
+  *     (small) query set against the corpus — the correctness baseline.
+  *     Scales linearly in corpus size with full parallelism; the per-query
+  *     top-k is a window over cosine with rank, so only k rows per query
+  *     survive the final shuffle.
+  *   - IVF (inverted-file) partitioning: assign every vector to its
+  *     nearest centroid (broadcast centroid table, map-only), then search
+  *     only within the probe cells. At 100 TB this is the difference
+  *     between scanning the corpus per query and scanning ~1/nlist of it;
+  *     cells are hash-partitioned so each executor handles its own cells.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query row, the k nearest corpus rows.
+    * Queries are broadcast (the query set is small by construction);
+    * ties break deterministically on corpus id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** IVF cell assignment: index (1-based) of the nearest centroid by
+    * cosine. `centroids` is an array-of-vectors literal column (the
+    * trained codebook, broadcast as a literal into codegen).
+    */
+  def ivfAssign(vec: Column, centroids: Column): Column = {
+    val scored = transform(centroids, c => cosine(vec, c))
+    array_position(scored, array_max(scored))
+  }
+
+  /** IVF top-k: corpus and queries are assigned to cells; each query
+    * searches only its own cell (nprobe=1 — the scale path trades recall
+    * for a 1/nlist scan). Returns (query_id, neighbor_id, rank, cos).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, centroids: Column, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qcell", ivfAssign(col("qv"), centroids))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("ccell", ivfAssign(col("cv"), centroids))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("qcell") === col("ccell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Random-hyperplane LSH bucket for a vector: bit b = sign of the dot
+    * product with pseudo-hyperplane b, where hyperplane components are
+    * deterministic +-1 derived from md5 — engine-portable like the MinHash
+    * seeds. Near vectors share buckets with high probability.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int = 8): Column = {
+    (0 until planes).map { p =>
+      // component j of plane p: +1 if md5("p_j") has an even first hex
+      // digit, else -1 — deterministic, engine-reproducible
+      val dot = aggregate(
+        zip_with(vec,
+          sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") *
+            (pmod(TextFunctions.hash64(concat(lit(p + "_"), j)), lit(2L)) * 2 - 1)
+              .cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

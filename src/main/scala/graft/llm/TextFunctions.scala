@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * deterministic hashing, shingling, tokenization, language-ID, quality
+  * scoring, and fingerprinting. Everything here is a pure Catalyst column
+  * expression (codegen-friendly, no UDFs), and every hash is defined via
+  * md5 so results are engine-portable (the same value is computable in any
+  * SQL engine with md5 + hex parsing — the property the correctness oracle
+  * relies on).
+  */
+object TextFunctions {
+
+  /** Deterministic 60-bit hash of a string: the first 15 hex digits of its
+    * md5, as a non-negative long. Stable across engines, versions, and
+    * partitionings (unlike Spark's murmur `hash`, which is
+    * implementation-specific).
+    */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** A second independent hash stream (last 15 hex digits). */
+  def hash64b(c: Column): Column =
+    conv(substring(md5(c), 18, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens. The corpus convention is single-space separation;
+    * split on runs of whitespace and drop empties.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...] for n consecutive
+    * tokens. Built with transform over token indices — no explode, no
+    * shuffle; stays inside whole-stage codegen.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+      .otherwise(array())
+  }
+
+  /** Character n-grams of a string. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array())
+
+  /** Token count via a BPE-ish regex: alphanumeric runs and single
+    * non-space symbols each count as one token — a cheap, deterministic
+    * stand-in for subword tokenizers when budgeting corpus token counts.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** English/Dutch stopword hit ratios — the n-gram-free heuristic
+    * language-ID: classify by which stopword family covers more of the
+    * text's tokens.
+    */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "be", "this", "that")
+  val nlStopwords: Seq[String] = Seq(
+    "de", "het", "een", "en", "of", "van", "naar", "in", "is", "zijn",
+    "was", "voor", "op", "met", "als", "bij", "dit", "dat", "te", "niet")
+
+  private def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val ts = tokens(lower(text))
+    val hits = size(filter(ts, t => t.isin(words.map(lit(_)): _*)))
+    when(size(ts) > 0, hits.cast("double") / size(ts)).otherwise(lit(0.0))
+  }
+
+  def enStopwordRatio(text: Column): Column = stopwordRatio(text, enStopwords)
+  def nlStopwordRatio(text: Column): Column = stopwordRatio(text, nlStopwords)
+
+  /** Heuristic language id: "en" / "nl" / "und" by stopword coverage. */
+  def langId(text: Column): Column = {
+    val en = enStopwordRatio(text)
+    val nl = nlStopwordRatio(text)
+    when(en > nl && en > 0.0, lit("en"))
+      .when(nl > en, lit("nl"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality signals: length, word count, mean word length, punctuation
+    * ratio, stopword ratio — the usual cheap filters ahead of expensive
+    * dedup/training stages. Returns named columns via a struct.
+    */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nWords = wordCount(text)
+    val punct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0)))
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "mean_word_len" -> when(nWords > 0,
+        aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / nWords),
+      "punct_ratio" -> when(nChars > 0, punct.cast("double") / nChars),
+      "stopword_ratio" -> enStopwordRatio(text))
+  }
+
+  /** Composite quality score in [0,1]: papers-standard shape (length gate,
+    * stopword presence, punctuation sanity) with deterministic arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val nWords = wordCount(text).cast("double")
+    val lengthScore = least(nWords / 50.0, lit(1.0))
+    val stopScore = least(enStopwordRatio(text) * 5.0, lit(1.0))
+    round((lengthScore + stopScore) / 2.0, 6)
+  }
+
+  /** Rolling polynomial fingerprint of the token stream (document
+    * fingerprinting): fold acc = (acc * P + h(token) mod M) mod M. All
+    * arithmetic stays < 2^60 so it is exact in any 64-bit integer engine
+    * (no overflow wrap, which SQL engines reject).
+    */
+  def fingerprint(text: Column): Column = {
+    val M = 1000000007L
+    val P = 1000003L
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * P + hash64(t) % M) % M)
+  }
+}
