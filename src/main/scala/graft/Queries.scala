@@ -128,7 +128,8 @@ object Queries {
   // Registry
   // ---------------------------------------------------------------------
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Core operator-shape queries defined inline below. */
+  val coreAll: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (q_agg_pricing _),
     "q_a1_group_mean" -> (q_a1_group_mean _),
     "q_a2_group_max" -> (q_a2_group_max _),
@@ -141,7 +142,7 @@ object Queries {
     "q_w8_ffill" -> (q_w8_ffill _),
   )
 
-  val oracles: Map[String, String] = Map(
+  val coreOracles: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -195,4 +196,11 @@ object Queries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
         |FROM events""".stripMargin,
   )
+
+  /** Full registry: core + per-domain query objects. */
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    coreAll ++ queries.QueriesEtd.all
+
+  val oracles: Map[String, String] =
+    coreOracles ++ queries.QueriesEtd.oracles
 }

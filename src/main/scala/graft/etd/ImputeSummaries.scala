@@ -26,7 +26,6 @@ object ImputeSummaries {
     val impTy = imputeTypeCol(cum)
     df.groupBy(col(ProjectId), col(HouseId))
       .agg(
-        lit(diffC).as("column"),
         sum(diffC).as("diff_col_total"),
         (max(cum) - min(cum)).as("cum_col_min_max_diff"),
         (sum(diffC) - (max(cum) - min(cum))).as("deviation"),
@@ -41,6 +40,7 @@ object ImputeSummaries {
         // (Model.ImputeType), THRESHOLD_ADJUSTED composites included, so
         // the fold is a bit_or over the per-row flag values.
         coalesce(bit_or(col(impTy)), lit(0)).cast("long").as("bitwise_methods"))
+      .withColumn("column", lit(diffC))
   }
 
   /** Run gapStats for every column and union (impute.py:255-260's

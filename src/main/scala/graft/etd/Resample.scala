@@ -29,10 +29,14 @@ import Model._
   */
 object Resample {
 
-  /** Floor a timestamp to its interval bucket start. */
-  def bucket(ts: Column, interval: String): Column =
-    timestamp_seconds(
-      floor(ts.cast("double") / intervalSeconds(interval)) * intervalSeconds(interval))
+  /** Floor a timestamp to its interval bucket start — exact integer µs
+    * arithmetic (a double roundtrip could mis-bucket values within one ulp
+    * of a boundary).
+    */
+  def bucket(ts: Column, interval: String): Column = {
+    val us = lit(intervalSeconds(interval) * 1000000L)
+    timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), us))
+  }
 
   def intervalSeconds(interval: String): Long = interval match {
     case "5min" => 300L
@@ -68,8 +72,9 @@ object Resample {
     */
   def resample(df: DataFrame, variables: Seq[(String, String)],
                interval: String,
-               groupCols: Seq[String] = Seq(ProjectId, HouseId)): DataFrame = {
-    val minCount = lit(intervalMinCount(interval))
+               groupCols: Seq[String] = Seq(ProjectId, HouseId),
+               minCountOverride: Option[Int] = None): DataFrame = {
+    val minCount = lit(minCountOverride.getOrElse(intervalMinCount(interval)))
     val aggs = variables.map { case (v, method) =>
       val gated = method match {
         case "sum" => Aggregates.sumMinCount(col(v), minCount)

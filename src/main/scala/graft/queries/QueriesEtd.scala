@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry.table
+import graft.etd.{Aggregates, Calculated, Diffs, Impute, ImputeSummaries, Model, ProjectAggregate, Resample}
+import graft.etd.Model.{HouseId, ProjectId, ReadingDate}
+
+/** ETD-operator coverage queries: the driver's `events` table reshaped into
+  * the reference's meter-reading grain, run through the graft.etd library,
+  * with DuckDB oracles replicating the exact semantics.
+  *
+  * Shim mapping (deterministic, engine-portable):
+  *   HuisIdBSV   = user_id, ProjectIdBSV = user_id % 5,
+  *   ReadingDate = event timestamp at µs (one reading per house-µs),
+  *   Meter       = running Σ|value|/10 per house (the "true" cumulative
+  *                 meter), observed only when event_type != 'error' —
+  *                 so ~20% of readings are missing, creating the NA gaps
+  *                 the imputation pipeline exists for,
+  *   MeterDiff   = Meter - lag(Meter) (null at gaps, like the ETD XDiff),
+  *   MeterDiff_avg = hourly per-project average diff (the avg_diffs J4
+  *                 join-back).
+  * Every derived value is rounded at definition so float summation-order
+  * differences between engines cannot leak into branch conditions.
+  */
+object QueriesEtd {
+
+  // ------------------------------------------------------------------
+  // Shim (Spark side)
+  // ------------------------------------------------------------------
+
+  private val HourUs = 3600000000L
+
+  /** events -> ETD-shaped readings frame. */
+  def readings(spark: SparkSession, dir: String): DataFrame = {
+    val wHouse = Window.partitionBy("user_id").orderBy("t_us")
+    val running = wHouse.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "events")
+      .withColumn("t_us", expr("ts div 1000"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id", "t_us").orderBy("event_id")))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("cum_true", round(sum(abs(col("value")) / 10).over(running), 6))
+      .withColumn("observed", col("event_type") =!= "error")
+      .withColumn("Meter", when(col("observed"), col("cum_true")))
+      .withColumn("MeterDiff", col("Meter") - lag("Meter", 1).over(wHouse))
+      .withColumn(HouseId, col("user_id"))
+      .withColumn(ProjectId, pmod(col("user_id"), lit(5L)))
+      .withColumn(ReadingDate, timestamp_micros(col("t_us")))
+  }
+
+  /** + MeterDiff_avg: hourly per-project mean diff joined back (J4 shape,
+    * impute.py:642).
+    */
+  def withAverages(rd: DataFrame): DataFrame = {
+    val bucket = (expr("t_us div 3600000000") * HourUs).as("b_us")
+    val avgs = rd.groupBy(col(ProjectId), bucket)
+      .agg(round(avg("MeterDiff"), 6).as("MeterDiff_avg"))
+    rd.withColumn("b_us", expr("t_us div 3600000000") * HourUs)
+      .join(avgs, Seq(ProjectId, "b_us"), "left")
+  }
+
+  /** Library-staged frame: gap groups -> gap stats -> impute inputs ->
+    * house factor (I3..I6 chained, exactly as Impute.imputeColumn stages
+    * them).
+    */
+  def staged(spark: SparkSession, dir: String): DataFrame =
+    Impute.withHouseFactor(
+      Impute.withImputeInputs(
+        Impute.withGapStats(
+          Impute.withGapGroups(withAverages(readings(spark, dir)),
+            "MeterDiff", "Meter"),
+          "Meter"),
+        "MeterDiff_avg"),
+      "MeterDiff", "MeterDiff_avg")
+
+  // ------------------------------------------------------------------
+  // Oracle CTE prefixes (DuckDB side) — exact semantic mirrors
+  // ------------------------------------------------------------------
+
+  /** readings CTE: `r(huis, project, t_us, meter, meter_diff)`. */
+  val shimSql: String =
+    """WITH ev AS (
+      |  SELECT *, epoch_ns(ts)//1000 AS t_us FROM events
+      |), dd AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, t_us ORDER BY event_id) AS rn
+      |    FROM ev) WHERE rn = 1
+      |), cums AS (
+      |  SELECT user_id, t_us, event_type, value,
+      |    round(sum(abs(value)/10) OVER (PARTITION BY user_id ORDER BY t_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_true
+      |  FROM dd
+      |), robs AS (
+      |  SELECT user_id, t_us, event_type, value, cum_true,
+      |    CASE WHEN event_type <> 'error' THEN cum_true END AS meter
+      |  FROM cums
+      |), r AS (
+      |  SELECT user_id AS huis, user_id % 5 AS project, t_us, value, meter,
+      |    meter - lag(meter) OVER (PARTITION BY user_id ORDER BY t_us) AS meter_diff
+      |  FROM robs
+      |)""".stripMargin
+
+  /** + `ravg`: r + meter_diff_avg (hourly project average). */
+  val avgSql: String = shimSql +
+    """, av AS (
+      |  SELECT project, t_us//3600000000 AS b, round(avg(meter_diff),6) AS meter_diff_avg
+      |  FROM r GROUP BY 1, 2
+      |), ravg AS (
+      |  SELECT r.*, av.meter_diff_avg
+      |  FROM r LEFT JOIN av ON r.project = av.project AND r.t_us//3600000000 = av.b
+      |)""".stripMargin
+
+  /** + `g4`: cumulative_value_group (cvg) + gap_length (I3). */
+  val gapsSql: String = avgSql +
+    """, g1 AS (
+      |  SELECT *, (meter_diff IS NULL) AS is_na,
+      |    ((meter_diff IS NULL) AND NOT coalesce(lag(meter_diff IS NULL) OVER w, false)) AS gap_start,
+      |    (meter IS NOT NULL AND meter_diff IS NULL) AS cum_seen
+      |  FROM ravg WINDOW w AS (PARTITION BY huis ORDER BY t_us)
+      |), g2 AS (
+      |  SELECT *, (coalesce(lag(cum_seen) OVER w, false) OR gap_start) AS bump
+      |  FROM g1 WINDOW w AS (PARTITION BY huis ORDER BY t_us)
+      |), g3 AS (
+      |  SELECT *, CASE WHEN is_na THEN sum(bump::INT) OVER (PARTITION BY huis ORDER BY t_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END::BIGINT AS cvg
+      |  FROM g2
+      |), g4 AS (
+      |  SELECT *, CASE WHEN cvg IS NOT NULL THEN count(*) OVER (PARTITION BY huis, cvg) END AS gap_length
+      |  FROM g3
+      |)""".stripMargin
+
+  /** + `s4`: prev_cum_value, end_cum_value, gap_jump (I4). */
+  val statsSql: String = gapsSql +
+    """, s1 AS (
+      |  SELECT *, lag(meter) OVER w AS p_meter, lag(cvg) OVER w AS p_cvg
+      |  FROM g4 WINDOW w AS (PARTITION BY huis ORDER BY t_us)
+      |), s2 AS (
+      |  SELECT *, CASE WHEN cvg IS NOT NULL AND (p_cvg IS DISTINCT FROM cvg) AND p_meter >= 0
+      |    THEN p_meter END AS prev_cand
+      |  FROM s1
+      |), s3 AS (
+      |  SELECT *,
+      |    CASE WHEN cvg IS NOT NULL THEN max(prev_cand) OVER (PARTITION BY huis, cvg) END AS prev_cum_value,
+      |    CASE WHEN cvg IS NOT NULL THEN last_value(meter IGNORE NULLS) OVER (PARTITION BY huis, cvg
+      |      ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) END AS end_raw
+      |  FROM s2
+      |), s4 AS (
+      |  SELECT * EXCLUDE (end_raw),
+      |    CASE WHEN NOT (end_raw < 0) THEN end_raw END AS end_cum_value,
+      |    CASE WHEN NOT (end_raw < 0) THEN end_raw END - prev_cum_value AS gap_jump
+      |  FROM s3
+      |)""".stripMargin
+
+  /** + `h3`: impute_values/impute_jump/impute_na_ratio (I5) and
+    * house_impute_factor (I6).
+    */
+  val inputsSql: String = statsSql +
+    """, i0 AS (
+      |  SELECT *, coalesce(meter_diff_avg, 0) AS impute_values,
+      |    (meter_diff_avg IS NULL)::INT AS avg_na
+      |  FROM s4
+      |), i1 AS (
+      |  SELECT *,
+      |    CASE WHEN cvg IS NOT NULL THEN sum(impute_values) OVER wg END AS impute_jump,
+      |    CASE WHEN cvg IS NOT NULL THEN (sum(avg_na) OVER wg)::BIGINT / gap_length END AS impute_na_ratio
+      |  FROM i0 WINDOW wg AS (PARTITION BY huis, cvg ORDER BY t_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |), h1 AS (
+      |  SELECT *, (meter_diff_avg IS NOT NULL AND meter_diff IS NOT NULL AND meter_diff >= 0) AS comp
+      |  FROM i1
+      |), h2 AS (
+      |  SELECT *,
+      |    sum(CASE WHEN comp THEN meter_diff_avg END) OVER wh AS avg_sum,
+      |    sum(CASE WHEN comp THEN meter_diff END) OVER wh AS diff_sum,
+      |    (sum(comp::INT) OVER wh)::BIGINT AS n_comp,
+      |    count(*) OVER wh AS n_tot
+      |  FROM h1 WINDOW wh AS (PARTITION BY huis ORDER BY t_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |), h3 AS (
+      |  SELECT *, CASE WHEN n_comp <= n_tot/2.0 THEN 1.0
+      |    ELSE coalesce(CASE WHEN diff_sum <> 0 THEN avg_sum/diff_sum END, 1.0) END AS house_impute_factor
+      |  FROM h2
+      |)""".stripMargin
+
+  /** + `c1`: the seven-branch cascade (I7/I8): imputed_diff + impute_type. */
+  val cascadeSql: String = inputsSql +
+    """, c1 AS (
+      |  SELECT *,
+      |    CASE WHEN cvg IS NULL THEN meter_diff
+      |      WHEN gap_jump IS NOT NULL AND gap_jump < 0 THEN 0
+      |      WHEN gap_jump IS NOT NULL AND gap_jump >= 0 AND gap_jump < 1e-8 THEN 0
+      |      WHEN gap_jump IS NOT NULL AND gap_jump >= 1e-8 AND impute_jump < 1e-8
+      |        THEN round(gap_jump/gap_length, 10)
+      |      WHEN gap_jump IS NOT NULL AND gap_jump >= 1e-8 AND impute_jump >= 1e-8
+      |        THEN round(impute_values*(gap_jump/impute_jump), 10)
+      |      WHEN gap_jump IS NULL AND end_cum_value IS NOT NULL AND prev_cum_value IS NULL
+      |        AND end_cum_value < 1e-8 THEN 0
+      |      WHEN gap_jump IS NULL AND end_cum_value IS NOT NULL AND prev_cum_value IS NULL
+      |        AND end_cum_value > 1e-8 THEN impute_values
+      |      WHEN gap_jump IS NULL AND end_cum_value IS NULL AND prev_cum_value IS NOT NULL
+      |        THEN impute_values*house_impute_factor
+      |      ELSE meter_diff END AS imputed_diff,
+      |    CASE WHEN cvg IS NULL THEN NULL
+      |      WHEN gap_jump IS NOT NULL AND gap_jump < 0 THEN 1
+      |      WHEN gap_jump IS NOT NULL AND gap_jump >= 0 AND gap_jump < 1e-8 THEN 2
+      |      WHEN gap_jump IS NOT NULL AND gap_jump >= 1e-8 AND impute_jump < 1e-8 THEN 4
+      |      WHEN gap_jump IS NOT NULL AND gap_jump >= 1e-8 AND impute_jump >= 1e-8 THEN 8
+      |      WHEN gap_jump IS NULL AND end_cum_value IS NOT NULL AND prev_cum_value IS NULL
+      |        AND end_cum_value < 1e-8 THEN 16
+      |      WHEN gap_jump IS NULL AND end_cum_value IS NOT NULL AND prev_cum_value IS NULL
+      |        AND end_cum_value > 1e-8 THEN 32
+      |      WHEN gap_jump IS NULL AND end_cum_value IS NULL AND prev_cum_value IS NOT NULL THEN 64
+      |      END AS impute_type
+      |  FROM h3
+      |)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Queries
+  // ------------------------------------------------------------------
+
+  /** I3/W5/W6/W8 — gap & cumulative-value grouping. */
+  def q_i3_gap_groups(spark: SparkSession, dir: String): DataFrame =
+    Impute.withGapGroups(withAverages(readings(spark, dir)), "MeterDiff", "Meter")
+      .filter(col("cumulative_value_group").isNotNull)
+      .select(col(HouseId).as("huis"), col("t_us"),
+        col("cumulative_value_group").as("cvg"), col("gap_length"))
+
+  /** I4/W9 — per-gap statistics. */
+  def q_i4_gap_stats(spark: SparkSession, dir: String): DataFrame =
+    Impute.withGapStats(
+        Impute.withGapGroups(withAverages(readings(spark, dir)), "MeterDiff", "Meter"),
+        "Meter")
+      .filter(col("cumulative_value_group").isNotNull)
+      .groupBy(col(HouseId).as("huis"), col("cumulative_value_group").as("cvg"))
+      .agg(max("gap_length").as("gap_length"),
+        round(max("prev_cum_value"), 6).as("prev_cum"),
+        round(max("end_cum_value"), 6).as("end_cum"),
+        round(max("gap_jump"), 6).as("gap_jump"))
+
+  /** I5/W10 — impute inputs per gap. */
+  def q_i5_impute_inputs(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, dir)
+      .filter(col("cumulative_value_group").isNotNull)
+      .groupBy(col(HouseId).as("huis"), col("cumulative_value_group").as("cvg"))
+      .agg(round(max("impute_jump"), 6).as("impute_jump"),
+        round(max("impute_na_ratio"), 6).as("impute_na_ratio"))
+
+  /** I6 — per-house scaling factor. */
+  def q_i6_house_factor(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, dir)
+      .groupBy(col(HouseId).as("huis"))
+      .agg(round(max("house_impute_factor"), 6).as("house_factor"))
+
+  /** I7/I8 — the full impute cascade via Impute.imputeColumn (library
+    * end-to-end: I3..I9 with no thresholds registered for MeterDiff).
+    */
+  def q_i7_impute_cascade(spark: SparkSession, dir: String): DataFrame =
+    Impute.imputeColumn(withAverages(readings(spark, dir)), "Meter",
+        keepGapCols = true)
+      .filter(col("cumulative_value_group").isNotNull)
+      .select(col(HouseId).as("huis"), col("t_us"),
+        round(col("MeterDiff"), 6).as("imputed_diff"),
+        col("MeterDiff_impute_type").cast("long").as("impute_type"),
+        col("MeterDiff_is_imputed").as("is_imputed"))
+
+  /** I9 — threshold clamping with an explicit bound (values above 12.0
+    * replaced by the project average, OR-flagged THRESHOLD_ADJUSTED).
+    */
+  def q_i9_thresholds(spark: SparkSession, dir: String): DataFrame = {
+    val (imputedDiff, imputeType) = Impute.imputeCascade("MeterDiff")
+    val cascaded = staged(spark, dir)
+      .withColumn("MeterDiff_impute_type", imputeType)
+      .withColumn("MeterDiff_is_imputed", col("MeterDiff_impute_type").isNotNull)
+      .withColumn("MeterDiff", imputedDiff)
+    Impute.applyThresholds(cascaded, "MeterDiff", "MeterDiff_avg",
+        "MeterDiff_is_imputed", "MeterDiff_impute_type", 0.0, 12.0)
+      .filter(col("MeterDiff_impute_type") >= 128)
+      .select(col(HouseId).as("huis"), col("t_us"),
+        round(col("MeterDiff"), 6).as("clamped_diff"),
+        col("MeterDiff_impute_type").cast("long").as("impute_type"))
+  }
+
+  /** I1/A2/A3/P6/J12 — average-diff preparation over included households. */
+  def q_i1_avg_diff(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = readings(spark, dir)
+      .withColumn(ReadingDate, expr("t_us div 3600000000") * HourUs)
+    val (avgDiffs, _) = Diffs.prepare(bucketed, Seq("Meter"))
+    avgDiffs.select(col(ProjectId).as("project"),
+      col(ReadingDate).as("b_us"),
+      round(col("MeterDiff_avg"), 6).as("avg_diff"))
+  }
+
+  /** I2/J5 — household max with project bounds. */
+  def q_i2_max_bounds(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = readings(spark, dir)
+      .withColumn(ReadingDate, expr("t_us div 3600000000") * HourUs)
+    val (_, maxBounds) = Diffs.prepare(bucketed, Seq("Meter"))
+    maxBounds.select(col(HouseId).as("huis"), col(ProjectId).as("project"),
+      round(col("MeterDiff_huis_max"), 6).as("huis_max"),
+      round(col("MeterDiff_upper_bound"), 6).as("upper_bound"))
+  }
+
+  /** I11/W7/W11 — cumulative rebuild + check column. */
+  def q_i11_cumsum_rebuild(spark: SparkSession, dir: String): DataFrame =
+    ProjectAggregate.rebuildCumulative(readings(spark, dir), Seq("Meter"))
+      .select(col(HouseId).as("huis"), col("t_us"),
+        round(col("Meter"), 6).as("rebuilt"),
+        round(col("MeterCheck"), 6).as("check_col"))
+
+  /** I12 — project aggregated diff (mean per project-bucket). */
+  def q_i12_project_diff(spark: SparkSession, dir: String): DataFrame =
+    ProjectAggregate.aggregatedDiff(
+        readings(spark, dir)
+          .withColumn(ReadingDate, expr("t_us div 3600000000") * HourUs),
+        Seq("MeterDiff"))
+      .select(col(ProjectId).as("project"), col(ReadingDate).as("b_us"),
+        round(col("MeterDiff"), 6).as("mean_diff"))
+
+  // ------------------------------------------------------------------
+  // Registry + oracles
+  // ------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_i3_gap_groups" -> (q_i3_gap_groups _),
+    "q_i4_gap_stats" -> (q_i4_gap_stats _),
+    "q_i5_impute_inputs" -> (q_i5_impute_inputs _),
+    "q_i6_house_factor" -> (q_i6_house_factor _),
+    "q_i7_impute_cascade" -> (q_i7_impute_cascade _),
+    "q_i9_thresholds" -> (q_i9_thresholds _),
+    "q_i1_avg_diff" -> (q_i1_avg_diff _),
+    "q_i2_max_bounds" -> (q_i2_max_bounds _),
+    "q_i11_cumsum_rebuild" -> (q_i11_cumsum_rebuild _),
+    "q_i12_project_diff" -> (q_i12_project_diff _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_i3_gap_groups" -> (gapsSql +
+      " SELECT huis, t_us, cvg, gap_length FROM g4 WHERE cvg IS NOT NULL"),
+    "q_i4_gap_stats" -> (statsSql +
+      """ SELECT huis, cvg, max(gap_length) AS gap_length,
+        |  round(max(prev_cum_value),6) AS prev_cum,
+        |  round(max(end_cum_value),6) AS end_cum,
+        |  round(max(gap_jump),6) AS gap_jump
+        |FROM s4 WHERE cvg IS NOT NULL GROUP BY huis, cvg""".stripMargin),
+    "q_i5_impute_inputs" -> (inputsSql +
+      """ SELECT huis, cvg, round(max(impute_jump),6) AS impute_jump,
+        |  round(max(impute_na_ratio),6) AS impute_na_ratio
+        |FROM h3 WHERE cvg IS NOT NULL GROUP BY huis, cvg""".stripMargin),
+    "q_i6_house_factor" -> (inputsSql +
+      " SELECT huis, round(max(house_impute_factor),6) AS house_factor FROM h3 GROUP BY huis"),
+    "q_i7_impute_cascade" -> (cascadeSql +
+      """ SELECT huis, t_us, round(imputed_diff,6) AS imputed_diff,
+        |  impute_type::BIGINT AS impute_type,
+        |  (impute_type IS NOT NULL) AS is_imputed
+        |FROM c1 WHERE cvg IS NOT NULL""".stripMargin),
+    "q_i9_thresholds" -> (cascadeSql +
+      """, c2 AS (
+        |  SELECT *,
+        |    CASE WHEN (imputed_diff < 0.0 OR imputed_diff > 12.0) AND imputed_diff IS NOT NULL
+        |      THEN meter_diff_avg ELSE imputed_diff END AS clamped_diff,
+        |    CASE WHEN (imputed_diff < 0.0 OR imputed_diff > 12.0) AND imputed_diff IS NOT NULL
+        |      THEN coalesce(impute_type, 0) | 128 ELSE impute_type END AS clamped_type
+        |  FROM c1)
+        |SELECT huis, t_us, round(clamped_diff,6) AS clamped_diff,
+        |  clamped_type::BIGINT AS impute_type
+        |FROM c2 WHERE clamped_type >= 128""".stripMargin),
+    "q_i1_avg_diff" -> (shimSql +
+      """, hm AS (
+        |  SELECT project, huis, max(meter_diff) AS huis_max
+        |  FROM r GROUP BY 1, 2
+        |), ub AS (
+        |  SELECT project,
+        |    quantile_cont(CASE WHEN huis_max > 1e-8 THEN huis_max END, 0.95) * 2 AS upper_bound
+        |  FROM hm GROUP BY 1
+        |), hmb AS (
+        |  SELECT hm.*, ub.upper_bound FROM hm LEFT JOIN ub ON hm.project = ub.project
+        |)
+        |SELECT r.project AS project, (r.t_us//3600000000)*3600000000 AS b_us,
+        |  round(avg(CASE WHEN hmb.huis_max < hmb.upper_bound THEN r.meter_diff END),6) AS avg_diff
+        |FROM r LEFT JOIN hmb ON r.project = hmb.project AND r.huis = hmb.huis
+        |GROUP BY 1, 2""".stripMargin),
+    "q_i2_max_bounds" -> (shimSql +
+      """, hm AS (
+        |  SELECT project, huis, max(meter_diff) AS huis_max
+        |  FROM r GROUP BY 1, 2
+        |), ub AS (
+        |  SELECT project,
+        |    quantile_cont(CASE WHEN huis_max > 1e-8 THEN huis_max END, 0.95) * 2 AS upper_bound
+        |  FROM hm GROUP BY 1
+        |)
+        |SELECT hm.huis, hm.project, round(hm.huis_max,6) AS huis_max,
+        |  round(ub.upper_bound,6) AS upper_bound
+        |FROM hm LEFT JOIN ub ON hm.project = ub.project""".stripMargin),
+    "q_i11_cumsum_rebuild" -> (shimSql +
+      """, rb AS (
+        |  SELECT huis, t_us, meter AS meter_original,
+        |    sum(meter_diff) OVER (PARTITION BY huis ORDER BY t_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rebuilt
+        |  FROM r
+        |), rb2 AS (
+        |  SELECT huis, t_us, rebuilt, (rebuilt - meter_original) AS delta,
+        |    (rebuilt - meter_original)
+        |      - lag(rebuilt - meter_original) OVER (PARTITION BY huis ORDER BY t_us) AS check_col
+        |  FROM rb
+        |)
+        |SELECT huis, t_us, round(rebuilt,6) AS rebuilt, round(check_col,6) AS check_col
+        |FROM rb2""".stripMargin),
+    "q_i12_project_diff" -> (shimSql +
+      """ SELECT project, (t_us//3600000000)*3600000000 AS b_us,
+        |  round(avg(meter_diff),6) AS mean_diff
+        |FROM r GROUP BY 1, 2""".stripMargin),
+  )
+}
