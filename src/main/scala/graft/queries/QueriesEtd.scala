@@ -98,7 +98,7 @@ object QueriesEtd {
       |    CASE WHEN event_type <> 'error' THEN cum_true END AS meter
       |  FROM cums
       |), r AS (
-      |  SELECT user_id AS huis, user_id % 5 AS project, t_us, value, meter,
+      |  SELECT user_id AS huis, user_id % 5 AS project, t_us, value, event_type, meter,
       |    meter - lag(meter) OVER (PARTITION BY user_id ORDER BY t_us) AS meter_diff
       |  FROM robs
       |)""".stripMargin
@@ -319,6 +319,121 @@ object QueriesEtd {
       .select(col(ProjectId).as("project"), col(ReadingDate).as("b_us"),
         round(col("MeterDiff"), 6).as("mean_diff"))
 
+  /** A8 — resample to 6h buckets with min_count gate and empty-bucket
+    * densification (the pandas-resample semantic trap, SURVEY §7.4.1).
+    */
+  def q_a8_resample(spark: SparkSession, dir: String): DataFrame =
+    Resample.resample(
+        readings(spark, dir)
+          .withColumn("MeterDiffDec", col("MeterDiff").cast("decimal(28,10)")),
+        Seq("MeterDiffDec" -> "sum", "Meter" -> "max", "value" -> "avg"),
+        "6h", Seq(ProjectId, HouseId), minCountOverride = Some(4))
+      .select(col(ProjectId).as("project"), col(HouseId).as("huis"),
+        col(ReadingDate).cast("long").as("bucket_s"),
+        col("MeterDiffDec").cast("decimal(20,6)").cast("double").as("sum_diff"),
+        round(col("Meter"), 6).as("max_meter"),
+        round(col("value"), 6).as("avg_value"))
+
+  /** A5/A6/A7/J6/J7 — project aggregation with the 60% gate + n. */
+  def q_a6a7_project_agg(spark: SparkSession, dir: String): DataFrame =
+    ProjectAggregate.aggregate(
+        readings(spark, dir)
+          .withColumn(ReadingDate, Resample.bucket(col(ReadingDate), "6h"))
+          .withColumn("MeterDiffDec", col("MeterDiff").cast("decimal(28,10)")),
+        Seq("MeterDiffDec" -> "sum", "Meter" -> "max", "value" -> "avg"),
+        Seq(ProjectId))
+      .select(col(ProjectId).as("project"),
+        col(ReadingDate).cast("long").as("bucket_s"),
+        col("MeterDiffDec").cast("decimal(20,6)").cast("double").as("sum_diff"),
+        round(col("Meter"), 6).as("max_meter"),
+        round(col("value"), 6).as("avg_value"),
+        col("n"))
+
+  /** Fabricated ETD diff columns for the calculated-columns path (each
+    * deterministic from events fields, rounded at definition).
+    */
+  def fabricatedDiffs(spark: SparkSession, dir: String): DataFrame = {
+    val rd = readings(spark, dir)
+    val v = abs(col("value"))
+    rd
+      .withColumn("ElektriciteitNetgebruikLaagDiff", when(col("observed"), round(v / 10, 6)))
+      .withColumn("ElektriciteitNetgebruikHoogDiff", when(col("observed"), round(v / 20, 6)))
+      .withColumn("ElektriciteitTerugleveringLaagDiff", when(col("value") > 0, round(col("value") / 15, 6)))
+      .withColumn("ElektriciteitTerugleveringHoogDiff", when(col("value") > 1, round(col("value") / 30, 6)))
+      .withColumn("ElektriciteitsgebruikWarmtepompDiff", round(v / 12, 6))
+      .withColumn("ElektriciteitsgebruikBoosterDiff", when(col("event_type") === "purchase", round(v / 40, 6)))
+      .withColumn("ElektriciteitsgebruikBoilervatDiff", round(v / 25, 6))
+      .withColumn("ElektriciteitsgebruikWTWDiff", round(v / 35, 6))
+      .withColumn("ElektriciteitsgebruikRadiatorDiff", when(col("event_type") === "view", round(v / 18, 6)))
+      .withColumn("Zon-opwekTotaalDiff", round(greatest(col("value"), lit(0.0)) / 8, 6))
+  }
+
+  /** I13 — the 8 derived energy-balance measures + rename. */
+  def q_i13_energy_balance(spark: SparkSession, dir: String): DataFrame =
+    Calculated.addEnergyBalance(fabricatedDiffs(spark, dir))
+      .select(col(HouseId).as("huis"), col("t_us"),
+        round(col("TerugleveringTotaalNetto"), 6).as("teruglevering_totaal"),
+        round(col("ElektriciteitsgebruikTotaalNetto"), 6).as("gebruik_totaal_netto"),
+        round(col("Netuitwisseling"), 6).as("netuitwisseling"),
+        round(col("ElektriciteitsgebruikTotaalWarmtepomp"), 6).as("totaal_warmtepomp"),
+        round(col("ElektriciteitsgebruikTotaalGebouwgebonden"), 6).as("totaal_gebouwgebonden"),
+        round(col("ElektriciteitsgebruikTotaalHuishoudelijk"), 6).as("totaal_huishoudelijk"),
+        round(col("Zelfgebruik"), 6).as("zelfgebruik"),
+        round(col("ElektriciteitsgebruikTotaalBruto"), 6).as("totaal_bruto"))
+
+  /** I14 — interval unit multipliers (kWh-per-interval -> kW). */
+  def q_i14_power(spark: SparkSession, dir: String): DataFrame =
+    readings(spark, dir)
+      .filter(col("MeterDiff").isNotNull)
+      .select(col(HouseId).as("huis"), col("t_us"),
+        round(Calculated.toPower(col("MeterDiff"), "5min"), 6).as("kw_5min"),
+        round(Calculated.toPower(col("MeterDiff"), "6h"), 6).as("kw_6h"))
+
+  /** I15 — normalized datetime (project onto reference week). */
+  def q_i15_normalized_datetime(spark: SparkSession, dir: String): DataFrame =
+    readings(spark, dir)
+      .select(col(HouseId).as("huis"), col("t_us"),
+        date_format(Calculated.normalizedDatetime(col(ReadingDate)),
+          "yyyy-MM-dd HH:mm:ss").as("normalized"))
+
+  /** I10/A13/A14/J8 — per-house imputation summary. diff_col_total is
+    * deliberately NOT in the compared output: it sums round(x,10)
+    * artifacts of the cascade, and Spark's round (shortest-decimal-repr
+    * based) vs DuckDB's (float-multiply based) disagree at the 10th digit
+    * often enough that any aggregate of them is oracle-fragile. The
+    * library still computes it; the compared stats are the
+    * order-independent ones (min/max spans, counts, bitmasks, sets).
+    */
+  def q_i10_summary_house(spark: SparkSession, dir: String): DataFrame = {
+    val imputed = Impute.imputeColumn(withAverages(readings(spark, dir)),
+      "Meter", keepGapCols = true)
+    ImputeSummaries.householdSummary(
+        ImputeSummaries.gapStats(imputed, "Meter"), imputed)
+      .select(col(HouseId).as("huis"), col(ProjectId).as("project"),
+        round(col("cum_col_min_max_diff"), 6).as("cum_span"),
+        col("missing"), col("imputed"), col("imputed_na"),
+        col("bitwise_methods"),
+        concat_ws(",", col("methods")).as("methods_str"),
+        col("total_records"),
+        round(col("percentage_imputed"), 6).as("pct_imputed"))
+  }
+
+  /** A11/A12/A14 — project-level summary: bit_or reduce + set-union of
+    * methods + percentage.
+    */
+  def q_a11_summary_project(spark: SparkSession, dir: String): DataFrame = {
+    val imputed = Impute.imputeColumn(withAverages(readings(spark, dir)),
+      "Meter", keepGapCols = true)
+    ImputeSummaries.projectSummary(
+        ImputeSummaries.gapStats(imputed, "Meter"), imputed)
+      .select(col(ProjectId).as("project"),
+        col("bitwise_methods").cast("long").as("bitwise_methods"),
+        concat_ws(",", col("methods")).as("methods_str"),
+        col("missing"), col("imputed"), col("imputed_na"),
+        col("total_records"),
+        round(col("percentage_imputed"), 6).as("pct_imputed"))
+  }
+
   // ------------------------------------------------------------------
   // Registry + oracles
   // ------------------------------------------------------------------
@@ -334,6 +449,13 @@ object QueriesEtd {
     "q_i2_max_bounds" -> (q_i2_max_bounds _),
     "q_i11_cumsum_rebuild" -> (q_i11_cumsum_rebuild _),
     "q_i12_project_diff" -> (q_i12_project_diff _),
+    "q_a8_resample" -> (q_a8_resample _),
+    "q_a6a7_project_agg" -> (q_a6a7_project_agg _),
+    "q_i13_energy_balance" -> (q_i13_energy_balance _),
+    "q_i14_power" -> (q_i14_power _),
+    "q_i15_normalized_datetime" -> (q_i15_normalized_datetime _),
+    "q_i10_summary_house" -> (q_i10_summary_house _),
+    "q_a11_summary_project" -> (q_a11_summary_project _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -412,5 +534,112 @@ object QueriesEtd {
       """ SELECT project, (t_us//3600000000)*3600000000 AS b_us,
         |  round(avg(meter_diff),6) AS mean_diff
         |FROM r GROUP BY 1, 2""".stripMargin),
+    "q_a8_resample" -> (shimSql +
+      """, bk AS (
+        |  SELECT *, (t_us//21600000000)*21600 AS b_s FROM r
+        |), agg AS (
+        |  SELECT project, huis, b_s,
+        |    CASE WHEN count(meter_diff) >= 4 THEN sum(meter_diff::DECIMAL(28,10))::DECIMAL(20,6)::DOUBLE END AS sum_diff,
+        |    CASE WHEN count(meter) >= 4 THEN max(meter) END AS max_meter,
+        |    CASE WHEN count(value) >= 4 THEN sum(value)/count(value) END AS avg_value
+        |  FROM bk GROUP BY 1, 2, 3
+        |), spine AS (
+        |  SELECT project, huis, unnest(generate_series(min(b_s), max(b_s), 21600)) AS b_s
+        |  FROM bk GROUP BY project, huis
+        |)
+        |SELECT s.project, s.huis, s.b_s AS bucket_s,
+        |  round(a.sum_diff,6) AS sum_diff, round(a.max_meter,6) AS max_meter,
+        |  round(a.avg_value,6) AS avg_value
+        |FROM spine s LEFT JOIN agg a
+        |  ON s.project = a.project AND s.huis = a.huis AND s.b_s = a.b_s""".stripMargin),
+    "q_a6a7_project_agg" -> (shimSql +
+      """, bk AS (
+        |  SELECT *, (t_us//21600000000)*21600 AS b_s FROM r
+        |)
+        |SELECT project, b_s AS bucket_s,
+        |  CASE WHEN count(meter_diff) >= count(*)*0.6 THEN sum(meter_diff::DECIMAL(28,10))::DECIMAL(20,6)::DOUBLE END AS sum_diff,
+        |  CASE WHEN count(meter) >= count(*)*0.6 THEN round(max(meter),6) END AS max_meter,
+        |  CASE WHEN count(value) >= count(*)*0.6 THEN round(sum(value)/count(value),6) END AS avg_value,
+        |  count(*) AS n
+        |FROM bk GROUP BY 1, 2""".stripMargin),
+    "q_i13_energy_balance" -> (shimSql +
+      """, fb AS (
+        |  SELECT huis, t_us,
+        |    CASE WHEN meter IS NOT NULL THEN round(abs(value)/10,6) END AS nglaag,
+        |    CASE WHEN meter IS NOT NULL THEN round(abs(value)/20,6) END AS nghoog,
+        |    CASE WHEN value > 0 THEN round(value/15,6) END AS tllaag,
+        |    CASE WHEN value > 1 THEN round(value/30,6) END AS tlhoog,
+        |    round(abs(value)/12,6) AS wp,
+        |    CASE WHEN event_type = 'purchase' THEN round(abs(value)/40,6) END AS booster,
+        |    round(abs(value)/25,6) AS boiler,
+        |    round(abs(value)/35,6) AS wtw,
+        |    CASE WHEN event_type = 'view' THEN round(abs(value)/18,6) END AS rad,
+        |    round(greatest(value, 0)/8,6) AS zon
+        |  FROM r
+        |), cc AS (
+        |  SELECT *,
+        |    coalesce(tllaag,0)+coalesce(tlhoog,0) AS ter_tot,
+        |    coalesce(nglaag,0)+coalesce(nghoog,0) AS net_tot,
+        |    coalesce(wp,0)+coalesce(booster,0) AS wp_tot
+        |  FROM fb
+        |), cc2 AS (
+        |  SELECT *, coalesce(net_tot,0)-coalesce(ter_tot,0) AS netuit,
+        |    coalesce(wp_tot,0)+coalesce(boiler,0)+coalesce(wtw,0)+coalesce(rad,0) AS gebouw
+        |  FROM cc
+        |), cc3 AS (
+        |  SELECT *, coalesce(netuit,0)+coalesce(zon,0)-coalesce(gebouw,0) AS huishoudelijk,
+        |    coalesce(zon,0)-coalesce(ter_tot,0) AS zelf
+        |  FROM cc2
+        |)
+        |SELECT huis, t_us, round(ter_tot,6) AS teruglevering_totaal,
+        |  round(net_tot,6) AS gebruik_totaal_netto, round(netuit,6) AS netuitwisseling,
+        |  round(wp_tot,6) AS totaal_warmtepomp, round(gebouw,6) AS totaal_gebouwgebonden,
+        |  round(huishoudelijk,6) AS totaal_huishoudelijk, round(zelf,6) AS zelfgebruik,
+        |  round(coalesce(net_tot,0)+coalesce(zelf,0),6) AS totaal_bruto
+        |FROM cc3""".stripMargin),
+    "q_i14_power" -> (shimSql +
+      """ SELECT huis, t_us, round(meter_diff*12.0,6) AS kw_5min,
+        |  round(meter_diff*(1.0/6),6) AS kw_6h
+        |FROM r WHERE meter_diff IS NOT NULL""".stripMargin),
+    "q_i15_normalized_datetime" -> (shimSql +
+      """ SELECT huis, t_us,
+        |  strftime(TIMESTAMP '2023-01-02'
+        |    + (isodow(CAST(make_timestamp(t_us) AS DATE)) - 1) * INTERVAL 1 DAY
+        |    + ((t_us//1000000) - epoch(date_trunc('day', make_timestamp(t_us)))::BIGINT) * INTERVAL 1 SECOND,
+        |    '%Y-%m-%d %H:%M:%S') AS normalized
+        |FROM r""".stripMargin),
+    "q_i10_summary_house" -> (cascadeSql +
+      """, hs AS (
+        |  SELECT project, huis,
+        |    max(meter) - min(meter) AS cum_span,
+        |    count(CASE WHEN gap_length IS NOT NULL THEN 1 END) AS missing,
+        |    count(impute_type) AS imputed,
+        |    count(CASE WHEN cvg IS NOT NULL THEN 1 END) - count(impute_type) AS imputed_na,
+        |    coalesce(bit_or(impute_type),0)::BIGINT AS bitwise_methods,
+        |    array_to_string(list_sort(list_distinct(list(impute_type)
+        |      FILTER (WHERE impute_type IS NOT NULL))), ',') AS methods_str,
+        |    count(*) AS total_records
+        |  FROM c1 GROUP BY 1, 2
+        |)
+        |SELECT huis, project,
+        |  round(cum_span,6) AS cum_span, missing, imputed, imputed_na,
+        |  bitwise_methods, methods_str, total_records,
+        |  round(imputed/total_records*100, 6) AS pct_imputed
+        |FROM hs""".stripMargin),
+    "q_a11_summary_project" -> (cascadeSql +
+      """, ps AS (
+        |  SELECT project,
+        |    coalesce(bit_or(impute_type),0)::BIGINT AS bitwise_methods,
+        |    array_to_string(list_sort(list_distinct(list(impute_type)
+        |      FILTER (WHERE impute_type IS NOT NULL))), ',') AS methods_str,
+        |    count(CASE WHEN gap_length IS NOT NULL THEN 1 END)::BIGINT AS missing,
+        |    count(impute_type)::BIGINT AS imputed,
+        |    (count(CASE WHEN cvg IS NOT NULL THEN 1 END) - count(impute_type))::BIGINT AS imputed_na,
+        |    count(*) AS total_records
+        |  FROM c1 GROUP BY 1
+        |)
+        |SELECT project, bitwise_methods, methods_str, missing, imputed, imputed_na,
+        |  total_records, round(imputed/total_records*100, 6) AS pct_imputed
+        |FROM ps""".stripMargin),
   )
 }
