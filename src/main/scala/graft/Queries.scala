@@ -199,8 +199,8 @@ object Queries {
 
   /** Full registry: core + per-domain query objects. */
   val all: Map[String, (SparkSession, String) => DataFrame] =
-    coreAll ++ queries.QueriesEtd.all
+    coreAll ++ queries.QueriesEtd.all ++ queries.QueriesLLM.all
 
   val oracles: Map[String, String] =
-    coreOracles ++ queries.QueriesEtd.oracles
+    coreOracles ++ queries.QueriesEtd.oracles ++ queries.QueriesLLM.oracles
 }

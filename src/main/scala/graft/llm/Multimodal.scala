@@ -48,13 +48,14 @@ object Multimodal {
     */
   def stubDecode(bin: Column, mime: Column): Column = {
     val h = TextFunctions.hash64(md5(bin))
+    val h2 = TextFunctions.hash64b(md5(bin))
     struct(
       mime.as("mime"),
       length(bin).cast("long").as("byte_length"),
       md5(bin).as("content_hash"),
       when(mime.startsWith("image/"), (pmod(h, lit(1920L)) + 1).cast("int"))
         .as("width"),
-      when(mime.startsWith("image/"), (pmod(h / 1920L, lit(1080L)) + 1).cast("int"))
+      when(mime.startsWith("image/"), (pmod(h2, lit(1080L)) + 1).cast("int"))
         .as("height"),
       when(mime.startsWith("audio/") || mime.startsWith("video/"),
         pmod(h, lit(600000L))).as("duration_ms"),

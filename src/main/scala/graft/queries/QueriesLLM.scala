@@ -1,0 +1,401 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry.table
+import graft.llm.{Dedup, Multimodal, Similarity, TextFunctions}
+
+/** LLM-training-data pipeline coverage queries over the driver's
+  * `documents` and `embeddings` tables, with DuckDB oracles.
+  *
+  * Everything hash-based goes through [[TextFunctions.hash64]]
+  * (md5-hex -> long), which both engines compute identically — the
+  * property that makes MinHash signatures, LSH bands, SimHash bits, and
+  * fingerprints oracle-checkable under fixed seeds (the VERDICT r1 ask).
+  */
+object QueriesLLM {
+
+  /** The documents corpus with deterministic injected duplicates: every
+    * doc_id < 50 appears again at doc_id + 10000 (exact-dup ground truth
+    * for the dedup operators — the raw table has no duplicate texts).
+    */
+  def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  private val dupCorpusSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+      |)""".stripMargin
+
+  /** Shared shingle/minhash/band CTEs over `corpus` (mirrors
+    * Dedup.minhashSignature/lshBandKeys semantics exactly: word 3-gram
+    * shingles, 16 universal hashes h_i(x) = (a_i x + b_i) mod p over the
+    * md5-derived 60-bit shingle hash, 4 bands of 4 rows keyed by md5).
+    */
+  private val minhashSql =
+    """, toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w FROM corpus
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+      |    ELSE [] END AS shingles
+      |  FROM toks
+      |), hashes AS (
+      |  SELECT doc_id, list_transform(shingles, s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS hs FROM sh
+      |), sig AS (
+      |  SELECT doc_id, seed,
+      |    coalesce(list_min(list_transform(hs,
+      |      h -> (((2*seed+131)*(h % 2147483647) + (7*seed+87)) % 2147483647))), 2147483647) AS mh
+      |  FROM hashes, unnest(generate_series(0,15)) t(seed)
+      |), bands AS (
+      |  SELECT doc_id, seed//4 AS band, md5(string_agg(mh::VARCHAR, '_' ORDER BY seed)) AS bk
+      |  FROM sig GROUP BY doc_id, seed//4
+      |)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup groups: digest -> canonical id + dup count. */
+  def q_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(dupCorpus(spark, dir), "doc_id", "text")
+
+  /** Exact dedup keep-set via left_semi (payload never shuffles). */
+  def q_dedup_exact_keep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(dupCorpus(spark, dir), "doc_id", "text")
+      .select("doc_id")
+
+  /** MinHash signatures under fixed seeds, one row per (doc, seed). */
+  def q_minhash_sig(spark: SparkSession, dir: String): DataFrame =
+    dupCorpus(spark, dir)
+      .select(col("doc_id"),
+        posexplode(Dedup.minhashSignature(col("text"))).as(Seq("seed", "minhash")))
+      .withColumn("seed", col("seed").cast("long"))
+
+  /** LSH banding candidate pairs (bucketed — never all-pairs). */
+  def q_lsh_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(dupCorpus(spark, dir), "doc_id", "text")
+
+  /** Near-dup verification: exact shingle-set Jaccard on the LSH
+    * candidates, thresholded.
+    */
+  def q_near_dup_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val pairs = Dedup.lshCandidatePairs(corpus, "doc_id", "text")
+    val texts = corpus.select(col("doc_id"), col("text"))
+    pairs
+      .join(texts.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+      .join(texts.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+      .withColumn("jac", round(Dedup.jaccard(col("ta"), col("tb")), 6))
+      .filter(col("jac") >= 0.2)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** SimHash (32-bit, engine-portable) per document. */
+  def q_simhash(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  /** Embedding-cosine near-duplicate pairs above 0.35. */
+  def q_embed_cosine_dup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(table(spark, dir, "embeddings"), "vec_id",
+        "embedding", 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+
+  // ------------------------------------------------------------------
+  // Similarity search
+  // ------------------------------------------------------------------
+
+  /** Brute-force exact cosine top-5 for the first 10 vectors. */
+  def q_ann_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-bucketed ANN: assign all vectors to the nearest of 8 centroid
+    * vectors (vec_id < 8), search only the query's cell, top-3. The
+    * 1/nlist scan-reduction path for corpus-scale search.
+    */
+  def q_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("ccos").desc, col("cent_id"))
+      df.join(broadcast(cents), lit(true))
+        .withColumn("ccos", Dedup.cosine(col(vec), col("cv")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col(id), col(vec), col("cent_id").as("cell"))
+    }
+    val corpus = assign(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid", "nv")
+    val queries = assign(emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid", "qv")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    queries.withColumnRenamed("cell", "qcell")
+      .join(corpus.withColumnRenamed("cell", "ncell"),
+        col("qcell") === col("ncell") && col("qid") =!= col("nid"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  // ------------------------------------------------------------------
+  // Text analysis
+  // ------------------------------------------------------------------
+
+  /** Heuristic language-ID by stopword coverage. */
+  def q_text_lang(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(TextFunctions.enStopwordRatio(col("text")), 6).as("en_ratio"),
+        round(TextFunctions.nlStopwordRatio(col("text")), 6).as("nl_ratio"),
+        TextFunctions.langId(col("text")).as("lang_id"))
+
+  /** Quality signals + composite score. */
+  def q_text_quality(spark: SparkSession, dir: String): DataFrame = {
+    val signals = TextFunctions.qualitySignals(col("text"))
+    val base = table(spark, dir, "documents")
+    signals.foldLeft(base.select(col("doc_id"), col("text"))) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      .withColumn("n_chars", col("n_chars").cast("long"))
+      .withColumn("n_words", col("n_words").cast("long"))
+      .withColumn("mean_word_len", round(col("mean_word_len"), 6))
+      .withColumn("punct_ratio", round(col("punct_ratio"), 6))
+      .withColumn("stopword_ratio", round(col("stopword_ratio"), 6))
+      .withColumn("score", TextFunctions.qualityScore(col("text")))
+      .drop("text")
+  }
+
+  /** Token counting: whitespace + BPE-ish regex. */
+  def q_text_tokens(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.wordCount(col("text")).cast("long").as("n_ws"),
+        TextFunctions.regexTokenCount(col("text")).cast("long").as("n_re"))
+
+  /** Rolling polynomial document fingerprint. */
+  def q_text_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+
+  // ------------------------------------------------------------------
+  // Multimodal plumbing
+  // ------------------------------------------------------------------
+
+  /** Binary media column + stub-decoded metadata struct (the decode is a
+    * deterministic stand-in; the schema/plumbing is the contract).
+    */
+  def q_multimodal_meta(spark: SparkSession, dir: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    table(spark, dir, "documents")
+      .withColumn("meta", Multimodal.stubDecode(bin, lit("image/png")))
+      .select(col("doc_id"),
+        col("meta.byte_length").as("byte_length"),
+        col("meta.content_hash").as("content_hash"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"))
+  }
+
+  // ------------------------------------------------------------------
+  // Registry + oracles
+  // ------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (q_dedup_exact _),
+    "q_dedup_exact_keep" -> (q_dedup_exact_keep _),
+    "q_minhash_sig" -> (q_minhash_sig _),
+    "q_lsh_pairs" -> (q_lsh_pairs _),
+    "q_near_dup_jaccard" -> (q_near_dup_jaccard _),
+    "q_simhash" -> (q_simhash _),
+    "q_embed_cosine_dup" -> (q_embed_cosine_dup _),
+    "q_ann_topk" -> (q_ann_topk _),
+    "q_ann_ivf" -> (q_ann_ivf _),
+    "q_text_lang" -> (q_text_lang _),
+    "q_text_quality" -> (q_text_quality _),
+    "q_text_tokens" -> (q_text_tokens _),
+    "q_text_fingerprint" -> (q_text_fingerprint _),
+    "q_multimodal_meta" -> (q_multimodal_meta _),
+  )
+
+  private val enList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+  private val nlList = TextFunctions.nlStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> (dupCorpusSql +
+      """ SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+        |  count(*) AS n_dups
+        |FROM corpus GROUP BY md5(text)""".stripMargin),
+    "q_dedup_exact_keep" -> (dupCorpusSql +
+      " SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)"),
+    "q_minhash_sig" -> (dupCorpusSql + minhashSql +
+      " SELECT doc_id, seed, mh AS minhash FROM sig"),
+    "q_lsh_pairs" -> (dupCorpusSql + minhashSql +
+      """ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin),
+    "q_near_dup_jaccard" -> (dupCorpusSql + minhashSql +
+      """, pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |), shd AS (
+        |  SELECT doc_id, list_distinct(shingles) AS ds FROM sh
+        |), jac AS (
+        |  SELECT p.id_a, p.id_b,
+        |    round(CASE WHEN len(list_distinct(a.ds || b.ds)) > 0
+        |      THEN len(list_intersect(a.ds, b.ds))::DOUBLE / len(list_distinct(a.ds || b.ds))
+        |      ELSE 0.0 END, 6) AS jac
+        |  FROM pairs p
+        |  JOIN shd a ON p.id_a = a.doc_id
+        |  JOIN shd b ON p.id_b = b.doc_id
+        |)
+        |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.2""".stripMargin),
+    "q_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, ('0x'||substr(md5(t.tok),1,15))::BIGINT AS h
+        |  FROM toks, unnest(w) t(tok)
+        |), bits AS (
+        |  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS bitsum
+        |  FROM th, unnest(generate_series(0,31)) s(j)
+        |  GROUP BY doc_id, j
+        |)
+        |SELECT doc_id,
+        |  sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "q_embed_cosine_dup" ->
+      """WITH c AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, round(cos, 6) AS cos FROM c WHERE cos >= 0.35""".stripMargin,
+    "q_ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
+        |  FROM embeddings e CROSS JOIN cents c
+        |), cells AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cent_id) AS r
+        |    FROM assigned) WHERE r = 1
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(n.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM cells q JOIN cells n ON q.cell = n.cell AND q.vec_id <> n.vec_id
+        |  WHERE q.vec_id >= 10 AND q.vec_id < 20
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_text_lang" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS w
+        |  FROM documents
+        |), ratios AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) > 0
+        |      THEN len(list_filter(w, t -> list_contains($enList, t)))::DOUBLE / len(w)
+        |      ELSE 0.0 END AS en_r,
+        |    CASE WHEN len(w) > 0
+        |      THEN len(list_filter(w, t -> list_contains($nlList, t)))::DOUBLE / len(w)
+        |      ELSE 0.0 END AS nl_r
+        |  FROM toks
+        |)
+        |SELECT doc_id, round(en_r, 6) AS en_ratio, round(nl_r, 6) AS nl_ratio,
+        |  CASE WHEN en_r > nl_r AND en_r > 0.0 THEN 'en'
+        |       WHEN nl_r > en_r THEN 'nl' ELSE 'und' END AS lang_id
+        |FROM ratios""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w,
+        |    list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS wl
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id, length(text) AS n_chars, len(w) AS n_words,
+        |    CASE WHEN len(w) > 0
+        |      THEN (list_sum(list_transform(w, x -> length(x)))::BIGINT)::DOUBLE / len(w) END AS mwl,
+        |    CASE WHEN length(text) > 0
+        |      THEN len(regexp_extract_all(text, '[\\.,;:!\\?]'))::DOUBLE / length(text) END AS pr,
+        |    CASE WHEN len(wl) > 0
+        |      THEN len(list_filter(wl, t -> list_contains($enList, t)))::DOUBLE / len(wl)
+        |      ELSE 0.0 END AS sr
+        |  FROM toks
+        |)
+        |SELECT doc_id, n_chars, n_words, round(mwl, 6) AS mean_word_len,
+        |  round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
+        |  round((least(n_words/50.0, 1.0) + least(sr*5.0, 1.0)) / 2.0, 6) AS score
+        |FROM sig""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_re
+        |FROM documents""".stripMargin,
+    "q_text_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(w, t -> ('0x'||substr(md5(t),1,15))::BIGINT % 1000000007)),
+        |    (a, b) -> (a * 1000003 + b) % 1000000007) AS fp
+        |FROM toks""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text))::BIGINT AS byte_length,
+        |  md5(text) AS content_hash,
+        |  (('0x'||substr(md5(md5(text)),1,15))::BIGINT % 1920 + 1) AS width,
+        |  (('0x'||substr(md5(md5(text)),18,15))::BIGINT % 1080 + 1) AS height
+        |FROM documents""".stripMargin,
+  )
+}
