@@ -199,8 +199,10 @@ object Queries {
 
   /** Full registry: core + per-domain query objects. */
   val all: Map[String, (SparkSession, String) => DataFrame] =
-    coreAll ++ queries.QueriesEtd.all ++ queries.QueriesLLM.all
+    coreAll ++ queries.QueriesEtd.all ++ queries.QueriesLLM.all ++
+      queries.QueriesWeather.all ++ queries.QueriesRel.all
 
   val oracles: Map[String, String] =
-    coreOracles ++ queries.QueriesEtd.oracles ++ queries.QueriesLLM.oracles
+    coreOracles ++ queries.QueriesEtd.oracles ++ queries.QueriesLLM.oracles ++
+      queries.QueriesWeather.oracles ++ queries.QueriesRel.oracles
 }

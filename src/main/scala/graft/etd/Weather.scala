@@ -103,7 +103,10 @@ object Weather {
     */
   def extremeAvgPeriod(df: DataFrame, avgVar: String, groupCols: Seq[String],
                        days: Int, highest: Boolean): DataFrame = {
-    val ord = if (highest) col(avgVar).desc else col(avgVar).asc
+    // nulls explicitly last: Spark's plain asc sorts nulls FIRST, which
+    // would hand rank 1 to a null rolling average and then drop the
+    // station entirely at the isNotNull filter below.
+    val ord = if (highest) col(avgVar).desc_nulls_last else col(avgVar).asc_nulls_last
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord)
     val label = if (highest) "HighestRollingAverage" else "LowestRollingAverage"
     df

@@ -89,16 +89,16 @@ object QueriesEtd {
       |    SELECT *, row_number() OVER (PARTITION BY user_id, t_us ORDER BY event_id) AS rn
       |    FROM ev) WHERE rn = 1
       |), cums AS (
-      |  SELECT user_id, t_us, event_type, value,
+      |  SELECT user_id, t_us, event_id, event_type, value,
       |    round(sum(abs(value)/10) OVER (PARTITION BY user_id ORDER BY t_us
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_true
       |  FROM dd
       |), robs AS (
-      |  SELECT user_id, t_us, event_type, value, cum_true,
+      |  SELECT user_id, t_us, event_id, event_type, value, cum_true,
       |    CASE WHEN event_type <> 'error' THEN cum_true END AS meter
       |  FROM cums
       |), r AS (
-      |  SELECT user_id AS huis, user_id % 5 AS project, t_us, value, event_type, meter,
+      |  SELECT user_id AS huis, user_id % 5 AS project, t_us, event_id, value, event_type, meter,
       |    meter - lag(meter) OVER (PARTITION BY user_id ORDER BY t_us) AS meter_diff
       |  FROM robs
       |)""".stripMargin
