@@ -1,0 +1,138 @@
+package graft.etd
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Unit semantics of the impute core (I3-I9) on handcrafted gaps covering
+  * every cascade branch (reference behavior:
+  * /root/reference/etdtransform/vectorized_impute.py:343-767).
+  */
+class ImputeSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+  import Model.{HouseId, ProjectId, ReadingDate}
+
+  private def frame(rows: Seq[(Long, Long, Int, Option[Double], Option[Double])]) = {
+    // (project, house, t, cum, avg); diff derived as cum(t) - cum(t-1)
+    val df = rows.toDF(ProjectId, HouseId, "t", "Meter", "MeterDiff_avg")
+      .withColumn(ReadingDate, timestamp_seconds(col("t") * 300))
+    df.withColumn("MeterDiff",
+      col("Meter") - lag("Meter", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(ProjectId, HouseId).orderBy(ReadingDate)))
+  }
+
+  private val h1: Seq[(Long, Long, Int, Option[Double], Option[Double])] = Seq(
+    // house 1: ZERO_END (t1), SCALED_FILL (t3-5), LINEAR_FILL (t7-10)
+    (1L, 1L, 1, Some(0.0), None),
+    (1L, 1L, 2, Some(1.0), None),
+    (1L, 1L, 3, None, Some(1.0)),
+    (1L, 1L, 4, None, Some(0.5)),
+    (1L, 1L, 5, Some(4.0), Some(1.5)),
+    (1L, 1L, 6, Some(5.0), None),
+    (1L, 1L, 7, None, None),
+    (1L, 1L, 8, None, None),
+    (1L, 1L, 9, None, None),
+    (1L, 1L, 10, Some(9.0), None),
+    // house 2: POSITIVE_END (t1), NEGATIVE_GAP_JUMP (t2-3)
+    (1L, 2L, 1, Some(10.0), Some(0.7)),
+    (1L, 2L, 2, None, None),
+    (1L, 2L, 3, Some(9.0), None),
+    // house 3: NEAR_ZERO_GAP_JUMP (t2-3)
+    (1L, 3L, 1, Some(2.0), Some(0.4)),
+    (1L, 3L, 2, None, None),
+    (1L, 3L, 3, Some(2.0), None),
+    // house 4: NO_END (t3-4), house factor forced to 1.0 (1 comparable of 4)
+    (1L, 4L, 1, Some(1.0), None),
+    (1L, 4L, 2, Some(2.0), Some(2.0)),
+    (1L, 4L, 3, None, Some(0.3)),
+    (1L, 4L, 4, None, Some(0.4)),
+  )
+
+  private lazy val imputed =
+    Impute.imputeColumn(frame(h1), "Meter", keepGapCols = true)
+      .select(HouseId, "t", "MeterDiff", "MeterDiff_impute_type",
+        "MeterDiff_is_imputed", "cumulative_value_group", "gap_length")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+
+  private def diff(h: Long, t: Int): Option[Double] =
+    Option(imputed((h, t)).get(2)).map(_.asInstanceOf[Double])
+  private def ity(h: Long, t: Int): Option[Int] =
+    Option(imputed((h, t)).get(3)).map(_.asInstanceOf[Int])
+
+  test("I3: gap groups split at observed cumulative values, lengths counted") {
+    val r35 = (3 to 5).map(t => imputed((1L, t)).getLong(5)).distinct
+    assert(r35.size == 1, "t3-t5 share one cumulative_value_group")
+    assert(imputed((1L, 3)).getLong(6) == 3, "gap_length of t3-t5 is 3")
+    assert(imputed((1L, 7)).getLong(6) == 4, "gap_length of t7-t10 is 4")
+    assert(imputed((1L, 2)).isNullAt(5), "non-NA rows carry no gap group")
+  }
+
+  test("I7: SCALED_FILL distributes gap_jump proportionally to averages") {
+    assert(diff(1L, 3).contains(1.0) && diff(1L, 4).contains(0.5)
+      && diff(1L, 5).contains(1.5))
+    assert((3 to 5).forall(t => ity(1L, t).contains(Model.ImputeType.ScaledFill)))
+  }
+
+  test("I7: LINEAR_FILL spreads gap_jump evenly when no averages exist") {
+    assert((7 to 10).forall(t => diff(1L, t).contains(1.0)))
+    assert((7 to 10).forall(t => ity(1L, t).contains(Model.ImputeType.LinearFill)))
+  }
+
+  test("I8: ZERO_END fills 0; POSITIVE_END fills the average") {
+    assert(diff(1L, 1).contains(0.0)
+      && ity(1L, 1).contains(Model.ImputeType.ZeroEndValue))
+    assert(diff(2L, 1).contains(0.7)
+      && ity(2L, 1).contains(Model.ImputeType.PositiveEndValue))
+  }
+
+  test("I7: NEGATIVE and NEAR_ZERO gap jumps fill 0") {
+    assert((2 to 3).forall(t => diff(2L, t).contains(0.0)))
+    assert(ity(2L, 2).contains(Model.ImputeType.NegativeGapJump))
+    assert(ity(3L, 2).contains(Model.ImputeType.NearZeroGapJump))
+  }
+
+  test("I8 + I6: NO_END fills average x house factor (forced 1.0 here)") {
+    assert(diff(4L, 3).contains(0.3) && diff(4L, 4).contains(0.4))
+    assert((3 to 4).forall(t => ity(4L, t).contains(Model.ImputeType.NoEndValue)))
+  }
+
+  test("invariant: is_imputed <=> impute_type non-null; no negative diffs") {
+    val df = Impute.imputeColumn(frame(h1), "Meter")
+    assert(df.filter(col("MeterDiff_is_imputed") =!=
+      col("MeterDiff_impute_type").isNotNull).count() == 0)
+    assert(df.filter(col("MeterDiff") < 0).count() == 0)
+  }
+
+  test("invariant: imputed diffs over a known-jump gap sum to the jump") {
+    val total = (3 to 5).flatMap(t => diff(1L, t)).sum
+    assert(math.abs(total - 3.0) < 1e-9) // gap_jump = 4.0 - 1.0
+  }
+
+  test("I9: thresholds clamp to average and OR the bitmask flag") {
+    val base = frame(h1)
+    val staged = Impute.withHouseFactor(
+      Impute.withImputeInputs(
+        Impute.withGapStats(
+          Impute.withGapGroups(base, "MeterDiff", "Meter"), "Meter"),
+        "MeterDiff_avg"),
+      "MeterDiff", "MeterDiff_avg")
+    val (d, t) = Impute.imputeCascade("MeterDiff")
+    val cascaded = staged
+      .withColumn("MeterDiff_impute_type", t)
+      .withColumn("MeterDiff_is_imputed", col("MeterDiff_impute_type").isNotNull)
+      .withColumn("MeterDiff", d)
+    val clamped = Impute.applyThresholds(cascaded, "MeterDiff",
+      "MeterDiff_avg", "MeterDiff_is_imputed", "MeterDiff_impute_type",
+      lo = 0.0, hi = 1.2)
+    val t5 = clamped.filter(col(HouseId) === 1 && col("t") === 5)
+      .select("MeterDiff", "MeterDiff_impute_type").collect().head
+    // SCALED_FILL had produced 1.5 > 1.2 -> replaced by avg (1.5's avg_col
+    // value) and flagged SCALED_FILL | THRESHOLD_ADJUSTED
+    assert(t5.getInt(1) == (Model.ImputeType.ScaledFill | Model.ImputeType.ThresholdAdjusted))
+  }
+}

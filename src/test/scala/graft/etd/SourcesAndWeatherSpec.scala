@@ -1,0 +1,112 @@
+package graft.etd
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class SourcesAndWeatherSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+  import Model.{HouseId, ProjectId, ReadingDate}
+
+  test("S4: KNMI CSV header discovery (last '#' line) + rename + derived measures") {
+    val dir = Files.createTempDirectory("knmi").toFile
+    val f = new java.io.File(dir, "uurgeg_260.txt")
+    val w = new java.io.PrintWriter(f)
+    w.println("# KNMI hourly data")
+    w.println("# some disclaimer")
+    w.println("# STN,YYYYMMDD,HH,T,FH,U")
+    w.println("260,20230101,1,-15,30,90")
+    w.println("260,20230101,2,-20,40,85")
+    w.close()
+    val df = Weather.withDerivedMeasures(
+      Sources.readKnmiCsv(spark, f.getAbsolutePath))
+    assert(df.columns.take(3).toSeq == Seq("STN", "YYYYMMDD", "HH"))
+    val rows = df.orderBy("HH").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("Temperatuur") == -1.5)
+    assert(rows(0).getAs[Double]("Windsnelheid") == 3.0)
+    assert(rows(1).getAs[Double]("Gevoelstemperatuur") < rows(1).getAs[Double]("Temperatuur"))
+  }
+
+  test("S3/S8: glob combine stamps HuisIdBSV from the path and filters Meenemen") {
+    val dir = Files.createTempDirectory("mapped").toFile.getAbsolutePath
+    Seq((100L, 1.0)).toDF("ReadingSeq", "X")
+      .write.parquet(s"$dir/household_1_table.parquet")
+    Seq((200L, 2.0)).toDF("ReadingSeq", "X")
+      .write.parquet(s"$dir/household_2_table.parquet")
+    Seq((300L, 3.0)).toDF("ReadingSeq", "X")
+      .write.parquet(s"$dir/household_3_table.parquet")
+    val index = Seq((1L, 10L, true), (2L, 10L, false), (3L, 20L, true))
+      .toDF(HouseId, ProjectId, "Meenemen")
+    val combined = Sources.combineHouseholds(spark, dir, index)
+    val got = combined.select(HouseId, ProjectId).orderBy(HouseId).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (3L, 20L)), "house 2 excluded by Meenemen")
+  }
+
+  test("legacy HuisCode column is renamed") {
+    val df = Seq((1L, 2.0)).toDF("HuisCode", "X")
+    assert(Sources.normalizeLegacyColumns(df).columns.contains(HouseId))
+  }
+
+  test("W1: rolling mean honors min_periods on non-null count") {
+    val df = (1 to 6).map(i =>
+      (1L, i.toLong, if (i == 2) None else Some(i.toDouble)))
+      .toDF("g", "s", "v")
+    val out = df.withColumn("ra",
+        Weather.rollingMean(col("v"), Seq(col("g")), Seq(col("s")),
+          window = 3, minPeriods = 3))
+      .orderBy("s").collect()
+    assert(out(2).isNullAt(3), "frame rows 1-3 has a null -> only 2 values")
+    assert(out(4).getAs[Double]("ra") == 4.0, "rows 3,4,5 all present")
+  }
+
+  test("W3/W4: two coldest ISO weeks flagged per station") {
+    val weekly = Seq(
+      (260L, 2024L, 1L, -5.0), (260L, 2024L, 2L, -7.0),
+      (260L, 2024L, 3L, 1.0), (260L, 2024L, 4L, 3.0))
+      .toDF("STN", "year", "week_of_year", "t")
+    val flagged = Weather.coldestWeekFlags(weekly, "t", "koudste")
+      .filter(col("koudste")).select("week_of_year").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 2L))
+  }
+
+  test("W13: extreme period keeps ties and derives StartTime") {
+    val daily = Seq(
+      (1L, 0L, Some(5.0)), (1L, 1L, Some(2.0)), (1L, 2L, Some(9.0)),
+      (1L, 3L, None))
+      .toDF("stn", "d", "t")
+      .withColumn(ReadingDate, timestamp_seconds(col("d") * 86400))
+    val top = Weather.extremeAvgPeriod(daily, "t", Seq("stn"), days = 2,
+      highest = true).collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[Double]("HighestRollingAverage") == 9.0)
+    val span = top.head.getAs[java.sql.Timestamp]("EndTime").getTime -
+      top.head.getAs[java.sql.Timestamp]("StartTime").getTime
+    assert(span == 2L * 86400 * 1000)
+  }
+
+  test("W14: simultaneity ratio guards zero denominators") {
+    val d = Seq((1L, 4.0), (2L, 0.0)).toDF("g", "RollingAverage")
+    val m = Seq((1L, 8.0), (2L, 0.0)).toDF("g", "RollingAverage")
+    val out = Weather.simultaneityRatio(d, m, "RollingAverage", Seq("g"))
+      .orderBy("g").collect()
+    assert(out(0).getAs[Double]("Ratio") == 0.5)
+    assert(out(1).isNullAt(out(1).fieldIndex("Ratio")))
+  }
+
+  test("I15: normalized datetime projects onto the reference week") {
+    val df = Seq(("2024-08-12 13:45:00", "Mon"), ("2024-08-17 01:30:00", "Sat"))
+      .toDF("ts", "label")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .withColumn("norm", Calculated.normalizedDatetime(col("ts")))
+    val got = df.orderBy("label").select("norm").collect()
+      .map(_.getTimestamp(0).toString)
+    // label order: Mon, Sat — Mon -> 2023-01-02 (reference Monday), Sat -> +5 days
+    assert(got.toSeq == Seq("2023-01-02 13:45:00.0", "2023-01-07 01:30:00.0"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class LlmSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c).collect().head.get(0)
+
+  test("hash64 is the engine-portable md5 prefix (pinned cross-engine value)") {
+    // ('0x' || substr(md5('hello'),1,15))::BIGINT in any SQL engine
+    assert(one(TextFunctions.hash64(lit("hello"))) == 419982666956583591L)
+  }
+
+  test("tokens / shingles / counts") {
+    assert(one(size(TextFunctions.tokens(lit("a  b c")))) == 3)
+    assert(one(size(TextFunctions.wordShingles(lit("a b c d"), 3))) == 2)
+    assert(one(size(TextFunctions.wordShingles(lit("a b"), 3))) == 0)
+    assert(one(TextFunctions.regexTokenCount(lit("ab c1,d"))) == 4)
+  }
+
+  test("language id: stopword families separate en and nl") {
+    assert(one(TextFunctions.langId(
+      lit("the cat and the dog is on a mat"))) == "en")
+    assert(one(TextFunctions.langId(
+      lit("de kat en de hond is op een mat"))) == "nl")
+    assert(one(TextFunctions.langId(lit("zzz qqq"))) == "und")
+  }
+
+  test("fingerprint: deterministic, order-sensitive, in range") {
+    val a = one(TextFunctions.fingerprint(lit("alpha beta gamma"))).asInstanceOf[Long]
+    val b = one(TextFunctions.fingerprint(lit("gamma beta alpha"))).asInstanceOf[Long]
+    assert(a != b && a >= 0 && a < 1000000007L)
+    assert(one(TextFunctions.fingerprint(lit("alpha beta gamma"))) == a)
+  }
+
+  test("exact dedup keeps one canonical row per distinct text") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("id", "text")
+    val groups = Dedup.exactGroups(df, "id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+    assert(Dedup.exactDedup(df, "id", "text").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L))
+  }
+
+  test("minhash: identical texts share signatures; LSH pairs them") {
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq((1L, text), (2L, text), (3L, "x1 x2 x3 x4 x5 x6 x7 x8"))
+      .toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.minhashSignature(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 16)
+    val pairs = Dedup.lshCandidatePairs(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("jaccard and simhash behave on identical/disjoint docs") {
+    assert(one(Dedup.jaccard(lit("a b c d e"), lit("a b c d e"))) == 1.0)
+    assert(one(Dedup.jaccard(lit("a b c d e"), lit("v w x y z"))) == 0.0)
+    val s1 = one(Dedup.simhash(lit("a b c d e"))).asInstanceOf[Long]
+    val s2 = one(Dedup.simhash(lit("a b c d e"))).asInstanceOf[Long]
+    assert(s1 == s2)
+    assert(one(Dedup.hammingDistance(lit(s1), lit(s1))) == 0)
+  }
+
+  test("cosine: orthogonal -> 0, parallel -> 1, zero-norm -> null") {
+    def arr(xs: Double*) = array(xs.map(lit(_)): _*)
+    assert(one(Dedup.cosine(arr(1, 0), arr(0, 1))) == 0.0)
+    assert(math.abs(one(Dedup.cosine(arr(1, 2), arr(2, 4))).asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(one(Dedup.cosine(arr(0, 0), arr(1, 1))) == null)
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic tie-break") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.05f)))
+      .toDF("id", "v")
+    val top = Similarity.bruteForceTopK(
+        vecs.filter(col("id") === 1), vecs, "id", "v", 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(4L, 2L))
+  }
+
+  test("IVF assignment picks the nearest centroid cell") {
+    val centroids = array(
+      array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f)))
+    val df = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.2f, 0.8f)))
+      .toDF("id", "v")
+      .withColumn("cell", Similarity.ivfAssign(col("v"), centroids))
+    val cells = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cells == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("multimodal: stub decode metadata and partition-batched decode") {
+    val df = Seq((1L, "payload"), (2L, ""), (3L, "more bytes"))
+      .toDF("id", "text")
+      .withColumn("bin", col("text").cast("binary"))
+    val meta = df.select(col("id"),
+        Multimodal.stubDecode(col("bin"), lit("image/png")).as("m"))
+      .select("id", "m.byte_length", "m.width", "m.height", "m.decode_error")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getLong(1) == 7L)
+    assert(meta(2L).getString(4) == "empty payload")
+    val w = meta(1L).getInt(2)
+    assert(w >= 1 && w <= 1920)
+    val decoded = Multimodal.decodePartitions(df, "id", "bin", batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(decoded == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+}
