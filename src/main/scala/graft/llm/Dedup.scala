@@ -53,23 +53,54 @@ object Dedup {
   def seedA(i: Int): Long = 2L * i + 131L
   def seedB(i: Int): Long = 7L * i + 87L
 
-  /** MinHash signature of a document: for each of `numHashes` seeds, the
-    * minimum universal hash over its word-`shingleSize` shingles. Per-row
-    * map-only expression work — no shuffle, no UDF.
-    * Returns an array<long> of length numHashes (null-free; docs with no
-    * shingles get p, an impossible hash, so they never collide by accident).
+  /** MinHash signature from a pre-modded shingle-hash array column: for
+    * each of `numHashes` seeds, min over (a_i*h + b_i) mod p. The hash
+    * array MUST be a bound column (see [[withMinhashSignature]]): a raw
+    * expression would be inlined into all `numHashes` branches and the
+    * md5s recomputed per seed — higher-order-function lambdas get no
+    * common-subexpression elimination (measured 16-64x blowup at sf0.1).
     */
-  def minhashSignature(textCol: Column, numHashes: Int = 16,
-                       shingleSize: Int = 3): Column = {
-    val hashes = transform(wordShingles(textCol, shingleSize), s => hash64(s))
+  def minhashFromHashes(modHashes: Column, numHashes: Int = 16): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), i => {
       val a = element_at(array((0 until numHashes).map(j => lit(seedA(j))): _*), i + 1)
       val b = element_at(array((0 until numHashes).map(j => lit(seedB(j))): _*), i + 1)
       coalesce(
-        array_min(transform(hashes,
-          h => pmod(a * pmod(h, lit(lshPrime)) + b, lit(lshPrime)))),
+        array_min(transform(modHashes, h => pmod(a * h + b, lit(lshPrime)))),
         lit(lshPrime))
     })
+
+  /** (id, signature) via the relational MinHash shape: explode shingles,
+    * hash each ONCE, take the numHashes mins as codegen'd hash aggregates
+    * with map-side partial combine — the shuffle carries one row per
+    * document. This is the 100 TB path: array-lambda formulations evaluate
+    * the md5 pass once per seed (lambda bodies get no common-subexpression
+    * elimination — measured 16x at sf0.1), and a projection boundary does
+    * not protect it because CollapseProject counts a lambda-bound
+    * reference as one use.
+    * Docs with no shingles get p everywhere (never colliding by accident).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val hs = df
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("__s"))
+      .select(col(idCol), pmod(hash64(col("__s")), lit(lshPrime)).as("__h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(pmod(col("__h") * seedA(i) + seedB(i), lit(lshPrime))).as(s"__m$i"))
+    val agged = hs.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    df.select(col(idCol)).join(agged, Seq(idCol), "left")
+      .select(col(idCol),
+        array((0 until numHashes).map(i =>
+          coalesce(col(s"__m$i"), lit(lshPrime))): _*).as("sig"))
+  }
+
+  /** Single-expression signature (tests / small inputs). Prefer
+    * [[withMinhashSignature]] in pipelines.
+    */
+  def minhashSignature(textCol: Column, numHashes: Int = 16,
+                       shingleSize: Int = 3): Column = {
+    val hashes = transform(wordShingles(textCol, shingleSize),
+      s => pmod(hash64(s), lit(lshPrime)))
+    minhashFromHashes(hashes, numHashes) // hashes inlined per seed: test scale only
   }
 
   /** LSH band keys: split the signature into `bands` bands of
@@ -91,10 +122,11 @@ object Dedup {
                         shingleSize: Int = 3,
                         maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, shingleSize)
-    val banded = df
-      .select(col(idCol).as("doc_a"),
-        posexplode(lshBandKeys(sig, bands, rowsPerBand)).as(Seq("band", "band_key")))
+    val banded =
+      minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+        .select(col(idCol).as("doc_a"),
+          posexplode_outer(lshBandKeys(col("sig"), bands, rowsPerBand))
+            .as(Seq("band", "band_key")))
     val buckets = banded
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list("doc_a")).as("ids"))
@@ -131,14 +163,26 @@ object Dedup {
     * hash bits. Two near-identical documents differ in few bits; dedup
     * buckets on bit-prefixes or compares hamming distance on candidates.
     */
-  def simhash(textCol: Column, bits: Int = 32): Column = {
-    val hs = transform(tokens(textCol), t => hash64(t))
+  def simhashFromHashes(hs: Column, bits: Int = 32): Column =
     (0 until bits).map { j =>
       val bitSum = aggregate(hs, lit(0L),
         (s, h) => s + shiftright(h, j).bitwiseAND(1L) * 2 - 1)
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** Adds `out` = simhash of the text; token hashes are materialized once
+    * so the `bits` fold branches don't each recompute the md5 pass.
+    */
+  def withSimhash(df: DataFrame, textCol: String, out: String,
+                  bits: Int = 32): DataFrame =
+    df
+      .withColumn("__sh_hs", transform(tokens(col(textCol)), t => hash64(t)))
+      .withColumn(out, simhashFromHashes(col("__sh_hs"), bits))
+      .drop("__sh_hs")
+
+  /** Single-expression simhash (tests / small inputs). */
+  def simhash(textCol: Column, bits: Int = 32): Column =
+    simhashFromHashes(transform(tokens(textCol), t => hash64(t)), bits)
 
   /** Hamming distance between two simhash values. */
   def hammingDistance(a: Column, b: Column): Column =
@@ -158,17 +202,35 @@ object Dedup {
     when(na > 0 && nb > 0, dot / (na * nb))
   }
 
+  /** L2 norm of a float vector, in double precision. */
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Dot product of two float vectors, in double precision (left fold —
+    * deterministic summation order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Embedding-cosine near-duplicate pairs above `threshold` among rows of
     * `df` (id, embedding). Brute-force within — intended for candidate
     * sets or small partitions; the scale path buckets by
-    * [[Similarity.ivfAssign]] first and runs this within cells.
+    * [[Similarity.ivfAssign]] first and runs this within cells. Norms are
+    * precomputed per vector (once per row, not once per pair — 3x less
+    * per-pair arithmetic on the O(n^2) path).
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", l2norm(col("va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", l2norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        when(col("na") > 0 && col("nb") > 0,
+          dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

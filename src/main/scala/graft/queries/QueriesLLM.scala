@@ -75,9 +75,9 @@ object QueriesLLM {
 
   /** MinHash signatures under fixed seeds, one row per (doc, seed). */
   def q_minhash_sig(spark: SparkSession, dir: String): DataFrame =
-    dupCorpus(spark, dir)
+    Dedup.minhashSignatures(dupCorpus(spark, dir), "doc_id", "text")
       .select(col("doc_id"),
-        posexplode(Dedup.minhashSignature(col("text"))).as(Seq("seed", "minhash")))
+        posexplode_outer(col("sig")).as(Seq("seed", "minhash")))
       .withColumn("seed", col("seed").cast("long"))
 
   /** LSH banding candidate pairs (bucketed — never all-pairs). */
@@ -101,8 +101,8 @@ object QueriesLLM {
 
   /** SimHash (32-bit, engine-portable) per document. */
   def q_simhash(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    Dedup.withSimhash(table(spark, dir, "documents"), "text", "simhash")
+      .select("doc_id", "simhash")
 
   /** Embedding-cosine near-duplicate pairs above 0.35. */
   def q_embed_cosine_dup(spark: SparkSession, dir: String): DataFrame =
