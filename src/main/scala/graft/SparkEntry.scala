@@ -18,10 +18,11 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Pricing-summary shape (SURVEY §2.4 A1/A4/A5): group means + gated sums.
+    * The full imputation cascade (SURVEY §2.9 I3-I9) — the reference's
+    * core IP — run end-to-end through graft.etd.Impute.
     */
   def entry(spark: SparkSession): DataFrame =
-    Queries.q_agg_pricing(spark, "/root/testdata/sf0.001")
+    _root_.graft.queries.QueriesEtd.q_i7_impute_cascade(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
