@@ -48,6 +48,20 @@ class SourcesAndWeatherSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10L), (3L, 20L)), "house 2 excluded by Meenemen")
   }
 
+  test("S7: staged sink writes, project-partitioned variant prunes") {
+    val dir = Files.createTempDirectory("stages").toFile.getAbsolutePath
+    val df = Seq((1L, 10L, 1.0), (2L, 20L, 2.0))
+      .toDF(ProjectId, HouseId, "v")
+    Sources.writeStage(df, dir, "household_test")
+    assert(spark.read.parquet(s"$dir/household_test.parquet").count() == 2)
+    Sources.writeStage(df, dir, "by_project", partitionByProject = true)
+    val pruned = spark.read.parquet(s"$dir/by_project.parquet")
+      .filter(col(ProjectId) === 1L)
+    assert(pruned.count() == 1)
+    assert(new java.io.File(s"$dir/by_project.parquet/$ProjectId=1").exists(),
+      "sink is physically partitioned by project")
+  }
+
   test("legacy HuisCode column is renamed") {
     val df = Seq((1L, 2.0)).toDF("HuisCode", "X")
     assert(Sources.normalizeLegacyColumns(df).columns.contains(HouseId))
