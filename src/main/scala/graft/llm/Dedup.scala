@@ -189,30 +189,28 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** Cosine similarity of two float vectors, computed in double precision
-    * with a left-to-right fold (deterministic summation order — the
-    * property that makes results reproducible across engines).
+    * with left-to-right accumulation (deterministic summation order — the
+    * property that makes results reproducible across engines). Backed by
+    * the native codegen'd dot product.
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    when(na > 0 && nb > 0, dot / (na * nb))
+    val d = dot(a, b)
+    val na = l2norm(a)
+    val nb = l2norm(b)
+    when(na > 0 && nb > 0, d / (na * nb))
   }
 
-  /** L2 norm of a float vector, in double precision. */
-  def l2norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  /** L2 norm of a float vector, in double precision — native codegen'd
+    * expression (see [[graft.functions.DotProductFloat]]).
+    */
+  def l2norm(v: Column): Column = org.apache.spark.sql.graft.VectorExpressions.l2normF(v)
 
-  /** Dot product of two float vectors, in double precision (left fold —
-    * deterministic summation order).
+  /** Dot product of two float vectors, in double precision. Left-to-right
+    * accumulation — deterministic summation order, bit-identical to the
+    * lambda formulation it replaced.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VectorExpressions.dotF(a, b)
 
   /** Embedding-cosine near-duplicate pairs above `threshold` among rows of
     * `df` (id, embedding). Brute-force within — intended for candidate
