@@ -58,6 +58,11 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Untimed warmup: absorb session/JIT/scan-cache startup so the first
+    // timed query measures the operator, not initialization.
+    try materialize(SparkEntry.table(spark, sfDir, "events").limit(1000))
+    catch { case _: Throwable => () }
+
     var failed = List.empty[String]
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

@@ -146,6 +146,53 @@ object Dedup {
       transform(sequence(lit(0), i - 1), j =>
         struct(element_at(ids, j + 1).as("a"), element_at(ids, i + 1).as("b")))))
 
+  /** Cluster near-dup pairs into duplicate groups: iterative min-label
+    * propagation (each node takes the minimum label among itself and its
+    * neighbors until fixpoint) — the standard DataFrame-native connected
+    * components for the dedup endgame. Returns (id, cluster_id) with
+    * cluster_id = the minimum member id.
+    *
+    * Scale: per iteration one join + one aggregation, both hash-partitioned
+    * on id; lineage is cut with localCheckpoint per round so plans stay
+    * bounded. Candidate graphs from LSH are sparse (degree ~ dup-group
+    * size), and diameter — which bounds iterations — is small for
+    * near-dup clusters.
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("nid")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = updated.as("u")
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Near-dup dedup endgame: drop every clustered document except each
+    * cluster's canonical (minimum id) member.
+    */
+  def nearDedupKeep(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = clusterPairs(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // Verification measures
   // ------------------------------------------------------------------
