@@ -21,6 +21,7 @@ object Bench {
   /** Representative heavy queries, one per operator family. */
   val headline: Seq[String] = Seq(
     "q_agg_pricing",
+    "q_pipeline_e2e",
     "q_i7_impute_cascade",
     "q_i1_avg_diff",
     "q_i10_summary_house",

@@ -434,6 +434,30 @@ object QueriesEtd {
         round(col("percentage_imputed"), 6).as("pct_imputed"))
   }
 
+  /** End-to-end pipeline over the shim: fabricated diff columns + rebuilt
+    * cumulative meters for two variables run through Pipeline.run
+    * (avg-diff prep -> impute -> summaries -> calculated columns ->
+    * resample -> project aggregation) in ONE lazy DAG, surfacing the
+    * daily project aggregates. No SQL oracle (the driver records a
+    * rows-only check) — per-stage semantics are oracle-checked by the
+    * per-stage q_i / q_a queries above; this entry exists to execute and
+    * time the composed DAG.
+    */
+  def q_pipeline_e2e(spark: SparkSession, dir: String): DataFrame = {
+    val cums = Seq("ElektriciteitNetgebruikLaag", "ElektriciteitTerugleveringLaag")
+    val wHouse = Window.partitionBy(ProjectId, HouseId).orderBy(ReadingDate)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCums = cums.foldLeft(fabricatedDiffs(spark, dir))((df, c) =>
+      df.withColumn(c, sum(Model.diffCol(c)).over(wHouse)))
+    val stages = graft.etd.Pipeline.run(withCums, cums,
+      intervals = Seq("5min", "60min", "24h"))
+    stages.projectAggregated("24h")
+      .select(col(ProjectId).as("project"),
+        col(ReadingDate).cast("long").as("bucket_s"),
+        round(col("ElektriciteitsgebruikTotaalNetto"), 4).as("net_use"),
+        col("n"))
+  }
+
   // ------------------------------------------------------------------
   // Registry + oracles
   // ------------------------------------------------------------------
@@ -456,6 +480,7 @@ object QueriesEtd {
     "q_i15_normalized_datetime" -> (q_i15_normalized_datetime _),
     "q_i10_summary_house" -> (q_i10_summary_house _),
     "q_a11_summary_project" -> (q_a11_summary_project _),
+    "q_pipeline_e2e" -> (q_pipeline_e2e _),
   )
 
   val oracles: Map[String, String] = Map(
