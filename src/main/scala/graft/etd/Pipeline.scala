@@ -34,11 +34,18 @@ object Pipeline {
 
   /** Run the full transformation pipeline lazily over a combined household
     * frame (cumulative meters + Diff columns present). Nothing executes
-    * until the caller writes/collects a stage.
+    * until the caller writes/collects a stage — unless
+    * `localCheckpointEvery` is set: the 13-column impute fold builds a
+    * plan whose OPTIMIZATION time grows superlinearly with chained window
+    * stages (minutes at 13 columns), so cutting lineage every N columns
+    * bounds the optimizer's input. This mirrors the reference's own staged
+    * materialization; at production scale prefer durable checkpoints via
+    * [[Sources.writeStage]] between stages.
     */
   def run(household: DataFrame,
           cumulativeCols: Seq[String] = cumulativeColumns,
-          intervals: Seq[String] = Seq("5min", "15min", "60min", "6h", "24h"))
+          intervals: Seq[String] = Seq("5min", "15min", "60min", "6h", "24h"),
+          localCheckpointEvery: Option[Int] = None)
       : Stages = {
     val diffCols = cumulativeCols.map(diffCol)
 
@@ -54,12 +61,16 @@ object Pipeline {
 
     // I3..I9 per column; temp gap cols kept for the stats pass, then
     // dropped. Each column's windows share the same (house) partitioning.
-    val imputedAll = cumulativeCols.foldLeft(withAvgs) { (acc, cum) =>
-      val done = Impute.imputeColumn(acc, cum, keepGapCols = true)
-      done
-        .withColumn(s"__gap_length_$cum", col("gap_length"))
-        .withColumn(s"__cvg_$cum", col("cumulative_value_group"))
-        .drop("gap_length", "cumulative_value_group")
+    val imputedAll = cumulativeCols.zipWithIndex.foldLeft(withAvgs) {
+      case (acc, (cum, i)) =>
+        val done = Impute.imputeColumn(acc, cum, keepGapCols = true)
+          .withColumn(s"__gap_length_$cum", col("gap_length"))
+          .withColumn(s"__cvg_$cum", col("cumulative_value_group"))
+          .drop("gap_length", "cumulative_value_group")
+        localCheckpointEvery match {
+          case Some(n) if (i + 1) % n == 0 => done.localCheckpoint()
+          case _ => done
+        }
     }
 
     // I10 — per-column gap stats, unioned.
@@ -127,16 +138,18 @@ object Tables {
   val intervals = Seq("5min", "15min", "60min", "6h", "24h")
 
   def household(spark: SparkSession, dir: String,
-                index: Option[DataFrame] = None): Map[String, DataFrame] =
-    intervals.map { iv =>
+                index: Option[DataFrame] = None,
+                wanted: Seq[String] = intervals): Map[String, DataFrame] =
+    wanted.map { iv =>
       val df = Sources.normalizeLegacyColumns(
         spark.read.parquet(s"$dir/household_$iv.parquet"))
       iv -> index.fold(df)(ix =>
         df.join(broadcast(ix), Seq(Model.HouseId, Model.ProjectId), "left"))
     }.toMap
 
-  def project(spark: SparkSession, dir: String): Map[String, DataFrame] =
-    intervals.map { iv =>
+  def project(spark: SparkSession, dir: String,
+              wanted: Seq[String] = intervals): Map[String, DataFrame] =
+    wanted.map { iv =>
       iv -> spark.read.parquet(s"$dir/project_$iv.parquet")
     }.toMap
 }

@@ -51,8 +51,11 @@ class PipelineSpec extends AnyFunSuite {
       (df, c) => df.withColumn(diffCol(c), col(c) - lag(c, 1).over(w)))
   }
 
+  // lineage cut every 4 columns: bounds optimizer time on the 13-column
+  // fold (the uncut path is exercised by q_pipeline_e2e in Verify)
   private lazy val stages = Pipeline.run(household,
-    intervals = Seq("5min", "60min", "24h"))
+    intervals = Seq("5min", "60min", "24h"),
+    localCheckpointEvery = Some(4))
 
   test("imputation removes almost all gaps and flags every filled value") {
     val imputed = stages.imputed.cache()
