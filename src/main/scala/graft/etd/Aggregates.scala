@@ -47,4 +47,31 @@ object Aggregates {
     * approx_percentile (oracle exactness, SURVEY §2.4 A3).
     */
   def exactPercentile(c: Column, q: Double): Column = percentile(c, lit(q))
+
+  /** Order-independent, engine-stable mean at a fixed decimal scale.
+    *
+    * Three fragilities in a plain `round(avg(x), 6)`, each observed in the
+    * oracle compares:
+    *   1. double summation order varies with the plan/engine — fixed by
+    *      summing as DECIMAL (exact, so partitioning/parallelism cannot
+    *      change the result: the property a 1000-executor run should have);
+    *   2. decimal division is not portable (some engines divide decimals
+    *      in double) — fixed by casting the exact sum to double FIRST
+    *      (identical value everywhere) and dividing doubles;
+    *   3. round(double, n) implementations disagree on half-step values
+    *      (shortest-repr vs float-multiply) — fixed with floor-based
+    *      rounding, floor(x*10^n + 0.5)/10^n, which is a pure function of
+    *      the (identical) input double in every engine.
+    */
+  def exactMean(c: Column, scale: Int = 6): Column = {
+    val f = math.pow(10, scale)
+    val m = sum(c.cast("decimal(28,12)")).cast("double") / count(c)
+    floor(m * f + 0.5) / f
+  }
+
+  /** min_count-gated variant of [[exactMean]] (A7 with the stable-mean
+    * arithmetic).
+    */
+  def avgMinCountStable(c: Column, minCount: Column, scale: Int = 6): Column =
+    when(count(c) >= minCount, exactMean(c, scale))
 }

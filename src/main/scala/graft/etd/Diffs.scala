@@ -65,7 +65,9 @@ object Diffs {
       broadcast(maxBounds), Seq(ProjectId, HouseId), "left")
     def masked(c: String) =
       when(col(huisMaxCol(c)) < col(upperBoundCol(c)), col(c))
-    val aggs = diffCols.map(c => avg(masked(c)).as(c + "_avg"))
+    // decimal-exact mean: order-independent (stable under repartitioning
+    // at cluster scale) and engine-portable (see Aggregates.exactMean)
+    val aggs = diffCols.map(c => Aggregates.exactMean(masked(c)).as(c + "_avg"))
     withBounds.groupBy(col(ProjectId), col(ReadingDate))
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -33,6 +33,7 @@ object ProjectAggregate {
         case "sum" => Aggregates.sumMinCount(col(v), gate)
         case "max" => Aggregates.maxMinCount(col(v), gate)
         case "avg" => Aggregates.avgMinCount(col(v), gate)
+        case "avg_stable" => Aggregates.avgMinCountStable(col(v), gate)
         case other => throw new IllegalArgumentException(s"Unknown method $other")
       }
       gated.as(v)
@@ -57,7 +58,7 @@ object ProjectAggregate {
     * (aggregate.py:188-194), one pass.
     */
   def aggregatedDiff(df: DataFrame, diffCols: Seq[String]): DataFrame = {
-    val aggs = diffCols.map(c => avg(c).as(c))
+    val aggs = diffCols.map(c => Aggregates.exactMean(col(c)).as(c))
     df.groupBy(col(ProjectId), col(ReadingDate)).agg(aggs.head, aggs.tail: _*)
   }
 

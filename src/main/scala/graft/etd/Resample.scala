@@ -80,6 +80,7 @@ object Resample {
         case "sum" => Aggregates.sumMinCount(col(v), minCount)
         case "max" => Aggregates.maxMinCount(col(v), minCount)
         case "avg" => Aggregates.avgMinCount(col(v), minCount)
+        case "avg_stable" => Aggregates.avgMinCountStable(col(v), minCount)
         case other => throw new IllegalArgumentException(s"Unknown method $other")
       }
       gated.as(v)

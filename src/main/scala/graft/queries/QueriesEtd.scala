@@ -57,7 +57,7 @@ object QueriesEtd {
   def withAverages(rd: DataFrame): DataFrame = {
     val bucket = (expr("t_us div 3600000000") * HourUs).as("b_us")
     val avgs = rd.groupBy(col(ProjectId), bucket)
-      .agg(round(avg("MeterDiff"), 6).as("MeterDiff_avg"))
+      .agg(Aggregates.exactMean(col("MeterDiff")).as("MeterDiff_avg"))
     rd.withColumn("b_us", expr("t_us div 3600000000") * HourUs)
       .join(avgs, Seq(ProjectId, "b_us"), "left")
   }
@@ -103,10 +103,13 @@ object QueriesEtd {
       |  FROM robs
       |)""".stripMargin
 
-  /** + `ravg`: r + meter_diff_avg (hourly project average). */
+  /** + `ravg`: r + meter_diff_avg (hourly project average; decimal-exact
+    * mean — see Aggregates.exactMean).
+    */
   val avgSql: String = shimSql +
     """, av AS (
-      |  SELECT project, t_us//3600000000 AS b, round(avg(meter_diff),6) AS meter_diff_avg
+      |  SELECT project, t_us//3600000000 AS b,
+      |    floor((sum(meter_diff::DECIMAL(28,12))::DOUBLE / count(meter_diff)) * 1000000 + 0.5) / 1000000 AS meter_diff_avg
       |  FROM r GROUP BY 1, 2
       |), ravg AS (
       |  SELECT r.*, av.meter_diff_avg
@@ -326,13 +329,13 @@ object QueriesEtd {
     Resample.resample(
         readings(spark, dir)
           .withColumn("MeterDiffDec", col("MeterDiff").cast("decimal(28,10)")),
-        Seq("MeterDiffDec" -> "sum", "Meter" -> "max", "value" -> "avg"),
+        Seq("MeterDiffDec" -> "sum", "Meter" -> "max", "value" -> "avg_stable"),
         "6h", Seq(ProjectId, HouseId), minCountOverride = Some(4))
       .select(col(ProjectId).as("project"), col(HouseId).as("huis"),
         col(ReadingDate).cast("long").as("bucket_s"),
         col("MeterDiffDec").cast("decimal(20,6)").cast("double").as("sum_diff"),
         round(col("Meter"), 6).as("max_meter"),
-        round(col("value"), 6).as("avg_value"))
+        col("value").as("avg_value"))
 
   /** A5/A6/A7/J6/J7 — project aggregation with the 60% gate + n. */
   def q_a6a7_project_agg(spark: SparkSession, dir: String): DataFrame =
@@ -340,7 +343,7 @@ object QueriesEtd {
         readings(spark, dir)
           .withColumn(ReadingDate, Resample.bucket(col(ReadingDate), "6h"))
           .withColumn("MeterDiffDec", col("MeterDiff").cast("decimal(28,10)")),
-        Seq("MeterDiffDec" -> "sum", "Meter" -> "max", "value" -> "avg"),
+        Seq("MeterDiffDec" -> "sum", "Meter" -> "max", "value" -> "avg_stable"),
         Seq(ProjectId))
       .select(col(ProjectId).as("project"),
         col(ReadingDate).cast("long").as("bucket_s"),
@@ -526,7 +529,8 @@ object QueriesEtd {
         |  SELECT hm.*, ub.upper_bound FROM hm LEFT JOIN ub ON hm.project = ub.project
         |)
         |SELECT r.project AS project, (r.t_us//3600000000)*3600000000 AS b_us,
-        |  round(avg(CASE WHEN hmb.huis_max < hmb.upper_bound THEN r.meter_diff END),6) AS avg_diff
+        |  floor((sum((CASE WHEN hmb.huis_max < hmb.upper_bound THEN r.meter_diff END)::DECIMAL(28,12))::DOUBLE
+        |    / count(CASE WHEN hmb.huis_max < hmb.upper_bound THEN r.meter_diff END)) * 1000000 + 0.5) / 1000000 AS avg_diff
         |FROM r LEFT JOIN hmb ON r.project = hmb.project AND r.huis = hmb.huis
         |GROUP BY 1, 2""".stripMargin),
     "q_i2_max_bounds" -> (shimSql +
@@ -557,7 +561,7 @@ object QueriesEtd {
         |FROM rb2""".stripMargin),
     "q_i12_project_diff" -> (shimSql +
       """ SELECT project, (t_us//3600000000)*3600000000 AS b_us,
-        |  round(avg(meter_diff),6) AS mean_diff
+        |  floor((sum(meter_diff::DECIMAL(28,12))::DOUBLE / count(meter_diff)) * 1000000 + 0.5) / 1000000 AS mean_diff
         |FROM r GROUP BY 1, 2""".stripMargin),
     "q_a8_resample" -> (shimSql +
       """, bk AS (
@@ -566,7 +570,8 @@ object QueriesEtd {
         |  SELECT project, huis, b_s,
         |    CASE WHEN count(meter_diff) >= 4 THEN sum(meter_diff::DECIMAL(28,10))::DECIMAL(20,6)::DOUBLE END AS sum_diff,
         |    CASE WHEN count(meter) >= 4 THEN max(meter) END AS max_meter,
-        |    CASE WHEN count(value) >= 4 THEN sum(value)/count(value) END AS avg_value
+        |    CASE WHEN count(value) >= 4 THEN floor((sum(value::DECIMAL(28,12))::DOUBLE
+        |      / count(value)) * 1000000 + 0.5) / 1000000 END AS avg_value
         |  FROM bk GROUP BY 1, 2, 3
         |), spine AS (
         |  SELECT project, huis, unnest(generate_series(min(b_s), max(b_s), 21600)) AS b_s
@@ -584,7 +589,8 @@ object QueriesEtd {
         |SELECT project, b_s AS bucket_s,
         |  CASE WHEN count(meter_diff) >= count(*)*0.6 THEN sum(meter_diff::DECIMAL(28,10))::DECIMAL(20,6)::DOUBLE END AS sum_diff,
         |  CASE WHEN count(meter) >= count(*)*0.6 THEN round(max(meter),6) END AS max_meter,
-        |  CASE WHEN count(value) >= count(*)*0.6 THEN round(sum(value)/count(value),6) END AS avg_value,
+        |  CASE WHEN count(value) >= count(*)*0.6 THEN floor((sum(value::DECIMAL(28,12))::DOUBLE
+        |    / count(value)) * 1000000 + 0.5) / 1000000 END AS avg_value,
         |  count(*) AS n
         |FROM bk GROUP BY 1, 2""".stripMargin),
     "q_i13_energy_balance" -> (shimSql +

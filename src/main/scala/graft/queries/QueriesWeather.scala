@@ -39,12 +39,14 @@ object QueriesWeather {
   def daily(spark: SparkSession, dir: String): DataFrame =
     wx(spark, dir)
       .groupBy(col("stn"), col("day"))
-      .agg(round(avg("temp"), 6).as("t"))
+      .agg(graft.etd.Aggregates.exactMean(col("temp")).as("t"))
       .withColumn(ReadingDate, timestamp_seconds(col("day") * 86400))
 
   private val dailySql = wxSql +
     """, daily AS (
-      |  SELECT stn, day, round(avg(temp),6) AS t FROM wx GROUP BY 1, 2
+      |  SELECT stn, day,
+      |    floor((sum(temp::DECIMAL(28,12))::DOUBLE / count(temp)) * 1000000 + 0.5) / 1000000 AS t
+      |  FROM wx GROUP BY 1, 2
       |)""".stripMargin
 
   /** W1 — rolling mean over 24-row lookback, min_periods 12 (pandas
@@ -67,7 +69,7 @@ object QueriesWeather {
   def weeklyRanked(spark: SparkSession, dir: String): DataFrame = {
     val summary = wx(spark, dir)
       .groupBy(col("stn").as("STN"), col("week").as("week_of_year"))
-      .agg(round(avg("temp"), 6).as("wk_t"))
+      .agg(graft.etd.Aggregates.exactMean(col("temp")).as("wk_t"))
       .withColumn("year", lit(2024L))
     Weather.coldestWeekFlags(summary, "wk_t", "koudste2")
   }
@@ -109,7 +111,7 @@ object QueriesWeather {
   def q_w14_simultaneity(spark: SparkSession, dir: String): DataFrame = {
     val hourly = wx(spark, dir)
       .groupBy(col("stn"), expr("t_us div 3600000000").as("hr"))
-      .agg(round(avg("temp"), 6).as("t"))
+      .agg(graft.etd.Aggregates.exactMean(col("temp")).as("t"))
     Weather.simultaneityRatio(daily(spark, dir), hourly, "t", Seq("stn"))
       .select(col("stn"), col("HighestDailyAvg"), col("Highest5MinAvg"),
         round(col("Ratio"), 6).as("ratio"))
@@ -128,7 +130,7 @@ object QueriesWeather {
       .withColumn("HH", hour(col(ReadingDate)) + 1)
       .withColumn("YYYYMMDD", date_format(col(ReadingDate), "yyyyMMdd").cast("int"))
       .groupBy("STN", "YYYYMMDD", "HH")
-      .agg(round(avg("value"), 6).as("wtemp"))
+      .agg(graft.etd.Aggregates.exactMean(col("value")).as("wtemp"))
     Weather.joinWeather(rd, stationMap, weather)
       .select(col("event_id"), col("STN"), col("wtemp"))
   }
@@ -146,7 +148,9 @@ object QueriesWeather {
 
   private val weeklySql = wxSql +
     """, weekly AS (
-      |  SELECT stn, week, round(avg(temp),6) AS wk_t FROM wx GROUP BY 1, 2
+      |  SELECT stn, week,
+      |    floor((sum(temp::DECIMAL(28,12))::DOUBLE / count(temp)) * 1000000 + 0.5) / 1000000 AS wk_t
+      |  FROM wx GROUP BY 1, 2
       |), ranked AS (
       |  SELECT *, rank() OVER w AS rnk, row_number() OVER w <= 2 AS koudste2
       |  FROM weekly WINDOW w AS (PARTITION BY stn ORDER BY wk_t)
@@ -187,7 +191,8 @@ object QueriesWeather {
         |FROM rk WHERE r = 1""".stripMargin),
     "q_w14_simultaneity" -> (dailySql +
       """, hourly AS (
-        |  SELECT stn, t_us//3600000000 AS hr, round(avg(temp),6) AS t
+        |  SELECT stn, t_us//3600000000 AS hr,
+        |    floor((sum(temp::DECIMAL(28,12))::DOUBLE / count(temp)) * 1000000 + 0.5) / 1000000 AS t
         |  FROM wx GROUP BY 1, 2
         |), d AS (SELECT stn, max(t) AS hd FROM daily GROUP BY 1),
         |h AS (SELECT stn, max(t) AS hm FROM hourly GROUP BY 1)
@@ -201,7 +206,8 @@ object QueriesWeather {
         |    strftime(make_timestamp(t_us), '%Y%m%d')::INT AS YYYYMMDD
         |  FROM r
         |), wth AS (
-        |  SELECT STN, YYYYMMDD, HH, round(avg(value),6) AS wtemp
+        |  SELECT STN, YYYYMMDD, HH,
+        |    floor((sum(value::DECIMAL(28,12))::DOUBLE / count(value)) * 1000000 + 0.5) / 1000000 AS wtemp
         |  FROM keyed GROUP BY 1, 2, 3
         |)
         |SELECT k.event_id, k.STN, wth.wtemp
