@@ -1,0 +1,48 @@
+package graft.etd
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Physical-plan assertions (SURVEY §2.1 S2, §4): predicate pushdown
+  * reaches the parquet scan, projection pruning reaches ReadSchema, and
+  * dimension joins broadcast. These lock in the optimizer behaviors the
+  * 100 TB design depends on (PERFNOTES.md).
+  */
+class PlanAssertionsSpec extends AnyFunSuite {
+  import SharedSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("S2: filters push into the parquet scan; projection prunes columns") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 50)
+      .select("doc_id", "lang")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("LessThan(doc_id,50)"),
+      s"pushdown missing in:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"column pruning missing in:\n$p")
+  }
+
+  test("J1/J5: dimension joins broadcast") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    val p = plan(li.join(broadcast(part), col("l_partkey") === col("p_partkey")))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("impute windows share one (project, house) exchange") {
+    val staged = graft.queries.QueriesEtd.staged(spark, dir)
+    val p = plan(staged.select(Model.HouseId, "impute_jump", "house_impute_factor"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one exchange for the house windows + one for the per-gap windows +
+    // the hourly-average join sides; the 13-column fan-out must NOT add
+    // per-column exchanges
+    assert(exchanges <= 5, s"unexpected exchange count $exchanges in plan")
+  }
+}
