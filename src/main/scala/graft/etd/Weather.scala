@@ -89,7 +89,6 @@ object Weather {
     val extremeTs = when(col(avgVar) === extreme, ts)
     // group-broadcast every extreme timestamp (usually one; ties collect)
     val extremes = collect_set(extremeTs).over(grp)
-    val windowSecs = days * 86400L
     df.withColumn(flagName,
       exists(extremes, t =>
         ts > t - expr(s"INTERVAL $days DAYS") && ts <= t) && size(extremes) > 0)
