@@ -68,7 +68,7 @@ object Sources {
       .option("comment", "#")
       .option("inferSchema", "true")
       .csv(path)
-    df.toDF(names: _*)
+    df.toDF(names.toIndexedSeq: _*)
   }
 
   /** S5 — Excel weather-station mapping (knmi.py:19-27). Spark has no

@@ -86,7 +86,7 @@ object Similarity {
         zip_with(vec,
           sequence(lit(0), size(vec) - 1),
           (x, j) => x.cast("double") *
-            (pmod(TextFunctions.hash64(concat(lit(p + "_"), j)), lit(2L)) * 2 - 1)
+            (pmod(TextFunctions.hash64(concat(lit(s"${p}_"), j)), lit(2L)) * 2 - 1)
               .cast("double")),
         lit(0.0), (acc, v) => acc + v)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))

@@ -22,7 +22,7 @@ object QueriesRel {
   def q_p2p3p4_projection(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")
     val kept = o.columns.filter(c => c.startsWith("o_") && !c.contains("priority"))
-    o.select(kept.map(col): _*)
+    o.select(kept.toIndexedSeq.map(col): _*)
       .withColumnRenamed("o_totalprice", "total")
       .drop("o_orderstatus")
       .withColumn("total", round(col("total"), 4))
