@@ -67,6 +67,17 @@ class LooseEndsSpec extends AnyFunSuite {
     assert(row.getLong(0) == 3L)
   }
 
+  test("dot_product_f is callable from SQL (extension registration path)") {
+    import org.apache.spark.sql.graft.DotProductFloat
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product_f", exprs => DotProductFloat(exprs.head, exprs(1)), "built-in")
+    val d = spark.sql(
+      """SELECT dot_product_f(array(cast(1.0 AS float), cast(2.0 AS float)),
+        |                     array(cast(3.0 AS float), cast(4.0 AS float))) AS d
+      """.stripMargin).collect().head.getDouble(0)
+    assert(d == 11.0)
+  }
+
   test("byte-weighted repartition keeps all rows") {
     val df = Seq.tabulate(20)(i => (i.toLong, "x" * (i * 100)))
       .toDF("id", "t").withColumn("bin", col("t").cast("binary"))
