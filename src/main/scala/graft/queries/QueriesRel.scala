@@ -157,6 +157,18 @@ object QueriesRel {
       .rollup("project", "user_id")
       .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_v"))
 
+  /** §2.7 — intersect/except (absent in the reference, free in Spark):
+    * users seen purchasing AND erroring; users purchasing but never
+    * erroring.
+    */
+  def q_setops(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val purchasers = ev.filter(col("event_type") === "purchase").select("user_id")
+    val erroring = ev.filter(col("event_type") === "error").select("user_id")
+    purchasers.intersect(erroring).withColumn("op", lit("both"))
+      .unionByName(purchasers.except(erroring).withColumn("op", lit("purchase_only")))
+  }
+
   /** O1/O4 — deterministic multi-key sort + limit. */
   def q_o1o4_sort_limit(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -289,6 +301,7 @@ object QueriesRel {
     "q_a9_distinct" -> (q_a9_distinct _),
     "q_a10_unique_report" -> (q_a10_unique_report _),
     "q_a16_rollup" -> (q_a16_rollup _),
+    "q_setops" -> (q_setops _),
     "q_o1o4_sort_limit" -> (q_o1o4_sort_limit _),
     "q_o3_topk" -> (q_o3_topk _),
     "q_fn_string" -> (q_fn_string _),
@@ -360,6 +373,16 @@ object QueriesRel {
       """SELECT user_id % 5 AS project, user_id, count(*) AS n,
         |  round(avg(value), 6) AS avg_v
         |FROM events GROUP BY ROLLUP (project, user_id)""".stripMargin,
+    "q_setops" ->
+      """SELECT user_id, 'both' AS op FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT user_id, 'purchase_only' AS op FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error')""".stripMargin,
     "q_o1o4_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 4) AS price FROM orders
         |ORDER BY price DESC, o_orderkey LIMIT 100""".stripMargin,
