@@ -306,12 +306,21 @@ object QueriesEtd {
       round(col("MeterDiff_upper_bound"), 6).as("upper_bound"))
   }
 
-  /** I11/W7/W11 — cumulative rebuild + check column. */
+  /** I11/W7/W11 — cumulative rebuild + check column. The running sum is
+    * done in DECIMAL (order-independent) because window sums of doubles
+    * differ across engines (Spark folds sequentially, DuckDB uses a
+    * segment tree) — rebuildCumulative is type-generic, so feeding it
+    * decimal columns keeps the whole rebuild exact.
+    */
   def q_i11_cumsum_rebuild(spark: SparkSession, dir: String): DataFrame =
-    ProjectAggregate.rebuildCumulative(readings(spark, dir), Seq("Meter"))
+    ProjectAggregate.rebuildCumulative(
+        readings(spark, dir)
+          .withColumn("MeterDec", col("Meter").cast("decimal(28,10)"))
+          .withColumn("MeterDecDiff", col("MeterDiff").cast("decimal(28,10)")),
+        Seq("MeterDec"))
       .select(col(HouseId).as("huis"), col("t_us"),
-        round(col("Meter"), 6).as("rebuilt"),
-        round(col("MeterCheck"), 6).as("check_col"))
+        col("MeterDec").cast("decimal(20,6)").cast("double").as("rebuilt"),
+        col("MeterDecCheck").cast("decimal(20,6)").cast("double").as("check_col"))
 
   /** I12 — project aggregated diff (mean per project-bucket). */
   def q_i12_project_diff(spark: SparkSession, dir: String): DataFrame =
@@ -547,17 +556,18 @@ object QueriesEtd {
         |FROM hm LEFT JOIN ub ON hm.project = ub.project""".stripMargin),
     "q_i11_cumsum_rebuild" -> (shimSql +
       """, rb AS (
-        |  SELECT huis, t_us, meter AS meter_original,
-        |    sum(meter_diff) OVER (PARTITION BY huis ORDER BY t_us
+        |  SELECT huis, t_us, meter::DECIMAL(28,10) AS meter_original,
+        |    sum(meter_diff::DECIMAL(28,10)) OVER (PARTITION BY huis ORDER BY t_us
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rebuilt
         |  FROM r
         |), rb2 AS (
-        |  SELECT huis, t_us, rebuilt, (rebuilt - meter_original) AS delta,
+        |  SELECT huis, t_us, rebuilt,
         |    (rebuilt - meter_original)
         |      - lag(rebuilt - meter_original) OVER (PARTITION BY huis ORDER BY t_us) AS check_col
         |  FROM rb
         |)
-        |SELECT huis, t_us, round(rebuilt,6) AS rebuilt, round(check_col,6) AS check_col
+        |SELECT huis, t_us, rebuilt::DECIMAL(20,6)::DOUBLE AS rebuilt,
+        |  check_col::DECIMAL(20,6)::DOUBLE AS check_col
         |FROM rb2""".stripMargin),
     "q_i12_project_diff" -> (shimSql +
       """ SELECT project, (t_us//3600000000)*3600000000 AS b_us,
