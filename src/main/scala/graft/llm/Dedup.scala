@@ -69,9 +69,12 @@ object Dedup {
         lit(lshPrime))
     })
 
-  /** (id, signature) via the relational MinHash shape: explode shingles,
-    * hash each ONCE, take the numHashes mins as codegen'd hash aggregates
-    * with map-side partial combine — the shuffle carries one row per
+  /** (id, signature) via the relational MinHash shape: one native fused
+    * tokenize→shingle→hash pass per document ([[TextFunctions.shingleHashes]]),
+    * explode_outer the hash array (outer keeps empty docs, and — unlike
+    * inner explode — infers no extra filter that would re-evaluate the
+    * array expression), then numHashes `min` aggregates in codegen'd hash
+    * agg with map-side partial combine — the shuffle carries one row per
     * document. This is the 100 TB path: array-lambda formulations evaluate
     * the md5 pass once per seed (lambda bodies get no common-subexpression
     * elimination — measured 16x at sf0.1), and a projection boundary does
@@ -82,12 +85,12 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
     val hs = df
-      .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("__s"))
-      .select(col(idCol), pmod(hash64(col("__s")), lit(lshPrime)).as("__h"))
+      .select(col(idCol),
+        explode_outer(shingleHashes(col(textCol), shingleSize)).as("__h0"))
+      .select(col(idCol), pmod(col("__h0"), lit(lshPrime)).as("__h"))
     val aggs = (0 until numHashes).map(i =>
       min(pmod(col("__h") * seedA(i) + seedB(i), lit(lshPrime))).as(s"__m$i"))
-    val agged = hs.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    df.select(col(idCol)).join(agged, Seq(idCol), "left")
+    hs.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(i =>
           coalesce(col(s"__m$i"), lit(lshPrime))): _*).as("sig"))
@@ -206,6 +209,24 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
+  /** A document's distinct shingle-hash set — compute ONCE per document
+    * (native fused pass), then verify many candidate pairs against it.
+    * Hash collisions are deterministic, so set comparisons agree across
+    * engines computing the same hashes.
+    */
+  def shingleSet(text: Column, shingleSize: Int = 3): Column =
+    array_distinct(shingleHashes(text, shingleSize))
+
+  /** Jaccard over two pre-computed [[shingleSet]] columns. The pair-verify
+    * hot path: per pair only two long-array set ops, not a re-shingling of
+    * both texts (docs in many candidate pairs would re-tokenize per pair).
+    */
+  def jaccardBySets(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
   /** SimHash (64-bit here 32 to stay engine-portable): sign-sum of token
     * hash bits. Two near-identical documents differ in few bits; dedup
     * buckets on bit-prefixes or compares hamming distance on candidates.
@@ -217,13 +238,14 @@ object Dedup {
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Adds `out` = simhash of the text; token hashes are materialized once
-    * so the `bits` fold branches don't each recompute the md5 pass.
+  /** Adds `out` = simhash of the text; token hashes come from ONE native
+    * fused pass ([[TextFunctions.shingleHashes]] with n=1) materialized in
+    * a column so the `bits` fold branches don't each recompute the md5 pass.
     */
   def withSimhash(df: DataFrame, textCol: String, out: String,
                   bits: Int = 32): DataFrame =
     df
-      .withColumn("__sh_hs", transform(tokens(col(textCol)), t => hash64(t)))
+      .withColumn("__sh_hs", shingleHashes(col(textCol), 1))
       .withColumn(out, simhashFromHashes(col("__sh_hs"), bits))
       .drop("__sh_hs")
 

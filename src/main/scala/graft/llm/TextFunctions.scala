@@ -16,14 +16,24 @@ object TextFunctions {
   /** Deterministic 60-bit hash of a string: the first 15 hex digits of its
     * md5, as a non-negative long. Stable across engines, versions, and
     * partitionings (unlike Spark's murmur `hash`, which is
-    * implementation-specific).
+    * implementation-specific). Backed by the native codegen'd
+    * [[org.apache.spark.sql.graft.Md5Prefix64]] — bit-identical to
+    * `conv(substring(md5(c),1,15),16,10)::long` but without the hex-string
+    * round trip per value (the hot loop of every shingle/token hash).
     */
   def hash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.TextHashExpressions.md5Prefix64(c)
 
-  /** A second independent hash stream (last 15 hex digits). */
+  /** A second independent hash stream (last 15 hex digits), native. */
   def hash64b(c: Column): Column =
-    conv(substring(md5(c), 18, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.TextHashExpressions.md5Suffix60(c)
+
+  /** hash64 of every word-n-gram shingle, fused into one native pass
+    * (tokenize → shingle → hash without interpreted HOFs). n = 1 gives
+    * per-token hashes. Equals `transform(wordShingles(text,n), hash64)`.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextHashExpressions.shingleHashes64(text, n)
 
   /** Whitespace tokens. The corpus convention is single-space separation;
     * split on runs of whitespace and drop empties.
@@ -125,7 +135,7 @@ object TextFunctions {
   def fingerprint(text: Column): Column = {
     val M = 1000000007L
     val P = 1000003L
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => (acc * P + hash64(t) % M) % M)
+    aggregate(shingleHashes(text, 1), lit(0L),
+      (acc, h) => (acc * P + h % M) % M)
   }
 }

@@ -85,16 +85,20 @@ object QueriesLLM {
     Dedup.lshCandidatePairs(dupCorpus(spark, dir), "doc_id", "text")
 
   /** Near-dup verification: exact shingle-set Jaccard on the LSH
-    * candidates, thresholded.
+    * candidates, thresholded. Each document's distinct shingle-hash set is
+    * computed ONCE ([[Dedup.shingleSet]]) and joined to the pairs — the
+    * per-pair work is two long-array set ops, not a re-shingling of both
+    * texts. Hash collisions are deterministic in both engines, so the
+    * hash-set Jaccard is exactly oracle-comparable.
     */
   def q_near_dup_jaccard(spark: SparkSession, dir: String): DataFrame = {
     val corpus = dupCorpus(spark, dir)
     val pairs = Dedup.lshCandidatePairs(corpus, "doc_id", "text")
-    val texts = corpus.select(col("doc_id"), col("text"))
+    val sets = corpus.select(col("doc_id"), Dedup.shingleSet(col("text")).as("ds"))
     pairs
-      .join(texts.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
-      .join(texts.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
-      .withColumn("jac", round(Dedup.jaccard(col("ta"), col("tb")), 6))
+      .join(sets.select(col("doc_id").as("id_a"), col("ds").as("da")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("ds").as("db")), Seq("id_b"))
+      .withColumn("jac", round(Dedup.jaccardBySets(col("da"), col("db")), 6))
       .filter(col("jac") >= 0.2)
       .select("id_a", "id_b", "jac")
   }
@@ -254,7 +258,7 @@ object QueriesLLM {
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
         |), shd AS (
-        |  SELECT doc_id, list_distinct(shingles) AS ds FROM sh
+        |  SELECT doc_id, list_distinct(hs) AS ds FROM hashes
         |), jac AS (
         |  SELECT p.id_a, p.id_b,
         |    round(CASE WHEN len(list_distinct(a.ds || b.ds)) > 0

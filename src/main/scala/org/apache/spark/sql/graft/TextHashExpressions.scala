@@ -1,0 +1,170 @@
+package org.apache.spark.sql.graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared md5 plumbing for the native text-hash expressions. The hash
+  * contract is the engine-portable one from graft.llm.TextFunctions:
+  *
+  *   hash64(s)  == conv(substring(md5(s), 1, 15), 16, 10)::long  (60 bits)
+  *   hash64b(s) == conv(substring(md5(s), 18, 15), 16, 10)::long (60 bits)
+  *
+  * computed directly on the digest bytes — the first 15 hex digits are the
+  * big-endian first 8 bytes shifted right 4; the last 15 are the low 60
+  * bits of the second 8 bytes. Skipping the hex-string round trip
+  * (32-char string + substring + string-to-long parse per value) is what
+  * makes the per-shingle hot loop cheap.
+  */
+object Md5Util {
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private def toLongBE(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** First 60 bits of md5(bytes) — identical to the hex-prefix definition. */
+  def prefix64(bytes: Array[Byte]): Long = {
+    val d = digests.get()
+    d.reset()
+    toLongBE(d.digest(bytes), 0) >>> 4
+  }
+
+  /** Last 60 bits of md5(bytes) — identical to the hex-suffix definition. */
+  def suffix60(bytes: Array[Byte]): Long = {
+    val d = digests.get()
+    d.reset()
+    toLongBE(d.digest(bytes), 8) & 0x0fffffffffffffffL
+  }
+
+  /** Fused tokenize → word-n-gram shingle → hash64: whitespace-run split
+    * with empties dropped (the TextFunctions.tokens contract), each window
+    * of n consecutive tokens joined by a single space and hashed. One pass,
+    * no intermediate shingle array — replaces an interpreted
+    * split/filter/transform/slice/concat_ws chain per document.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks0 = text.toString.split("\\s+")
+    var m = 0
+    var i = 0
+    while (i < toks0.length) { if (!toks0(i).isEmpty) m += 1; i += 1 }
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val toks = if (m == toks0.length) toks0 else {
+      val t = new Array[String](m)
+      var j = 0; i = 0
+      while (i < toks0.length) { if (!toks0(i).isEmpty) { t(j) = toks0(i); j += 1 }; i += 1 }
+      t
+    }
+    val out = new Array[Long](m - n + 1)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i <= m - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = prefix64(sb.toString.getBytes(StandardCharsets.UTF_8))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** hash64 as a native expression: 60-bit md5 prefix of the input bytes.
+  * Input casts like Spark's own `md5` (string → UTF-8 binary), so values
+  * match `conv(substring(md5(c),1,15),16,10)::long` bit-for-bit — the
+  * engine-portable contract the DuckDB oracles compute on their side.
+  */
+case class Md5Prefix64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Util.prefix64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Md5Util.prefix64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_prefix64"
+}
+
+/** hash64b: the independent second stream — last 60 bits of the md5. */
+case class Md5Suffix60(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Util.suffix60(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Md5Util.suffix60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Suffix60 =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_suffix60"
+}
+
+/** Word-n-gram shingle hashes in one native pass. Equivalent to
+  * `transform(wordShingles(text, n), s -> hash64(s))` but without the
+  * interpreted higher-order-function chain (split + filter + transform +
+  * slice + concat_ws are all CodegenFallback and re-allocate per shingle).
+  * n = 1 degenerates to per-token hashes (the SimHash / fingerprint input).
+  */
+case class ShingleHashes64(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Util.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Md5Util.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes64"
+}
+
+/** Column-API entry points for the native text-hash expressions. */
+object TextHashExpressions {
+
+  def md5Prefix64(c: Column): Column =
+    ExpressionUtils.column(Md5Prefix64(ExpressionUtils.expression(c)))
+
+  def md5Suffix60(c: Column): Column =
+    ExpressionUtils.column(Md5Suffix60(ExpressionUtils.expression(c)))
+
+  def shingleHashes64(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes64(ExpressionUtils.expression(text), n))
+}
