@@ -67,12 +67,22 @@ object TextFunctions {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Whitespace token count. */
-  def wordCount(text: Column): Column = size(tokens(text))
+  /** Token statistics struct<n_words, sum_word_len, en_hits, nl_hits> in
+    * ONE native codegen'd pass ([[org.apache.spark.sql.graft.TokenStats64]]).
+    * Every quality/language signal below derives from it; identical
+    * subtrees share a single evaluation under whole-stage codegen CSE
+    * (the interpreted HOF chains it replaces re-split the text per column).
+    */
+  def tokenStats(text: Column): Column =
+    org.apache.spark.sql.graft.TextHashExpressions.tokenStats64(text)
 
-  /** English/Dutch stopword hit ratios — the n-gram-free heuristic
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column = tokenStats(text).getField("n_words")
+
+  /** English/Dutch stopword families — the n-gram-free heuristic
     * language-ID: classify by which stopword family covers more of the
-    * text's tokens.
+    * text's tokens. (Matching runs inside [[tokenStats]]; these lists are
+    * the canonical definition, mirrored in TokenStatsUtil.)
     */
   val enStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
@@ -81,14 +91,14 @@ object TextFunctions {
     "de", "het", "een", "en", "of", "van", "naar", "in", "is", "zijn",
     "was", "voor", "op", "met", "als", "bij", "dit", "dat", "te", "niet")
 
-  private def stopwordRatio(text: Column, words: Seq[String]): Column = {
-    val ts = tokens(lower(text))
-    val hits = size(filter(ts, t => t.isin(words.map(lit(_)): _*)))
-    when(size(ts) > 0, hits.cast("double") / size(ts)).otherwise(lit(0.0))
+  private def stopwordRatio(text: Column, hitsField: String): Column = {
+    val ts = tokenStats(text)
+    val n = ts.getField("n_words")
+    when(n > 0, ts.getField(hitsField).cast("double") / n).otherwise(lit(0.0))
   }
 
-  def enStopwordRatio(text: Column): Column = stopwordRatio(text, enStopwords)
-  def nlStopwordRatio(text: Column): Column = stopwordRatio(text, nlStopwords)
+  def enStopwordRatio(text: Column): Column = stopwordRatio(text, "en_hits")
+  def nlStopwordRatio(text: Column): Column = stopwordRatio(text, "nl_hits")
 
   /** Heuristic language id: "en" / "nl" / "und" by stopword coverage. */
   def langId(text: Column): Column = {
@@ -105,14 +115,14 @@ object TextFunctions {
     */
   def qualitySignals(text: Column): Seq[(String, Column)] = {
     val nChars = length(text)
-    val nWords = wordCount(text)
+    val ts = tokenStats(text)
+    val nWords = ts.getField("n_words")
     val punct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0)))
     Seq(
       "n_chars" -> nChars,
       "n_words" -> nWords,
       "mean_word_len" -> when(nWords > 0,
-        aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
-          .cast("double") / nWords),
+        ts.getField("sum_word_len").cast("double") / nWords),
       "punct_ratio" -> when(nChars > 0, punct.cast("double") / nChars),
       "stopword_ratio" -> enStopwordRatio(text))
   }

@@ -156,6 +156,78 @@ case class ShingleHashes64(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes64"
 }
 
+/** Static token-statistics helper: one pass over the whitespace tokens
+  * computing what the text-quality / language-ID operators need. The
+  * stopword families are the canonical graft.llm lists (duplicated as
+  * plain data here so the sql package does not depend back on graft.llm).
+  */
+object TokenStatsUtil {
+
+  private val en = java.util.Set.of(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "be", "this", "that")
+  private val nl = java.util.Set.of(
+    "de", "het", "een", "en", "of", "van", "naar", "in", "is", "zijn",
+    "was", "voor", "op", "met", "als", "bij", "dit", "dat", "te", "niet")
+
+  /** (n_words, sum_word_len, en_hits, nl_hits) over whitespace-run tokens.
+    * Word length counts Unicode code points (Spark `length` semantics);
+    * stopword matching is on the lowercased token (Locale.ROOT, matching
+    * `lower()` on ASCII corpora).
+    */
+  def tokenStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split("\\s+")
+    var nWords = 0L
+    var sumLen = 0L
+    var enHits = 0L
+    var nlHits = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.isEmpty) {
+        nWords += 1
+        sumLen += t.codePointCount(0, t.length)
+        val lo = t.toLowerCase(java.util.Locale.ROOT)
+        if (en.contains(lo)) enHits += 1
+        if (nl.contains(lo)) nlHits += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nWords, sumLen, enHits, nlHits)
+  }
+}
+
+/** Token statistics in one native pass:
+  * struct<n_words, sum_word_len, en_hits, nl_hits>. Replaces four separate
+  * interpreted HOF chains (size(filter(split)), aggregate over lengths, two
+  * stopword filter counts) that each re-split the text per output column.
+  * Codegen-friendly, so downstream GetStructField references share ONE
+  * evaluation via whole-stage-codegen subexpression elimination.
+  */
+case class TokenStats64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("en_hits", LongType, nullable = false),
+    StructField("nl_hits", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    TokenStatsUtil.tokenStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TokenStatsUtil.tokenStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_stats64"
+}
+
 /** Column-API entry points for the native text-hash expressions. */
 object TextHashExpressions {
 
@@ -167,4 +239,7 @@ object TextHashExpressions {
 
   def shingleHashes64(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes64(ExpressionUtils.expression(text), n))
+
+  def tokenStats64(text: Column): Column =
+    ExpressionUtils.column(TokenStats64(ExpressionUtils.expression(text)))
 }
