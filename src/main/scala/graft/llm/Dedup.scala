@@ -253,6 +253,28 @@ object Dedup {
   def simhash(textCol: Column, bits: Int = 32): Column =
     simhashFromHashes(transform(tokens(textCol), t => hash64(t)), bits)
 
+  /** (id, simhash) via the relational shape (same pattern as
+    * [[minhashSignatures]]): explode the native token-hash array, compute
+    * the `bits` sign-sums as codegen'd hash aggregates with map-side
+    * combine, fold the sign bits into the signature in one projection.
+    * The array-column formulation runs `bits` interpreted folds per
+    * document (one aggregate() lambda per bit); here every bit is a
+    * column of ONE aggregation pass and the shuffle carries one row per
+    * document. Docs with no tokens get simhash 0 (empty sign-sum).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 32): DataFrame = {
+    val hs = df.select(col(idCol),
+      explode_outer(shingleHashes(col(textCol), 1)).as("__h"))
+    val aggs = (0 until bits).map(j =>
+      sum(shiftright(col("__h"), j).bitwiseAND(1L) * 2 - 1).as(s"__b$j"))
+    hs.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(j =>
+          when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** Hamming distance between two simhash values. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

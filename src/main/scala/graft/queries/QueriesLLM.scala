@@ -103,10 +103,11 @@ object QueriesLLM {
       .select("id_a", "id_b", "jac")
   }
 
-  /** SimHash (32-bit, engine-portable) per document. */
+  /** SimHash (32-bit, engine-portable) per document — relational shape
+    * (explode token hashes -> 32 sign-sum aggregates -> one projection).
+    */
   def q_simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.withSimhash(table(spark, dir, "documents"), "text", "simhash")
-      .select("doc_id", "simhash")
+    Dedup.simhashSignatures(table(spark, dir, "documents"), "doc_id", "text")
 
   /** Embedding-cosine near-duplicate pairs above 0.35. */
   def q_embed_cosine_dup(spark: SparkSession, dir: String): DataFrame =

@@ -16,15 +16,30 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   --conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+
+  private def register(ext: SparkSessionExtensions, name: String, arity: Int,
+                       clazz: Class[_], build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
-      FunctionIdentifier("dot_product_f"),
-      new ExpressionInfo(classOf[DotProductFloat].getCanonicalName,
-        "dot_product_f"),
+      FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getCanonicalName, name),
       (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"dot_product_f expects 2 arguments, got ${children.length}")
-        DotProductFloat(children.head, children(1))
+        require(children.length == arity,
+          s"$name expects $arity arguments, got ${children.length}")
+        build(children)
       }))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "dot_product_f", 2, classOf[DotProductFloat],
+      cs => DotProductFloat(cs.head, cs(1)))
+    register(ext, "md5_prefix64", 1, classOf[Md5Prefix64],
+      cs => Md5Prefix64(cs.head))
+    register(ext, "md5_suffix60", 1, classOf[Md5Suffix60],
+      cs => Md5Suffix60(cs.head))
+    // shingle size arrives as a SQL literal: shingle_hashes64(text, 3)
+    register(ext, "shingle_hashes64", 2, classOf[ShingleHashes64],
+      cs => ShingleHashes64(cs.head,
+        cs(1).eval().asInstanceOf[Number].intValue()))
+    register(ext, "token_stats64", 1, classOf[TokenStats64],
+      cs => TokenStats64(cs.head))
   }
 }
