@@ -41,6 +41,7 @@ object Bench {
     "q_ann_topk",
     "q_text_quality",
     "q_text_fingerprint",
+    "q_text_bigram_lm",
   )
 
   def main(args: Array[String]): Unit = {

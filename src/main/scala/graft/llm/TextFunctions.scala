@@ -35,6 +35,12 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.TextHashExpressions.shingleHashes64(text, n)
 
+  /** hash64 of every character n-gram, fused into one native pass.
+    * Equals `transform(charShingles(text, n), hash64)`.
+    */
+  def charShingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextHashExpressions.charShingleHashes64(text, n)
+
   /** Whitespace tokens. The corpus convention is single-space separation;
     * split on runs of whitespace and drop empties.
     */
@@ -135,6 +141,40 @@ object TextFunctions {
     val lengthScore = least(nWords / 50.0, lit(1.0))
     val stopScore = least(enStopwordRatio(text) * 5.0, lit(1.0))
     round((lengthScore + stopScore) / 2.0, 6)
+  }
+
+  /** Character-bigram novelty statistics — the n-gram language-model
+    * quality signal without cross-engine float risk: instead of log-prob
+    * perplexity (libm log differs between engines), score each document by
+    * its bigrams' CORPUS document frequencies. Low mean_df / high
+    * rare_ratio = text unlike the rest of the corpus (garbled, wrong
+    * language, binary spill) — the same ranking a bigram LM gives, in
+    * exact integer/decimal arithmetic.
+    *
+    * Output per doc (docs shorter than 2 chars drop out, matching the
+    * empty n-gram set): n_bigrams (distinct), mean_df (decimal-exact mean
+    * of document frequencies), rare_ratio (share of bigrams appearing in
+    * this document only).
+    *
+    * Scale shape: one explode (map-only) -> distinct on (doc, hash) ->
+    * frequency hash-agg on the 60-bit bigram hash (never the string) ->
+    * hash join back (the model table is |distinct bigrams| rows — tiny;
+    * broadcastable) -> per-doc hash agg. All shuffles carry longs.
+    */
+  def bigramNoveltyStats(df: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = df
+      .select(col(idCol), explode(charShingleHashes(col(textCol), 2)).as("__h"))
+      .distinct()
+    val model = grams.groupBy("__h").agg(count(lit(1)).as("df"))
+    val f = lit(1000000)
+    grams.join(model, "__h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (floor((sum(col("df").cast("decimal(28,12)")).cast("double") / count(lit(1))) * f + 0.5) / f).as("mean_df"),
+        (floor((sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") / count(lit(1))) * f + 0.5) / f).as("rare_ratio"))
   }
 
   /** Rolling polynomial fingerprint of the token stream (document

@@ -198,6 +198,11 @@ object QueriesLLM {
     table(spark, dir, "documents")
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
 
+  /** Character-bigram LM novelty scoring against corpus doc frequencies. */
+  def q_text_bigram_lm(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.bigramNoveltyStats(table(spark, dir, "documents"),
+      "doc_id", "text")
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -234,6 +239,7 @@ object QueriesLLM {
     "q_text_quality" -> (q_text_quality _),
     "q_text_tokens" -> (q_text_tokens _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
+    "q_text_bigram_lm" -> (q_text_bigram_lm _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
   )
 
@@ -395,6 +401,21 @@ object QueriesLLM {
         |      list_transform(w, t -> ('0x'||substr(md5(t),1,15))::BIGINT % 1000000007)),
         |    (a, b) -> (a * 1000003 + b) % 1000000007) AS fp
         |FROM toks""".stripMargin,
+    "q_text_bigram_lm" ->
+      """WITH cg AS (
+        |  SELECT DISTINCT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS h FROM (
+        |    SELECT doc_id, substr(text, i, 2) AS g
+        |    FROM documents, unnest(generate_series(1, length(text)-1)) t(i)
+        |    WHERE length(text) >= 2
+        |  )
+        |), bf AS (
+        |  SELECT h, count(*) AS df FROM cg GROUP BY h
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor((sum(df::DECIMAL(28,12))::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS mean_df,
+        |  floor((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS rare_ratio
+        |FROM cg JOIN bf USING (h)
+        |GROUP BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text))::BIGINT AS byte_length,

@@ -83,6 +83,35 @@ object Md5Util {
     }
     new GenericArrayData(out)
   }
+
+  /** Fused character-n-gram → hash64: one native pass over the string,
+    * code-point aware (matching `substr`'s character semantics), hashing
+    * each window of n characters. Replaces transform(charShingles, hash64)
+    * — an interpreted substr + md5-hex chain per gram.
+    */
+  def charShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val cp = s.codePointCount(0, s.length)
+    if (cp < n) return new GenericArrayData(Array.emptyLongArray)
+    // char offset of each code-point boundary
+    val idx = new Array[Int](cp + 1)
+    var ci = 0
+    var o = 0
+    while (o < s.length) {
+      idx(ci) = o
+      ci += 1
+      o += Character.charCount(s.codePointAt(o))
+    }
+    idx(cp) = s.length
+    val out = new Array[Long](cp - n + 1)
+    var i = 0
+    while (i <= cp - n) {
+      out(i) = prefix64(
+        s.substring(idx(i), idx(i + n)).getBytes(StandardCharsets.UTF_8))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** hash64 as a native expression: 60-bit md5 prefix of the input bytes.
@@ -154,6 +183,30 @@ case class ShingleHashes64(child: Expression, n: Int)
     copy(child = newChild)
 
   override def prettyName: String = "shingle_hashes64"
+}
+
+/** Character-n-gram hashes in one native pass (the char analogue of
+  * [[ShingleHashes64]]); equals `transform(charShingles(text,n), hash64)`.
+  */
+case class CharShingleHashes64(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n >= 1, s"char shingle size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Util.charShingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Md5Util.charShingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_shingle_hashes64"
 }
 
 /** Static token-statistics helper: one pass over the whitespace tokens
@@ -242,4 +295,7 @@ object TextHashExpressions {
 
   def tokenStats64(text: Column): Column =
     ExpressionUtils.column(TokenStats64(ExpressionUtils.expression(text)))
+
+  def charShingleHashes64(text: Column, n: Int): Column =
+    ExpressionUtils.column(CharShingleHashes64(ExpressionUtils.expression(text), n))
 }

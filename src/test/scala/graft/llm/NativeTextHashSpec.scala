@@ -44,6 +44,16 @@ class NativeTextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("charShingleHashes == transform(charShingles, hash64) for n = 2, 3") {
+    for (n <- Seq(2, 3)) {
+      val rows = df.select(
+        TextFunctions.charShingleHashes(col("t"), n) ===
+          transform(TextFunctions.charShingles(col("t"), n),
+            s => legacyHash(s))).collect()
+      assert(rows.forall(_.getBoolean(0)), s"mismatch at n=$n")
+    }
+  }
+
   test("tokenStats fields == the interpreted HOF formulas") {
     val ts = TextFunctions.tokenStats(col("t"))
     val toks = TextFunctions.tokens(col("t"))
