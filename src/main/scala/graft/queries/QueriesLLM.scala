@@ -158,6 +158,17 @@ object QueriesLLM {
         col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Random-hyperplane LSH buckets (8 planes) over the embedding corpus —
+    * the sign-bit bucketing that gates candidate generation at scale.
+    * Deterministic: hyperplane components are md5-derived +-1 and the dot
+    * product is a left-to-right fold, so both engines compute identical
+    * doubles and identical sign bits.
+    */
+  def q_ann_hyperplane(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
+
   // ------------------------------------------------------------------
   // Text analysis
   // ------------------------------------------------------------------
@@ -235,6 +246,7 @@ object QueriesLLM {
     "q_embed_cosine_dup" -> (q_embed_cosine_dup _),
     "q_ann_topk" -> (q_ann_topk _),
     "q_ann_ivf" -> (q_ann_ivf _),
+    "q_ann_hyperplane" -> (q_ann_hyperplane _),
     "q_text_lang" -> (q_text_lang _),
     "q_text_quality" -> (q_text_quality _),
     "q_text_tokens" -> (q_text_tokens _),
@@ -346,6 +358,21 @@ object QueriesLLM {
         |)
         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ann_hyperplane" ->
+      """WITH b AS (
+        |  SELECT vec_id, p,
+        |    list_reduce(
+        |      list_prepend(0.0::DOUBLE,
+        |        list_transform(list_zip(embedding, generate_series(0, len(embedding)-1)),
+        |          z -> z[1]::DOUBLE *
+        |            (CASE WHEN ('0x'||substr(md5(p::VARCHAR||'_'||z[2]::VARCHAR),1,15))::BIGINT % 2 = 1
+        |                  THEN 1.0 ELSE -1.0 END))),
+        |      (acc, v) -> acc + v) AS dot
+        |  FROM embeddings, unnest(generate_series(0,7)) t(p)
+        |)
+        |SELECT vec_id,
+        |  sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+        |FROM b GROUP BY vec_id""".stripMargin,
     "q_text_lang" ->
       s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS w
