@@ -73,6 +73,43 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Lloyd's k-means over the embedding column — trains the IVF codebook
+    * that [[ivfAssign]]/[[ivfTopK]] consume. Deterministic: centroids
+    * initialize from the first k rows by id and every step is exact
+    * arithmetic over a fixed assignment, so retrains reproduce bit-for-bit.
+    *
+    * Scale shape per iteration: assignment is map-only (centroid literal
+    * broadcast into codegen); the update is posexplode (row per dimension)
+    * -> hash agg on (cell, dim) -> collect of k x dim doubles (the only
+    * driver-side data — the codebook itself, a few KB). Iterations are
+    * independent jobs over the cached input, so lineage stays flat.
+    */
+  def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iterations: Int = 5): Array[Array[Float]] = {
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    var centroids: Array[Array[Float]] = vecs.orderBy("__id").limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+    var i = 0
+    while (i < iterations) {
+      val cents = array(centroids.map(c =>
+        array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+      val updated = vecs
+        .withColumn("__cell", ivfAssign(col("__v"), cents))
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy("__cell", "__dim")
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      updated.foreach { r =>
+        val cell = r.getLong(0).toInt - 1 // 1-based cell ids
+        if (cell >= 0 && cell < k) next(cell)(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next
+      i += 1
+    }
+    centroids
+  }
+
   /** Random-hyperplane LSH bucket for a vector: bit b = sign of the dot
     * product with pseudo-hyperplane b, where hyperplane components are
     * deterministic +-1 derived from md5 — engine-portable like the MinHash

@@ -177,6 +177,21 @@ object TextFunctions {
         (floor((sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") / count(lit(1))) * f + 0.5) / f).as("rare_ratio"))
   }
 
+  /** Deterministic hash-sampling predicate: keep a row iff
+    * hash64(key || salt) mod 1e6 < fraction * 1e6. Unlike `df.sample`
+    * (RNG per partition — resample on retry/repartition), this is a pure
+    * function of the row content: stable across runs, engines, cluster
+    * sizes, and partitionings, so a 10% curation sample is reproducible
+    * and auditable anywhere. Different salts give independent samples
+    * (held-out splits).
+    */
+  def hashSamplePredicate(key: Column, fraction: Double,
+                          salt: String = "sample"): Column = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    pmod(hash64(concat(key, lit(salt))), lit(1000000L)) <
+      math.round(fraction * 1000000).toLong
+  }
+
   /** Rolling polynomial fingerprint of the token stream (document
     * fingerprinting): fold acc = (acc * P + h(token) mod M) mod M. All
     * arithmetic stays < 2^60 so it is exact in any 64-bit integer engine

@@ -214,6 +214,14 @@ object QueriesLLM {
     TextFunctions.bigramNoveltyStats(table(spark, dir, "documents"),
       "doc_id", "text")
 
+  /** Deterministic 10% hash sample of the corpus — reproducible across
+    * engines/runs/partitionings (content-hash predicate, not RNG).
+    */
+  def q_sample_hash(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(TextFunctions.hashSamplePredicate(col("text"), 0.1))
+      .select("doc_id")
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -252,6 +260,7 @@ object QueriesLLM {
     "q_text_tokens" -> (q_text_tokens _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_bigram_lm" -> (q_text_bigram_lm _),
+    "q_sample_hash" -> (q_sample_hash _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
   )
 
@@ -443,6 +452,9 @@ object QueriesLLM {
         |  floor((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS rare_ratio
         |FROM cg JOIN bf USING (h)
         |GROUP BY doc_id""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x'||substr(md5(text||'sample'),1,15))::BIGINT % 1000000 < 100000""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text))::BIGINT AS byte_length,

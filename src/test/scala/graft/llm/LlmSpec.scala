@@ -90,6 +90,26 @@ class LlmSpec extends AnyFunSuite {
     assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(4L, 2L))
   }
 
+  test("k-means codebook training converges on separated clusters") {
+    // two tight clusters on orthogonal axes; init from first 2 rows (one
+    // per cluster by construction)
+    val pts = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(0.05f, 1.0f)),
+      (3L, Array(0.95f, 0.1f)), (4L, Array(0.1f, 0.9f)),
+      (5L, Array(1.05f, 0.0f)), (6L, Array(0.0f, 1.1f)))
+      .toDF("id", "v")
+    val cb = Similarity.trainCodebook(pts, "id", "v", k = 2, iterations = 3)
+    assert(cb.length == 2)
+    // cluster 1 centroid dominated by x, cluster 2 by y
+    assert(cb(0)(0) > cb(0)(1) && cb(1)(1) > cb(1)(0))
+    // assignment with the trained codebook separates the clusters
+    val cents = array(cb.map(c => array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    val cells = pts.withColumn("cell", Similarity.ivfAssign(col("v"), cents))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(Set(1L, 3L, 5L).map(cells) == Set(1L))
+    assert(Set(2L, 4L, 6L).map(cells) == Set(2L))
+  }
+
   test("IVF assignment picks the nearest centroid cell") {
     val centroids = array(
       array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f)))
