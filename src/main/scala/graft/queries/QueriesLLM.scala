@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.table
-import graft.llm.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextFunctions}
 
 /** LLM-training-data pipeline coverage queries over the driver's
   * `documents` and `embeddings` tables, with DuckDB oracles.
@@ -222,6 +222,18 @@ object QueriesLLM {
       .filter(TextFunctions.hashSamplePredicate(col("text"), 0.1))
       .select("doc_id")
 
+  /** Token-budget sequence packing: shard by id hash, pack each shard's
+    * documents (id order) into 2048-token training sequences. Pure
+    * integer prefix-sum arithmetic — exact in any engine.
+    */
+  def q_pack_sequences(spark: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(
+        table(spark, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.regexTokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", budget = 2048L, shards = 4)
+      .select("doc_id", "shard", "seq_id", "seq_offset")
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -261,6 +273,7 @@ object QueriesLLM {
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_bigram_lm" -> (q_text_bigram_lm _),
     "q_sample_hash" -> (q_sample_hash _),
+    "q_pack_sequences" -> (q_pack_sequences _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
   )
 
@@ -455,6 +468,21 @@ object QueriesLLM {
     "q_sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE ('0x'||substr(md5(text||'sample'),1,15))::BIGINT % 1000000 < 100000""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n,
+        |    ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 4 AS shard
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, shard, n,
+        |    (sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n AS bef
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, (bef // 2048)::BIGINT AS seq_id,
+        |  (bef % 2048)::BIGINT AS seq_offset
+        |FROM c""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text))::BIGINT AS byte_length,

@@ -120,6 +120,18 @@ class LlmSpec extends AnyFunSuite {
     assert(cells == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("packing: prefix-sum assignment, offsets within budget") {
+    val docs = Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 7L))
+      .toDF("id", "n")
+    val packed = Packing.packSequences(docs, "id", "n", budget = 8L, shards = 1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"))).toMap
+    // cumulative-before: 0, 4, 9, 12 -> seq floor(/8): 0,0,1,1; offset mod 8
+    assert(packed == Map(1L -> (0L, 0L), 2L -> (0L, 4L),
+      3L -> (1L, 1L), 4L -> (1L, 4L)))
+    assert(packed.values.forall(_._2 < 8))
+  }
+
   test("multimodal: stub decode metadata and partition-batched decode") {
     val df = Seq((1L, "payload"), (2L, ""), (3L, "more bytes"))
       .toDF("id", "text")
