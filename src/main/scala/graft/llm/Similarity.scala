@@ -110,6 +110,28 @@ object Similarity {
     centroids
   }
 
+  /** Int8 scalar quantization of the embedding column (native
+    * [[org.apache.spark.sql.graft.Quantize8]]):
+    * struct<scale:float, codes:array<tinyint>> — 4x less memory/IO than
+    * float32, the storage lever for corpus-scale similarity search. Use
+    * [[quantizedCosine]] for the approximate scoring pass and re-rank the
+    * top candidates with [[Dedup.cosine]] on the full vectors.
+    */
+  def quantize8(vec: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.quantize8(vec)
+
+  /** Approximate cosine from two quantized vectors: the integer code dot
+    * (exact in long) rescaled by both scales, normalized by the quantized
+    * self-norms.
+    */
+  def quantizedCosine(qa: Column, qb: Column): Column = {
+    val dotI8 = org.apache.spark.sql.graft.VectorExpressions.dotI8 _
+    val d = dotI8(qa.getField("codes"), qb.getField("codes")).cast("double")
+    val na = sqrt(dotI8(qa.getField("codes"), qa.getField("codes")).cast("double"))
+    val nb = sqrt(dotI8(qb.getField("codes"), qb.getField("codes")).cast("double"))
+    when(na > 0 && nb > 0, d / (na * nb))
+  }
+
   /** Random-hyperplane LSH bucket for a vector: bit b = sign of the dot
     * product with pseudo-hyperplane b, where hyperplane components are
     * deterministic +-1 derived from md5 — engine-portable like the MinHash

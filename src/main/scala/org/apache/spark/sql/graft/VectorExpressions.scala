@@ -72,6 +72,103 @@ case class DotProductFloat(left: Expression, right: Expression)
   override def prettyName: String = "dot_product_f"
 }
 
+/** Shared plumbing for int8 scalar quantization. */
+object QuantUtil {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Max-abs scalar quantization: scale = max|x|/127, codes =
+    * round(x/scale) in [-127,127]. Zero vectors get scale 0 and zero
+    * codes. One pass, single allocation — a lambda formulation would
+    * re-evaluate the max-abs reduction per element (no CSE in lambda
+    * bodies) and CollapseProject re-inlines it through projections.
+    */
+  def quantize8(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0f
+    var i = 0
+    while (i < n) {
+      val a = java.lang.Math.abs(v.getFloat(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127f
+    val codes = new Array[Byte](n)
+    if (scale > 0) {
+      i = 0
+      while (i < n) {
+        codes(i) = java.lang.Math.round(v.getFloat(i) / scale).toByte
+        i += 1
+      }
+    }
+    InternalRow(scale, new GenericArrayData(codes))
+  }
+
+  /** Integer dot product of two code arrays (exact in long). */
+  def dotI8(a: ArrayData, b: ArrayData): Long = {
+    val n = java.lang.Math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Int8 scalar quantization of a float vector:
+  * struct<scale:float, codes:array<tinyint>> — 4x smaller than float32,
+  * the standard memory/IO lever for corpus-scale embedding storage.
+  * Approximate dot recovers as dotI8(a,b) * scaleA * scaleB.
+  */
+case class Quantize8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    QuantUtil.quantize8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.QuantUtil.quantize8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Quantize8 =
+    copy(child = newChild)
+
+  override def prettyName: String = "quantize8"
+}
+
+/** Exact integer dot product of two int8 code arrays. */
+case class DotProductInt8(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    QuantUtil.dotI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.QuantUtil.dotI8($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductInt8 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product_i8"
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorExpressions {
 
@@ -82,4 +179,13 @@ object VectorExpressions {
 
   /** L2 norm via the native dot (sqrt of self-dot). */
   def l2normF(v: Column): Column = sqrt(dotF(v, v))
+
+  /** Int8 scalar quantization: struct<scale, codes>. */
+  def quantize8(v: Column): Column =
+    ExpressionUtils.column(Quantize8(ExpressionUtils.expression(v)))
+
+  /** Exact integer dot of two int8 code arrays. */
+  def dotI8(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductInt8(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

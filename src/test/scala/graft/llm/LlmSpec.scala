@@ -120,6 +120,28 @@ class LlmSpec extends AnyFunSuite {
     assert(cells == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("int8 quantization: codes bounded, approx cosine tracks exact") {
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f, -0.4f, 0.25f)),
+      (2L, Array(0.85f, 0.15f, -0.35f, 0.3f)),
+      (3L, Array(-0.2f, 0.95f, 0.1f, -0.6f)))
+      .toDF("id", "v")
+      .withColumn("q", Similarity.quantize8(col("v")))
+    val codes = vecs.select(col("q.codes")).collect()
+      .flatMap(_.getSeq[Byte](0))
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    val pairs = vecs.as("a").join(vecs.as("b"),
+        col("a.id") < col("b.id"))
+      .select(
+        Dedup.cosine(col("a.v"), col("b.v")).as("exact"),
+        Similarity.quantizedCosine(col("a.q"), col("b.q")).as("approx"))
+      .collect()
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02,
+        s"approx ${r.getDouble(1)} vs exact ${r.getDouble(0)}")
+    }
+  }
+
   test("packing: prefix-sum assignment, offsets within budget") {
     val docs = Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 7L))
       .toDF("id", "n")
