@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.llm.Dedup
+
+/** Streaming LSH near-dup: the stateful bucket pairing is tested over
+  * micro-batches (duplicates arriving later pair with the earlier copy);
+  * the banding stage is pinned against the batch LSH band keys so the
+  * streaming pipeline flags exactly the pairs the batch path flags.
+  */
+class StreamingNearDupSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val textA = "w1 w2 w3 w4 w5 w6 w7 w8"
+  private val textB = "x1 x2 x3 x4 x5 x6 x7 x8"
+
+  test("stateful bucket pairing emits cross-micro-batch candidates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingNearDup.BandedDoc]
+    val pairs = StreamingNearDup.candidatePairs(input.toDS())
+
+    val query = pairs.writeStream
+      .format("memory")
+      .queryName("neardup_test")
+      .outputMode("append")
+      .start()
+
+    input.addData(
+      StreamingNearDup.BandedDoc("0|k1", 1L),
+      StreamingNearDup.BandedDoc("0|k2", 3L))
+    query.processAllAvailable()
+    // doc 2 lands in doc 1's bucket in a LATER micro-batch
+    input.addData(StreamingNearDup.BandedDoc("0|k1", 2L))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("neardup_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)),
+      "cross-batch duplicate pairs with the earlier copy; lone doc never pairs")
+  }
+
+  test("banding stage matches the batch LSH (same signatures, same keys)") {
+    val docs = Seq((1L, textA), (2L, textA), (3L, textB)).toDF("doc_id", "text")
+    // run the streaming banding expressions in batch mode
+    val buckets = StreamingNearDup.bandedStream(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // identical texts share every band bucket; different texts share none
+    val byDoc = buckets.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L).intersect(byDoc(3L)).isEmpty)
+    // and the pairs implied by shared buckets equal the batch LSH pairs
+    val batchPairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs == Set((1L, 2L)))
+  }
+}
