@@ -41,5 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         cs(1).eval().asInstanceOf[Number].intValue()))
     register(ext, "token_stats64", 1, classOf[TokenStats64],
       cs => TokenStats64(cs.head))
+    register(ext, "char_shingle_hashes64", 2, classOf[CharShingleHashes64],
+      cs => CharShingleHashes64(cs.head,
+        cs(1).eval().asInstanceOf[Number].intValue()))
+    register(ext, "quantize8", 1, classOf[Quantize8],
+      cs => Quantize8(cs.head))
+    register(ext, "dot_product_i8", 2, classOf[DotProductInt8],
+      cs => DotProductInt8(cs.head, cs(1)))
   }
 }
