@@ -45,4 +45,37 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // per-column exchanges
     assert(exchanges <= 5, s"unexpected exchange count $exchanges in plan")
   }
+
+  test("relational MinHash: one aggregation shuffle, no join-back") {
+    val sigs = graft.llm.Dedup.minhashSignatures(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val p = plan(sigs)
+    // explode_outer keeps empty docs without restoring them via join
+    assert(!p.contains("Join"), s"unexpected join in MinHash plan:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges")
+    // the shingle pass is the native fused expression, evaluated in Generate
+    assert(p.contains("shingle_hashes64"), "native shingle hashing missing")
+  }
+
+  test("gap windows reuse the (project, house) partitioning: sorts only") {
+    // HashPartitioning(P,H) satisfies ClusteredDistribution(P,H,cvg) —
+    // the per-gap windows must add local sorts, never a new exchange.
+    val rd = graft.queries.QueriesEtd.withAverages(
+      graft.queries.QueriesEtd.readings(spark, dir))
+      .repartition(col(Model.ProjectId), col(Model.HouseId))
+    val staged = Impute.withGapStats(
+      Impute.withGapGroups(rd, "MeterDiff", "Meter"), "Meter")
+    val p = plan(staged.select(Model.HouseId, "gap_jump"))
+    val afterRepartition = p.substring(p.indexOf("REPARTITION_BY_COL") match {
+      case -1 => 0
+      case i => i
+    })
+    // count exchanges in the whole plan: the explicit repartition + the
+    // shim's own window exchanges; gap windows must not add one per stage
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    val sorts = "Sort \\[".r.findAllIn(p).length
+    assert(sorts >= 2, s"expected local sorts for gap windows, got $sorts")
+    assert(exchanges <= 3, s"gap windows added exchanges: $exchanges in\n$afterRepartition")
+  }
 }

@@ -5,6 +5,7 @@ import org.scalacheck.{Gen, Prop, Test => ScTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SharedSpark
+import graft.llm.Packing
 
 /** Property-based invariants (SURVEY §5): min_count gate equivalence with
   * the pandas semantics, the methods->bitmask fold, and spine coverage.
@@ -65,6 +66,41 @@ class PropertiesSpec extends AnyFunSuite {
       val spine = Resample.bucketSpine(df,
         Seq(Model.ProjectId, Model.HouseId), "15min")
       spine.count() == steps.max - steps.min + 1
+    }, n = 8)
+  }
+
+  test("property: sequence packing is an exact sharded prefix-sum") {
+    check(Prop.forAll(
+        Gen.nonEmptyListOf(Gen.choose(0L, 50L)), Gen.choose(8L, 64L)) { (toks, budget) =>
+      val df = toks.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+      val packed = Packing.packSequences(df, "id", "n", budget, shards = 2)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"),
+          r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+      // offsets always inside the budget; per shard, (seq_id, offset) is
+      // the exact div/mod of the running token count in id order
+      val byShard = packed.groupBy(_._2)
+      packed.forall(_._4 < budget) && byShard.values.forall { rows =>
+        var cum = 0L
+        rows.sortBy(_._1).forall { case (id, _, seq, off) =>
+          val ok = seq == cum / budget && off == cum % budget
+          cum += toks(id.toInt)
+          ok
+        }
+      }
+    }, n = 8)
+  }
+
+  test("property: salted aggregation equals plain groupBy") {
+    check(Prop.forAll(
+        Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(-50, 50)))) { rows =>
+      val df = rows.map { case (k, v) => (k, v.toLong) }.toDF("k", "v")
+      val plain = df.groupBy("k").agg(sum("v").as("v"), max("v").as("m"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val salted = graft.ops.Skew.saltedAggregate(
+          df.withColumn("m", col("v")), Seq("k"),
+          Seq("v" -> "sum", "m" -> "max"), salt = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      salted == plain
     }, n = 8)
   }
 }
