@@ -103,6 +103,19 @@ object QueriesLLM {
       .select("id_a", "id_b", "jac")
   }
 
+  /** Near-dup clustering endgame: connected components over the LSH
+    * candidate graph (iterative min-label propagation). Oracle-checked via
+    * DuckDB's recursive CTE transitive closure — component minima are
+    * pure integer facts, so the iterative DataFrame loop must agree
+    * exactly.
+    */
+  def q_dedup_cluster(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val pairs = Dedup.lshCandidatePairs(corpus, "doc_id", "text")
+    Dedup.clusterPairs(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   /** SimHash (32-bit, engine-portable) per document — relational shape
     * (explode token hashes -> 32 sign-sum aggregates -> one projection).
     */
@@ -262,6 +275,7 @@ object QueriesLLM {
     "q_minhash_sig" -> (q_minhash_sig _),
     "q_lsh_pairs" -> (q_lsh_pairs _),
     "q_near_dup_jaccard" -> (q_near_dup_jaccard _),
+    "q_dedup_cluster" -> (q_dedup_cluster _),
     "q_simhash" -> (q_simhash _),
     "q_embed_cosine_dup" -> (q_embed_cosine_dup _),
     "q_ann_topk" -> (q_ann_topk _),
@@ -310,6 +324,22 @@ object QueriesLLM {
         |  JOIN shd b ON p.id_b = b.doc_id
         |)
         |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.2""".stripMargin),
+    "q_dedup_cluster" -> (dupCorpusSql.replaceFirst("WITH corpus", "WITH RECURSIVE corpus") + minhashSql +
+      """, pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  UNION
+        |  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+        |), reach AS (
+        |  SELECT id_a AS id, id_a AS label FROM edges
+        |  UNION
+        |  SELECT e.id_a AS id, r.label FROM edges e JOIN reach r ON e.id_b = r.id
+        |)
+        |SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin),
     "q_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
