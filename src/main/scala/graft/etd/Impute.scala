@@ -135,34 +135,40 @@ object Impute {
     * reference comparisons exactly, including the strict 1e-8 bounds.
     * Returns (imputedDiff, imputeType) column expressions.
     */
-  def imputeCascade(diffC: String): (Column, Column) = {
-    val grp = col("cumulative_value_group")
-    val hasJump = !col("gap_jump_is_na") && grp.isNotNull
-    val noJump = col("gap_jump_is_na") && grp.isNotNull
-    val jump = col("gap_jump")
-    val end = col("end_cum_value")
-    val prev = col("prev_cum_value")
-    val iv = col("impute_values")
+  def imputeCascade(diffC: String): (Column, Column) =
+    cascadeExprs(col(diffC), col("cumulative_value_group"),
+      col("gap_jump_is_na"), col("gap_jump"), col("end_cum_value"),
+      col("prev_cum_value"), col("impute_values"), col("impute_jump"),
+      col("gap_length"), col("house_impute_factor"))
+
+  /** The seven-branch cascade over explicit input columns — shared by the
+    * fixed-name single-column path and the suffixed batched path.
+    */
+  private def cascadeExprs(diffC: Column, grp: Column, jumpIsNa: Column,
+                           jump: Column, end: Column, prev: Column,
+                           iv: Column, imputeJump: Column, gapLength: Column,
+                           houseFactor: Column): (Column, Column) = {
+    val hasJump = !jumpIsNa && grp.isNotNull
+    val noJump = jumpIsNa && grp.isNotNull
 
     val imputed =
       when(hasJump && jump < 0, lit(0.0))
         .when(hasJump && jump >= 0 && jump < 1e-8, lit(0.0))
-        .when(hasJump && jump >= 1e-8 && col("impute_jump") < 1e-8,
-          round(jump / col("gap_length"), 10))
-        .when(hasJump && jump >= 1e-8 && col("impute_jump") >= 1e-8,
-          round(iv * (jump / col("impute_jump")), 10))
+        .when(hasJump && jump >= 1e-8 && imputeJump < 1e-8,
+          round(jump / gapLength, 10))
+        .when(hasJump && jump >= 1e-8 && imputeJump >= 1e-8,
+          round(iv * (jump / imputeJump), 10))
         .when(noJump && end.isNotNull && prev.isNull && end < 1e-8, lit(0.0))
         .when(noJump && end.isNotNull && prev.isNull && end > 1e-8, iv)
-        .when(noJump && end.isNull && prev.isNotNull,
-          iv * col("house_impute_factor"))
-        .otherwise(col(diffC)) // incl. no-start-no-end: left NA, logged upstream
+        .when(noJump && end.isNull && prev.isNotNull, iv * houseFactor)
+        .otherwise(diffC) // incl. no-start-no-end: left NA, logged upstream
 
     val imputeType =
       when(hasJump && jump < 0, lit(ImputeType.NegativeGapJump))
         .when(hasJump && jump >= 0 && jump < 1e-8, lit(ImputeType.NearZeroGapJump))
-        .when(hasJump && jump >= 1e-8 && col("impute_jump") < 1e-8,
+        .when(hasJump && jump >= 1e-8 && imputeJump < 1e-8,
           lit(ImputeType.LinearFill))
-        .when(hasJump && jump >= 1e-8 && col("impute_jump") >= 1e-8,
+        .when(hasJump && jump >= 1e-8 && imputeJump >= 1e-8,
           lit(ImputeType.ScaledFill))
         .when(noJump && end.isNotNull && prev.isNull && end < 1e-8,
           lit(ImputeType.ZeroEndValue))
@@ -221,6 +227,127 @@ object Impute {
     val drop = if (keepGapCols) tempCols.diff(Seq("cumulative_value_group", "gap_length"))
                else tempCols
     clamped.drop(drop: _*)
+  }
+
+  /** All-columns imputation in BATCHED stages: every column's lag pass,
+    * running-sum pass, per-gap windows, and house-factor sums are computed
+    * in shared selects, so the plan has ~6 + |columns| Window nodes
+    * instead of the per-column fold's |columns| x ~7 nested stages.
+    * Column results are byte-identical to [[imputeColumn]] (columns are
+    * mutually independent; the expressions are the same, routed through
+    * the shared cascade) — the difference is OPTIMIZER time: Catalyst's
+    * cost grows superlinearly with plan depth, and the 13-column fold
+    * builds a ~130-node chain (minutes to optimize; the batched shape is
+    * seconds).
+    *
+    * With `keepGapCols` the per-column gap metadata survives as
+    * `__cvg_<col>` / `__gap_length_<col>` (the names the pipeline's
+    * gap-stats pass consumes).
+    */
+  def imputeColumnsBatched(df: DataFrame, cums: Seq[String],
+                           keepGapCols: Boolean = false): DataFrame = {
+    def cvgC(c: String) = s"__cvg_$c"
+    def glC(c: String) = s"__gap_length_$c"
+    val wH = houseWindow
+    def gapAllC(c: String) = Window
+      .partitionBy(col(ProjectId), col(HouseId), col(cvgC(c)))
+      .orderBy(ReadingDate)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    val star = col("*")
+
+    // S1 — boundary lags (ONE lag window node serves every column).
+    val s1 = df.select(star +: cums.flatMap { c =>
+      val isNa = col(diffCol(c)).isNull
+      val cumSeen = col(c).isNotNull && isNa
+      Seq(
+        (isNa && !coalesce(lag(isNa, 1).over(wH), lit(false))).as(s"__gapstart_$c"),
+        coalesce(lag(cumSeen, 1).over(wH), lit(false)).as(s"__lagseen_$c"))
+    }: _*)
+
+    // S2 — running group ids (one running-frame window node).
+    val s2 = s1.select(star +: cums.map { c =>
+      sum((col(s"__lagseen_$c") || col(s"__gapstart_$c")).cast("long"))
+        .over(runningHouse).as(s"__grp_$c")
+    }: _*)
+    val s2b = s2.select(star +: cums.map { c =>
+      when(col(diffCol(c)).isNull, col(s"__grp_$c")).as(cvgC(c))
+    }: _*)
+
+    // S3 — group-first detection + prev candidates (one lag node).
+    val s3 = s2b.select(star +: cums.map { c =>
+      val grp = col(cvgC(c))
+      val first = grp.isNotNull && !(lag(grp, 1).over(wH) <=> grp)
+      val p = lag(col(c), 1).over(wH)
+      when(first && p >= 0, p).as(s"__prevcand_$c") // negative prev invalid
+    }: _*)
+    val s3b = s3.select(star +: cums.map { c =>
+      coalesce(col(avgCol(c)), lit(0.0)).as(s"__iv_$c")
+    }: _*)
+
+    // S4 — per-gap whole-group windows (one window node PER COLUMN — each
+    // column has its own group ids — but all reuse the (project, house)
+    // partitioning: local sorts, no exchanges).
+    val s4 = s3b.select(star +: cums.flatMap { c =>
+      val grp = col(cvgC(c))
+      val g = gapAllC(c)
+      Seq(
+        when(grp.isNotNull, count(lit(1)).over(g)).as(glC(c)),
+        when(grp.isNotNull, max(col(s"__prevcand_$c")).over(g)).as(s"__prev_$c"),
+        last(col(c), ignoreNulls = true).over(g).as(s"__endraw_$c"),
+        when(grp.isNotNull, sum(col(s"__iv_$c")).over(g)).as(s"__ij_$c"))
+    }: _*)
+    val s4b = s4.select(star +: cums.flatMap { c =>
+      val grp = col(cvgC(c))
+      val e = col(s"__endraw_$c")
+      val end = when(grp.isNotNull && !(e < 0), e) // end<0 -> NA
+      Seq(
+        end.as(s"__end_$c"),
+        (end - col(s"__prev_$c")).as(s"__jump_$c"))
+    }: _*)
+
+    // S5 — house factor sums (one whole-house window node for all columns).
+    val hAll = houseAll
+    val s5 = s4b.select(star +: (cums.flatMap { c =>
+      val comparable = col(avgCol(c)).isNotNull && col(diffCol(c)).isNotNull &&
+        col(diffCol(c)) >= 0
+      Seq(
+        sum(when(comparable, col(avgCol(c)))).over(hAll).as(s"__asum_$c"),
+        sum(when(comparable, col(diffCol(c)))).over(hAll).as(s"__dsum_$c"),
+        sum(comparable.cast("long")).over(hAll).as(s"__ncmp_$c"))
+    } :+ count(lit(1)).over(hAll).as("__ntot")): _*)
+    val s5b = s5.select(star +: cums.map { c =>
+      val ratio = when(col(s"__dsum_$c") =!= 0.0,
+        col(s"__asum_$c") / col(s"__dsum_$c")) // inf guard
+      when(col(s"__ncmp_$c") <= col("__ntot") / 2.0, lit(1.0))
+        .otherwise(coalesce(ratio, lit(1.0))).as(s"__hf_$c")
+    }: _*)
+
+    // S6 — cascade + thresholds per column (plain projections).
+    val cascaded = cums.foldLeft(s5b) { (acc, c) =>
+      val grp = col(cvgC(c))
+      val (imputedDiff, imputeType) = cascadeExprs(col(diffCol(c)), grp,
+        col(s"__jump_$c").isNull && grp.isNotNull, col(s"__jump_$c"),
+        col(s"__end_$c"), col(s"__prev_$c"), col(s"__iv_$c"),
+        col(s"__ij_$c"), col(glC(c)), col(s"__hf_$c"))
+      val d = diffCol(c)
+      val withFlags = acc
+        .withColumn(imputeTypeCol(c), imputeType)
+        .withColumn(isImputedCol(c), col(imputeTypeCol(c)).isNotNull)
+        .withColumn(d, imputedDiff)
+      val (lo, hi) = thresholds.getOrElse(d,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      applyThresholds(withFlags, d, avgCol(c), isImputedCol(c),
+        imputeTypeCol(c), lo, hi)
+    }
+
+    val tempDrop = cums.flatMap(c => Seq(
+      s"__gapstart_$c", s"__lagseen_$c", s"__grp_$c", s"__prevcand_$c",
+      s"__iv_$c", s"__prev_$c", s"__endraw_$c", s"__ij_$c",
+      s"__end_$c", s"__jump_$c", s"__asum_$c", s"__dsum_$c", s"__ncmp_$c",
+      s"__hf_$c")) ++ Seq("__ntot") ++
+      (if (keepGapCols) Nil else cums.flatMap(c => Seq(cvgC(c), glC(c))))
+    cascaded.drop(tempDrop: _*)
   }
 
   /** Data-quality gates the reference enforces with exceptions

@@ -32,15 +32,14 @@ object Pipeline {
     resampled: Map[String, DataFrame],
     projectAggregated: Map[String, DataFrame])
 
-  /** Run the full transformation pipeline lazily over a combined household
+    /** Run the full transformation pipeline lazily over a combined household
     * frame (cumulative meters + Diff columns present). Nothing executes
-    * until the caller writes/collects a stage — unless
-    * `localCheckpointEvery` is set: the 13-column impute fold builds a
-    * plan whose OPTIMIZATION time grows superlinearly with chained window
-    * stages (minutes at 13 columns), so cutting lineage every N columns
-    * bounds the optimizer's input. This mirrors the reference's own staged
-    * materialization; at production scale prefer durable checkpoints via
-    * [[Sources.writeStage]] between stages.
+    * until the caller writes/collects a stage. The impute stage is the
+    * BATCHED all-columns implementation ([[Impute.imputeColumnsBatched]]),
+    * whose plan size is bounded regardless of column count; set
+    * `localCheckpointEvery` to additionally cut lineage after the impute
+    * stage (mirrors the reference's staged materialization; at production
+    * scale prefer durable checkpoints via [[Sources.writeStage]]).
     */
   def run(household: DataFrame,
           cumulativeCols: Seq[String] = cumulativeColumns,
@@ -59,19 +58,17 @@ object Pipeline {
     val (avgDiffs, _) = Diffs.prepare(sorted, cumulativeCols)
     val withAvgs = Diffs.joinAverages(sorted, avgDiffs)
 
-    // I3..I9 per column; temp gap cols kept for the stats pass, then
-    // dropped. Each column's windows share the same (house) partitioning.
-    val imputedAll = cumulativeCols.zipWithIndex.foldLeft(withAvgs) {
-      case (acc, (cum, i)) =>
-        val done = Impute.imputeColumn(acc, cum, keepGapCols = true)
-          .withColumn(s"__gap_length_$cum", col("gap_length"))
-          .withColumn(s"__cvg_$cum", col("cumulative_value_group"))
-          .drop("gap_length", "cumulative_value_group")
-        localCheckpointEvery match {
-          case Some(n) if (i + 1) % n == 0 => done.localCheckpoint()
-          case _ => done
-        }
-    }
+    // I3..I9 for ALL columns in batched stages (shared lag/cumsum/house
+    // window nodes + one per-gap window node per column): byte-identical
+    // to the per-column fold, but the plan is ~20 nodes instead of
+    // |columns| x ~10 nested stages — at 13 columns that is the
+    // difference between minutes and seconds of optimizer time.
+    // `localCheckpointEvery` (kept for API compatibility) now means: cut
+    // lineage once after the impute stage.
+    val imputedAll0 = Impute.imputeColumnsBatched(withAvgs, cumulativeCols,
+      keepGapCols = true)
+    val imputedAll = localCheckpointEvery.fold(imputedAll0)(_ =>
+      imputedAll0.localCheckpoint())
 
     // I10 — per-column gap stats, unioned.
     val statsPerCol = cumulativeCols.map { cum =>

@@ -135,4 +135,30 @@ class ImputeSpec extends AnyFunSuite {
     // value) and flagged SCALED_FILL | THRESHOLD_ADJUSTED
     assert(t5.getInt(1) == (Model.ImputeType.ScaledFill | Model.ImputeType.ThresholdAdjusted))
   }
+
+  test("batched multi-column impute == sequential per-column fold (real shim)") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val cums = Seq("ElektriciteitNetgebruikLaag", "ElektriciteitTerugleveringLaag")
+    val wHouse = Window.partitionBy(ProjectId, HouseId).orderBy(ReadingDate)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCums = cums.foldLeft(
+        graft.queries.QueriesEtd.fabricatedDiffs(spark, dir))((df, c) =>
+      df.withColumn(c, sum(Model.diffCol(c)).over(wHouse)))
+    val sorted = withCums
+      .repartition(col(ProjectId), col(HouseId))
+      .sortWithinPartitions(ProjectId, HouseId, ReadingDate)
+    val (avgDiffs, _) = Diffs.prepare(sorted, cums)
+    val withAvgs = Diffs.joinAverages(sorted, avgDiffs)
+
+    val sequential = cums.foldLeft(withAvgs)((acc, c) => Impute.imputeColumn(acc, c))
+    val batched = Impute.imputeColumnsBatched(withAvgs, cums)
+
+    val outCols = (Seq(HouseId, "t_us") ++ cums.flatMap(c => Seq(
+      Model.diffCol(c), Model.isImputedCol(c), Model.imputeTypeCol(c)))).map(col)
+    val a = sequential.select(outCols: _*).collect().toSet
+    val b = batched.select(outCols: _*).collect().toSet
+    assert(a == b, s"batched impute diverges: ${(a -- b).take(3)} vs ${(b -- a).take(3)}")
+    assert(a.nonEmpty)
+  }
 }
