@@ -58,9 +58,23 @@ object Similarity {
     * for a 1/nlist scan). Returns (query_id, neighbor_id, rank, cos).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, centroids: Column, k: Int): DataFrame = {
+              vecCol: String, centroids: Column, k: Int): DataFrame =
+    ivfTopKProbed(queries, corpus, idCol, vecCol, centroids, k, nprobe = 1)
+
+  /** Multi-probe IVF top-k: each query searches its `nprobe` nearest
+    * cells — the standard recall lever (misses happen when a neighbor
+    * sits just across a cell boundary; probing the runner-up cells
+    * recovers it at nprobe/nlist of the scan). nprobe = nlist degenerates
+    * to exact brute force (property-tested). Queries with their probe
+    * lists stay broadcast; the corpus side still partitions by its single
+    * home cell.
+    */
+  def ivfTopKProbed(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, centroids: Column, k: Int,
+                    nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qcell", ivfAssign(col("qv"), centroids))
+      .withColumn("qcell",
+        explode(slice(ivfRanking(col("qv"), centroids), 1, nprobe)))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("ccell", ivfAssign(col("cv"), centroids))
     val w = Window.partitionBy("query_id")
@@ -71,6 +85,19 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Centroid indices (1-based) ordered by descending cosine to `vec`,
+    * ties broken by index — element 1 is [[ivfAssign]]'s cell.
+    */
+  def ivfRanking(vec: Column, centroids: Column): Column = {
+    val scored = transform(centroids, c => cosine(vec, c))
+    val n = size(centroids)
+    // sort (negated cosine, index) pairs; null cosines (zero-norm) last
+    val pairs = transform(sequence(lit(1), n), i =>
+      struct(coalesce(-element_at(scored, i), lit(Double.MaxValue)).as("neg"),
+        i.as("idx")))
+    transform(array_sort(pairs), p => p.getField("idx"))
   }
 
   /** Lloyd's k-means over the embedding column — trains the IVF codebook

@@ -110,6 +110,26 @@ class LlmSpec extends AnyFunSuite {
     assert(Set(2L, 4L, 6L).map(cells) == Set(2L))
   }
 
+  test("multi-probe IVF: nprobe = nlist equals brute force; nprobe lifts recall") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.7f, 0.71f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.9f, 0.44f)),
+      (5L, Array(0.1f, 0.95f)))
+      .toDF("id", "v")
+    val cents = array(
+      array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f)))
+    val queries = vecs.filter(col("id") === 2) // near the cell boundary
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val brute = ids(Similarity.bruteForceTopK(queries, vecs, "id", "v", 3))
+    val full = ids(Similarity.ivfTopKProbed(queries, vecs, "id", "v", cents,
+      k = 3, nprobe = 2))
+    assert(full == brute, "probing every cell must equal brute force")
+    val single = ids(Similarity.ivfTopK(queries, vecs, "id", "v", cents, k = 3))
+    // nprobe=1 sees only the home cell's members — a subset of brute's top
+    assert(single.toSet.subsetOf(brute.toSet) && single.size < brute.size)
+  }
+
   test("IVF assignment picks the nearest centroid cell") {
     val centroids = array(
       array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f)))
