@@ -141,33 +141,24 @@ object QueriesLLM {
         col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
   }
 
-  /** IVF-bucketed ANN: assign all vectors to the nearest of 8 centroid
-    * vectors (vec_id < 8), search only the query's cell, top-3. The
-    * 1/nlist scan-reduction path for corpus-scale search.
+  /** IVF-bucketed ANN through the LIBRARY path ([[Similarity.ivfTopK]]):
+    * codebook = the first 8 vectors (collected to the driver like a
+    * trained codebook would be), every vector assigned to its nearest
+    * cell, each query searching only its own cell, top-3. ivfAssign's
+    * first-max tie-break equals the oracle's (ccos desc, cent_id)
+    * row_number because centroid array order follows vec_id.
     */
   def q_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("ccos").desc, col("cent_id"))
-      df.join(broadcast(cents), lit(true))
-        .withColumn("ccos", Dedup.cosine(col(vec), col("cv")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col(id), col(vec), col("cent_id").as("cell"))
-    }
-    val corpus = assign(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid", "nv")
-    val queries = assign(emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid", "qv")
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    queries.withColumnRenamed("cell", "qcell")
-      .join(corpus.withColumnRenamed("cell", "ncell"),
-        col("qcell") === col("ncell") && col("qid") =!= col("nid"))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+    val codebook = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    val cents = array(codebook.map(v =>
+      array(v.map(lit(_)): _*)).toIndexedSeq: _*)
+    Similarity.ivfTopK(
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb,
+        "vec_id", "embedding", cents, k = 3)
+      .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
   }
 
