@@ -159,6 +159,36 @@ object Similarity {
     when(na > 0 && nb > 0, d / (na * nb))
   }
 
+  /** Two-stage search over a quantized corpus: score every candidate with
+    * the int8 approximate cosine (4x less memory traffic on the scan),
+    * keep the top `candidates` per query, then re-rank ONLY those with
+    * the exact float cosine and return the top `k`. Recall loss is
+    * confined to candidates the approximate scan misranks out of the
+    * pool — `candidates` is the recall lever (candidates = corpus size
+    * degenerates to exact brute force). Queries stay full-precision.
+    */
+  def quantizedRerankTopK(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          candidates: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qq", quantize8(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cq", quantize8(col("cv")))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val pool = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos", quantizedCosine(col("qq"), col("cq")))
+      .withColumn("__ar", row_number().over(wApprox))
+      .filter(col("__ar") <= candidates)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pool
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Random-hyperplane LSH bucket for a vector: bit b = sign of the dot
     * product with pseudo-hyperplane b, where hyperplane components are
     * deterministic +-1 derived from md5 — engine-portable like the MinHash

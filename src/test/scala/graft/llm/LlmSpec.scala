@@ -110,6 +110,22 @@ class LlmSpec extends AnyFunSuite {
     assert(Set(2L, 4L, 6L).map(cells) == Set(2L))
   }
 
+  test("quantized scan + exact re-rank recovers the brute-force top-k") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.3f)), (2L, Array(0.8f, 0.2f, 0.25f)),
+      (3L, Array(0.1f, 0.9f, 0.2f)), (4L, Array(0.9f, 0.15f, 0.28f)),
+      (5L, Array(0.2f, 0.85f, 0.1f)), (6L, Array(0.95f, 0.12f, 0.31f)))
+      .toDF("id", "v")
+    val queries = vecs.filter(col("id") === 1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val brute = ids(Similarity.bruteForceTopK(queries, vecs, "id", "v", 3))
+    val reranked = ids(Similarity.quantizedRerankTopK(queries, vecs, "id", "v",
+      k = 3, candidates = 5))
+    assert(reranked == brute,
+      "exact re-rank over a wide-enough quantized pool must equal brute force")
+  }
+
   test("multi-probe IVF: nprobe = nlist equals brute force; nprobe lifts recall") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.7f, 0.71f)),
