@@ -149,21 +149,30 @@ object Dedup {
       transform(sequence(lit(0), i - 1), j =>
         struct(element_at(ids, j + 1).as("a"), element_at(ids, i + 1).as("b")))))
 
-  /** Cluster near-dup pairs into duplicate groups: iterative min-label
-    * propagation (each node takes the minimum label among itself and its
-    * neighbors until fixpoint) — the standard DataFrame-native connected
-    * components for the dedup endgame. Returns (id, cluster_id) with
+  /** Cluster near-dup pairs into duplicate groups: min-label propagation
+    * with pointer doubling — per round each node takes the minimum label
+    * among itself and its neighbors, then compresses one level of label
+    * indirection (label := label-of-label). Returns (id, cluster_id) with
     * cluster_id = the minimum member id.
     *
-    * Scale: per iteration one join + one aggregation, both hash-partitioned
-    * on id; lineage is cut with localCheckpoint per round so plans stay
-    * bounded. Candidate graphs from LSH are sparse (degree ~ dup-group
-    * size), and diameter — which bounds iterations — is small for
-    * near-dup clusters.
+    * Convergence: plain neighbor-min propagation needs O(diameter) rounds
+    * and a long boilerplate chain can exceed any fixed cap; the doubling
+    * step halves remaining label-chain depth per round, so fixpoint is
+    * reached in O(log diameter) rounds (a path of 2^40 nodes converges in
+    * ~40). `maxIter` is a safety valve only — if it is ever hit without
+    * convergence the method THROWS rather than returning silently wrong
+    * cluster ids (the documented contract is exact agreement with
+    * transitive closure).
+    *
+    * Scale: per round two joins + one aggregation, all hash-partitioned on
+    * id; lineage is cut with localCheckpoint per round so plans stay
+    * bounded. Labels are always member ids (mins of member sets), so the
+    * label-of-label lookup is a self-join on the labels table itself.
     */
-  def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -172,9 +181,16 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("nid")).agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+      val propagated = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // Pointer doubling: follow one level of indirection through the
+      // label table (labels are ids, so the parent row always exists).
+      val parents = propagated.select(col("id").as("pid"), col("label").as("plabel"))
+      val updated = propagated.join(parents, propagated("label") === col("pid"), "left")
+        .select(propagated("id"),
+          least(propagated("label"),
+            coalesce(col("plabel"), propagated("label"))).as("label"))
         .localCheckpoint()
       val changed = updated.as("u")
         .join(labels.withColumnRenamed("label", "old"), Seq("id"))
@@ -183,6 +199,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge within $maxIter rounds — component " +
+          "diameter exceeds 2^" + maxIter + "; raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

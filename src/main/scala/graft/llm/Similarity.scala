@@ -88,7 +88,11 @@ object Similarity {
   }
 
   /** Centroid indices (1-based) ordered by descending cosine to `vec`,
-    * ties broken by index — element 1 is [[ivfAssign]]'s cell.
+    * ties broken by index — element 1 is [[ivfAssign]]'s cell. A zero-norm
+    * vector (every cosine null) ranks NO cells: the result is null, exactly
+    * as [[ivfAssign]] assigns null — so `explode` of a probe slice emits no
+    * rows and probed search agrees with single-cell search on degenerate
+    * inputs.
     */
   def ivfRanking(vec: Column, centroids: Column): Column = {
     val scored = transform(centroids, c => cosine(vec, c))
@@ -97,23 +101,29 @@ object Similarity {
     val pairs = transform(sequence(lit(1), n), i =>
       struct(coalesce(-element_at(scored, i), lit(Double.MaxValue)).as("neg"),
         i.as("idx")))
-    transform(array_sort(pairs), p => p.getField("idx"))
+    // array_max(scored) null <=> all cosines null <=> ivfAssign is null
+    when(array_max(scored).isNotNull,
+      transform(array_sort(pairs), p => p.getField("idx")))
   }
 
   /** Lloyd's k-means over the embedding column — trains the IVF codebook
-    * that [[ivfAssign]]/[[ivfTopK]] consume. Deterministic: centroids
-    * initialize from the first k rows by id and every step is exact
-    * arithmetic over a fixed assignment, so retrains reproduce bit-for-bit.
+    * that [[ivfAssign]]/[[ivfTopK]] consume. Centroids initialize from the
+    * first k rows by id; assignments are deterministic, and the mean
+    * update is deterministic FOR A FIXED PARTITIONING (double `avg` folds
+    * in partition order — exact reproducibility across different
+    * partitionings would need decimal accumulation, which the few-KB
+    * codebook doesn't warrant).
     *
     * Scale shape per iteration: assignment is map-only (centroid literal
     * broadcast into codegen); the update is posexplode (row per dimension)
     * -> hash agg on (cell, dim) -> collect of k x dim doubles (the only
-    * driver-side data — the codebook itself, a few KB). Iterations are
-    * independent jobs over the cached input, so lineage stays flat.
+    * driver-side data — the codebook itself, a few KB). The input
+    * projection is persisted for the duration of training so each
+    * iteration re-reads cached vectors, not the full upstream lineage.
     */
   def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, iterations: Int = 5): Array[Array[Float]] = {
-    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v")).persist()
     var centroids: Array[Array[Float]] = vecs.orderBy("__id").limit(k)
       .collect().map(_.getSeq[Float](1).toArray)
     var i = 0
@@ -134,6 +144,7 @@ object Similarity {
       centroids = next
       i += 1
     }
+    vecs.unpersist()
     centroids
   }
 

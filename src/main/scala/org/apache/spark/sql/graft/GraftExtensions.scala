@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -28,6 +28,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         build(children)
       }))
 
+  /** Evaluate a size/width argument that must be a constant: foldable and
+    * a non-null integer. Raises a clear AnalysisException naming the
+    * function instead of an opaque eval/ClassCast failure when a column
+    * reference or null slips in.
+    */
+  private def constInt(fn: String, argName: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> fn, "paramName" -> argName, "paramType" -> "INT"))
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other =>
+        throw new AnalysisException(
+          errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+          messageParameters = Map(
+            "functionName" -> fn, "parameter" -> argName,
+            "invalidValue" -> String.valueOf(other)))
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     register(ext, "dot_product_f", 2, classOf[DotProductFloat],
       cs => DotProductFloat(cs.head, cs(1)))
@@ -38,12 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // shingle size arrives as a SQL literal: shingle_hashes64(text, 3)
     register(ext, "shingle_hashes64", 2, classOf[ShingleHashes64],
       cs => ShingleHashes64(cs.head,
-        cs(1).eval().asInstanceOf[Number].intValue()))
+        constInt("shingle_hashes64", "n", cs(1))))
     register(ext, "token_stats64", 1, classOf[TokenStats64],
       cs => TokenStats64(cs.head))
     register(ext, "char_shingle_hashes64", 2, classOf[CharShingleHashes64],
       cs => CharShingleHashes64(cs.head,
-        cs(1).eval().asInstanceOf[Number].intValue()))
+        constInt("char_shingle_hashes64", "n", cs(1))))
     register(ext, "quantize8", 1, classOf[Quantize8],
       cs => Quantize8(cs.head))
     register(ext, "dot_product_i8", 2, classOf[DotProductInt8],

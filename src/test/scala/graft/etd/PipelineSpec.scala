@@ -62,10 +62,24 @@ class PipelineSpec extends AnyFunSuite {
     val uncut = Pipeline.run(household, intervals = Seq("24h"))
     val t0 = System.nanoTime()
     // force analysis + optimization + physical planning of the deepest stage
-    uncut.projectAggregated("24h").queryExecution.executedPlan
+    val qe = uncut.projectAggregated("24h").queryExecution
+    qe.executedPlan
     val sec = (System.nanoTime() - t0) / 1e9
-    // the per-column fold was minutes-scale here; batched must stay seconds
-    assert(sec < 60.0, f"uncut 13-column plan took $sec%.1f s to optimize")
+    // Structural bound (the real assertion — environment-independent):
+    // batching keeps the optimized plan a bounded pipeline of shared
+    // selects regardless of column count, where the per-column fold
+    // multiplied expression nesting until the optimizer took minutes.
+    // Measured at 13 columns: 82 nodes — bounds leave ~2x headroom.
+    val optimized = qe.optimizedPlan
+    val nodes = optimized.collect { case n => n }.length
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.length
+    assert(nodes < 170, s"optimized plan has $nodes nodes — batching regressed")
+    assert(windows < 40, s"optimized plan has $windows Window nodes")
+    // Wall-clock smoke check only (loaded CI can flake a tight bound; the
+    // per-column fold took MINUTES here, so 180s still catches a regression)
+    assert(sec < 180.0, f"uncut 13-column plan took $sec%.1f s to optimize")
+    info(f"optimize+plan: $sec%.1f s, $nodes nodes, $windows windows")
   }
 
   test("imputation removes almost all gaps and flags every filled value") {

@@ -18,6 +18,17 @@ class ClusterSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("clusterPairs converges on a long chain (diameter >> rounds)") {
+    // a 150-node path: plain min-propagation needs ~150 rounds; pointer
+    // doubling must converge well inside the 40-round safety valve
+    val n = 150
+    val pairs = (0 until n - 1).map(i => (1000L + i, 1001L + i))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(pairs).collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 1000L), "all labels = chain minimum")
+  }
+
   test("nearDedupKeep keeps canonical members and untouched docs") {
     val corpus = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

@@ -146,6 +146,22 @@ class LlmSpec extends AnyFunSuite {
     assert(single.toSet.subsetOf(brute.toSet) && single.size < brute.size)
   }
 
+  test("zero-norm vectors: ivfRanking is null like ivfAssign; probed search emits no rows") {
+    val cents = array(
+      array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f)))
+    val zero = Seq((9L, Array(0.0f, 0.0f))).toDF("id", "v")
+    val r = zero.select(
+      Similarity.ivfAssign(col("v"), cents).as("cell"),
+      Similarity.ivfRanking(col("v"), cents).as("ranking")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "assignment and ranking must agree (both null) on degenerate input")
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val got = Similarity.ivfTopKProbed(zero, corpus, "id", "v", cents,
+      k = 2, nprobe = 2)
+    assert(got.count() == 0, "a zero-norm query probes no cells")
+  }
+
   test("IVF assignment picks the nearest centroid cell") {
     val centroids = array(
       array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f)))
