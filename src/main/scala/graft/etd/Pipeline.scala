@@ -23,40 +23,66 @@ import Model._
   */
 object Pipeline {
 
-  case class Stages(
-    imputed: DataFrame,
-    gapStats: DataFrame,
-    householdSummary: DataFrame,
-    projectSummary: DataFrame,
-    calculated: DataFrame,
-    resampled: Map[String, DataFrame],
-    projectAggregated: Map[String, DataFrame])
+  /** The pipeline's stage handles. Every stage is built (and therefore
+    * ANALYZED by Catalyst) on first access, then memoized: a consumer that
+    * executes only `projectAggregated("24h")` pays analysis for that one
+    * lineage — not for 13 gap-stats branches and every interval it never
+    * touches. (Analysis is eager at Dataset creation in Spark, so a
+    * strict Stages container was charging every caller the full
+    * all-stages analyzer bill up front.)
+    */
+  final class Stages private[Pipeline] (
+      val intervals: Seq[String],
+      imputedThunk: () => DataFrame,
+      gapStatsThunk: () => DataFrame,
+      calculatedThunk: () => DataFrame) {
+    lazy val imputed: DataFrame = imputedThunk()
+    lazy val gapStats: DataFrame = gapStatsThunk()
+    lazy val calculated: DataFrame = calculatedThunk()
+    lazy val householdSummary: DataFrame =
+      ImputeSummaries.householdSummary(gapStats, imputed)
+    lazy val projectSummary: DataFrame =
+      ImputeSummaries.projectSummary(gapStats, imputed)
 
-    /** Run the full transformation pipeline lazily over a combined household
-    * frame (cumulative meters + Diff columns present). Nothing executes
-    * until the caller writes/collects a stage. The impute stage is the
-    * BATCHED all-columns implementation ([[Impute.imputeColumnsBatched]]),
-    * whose plan size is bounded regardless of column count; set
-    * `localCheckpointEvery` to additionally cut lineage after the impute
-    * stage (mirrors the reference's staged materialization; at production
-    * scale prefer durable checkpoints via [[Sources.writeStage]]).
+    private val resampledCache =
+      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    /** A8 — the calculated frame resampled to `iv` (5min = native grain). */
+    def resampled(iv: String): DataFrame = {
+      require(intervals.contains(iv), s"interval $iv not in $intervals")
+      resampledCache.getOrElseUpdate(iv,
+        if (iv == "5min") calculated
+        else Resample.resampleStandard(calculated, iv))
+    }
+
+    private val projectAggCache =
+      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    /** A5-A7/J6/J7 — project aggregation of the `iv` resample. */
+    def projectAggregated(iv: String): DataFrame =
+      projectAggCache.getOrElseUpdate(iv,
+        ProjectAggregate.aggregateStandard(resampled(iv)))
+  }
+
+  /** Run the full transformation pipeline lazily over a combined household
+    * frame (cumulative meters + Diff columns present). Nothing executes —
+    * or is even analyzed — until the caller touches a stage. The impute
+    * stage is the BATCHED all-columns implementation
+    * ([[Impute.imputeColumnsBatched]]), whose plan size is bounded
+    * regardless of column count; set `localCheckpointEvery` to
+    * additionally cut lineage after the impute stage (mirrors the
+    * reference's staged materialization; at production scale prefer
+    * durable checkpoints via [[Sources.writeStage]]).
     */
   def run(household: DataFrame,
           cumulativeCols: Seq[String] = cumulativeColumns,
           intervals: Seq[String] = Seq("5min", "15min", "60min", "6h", "24h"),
           localCheckpointEvery: Option[Int] = None)
       : Stages = {
-    val diffCols = cumulativeCols.map(diffCol)
 
     // One shuffle serves all per-house windows of every column below
     // (mirrors sort_for_impute, impute.py:415-441, as a physical hint).
-    val sorted = household
+    lazy val sorted = household
       .repartition(col(ProjectId), col(HouseId))
       .sortWithinPartitions(ProjectId, HouseId, ReadingDate)
-
-    // I1/I2 — averages + bounds, then J4 join-back.
-    val (avgDiffs, _) = Diffs.prepare(sorted, cumulativeCols)
-    val withAvgs = Diffs.joinAverages(sorted, avgDiffs)
 
     // I3..I9 for ALL columns in batched stages (shared lag/cumsum/house
     // window nodes + one per-gap window node per column): byte-identical
@@ -65,44 +91,36 @@ object Pipeline {
     // difference between minutes and seconds of optimizer time.
     // `localCheckpointEvery` (kept for API compatibility) now means: cut
     // lineage once after the impute stage.
-    val imputedAll0 = Impute.imputeColumnsBatched(withAvgs, cumulativeCols,
-      keepGapCols = true)
-    val imputedAll = localCheckpointEvery.fold(imputedAll0)(_ =>
-      imputedAll0.localCheckpoint())
+    lazy val imputedAll = {
+      // I1/I2 — averages + bounds, then J4 join-back.
+      val (avgDiffs, _) = Diffs.prepare(sorted, cumulativeCols)
+      val withAvgs = Diffs.joinAverages(sorted, avgDiffs)
+      val imputedAll0 = Impute.imputeColumnsBatched(withAvgs, cumulativeCols,
+        keepGapCols = true)
+      localCheckpointEvery.fold(imputedAll0)(_ => imputedAll0.localCheckpoint())
+    }
 
     // I10 — per-column gap stats, unioned.
-    val statsPerCol = cumulativeCols.map { cum =>
-      ImputeSummaries.gapStats(
-        imputedAll
-          .withColumn("gap_length", col(s"__gap_length_$cum"))
-          .withColumn("cumulative_value_group", col(s"__cvg_$cum")),
-        cum)
-    }
-    val gapStats = ImputeSummaries.gapStatsAll(statsPerCol)
-    val tempStatCols = cumulativeCols.flatMap(c =>
-      Seq(s"__gap_length_$c", s"__cvg_$c"))
-    val imputed = ProjectAggregate.rebuildCumulative(
-      imputedAll.drop(tempStatCols: _*), cumulativeCols)
+    lazy val gapStats = ImputeSummaries.gapStatsAll(
+      cumulativeCols.map { cum =>
+        ImputeSummaries.gapStats(
+          imputedAll
+            .withColumn("gap_length", col(s"__gap_length_$cum"))
+            .withColumn("cumulative_value_group", col(s"__cvg_$cum")),
+          cum)
+      })
 
-    val houseSummary = ImputeSummaries.householdSummary(gapStats, imputed)
-    val projSummary = ImputeSummaries.projectSummary(gapStats, imputed)
+    lazy val imputed = {
+      val tempStatCols = cumulativeCols.flatMap(c =>
+        Seq(s"__gap_length_$c", s"__cvg_$c"))
+      ProjectAggregate.rebuildCumulative(
+        imputedAll.drop(tempStatCols: _*), cumulativeCols)
+    }
 
     // I13 — calculated energy-balance columns.
-    val calculated = Calculated.addEnergyBalance(imputed)
+    lazy val calculated = Calculated.addEnergyBalance(imputed)
 
-    // A8 — resample each interval from the calculated 5-min frame.
-    val resampled = intervals.map { iv =>
-      iv -> (if (iv == "5min") calculated
-             else Resample.resampleStandard(calculated, iv))
-    }.toMap
-
-    // A5-A7/J6/J7 — project aggregation per interval.
-    val projectAgg = resampled.map { case (iv, df) =>
-      iv -> ProjectAggregate.aggregateStandard(df)
-    }
-
-    Stages(imputed, gapStats, houseSummary, projSummary, calculated,
-      resampled, projectAgg)
+    new Stages(intervals, () => imputed, () => gapStats, () => calculated)
   }
 
   /** Write every stage as the reference's staged parquet layout
@@ -115,11 +133,9 @@ object Pipeline {
     Sources.writeStage(stages.householdSummary, dir, "impute_summary_household")
     Sources.writeStage(stages.projectSummary, dir, "impute_summary_project")
     Sources.writeStage(stages.calculated, dir, "household_calculated")
-    stages.resampled.foreach { case (iv, df) =>
-      Sources.writeStage(df, dir, s"household_$iv")
-    }
-    stages.projectAggregated.foreach { case (iv, df) =>
-      Sources.writeStage(df, dir, s"project_$iv")
+    stages.intervals.foreach { iv =>
+      Sources.writeStage(stages.resampled(iv), dir, s"household_$iv")
+      Sources.writeStage(stages.projectAggregated(iv), dir, s"project_$iv")
     }
   }
 }

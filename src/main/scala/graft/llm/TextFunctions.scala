@@ -157,9 +157,12 @@ object TextFunctions {
     * this document only).
     *
     * Scale shape: one explode (map-only) -> distinct on (doc, hash) ->
-    * frequency hash-agg on the 60-bit bigram hash (never the string) ->
-    * hash join back (the model table is |distinct bigrams| rows — tiny;
-    * broadcastable) -> per-doc hash agg. All shuffles carry longs.
+    * per-bigram document frequency as a COUNT WINDOW over the hash ->
+    * per-doc hash agg. The window replaces the groupBy + self-join-back
+    * formulation, which evaluated the explode+distinct on BOTH join
+    * branches (exchange reuse caches only the shuffle, not the dedup agg)
+    * and shuffled the gram table twice. Same shuffle keys (hash, then
+    * doc), half the gram-table passes. All shuffles carry longs.
     */
   def bigramNoveltyStats(df: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String)
@@ -167,9 +170,9 @@ object TextFunctions {
     val grams = df
       .select(col(idCol), explode(charShingleHashes(col(textCol), 2)).as("__h"))
       .distinct()
-    val model = grams.groupBy("__h").agg(count(lit(1)).as("df"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
     val f = lit(1000000)
-    grams.join(model, "__h")
+    grams.withColumn("df", count(lit(1)).over(wh))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),

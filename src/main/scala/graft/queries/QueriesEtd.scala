@@ -51,15 +51,22 @@ object QueriesEtd {
       .withColumn(ReadingDate, timestamp_micros(col("t_us")))
   }
 
-  /** + MeterDiff_avg: hourly per-project mean diff joined back (J4 shape,
-    * impute.py:642).
+  /** + MeterDiff_avg: hourly per-project mean diff (J4 semantics,
+    * impute.py:642). Computed as a WINDOW over (project, bucket) rather
+    * than groupBy + join-back: the join form re-executes the whole shim
+    * window chain on both branches (exchange reuse caches only the
+    * shuffle, not the window compute downstream of it), doubling the
+    * dominant cost of every consumer. The mean is decimal-exact
+    * (order-independent sum — see Aggregates.exactMean), so the window
+    * form is bit-identical to the grouped form the oracle SQL uses.
     */
   def withAverages(rd: DataFrame): DataFrame = {
-    val bucket = (expr("t_us div 3600000000") * HourUs).as("b_us")
-    val avgs = rd.groupBy(col(ProjectId), bucket)
-      .agg(Aggregates.exactMean(col("MeterDiff")).as("MeterDiff_avg"))
+    val wb = Window.partitionBy(col(ProjectId), col("b_us"))
+    val f = 1e6
+    val m = sum(col("MeterDiff").cast("decimal(28,12)")).over(wb).cast("double") /
+      count(col("MeterDiff")).over(wb)
     rd.withColumn("b_us", expr("t_us div 3600000000") * HourUs)
-      .join(avgs, Seq(ProjectId, "b_us"), "left")
+      .withColumn("MeterDiff_avg", floor(m * f + 0.5) / f)
   }
 
   /** Library-staged frame: gap groups -> gap stats -> impute inputs ->
