@@ -87,13 +87,24 @@ object Diffs {
 
   /** J4 — join the prepared averages back onto the household frame on
     * (ProjectIdBSV, ReadingDate) (impute.py:642). The averages table is
-    * |projects| x |timestamps| — medium-sized; at reference scale broadcast
-    * wins, at 100 TB co-partition both sides by ProjectIdBSV instead
-    * (SURVEY §4 physical decision 2).
+    * |projects| x |timestamps| rows — anywhere from tiny (coarse reading
+    * grid) to fact-table-sized (per-event timestamps), so the DEFAULT is
+    * no hint: AQE broadcasts when the built side is actually small and
+    * falls back to a shuffle join otherwise. An unconditional broadcast
+    * hint here (the old default) overrides Spark's size checks and ships
+    * the full averages table to every executor even when it has millions
+    * of rows — a straight scale-killer at 100 TB. Pass
+    * `broadcastAverages = Some(true)` only when the grid is known-coarse;
+    * `Some(false)` to pin the shuffle join (co-partition on ProjectId,
+    * SURVEY §4 physical decision 2).
     */
   def joinAverages(df: DataFrame, avgDiffs: DataFrame,
-                   broadcastAverages: Boolean = true): DataFrame = {
-    val right = if (broadcastAverages) broadcast(avgDiffs) else avgDiffs
+                   broadcastAverages: Option[Boolean] = None): DataFrame = {
+    val right = broadcastAverages match {
+      case Some(true)  => broadcast(avgDiffs)
+      case Some(false) => avgDiffs.hint("shuffle_merge")
+      case None        => avgDiffs
+    }
     df.join(right, Seq(ProjectId, ReadingDate), "left")
   }
 }
