@@ -83,10 +83,12 @@ object Dedup {
     * Docs with no shingles get p everywhere (never colliding by accident).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
+                        numHashes: Int = 16, shingleSize: Int = 3,
+                        fast: Boolean = false): DataFrame = {
+    val sh = if (fast) shingleHashesFast(col(textCol), shingleSize)
+             else shingleHashes(col(textCol), shingleSize)
     val hs = df
-      .select(col(idCol),
-        explode_outer(shingleHashes(col(textCol), shingleSize)).as("__h0"))
+      .select(col(idCol), explode_outer(sh).as("__h0"))
       .select(col(idCol), pmod(col("__h0"), lit(lshPrime)).as("__h"))
     val aggs = (0 until numHashes).map(i =>
       min(pmod(col("__h") * seedA(i) + seedB(i), lit(lshPrime))).as(s"__m$i"))
@@ -123,10 +125,11 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bands: Int = 4,
                         shingleSize: Int = 3,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000,
+                        fast: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     val banded =
-      minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+      minhashSignatures(df, idCol, textCol, numHashes, shingleSize, fast)
         .select(col(idCol).as("doc_a"),
           posexplode_outer(lshBandKeys(col("sig"), bands, rowsPerBand))
             .as(Seq("band", "band_key")))

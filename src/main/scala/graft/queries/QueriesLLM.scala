@@ -84,6 +84,19 @@ object QueriesLLM {
   def q_lsh_pairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidatePairs(dupCorpus(spark, dir), "doc_id", "text")
 
+  /** FAST-mode MinHash signatures (XXH64 instead of md5) — the pure-Spark
+    * throughput path. Deliberately NO SQL oracle: xxhash64 has no DuckDB
+    * twin (the driver records a rows-only check); signature-domain
+    * correctness is pinned by NativeTextHashSpec (element == Spark's own
+    * xxhash64) and the pair-recovery spec.
+    */
+  def q_minhash_fast(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(dupCorpus(spark, dir), "doc_id", "text",
+        fast = true)
+      .select(col("doc_id"),
+        posexplode_outer(col("sig")).as(Seq("seed", "minhash")))
+      .withColumn("seed", col("seed").cast("long"))
+
   /** Near-dup verification: exact shingle-set Jaccard on the LSH
     * candidates, thresholded. Each document's distinct shingle-hash set is
     * computed ONCE ([[Dedup.shingleSet]]) and joined to the pairs — the
@@ -264,6 +277,7 @@ object QueriesLLM {
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_dedup_exact_keep" -> (q_dedup_exact_keep _),
     "q_minhash_sig" -> (q_minhash_sig _),
+    "q_minhash_fast" -> (q_minhash_fast _),
     "q_lsh_pairs" -> (q_lsh_pairs _),
     "q_near_dup_jaccard" -> (q_near_dup_jaccard _),
     "q_dedup_cluster" -> (q_dedup_cluster _),

@@ -66,6 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "char_shingle_hashes64", 2, classOf[CharShingleHashes64],
       cs => CharShingleHashes64(cs.head,
         constInt("char_shingle_hashes64", "n", cs(1))))
+    // xx64 fast mode (NOT engine-portable; see Md5Util.xx64)
+    register(ext, "xx_shingle_hashes64", 2, classOf[ShingleHashes64],
+      cs => ShingleHashes64(cs.head,
+        constInt("xx_shingle_hashes64", "n", cs(1)), fast = true))
+    register(ext, "xx_char_shingle_hashes64", 2, classOf[CharShingleHashes64],
+      cs => CharShingleHashes64(cs.head,
+        constInt("xx_char_shingle_hashes64", "n", cs(1)), fast = true))
     register(ext, "quantize8", 1, classOf[Quantize8],
       cs => Quantize8(cs.head))
     register(ext, "dot_product_i8", 2, classOf[DotProductInt8],

@@ -49,13 +49,28 @@ object Md5Util {
     toLongBE(d.digest(bytes), 8) & 0x0fffffffffffffffL
   }
 
+  /** XXH64 of the bytes with Spark's seed (42) — matches
+    * `functions.xxhash64(stringCol)` bit-for-bit on the same text. The
+    * FAST hashing mode: ~10x cheaper than md5 per shingle, NOT
+    * engine-portable (no DuckDB twin), so it's for pure-Spark corpus
+    * work where no cross-engine oracle is needed.
+    */
+  def xx64(bytes: Array[Byte]): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 42L)
+
   /** Fused tokenize → word-n-gram shingle → hash64: whitespace-run split
     * with empties dropped (the TextFunctions.tokens contract), each window
     * of n consecutive tokens joined by a single space and hashed. One pass,
     * no intermediate shingle array — replaces an interpreted
     * split/filter/transform/slice/concat_ws chain per document.
+    * `fast = true` swaps the md5-based portable hash for [[xx64]].
     */
-  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+  def shingleHashes(text: UTF8String, n: Int): ArrayData =
+    shingleHashes(text, n, fast = false)
+
+  def shingleHashes(text: UTF8String, n: Int, fast: Boolean): ArrayData = {
     val toks0 = text.toString.split("\\s+")
     var m = 0
     var i = 0
@@ -78,7 +93,8 @@ object Md5Util {
         sb.append(toks(i + j))
         j += 1
       }
-      out(i) = prefix64(sb.toString.getBytes(StandardCharsets.UTF_8))
+      val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
+      out(i) = if (fast) xx64(bytes) else prefix64(bytes)
       i += 1
     }
     new GenericArrayData(out)
@@ -88,8 +104,12 @@ object Md5Util {
     * code-point aware (matching `substr`'s character semantics), hashing
     * each window of n characters. Replaces transform(charShingles, hash64)
     * — an interpreted substr + md5-hex chain per gram.
+    * `fast = true` swaps the md5-based portable hash for [[xx64]].
     */
-  def charShingleHashes(text: UTF8String, n: Int): ArrayData = {
+  def charShingleHashes(text: UTF8String, n: Int): ArrayData =
+    charShingleHashes(text, n, fast = false)
+
+  def charShingleHashes(text: UTF8String, n: Int, fast: Boolean): ArrayData = {
     val s = text.toString
     val cp = s.codePointCount(0, s.length)
     if (cp < n) return new GenericArrayData(Array.emptyLongArray)
@@ -106,8 +126,8 @@ object Md5Util {
     val out = new Array[Long](cp - n + 1)
     var i = 0
     while (i <= cp - n) {
-      out(i) = prefix64(
-        s.substring(idx(i), idx(i + n)).getBytes(StandardCharsets.UTF_8))
+      val bytes = s.substring(idx(i), idx(i + n)).getBytes(StandardCharsets.UTF_8)
+      out(i) = if (fast) xx64(bytes) else prefix64(bytes)
       i += 1
     }
     new GenericArrayData(out)
@@ -164,7 +184,7 @@ case class Md5Suffix60(child: Expression)
   * slice + concat_ws are all CodegenFallback and re-allocate per shingle).
   * n = 1 degenerates to per-token hashes (the SimHash / fingerprint input).
   */
-case class ShingleHashes64(child: Expression, n: Int)
+case class ShingleHashes64(child: Expression, n: Int, fast: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
@@ -173,22 +193,23 @@ case class ShingleHashes64(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    Md5Util.shingleHashes(input.asInstanceOf[UTF8String], n)
+    Md5Util.shingleHashes(input.asInstanceOf[UTF8String], n, fast)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.Md5Util.shingleHashes($c, $n)")
+      s"org.apache.spark.sql.graft.Md5Util.shingleHashes($c, $n, $fast)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =
     copy(child = newChild)
 
-  override def prettyName: String = "shingle_hashes64"
+  override def prettyName: String =
+    if (fast) "xx_shingle_hashes64" else "shingle_hashes64"
 }
 
 /** Character-n-gram hashes in one native pass (the char analogue of
   * [[ShingleHashes64]]); equals `transform(charShingles(text,n), hash64)`.
   */
-case class CharShingleHashes64(child: Expression, n: Int)
+case class CharShingleHashes64(child: Expression, n: Int, fast: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   require(n >= 1, s"char shingle size must be >= 1, got $n")
@@ -197,16 +218,17 @@ case class CharShingleHashes64(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    Md5Util.charShingleHashes(input.asInstanceOf[UTF8String], n)
+    Md5Util.charShingleHashes(input.asInstanceOf[UTF8String], n, fast)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.Md5Util.charShingleHashes($c, $n)")
+      s"org.apache.spark.sql.graft.Md5Util.charShingleHashes($c, $n, $fast)")
 
   override protected def withNewChildInternal(newChild: Expression): CharShingleHashes64 =
     copy(child = newChild)
 
-  override def prettyName: String = "char_shingle_hashes64"
+  override def prettyName: String =
+    if (fast) "xx_char_shingle_hashes64" else "char_shingle_hashes64"
 }
 
 /** Static token-statistics helper: one pass over the whitespace tokens
@@ -292,6 +314,15 @@ object TextHashExpressions {
 
   def shingleHashes64(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes64(ExpressionUtils.expression(text), n))
+
+  /** xx64 fast mode — see [[Md5Util.xx64]] for the portability trade. */
+  def xxShingleHashes64(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      ShingleHashes64(ExpressionUtils.expression(text), n, fast = true))
+
+  def xxCharShingleHashes64(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      CharShingleHashes64(ExpressionUtils.expression(text), n, fast = true))
 
   def tokenStats64(text: Column): Column =
     ExpressionUtils.column(TokenStats64(ExpressionUtils.expression(text)))

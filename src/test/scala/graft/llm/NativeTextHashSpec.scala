@@ -54,6 +54,42 @@ class NativeTextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("fast (xx64) shingle hashes == transform(shingles, xxhash64)") {
+    for (n <- 1 to 3) {
+      val rows = df.select(
+        TextFunctions.shingleHashesFast(col("t"), n) ===
+          transform(TextFunctions.wordShingles(col("t"), n),
+            s => xxhash64(s))).collect()
+      assert(rows.forall(_.getBoolean(0)), s"word mismatch at n=$n")
+    }
+    for (n <- Seq(2, 3)) {
+      val rows = df.select(
+        TextFunctions.charShingleHashesFast(col("t"), n) ===
+          transform(TextFunctions.charShingles(col("t"), n),
+            s => xxhash64(s))).collect()
+      assert(rows.forall(_.getBoolean(0)), s"char mismatch at n=$n")
+    }
+  }
+
+  test("fast-mode LSH recovers the duplicate pairs the portable mode finds") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different text about solar panel energy readings"))
+      .toDF("doc_id", "text")
+    def pairs(fast: Boolean) =
+      Dedup.lshCandidatePairs(docs, "doc_id", "text", fast = fast)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portable = pairs(fast = false)
+    val quick = pairs(fast = true)
+    assert(portable.contains((1L, 2L)) && quick.contains((1L, 2L)),
+      "exact dups always collide in every band under either hash")
+    assert(!portable.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!quick.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated text must not pair in fast mode either")
+  }
+
   test("tokenStats fields == the interpreted HOF formulas") {
     val ts = TextFunctions.tokenStats(col("t"))
     val toks = TextFunctions.tokens(col("t"))
@@ -93,14 +129,21 @@ class NativeTextHashSpec extends AnyFunSuite {
       "built-in")
     reg.createOrReplaceTempFunction(
       "token_stats64", exprs => TokenStats64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "xx_shingle_hashes64",
+      exprs => ShingleHashes64(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(), fast = true),
+      "built-in")
     val r = spark.sql(
       """SELECT md5_prefix64('hello') AS h,
         |       md5_suffix60('hello') AS hb,
         |       size(shingle_hashes64('a b c d', 3)) AS ns,
-        |       token_stats64('the cat').n_words AS nw
+        |       token_stats64('the cat').n_words AS nw,
+        |       xx_shingle_hashes64('a b c d', 3) = array(xxhash64('a b c'), xxhash64('b c d')) AS xeq
       """.stripMargin).collect().head
     assert(r.getLong(0) == 419982666956583591L)
     assert(r.getLong(1) > 0L)
+    assert(r.getBoolean(4), "fast SQL function matches xxhash64 elementwise")
     assert(r.getInt(2) == 2)
     assert(r.getLong(3) == 2L)
   }

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.etd.{Impute, Model}
+import StreamingImpute._
+
+/** Streaming impute must agree with the batch cascade on every CLOSED gap
+  * (the streaming contract), across micro-batch boundaries.
+  */
+class StreamingImputeSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  /** One house, 5-min grain: observed cum 1.0, 2.0; a 3-row gap closed at
+    * 8.0 (jump 6 over gap_length 4 -> linear fill 1.5 each incl. the
+    * closing row); a 1-row gap closed at 8.0 again (near-zero jump -> 0.0
+    * fills); a final observed 7.5 (negative diff but NOT a gap: stays
+    * observed).
+    */
+  private val slots: Seq[(Long, Option[Double])] = Seq(
+    300L -> Some(1.0), 600L -> Some(2.0),
+    900L -> None, 1200L -> None, 1500L -> None, 1800L -> Some(8.0),
+    2100L -> None, 2400L -> Some(8.0),
+    2700L -> Some(7.5))
+
+  private def runStream(batches: Seq[Seq[(Long, Option[Double])]])
+      : Map[Long, (Option[Double], Option[Int], Boolean)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CumReading]
+    val name = s"impute_test_${batches.size}_${batches.head.size}"
+    val query = StreamingImpute.imputeStream(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    batches.foreach { b =>
+      input.addData(b.map { case (ts, cum) => CumReading(1L, ts, cum) })
+      query.processAllAvailable()
+    }
+    query.stop()
+    spark.table(name).as[ImputedDiff].collect()
+      .map(r => r.tsSec -> ((r.diff, r.imputeType, r.isImputed))).toMap
+  }
+
+  private val expected = Map(
+    300L -> ((None, None, false)),            // first observation: NA diff
+    600L -> ((Some(1.0), None, false)),       // plain observed diff
+    900L -> ((Some(1.5), Some(Model.ImputeType.LinearFill), true)),
+    1200L -> ((Some(1.5), Some(Model.ImputeType.LinearFill), true)),
+    1500L -> ((Some(1.5), Some(Model.ImputeType.LinearFill), true)),
+    1800L -> ((Some(1.5), Some(Model.ImputeType.LinearFill), true)),
+    2100L -> ((Some(0.0), Some(Model.ImputeType.NearZeroGapJump), true)),
+    2400L -> ((Some(0.0), Some(Model.ImputeType.NearZeroGapJump), true)),
+    2700L -> ((Some(-0.5), None, false)))     // observed negative diff
+
+  test("closed gaps impute with the cascade fills (single batch)") {
+    assert(runStream(Seq(slots)) == expected)
+  }
+
+  test("gap spanning micro-batches imputes identically on close") {
+    // split mid-gap AND mid-stream: state must carry the open gap over
+    val got = runStream(Seq(slots.take(4), slots.slice(4, 7), slots.drop(7)))
+    assert(got == expected)
+  }
+
+  test("late (already-processed) slots are dropped, not re-imputed") {
+    val got = runStream(Seq(slots, Seq(600L -> Some(99.0))))
+    assert(got == expected)
+  }
+
+  test("streaming fills match the batch cascade on the same frame") {
+    // Batch twin: the same house run through Impute.imputeColumn. Parity
+    // is scoped to the jump-known branches streaming implements (observed
+    // rows + NEGATIVE/NEAR_ZERO/LINEAR fills); the batch end-value
+    // branches (no-start gaps, types 16/32/64) consume the avg-diff
+    // table, which streaming defers to the batch backfill by contract.
+    val rows = slots.map { case (ts, cum) =>
+      (1L, 1L, new java.sql.Timestamp(ts * 1000), cum.getOrElse(Double.NaN))
+    }
+    val base = rows.toDF(Model.ProjectId, Model.HouseId, Model.ReadingDate, "M")
+      .withColumn("Meter", when(!isnan(col("M")), col("M")))
+      .drop("M")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Model.ProjectId, Model.HouseId).orderBy(Model.ReadingDate)
+    val withDiff = base
+      .withColumn("MeterDiff", col("Meter") - lag("Meter", 1).over(w))
+      .withColumn("MeterDiff_avg", lit(null).cast("double"))
+    val batch = Impute.imputeColumn(withDiff, "Meter")
+      .select(col(Model.ReadingDate).cast("long").as("ts"),
+        col("MeterDiff"), col("MeterDiff_impute_type"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Int]))))
+      .toMap
+    val stream = runStream(Seq(slots))
+    val jumpKnown = Set(Model.ImputeType.NegativeGapJump,
+      Model.ImputeType.NearZeroGapJump, Model.ImputeType.LinearFill)
+    val compared = slots.collect { case (ts, _)
+        if batch(ts)._2.forall(jumpKnown) => ts }
+    assert(compared.size == slots.size - 1, "only the no-start row is scoped out")
+    compared.foreach { ts =>
+      val (sDiff, sType, _) = stream(ts)
+      val (bDiff, bType) = batch(ts)
+      assert(sDiff == bDiff && sType == bType,
+        s"ts=$ts stream=($sDiff,$sType) batch=($bDiff,$bType)")
+    }
+  }
+}
