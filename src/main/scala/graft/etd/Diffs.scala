@@ -61,8 +61,11 @@ object Diffs {
     */
   def averageDiffs(df: DataFrame, maxBounds: DataFrame,
                    diffCols: Seq[String]): DataFrame = {
-    val withBounds = df.join(
-      broadcast(maxBounds), Seq(ProjectId, HouseId), "left")
+    // maxBounds is one row per HOUSEHOLD — no forced broadcast: AQE
+    // broadcasts while it is actually small and falls back to a shuffle
+    // join at fleet scale, where the fact side is already hash-partitioned
+    // on (project, house) and only the bounds table moves.
+    val withBounds = df.join(maxBounds, Seq(ProjectId, HouseId), "left")
     def masked(c: String) =
       when(col(huisMaxCol(c)) < col(upperBoundCol(c)), col(c))
     // decimal-exact mean: order-independent (stable under repartitioning

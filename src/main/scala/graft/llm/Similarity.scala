@@ -128,7 +128,7 @@ object Similarity {
       .collect().map(_.getSeq[Float](1).toArray)
     var i = 0
     while (i < iterations) {
-      val cents = array(centroids.map(c =>
+      val cents = array(centroids.toIndexedSeq.map(c =>
         array(c.toIndexedSeq.map(lit(_)): _*)): _*)
       val updated = vecs
         .withColumn("__cell", ivfAssign(col("__v"), cents))
