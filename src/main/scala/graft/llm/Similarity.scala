@@ -201,22 +201,31 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket for a vector: bit b = sign of the dot
-    * product with pseudo-hyperplane b, where hyperplane components are
-    * deterministic +-1 derived from md5 — engine-portable like the MinHash
-    * seeds. Near vectors share buckets with high probability.
+    * product with pseudo-hyperplane b, where hyperplane component j of
+    * plane p is +-1 from the parity of hash64("p_j") — deterministic and
+    * engine-portable like the MinHash seeds. Near vectors share buckets
+    * with high probability.
+    *
+    * The signs depend only on (plane, index), so they are precomputed
+    * driver-side with the SAME md5 formula and dotted via the native
+    * codegen'd [[Dedup.dot]] — the per-row work is `planes` primitive
+    * float loops instead of an interpreted aggregate/zip_with lambda that
+    * re-hashed every (plane, component) per row (lambda bodies get no
+    * common-subexpression elimination; measured 16-64x on the MinHash
+    * path). Left-to-right double accumulation is unchanged, so buckets
+    * are bit-identical to the lambda formulation and to the SQL oracle.
+    *
+    * `dim` must be >= the vector length (extra signs are ignored — the
+    * dot loops min(len)); default covers the 64-dim corpus embeddings.
     */
-  def hyperplaneBucket(vec: Column, planes: Int = 8): Column = {
+  def hyperplaneBucket(vec: Column, planes: Int = 8, dim: Int = 64): Column = {
     (0 until planes).map { p =>
-      // component j of plane p: +1 if md5("p_j") has an even first hex
-      // digit, else -1 — deterministic, engine-reproducible
-      val dot = aggregate(
-        zip_with(vec,
-          sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") *
-            (pmod(TextFunctions.hash64(concat(lit(s"${p}_"), j)), lit(2L)) * 2 - 1)
-              .cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+      val signs = array((0 until dim).map { j =>
+        val h = org.apache.spark.sql.graft.Md5Util.prefix64(
+          s"${p}_$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        lit(if (h % 2 == 1) 1.0f else -1.0f)
+      }: _*)
+      when(Dedup.dot(vec, signs) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 }
