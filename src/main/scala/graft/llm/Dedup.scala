@@ -346,4 +346,39 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** The IVF-bucketed SCALE path for embedding near-dup: assign every
+    * vector to its nearest centroid cell (map-only — the codebook is a
+    * plan literal), then pair-generate WITHIN cells. One shuffle by cell
+    * id replaces the all-pairs cross join: expected per-cell work is
+    * (n/nlist)^2, so nlist is the lever that keeps the quadratic local
+    * (size it so a cell's vectors fit one executor; sub-bucket or cap any
+    * boilerplate-hot cell the way LSH buckets are capped).
+    *
+    * Recall: same-cell pairs only at `nprobe = 1`; boundary pairs whose
+    * members straddle cells are recovered by probing — one side joins on
+    * its `nprobe` nearest cells ([[Similarity.ivfRanking]]), the other on
+    * its home cell, and orientations are normalized + deduplicated
+    * (cosine is bit-symmetric, so distinct is exact). nprobe = nlist
+    * degenerates to exact brute force (property-tested).
+    */
+  def embeddingNearDupsBucketed(df: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, centroids: Column,
+                                nprobe: Int = 1): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", l2norm(col("va")))
+      .withColumn("__cell",
+        explode(slice(Similarity.ivfRanking(col("va"), centroids), 1, nprobe)))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", l2norm(col("vb")))
+      .withColumn("__cell", Similarity.ivfAssign(col("vb"), centroids))
+    a.join(b, Seq("__cell")).filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos",
+        when(col("na") > 0 && col("nb") > 0,
+          dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+      .distinct()
+  }
 }

@@ -141,6 +141,22 @@ object QueriesLLM {
         "embedding", 0.35)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
 
+  /** IVF-bucketed near-dup (the scale path): same threshold, pairs
+    * generated within nearest-centroid cells only (codebook = first 8
+    * vectors, as q_ann_ivf). The oracle replicates cell assignment and
+    * the within-cell pair join exactly.
+    */
+  def q_embed_dup_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val codebook = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    val cents = array(codebook.map(v =>
+      array(v.map(lit(_)): _*)).toIndexedSeq: _*)
+    Dedup.embeddingNearDupsBucketed(emb, "vec_id", "embedding", 0.35, cents)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   // ------------------------------------------------------------------
   // Similarity search
   // ------------------------------------------------------------------
@@ -283,6 +299,7 @@ object QueriesLLM {
     "q_dedup_cluster" -> (q_dedup_cluster _),
     "q_simhash" -> (q_simhash _),
     "q_embed_cosine_dup" -> (q_embed_cosine_dup _),
+    "q_embed_dup_ivf" -> (q_embed_dup_ivf _),
     "q_ann_topk" -> (q_ann_topk _),
     "q_ann_ivf" -> (q_ann_ivf _),
     "q_ann_hyperplane" -> (q_ann_hyperplane _),
@@ -415,6 +432,30 @@ object QueriesLLM {
         |)
         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_embed_dup_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
+        |  FROM embeddings e CROSS JOIN cents c
+        |), cells AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cent_id) AS r
+        |    FROM assigned) WHERE r = 1
+        |), c AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, round(cos, 6) AS cos FROM c WHERE cos >= 0.35""".stripMargin,
     "q_ann_hyperplane" ->
       """WITH b AS (
         |  SELECT vec_id, p,

@@ -103,7 +103,8 @@ class LlmSpec extends AnyFunSuite {
     // cluster 1 centroid dominated by x, cluster 2 by y
     assert(cb(0)(0) > cb(0)(1) && cb(1)(1) > cb(1)(0))
     // assignment with the trained codebook separates the clusters
-    val cents = array(cb.map(c => array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    val cents = array(cb.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
     val cells = pts.withColumn("cell", Similarity.ivfAssign(col("v"), cents))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(Set(1L, 3L, 5L).map(cells) == Set(1L))
@@ -144,6 +145,27 @@ class LlmSpec extends AnyFunSuite {
     val single = ids(Similarity.ivfTopK(queries, vecs, "id", "v", cents, k = 3))
     // nprobe=1 sees only the home cell's members — a subset of brute's top
     assert(single.toSet.subsetOf(brute.toSet) && single.size < brute.size)
+  }
+
+  test("bucketed near-dup: nprobe=nlist == brute force; nprobe=1 is a same-cell subset") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.3f)),
+      (3L, Array(0.7f, 0.71f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(0.3f, 0.95f)))
+      .toDF("id", "v")
+    val cents = array(
+      array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f)))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Dedup.embeddingNearDups(vecs, "id", "v", 0.8))
+    val full = pairSet(
+      Dedup.embeddingNearDupsBucketed(vecs, "id", "v", 0.8, cents, nprobe = 2))
+    assert(full == brute, "probing every cell recovers all brute-force pairs")
+    val single = pairSet(
+      Dedup.embeddingNearDupsBucketed(vecs, "id", "v", 0.8, cents))
+    assert(single.subsetOf(brute))
+    assert(single.contains((1L, 2L)) && single.contains((4L, 5L)),
+      "within-cell near-dups survive single-probe bucketing")
   }
 
   test("zero-norm vectors: ivfRanking is null like ivfAssign; probed search emits no rows") {
