@@ -293,10 +293,15 @@ object QueriesEtd {
         col("MeterDiff_impute_type").cast("long").as("impute_type"))
   }
 
-  /** I1/A2/A3/P6/J12 — average-diff preparation over included households. */
+  /** I1/A2/A3/P6/J12 — average-diff preparation over included households.
+    * The repartition mirrors the pipeline's sort_for_impute cut: prepare
+    * branches the frame (house maxima + masked averages), and the shared
+    * exchange is what lets both branches reuse ONE shim computation.
+    */
   def q_i1_avg_diff(spark: SparkSession, dir: String): DataFrame = {
     val bucketed = readings(spark, dir)
       .withColumn(ReadingDate, expr("t_us div 3600000000") * HourUs)
+      .repartition(col(ProjectId), col(HouseId))
     val (avgDiffs, _) = Diffs.prepare(bucketed, Seq("Meter"))
     avgDiffs.select(col(ProjectId).as("project"),
       col(ReadingDate).as("b_us"),
@@ -307,6 +312,7 @@ object QueriesEtd {
   def q_i2_max_bounds(spark: SparkSession, dir: String): DataFrame = {
     val bucketed = readings(spark, dir)
       .withColumn(ReadingDate, expr("t_us div 3600000000") * HourUs)
+      .repartition(col(ProjectId), col(HouseId))
     val (_, maxBounds) = Diffs.prepare(bucketed, Seq("Meter"))
     maxBounds.select(col(HouseId).as("huis"), col(ProjectId).as("project"),
       round(col("MeterDiff_huis_max"), 6).as("huis_max"),
