@@ -283,11 +283,31 @@ object QueriesRel {
         concat_ws("|", slice(array_sort(array_distinct(w)), 1, 3)).as("top3_sorted"))
   }
 
+  /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAggregate]])
+    * over a plain GROUP BY oracle: salting must be invisible in the
+    * result, which holds exactly because every aggregate here is
+    * order-independent (decimal sum, long max, count) — the same
+    * property that makes the engine 1000-executor-stable.
+    */
+  def q_skew_salted_agg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedAggregate(
+        table(spark, dir, "events")
+          .withColumn("vdec", col("value").cast("decimal(28,10)"))
+          .withColumn("n", col("user_id")),
+        Seq("event_type"),
+        Seq("vdec" -> "sum", "event_id" -> "max", "n" -> "count"),
+        salt = 8)
+      .select(col("event_type"),
+        col("vdec").cast("decimal(20,6)").cast("double").as("sum_value"),
+        col("event_id").as("max_event"),
+        col("n"))
+
   // ------------------------------------------------------------------
   // Registry + oracles
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salted_agg" -> (q_skew_salted_agg _),
     "q_p2p3p4_projection" -> (q_p2p3p4_projection _),
     "q_p6_semi_filter" -> (q_p6_semi_filter _),
     "q_j12_anti" -> (q_j12_anti _),
@@ -314,6 +334,12 @@ object QueriesRel {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_salted_agg" ->
+      """SELECT event_type,
+        |  (sum(value::DECIMAL(28,10))::DECIMAL(20,6))::DOUBLE AS sum_value,
+        |  max(event_id)::BIGINT AS max_event,
+        |  count(user_id)::BIGINT AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_p2p3p4_projection" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total, o_orderdate
         |FROM orders""".stripMargin,
