@@ -108,4 +108,27 @@ object Sources {
     if (df.columns.contains("HuisCode") && !df.columns.contains(Model.HouseId))
       df.withColumnRenamed("HuisCode", Model.HouseId)
     else df
+
+  /** Bucketed stage sink: hash-bucket (and sort) the table by key on
+    * WRITE so repeated joins/aggregations on that key run WITHOUT a
+    * shuffle — Spark's durable co-location primitive. At 100 TB the
+    * readings table is joined on (house) by every pipeline run; paying
+    * one bucketed write turns every downstream run's largest exchange
+    * into a metadata no-op (BucketingSpec asserts the joined plan is
+    * Exchange-free). Buckets land as an external table at
+    * `path` registered under `name`; read back with `spark.table`.
+    */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+                    buckets: Int,
+                    bucketCols: Seq[String] = Seq(Model.HouseId),
+                    sortCols: Seq[String] = Seq(Model.HouseId)): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(name)
+  }
 }
