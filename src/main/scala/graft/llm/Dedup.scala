@@ -219,6 +219,42 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** The full near-dedup pipeline in one call — what a corpus run
+    * actually executes: MinHash+LSH candidates (banded, never all-pairs)
+    * -> exact shingle-set Jaccard verification of ONLY the candidates ->
+    * connected-components clustering -> keep each cluster's minimum-id
+    * member plus every untouched document.
+    *
+    * Scale shape: candidate generation is the §minhash path (one fused
+    * hash pass, banded buckets); verification computes each candidate
+    * document's distinct shingle-hash set ONCE (semi-join restricts the
+    * set build to documents that appear in pairs — at corpus scale the
+    * overwhelming majority never does) and scores pairs with two
+    * long-array set ops; clustering is O(log diameter) rounds. `fast`
+    * swaps md5 for XXH64 end-to-end (candidates + verification use the
+    * same hash domain either way, so verified Jaccard stays exact).
+    */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+                jaccardThreshold: Double = 0.8,
+                numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+                maxBucket: Int = 1000, fast: Boolean = false): DataFrame = {
+    val candidates = lshCandidatePairs(df, idCol, textCol, numHashes, bands,
+      shingleSize, maxBucket, fast)
+    val inPairs = candidates.select(col("id_a").as(idCol))
+      .unionByName(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    val sh = if (fast) shingleHashesFast(col(textCol), shingleSize)
+             else shingleHashes(col(textCol), shingleSize)
+    val sets = df.join(inPairs, Seq(idCol), "left_semi")
+      .select(col(idCol), array_distinct(sh).as("__set"))
+    val verified = candidates
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), Seq("id_b"))
+      .filter(jaccardBySets(col("__sa"), col("__sb")) >= jaccardThreshold)
+      .select("id_a", "id_b")
+    nearDedupKeep(df, idCol, verified)
+  }
+
   // ------------------------------------------------------------------
   // Verification measures
   // ------------------------------------------------------------------

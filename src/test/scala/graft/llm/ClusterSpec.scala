@@ -36,4 +36,26 @@ class ClusterSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L, 5L))
   }
+
+  test("nearDedup end-to-end: candidates -> verify -> cluster -> keep") {
+    val base = "the quick brown fox jumps over the lazy dog near the old barn"
+    val corpus = Seq(
+      1L -> base,
+      2L -> base,                                  // exact dup of 1
+      3L -> (base + " today"),                     // near dup (high jaccard)
+      4L -> "solar panels convert sunlight into household electricity daily",
+      5L -> "meter readings arrive every five minutes from every house")
+      .toDF("doc_id", "text")
+    for (fast <- Seq(false, true)) {
+      val kept = Dedup.nearDedup(corpus, "doc_id", "text",
+          jaccardThreshold = 0.5, fast = fast)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 4L, 5L), s"fast=$fast: canonical + unrelated kept")
+    }
+    // a strict threshold keeps the near-dup but still drops the exact dup
+    val strict = Dedup.nearDedup(corpus, "doc_id", "text",
+        jaccardThreshold = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L, 3L, 4L, 5L))
+  }
 }
