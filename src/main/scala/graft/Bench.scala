@@ -39,6 +39,7 @@ object Bench {
     "q_near_dup_jaccard",
     "q_simhash",
     "q_embed_cosine_dup",
+    "q_embed_dup_ivf",
     "q_ann_topk",
     "q_text_quality",
     "q_text_fingerprint",
