@@ -194,6 +194,53 @@ object TextFunctions {
         (floor((sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") / count(lit(1))) * f + 0.5) / f).as("rare_ratio"))
   }
 
+  /** Repetition statistics — the Gopher/C4-family curation signals that
+    * catch boilerplate and templated spam: per document,
+    *   - n_lines / n_uniq_lines (newline-split),
+    *   - dup_line_ratio      = 1 - uniq/lines,
+    *   - dup_line_char_ratio = chars in repeated lines / total line chars,
+    *   - top_gram_ratio      = occurrences of the most frequent word
+    *                           2-gram / total 2-grams (hash domain — the
+    *                           fused shingle pass; collisions are
+    *                           deterministic so both engines agree).
+    * All ratios are exact-long divisions floor-rounded at 1e-6 —
+    * engine-portable and partitioning-stable. Scale shape: two explode ->
+    * hash-agg chains keyed by (doc, line/gram) then doc; shuffles carry
+    * (id, hash/line, count) rows only, map-side combined.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String,
+                      lineSep: String = "\n")
+      : org.apache.spark.sql.DataFrame = {
+    def r6(x: Column) = floor(x * 1000000 + 0.5) / 1000000
+    val lines = df
+      .select(col(idCol),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(lineSep))).as("__line"))
+      .groupBy(col(idCol), col("__line"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__len", length(col("__line")))
+    val lineStats = lines.groupBy(col(idCol)).agg(
+      sum("__c").as("n_lines"),
+      count(lit(1)).as("n_uniq_lines"),
+      sum(when(col("__c") > 1, col("__c") * col("__len")).otherwise(0L)).as("__dupChars"),
+      sum(col("__c") * col("__len")).as("__chars"))
+    val grams = df
+      .select(col(idCol), explode(shingleHashes(col(textCol), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max("__c").as("__maxG"), sum("__c").as("__nG"))
+    lineStats.join(grams, Seq(idCol), "left").select(
+      col(idCol), col("n_lines"), col("n_uniq_lines"),
+      r6((col("n_lines") - col("n_uniq_lines")).cast("double") /
+        col("n_lines")).as("dup_line_ratio"),
+      when(col("__chars") > 0,
+        r6(col("__dupChars").cast("double") / col("__chars")))
+        .otherwise(lit(0.0)).as("dup_line_char_ratio"),
+      when(col("__nG") > 0,
+        r6(col("__maxG").cast("double") / col("__nG")))
+        .otherwise(lit(0.0)).as("top_gram_ratio"))
+  }
+
   /** Deterministic hash-sampling predicate: keep a row iff
     * hash64(key || salt) mod 1e6 < fraction * 1e6. Unlike `df.sample`
     * (RNG per partition — resample on retry/repartition), this is a pure

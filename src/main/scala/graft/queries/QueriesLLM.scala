@@ -247,6 +247,16 @@ object QueriesLLM {
     TextFunctions.bigramNoveltyStats(table(spark, dir, "documents"),
       "doc_id", "text")
 
+  /** Repetition / diversity stats (Gopher-family curation signals). The
+    * corpus is single-line, so segments split at spaces — the ratios
+    * become token-repetition measures (1 - type/token ratio, repeated-
+    * token char mass, top word-2-gram concentration), the same
+    * arithmetic the newline-segmented default runs on multi-line docs.
+    */
+  def q_text_repetition(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.repetitionStats(table(spark, dir, "documents"),
+      "doc_id", "text", lineSep = " ")
+
   /** Deterministic 10% hash sample of the corpus — reproducible across
     * engines/runs/partitionings (content-hash predicate, not RNG).
     */
@@ -308,6 +318,7 @@ object QueriesLLM {
     "q_text_tokens" -> (q_text_tokens _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_bigram_lm" -> (q_text_bigram_lm _),
+    "q_text_repetition" -> (q_text_repetition _),
     "q_sample_hash" -> (q_sample_hash _),
     "q_pack_sequences" -> (q_pack_sequences _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
@@ -541,6 +552,36 @@ object QueriesLLM {
         |  floor((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS rare_ratio
         |FROM cg JOIN bf USING (h)
         |GROUP BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH l AS (
+        |  SELECT doc_id, seg, count(*) AS c, len(seg) AS slen
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS seg FROM documents)
+        |  GROUP BY doc_id, seg
+        |), ls AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_lines, count(*)::BIGINT AS n_uniq_lines,
+        |    sum(CASE WHEN c > 1 THEN c*slen ELSE 0 END)::BIGINT AS dchars,
+        |    sum(c*slen)::BIGINT AS chars
+        |  FROM l GROUP BY doc_id
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1])
+        |    ELSE [] END AS shingles
+        |  FROM toks
+        |), g AS (
+        |  SELECT doc_id, h, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(shingles,
+        |      s -> ('0x'||substr(md5(s),1,15))::BIGINT)) AS h
+        |    FROM sh) GROUP BY doc_id, h
+        |), gs AS (
+        |  SELECT doc_id, max(c)::BIGINT AS maxg, sum(c)::BIGINT AS ng FROM g GROUP BY doc_id
+        |)
+        |SELECT ls.doc_id, n_lines, n_uniq_lines,
+        |  floor(((n_lines - n_uniq_lines)::DOUBLE / n_lines) * 1000000 + 0.5)/1000000 AS dup_line_ratio,
+        |  CASE WHEN chars > 0 THEN floor((dchars::DOUBLE / chars) * 1000000 + 0.5)/1000000 ELSE 0.0 END AS dup_line_char_ratio,
+        |  CASE WHEN ng > 0 THEN floor((maxg::DOUBLE / ng) * 1000000 + 0.5)/1000000 ELSE 0.0 END AS top_gram_ratio
+        |FROM ls LEFT JOIN gs USING (doc_id)""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE ('0x'||substr(md5(text||'sample'),1,15))::BIGINT % 1000000 < 100000""".stripMargin,

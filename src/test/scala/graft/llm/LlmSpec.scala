@@ -147,6 +147,28 @@ class LlmSpec extends AnyFunSuite {
     assert(single.toSet.subsetOf(brute.toSet) && single.size < brute.size)
   }
 
+  test("repetitionStats: duplicate-line and top-gram ratios on multi-line docs") {
+    val docs = Seq(
+      // 4 lines, "spam spam" repeated 3x: dup_line_ratio = (4-2)/4 = 0.5;
+      // dup chars = 3 * 9 = 27 of 27 + 11 = 38; top 2-gram "spam spam"
+      // appears 3x of 5 word-2-grams (the 2 bridging grams differ)
+      (1L, "spam spam\nspam spam\nspam spam\nunique line"),
+      (2L, "all lines differ\nhere entirely\nno repeats"))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val r6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(1L) == ((4L, 2L, 0.5, r6(27.0 / 38))))
+    assert(got(2L) == ((3L, 3L, 0.0, 0.0)))
+    val topGram = TextFunctions.repetitionStats(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1).collect()(0).getDouble(5)
+    // grams: (spam spam)x3 + (spam unique) ... across newlines tokens
+    // flow together: 7 2-grams total, "spam spam" 3x -> but the bridging
+    // "spam spam" across lines 1-2 and 2-3 also hash equal -> 5/7
+    assert(math.abs(topGram - 5.0 / 7) < 1e-6, s"got $topGram")
+  }
+
   test("bucketed near-dup: nprobe=nlist == brute force; nprobe=1 is a same-cell subset") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.3f)),
