@@ -380,17 +380,20 @@ object QueriesEtd {
   def fabricatedDiffs(spark: SparkSession, dir: String): DataFrame = {
     val rd = readings(spark, dir)
     val v = abs(col("value"))
-    rd
-      .withColumn("ElektriciteitNetgebruikLaagDiff", when(col("observed"), round(v / 10, 6)))
-      .withColumn("ElektriciteitNetgebruikHoogDiff", when(col("observed"), round(v / 20, 6)))
-      .withColumn("ElektriciteitTerugleveringLaagDiff", when(col("value") > 0, round(col("value") / 15, 6)))
-      .withColumn("ElektriciteitTerugleveringHoogDiff", when(col("value") > 1, round(col("value") / 30, 6)))
-      .withColumn("ElektriciteitsgebruikWarmtepompDiff", round(v / 12, 6))
-      .withColumn("ElektriciteitsgebruikBoosterDiff", when(col("event_type") === "purchase", round(v / 40, 6)))
-      .withColumn("ElektriciteitsgebruikBoilervatDiff", round(v / 25, 6))
-      .withColumn("ElektriciteitsgebruikWTWDiff", round(v / 35, 6))
-      .withColumn("ElektriciteitsgebruikRadiatorDiff", when(col("event_type") === "view", round(v / 18, 6)))
-      .withColumn("Zon-opwekTotaalDiff", round(greatest(col("value"), lit(0.0)) / 8, 6))
+    // ONE select: the 10 diffs are mutually independent, and each chained
+    // withColumn re-runs the analyzer over the whole accumulated plan
+    // (O(cols^2) analyzer work on a wide shim); select keeps column order
+    rd.select(col("*"),
+      when(col("observed"), round(v / 10, 6)).as("ElektriciteitNetgebruikLaagDiff"),
+      when(col("observed"), round(v / 20, 6)).as("ElektriciteitNetgebruikHoogDiff"),
+      when(col("value") > 0, round(col("value") / 15, 6)).as("ElektriciteitTerugleveringLaagDiff"),
+      when(col("value") > 1, round(col("value") / 30, 6)).as("ElektriciteitTerugleveringHoogDiff"),
+      round(v / 12, 6).as("ElektriciteitsgebruikWarmtepompDiff"),
+      when(col("event_type") === "purchase", round(v / 40, 6)).as("ElektriciteitsgebruikBoosterDiff"),
+      round(v / 25, 6).as("ElektriciteitsgebruikBoilervatDiff"),
+      round(v / 35, 6).as("ElektriciteitsgebruikWTWDiff"),
+      when(col("event_type") === "view", round(v / 18, 6)).as("ElektriciteitsgebruikRadiatorDiff"),
+      round(greatest(col("value"), lit(0.0)) / 8, 6).as("Zon-opwekTotaalDiff"))
   }
 
   /** I13 — the 8 derived energy-balance measures + rename. */
