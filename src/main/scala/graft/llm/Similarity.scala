@@ -46,12 +46,15 @@ object Similarity {
 
   /** IVF cell assignment: index (1-based) of the nearest centroid by
     * cosine. `centroids` is an array-of-vectors literal column (the
-    * trained codebook, broadcast as a literal into codegen).
+    * trained codebook, broadcast as a literal into codegen). Backed by
+    * the native [[org.apache.spark.sql.graft.CosineArgmax]] — one fused
+    * loop instead of an interpreted per-centroid lambda; bit-identical to
+    * `array_position(transform(cents, c -> cosine(vec, c)), array_max(..))`
+    * including first-max tie-break and null on zero norms (equivalence
+    * pinned in LlmSpec).
     */
-  def ivfAssign(vec: Column, centroids: Column): Column = {
-    val scored = transform(centroids, c => cosine(vec, c))
-    array_position(scored, array_max(scored))
-  }
+  def ivfAssign(vec: Column, centroids: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.cosineArgmax(vec, centroids)
 
   /** IVF top-k: corpus and queries are assigned to cells; each query
     * searches only its own cell (nprobe=1 — the scale path trades recall

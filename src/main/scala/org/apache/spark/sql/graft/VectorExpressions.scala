@@ -72,6 +72,93 @@ case class DotProductFloat(left: Expression, right: Expression)
   override def prettyName: String = "dot_product_f"
 }
 
+/** Shared eval for the argmax-cosine cell assignment. */
+object VectorUtil {
+
+  /** 1-based index of the centroid with the highest cosine to `vec`,
+    * first-max tie-break; -1 encodes SQL null (zero-norm query, or no
+    * centroid with positive norm). Arithmetic is EXACTLY the composed
+    * formulation it replaces — per cell `dot/(sqrt(self_a)*sqrt(self_b))`
+    * with left-to-right double accumulation — so assignments are
+    * bit-identical to `array_position(transform(cents, c -> cosine(v,c)),
+    * array_max(...))` and oracle-compatible.
+    */
+  def cosineArgmax(vec: ArrayData, cents: ArrayData): Long = {
+    val d = vec.numElements()
+    var selfA = 0.0
+    var i = 0
+    while (i < d) {
+      val x = vec.getFloat(i).toDouble; selfA += x * x; i += 1
+    }
+    val na = java.lang.Math.sqrt(selfA)
+    if (!(na > 0)) return -1L
+    var best = Double.NegativeInfinity
+    var bestIdx = -1L
+    val k = cents.numElements()
+    var c = 0
+    while (c < k) {
+      if (!cents.isNullAt(c)) {
+        val cell = cents.getArray(c)
+        val m = cell.numElements()
+        var selfB = 0.0
+        var j = 0
+        while (j < m) {
+          val y = cell.getFloat(j).toDouble; selfB += y * y; j += 1
+        }
+        val nb = java.lang.Math.sqrt(selfB)
+        if (nb > 0) {
+          val n = math.min(d, m)
+          var dot = 0.0
+          j = 0
+          while (j < n) {
+            dot += vec.getFloat(j).toDouble * cell.getFloat(j).toDouble; j += 1
+          }
+          val cos = dot / (na * nb)
+          if (cos > best) { best = cos; bestIdx = c + 1 }
+        }
+      }
+      c += 1
+    }
+    bestIdx
+  }
+}
+
+/** IVF cell assignment as ONE native loop: argmax cosine over the
+  * (literal) codebook. Replaces an interpreted `transform` lambda that
+  * re-evaluated three dot-product expressions per centroid per row —
+  * the assignment pass of every IVF query and each k-means iteration.
+  */
+case class CosineArgmax(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)))
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorUtil.cosineArgmax(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val r = ctx.freshName("r")
+      s"""
+         |long $r = org.apache.spark.sql.graft.VectorUtil.cosineArgmax($x, $y);
+         |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineArgmax =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_argmax"
+}
+
 /** Shared plumbing for int8 scalar quantization. */
 object QuantUtil {
 
@@ -188,4 +275,9 @@ object VectorExpressions {
   def dotI8(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductInt8(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Native argmax-cosine cell assignment (1-based; null on zero norm). */
+  def cosineArgmax(vec: Column, cents: Column): Column =
+    ExpressionUtils.column(CosineArgmax(
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(cents)))
 }

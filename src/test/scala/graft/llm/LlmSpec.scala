@@ -206,6 +206,31 @@ class LlmSpec extends AnyFunSuite {
     assert(got.count() == 0, "a zero-norm query probes no cells")
   }
 
+  test("native cosine-argmax == lambda formulation (ties, zero norms)") {
+    val cents = array(
+      array(lit(1.0f), lit(0.0f)), array(lit(0.8f), lit(0.6f)),
+      array(lit(1.0f), lit(0.0f)), // duplicate of cell 1: tie -> first max
+      array(lit(0.0f), lit(0.0f))) // zero-norm centroid: never assigned
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.5f, 0.5f)),
+      (3L, Array(1.0f, 0.0f)), // exact tie between cells 1 and 3
+      (4L, Array(0.0f, 0.0f)), // zero-norm query -> null
+      (5L, Array(-1.0f, -0.5f)))
+      .toDF("id", "v")
+    def lambdaAssign(vec: org.apache.spark.sql.Column) = {
+      val scored = transform(cents, c => Dedup.cosine(vec, c))
+      array_position(scored, array_max(scored))
+    }
+    val rows = vecs.select(
+      Similarity.ivfAssign(col("v"), cents).as("native"),
+      lambdaAssign(col("v")).as("lambda")).collect()
+    rows.foreach { r =>
+      val n = if (r.isNullAt(0)) null else r.getLong(0)
+      val l = if (r.isNullAt(1)) null else r.getLong(1)
+      assert(n == l, s"native=$n lambda=$l")
+    }
+  }
+
   test("IVF assignment picks the nearest centroid cell") {
     val centroids = array(
       array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f)))
