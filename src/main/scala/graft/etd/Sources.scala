@@ -94,8 +94,14 @@ object Sources {
     * ProjectIdBSV so downstream project-grain reads prune).
     */
   def writeStage(df: DataFrame, dir: String, name: String,
-                 partitionByProject: Boolean = false): Unit = {
-    val w = df.write.mode("overwrite")
+                 partitionByProject: Boolean = false,
+                 maxRecordsPerFile: Option[Long] = None): Unit = {
+    // maxRecordsPerFile keeps output files in the splittable 100MB-1GB
+    // band at fleet scale (a partitionBy with few projects would
+    // otherwise write one giant file per project per task)
+    val w0 = df.write.mode("overwrite")
+    val w = maxRecordsPerFile.fold(w0)(n =>
+      w0.option("maxRecordsPerFile", n.toString))
     val path = s"$dir/$name.parquet"
     if (partitionByProject) w.partitionBy(Model.ProjectId).parquet(path)
     else w.parquet(path)

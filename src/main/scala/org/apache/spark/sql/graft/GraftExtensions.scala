@@ -77,5 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => Quantize8(cs.head))
     register(ext, "dot_product_i8", 2, classOf[DotProductInt8],
       cs => DotProductInt8(cs.head, cs(1)))
+    register(ext, "cosine_argmax", 2, classOf[CosineArgmax],
+      cs => CosineArgmax(cs.head, cs(1)))
   }
 }
