@@ -256,6 +256,48 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Benchmark decontamination
+  // ------------------------------------------------------------------
+
+  /** n-gram contamination scores of corpus documents against a benchmark
+    * set — the decontamination pass a training-data pipeline runs before
+    * training: for every (corpus doc, benchmark doc) pair sharing at
+    * least one word-n-gram, the fraction of the BENCHMARK doc's distinct
+    * n-grams found in the corpus doc. Score 1.0 = the benchmark document
+    * is fully contained; drop or flag corpus docs above `threshold`.
+    *
+    * Scale shape: both sides explode to (id, shingle-hash-set) rows and
+    * meet in an inverted-index equi-join on the 60-bit hash — never a
+    * doc x doc comparison; the benchmark side is tiny by nature, so the
+    * join broadcasts under AQE. `maxDf` optionally drops n-grams that
+    * occur in more than that many corpus documents (stop-phrase guard:
+    * a boilerplate n-gram would otherwise fan out into every pair).
+    */
+  def contaminationScores(corpus: DataFrame, corpusId: String, corpusText: String,
+                          bench: DataFrame, benchId: String, benchText: String,
+                          shingleSize: Int = 3, threshold: Double = 0.0,
+                          maxDf: Option[Long] = None): DataFrame = {
+    val c0 = corpus.select(col(corpusId).as("corpus_id"),
+      explode(array_distinct(shingleHashes(col(corpusText), shingleSize))).as("__h"))
+    val c = maxDf.fold(c0) { cap =>
+      val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+      c0.withColumn("__df", count(lit(1)).over(wh))
+        .filter(col("__df") <= cap).drop("__df")
+    }
+    val b = bench.select(col(benchId).as("bench_id"),
+      explode(array_distinct(shingleHashes(col(benchText), shingleSize))).as("__h"))
+    val bSizes = b.groupBy("bench_id").agg(count(lit(1)).as("__bn"))
+    val f = 1e6
+    c.join(b, Seq("__h"))
+      .groupBy("corpus_id", "bench_id").agg(count(lit(1)).as("overlap"))
+      .join(bSizes, Seq("bench_id"))
+      .withColumn("contamination",
+        floor(col("overlap").cast("double") / col("__bn") * f + 0.5) / f)
+      .filter(col("contamination") >= threshold)
+      .select("corpus_id", "bench_id", "overlap", "contamination")
+  }
+
+  // ------------------------------------------------------------------
   // Verification measures
   // ------------------------------------------------------------------
 

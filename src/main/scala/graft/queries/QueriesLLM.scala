@@ -247,6 +247,19 @@ object QueriesLLM {
     TextFunctions.bigramNoveltyStats(table(spark, dir, "documents"),
       "doc_id", "text")
 
+  /** Benchmark decontamination: every corpus doc scored against a
+    * held-out "benchmark" slice (doc_id < 20 stands in), score = share
+    * of the benchmark doc's distinct 3-grams present in the corpus doc.
+    * Self-pairs excluded; reported at >= 0.1.
+    */
+  def q_contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    Dedup.contaminationScores(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "doc_id", "text", threshold = 0.1)
+      .filter(col("corpus_id") =!= col("bench_id"))
+      .withColumnRenamed("overlap", "n_shared")
+  }
+
   /** Repetition / diversity stats (Gopher-family curation signals). The
     * corpus is single-line, so segments split at spaces — the ratios
     * become token-repetition measures (1 - type/token ratio, repeated-
@@ -319,6 +332,7 @@ object QueriesLLM {
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_bigram_lm" -> (q_text_bigram_lm _),
     "q_text_repetition" -> (q_text_repetition _),
+    "q_contamination" -> (q_contamination _),
     "q_sample_hash" -> (q_sample_hash _),
     "q_pack_sequences" -> (q_pack_sequences _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
@@ -552,6 +566,28 @@ object QueriesLLM {
         |  floor((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS rare_ratio
         |FROM cg JOIN bf USING (h)
         |GROUP BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |    ELSE [] END AS shingles
+        |  FROM toks
+        |), hs AS (
+        |  SELECT DISTINCT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        |), bn AS (
+        |  SELECT doc_id AS bench_id, count(*) AS n FROM hs WHERE doc_id < 20 GROUP BY doc_id
+        |), ov AS (
+        |  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS ns
+        |  FROM hs c JOIN hs b ON c.h = b.h AND b.doc_id < 20 AND c.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT corpus_id, bench_id, ns::BIGINT AS n_shared,
+        |  floor(ns::DOUBLE / bn.n * 1000000 + 0.5)/1000000 AS contamination
+        |FROM ov JOIN bn USING (bench_id)
+        |WHERE floor(ns::DOUBLE / bn.n * 1000000 + 0.5)/1000000 >= 0.1""".stripMargin,
     "q_text_repetition" ->
       """WITH l AS (
         |  SELECT doc_id, seg, count(*) AS c, len(seg) AS slen
