@@ -147,6 +147,31 @@ class LlmSpec extends AnyFunSuite {
     assert(single.toSet.subsetOf(brute.toSet) && single.size < brute.size)
   }
 
+  test("contaminationScores: benchmark-gram coverage; maxDf drops stop-phrases") {
+    val boiler = "terms and conditions apply here" // in every corpus doc
+    val corpus = Seq(
+      (10L, s"alpha beta gamma delta epsilon $boiler"),
+      (11L, s"one two three four five six $boiler"),
+      (12L, s"unrelated words entirely different content $boiler"))
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val full = Dedup.contaminationScores(corpus, "doc_id", "text",
+        bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // bench has 2 distinct 3-grams; doc 10 contains both
+    assert(full == Map(10L -> 1.0))
+    // capping df at 2 keeps doc-specific grams (df 1) and would drop any
+    // gram in all 3 docs; the boilerplate 3-grams never hit because the
+    // bench doc doesn't contain them — add a contaminated bench doc:
+    val bench2 = Seq((2L, boiler)).toDF("doc_id", "text")
+    val uncapped = Dedup.contaminationScores(corpus, "doc_id", "text",
+      bench2, "doc_id", "text").count()
+    val capped = Dedup.contaminationScores(corpus, "doc_id", "text",
+      bench2, "doc_id", "text", maxDf = Some(2L)).count()
+    assert(uncapped == 3, "boilerplate bench doc matches every corpus doc")
+    assert(capped == 0, "df cap removes corpus-wide stop-phrases")
+  }
+
   test("repetitionStats: duplicate-line and top-gram ratios on multi-line docs") {
     val docs = Seq(
       // 4 lines, "spam spam" repeated 3x: dup_line_ratio = (4-2)/4 = 0.5;
