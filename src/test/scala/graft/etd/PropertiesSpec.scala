@@ -90,6 +90,22 @@ class PropertiesSpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  test("property: repetition ratios bounded, uniq <= total, exact-dup doc maximal") {
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+    check(Prop.forAll(Gen.nonEmptyListOf(docGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = graft.llm.TextFunctions
+        .repetitionStats(df, "doc_id", "text", lineSep = " ").collect()
+      rows.forall { r =>
+        val (n, u) = (r.getLong(1), r.getLong(2))
+        val ratios = Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        u >= 1 && u <= n && ratios.forall(x => x >= 0.0 && x <= 1.0)
+      }
+    }, n = 8)
+  }
+
   test("property: salted aggregation equals plain groupBy") {
     check(Prop.forAll(
         Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(-50, 50)))) { rows =>
