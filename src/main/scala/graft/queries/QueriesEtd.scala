@@ -433,8 +433,14 @@ object QueriesEtd {
     * order-independent ones (min/max spans, counts, bitmasks, sets).
     */
   def q_i10_summary_house(spark: SparkSession, dir: String): DataFrame = {
+    // repartition AFTER the cascade: summaries branch the imputed frame
+    // (gap stats + totals), and without an exchange at the branch point
+    // every branch re-runs the cascade windows (exchange reuse caches
+    // only the shuffle). Both consumers aggregate by house, so the
+    // partitioning also feeds their groupBys shuffle-free.
     val imputed = Impute.imputeColumn(withAverages(readings(spark, dir)),
-      "Meter", keepGapCols = true)
+        "Meter", keepGapCols = true)
+      .repartition(col(ProjectId), col(HouseId))
     ImputeSummaries.householdSummary(
         ImputeSummaries.gapStats(imputed, "Meter"), imputed)
       .select(col(HouseId).as("huis"), col(ProjectId).as("project"),
@@ -450,8 +456,10 @@ object QueriesEtd {
     * methods + percentage.
     */
   def q_a11_summary_project(spark: SparkSession, dir: String): DataFrame = {
+    // shared exchange at the branch point — see q_i10_summary_house
     val imputed = Impute.imputeColumn(withAverages(readings(spark, dir)),
-      "Meter", keepGapCols = true)
+        "Meter", keepGapCols = true)
+      .repartition(col(ProjectId), col(HouseId))
     ImputeSummaries.projectSummary(
         ImputeSummaries.gapStats(imputed, "Meter"), imputed)
       .select(col(ProjectId).as("project"),
