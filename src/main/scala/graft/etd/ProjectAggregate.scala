@@ -71,6 +71,33 @@ object ProjectAggregate {
   def rebuildCumulative(df: DataFrame, cumulativeCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(ProjectId, HouseId).orderBy(ReadingDate)
     val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumSet = cumulativeCols.toSet
+    // Two shared projections instead of a per-column withColumn fold: pass 1
+    // carries EVERY running sum in one Window spec, pass 2 every lag-delta in
+    // another. The fold form produced 3·|cols| chained projections whose
+    // analyzer/optimizer cost grew superlinearly — the same disease
+    // Impute.imputeColumnsBatched cures (Impute.scala batching note).
+    val rebuilt = df.select(
+      df.columns.map { c =>
+        if (cumSet(c)) sum(diffCol(c)).over(running).as(c) else col(c)
+      }.toSeq ++ cumulativeCols.map(c => col(c).as(originalCol(c))): _*)
+    rebuilt.select(
+      df.columns.map(col).toSeq ++
+        cumulativeCols.flatMap { c =>
+          val delta = col(c) - col(originalCol(c))
+          Seq(col(originalCol(c)),
+            (delta - lag(delta, 1).over(w)).as(checkCol(c)))
+        }: _*)
+  }
+
+  /** The original per-column withColumn fold — retained only as the
+    * equivalence oracle for `rebuildCumulative` (ResampleAndAggSpec pins
+    * batched == fold byte-identically).
+    */
+  private[etd] def rebuildCumulativeFold(df: DataFrame,
+                                         cumulativeCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(ProjectId, HouseId).orderBy(ReadingDate)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cumulativeCols.foldLeft(df) { (acc, c) =>
       acc
         .withColumn(originalCol(c), col(c))

@@ -1,6 +1,7 @@
 package graft.etd
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Model._
@@ -19,13 +20,16 @@ import Model._
   * bucket spine is generated per group with sequence()+explode and the
   * aggregates are left-joined onto it.
   *
-  * Scale notes: the spine generation is one row per (group, bucket) — the
-  * same cardinality as the output — and the join key (group, bucket) is
-  * exactly the aggregation key, so AQE plans a single co-partitioned
-  * sort-merge join with no extra shuffle beyond the groupBy's own. All
-  * variables aggregate in ONE groupBy pass (the reference loops per
-  * variable and outer-joins each result — J6 — which at 169 columns would
-  * be 169 shuffles; here it is one).
+  * Scale notes: densification happens AFTER the aggregation, over the
+  * already-tiny bucketed frame — each row generates the empty buckets
+  * between itself and its successor (lead + posexplode), so the raw input
+  * is scanned exactly once and there is no spine self-join at all. (The
+  * previous shape re-aggregated the raw input on a different key for the
+  * spine, which re-executed the entire upstream lineage — in the composed
+  * pipeline, the whole impute DAG — a second time.) All variables
+  * aggregate in ONE groupBy pass (the reference loops per variable and
+  * outer-joins each result — J6 — which at 169 columns would be 169
+  * shuffles; here it is one).
   */
 object Resample {
 
@@ -49,7 +53,9 @@ object Resample {
 
   /** The densified bucket spine: for each group, every interval bucket from
     * its min to its max observed bucket (aggregate.py:843-852's
-    * `.resample().size()` skeleton).
+    * `.resample().size()` skeleton). Exposed for spine-shape parity checks;
+    * `resample` itself densifies post-aggregation (see `densify`) so the
+    * input lineage is never executed twice.
     */
   def bucketSpine(df: DataFrame, groupCols: Seq[String],
                   interval: String): DataFrame = {
@@ -89,8 +95,31 @@ object Resample {
       .withColumn(ReadingDate, bucket(col(ReadingDate), interval))
       .groupBy((groupCols :+ ReadingDate).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    bucketSpine(df, groupCols, interval)
-      .join(bucketed, groupCols :+ ReadingDate, "left")
+    densify(bucketed, variables.map(_._1), groupCols, interval)
+  }
+
+  /** Densify an already-bucketed aggregate: every row emits itself plus the
+    * empty buckets strictly between it and its in-group successor
+    * (aggregate.py:843-852's `.resample().size()` skeleton, realized
+    * without a spine self-join). Filler rows carry NULL in every value
+    * column — identical to the left-join-onto-spine formulation, but the
+    * input lineage is executed exactly once and the only added exchange is
+    * a window over the aggregated (output-cardinality) frame.
+    */
+  private def densify(bucketed: DataFrame, valueCols: Seq[String],
+                      groupCols: Seq[String], interval: String): DataFrame = {
+    val secs = intervalSeconds(interval)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(ReadingDate))
+    val curB = unix_seconds(col(ReadingDate))
+    bucketed
+      .withColumn("__end_b", coalesce(lead(curB, 1).over(w) - secs, curB))
+      .select(col("*"),
+        posexplode(sequence(curB, col("__end_b"), lit(secs)))
+          .as(Seq("__pos", "__b")))
+      .select(
+        groupCols.map(col) ++
+          Seq(timestamp_seconds(col("__b")).as(ReadingDate)) ++
+          valueCols.map(v => when(col("__pos") === 0, col(v)).as(v)): _*)
   }
 
   /** Resample every standard aggregation variable present in the frame

@@ -58,6 +58,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("shingle_hashes64"), "native shingle hashing missing")
   }
 
+  test("A8: resample executes its input lineage exactly once (no spine self-join)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as(Model.ProjectId),
+        col("l_partkey").as(Model.HouseId),
+        to_timestamp(col("l_shipdate")).as(Model.ReadingDate),
+        col("l_quantity").cast("double").as("v"))
+    val p = plan(Resample.resample(li, Seq("v" -> "sum"), "24h"))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"resample re-scans its input ($scans scans):\n$p")
+    assert(!p.contains("Join"), s"unexpected spine self-join in resample plan:\n$p")
+  }
+
   test("gap windows reuse the (project, house) partitioning: sorts only") {
     // HashPartitioning(P,H) satisfies ClusteredDistribution(P,H,cvg) —
     // the per-gap windows must add local sorts, never a new exchange.

@@ -70,6 +70,23 @@ class ResampleAndAggSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("MeterCheck") == 0.0)
   }
 
+  test("I11: batched rebuild == per-column fold, byte-identical, multi-column") {
+    val rows = for {
+      h <- 1L to 3L; s <- 0L to 9L
+    } yield (1L, h, s,
+      Some(h + s * 0.5), Some(0.5),
+      if (s % 3 == 0) None else Some(s * 2.0), Some(2.0))
+    val df = rows.toDF(ProjectId, HouseId, "s", "A", "ADiff", "B", "BDiff")
+      .withColumn(ReadingDate, timestamp_seconds(col("s")))
+    val cols = Seq("A", "B")
+    val sort = Seq(HouseId, "s").map(col)
+    val batched = ProjectAggregate.rebuildCumulative(df, cols)
+    val fold = ProjectAggregate.rebuildCumulativeFold(df, cols)
+    assert(batched.columns.toSeq == fold.columns.toSeq, "column order differs")
+    assert(batched.orderBy(sort: _*).collect().toSeq ==
+      fold.orderBy(sort: _*).collect().toSeq)
+  }
+
   test("I14: interval multipliers match the reference table") {
     assert(Model.switchMultiplier("5min") == 12.0)
     assert(Model.switchMultiplier("24h") == 1.0 / 24.0)
