@@ -74,4 +74,15 @@ object Aggregates {
     */
   def avgMinCountStable(c: Column, minCount: Column, scale: Int = 6): Column =
     when(count(c) >= minCount, exactMean(c, scale))
+
+  /** Order-independent gated sum: accumulate in DECIMAL (exact — the result
+    * cannot change with partitioning, parallelism, or engine), then cast
+    * back to double. For inputs that are rounded-at-definition decimal
+    * artifacts (every pipeline Diff/calculated column) the decimal sum is
+    * the EXACT sum, so a 1000-executor run and a laptop run agree
+    * bit-for-bit — which a plain double `sum()` does not (its value shifts
+    * with partial-aggregation order between runs, let alone engines).
+    */
+  def sumMinCountStable(c: Column, minCount: Column): Column =
+    when(count(c) >= minCount, sum(c.cast("decimal(28,12)")).cast("double"))
 }

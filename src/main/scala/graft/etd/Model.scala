@@ -118,7 +118,13 @@ object Model {
   /** Resample/aggregate method per variable
     * (/root/reference/etdtransform/aggregate.py:1046-1128): every active
     * entry is resample=sum, aggregate=avg; the Diff columns plus the 8
-    * calculated energy-balance columns and ZonopwekBruto.
+    * calculated energy-balance columns and ZonopwekBruto. The stable
+    * variants compute the same sum/mean but accumulate in decimal
+    * ([[Aggregates.sumMinCountStable]]/[[Aggregates.avgMinCountStable]]):
+    * every pipeline variable is a rounded-at-definition artifact, so the
+    * decimal sum is exact and the aggregate is deterministic under
+    * repartitioning — a plain double sum changes in the last ulps with
+    * partial-aggregation order, i.e. between any two cluster runs.
     */
   val aggregationVariables: Seq[(String, String, String)] = {
     val diffVars = Seq(
@@ -134,7 +140,7 @@ object Model {
       "ElektriciteitsgebruikTotaalGebouwgebonden",
       "ElektriciteitsgebruikTotaalHuishoudelijk", "Zelfgebruik",
       "ElektriciteitsgebruikTotaalBruto")
-    (diffVars ++ calcVars).map(v => (v, "sum", "avg"))
+    (diffVars ++ calcVars).map(v => (v, "sum_stable", "avg_stable"))
   }
 
   /** Household index (metadata) schema — the dimension table with the

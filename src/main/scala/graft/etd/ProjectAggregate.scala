@@ -31,6 +31,7 @@ object ProjectAggregate {
     val aggs = variables.map { case (v, method) =>
       val gated = method match {
         case "sum" => Aggregates.sumMinCount(col(v), gate)
+        case "sum_stable" => Aggregates.sumMinCountStable(col(v), gate)
         case "max" => Aggregates.maxMinCount(col(v), gate)
         case "avg" => Aggregates.avgMinCount(col(v), gate)
         case "avg_stable" => Aggregates.avgMinCountStable(col(v), gate)

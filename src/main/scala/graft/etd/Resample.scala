@@ -84,6 +84,7 @@ object Resample {
     val aggs = variables.map { case (v, method) =>
       val gated = method match {
         case "sum" => Aggregates.sumMinCount(col(v), minCount)
+        case "sum_stable" => Aggregates.sumMinCountStable(col(v), minCount)
         case "max" => Aggregates.maxMinCount(col(v), minCount)
         case "avg" => Aggregates.avgMinCount(col(v), minCount)
         case "avg_stable" => Aggregates.avgMinCountStable(col(v), minCount)

@@ -231,8 +231,14 @@ object Dedup {
     * set build to documents that appear in pairs — at corpus scale the
     * overwhelming majority never does) and scores pairs with two
     * long-array set ops; clustering is O(log diameter) rounds. `fast`
-    * swaps md5 for XXH64 end-to-end (candidates + verification use the
-    * same hash domain either way, so verified Jaccard stays exact).
+    * swaps md5 for XXH64 in both phases. Candidates band over
+    * pmod-reduced signature hashes while verification compares raw
+    * 64-bit shingle sets — verification is exact in the raw domain
+    * regardless of how candidates were bucketed. The candidate documents'
+    * shingle hashes are deliberately recomputed here rather than carried
+    * through the signature pass: re-hashing the (small) candidate subset
+    * is cheaper at scale than shuffling every document's full shingle
+    * array through the banding join.
     */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
                 jaccardThreshold: Double = 0.8,

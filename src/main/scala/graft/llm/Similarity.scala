@@ -127,28 +127,29 @@ object Similarity {
   def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, iterations: Int = 5): Array[Array[Float]] = {
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v")).persist()
-    var centroids: Array[Array[Float]] = vecs.orderBy("__id").limit(k)
-      .collect().map(_.getSeq[Float](1).toArray)
-    var i = 0
-    while (i < iterations) {
-      val cents = array(centroids.toIndexedSeq.map(c =>
-        array(c.toIndexedSeq.map(lit(_)): _*)): _*)
-      val updated = vecs
-        .withColumn("__cell", ivfAssign(col("__v"), cents))
-        .select(col("__cell"), posexplode(col("__v")).as(Seq("__dim", "__x")))
-        .groupBy("__cell", "__dim")
-        .agg(avg(col("__x").cast("double")).as("__m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      updated.foreach { r =>
-        val cell = r.getLong(0).toInt - 1 // 1-based cell ids
-        if (cell >= 0 && cell < k) next(cell)(r.getInt(1)) = r.getDouble(2).toFloat
+    try {
+      var centroids: Array[Array[Float]] = vecs.orderBy("__id").limit(k)
+        .collect().map(_.getSeq[Float](1).toArray)
+      var i = 0
+      while (i < iterations) {
+        val cents = array(centroids.toIndexedSeq.map(c =>
+          array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+        val updated = vecs
+          .withColumn("__cell", ivfAssign(col("__v"), cents))
+          .select(col("__cell"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+          .groupBy("__cell", "__dim")
+          .agg(avg(col("__x").cast("double")).as("__m"))
+          .collect()
+        val next = centroids.map(_.clone())
+        updated.foreach { r =>
+          val cell = r.getLong(0).toInt - 1 // 1-based cell ids
+          if (cell >= 0 && cell < k) next(cell)(r.getInt(1)) = r.getDouble(2).toFloat
+        }
+        centroids = next
+        i += 1
       }
-      centroids = next
-      i += 1
-    }
-    vecs.unpersist()
-    centroids
+      centroids
+    } finally vecs.unpersist()
   }
 
   /** Int8 scalar quantization of the embedding column (native
@@ -220,9 +221,11 @@ object Similarity {
     *
     * `dim` must be >= the vector length (extra signs are ignored — the
     * dot loops min(len)); default covers the 64-dim corpus embeddings.
+    * The precondition is ENFORCED: a longer vector would silently bucket
+    * on its first `dim` components only, so it raises instead.
     */
   def hyperplaneBucket(vec: Column, planes: Int = 8, dim: Int = 64): Column = {
-    (0 until planes).map { p =>
+    val bucket = (0 until planes).map { p =>
       val signs = array((0 until dim).map { j =>
         val h = org.apache.spark.sql.graft.Md5Util.prefix64(
           s"${p}_$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -230,5 +233,8 @@ object Similarity {
       }: _*)
       when(Dedup.dot(vec, signs) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(vec) <= dim, bucket).otherwise(raise_error(concat(
+      lit("hyperplaneBucket: vector length "), size(vec).cast("string"),
+      lit(s" exceeds dim=$dim — pass dim >= the embedding width"))))
   }
 }
