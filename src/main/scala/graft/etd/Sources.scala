@@ -45,6 +45,24 @@ object Sources {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Model.indexSchema).parquet(path)
 
+  /** The Meenemen update hook — parity with the `update_meenemen()` call
+    * the reference makes right before filtering the index
+    * (aggregate.py:95; the function itself lives in the external etdmap
+    * package): refresh the index's include-flag from a metadata table,
+    * keeping the existing flag for households the metadata does not
+    * mention. Feed the result to [[combineHouseholds]] — a flipped flag
+    * excludes the household from the combined frame. The metadata side is
+    * per-household (small) -> broadcast.
+    */
+  def updateMeenemen(index: DataFrame, metadata: DataFrame): DataFrame = {
+    val keys = Seq(Model.HouseId, Model.ProjectId)
+    val flagged = metadata.select(
+      (keys.map(col) :+ col("Meenemen").as("__meenemen_new")): _*)
+    index.join(broadcast(flagged), keys, "left")
+      .withColumn("Meenemen", coalesce(col("__meenemen_new"), col("Meenemen")))
+      .drop("__meenemen_new")
+  }
+
   /** S4 — KNMI CSV with '#'-comment preamble (knmi.py:49-76): the *last*
     * commented line is the header; column names are stripped and
     * "# STN" -> STN. The header discovery is a tiny driver-side read of
@@ -93,6 +111,13 @@ object Sources {
     * reference writes single files; at 100 TB the sink partitions by
     * ProjectIdBSV so downstream project-grain reads prune).
     */
+  /** The reference's safe-name rule for stage files
+    * (aggregate.py:322,480: `re.sub(r"\W+", "_", name.lower())`) — a
+    * stage named after a column like `Zon-opwekTotaal` must not produce a
+    * path with shell-hostile characters.
+    */
+  def safeName(name: String): String = name.toLowerCase.replaceAll("\\W+", "_")
+
   def writeStage(df: DataFrame, dir: String, name: String,
                  partitionByProject: Boolean = false,
                  maxRecordsPerFile: Option[Long] = None): Unit = {
@@ -102,7 +127,7 @@ object Sources {
     val w0 = df.write.mode("overwrite")
     val w = maxRecordsPerFile.fold(w0)(n =>
       w0.option("maxRecordsPerFile", n.toString))
-    val path = s"$dir/$name.parquet"
+    val path = s"$dir/${safeName(name)}.parquet"
     if (partitionByProject) w.partitionBy(Model.ProjectId).parquet(path)
     else w.parquet(path)
   }

@@ -154,4 +154,95 @@ object Weather {
     */
   def joinWeeklyFlags(hourly: DataFrame, weeklyFlags: DataFrame): DataFrame =
     hourly.join(broadcast(weeklyFlags), Seq("STN", "year", "week_of_year"), "left")
+
+  /** The get_dfs missing-weather QA audit (load_data.py:410-473) as a
+    * DataFrame-returning action instead of prints: one row per measure
+    * with the missing count, total, percentage, and the distinct affected
+    * projects / dates (sorted, comma-joined — engine-portable strings
+    * rather than array columns). ONE aggregation pass computes every
+    * measure's stats; the unpivot to rows is a literal-array explode of
+    * the single aggregated row.
+    */
+  def missingWeatherReport(df: DataFrame,
+                           measures: Seq[String] =
+                             Seq("Temperatuur", "Gevoelstemperatuur")): DataFrame = {
+    val aggs = measures.flatMap { m =>
+      Seq(
+        count(when(col(m).isNull, 1)).as(s"__miss_$m"),
+        concat_ws(",", array_sort(collect_set(
+          when(col(m).isNull, col(Model.ProjectId).cast("string")))))
+          .as(s"__proj_$m"),
+        concat_ws(",", array_sort(collect_set(
+          when(col(m).isNull, date_format(col(Model.ReadingDate), "yyyy-MM-dd")))))
+          .as(s"__dates_$m"))
+    } :+ count(lit(1)).as("__total")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(measures.map(m => struct(
+        lit(m).as("measure"),
+        col(s"__miss_$m").as("missing_count"),
+        col("__total").as("total_records"),
+        (floor(col(s"__miss_$m") / col("__total") * 100 * 1e6 + 0.5) / 1e6)
+          .as("pct_missing"),
+        col(s"__proj_$m").as("affected_projects"),
+        col(s"__dates_$m").as("missing_dates"))): _*)).as("r"))
+      .select("r.*")
+  }
+
+  /** The composed weather table — one-call parity with
+    * get_weather_data_table (load_data.py:103-246): derived KNMI measures
+    * -> 14-day rolling averages (min_periods = 7 days of hours) ->
+    * coldest-two-week period marks on both rolling series -> calendar
+    * columns (year / ISO week / Monday-0 weekday) -> ISO-week group means
+    * + days_in_week -> per-(station, year) coldest-2-ISO-week flags joined
+    * back. Input is the raw hourly KNMI frame (STN, YYYYMMDD, HH 1..24
+    * hour-ending, T, FH, U), i.e. [[Sources.readKnmiCsv]] output.
+    *
+    * KNMI's HH=24 ("24:00:00") becomes next-day 00:00 via date + HH hours
+    * — the same instant the reference's string-cast produces on its SQL
+    * backend. days_in_week rounds count/24 to the nearest int (the
+    * reference's double->int cast semantics on that backend).
+    *
+    * Scale shape: ONE exchange total. Every window (rolling, period
+    * marks, ISO-week means) and the weekly-summary distinct/rank key on a
+    * superset of STN, so the per-station shuffle is reused throughout,
+    * and the weekly summary (|stations| x |weeks| rows) joins back as a
+    * broadcast.
+    */
+  def weatherTable(raw: DataFrame): DataFrame = {
+    val byHour = Seq(col("YYYYMMDD"), col("HH"))
+    val window = 14 * 24
+    val ra = withDerivedMeasures(raw)
+      .withColumn("TemperatuurRA",
+        rollingMean(col("Temperatuur"), Seq(col("STN")), byHour, window, window / 2))
+      .withColumn("GevoelstemperatuurRA",
+        rollingMean(col("Gevoelstemperatuur"), Seq(col("STN")), byHour, window, window / 2))
+      .withColumn("date_column", to_date(col("YYYYMMDD").cast("string"), "yyyyMMdd"))
+      .withColumn("datetime_column",
+        col("date_column").cast("timestamp")
+          + make_dt_interval(lit(0), col("HH"), lit(0), lit(0)))
+    val marked = markPeriodBeforeExtreme(
+      markPeriodBeforeExtreme(ra, "TemperatuurRA", col("datetime_column"),
+        Seq("STN"), days = 14, lowest = true, "Koudste2WkTemperatuur"),
+      "GevoelstemperatuurRA", col("datetime_column"),
+      Seq("STN"), days = 14, lowest = true, "Koudste2WkGevoelstemperatuur")
+    val weekly = Seq(col("STN"), col("year"), col("week_of_year"))
+    val iso = marked
+      .withColumn("year", year(col("date_column")).cast("long"))
+      .withColumn("week_of_year", weekofyear(col("date_column")).cast("long"))
+      .withColumn("day_of_week", weekday(col("date_column")).cast("long"))
+      .withColumn("TemperatuurISOWk", groupMean(col("Temperatuur"), weekly))
+      .withColumn("GevoelstemperatuurISOWk",
+        groupMean(col("Gevoelstemperatuur"), weekly))
+      .withColumn("days_in_week",
+        round(count(col("date_column")).over(Window.partitionBy(weekly: _*)) / 24.0)
+          .cast("int"))
+    val summary = iso.select("STN", "year", "week_of_year",
+        "TemperatuurISOWk", "GevoelstemperatuurISOWk", "days_in_week").distinct()
+    val flags = coldestWeekFlags(
+      coldestWeekFlags(summary, "TemperatuurISOWk", "Koudste2ISOWkTemperatuur"),
+      "GevoelstemperatuurISOWk", "Koudste2ISOWkGevoelstemperatuur")
+      .select("STN", "year", "week_of_year",
+        "Koudste2ISOWkTemperatuur", "Koudste2ISOWkGevoelstemperatuur")
+    joinWeeklyFlags(iso, flags)
+  }
 }

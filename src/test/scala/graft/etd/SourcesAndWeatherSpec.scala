@@ -48,6 +48,30 @@ class SourcesAndWeatherSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10L), (3L, 20L)), "house 2 excluded by Meenemen")
   }
 
+  test("update_meenemen hook: metadata flip excludes the household from S3") {
+    val dir = Files.createTempDirectory("meenemen").toFile.getAbsolutePath
+    Seq((100L, 1.0)).toDF("ReadingSeq", "X")
+      .write.parquet(s"$dir/household_1_table.parquet")
+    Seq((200L, 2.0)).toDF("ReadingSeq", "X")
+      .write.parquet(s"$dir/household_2_table.parquet")
+    val index = Seq((1L, 10L, true), (2L, 10L, true))
+      .toDF(HouseId, ProjectId, "Meenemen")
+    // metadata flips house 1 off and does not mention house 2
+    val metadata = Seq((1L, 10L, false)).toDF(HouseId, ProjectId, "Meenemen")
+    val updated = Sources.updateMeenemen(index, metadata)
+    val houses = Sources.combineHouseholds(spark, dir, updated)
+      .select(HouseId).collect().map(_.getLong(0)).toSeq
+    assert(houses == Seq(2L), "flipped house 1 excluded, untouched house 2 kept")
+  }
+
+  test("writeStage sanitizes stage names (re.sub \\W+ parity)") {
+    assert(Sources.safeName("Zon-opwekTotaal") == "zon_opwektotaal")
+    assert(Sources.safeName("household_5min") == "household_5min")
+    val dir = Files.createTempDirectory("safename").toFile.getAbsolutePath
+    Sources.writeStage(Seq((1L, 1.0)).toDF("k", "v"), dir, "Zon-opwekTotaal")
+    assert(new java.io.File(s"$dir/zon_opwektotaal.parquet").exists())
+  }
+
   test("S7: staged sink writes, project-partitioned variant prunes") {
     val dir = Files.createTempDirectory("stages").toFile.getAbsolutePath
     val df = Seq((1L, 10L, 1.0), (2L, 20L, 2.0))
@@ -102,6 +126,42 @@ class SourcesAndWeatherSpec extends AnyFunSuite {
     val span = top.head.getAs[java.sql.Timestamp]("EndTime").getTime -
       top.head.getAs[java.sql.Timestamp]("StartTime").getTime
     assert(span == 2L * 86400 * 1000)
+  }
+
+  test("weatherTable: KNMI CSV -> composed table end-to-end (one call)") {
+    // Two stations, 3 weeks of hourly data with a cold dip in week 2 so
+    // both the rolling-average marks and the ISO-week flags have signal.
+    val dir = Files.createTempDirectory("knmi2").toFile
+    val f = new java.io.File(dir, "uurgeg_all.txt")
+    val w = new java.io.PrintWriter(f)
+    w.println("# preamble")
+    w.println("# STN,YYYYMMDD,HH,T,FH,U")
+    val start = java.time.LocalDate.of(2024, 1, 1)
+    for (stn <- Seq(260, 280); d <- 0 until 21; h <- 1 to 24) {
+      val date = start.plusDays(d)
+      val ymd = date.getYear * 10000 + date.getMonthValue * 100 + date.getDayOfMonth
+      val cold = if (d >= 7 && d < 14) -80 else 50 // week 2 is the cold week
+      w.println(s"$stn,$ymd,$h,${cold + h},${20 + h},${60 + (d % 30)}")
+    }
+    w.close()
+    val out = Weather.weatherTable(Sources.readKnmiCsv(spark, f.getAbsolutePath))
+    assert(out.count() == 2 * 21 * 24)
+    // rolling average: null before 7*24 non-null hours
+    val early = out.filter(col("YYYYMMDD") === 20240103 && col("HH") === 1)
+    assert(early.select("TemperatuurRA").collect().forall(_.isNullAt(0)))
+    // ISO flags: the cold week (week 2 of 2024) must be among the 2 coldest
+    val coldWeeks = out.filter(col("Koudste2ISOWkTemperatuur"))
+      .select("week_of_year").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(coldWeeks.contains(2L), s"cold dip week not flagged: $coldWeeks")
+    // period marks exist, are a strict subset, and (ties all mark) cover
+    // at least one 14-day window per station
+    val marked = out.filter(col("Koudste2WkTemperatuur")).count()
+    assert(marked > 0 && marked < 2 * 21 * 24, s"marked=$marked")
+    // days_in_week counts full weeks as 7
+    val full = out.filter(col("week_of_year") === 2L)
+      .select("days_in_week").distinct().collect().map(_.getInt(0)).toSet
+    assert(full == Set(7))
   }
 
   test("W14: simultaneity ratio guards zero denominators") {
