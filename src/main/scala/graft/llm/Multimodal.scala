@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * pipelines: media travel as opaque `binary` columns with typed metadata
   * structs; decode / feature-extract steps run per-partition in batches.
   *
-  * The actual codec libraries are not vendored in this environment, so the
-  * decode step is a clearly-marked deterministic STUB ([[stubDecode]]) —
-  * the Spark-side contract (schema, batch shape, partition-parallel
-  * execution, null-safe error channel) is real and tested; swapping the
-  * stub for a JNI/javacv decoder changes one function.
+  * Image dimensions are decoded from REAL payload bytes
+  * ([[ImageHeaders]]: PNG IHDR / JPEG SOFn / GIF headers, pure JVM) in
+  * [[decodePartitions]]. Audio/video codecs are not vendored in this
+  * environment, so duration remains a clearly-marked deterministic STUB
+  * ([[stubDecode]]) — the Spark-side contract (schema, batch shape,
+  * partition-parallel execution, null-safe error channel) is real and
+  * tested; swapping the stub for a JNI/javacv decoder changes one
+  * function.
   *
   * Scale notes: media bytes dominate row size, so every transform here
   * (a) never shuffles the binary payload — metadata extraction is map-only
@@ -41,10 +44,12 @@ object Multimodal {
     "content_hash" -> md5(bin))
 
   /** STUB decode ??? — deterministic fake dimensions derived from the
-    * content hash, standing in for an image decoder. Real
-    * implementations replace the width/height/duration expressions with a
-    * `mapPartitions` batch decode; everything downstream (schema,
-    * nullability, error channel) is identical.
+    * content hash, standing in for a codec where none is available. For
+    * image dimensions prefer [[decodePartitions]], which parses the REAL
+    * payload headers; this expression-only path remains for audio/video
+    * duration (no JVM-built-in codec) and for payloads that are not
+    * actually media. Everything downstream (schema, nullability, error
+    * channel) is identical either way.
     */
   def stubDecode(bin: Column, mime: Column): Column = {
     val h = TextFunctions.hash64(md5(bin))
@@ -82,10 +87,13 @@ object Multimodal {
       .repartitionByRange(numPartitions, col("__w"), col(bin).isNull)
       .drop("__w")
 
-  /** Batch decode via mapPartitions — the real-decoder integration point.
-    * Processes rows in fixed-size batches (the shape a native decoder or
-    * model server wants), returning (id, meta) pairs. The decoder here is
-    * the stub; the batching/partition plumbing is the tested contract.
+  /** Batch decode via mapPartitions. Image dimensions come from the REAL
+    * payload bytes ([[ImageHeaders]] — PNG/JPEG/GIF header parse, a few
+    * dozen byte reads per row); rows process in fixed-size batches (the
+    * shape a native decoder or model server wants). Unrecognized or empty
+    * payloads surface on the decode_error channel instead of failing the
+    * job. A full-pixel decoder (or audio/video probe) slots into the same
+    * batch loop.
     */
   def decodePartitions(df: DataFrame, idCol: String, binCol: String,
                        batchSize: Int = 32): DataFrame = {
@@ -93,17 +101,27 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("id", LongType),
       StructField("byte_length", LongType),
-      StructField("ok", BooleanType)))
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("ok", BooleanType),
+      StructField("decode_error", StringType)))
     val idIdx = df.schema.fieldIndex(idCol)
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // A real decoder would hand `batch` to native code here (???).
         batch.map { r =>
           val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+          val dims = ImageHeaders.dimensions(bytes)
+          val err =
+            if (bytes == null || bytes.isEmpty) "empty payload"
+            else if (dims.isEmpty) "unrecognized format"
+            else null
           Row(r.getLong(idIdx),
             if (bytes == null) 0L else bytes.length.toLong,
-            bytes != null && bytes.nonEmpty)
+            dims.map(d => Int.box(d._1)).orNull,
+            dims.map(d => Int.box(d._2)).orNull,
+            dims.isDefined,
+            err)
         }
       }
     }

@@ -308,6 +308,36 @@ object QueriesLLM {
         col("meta.height").cast("long").as("height"))
   }
 
+  /** Real image-header decode, oracled as a round-trip: the query
+    * CONSTRUCTS valid PNG (even doc_id) / JPEG (odd doc_id) payloads with
+    * dimensions derived from doc_id, then parses them back with the pure
+    * JVM header parser inside [[Multimodal.decodePartitions]]; the DuckDB
+    * oracle computes the expected dimensions arithmetically — a parser
+    * bug (offset, endianness, marker walk) fails the hash compare.
+    */
+  def q_multimodal_decode(spark: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(1920L)) + 1).cast("int")
+    val h = (pmod(col("doc_id"), lit(1080L)) + 1).cast("int")
+    // PNG: signature + IHDR length/type, u32be dims, depth/color/etc
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      unhex(lpad(hex(w), 8, "0")), unhex(lpad(hex(h), 8, "0")),
+      unhex(lit("0806000000")))
+    // JPEG: SOI + SOF0 (len 0x11, precision 8, u16be height/width,
+    // 3 components) + EOI
+    val jpg = concat(
+      unhex(lit("FFD8FFC0001108")),
+      unhex(lpad(hex(h), 4, "0")), unhex(lpad(hex(w), 4, "0")),
+      unhex(lit("03012200021101031101FFD9")))
+    val src = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, png).otherwise(jpg).as("payload"))
+    Multimodal.decodePartitions(src, "doc_id", "payload")
+      .select(col("id").as("doc_id"), col("byte_length"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+  }
+
   // ------------------------------------------------------------------
   // Registry + oracles
   // ------------------------------------------------------------------
@@ -336,6 +366,7 @@ object QueriesLLM {
     "q_sample_hash" -> (q_sample_hash _),
     "q_pack_sequences" -> (q_pack_sequences _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
+    "q_multimodal_decode" -> (q_multimodal_decode _),
   )
 
   private val enList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -642,6 +673,12 @@ object QueriesLLM {
         |  md5(text) AS content_hash,
         |  (('0x'||substr(md5(md5(text)),1,15))::BIGINT % 1920 + 1) AS width,
         |  (('0x'||substr(md5(md5(text)),18,15))::BIGINT % 1080 + 1) AS height
+        |FROM documents""".stripMargin,
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 23 END)::BIGINT AS byte_length,
+        |  (doc_id % 1920 + 1)::BIGINT AS width,
+        |  (doc_id % 1080 + 1)::BIGINT AS height
         |FROM documents""".stripMargin,
   )
 }

@@ -313,7 +313,32 @@ class LlmSpec extends AnyFunSuite {
     val w = meta(1L).getInt(2)
     assert(w >= 1 && w <= 1920)
     val decoded = Multimodal.decodePartitions(df, "id", "bin", batchSize = 2)
-      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    assert(decoded == Map(1L -> true, 2L -> false, 3L -> true))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // text payloads are not images: ok=false, error channel explains why
+    assert(!decoded(1L).getBoolean(4))
+    assert(decoded(1L).getString(5) == "unrecognized format")
+    assert(decoded(2L).getString(5) == "empty payload")
+    assert(decoded(3L).getLong(1) == 10L)
+  }
+
+  test("multimodal: real PNG/JPEG/GIF header decode from actual image bytes") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def bytesOf(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    assert(ImageHeaders.dimensions(bytesOf("png", 123, 45)).contains((123, 45)))
+    assert(ImageHeaders.dimensions(bytesOf("jpg", 64, 128)).contains((64, 128)))
+    assert(ImageHeaders.dimensions(bytesOf("gif", 17, 9)).contains((17, 9)))
+    assert(ImageHeaders.dimensions("not an image".getBytes).isEmpty)
+    assert(ImageHeaders.dimensions(Array.emptyByteArray).isEmpty)
+    val df = Seq((1L, bytesOf("png", 123, 45)), (2L, bytesOf("jpg", 64, 128)))
+      .toDF("id", "bin")
+    val out = Multimodal.decodePartitions(df, "id", "bin")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(out == Map(1L -> ((123, 45)), 2L -> ((64, 128))))
   }
 }
