@@ -34,11 +34,14 @@ import graft.etd.Model.ImputeType
   * seamless (StreamingImputeSpec pins streaming == batch on closed gaps).
   *
   * Scale: state per house is one (timestamp, cumulative) pair plus the
-  * open gap's timestamps — bounded by the longest real gap, a few hundred
-  * longs worst-case; the shuffle is the same house-hash partitioning the
-  * batch impute uses. NoTimeout by design: state is overwritten in place
-  * and never grows with stream length. (ProcessingTimeTimeout is also a
-  * planner landmine on Spark 4.1.2.)
+  * open gap's timestamps, and the open gap is CAPPED at `maxGapLength`
+  * slots: a permanently dark meter (dead/decommissioned) flushes its
+  * over-long gap as unimputed rows and resets to the no-prior-observation
+  * state — so state is bounded even though the operator uses NoTimeout
+  * (state is otherwise overwritten in place; ProcessingTimeTimeout is
+  * also a planner landmine on Spark 4.1.2). A post-cap resume is treated
+  * as a meter restart: the batch cascade would give such a gap the
+  * avg-based no-end treatment, which is the batch backfill's job.
   *
   * Ordering: rows are processed in timestamp order within a micro-batch;
   * a row at or before the house's last processed timestamp is late beyond
@@ -70,7 +73,8 @@ object StreamingImpute {
     java.math.BigDecimal.valueOf(x)
       .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  def imputeStream(readings: Dataset[CumReading]): Dataset[ImputedDiff] = {
+  def imputeStream(readings: Dataset[CumReading],
+                   maxGapLength: Int = 8640): Dataset[ImputedDiff] = {
     implicit val outEnc = Encoders.product[ImputedDiff]
     implicit val stateEnc = Encoders.product[HouseState]
     implicit val keyEnc = Encoders.scalaLong
@@ -85,6 +89,14 @@ object StreamingImpute {
             if (r.tsSec > st.lastTs) r.cum match {
               case None =>
                 st = st.copy(lastTs = r.tsSec, pending = r.tsSec :: st.pending)
+                if (st.pending.size >= maxGapLength) {
+                  // dead-meter cap: flush the over-long open gap as
+                  // unimputed rows and reset to the restart state so a
+                  // permanently dark meter cannot accrete state
+                  st.pending.reverse.foreach(ts =>
+                    out += ImputedDiff(huis, ts, None, None, isImputed = false))
+                  st = HouseState(r.tsSec, None, Nil)
+                }
               case Some(c) =>
                 st.lastCum match {
                   case None =>
@@ -113,6 +125,102 @@ object StreamingImpute {
                     }
                 }
                 st = HouseState(r.tsSec, Some(c), Nil)
+            }
+          }
+          if (st.lastTs > Long.MinValue) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** One meter reading carrying its per-(project, slot) average diff —
+    * the static-join enrichment a production topology applies upstream
+    * (broadcast yesterday's avg-diffs table onto the stream; J4 as a
+    * stream-static join). `avg` null where the table has no value, like
+    * the batch `<diff>_avg` column.
+    */
+  case class CumReadingAvg(huis: Long, tsSec: Long, cum: Option[Double],
+                           avg: Option[Double])
+
+  /** An open-gap slot with its impute value (coalesce(avg, 0) — the batch
+    * `impute_values`).
+    */
+  case class PendingSlot(tsSec: Long, iv: Double)
+
+  case class HouseStateScaled(lastTs: Long, lastCum: Option[Double],
+                              pending: List[PendingSlot])
+
+  /** Scaled streaming imputation — the full known-jump cascade including
+    * SCALED_FILL (I7's avg-proportional branch): with the average-diff
+    * table joined onto the stream upstream, a closed gap distributes its
+    * jump proportionally to each slot's average
+    * (`iv * jump / impute_jump`, vectorized_impute.py:630-686) and falls
+    * back to LINEAR_FILL when the gap's averages sum to ~zero. Fill
+    * arithmetic mirrors the batch cascade expression-for-expression
+    * (impute_jump accumulates in slot order; the jump/impute_jump
+    * quotient is computed once per gap), so closed-gap output is
+    * bit-identical to the batch path — StreamingImputeSpec pins it.
+    * State is capped exactly like [[imputeStream]].
+    */
+  def imputeStreamScaled(readings: Dataset[CumReadingAvg],
+                         maxGapLength: Int = 8640): Dataset[ImputedDiff] = {
+    implicit val outEnc = Encoders.product[ImputedDiff]
+    implicit val stateEnc = Encoders.product[HouseStateScaled]
+    implicit val keyEnc = Encoders.scalaLong
+    readings
+      .groupByKey(_.huis)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (huis: Long, rows: Iterator[CumReadingAvg],
+         state: GroupState[HouseStateScaled]) =>
+          var st = state.getOption.getOrElse(
+            HouseStateScaled(Long.MinValue, None, Nil))
+          val out = Seq.newBuilder[ImputedDiff]
+          rows.toSeq.sortBy(_.tsSec).foreach { r =>
+            if (r.tsSec > st.lastTs) r.cum match {
+              case None =>
+                st = st.copy(lastTs = r.tsSec,
+                  pending = PendingSlot(r.tsSec, r.avg.getOrElse(0.0)) :: st.pending)
+                if (st.pending.size >= maxGapLength) {
+                  st.pending.reverse.foreach(p =>
+                    out += ImputedDiff(huis, p.tsSec, None, None, isImputed = false))
+                  st = HouseStateScaled(r.tsSec, None, Nil)
+                }
+              case Some(c) =>
+                st.lastCum match {
+                  case None =>
+                    st.pending.reverse.foreach(p =>
+                      out += ImputedDiff(huis, p.tsSec, None, None, isImputed = false))
+                    out += ImputedDiff(huis, r.tsSec, None, None, isImputed = false)
+                  case Some(prev) =>
+                    val jump = c - prev
+                    if (st.pending.isEmpty) {
+                      out += ImputedDiff(huis, r.tsSec, Some(jump), None,
+                        isImputed = false)
+                    } else {
+                      // gap slots in time order; the closing row belongs
+                      // to the gap too (its lag-diff is equally unknown)
+                      val slots = st.pending.reverse :+
+                        PendingSlot(r.tsSec, r.avg.getOrElse(0.0))
+                      val n = slots.size
+                      val imputeJump = slots.foldLeft(0.0)(_ + _.iv)
+                      if (jump < 0)
+                        slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
+                          Some(0.0), Some(ImputeType.NegativeGapJump), isImputed = true))
+                      else if (jump < 1e-8)
+                        slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
+                          Some(0.0), Some(ImputeType.NearZeroGapJump), isImputed = true))
+                      else if (imputeJump < 1e-8) {
+                        val fill = round10(jump / n)
+                        slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
+                          Some(fill), Some(ImputeType.LinearFill), isImputed = true))
+                      } else {
+                        val q = jump / imputeJump
+                        slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
+                          Some(round10(p.iv * q)), Some(ImputeType.ScaledFill),
+                          isImputed = true))
+                      }
+                    }
+                }
+                st = HouseStateScaled(r.tsSec, Some(c), Nil)
             }
           }
           if (st.lastTs > Long.MinValue) state.update(st)

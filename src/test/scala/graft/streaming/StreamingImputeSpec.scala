@@ -27,12 +27,13 @@ class StreamingImputeSpec extends AnyFunSuite {
     2100L -> None, 2400L -> Some(8.0),
     2700L -> Some(7.5))
 
-  private def runStream(batches: Seq[Seq[(Long, Option[Double])]])
+  private def runStream(batches: Seq[Seq[(Long, Option[Double])]],
+                        maxGapLength: Int = 8640)
       : Map[Long, (Option[Double], Option[Int], Boolean)] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[CumReading]
-    val name = s"impute_test_${batches.size}_${batches.head.size}"
-    val query = StreamingImpute.imputeStream(input.toDS())
+    val name = s"impute_test_${batches.size}_${batches.head.size}_$maxGapLength"
+    val query = StreamingImpute.imputeStream(input.toDS(), maxGapLength)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     batches.foreach { b =>
@@ -68,6 +69,83 @@ class StreamingImputeSpec extends AnyFunSuite {
   test("late (already-processed) slots are dropped, not re-imputed") {
     val got = runStream(Seq(slots, Seq(600L -> Some(99.0))))
     assert(got == expected)
+  }
+
+  test("dead-meter cap: over-long open gap flushes unimputed, state resets") {
+    val s: Seq[(Long, Option[Double])] = Seq(
+      300L -> Some(1.0), 600L -> None, 900L -> None, 1200L -> None,
+      1500L -> None, 1800L -> Some(9.0))
+    val got = runStream(Seq(s), maxGapLength = 3)
+    assert(got.keySet == s.map(_._1).toSet, "every slot surfaced")
+    // 600-1200 flushed at the cap; post-cap resume is a meter restart, so
+    // 1500 and the closing 1800 take the no-start branch: all NA unimputed
+    assert(got.values.forall(v => v._1.isEmpty && v._2.isEmpty && !v._3))
+  }
+
+  private def runScaled(batches: Seq[Seq[(Long, Option[Double], Option[Double])]])
+      : Map[Long, (Option[Double], Option[Int], Boolean)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CumReadingAvg]
+    val name = s"impute_scaled_${batches.size}_${batches.head.size}"
+    val query = StreamingImpute.imputeStreamScaled(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    batches.foreach { b =>
+      input.addData(b.map { case (ts, cum, avg) => CumReadingAvg(1L, ts, cum, avg) })
+      query.processAllAvailable()
+    }
+    query.stop()
+    spark.table(name).as[ImputedDiff].collect()
+      .map(r => r.tsSec -> ((r.diff, r.imputeType, r.isImputed))).toMap
+  }
+
+  /** Avg-enriched slots: a 4-slot gap (incl. closing row) with avgs
+    * 1,2,3,6 and jump 6 -> SCALED_FILL at q = 0.5; then a near-zero gap
+    * with null avgs; then a gap whose avgs sum to 0 -> LINEAR_FILL.
+    */
+  private val slotsAvg: Seq[(Long, Option[Double], Option[Double])] = Seq(
+    (300L, Some(1.0), Some(0.5)), (600L, Some(2.0), Some(0.5)),
+    (900L, None, Some(1.0)), (1200L, None, Some(2.0)), (1500L, None, Some(3.0)),
+    (1800L, Some(8.0), Some(6.0)),
+    (2100L, None, None), (2400L, Some(8.0), None),
+    (2700L, None, Some(0.0)), (3000L, Some(11.0), None))
+
+  test("scaled streaming == batch cascade incl. SCALED_FILL (static-join avgs)") {
+    val stream = runScaled(Seq(slotsAvg.take(4), slotsAvg.drop(4)))
+    // batch twin: same frame through Impute.imputeColumn with the avg col
+    val rows = slotsAvg.map { case (ts, cum, avg) =>
+      (1L, 1L, new java.sql.Timestamp(ts * 1000),
+        cum.getOrElse(Double.NaN), avg.getOrElse(Double.NaN))
+    }
+    val base = rows.toDF(Model.ProjectId, Model.HouseId, Model.ReadingDate, "M", "A")
+      .withColumn("Meter", when(!isnan(col("M")), col("M")))
+      .withColumn("MeterDiff_avg", when(!isnan(col("A")), col("A")))
+      .drop("M", "A")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Model.ProjectId, Model.HouseId).orderBy(Model.ReadingDate)
+    val withDiff = base
+      .withColumn("MeterDiff", col("Meter") - lag("Meter", 1).over(w))
+    val batch = Impute.imputeColumn(withDiff, "Meter")
+      .select(col(Model.ReadingDate).cast("long").as("ts"),
+        col("MeterDiff"), col("MeterDiff_impute_type"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Int]))))
+      .toMap
+    // sanity: the scaled branch actually fires with the expected fills
+    assert(stream(900L) == ((Some(0.5), Some(Model.ImputeType.ScaledFill), true)))
+    assert(stream(1500L) == ((Some(1.5), Some(Model.ImputeType.ScaledFill), true)))
+    assert(stream(1800L) == ((Some(3.0), Some(Model.ImputeType.ScaledFill), true)))
+    // zero-avg gap degrades to linear
+    assert(stream(2700L)._2.contains(Model.ImputeType.LinearFill))
+    // full parity on every jump-known row (all but the no-start first row)
+    slotsAvg.map(_._1).drop(1).foreach { ts =>
+      val (sDiff, sType, _) = stream(ts)
+      val (bDiff, bType) = batch(ts)
+      assert(sDiff == bDiff && sType == bType,
+        s"ts=$ts stream=($sDiff,$sType) batch=($bDiff,$bType)")
+    }
   }
 
   test("streaming fills match the batch cascade on the same frame") {
