@@ -72,17 +72,33 @@ object Pipeline {
     * reference's staged materialization; at production scale prefer
     * durable checkpoints via [[Sources.writeStage]]).
     */
+  /** `assumeColocated = true` declares the input already hash-partitioned
+    * on (ProjectIdBSV, HuisIdBSV) — a bucketed table written with
+    * [[Sources.writeBucketed]] on those keys. The pipeline then relies on
+    * the storage co-location instead of shuffling the full readings: the
+    * one full-table exchange the impute windows otherwise require
+    * disappears from the plan (BucketingSpec asserts zero
+    * house-partitioned exchanges remain; the only shuffles left touch
+    * house- or project-grain aggregates). At 100 TB this turns every
+    * pipeline run's largest exchange into a metadata no-op for the price
+    * of one bucketed write.
+    */
   def run(household: DataFrame,
           cumulativeCols: Seq[String] = cumulativeColumns,
           intervals: Seq[String] = Seq("5min", "15min", "60min", "6h", "24h"),
-          localCheckpointEvery: Option[Int] = None)
+          localCheckpointEvery: Option[Int] = None,
+          assumeColocated: Boolean = false)
       : Stages = {
 
     // One shuffle serves all per-house windows of every column below
-    // (mirrors sort_for_impute, impute.py:415-441, as a physical hint).
-    lazy val sorted = household
-      .repartition(col(ProjectId), col(HouseId))
-      .sortWithinPartitions(ProjectId, HouseId, ReadingDate)
+    // (mirrors sort_for_impute, impute.py:415-441, as a physical hint);
+    // a co-located input skips it and only sorts within partitions.
+    lazy val sorted =
+      if (assumeColocated)
+        household.sortWithinPartitions(ProjectId, HouseId, ReadingDate)
+      else household
+        .repartition(col(ProjectId), col(HouseId))
+        .sortWithinPartitions(ProjectId, HouseId, ReadingDate)
 
     // I3..I9 for ALL columns in batched stages (shared lag/cumsum/house
     // window nodes + one per-gap window node per column): byte-identical

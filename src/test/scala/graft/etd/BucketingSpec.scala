@@ -60,4 +60,50 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_meta")
     }
   }
+
+  /** Exchanges whose partitioning involves the house key — the pipeline's
+    * one full-table shuffle. Aggregate-grain shuffles (project, bucket)
+    * are inherent to the computation and excluded.
+    */
+  private def houseExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains(Model.HouseId) => e
+    }.length
+
+  test("bucketed pipeline input: the full-table impute shuffle disappears") {
+    val dir = Files.createTempDirectory("bpipe").toFile.getAbsolutePath
+    // tiny household frame: 4 houses x 50 slots, one cumulative column
+    val rows = for (h <- 1L to 4L; s <- 1L to 50L) yield
+      (h % 2, h, new java.sql.Timestamp(s * 300000), s * 0.5,
+        if (s % 7 == 0) None else Some(0.5))
+    val household = rows.toDF(Model.ProjectId, Model.HouseId,
+        Model.ReadingDate, "M", "MDiff")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // AQE off for structural exchange counting; broadcast stays ENABLED —
+    // the avg-diffs join-back broadcasts its small side in production, and
+    // forcing it to sort-merge would reshuffle the big side on
+    // (project, date), destroying the co-location under test.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Sources.writeBucketed(household, "b_household", s"$dir/household", 4,
+        bucketCols = Seq(Model.ProjectId, Model.HouseId),
+        sortCols = Seq(Model.ProjectId, Model.HouseId))
+      val colocated = Pipeline.run(spark.table("b_household"), Seq("M"),
+        assumeColocated = true).imputed
+      val plain = Pipeline.run(household, Seq("M")).imputed
+      assert(houseExchanges(colocated) == 0,
+        s"bucketed input must not reshuffle on the house key:\n${colocated.queryExecution.executedPlan}")
+      assert(houseExchanges(plain) >= 1, "the unbucketed pipeline shuffles once")
+      // and the co-located plan still computes the same thing
+      val a = colocated.orderBy(Model.HouseId, Model.ReadingDate)
+        .select("M", "MDiff", "MOriginal").collect().toSeq
+      val b = plain.orderBy(Model.HouseId, Model.ReadingDate)
+        .select("M", "MDiff", "MOriginal").collect().toSeq
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sql("DROP TABLE IF EXISTS b_household")
+    }
+  }
 }
