@@ -31,6 +31,7 @@ object Bench {
     "q_a6a7_project_agg",
     "q_w1_rolling",
     "q_w12_mark_coldest",
+    "q_weather_table",
     "q_j3_weather_join",
     "q_dedup_exact",
     "q_minhash_sig",

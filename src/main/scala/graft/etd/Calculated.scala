@@ -18,28 +18,38 @@ object Calculated {
 
   /** I13 — the 8 derived measures + the Zon-opwekTotaalDiff ->
     * ZonopwekBruto rename, every input null-treated as 0. Pure
-    * withColumn expressions: fused by whole-stage codegen, no shuffle.
+    * projections fused by whole-stage codegen, no shuffle. THREE
+    * dependency-leveled selects rather than nine chained withColumns: in
+    * the composed pipeline this sits atop an ~80-node plan, and every
+    * chained withColumn re-runs the analyzer over the whole accumulated
+    * tree — the same superlinear-cost shape the batched impute and
+    * cumulative rebuild already avoid.
     */
-  def addEnergyBalance(df: DataFrame): DataFrame =
-    df
-      .withColumn("TerugleveringTotaalNetto",
-        z("ElektriciteitTerugleveringLaagDiff") + z("ElektriciteitTerugleveringHoogDiff"))
-      .withColumn("ElektriciteitsgebruikTotaalNetto",
-        z("ElektriciteitNetgebruikLaagDiff") + z("ElektriciteitNetgebruikHoogDiff"))
-      .withColumn("Netuitwisseling",
-        z("ElektriciteitsgebruikTotaalNetto") - z("TerugleveringTotaalNetto"))
-      .withColumn("ElektriciteitsgebruikTotaalWarmtepomp",
-        z("ElektriciteitsgebruikWarmtepompDiff") + z("ElektriciteitsgebruikBoosterDiff"))
-      .withColumn("ElektriciteitsgebruikTotaalGebouwgebonden",
-        z("ElektriciteitsgebruikTotaalWarmtepomp") + z("ElektriciteitsgebruikBoilervatDiff")
-          + z("ElektriciteitsgebruikWTWDiff") + z("ElektriciteitsgebruikRadiatorDiff"))
+  def addEnergyBalance(df: DataFrame): DataFrame = {
+    val star = col("*")
+    val l1 = df
       .withColumnRenamed("Zon-opwekTotaalDiff", "ZonopwekBruto")
-      .withColumn("ElektriciteitsgebruikTotaalHuishoudelijk",
-        z("Netuitwisseling") + z("ZonopwekBruto")
-          - z("ElektriciteitsgebruikTotaalGebouwgebonden"))
-      .withColumn("Zelfgebruik", z("ZonopwekBruto") - z("TerugleveringTotaalNetto"))
-      .withColumn("ElektriciteitsgebruikTotaalBruto",
-        z("ElektriciteitsgebruikTotaalNetto") + z("Zelfgebruik"))
+      .select(star,
+        (z("ElektriciteitTerugleveringLaagDiff") +
+          z("ElektriciteitTerugleveringHoogDiff")).as("TerugleveringTotaalNetto"),
+        (z("ElektriciteitNetgebruikLaagDiff") +
+          z("ElektriciteitNetgebruikHoogDiff")).as("ElektriciteitsgebruikTotaalNetto"),
+        (z("ElektriciteitsgebruikWarmtepompDiff") +
+          z("ElektriciteitsgebruikBoosterDiff")).as("ElektriciteitsgebruikTotaalWarmtepomp"))
+    val l2 = l1.select(star,
+      (z("ElektriciteitsgebruikTotaalNetto") - z("TerugleveringTotaalNetto"))
+        .as("Netuitwisseling"),
+      (z("ElektriciteitsgebruikTotaalWarmtepomp") + z("ElektriciteitsgebruikBoilervatDiff")
+        + z("ElektriciteitsgebruikWTWDiff") + z("ElektriciteitsgebruikRadiatorDiff"))
+        .as("ElektriciteitsgebruikTotaalGebouwgebonden"),
+      (z("ZonopwekBruto") - z("TerugleveringTotaalNetto")).as("Zelfgebruik"))
+    l2.select(star,
+      (z("Netuitwisseling") + z("ZonopwekBruto")
+        - z("ElektriciteitsgebruikTotaalGebouwgebonden"))
+        .as("ElektriciteitsgebruikTotaalHuishoudelijk"),
+      (z("ElektriciteitsgebruikTotaalNetto") + z("Zelfgebruik"))
+        .as("ElektriciteitsgebruikTotaalBruto"))
+  }
 
   /** I14 — kWh-per-interval -> kW conversion column. */
   def toPower(c: Column, interval: String): Column =

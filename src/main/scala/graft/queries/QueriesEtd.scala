@@ -619,8 +619,8 @@ object QueriesEtd {
           .cast("long") * 300L))
     val wHouse = Window.partitionBy(ProjectId, HouseId).orderBy(ReadingDate)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCums = cums.foldLeft(grid)((df, c) =>
-      df.withColumn(c, sum(Model.diffCol(c)).over(wHouse)))
+    val withCums = grid.select(col("*") +:
+      cums.map(c => sum(Model.diffCol(c)).over(wHouse).as(c)): _*)
     val stages = graft.etd.Pipeline.run(withCums, cums,
       intervals = Seq("5min", "60min", "24h"))
     stages.projectAggregated("60min")
