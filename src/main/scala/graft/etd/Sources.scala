@@ -72,11 +72,17 @@ object Sources {
     * comes from the parsed header.
     */
   def readKnmiCsv(spark: SparkSession, path: String): DataFrame = {
-    val headerLine = spark.read.text(path)
+    // driver-side collect is bounded: a well-formed KNMI preamble is tens
+    // of lines; a pathological all-comment file must not OOM the driver
+    val maxPreamble = 10000
+    val preamble = spark.read.text(path)
       .filter(col("value").startsWith("#"))
       .orderBy(monotonically_increasing_id())
+      .limit(maxPreamble + 1)
       .collect()
-      .lastOption
+    require(preamble.length <= maxPreamble,
+      s"$path has >$maxPreamble '#' lines — not a KNMI preamble")
+    val headerLine = preamble.lastOption
       .map(_.getString(0))
       .getOrElse(throw new IllegalArgumentException(
         s"No '#' header preamble found in $path"))

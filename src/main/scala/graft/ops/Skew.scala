@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Content-derived row salt: xxhash64 over every column, mod `salt`.
+    * Unlike monotonically_increasing_id this is a pure function of the
+    * row — identical across task retries and repartitionings (a retried
+    * salted stage reproduces the same partials). Full-row duplicates
+    * share a salt, which only degrades the spread if a hot key's rows
+    * are ALSO byte-identical.
+    */
+  private def rowSalt(df: DataFrame, salt: Int) =
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salt.toLong))
+
   /** Salted equi-join: the big side gets a deterministic row salt, the
     * small side is replicated `salt` ways, and the join key becomes
     * (keys :+ __salt) — one hot key's rows spread over `salt` tasks
@@ -30,8 +40,7 @@ object Skew {
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(Seq("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
       .contains(joinType.toLowerCase), s"saltedJoin does not support $joinType")
-    val bigS = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+    val bigS = big.withColumn("__salt", rowSalt(big, salt))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
@@ -62,8 +71,7 @@ object Skew {
       case "min" => min(col(v)).as(v)
       case other => throw new IllegalArgumentException(s"Unknown method $other")
     }
-    val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+    val salted = df.withColumn("__salt", rowSalt(df, salt))
     val p1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(phase1(aggs.head._1, aggs.head._2),
         aggs.tail.map { case (v, m) => phase1(v, m) }: _*)
