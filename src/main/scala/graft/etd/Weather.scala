@@ -202,11 +202,19 @@ object Weather {
     * backend. days_in_week rounds count/24 to the nearest int (the
     * reference's double->int cast semantics on that backend).
     *
-    * Scale shape: ONE exchange total. Every window (rolling, period
-    * marks, ISO-week means) and the weekly-summary distinct/rank key on a
-    * superset of STN, so the per-station shuffle is reused throughout,
-    * and the weekly summary (|stations| x |weeks| rows) joins back as a
-    * broadcast.
+    * The coldest-2-ISO-week flags are dense_rank over the weekly means
+    * evaluated PER ROW: (weekly mean, week) is unique per week, so this
+    * equals the reference's distinct-summary -> row_number -> join-back
+    * (load_data.py:196-243) with a deterministic tie-break — and it
+    * removes the summary branch entirely. The distinct+join shape is a
+    * hidden duplicate subtree: column pruning strips the shared windows
+    * out of the summary branch, so it re-scans and re-shuffles the raw
+    * input instead of reusing anything (observed in the physical plan).
+    *
+    * Scale shape: ONE exchange and ONE scan total — every window
+    * (rolling, period marks, ISO-week means, week ranks) keys on a
+    * superset of STN, so the per-station shuffle serves the whole table
+    * (PlanAssertionsSpec pins exchanges == 1).
     */
   def weatherTable(raw: DataFrame): DataFrame = {
     val byHour = Seq(col("YYYYMMDD"), col("HH"))
@@ -236,13 +244,12 @@ object Weather {
       .withColumn("days_in_week",
         round(count(col("date_column")).over(Window.partitionBy(weekly: _*)) / 24.0)
           .cast("int"))
-    val summary = iso.select("STN", "year", "week_of_year",
-        "TemperatuurISOWk", "GevoelstemperatuurISOWk", "days_in_week").distinct()
-    val flags = coldestWeekFlags(
-      coldestWeekFlags(summary, "TemperatuurISOWk", "Koudste2ISOWkTemperatuur"),
-      "GevoelstemperatuurISOWk", "Koudste2ISOWkGevoelstemperatuur")
-      .select("STN", "year", "week_of_year",
-        "Koudste2ISOWkTemperatuur", "Koudste2ISOWkGevoelstemperatuur")
-    joinWeeklyFlags(iso, flags)
+    val wT = Window.partitionBy(col("STN"), col("year"))
+      .orderBy(col("TemperatuurISOWk").asc_nulls_last, col("week_of_year"))
+    val wG = Window.partitionBy(col("STN"), col("year"))
+      .orderBy(col("GevoelstemperatuurISOWk").asc_nulls_last, col("week_of_year"))
+    iso
+      .withColumn("Koudste2ISOWkTemperatuur", dense_rank().over(wT) <= 2)
+      .withColumn("Koudste2ISOWkGevoelstemperatuur", dense_rank().over(wG) <= 2)
   }
 }

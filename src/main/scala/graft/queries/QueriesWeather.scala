@@ -332,24 +332,20 @@ object QueriesWeather {
         |    avg(gevoelstemperatuur) OVER wk AS g_isowk,
         |    round(count(date_column) OVER wk / 24.0)::INT AS days_in_week
         |  FROM kwk WINDOW wk AS (PARTITION BY stn, year, week_of_year)
-        |), ksum AS (
-        |  SELECT DISTINCT stn, year, week_of_year, t_isowk, g_isowk, days_in_week FROM kiso
-        |), krk AS (
-        |  SELECT stn, year, week_of_year,
-        |    (row_number() OVER (PARTITION BY stn, year ORDER BY t_isowk) <= 2) AS k2iso_t,
-        |    (row_number() OVER (PARTITION BY stn, year ORDER BY g_isowk) <= 2) AS k2iso_g
-        |  FROM ksum
         |)
-        |SELECT k.stn, k.hr,
-        |  floor(k.temperatuur * 1000000 + 0.499) / 1000000 AS temp,
-        |  floor(k.t_ra * 1000000 + 0.499) / 1000000 AS t_ra,
-        |  floor(k.g_ra * 1000000 + 0.499) / 1000000 AS g_ra,
-        |  k.k2wk_t, k.k2wk_g, k.year, k.week_of_year,
-        |  k.day_of_week,
-        |  floor(k.t_isowk * 1000000 + 0.499) / 1000000 AS t_isowk,
-        |  k.days_in_week::BIGINT AS days_in_week,
-        |  r.k2iso_t, r.k2iso_g
-        |FROM kiso k LEFT JOIN krk r ON k.stn = r.stn AND k.year = r.year AND k.week_of_year = r.week_of_year""".stripMargin,
+        |SELECT stn, hr,
+        |  floor(temperatuur * 1000000 + 0.499) / 1000000 AS temp,
+        |  floor(t_ra * 1000000 + 0.499) / 1000000 AS t_ra,
+        |  floor(g_ra * 1000000 + 0.499) / 1000000 AS g_ra,
+        |  k2wk_t, k2wk_g, year, week_of_year,
+        |  day_of_week,
+        |  floor(t_isowk * 1000000 + 0.499) / 1000000 AS t_isowk,
+        |  days_in_week::BIGINT AS days_in_week,
+        |  (dense_rank() OVER (PARTITION BY stn, year
+        |    ORDER BY t_isowk ASC NULLS LAST, week_of_year) <= 2) AS k2iso_t,
+        |  (dense_rank() OVER (PARTITION BY stn, year
+        |    ORDER BY g_isowk ASC NULLS LAST, week_of_year) <= 2) AS k2iso_g
+        |FROM kiso""".stripMargin,
     "q_qa_missing_weather" -> (QueriesEtd.shimSql +
       """, keyed AS (
         |  SELECT project, value, make_timestamp(t_us) AS rdate, project % 3 AS STN,

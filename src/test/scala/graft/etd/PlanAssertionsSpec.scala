@@ -70,6 +70,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"unexpected spine self-join in resample plan:\n$p")
   }
 
+  test("weatherTable: one exchange serves every window, distinct, and rank") {
+    import spark.implicits._
+    val raw = (1 to 200).map(h => (260L, 20240101 + h / 24, h % 24 + 1,
+        (h % 50).toDouble, 30.0, 80.0))
+      .toDF("STN", "YYYYMMDD", "HH", "T", "FH", "U")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(Weather.weatherTable(raw))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      // the per-station window shuffle; the weekly distinct/ranks key on
+      // a superset of STN and the summary joins back as a broadcast
+      assert(exchanges == 1, s"weatherTable must shuffle once, got $exchanges:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("gap windows reuse the (project, house) partitioning: sorts only") {
     // HashPartitioning(P,H) satisfies ClusteredDistribution(P,H,cvg) —
     // the per-gap windows must add local sorts, never a new exchange.
