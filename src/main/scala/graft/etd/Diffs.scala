@@ -1,6 +1,7 @@
 package graft.etd
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Model._
@@ -47,11 +48,24 @@ object Diffs {
   }
 
   /** Household max + bound table (`household_diff_max_bounds`,
-    * impute.py:532-535): house maxima joined with their project bounds.
-    * The bounds side is per-project (tiny) -> broadcast.
+    * impute.py:532-535): house maxima with their project bounds stamped
+    * on. The bounds are the percentile computed as a WINDOW over the
+    * (house-level, small) maxima frame rather than a groupBy + join-back:
+    * the join form references the house-max subtree twice, and since
+    * column pruning specializes each reference, Spark re-executes the
+    * ENTIRE upstream (at 100 TB: a full extra pass over the readings)
+    * for the bounds branch. The window form keeps one subtree; values
+    * are bit-identical (exact percentile is deterministic).
     */
-  def householdMaxWithBounds(houseMax: DataFrame, bounds: DataFrame): DataFrame =
-    houseMax.join(broadcast(bounds), Seq(ProjectId), "left")
+  def householdMaxWithBounds(houseMax: DataFrame,
+                             diffCols: Seq[String]): DataFrame = {
+    val wP = Window.partitionBy(ProjectId)
+    houseMax.select(col("*") +: diffCols.map { c =>
+      (Aggregates.exactPercentile(
+        when(col(huisMaxCol(c)) > 1e-8, col(huisMaxCol(c))), 0.95).over(wP) * 2)
+        .as(upperBoundCol(c))
+    }: _*)
+  }
 
   /** The `avg_diffs` table: per (project, ReadingDate) mean of each diff
     * column over *included* households only (impute.py:93-118) — one output
@@ -82,9 +96,7 @@ object Diffs {
     */
   def prepare(df: DataFrame, cumulativeCols: Seq[String]): (DataFrame, DataFrame) = {
     val diffCols = cumulativeCols.map(diffCol)
-    val hm = householdMax(df, diffCols)
-    val ub = upperBounds(hm, diffCols)
-    val maxBounds = householdMaxWithBounds(hm, ub)
+    val maxBounds = householdMaxWithBounds(householdMax(df, diffCols), diffCols)
     (averageDiffs(df, maxBounds, diffCols), maxBounds)
   }
 

@@ -70,6 +70,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"unexpected spine self-join in resample plan:\n$p")
   }
 
+  test("I2: bounds table scans its input once (percentile as window, no join-back)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as(Model.ProjectId),
+        col("l_partkey").as(Model.HouseId),
+        to_timestamp(col("l_shipdate")).as(Model.ReadingDate),
+        col("l_quantity").cast("double").as("vDiff"))
+    val (_, maxBounds) = Diffs.prepare(li, Seq("v"))
+    val p = plan(maxBounds)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"bounds branch re-scans its input ($scans scans):\n$p")
+    assert(!p.contains("Join"), s"unexpected bounds join-back:\n$p")
+  }
+
   test("weatherTable: one exchange serves every window, distinct, and rank") {
     import spark.implicits._
     val raw = (1 to 200).map(h => (260L, 20240101 + h / 24, h % 24 + 1,
