@@ -93,6 +93,13 @@ object Diffs {
     * (prepare_diffs_for_impute, impute.py:469-537). Negative diffs raise in
     * the reference (impute.py:107-109); use [[Impute.violationCounts]] as
     * the pre-commit gate.
+    *
+    * Cost shape: two map-side-combining passes over `df` (house maxima;
+    * per-(project, ReadingDate) masked means) in addition to the
+    * consumer's own — fine when `df` is a stored table, where each pass
+    * is a pruned scan. When `df` is an expensive derived lineage (long
+    * window chains), cut it first (a written stage, localCheckpoint, or
+    * cache); each pass re-executes the lineage otherwise.
     */
   def prepare(df: DataFrame, cumulativeCols: Seq[String]): (DataFrame, DataFrame) = {
     val diffCols = cumulativeCols.map(diffCol)
