@@ -142,6 +142,12 @@ object Pipeline {
   /** Write every stage as the reference's staged parquet layout
     * (SURVEY §1.1 eager-pipeline row; names mirror
     * aggregate.py:118-121,224-261,294-297,411-414,481-484).
+    *
+    * Each write materializes its own lineage; the stages share the impute
+    * DAG, so build `stages` with `localCheckpointEvery = Some(1)` (cut
+    * after the impute stage) when writing all of them — otherwise every
+    * sink re-executes the shared cascade (the reference avoids the same
+    * re-compute by materializing parquet between steps).
     */
   def writeStages(stages: Stages, dir: String): Unit = {
     Sources.writeStage(stages.imputed, dir, "household_imputed")
