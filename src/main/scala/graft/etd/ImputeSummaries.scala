@@ -87,4 +87,84 @@ object ImputeSummaries {
     */
   def over40PctImputed(summary: DataFrame): DataFrame =
     summary.filter(col("percentage_imputed") > 40)
+
+  /** Per-reading-date imputation statistics
+    * (get_reading_date_imputation_stats,
+    * /root/reference/etdtransform/impute.py:330-412): for each
+    * (project, date, column) — imputed count, remaining-NA count, total
+    * records, original count and the three percentages. The reference's
+    * per-column groupby loop + concat is ONE grouped pass here: all
+    * columns aggregate together (two exprs per column, map-side
+    * combined), then the per-column stats unpivot via posexplode of an
+    * already-aggregated frame — so the input is scanned once no matter
+    * how many columns are audited, and the explode multiplies only
+    * |groups| rows, never readings.
+    *
+    * `dateCol` defaults to ReadingDate; pass a coarser bucket to audit at
+    * a different grain.
+    */
+  def readingDateStats(df: DataFrame, cums: Seq[String],
+                       dateCol: String = ReadingDate): DataFrame = {
+    val aggs = cums.flatMap { c =>
+      Seq(
+        coalesce(sum(col(isImputedCol(c)).cast("long")), lit(0L))
+          .as(s"__imp_$c"),
+        count(lit(1)).minus(count(col(diffCol(c)))).as(s"__na_$c"))
+    }
+    val g = df.groupBy(col(ProjectId), col(dateCol))
+      .agg(count(lit(1)).as("total_records"), aggs: _*)
+    g.select(col(ProjectId) +: col(dateCol) +: col("total_records") +:
+        Seq(explode(array(cums.map(c => struct(
+          lit(c).as("column"),
+          col(s"__imp_$c").as("imputed"),
+          col(s"__na_$c").as("na"))): _*)).as("__s")): _*)
+      .select(col(ProjectId), col(dateCol), col("__s.column").as("column"),
+        col("__s.imputed").as("imputed"), col("__s.na").as("na"),
+        col("total_records"))
+      .withColumn("original",
+        col("total_records") - col("imputed") - col("na"))
+      .withColumn("percent_imputed",
+        col("imputed") / col("total_records") * 100)
+      .withColumn("percent_na", col("na") / col("total_records") * 100)
+      .withColumn("percent_original",
+        col("original") / col("total_records") * 100)
+  }
+
+  /** Household cumulative-column validation report
+    * (validate_household_column,
+    * /root/reference/etdtransform/impute.py:262-327): the reference loops
+    * households, logging and returning a per-house boolean; here the
+    * whole fleet validates in ONE aggregation pass and the log lines
+    * become flag columns. `valid` reproduces the reference's return value
+    * exactly: false when the column is all-missing, sums to zero, or
+    * never changes.
+    *
+    * Sums are decimal-exact (order-independent), so "== 0" cannot flip on
+    * float summation order between engines; the reference's
+    * round(sum, 10) == 0 test on rounded inputs is the same predicate.
+    * For an all-missing house the reference returns early, never
+    * evaluating the later checks — the zero_sum/no_change flags are
+    * reported true there (pandas sum of all-NaN is 0.0; a vacuous skip),
+    * which keeps `valid` identical.
+    */
+  def validateHouseholds(df: DataFrame, cum: String): DataFrame = {
+    val dec = col(cum).cast("decimal(28,12)")
+    val diffDec = col(diffCol(cum)).cast("decimal(28,12)")
+    df.groupBy(col(HouseId))
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(cum))).as("n_na"),
+        sum(dec).as("__sum"),
+        (max(col(cum)) - min(col(cum))).as("__range"),
+        sum(diffDec).as("__diff_sum"))
+      .withColumn("all_missing", col("n_na") === col("n"))
+      .withColumn("over_40_pct_na", col("n_na") / col("n") > 0.4)
+      .withColumn("zero_sum", coalesce(col("__sum") === 0, lit(true)))
+      .withColumn("no_change", coalesce(col("__range") === 0, lit(true)))
+      .withColumn("no_nonzero_diff",
+        coalesce(col("__diff_sum") === 0, lit(true)))
+      .withColumn("valid",
+        !(col("all_missing") || col("zero_sum") || col("no_change")))
+      .drop("__sum", "__range", "__diff_sum")
+  }
 }

@@ -630,6 +630,33 @@ object QueriesEtd {
         col("n"))
   }
 
+  /** QA — per-reading-date imputation statistics
+    * (get_reading_date_imputation_stats, impute.py:330-412), audited at
+    * the hourly grain so groups span houses (the shim's raw µs timestamps
+    * are house-unique, which would make every percentage 0 or 100).
+    */
+  def q_qa_reading_date_stats(spark: SparkSession, dir: String): DataFrame = {
+    val imputed = Impute.imputeColumn(withAverages(readings(spark, dir)),
+      "Meter", keepGapCols = true)
+    ImputeSummaries.readingDateStats(imputed, Seq("Meter"), dateCol = "b_us")
+      .select(col(ProjectId).as("project"), col("b_us"),
+        col("column"), col("imputed"), col("na"), col("total_records"),
+        col("original"),
+        round(col("percent_imputed"), 6).as("pct_imputed"),
+        round(col("percent_na"), 6).as("pct_na"),
+        round(col("percent_original"), 6).as("pct_original"))
+  }
+
+  /** QA — household cumulative-column validation
+    * (validate_household_column, impute.py:262-327) over the whole fleet
+    * in one pass; the reference's log lines are flag columns.
+    */
+  def q_qa_validate_household(spark: SparkSession, dir: String): DataFrame =
+    ImputeSummaries.validateHouseholds(readings(spark, dir), "Meter")
+      .select(col(HouseId).as("huis"), col("n"), col("n_na"),
+        col("all_missing"), col("over_40_pct_na"), col("zero_sum"),
+        col("no_change"), col("no_nonzero_diff"), col("valid"))
+
   // ------------------------------------------------------------------
   // Registry + oracles
   // ------------------------------------------------------------------
@@ -653,10 +680,44 @@ object QueriesEtd {
     "q_i10_summary_house" -> (q_i10_summary_house _),
     "q_a11_summary_project" -> (q_a11_summary_project _),
     "q_pipeline_e2e" -> (q_pipeline_e2e _),
+    "q_qa_reading_date_stats" -> (q_qa_reading_date_stats _),
+    "q_qa_validate_household" -> (q_qa_validate_household _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_pipeline_e2e" -> pipeSql,
+    "q_qa_reading_date_stats" -> (cascadeSql +
+      """, rds AS (
+        |  SELECT project, (t_us//3600000000)*3600000000 AS b_us,
+        |    count(*) AS total_records,
+        |    sum((impute_type IS NOT NULL)::INT)::BIGINT AS imputed,
+        |    (count(*) - count(imputed_diff))::BIGINT AS na
+        |  FROM c1 GROUP BY 1, 2
+        |)
+        |SELECT project, b_us, 'Meter' AS "column", imputed, na, total_records,
+        |  total_records - imputed - na AS original,
+        |  round(imputed/total_records*100, 6) AS pct_imputed,
+        |  round(na/total_records*100, 6) AS pct_na,
+        |  round((total_records - imputed - na)/total_records*100, 6) AS pct_original
+        |FROM rds""".stripMargin),
+    "q_qa_validate_household" -> (shimSql +
+      """, vh AS (
+        |  SELECT huis, count(*) AS n, count(*) - count(meter) AS n_na,
+        |    sum(meter::DECIMAL(28,12)) AS s,
+        |    max(meter) - min(meter) AS rg,
+        |    sum(meter_diff::DECIMAL(28,12)) AS ds
+        |  FROM r GROUP BY 1
+        |), vf AS (
+        |  SELECT huis, n, n_na,
+        |    (n_na = n) AS all_missing,
+        |    (n_na / n > 0.4) AS over_40_pct_na,
+        |    coalesce(s = 0, true) AS zero_sum,
+        |    coalesce(rg = 0, true) AS no_change,
+        |    coalesce(ds = 0, true) AS no_nonzero_diff
+        |  FROM vh
+        |)
+        |SELECT *, NOT (all_missing OR zero_sum OR no_change) AS valid
+        |FROM vf""".stripMargin),
     "q_i3_gap_groups" -> (gapsSql +
       " SELECT huis, t_us, cvg, gap_length FROM g4 WHERE cvg IS NOT NULL"),
     "q_i4_gap_stats" -> (statsSql +

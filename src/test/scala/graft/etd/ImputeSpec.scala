@@ -161,4 +161,51 @@ class ImputeSpec extends AnyFunSuite {
     assert(a == b, s"batched impute diverges: ${(a -- b).take(3)} vs ${(b -- a).take(3)}")
     assert(a.nonEmpty)
   }
+
+  test("readingDateStats: counts partition into imputed/na/original (impute.py:330-412)") {
+    val stats = ImputeSummaries.readingDateStats(
+        Impute.imputeColumn(frame(h1), "Meter", keepGapCols = true),
+        Seq("Meter"), dateCol = "t")
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (imp, na, tot, orig) = (r.getAs[Long]("imputed"), r.getAs[Long]("na"),
+        r.getAs[Long]("total_records"), r.getAs[Long]("original"))
+      assert(imp + na + orig == tot, s"counts don't partition: $r")
+      assert(math.abs(r.getAs[Double]("percent_imputed") +
+        r.getAs[Double]("percent_na") +
+        r.getAs[Double]("percent_original") - 100.0) < 1e-9)
+      assert(r.getAs[String]("column") == "Meter")
+    }
+    // fixture t=7..9 is the LINEAR_FILL gap: houses 1 of 4 at that slot
+    val t7 = stats.find(r => r.getAs[Int]("t") == 7).get
+    assert(t7.getAs[Long]("imputed") == 1L && t7.getAs[Long]("na") == 0L)
+  }
+
+  test("validateHouseholds: all-missing / zero-sum / no-change invalid (impute.py:262-327)") {
+    val rows: Seq[(Long, Long, Int, Option[Double], Option[Double])] = Seq(
+      // house 10: healthy (valid)
+      (1L, 10L, 1, Some(1.0), None), (1L, 10L, 2, Some(2.0), None),
+      (1L, 10L, 3, Some(4.0), None),
+      // house 11: all missing
+      (1L, 11L, 1, None, None), (1L, 11L, 2, None, None),
+      // house 12: constant zero (zero sum AND no change)
+      (1L, 12L, 1, Some(0.0), None), (1L, 12L, 2, Some(0.0), None),
+      // house 13: constant non-zero (no change only)
+      (1L, 13L, 1, Some(5.0), None), (1L, 13L, 2, Some(5.0), None),
+      // house 14: healthy but gappy >40% NA
+      (1L, 14L, 1, Some(1.0), None), (1L, 14L, 2, None, None),
+      (1L, 14L, 3, None, None), (1L, 14L, 4, None, None),
+      (1L, 14L, 5, Some(3.0), None),
+    )
+    val rep = ImputeSummaries.validateHouseholds(frame(rows), "Meter")
+      .collect().map(r => r.getAs[Long](HouseId) -> r).toMap
+    assert(rep(10L).getAs[Boolean]("valid"))
+    assert(!rep(11L).getAs[Boolean]("valid") && rep(11L).getAs[Boolean]("all_missing"))
+    assert(!rep(12L).getAs[Boolean]("valid") && rep(12L).getAs[Boolean]("zero_sum"))
+    assert(!rep(13L).getAs[Boolean]("valid") && rep(13L).getAs[Boolean]("no_change")
+      && !rep(13L).getAs[Boolean]("zero_sum"))
+    assert(rep(14L).getAs[Boolean]("valid") && rep(14L).getAs[Boolean]("over_40_pct_na"))
+    assert(rep(11L).getAs[Long]("n_na") == 2L && rep(10L).getAs[Long]("n_na") == 0L)
+  }
 }
