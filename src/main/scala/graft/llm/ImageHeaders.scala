@@ -1,14 +1,16 @@
 package graft.llm
 
-/** Pure-JVM image-dimension probes — PNG IHDR, JPEG SOFn marker scan, GIF
-  * logical screen descriptor. No codec library: only the fixed header
-  * layouts each format specifies, so probing costs a few dozen byte reads
-  * per payload regardless of image size. Returns None for anything
-  * unrecognized or truncated (the caller's decode_error channel).
+/** Pure-JVM media-header probes — PNG IHDR, JPEG SOFn marker scan, GIF
+  * logical screen descriptor, WAV (RIFF) duration. No codec library: only
+  * the fixed header layouts each format specifies, so probing costs a few
+  * dozen byte reads per payload regardless of media size. Returns None
+  * for anything unrecognized or truncated (the caller's decode_error
+  * channel).
   *
-  * This replaces the hash-derived fake dimensions the multimodal stub
-  * used for images; audio/video duration still requires a real codec and
-  * remains stubbed ([[Multimodal.stubDecode]]).
+  * This replaces the hash-derived fake metadata the multimodal stub used
+  * for images and uncompressed audio; compressed audio/video duration
+  * still requires a real codec and remains stubbed
+  * ([[Multimodal.stubDecode]]).
   */
 object ImageHeaders {
 
@@ -76,4 +78,35 @@ object ImageHeaders {
 
   private def isGif(b: Array[Byte]): Boolean =
     b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+
+  private def le32(a: Array[Byte], i: Int): Long =
+    (u8(a(i)) | (u8(a(i + 1)) << 8) | (u8(a(i + 2)) << 16) |
+      (u8(a(i + 3)).toLong << 24)) & 0xffffffffL
+
+  /** WAV (RIFF/WAVE) duration probe: walk the chunk list for `fmt ` (byte
+    * rate at offset 8 of its payload) and `data` (payload size), duration
+    * = data bytes * 1000 / byte rate. Chunk sizes are trusted as real
+    * probes do — the data payload itself need not be present. Chunks are
+    * word-aligned (odd sizes pad one byte). None for anything that is not
+    * a RIFF/WAVE or lacks either chunk.
+    */
+  def wavDurationMs(b: Array[Byte]): Option[Long] = {
+    if (b == null || b.length < 28) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return None
+    var i = 12
+    var byteRate = -1L
+    var dataSize = -1L
+    while (i + 8 <= b.length && (byteRate < 0 || dataSize < 0)) {
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+      val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
+      val size = le32(b, i + 4)
+      if (isFmt && i + 8 + 12 <= b.length) byteRate = le32(b, i + 16)
+      if (isData) dataSize = size
+      i += (8L + size + (size & 1L)).min(Int.MaxValue).toInt
+    }
+    if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000L / byteRate)
+    else None
+  }
 }

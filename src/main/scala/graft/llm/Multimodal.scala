@@ -8,14 +8,14 @@ import org.apache.spark.sql.types._
   * pipelines: media travel as opaque `binary` columns with typed metadata
   * structs; decode / feature-extract steps run per-partition in batches.
   *
-  * Image dimensions are decoded from REAL payload bytes
-  * ([[ImageHeaders]]: PNG IHDR / JPEG SOFn / GIF headers, pure JVM) in
-  * [[decodePartitions]]. Audio/video codecs are not vendored in this
-  * environment, so duration remains a clearly-marked deterministic STUB
-  * ([[stubDecode]]) — the Spark-side contract (schema, batch shape,
-  * partition-parallel execution, null-safe error channel) is real and
-  * tested; swapping the stub for a JNI/javacv decoder changes one
-  * function.
+  * Image dimensions and WAV audio duration are decoded from REAL payload
+  * bytes ([[ImageHeaders]]: PNG IHDR / JPEG SOFn / GIF / RIFF headers,
+  * pure JVM) in [[decodePartitions]]. Compressed audio/video codecs are
+  * not vendored in this environment, so THEIR duration remains a
+  * clearly-marked deterministic STUB ([[stubDecode]]) — the Spark-side
+  * contract (schema, batch shape, partition-parallel execution, null-safe
+  * error channel) is real and tested; swapping the stub for a JNI/javacv
+  * decoder changes one function.
   *
   * Scale notes: media bytes dominate row size, so every transform here
   * (a) never shuffles the binary payload — metadata extraction is map-only
@@ -45,11 +45,11 @@ object Multimodal {
 
   /** STUB decode ??? — deterministic fake dimensions derived from the
     * content hash, standing in for a codec where none is available. For
-    * image dimensions prefer [[decodePartitions]], which parses the REAL
-    * payload headers; this expression-only path remains for audio/video
-    * duration (no JVM-built-in codec) and for payloads that are not
-    * actually media. Everything downstream (schema, nullability, error
-    * channel) is identical either way.
+    * image dimensions and WAV duration prefer [[decodePartitions]], which
+    * parses the REAL payload headers; this expression-only path remains
+    * for compressed audio/video duration (no JVM-built-in codec) and for
+    * payloads that are not actually media. Everything downstream (schema,
+    * nullability, error channel) is identical either way.
     */
   def stubDecode(bin: Column, mime: Column): Column = {
     val h = TextFunctions.hash64(md5(bin))
@@ -87,13 +87,14 @@ object Multimodal {
       .repartitionByRange(numPartitions, col("__w"), col(bin).isNull)
       .drop("__w")
 
-  /** Batch decode via mapPartitions. Image dimensions come from the REAL
-    * payload bytes ([[ImageHeaders]] — PNG/JPEG/GIF header parse, a few
-    * dozen byte reads per row); rows process in fixed-size batches (the
-    * shape a native decoder or model server wants). Unrecognized or empty
-    * payloads surface on the decode_error channel instead of failing the
-    * job. A full-pixel decoder (or audio/video probe) slots into the same
-    * batch loop.
+  /** Batch decode via mapPartitions. Image dimensions and WAV audio
+    * duration come from the REAL payload bytes ([[ImageHeaders]] —
+    * PNG/JPEG/GIF/RIFF header parse, a few dozen byte reads per row);
+    * rows process in fixed-size batches (the shape a native decoder or
+    * model server wants). Unrecognized or empty payloads surface on the
+    * decode_error channel instead of failing the job. A full-pixel
+    * decoder (or compressed audio/video probe) slots into the same batch
+    * loop.
     */
   def decodePartitions(df: DataFrame, idCol: String, binCol: String,
                        batchSize: Int = 32): DataFrame = {
@@ -103,6 +104,7 @@ object Multimodal {
       StructField("byte_length", LongType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
       StructField("ok", BooleanType),
       StructField("decode_error", StringType)))
     val idIdx = df.schema.fieldIndex(idCol)
@@ -112,15 +114,17 @@ object Multimodal {
         batch.map { r =>
           val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
           val dims = ImageHeaders.dimensions(bytes)
+          val dur = if (dims.isDefined) None else ImageHeaders.wavDurationMs(bytes)
           val err =
             if (bytes == null || bytes.isEmpty) "empty payload"
-            else if (dims.isEmpty) "unrecognized format"
+            else if (dims.isEmpty && dur.isEmpty) "unrecognized format"
             else null
           Row(r.getLong(idIdx),
             if (bytes == null) 0L else bytes.length.toLong,
             dims.map(d => Int.box(d._1)).orNull,
             dims.map(d => Int.box(d._2)).orNull,
-            dims.isDefined,
+            dur.map(Long.box).orNull,
+            dims.isDefined || dur.isDefined,
             err)
         }
       }

@@ -338,6 +338,34 @@ object QueriesLLM {
         col("height").cast("long").as("height"))
   }
 
+  /** Real WAV (RIFF) duration decode, oracled as a round-trip like
+    * [[q_multimodal_decode]]: CONSTRUCT a 44-byte canonical WAV header
+    * whose sample rate and data size derive from doc_id, parse it back
+    * with the pure-JVM RIFF chunk walk, and have DuckDB compute the
+    * expected duration arithmetically — any offset/endianness/chunk-walk
+    * bug fails the hash compare.
+    */
+  def q_multimodal_audio(spark: SparkSession, dir: String): DataFrame = {
+    def leB(c: Column, k: Int): Column =
+      unhex(lpad(hex(pmod(shiftrightunsigned(c, 8 * k), lit(256L))), 2, "0"))
+    def le16(c: Column): Column = concat(leB(c, 0), leB(c, 1))
+    def le32(c: Column): Column = concat(leB(c, 0), leB(c, 1), leB(c, 2), leB(c, 3))
+    val sampleRate = (pmod(col("doc_id"), lit(5L)) * 8000L + 8000L)
+    val byteRate = sampleRate * 2 // mono 16-bit PCM
+    val dataSize = pmod(col("doc_id") * 977L, lit(1000000L)) + 1000L
+    val wav = concat(
+      lit("RIFF".getBytes("US-ASCII")), le32(dataSize + 36L),
+      lit("WAVEfmt ".getBytes("US-ASCII")), le32(lit(16L)),
+      le16(lit(1L)), le16(lit(1L)), le32(sampleRate), le32(byteRate),
+      le16(lit(2L)), le16(lit(16L)),
+      lit("data".getBytes("US-ASCII")), le32(dataSize))
+    val src = table(spark, dir, "documents")
+      .select(col("doc_id"), wav.as("payload"))
+    Multimodal.decodePartitions(src, "doc_id", "payload")
+      .select(col("id").as("doc_id"), col("byte_length"),
+        col("duration_ms"), col("ok"))
+  }
+
   // ------------------------------------------------------------------
   // Registry + oracles
   // ------------------------------------------------------------------
@@ -367,6 +395,7 @@ object QueriesLLM {
     "q_pack_sequences" -> (q_pack_sequences _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
     "q_multimodal_decode" -> (q_multimodal_decode _),
+    "q_multimodal_audio" -> (q_multimodal_audio _),
   )
 
   private val enList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -679,6 +708,12 @@ object QueriesLLM {
         |  (CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 23 END)::BIGINT AS byte_length,
         |  (doc_id % 1920 + 1)::BIGINT AS width,
         |  (doc_id % 1080 + 1)::BIGINT AS height
+        |FROM documents""".stripMargin,
+    "q_multimodal_audio" ->
+      """SELECT doc_id, 44::BIGINT AS byte_length,
+        |  (((doc_id * 977) % 1000000 + 1000) * 1000)
+        |    // (((doc_id % 5) * 8000 + 8000) * 2) AS duration_ms,
+        |  true AS ok
         |FROM documents""".stripMargin,
   )
 }

@@ -315,10 +315,10 @@ class LlmSpec extends AnyFunSuite {
     val decoded = Multimodal.decodePartitions(df, "id", "bin", batchSize = 2)
       .collect().map(r => r.getLong(0) -> r).toMap
     // text payloads are not images: ok=false, error channel explains why
-    assert(!decoded(1L).getBoolean(4))
-    assert(decoded(1L).getString(5) == "unrecognized format")
-    assert(decoded(2L).getString(5) == "empty payload")
-    assert(decoded(3L).getLong(1) == 10L)
+    assert(!decoded(1L).getAs[Boolean]("ok"))
+    assert(decoded(1L).getAs[String]("decode_error") == "unrecognized format")
+    assert(decoded(2L).getAs[String]("decode_error") == "empty payload")
+    assert(decoded(3L).getAs[Long]("byte_length") == 10L)
   }
 
   test("multimodal: real PNG/JPEG/GIF header decode from actual image bytes") {
@@ -340,5 +340,35 @@ class LlmSpec extends AnyFunSuite {
     val out = Multimodal.decodePartitions(df, "id", "bin")
       .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
     assert(out == Map(1L -> ((123, 45)), 2L -> ((64, 128))))
+  }
+
+  test("multimodal: real WAV duration decode from actual audio bytes") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // 1.5 s of silence at 8 kHz mono 16-bit -> 24000 data bytes
+    def wavOf(sampleRate: Float, seconds: Double): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val n = (sampleRate * seconds).toLong
+      val pcm = new java.io.ByteArrayInputStream(new Array[Byte]((n * 2).toInt))
+      val ais = new AudioInputStream(pcm, fmt, n)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(ImageHeaders.wavDurationMs(wavOf(8000f, 1.5)).contains(1500L))
+    assert(ImageHeaders.wavDurationMs(wavOf(44100f, 0.25)).contains(250L))
+    assert(ImageHeaders.wavDurationMs("RIFFnope".getBytes).isEmpty)
+    // chunk walk: LIST chunk (odd size, word-padded) before fmt/data
+    val meta = "INFO123".getBytes("US-ASCII")
+    def le32b(v: Long): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val real = wavOf(8000f, 1.0)
+    val withList = real.slice(0, 12) ++
+      "LIST".getBytes("US-ASCII") ++ le32b(meta.length) ++ meta ++ Array[Byte](0) ++
+      real.drop(12)
+    assert(ImageHeaders.wavDurationMs(withList).contains(1000L))
+    val df = Seq((1L, wavOf(16000f, 2.0))).toDF("id", "bin")
+    val out = Multimodal.decodePartitions(df, "id", "bin").collect().head
+    assert(out.getAs[Long]("duration_ms") == 2000L)
+    assert(out.getAs[Boolean]("ok") && out.getAs[String]("decode_error") == null)
   }
 }
