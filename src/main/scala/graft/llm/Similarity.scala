@@ -204,6 +204,152 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (IVF-PQ storage + scoring tier)
+  // ------------------------------------------------------------------
+
+  /** Encode a vector as m per-subspace nearest-centroid codes (0-based
+    * `array<int>`): subspace j is components [j*sub, (j+1)*sub) and its
+    * code is the [[org.apache.spark.sql.graft.L2Argmin]] assignment
+    * against codebook j. With m=8 subspaces and k<=256 centroids a 64-dim
+    * float vector (256 bytes) compresses to 8 bytes — the storage lever
+    * that lets a corpus-scale index live in memory. Encoding is map-only:
+    * codebooks are literals folded into codegen.
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val sub = codebooks(0)(0).length
+    array(codebooks.indices.map { j =>
+      val cents = array(codebooks(j).map(c =>
+        array(c.toIndexedSeq.map(lit(_)): _*)).toIndexedSeq: _*)
+      (org.apache.spark.sql.graft.VectorExpressions.l2Argmin(
+        slice(vec, j * sub + 1, sub), cents) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Per-query ADC lookup table: lut[j*k + i] = <query_j, codebook_j[i]>
+    * (double, left-to-right accumulation — the same arithmetic the
+    * scoring oracle uses). k*m doubles per query, computed driver-side.
+    */
+  def pqLut(query: Array[Float],
+            codebooks: Array[Array[Array[Float]]]): Array[Double] = {
+    val sub = codebooks(0)(0).length
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { cent =>
+        var acc = 0.0
+        var x = 0
+        val n = math.min(sub, math.max(0, query.length - j * sub))
+        while (x < n) {
+          acc += query(j * sub + x).toDouble * cent(x).toDouble
+          x += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** PQ top-k by asymmetric distance: every corpus row is scored against
+    * each query's LUT with [[org.apache.spark.sql.graft.PqAdcScore]] —
+    * m array reads + m adds per candidate, touching only the code
+    * column, never the vectors. ONE corpus scan serves all queries (the
+    * query LUTs ride along as an exploded literal; only the m-int code
+    * array duplicates per query, not payloads). Approximates
+    * inner-product order; recall is governed by m/k and recovered with
+    * [[pqRerankTopK]].
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, codesCol: String,
+             queries: Seq[(Long, Array[Float])],
+             codebooks: Array[Array[Array[Float]]], k: Int): DataFrame = {
+    val qarr = array(queries.map { case (qid, qv) =>
+      struct(lit(qid).as("query_id"),
+        array(pqLut(qv, codebooks).map(lit(_)): _*).as("lut"))
+    }: _*)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    corpus.select(col(idCol).as("neighbor_id"), col(codesCol).as("__codes"),
+        explode(qarr).as("__q"))
+      .select(col("__q.query_id").as("query_id"), col("neighbor_id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .pqAdcScore(col("__codes"), col("__q.lut")).as("score"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Two-stage PQ search: ADC over the code column keeps the top
+    * `k*overfetch` per query (the cheap wide scan), then ONLY those
+    * candidates re-rank with the exact float cosine via a semi-joined
+    * vector fetch. The overfetch factor is the recall lever, exactly as
+    * `candidates` is for [[quantizedRerankTopK]] — PQ just scans 32-64x
+    * fewer bytes than int8 in the first stage.
+    */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, codebooks: Array[Array[Array[Float]]],
+                   k: Int, overfetch: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qSeq = queries.select(col(idCol).cast("long"), col(vecCol))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), pqEncode(col(vecCol), codebooks).as("__codes"))
+    val cand = pqTopK(coded, "neighbor_id", "__codes", qSeq, codebooks,
+      k * overfetch)
+    val qDf = qSeq.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "qv")
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(coded.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Distributed PQ codebook training: per-subspace k-means, all m
+    * subspaces advancing in ONE distributed pass per iteration.
+    * Deterministic init (subspace slices of the first k vectors by id);
+    * assignment is the native codegen'd L2 argmin over the literal
+    * codebooks; the update explodes components, keys them by (subspace,
+    * code, component) and averages — a single shuffle of m*k*sub cells
+    * regardless of corpus size, with only the k*dim codebook ever
+    * reaching the driver. The input projection is persisted across
+    * iterations ([[trainCodebook]]'s pattern, try/finally).
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+              iterations: Int = 5): Array[Array[Array[Float]]] = {
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v")).persist()
+    try {
+      val first = vecs.orderBy("__id").limit(k).collect()
+        .map(_.getSeq[Float](1).toArray)
+      val dim = first.head.length
+      require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+      val sub = dim / m
+      var cb: Array[Array[Array[Float]]] = Array.tabulate(m, k) { (j, i) =>
+        first(i % first.length).slice(j * sub, (j + 1) * sub)
+      }
+      var it = 0
+      while (it < iterations) {
+        val updated = vecs
+          .withColumn("__codes", pqEncode(col("__v"), cb))
+          .select(col("__codes"), posexplode(col("__v")).as(Seq("__d", "__x")))
+          .withColumn("__j", (col("__d") / sub).cast("int"))
+          .withColumn("__code", element_at(col("__codes"), col("__j") + 1))
+          .groupBy("__j", "__code", "__d")
+          .agg(avg(col("__x").cast("double")).as("__m"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        updated.foreach { r =>
+          val j = r.getInt(0)
+          val code = r.getInt(1)
+          val d = r.getInt(2) - j * sub
+          if (code >= 0 && code < k) next(j)(code)(d) = r.getDouble(3).toFloat
+        }
+        cb = next
+        it += 1
+      }
+      cb
+    } finally vecs.unpersist()
+  }
+
   /** Random-hyperplane LSH bucket for a vector: bit b = sign of the dot
     * product with pseudo-hyperplane b, where hyperplane component j of
     * plane p is +-1 from the parity of hash64("p_j") — deterministic and

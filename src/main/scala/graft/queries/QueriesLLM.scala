@@ -290,6 +290,34 @@ object QueriesLLM {
         "doc_id", "n_tok", budget = 2048L, shards = 4)
       .select("doc_id", "shard", "seq_id", "seq_offset")
 
+  /** Product-quantization ADC top-k through the LIBRARY path
+    * ([[Similarity.pqEncode]]/[[Similarity.pqTopK]]): 4 subspaces x 16
+    * dims, codebooks = subspace slices of the first 8 vectors (collected
+    * deterministically like a trained codebook would be), every vector
+    * encoded to 4 codes, 3 queries scored via their LUTs. The oracle
+    * replicates slicing, L2 argmin (ties to the lowest centroid), the
+    * per-subspace inner-product LUT and the j-ascending score sum
+    * exactly — any encode/scoring bug fails the hash compare.
+    */
+  def q_ann_pq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val base = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val m = 4
+    val sub = 16
+    val cb = Array.tabulate(m, base.length)((j, i) =>
+      base(i).slice(j * sub, (j + 1) * sub))
+    val coded = emb.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), cb).as("codes"))
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 13)
+      .orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    Similarity.pqTopK(coded, "vec_id", "codes", queries, cb, k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -396,6 +424,7 @@ object QueriesLLM {
     "q_multimodal_meta" -> (q_multimodal_meta _),
     "q_multimodal_decode" -> (q_multimodal_decode _),
     "q_multimodal_audio" -> (q_multimodal_audio _),
+    "q_ann_pq" -> (q_ann_pq _),
   )
 
   private val enList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -715,5 +744,40 @@ object QueriesLLM {
         |    // (((doc_id % 5) * 8000 + 8000) * 2) AS duration_ms,
         |  true AS ok
         |FROM documents""".stripMargin,
+    "q_ann_pq" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), subs AS (SELECT unnest(range(4)) AS j),
+        |dists AS (
+        |  SELECT e.vec_id, s.j, c.cid,
+        |    list_sum(list_transform(
+        |      list_zip(e.embedding[s.j*16+1 : s.j*16+16], c.cv[s.j*16+1 : s.j*16+16]),
+        |      p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS d2
+        |  FROM embeddings e CROSS JOIN subs s CROSS JOIN cents c
+        |), codes AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |      ORDER BY d2 ASC, cid) AS r FROM dists) WHERE r = 1
+        |), lut AS (
+        |  SELECT q.vec_id AS query_id, s.j, c.cid,
+        |    list_sum(list_transform(
+        |      list_zip(q.embedding[s.j*16+1 : s.j*16+16], c.cv[s.j*16+1 : s.j*16+16]),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS ip
+        |  FROM embeddings q CROSS JOIN subs s CROSS JOIN cents c
+        |  WHERE q.vec_id >= 10 AND q.vec_id < 13
+        |), scored AS (
+        |  SELECT l.query_id, n.vec_id AS neighbor_id,
+        |    max(CASE WHEN l.j = 0 THEN ip END) + max(CASE WHEN l.j = 1 THEN ip END)
+        |      + max(CASE WHEN l.j = 2 THEN ip END) + max(CASE WHEN l.j = 3 THEN ip END) AS score
+        |  FROM codes n JOIN lut l ON n.j = l.j AND n.code = l.cid
+        |  WHERE n.vec_id <> l.query_id
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 5""".stripMargin,
   )
 }

@@ -79,5 +79,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => DotProductInt8(cs.head, cs(1)))
     register(ext, "cosine_argmax", 2, classOf[CosineArgmax],
       cs => CosineArgmax(cs.head, cs(1)))
+    register(ext, "l2_argmin", 2, classOf[L2Argmin],
+      cs => L2Argmin(cs.head, cs(1)))
+    register(ext, "pq_adc_score", 2, classOf[PqAdcScore],
+      cs => PqAdcScore(cs.head, cs(1)))
   }
 }

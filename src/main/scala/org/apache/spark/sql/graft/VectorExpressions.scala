@@ -121,6 +121,55 @@ object VectorUtil {
     }
     bestIdx
   }
+
+  /** 1-based index of the centroid nearest to `vec` by squared L2,
+    * first-min tie-break; -1 encodes SQL null (empty codebook). Per
+    * component: (double(a) - double(b))^2, accumulated left-to-right in
+    * double; unequal lengths compare over the common prefix.
+    */
+  def l2Argmin(vec: ArrayData, cents: ArrayData): Long = {
+    val d = vec.numElements()
+    var best = Double.PositiveInfinity
+    var bestIdx = -1L
+    val k = cents.numElements()
+    var c = 0
+    while (c < k) {
+      if (!cents.isNullAt(c)) {
+        val cell = cents.getArray(c)
+        val n = math.min(d, cell.numElements())
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          val diff = vec.getFloat(j).toDouble - cell.getFloat(j).toDouble
+          acc += diff * diff
+          j += 1
+        }
+        if (acc < best) { best = acc; bestIdx = c + 1 }
+      }
+      c += 1
+    }
+    bestIdx
+  }
+
+  /** ADC score: sum_j lut[j*k + codes[j]] with k = |lut|/|codes|, j
+    * ascending, double accumulation. Out-of-range or null codes are
+    * skipped.
+    */
+  def pqAdcScore(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val k = lut.numElements() / m
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (!codes.isNullAt(j)) {
+        val code = codes.getInt(j)
+        if (code >= 0 && code < k) acc += lut.getDouble(j * k + code)
+      }
+      j += 1
+    }
+    acc
+  }
 }
 
 /** IVF cell assignment as ONE native loop: argmax cosine over the
@@ -256,6 +305,75 @@ case class DotProductInt8(left: Expression, right: Expression)
   override def prettyName: String = "dot_product_i8"
 }
 
+/** Nearest-centroid assignment by squared L2 — the product-quantization
+  * encoder's inner loop. Same rationale as [[CosineArgmax]]: a native
+  * fused loop instead of an interpreted per-centroid lambda. Arithmetic:
+  * per component (double(a) - double(b))^2, left-to-right double
+  * accumulation, first-min tie-break on centroid index — bit-compatible
+  * with a DuckDB `list_sum(list_transform(list_zip(...)))` oracle.
+  */
+case class L2Argmin(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)))
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorUtil.l2Argmin(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val r = ctx.freshName("r")
+      s"""
+         |long $r = org.apache.spark.sql.graft.VectorUtil.l2Argmin($x, $y);
+         |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Argmin =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "l2_argmin"
+}
+
+/** Asymmetric-distance (ADC) score for product-quantized vectors: codes
+  * index a per-query lookup table of subspace inner products; score =
+  * sum_j lut[j*k + codes[j]] with k = |lut| / |codes|, summed j-ascending
+  * in double (the same order an oracle's explicit t0+t1+...+tm-1 uses).
+  * The per-candidate cost is m array reads + m adds — THE reason PQ beats
+  * full-vector scoring at corpus scale. Out-of-range codes contribute
+  * nothing (deterministic, cannot happen for codes produced by
+  * [[L2Argmin]] against the same codebooks).
+  */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.pqAdcScore(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.VectorUtil.pqAdcScore($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_adc_score"
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorExpressions {
 
@@ -280,4 +398,16 @@ object VectorExpressions {
   def cosineArgmax(vec: Column, cents: Column): Column =
     ExpressionUtils.column(CosineArgmax(
       ExpressionUtils.expression(vec), ExpressionUtils.expression(cents)))
+
+  /** Native nearest-centroid-by-L2 assignment (1-based; null when the
+    * codebook is empty).
+    */
+  def l2Argmin(vec: Column, cents: Column): Column =
+    ExpressionUtils.column(L2Argmin(
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(cents)))
+
+  /** Native PQ asymmetric-distance score: codes x flat LUT -> double. */
+  def pqAdcScore(codes: Column, lut: Column): Column =
+    ExpressionUtils.column(PqAdcScore(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(lut)))
 }

@@ -147,6 +147,58 @@ class LlmSpec extends AnyFunSuite {
     assert(single.toSet.subsetOf(brute.toSet) && single.size < brute.size)
   }
 
+  test("PQ: encode/ADC round-trip, rerank recovers brute force, training separates") {
+    // 4-dim vectors, m=2 subspaces of 2; clusters on orthogonal half-axes
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.3f, 0.0f)), (2L, Array(0.8f, 0.2f, 0.25f, 0.1f)),
+      (3L, Array(0.1f, 0.9f, 0.2f, 0.8f)), (4L, Array(0.9f, 0.15f, 0.28f, 0.05f)),
+      (5L, Array(0.2f, 0.85f, 0.1f, 0.9f)), (6L, Array(0.95f, 0.12f, 0.31f, 0.02f)))
+      .toDF("id", "v")
+    val cb = Similarity.pqTrain(vecs, "id", "v", m = 2, k = 2, iterations = 3)
+    assert(cb.length == 2 && cb(0).length == 2 && cb(0)(0).length == 2)
+    // codes are 0-based and within range; x-cluster and y-cluster get
+    // different codes in subspace 0
+    val codes = vecs.select(col("id"),
+        Similarity.pqEncode(col("v"), cb).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < 2)))
+    assert(codes(1L)(0) != codes(3L)(0),
+      "separated clusters must encode to different subspace-0 codes")
+    // ADC score == sum of per-subspace centroid inner products
+    val lut = Similarity.pqLut(Array(1.0f, 0.1f, 0.3f, 0.0f), cb)
+    assert(lut.length == 4)
+    // full-overfetch rerank equals brute force
+    val queries = vecs.filter(col("id") === 1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val brute = ids(Similarity.bruteForceTopK(queries, vecs, "id", "v", 3))
+    val reranked = ids(Similarity.pqRerankTopK(queries, vecs, "id", "v", cb,
+      k = 3, overfetch = 2))
+    assert(reranked == brute,
+      "exact re-rank over a wide-enough ADC pool must equal brute force")
+  }
+
+  test("native l2_argmin / pq_adc_score register in SQL and match composed forms") {
+    import org.apache.spark.sql.graft.{L2Argmin, PqAdcScore}
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_argmin", exprs => L2Argmin(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc_score", exprs => PqAdcScore(exprs.head, exprs(1)), "built-in")
+    val df = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.8f))).toDF("id", "v")
+    df.createOrReplaceTempView("pq_vecs")
+    val sql = spark.sql(
+      """SELECT id, l2_argmin(v, array(array(1.0f, 0.0f), array(0.0f, 1.0f))) AS cell,
+        |  pq_adc_score(array(0, 1), array(10.0d, 20.0d, 30.0d, 40.0d)) AS s
+        |FROM pq_vecs""".stripMargin)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(sql(1L)._1 == 1L && sql(2L)._1 == 2L)
+    // codes (0,1) over k=2 per subspace: lut[0*2+0] + lut[1*2+1] = 10 + 40
+    assert(sql(1L)._2 == 50.0)
+    // empty codebook -> null
+    assert(spark.sql("SELECT l2_argmin(array(1.0f), array())").collect()
+      .head.isNullAt(0))
+  }
+
   test("contaminationScores: benchmark-gram coverage; maxDf drops stop-phrases") {
     val boiler = "terms and conditions apply here" // in every corpus doc
     val corpus = Seq(
