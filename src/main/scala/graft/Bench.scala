@@ -42,6 +42,7 @@ object Bench {
     "q_embed_cosine_dup",
     "q_embed_dup_ivf",
     "q_ann_topk",
+    "q_ann_pq",
     "q_text_quality",
     "q_text_fingerprint",
     "q_text_bigram_lm",

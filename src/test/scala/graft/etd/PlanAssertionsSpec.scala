@@ -119,4 +119,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(sorts >= 2, s"expected local sorts for gap windows, got $sorts")
     assert(exchanges <= 3, s"gap windows added exchanges: $exchanges in\n$afterRepartition")
   }
+
+  test("PQ ADC scan: one corpus scan serves all queries, no joins") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = Array.tabulate(4, 8)((j, i) =>
+      Array.tabulate(16)(x => (i * 16 + x + j).toFloat))
+    val coded = emb.select(col("vec_id"),
+      graft.llm.Similarity.pqEncode(col("embedding"), cb).as("codes"))
+    val queries = Seq(1L -> Array.tabulate(64)(_.toFloat),
+      2L -> Array.tabulate(64)(x => (64 - x).toFloat))
+    val p = plan(graft.llm.Similarity.pqTopK(coded, "vec_id", "codes",
+      queries, cb, k = 5))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"PQ scoring must scan the corpus once ($scans):\n$p")
+    assert(!p.contains("Join"), s"PQ scoring must not join:\n$p")
+    assert(p.contains("Generate"), "query LUTs should ride along as an explode")
+  }
 }
