@@ -41,6 +41,43 @@ object Dedup {
       exactGroups(df, idCol, textCol).select(col("canonical_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Corpus-wide paragraph-level exact dedup (the boilerplate-removal
+    * pass of CCNet/RefinedWeb-style pipelines): split every document on
+    * `sep`, keep only the globally-FIRST occurrence of each distinct
+    * paragraph (ordered by (id, position) — deterministic under any
+    * partitioning), and reassemble each document from its surviving
+    * paragraphs in original order. Documents whose every paragraph
+    * already appeared elsewhere come back as empty strings (callers
+    * typically filter on a min-length gate afterwards).
+    *
+    * Scale shape: ONE shuffle keyed by the paragraph text (the window
+    * that picks first occurrences — paragraphs must meet their
+    * duplicates somewhere) and one aggregation shuffle by id to
+    * reassemble. The documents themselves never join doc x doc; cost is
+    * linear in corpus paragraphs. Reassembly sorts the collected
+    * (position, paragraph) structs per document — in-memory per doc,
+    * no extra exchange.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val parts = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__i", "__p")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__p").orderBy(col(idCol), col("__i"))
+    val kept = parts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__i"), col("__p")))),
+          x => x.getField("__p")),
+        sep).as(textCol))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

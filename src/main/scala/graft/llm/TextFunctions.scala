@@ -267,4 +267,41 @@ object TextFunctions {
     aggregate(shingleHashes(text, 1), lit(0L),
       (acc, h) => (acc * P + h % M) % M)
   }
+
+  // ------------------------------------------------------------------
+  // PII detection / redaction
+  // ------------------------------------------------------------------
+
+  /** PII patterns, deliberately restricted to the regex dialect subset
+    * Java regex and RE2 (DuckDB/Go/most engines) execute identically —
+    * no backrefs, no lookaround, simple bounded quantifiers — so a
+    * redaction run is reproducible across the fleet and the oracle.
+    * The strict phone form avoids the leftmost-match ambiguities loose
+    * `[\d\s-]{7,}` patterns hit across engines.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Per-class PII hit counts (non-overlapping leftmost matches):
+    * struct<emails, ips, phones>. Count-only — the cheap audit pass a
+    * corpus runs before deciding to pay for redaction.
+    */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).as("emails"),
+    size(regexp_extract_all(text, lit(ipv4Re), lit(0))).as("ips"),
+    size(regexp_extract_all(text, lit(phoneRe), lit(0))).as("phones"))
+
+  /** Redact PII with typed placeholder tokens. Order matters and is part
+    * of the contract (emails first — their local parts can contain
+    * digit runs; IPs before phones so dotted quads are never half-eaten
+    * by the phone pattern): any engine replaying the same three
+    * replacements in this order produces identical output.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
 }

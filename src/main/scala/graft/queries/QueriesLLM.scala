@@ -290,6 +290,40 @@ object QueriesLLM {
         "doc_id", "n_tok", budget = 2048L, shards = 4)
       .select("doc_id", "shard", "seq_id", "seq_offset")
 
+  /** Corpus-wide paragraph dedup (boilerplate removal): documents become
+    * (source, text, lang) paragraph triples — source/lang values repeat
+    * across many documents, so only their globally-first occurrence
+    * survives; every document keeps its unique body. The oracle
+    * replicates split, first-occurrence ranking and ordered reassembly.
+    */
+  def q_dedup_paragraph(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws("\n\n", col("source"), col("text"), col("lang")).as("t"))
+    Dedup.paragraphDedup(docs, "doc_id", "t")
+      .select(col("doc_id"), col("t").as("text"))
+  }
+
+  /** PII audit + redaction over text with deterministically-injected PII
+    * (an email, an IPv4 and a phone derived from doc_id — the corpus
+    * text itself is synthetic and clean). Patterns live in the
+    * Java-regex/RE2 common dialect, so DuckDB replays the identical
+    * three ordered replacements; the redacted STRING hash-compares.
+    */
+  def q_pii_redact(spark: SparkSession, dir: String): DataFrame = {
+    val injected = table(spark, dir, "documents")
+      .select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
+        pmod(col("doc_id"), lit(256L)), lit(".7 tel 555-"),
+        lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+        lit("-0199")).as("t"))
+    injected.select(col("doc_id"),
+      TextFunctions.redactPii(col("t")).as("redacted"),
+      TextFunctions.piiCounts(col("t")).getField("emails").cast("long").as("emails"),
+      TextFunctions.piiCounts(col("t")).getField("ips").cast("long").as("ips"),
+      TextFunctions.piiCounts(col("t")).getField("phones").cast("long").as("phones"))
+  }
+
   /** Product-quantization ADC top-k through the LIBRARY path
     * ([[Similarity.pqEncode]]/[[Similarity.pqTopK]]): 4 subspaces x 16
     * dims, codebooks = subspace slices of the first 8 vectors (collected
@@ -425,6 +459,8 @@ object QueriesLLM {
     "q_multimodal_decode" -> (q_multimodal_decode _),
     "q_multimodal_audio" -> (q_multimodal_audio _),
     "q_ann_pq" -> (q_ann_pq _),
+    "q_dedup_paragraph" -> (q_dedup_paragraph _),
+    "q_pii_redact" -> (q_pii_redact _),
   )
 
   private val enList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -744,6 +780,42 @@ object QueriesLLM {
         |    // (((doc_id % 5) * 8000 + 8000) * 2) AS duration_ms,
         |  true AS ok
         |FROM documents""".stripMargin,
+    "q_dedup_paragraph" ->
+      """WITH base AS (
+        |  SELECT doc_id, source || e'\n\n' || text || e'\n\n' || lang AS t
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, unnest(string_split(t, e'\n\n')) AS p,
+        |    generate_subscripts(string_split(t, e'\n\n'), 1) AS i
+        |  FROM base
+        |), firsts AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p ORDER BY doc_id, i) AS rn
+        |  FROM parts
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(p, e'\n\n' ORDER BY i) AS text
+        |  FROM firsts WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, coalesce(r.text, '') AS text
+        |FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id""".stripMargin,
+    "q_pii_redact" -> {
+      val e = TextFunctions.emailRe
+      val i = TextFunctions.ipv4Re
+      val p = TextFunctions.phoneRe
+      s"""WITH t AS (
+         |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 10.0.'
+         |    || (doc_id % 256) || '.7 tel 555-'
+         |    || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199' AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g')
+         |    AS redacted,
+         |  length(regexp_extract_all(t, '$e'))::BIGINT AS emails,
+         |  length(regexp_extract_all(t, '$i'))::BIGINT AS ips,
+         |  length(regexp_extract_all(t, '$p'))::BIGINT AS phones
+         |FROM t""".stripMargin
+    },
     "q_ann_pq" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8

@@ -147,6 +147,36 @@ class LlmSpec extends AnyFunSuite {
     assert(single.toSet.subsetOf(brute.toSet) && single.size < brute.size)
   }
 
+  test("paragraphDedup: first occurrence survives, order kept, empty docs remain") {
+    val docs = Seq(
+      (1L, "boiler\n\nalpha\n\nbeta"),
+      (2L, "boiler\n\ngamma"),   // loses the shared boilerplate
+      (3L, "boiler"),            // loses everything
+      (4L, "alpha\n\ndelta"))    // alpha first appeared in doc 1
+      .toDF("id", "t")
+    val out = Dedup.paragraphDedup(docs, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "boiler\n\nalpha\n\nbeta")
+    assert(out(2L) == "gamma")
+    assert(out(3L) == "")
+    assert(out(4L) == "delta")
+    assert(out.size == 4, "every input document must come back")
+  }
+
+  test("redactPii / piiCounts: ordered typed replacements") {
+    val df = Seq((1L,
+      "mail a.b+c@test.org or 10.0.0.7, call 555-123-4567; no pii here: 1.2"))
+      .toDF("id", "t")
+    val r = df.select(
+        TextFunctions.redactPii(col("t")).as("red"),
+        TextFunctions.piiCounts(col("t")).as("c"))
+      .collect().head
+    assert(r.getString(0) ==
+      "mail <EMAIL> or <IP>, call <PHONE>; no pii here: 1.2")
+    val c = r.getStruct(1)
+    assert((c.getInt(0), c.getInt(1), c.getInt(2)) == ((1, 1, 1)))
+  }
+
   test("PQ: encode/ADC round-trip, rerank recovers brute force, training separates") {
     // 4-dim vectors, m=2 subspaces of 2; clusters on orthogonal half-axes
     val vecs = Seq(
