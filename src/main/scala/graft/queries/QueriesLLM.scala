@@ -317,11 +317,13 @@ object QueriesLLM {
         pmod(col("doc_id"), lit(256L)), lit(".7 tel 555-"),
         lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
         lit("-0199")).as("t"))
-    injected.select(col("doc_id"),
-      TextFunctions.redactPii(col("t")).as("redacted"),
-      TextFunctions.piiCounts(col("t")).getField("emails").cast("long").as("emails"),
-      TextFunctions.piiCounts(col("t")).getField("ips").cast("long").as("ips"),
-      TextFunctions.piiCounts(col("t")).getField("phones").cast("long").as("phones"))
+    injected
+      .select(col("doc_id"), TextFunctions.redactPii(col("t")).as("redacted"),
+        TextFunctions.piiCounts(col("t")).as("__c"))
+      .select(col("doc_id"), col("redacted"),
+        col("__c.emails").cast("long").as("emails"),
+        col("__c.ips").cast("long").as("ips"),
+        col("__c.phones").cast("long").as("phones"))
   }
 
   /** Product-quantization ADC top-k through the LIBRARY path
