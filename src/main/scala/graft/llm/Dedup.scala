@@ -50,13 +50,16 @@ object Dedup {
     * already appeared elsewhere come back as empty strings (callers
     * typically filter on a min-length gate afterwards).
     *
-    * Scale shape: ONE shuffle keyed by the paragraph text (the window
-    * that picks first occurrences — paragraphs must meet their
-    * duplicates somewhere) and one aggregation shuffle by id to
-    * reassemble. The documents themselves never join doc x doc; cost is
-    * linear in corpus paragraphs. Reassembly sorts the collected
-    * (position, paragraph) structs per document — in-memory per doc,
-    * no extra exchange.
+    * Scale shape: ONE shuffle (the window that picks first occurrences —
+    * paragraphs must meet their duplicates somewhere) and one
+    * aggregation shuffle by id to reassemble. The window keys on the
+    * paragraph's md5 DIGEST, not the text: partitioner hashing and the
+    * window-group comparator touch 32 chars instead of arbitrary-length
+    * paragraphs (the rows still carry the text — reassembly needs it).
+    * The documents themselves never join doc x doc; cost is linear in
+    * corpus paragraphs. Reassembly sorts the collected (position,
+    * paragraph) structs per document — in-memory per doc, no extra
+    * exchange.
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n"): DataFrame = {
@@ -64,7 +67,7 @@ object Dedup {
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("__i", "__p")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__p").orderBy(col(idCol), col("__i"))
+      .partitionBy(md5(col("__p"))).orderBy(col(idCol), col("__i"))
     val kept = parts
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

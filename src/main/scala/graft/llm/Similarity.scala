@@ -304,6 +304,54 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF + PQ composed — the standard billion-scale ANN index shape:
+    * vectors are bucketed into IVF cells (coarse quantizer) and scored
+    * inside probed cells by PQ asymmetric distance (fine quantizer).
+    * Each query touches ~nprobe/nlist of the corpus AND reads only the
+    * m-int code column while doing it — the two scan-cost levers
+    * multiply. Query cell assignment and LUTs are computed driver-side
+    * (queries are few); the corpus pass is cell-assign (map-only,
+    * codegen'd argmax) -> cell-filtered explode of the query LUT
+    * literals -> ADC window. With nprobe = nlist this degenerates to
+    * exactly [[pqTopK]] (property-tested).
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                coarse: Array[Array[Float]],
+                codebooks: Array[Array[Array[Float]]],
+                queries: Seq[(Long, Array[Float])], k: Int,
+                nprobe: Int = 1): DataFrame = {
+    def cosRank(q: Array[Float]): Seq[Int] = {
+      val nq = math.sqrt(q.map(x => x.toDouble * x).sum)
+      coarse.indices.sortBy { c =>
+        val cent = coarse(c)
+        val nc = math.sqrt(cent.map(x => x.toDouble * x).sum)
+        val dot = q.indices.take(cent.length)
+          .map(i => q(i).toDouble * cent(i)).sum
+        -(if (nq > 0 && nc > 0) dot / (nq * nc) else Double.MinValue)
+      }
+    }
+    val cents = array(coarse.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)).toIndexedSeq: _*)
+    val qarr = array(queries.map { case (qid, qv) =>
+      struct(lit(qid).as("query_id"),
+        array(cosRank(qv).take(nprobe).map(c => lit(c + 1L)): _*).as("cells"),
+        array(pqLut(qv, codebooks).map(lit(_)): _*).as("lut"))
+    }: _*)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    corpus.select(col(idCol).as("neighbor_id"),
+        pqEncode(col(vecCol), codebooks).as("__codes"),
+        ivfAssign(col(vecCol), cents).as("__cell"),
+        explode(qarr).as("__q"))
+      .filter(array_contains(col("__q.cells"), col("__cell")))
+      .select(col("__q.query_id").as("query_id"), col("neighbor_id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .pqAdcScore(col("__codes"), col("__q.lut")).as("score"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Distributed PQ codebook training: per-subspace k-means, all m
     * subspaces advancing in ONE distributed pass per iteration.
     * Deterministic init (subspace slices of the first k vectors by id);

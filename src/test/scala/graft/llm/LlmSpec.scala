@@ -208,6 +208,30 @@ class LlmSpec extends AnyFunSuite {
       "exact re-rank over a wide-enough ADC pool must equal brute force")
   }
 
+  test("IVF-PQ: nprobe = nlist equals plain PQ; nprobe=1 returns a subset") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.3f, 0.0f)), (2L, Array(0.8f, 0.2f, 0.25f, 0.1f)),
+      (3L, Array(0.1f, 0.9f, 0.2f, 0.8f)), (4L, Array(0.9f, 0.15f, 0.28f, 0.05f)),
+      (5L, Array(0.2f, 0.85f, 0.1f, 0.9f)), (6L, Array(0.95f, 0.12f, 0.31f, 0.02f)))
+      .toDF("id", "v")
+    val cb = Similarity.pqTrain(vecs, "id", "v", m = 2, k = 2, iterations = 2)
+    val coarse = Array(Array(1.0f, 0.0f, 0.3f, 0.0f), Array(0.0f, 1.0f, 0.1f, 0.9f))
+    val queries = Seq(1L -> Array(1.0f, 0.1f, 0.3f, 0.0f))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSeq
+    val coded = vecs.select(col("id"),
+      Similarity.pqEncode(col("v"), cb).as("codes"))
+    val plain = pairs(Similarity.pqTopK(coded, "id", "codes", queries, cb, k = 4))
+    val everyCell = pairs(Similarity.ivfPqTopK(vecs, "id", "v", coarse, cb,
+      queries, k = 4, nprobe = 2))
+    assert(everyCell == plain, "probing every cell must equal plain PQ ADC")
+    val home = pairs(Similarity.ivfPqTopK(vecs, "id", "v", coarse, cb,
+      queries, k = 4, nprobe = 1))
+    assert(home.map(_._1).toSet.subsetOf(plain.map(_._1).toSet))
+    assert(home.size < everyCell.size, "home cell excludes the far cluster")
+  }
+
   test("native l2_argmin / pq_adc_score register in SQL and match composed forms") {
     import org.apache.spark.sql.graft.{L2Argmin, PqAdcScore}
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
