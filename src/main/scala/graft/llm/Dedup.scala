@@ -81,6 +81,45 @@ object Dedup {
       .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
 
+  /** Cross-document duplicate n-gram SPANS — the relational version of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): find every word position whose
+    * n-gram also occurs in ANOTHER document, and merge overlapping or
+    * abutting positions into (start, end) token spans per document.
+    * Callers cut or down-weight the reported spans.
+    *
+    * Relational shape instead of a suffix array: positions explode with
+    * their fused shingle hashes (map-only), ONE shuffle by gram hash
+    * computes both the total and the within-document occurrence counts
+    * (two windows, same exchange — "occurs elsewhere" is total > own),
+    * and the surviving duplicate positions shuffle once by document
+    * where the ETD gap-grouping pattern (lag + running sum) merges them
+    * into spans. Every shuffled row is (id, pos, hash) longs — document
+    * text never shuffles.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 10, fast: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = if (fast) shingleHashesFast(col(textCol), n)
+             else shingleHashes(col(textCol), n)
+    val wh = Window.partitionBy("__h")
+    val whd = Window.partitionBy(col("__h"), col(idCol))
+    val wDoc = Window.partitionBy(idCol).orderBy("pos")
+    df.select(col(idCol), posexplode(sh).as(Seq("pos", "__h")))
+      .withColumn("__ch", count(lit(1)).over(wh))
+      .withColumn("__chd", count(lit(1)).over(whd))
+      .filter(col("__ch") > col("__chd"))
+      .withColumn("__bump",
+        when(col("pos") - lag("pos", 1).over(wDoc) > n, 1).otherwise(0))
+      .withColumn("__span", sum("__bump").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + n - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .drop("__span")
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -290,6 +290,15 @@ object QueriesLLM {
         "doc_id", "n_tok", budget = 2048L, shards = 4)
       .select("doc_id", "shard", "seq_id", "seq_offset")
 
+  /** Cross-document duplicate 5-gram spans over the duplicated corpus
+    * (doc pairs (d, d+10000) share their full text, so whole documents
+    * surface as single spans; natural cross-document repetition adds
+    * smaller ones). The oracle replays the fused shingle hash, both
+    * count windows, and the lag+cumsum span merge.
+    */
+  def q_dedup_spans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(dupCorpus(spark, dir), "doc_id", "text", n = 5)
+
   /** Corpus-wide paragraph dedup (boilerplate removal): documents become
     * (source, text, lang) paragraph triples — source/lang values repeat
     * across many documents, so only their globally-first occurrence
@@ -462,6 +471,7 @@ object QueriesLLM {
     "q_multimodal_audio" -> (q_multimodal_audio _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
+    "q_dedup_spans" -> (q_dedup_spans _),
     "q_pii_redact" -> (q_pii_redact _),
   )
 
@@ -782,6 +792,43 @@ object QueriesLLM {
         |    // (((doc_id % 5) * 8000 + 8000) * 2) AS duration_ms,
         |  true AS ok
         |FROM documents""".stripMargin,
+    "q_dedup_spans" -> {
+      val n = 5
+      val gram = (0 until n).map(j => s"w[i+$j]").mkString("||' '||")
+      dupCorpusSql + s""", toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM corpus
+        |), gsh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= $n
+        |    THEN list_transform(generate_series(1, len(w)-${n - 1}), i -> $gram)
+        |    ELSE [] END AS shingles
+        |  FROM toks
+        |), gh AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles, s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS hs
+        |  FROM gsh
+        |), grams AS (
+        |  SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) - 1 AS pos FROM gh
+        |), counted AS (
+        |  SELECT *, count(*) OVER (PARTITION BY h) AS ch,
+        |    count(*) OVER (PARTITION BY h, doc_id) AS chd
+        |  FROM grams
+        |), dup AS (
+        |  SELECT doc_id, pos FROM counted WHERE ch > chd
+        |), grp AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $n
+        |      THEN 1 ELSE 0 END AS bump
+        |  FROM dup
+        |), spans0 AS (
+        |  SELECT doc_id, pos, sum(bump) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |  FROM grp
+        |)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |  (max(pos) + $n - 1)::BIGINT AS span_end, count(*) AS n_dup_grams
+        |FROM spans0 GROUP BY doc_id, span""".stripMargin
+    },
     "q_dedup_paragraph" ->
       """WITH base AS (
         |  SELECT doc_id, source || e'\n\n' || text || e'\n\n' || lang AS t

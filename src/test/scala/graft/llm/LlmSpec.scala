@@ -163,6 +163,24 @@ class LlmSpec extends AnyFunSuite {
     assert(out.size == 4, "every input document must come back")
   }
 
+  test("duplicateSpans: cross-doc spans merge; within-doc repetition is not flagged") {
+    val docs = Seq(
+      // docs 1 and 2 share tokens 2..6 ("one two three four five"):
+      // 3-grams at positions 2,3,4 in doc 1 / 0,1,2 in doc 2
+      (1L, "aa bb one two three four five cc dd"),
+      (2L, "one two three four five zz yy xx ww"),
+      // doc 3 repeats ITS OWN trigram twice but shares nothing
+      (3L, "p q r p q r p q r")).toDF("id", "t")
+    val spans = Dedup.duplicateSpans(docs, "id", "t", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(spans(1L) == ((2L, 6L, 3L)), s"doc 1 span wrong: ${spans.get(1L)}")
+    assert(spans(2L) == ((0L, 4L, 3L)), s"doc 2 span wrong: ${spans.get(2L)}")
+    assert(!spans.contains(3L),
+      "within-document repetition must not count as cross-document duplication")
+  }
+
   test("redactPii / piiCounts: ordered typed replacements") {
     val df = Seq((1L,
       "mail a.b+c@test.org or 10.0.0.7, call 555-123-4567; no pii here: 1.2"))
