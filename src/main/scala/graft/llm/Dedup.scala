@@ -120,6 +120,37 @@ object Dedup {
       .drop("__span")
   }
 
+  /** Apply [[duplicateSpans]] output: remove the tokens inside each
+    * document's spans and stitch the remainder back together. Cuts EVERY
+    * span it is given — to keep one canonical copy per duplicated
+    * passage (Lee et al. keep-first), anti-join the canonical documents
+    * out of `spans` before calling (e.g. keep rows whose id is not the
+    * minimum id sharing the span's grams).
+    *
+    * Map-side surgery: spans aggregate to one small array per document
+    * (shuffled by id — span rows, not text), then a single projection
+    * filters each document's token positions through the span list.
+    * Documents without spans pass through untouched via the left join.
+    */
+  def cutSpans(df: DataFrame, spans: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val spanArr = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    df.join(spanArr, Seq(idCol), "left")
+      .withColumn(textCol, when(col("__spans").isNull, col(textCol))
+        .otherwise(array_join(
+          filter(
+            transform(
+              filter(split(col(textCol), " "), t => length(t) > 0),
+              (t, i) => when(exists(col("__spans"), s =>
+                i >= s.getField("span_start") && i <= s.getField("span_end")),
+                lit(null)).otherwise(t)),
+            t => t.isNotNull),
+          " ")))
+      .drop("__spans")
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -181,6 +181,20 @@ class LlmSpec extends AnyFunSuite {
       "within-document repetition must not count as cross-document duplication")
   }
 
+  test("cutSpans: span tokens removed, remainder stitched, others untouched") {
+    val docs = Seq(
+      (1L, "aa bb one two three four five cc dd"),
+      (2L, "one two three four five zz yy xx ww"),
+      (3L, "untouched text here")).toDF("id", "t")
+    val spans = Dedup.duplicateSpans(docs, "id", "t", n = 3)
+    // keep-first policy: cut only from the higher id of the pair
+    val out = Dedup.cutSpans(docs, spans.filter(col("id") =!= 1L), "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "aa bb one two three four five cc dd")
+    assert(out(2L) == "zz yy xx ww", s"shared passage not cut: ${out(2L)}")
+    assert(out(3L) == "untouched text here")
+  }
+
   test("redactPii / piiCounts: ordered typed replacements") {
     val df = Seq((1L,
       "mail a.b+c@test.org or 10.0.0.7, call 555-123-4567; no pii here: 1.2"))
