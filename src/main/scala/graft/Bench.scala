@@ -34,6 +34,7 @@ object Bench {
     "q_weather_table",
     "q_j3_weather_join",
     "q_dedup_exact",
+    "q_dedup_spans",
     "q_minhash_sig",
     "q_minhash_fast",
     "q_lsh_pairs",

@@ -120,6 +120,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"gap windows added exchanges: $exchanges in\n$afterRepartition")
   }
 
+  test("duplicateSpans: both count windows share the gram-hash exchange; " +
+       "span merge + agg share the doc exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(graft.llm.Dedup.duplicateSpans(docs, "doc_id", "text", n = 5))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 2,
+        s"span detection needs exactly 2 exchanges (gram hash, doc), got $exchanges:\n$p")
+      assert(!p.contains("Join"), s"no joins expected in span detection:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("PQ ADC scan: one corpus scan serves all queries, no joins") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cb = Array.tabulate(4, 8)((j, i) =>
