@@ -104,7 +104,10 @@ object ImageHeaders {
       val size = le32(b, i + 4)
       if (isFmt && i + 8 + 12 <= b.length) byteRate = le32(b, i + 16)
       if (isData) dataSize = size
-      i += (8L + size + (size & 1L)).min(Int.MaxValue).toInt
+      // advance in Long: a corrupt size near 2^31 must terminate the
+      // walk, not wrap the Int cursor into a negative array index
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > b.length) b.length else next.toInt
     }
     if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000L / byteRate)
     else None

@@ -504,6 +504,11 @@ class LlmSpec extends AnyFunSuite {
       "LIST".getBytes("US-ASCII") ++ le32b(meta.length) ++ meta ++ Array[Byte](0) ++
       real.drop(12)
     assert(ImageHeaders.wavDurationMs(withList).contains(1000L))
+    // corrupt chunk size near 2^31 must return None, not crash on a
+    // wrapped negative index
+    val corrupt = real.slice(0, 12) ++
+      "JUNK".getBytes("US-ASCII") ++ le32b(0x7ffffffdL) ++ real.drop(20)
+    assert(ImageHeaders.wavDurationMs(corrupt).isEmpty)
     val df = Seq((1L, wavOf(16000f, 2.0))).toDF("id", "bin")
     val out = Multimodal.decodePartitions(df, "id", "bin").collect().head
     assert(out.getAs[Long]("duration_ms") == 2000L)
