@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Property-based invariants for the corpus-curation operators: paragraph
+  * dedup conservation, span-detection well-formedness, and the ADC score
+  * against a direct reimplementation.
+  */
+class LlmPropertiesSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 10): Unit = {
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val wordGen: Gen[String] = Gen.oneOf(
+    "aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+  private val paraGen: Gen[String] =
+    Gen.choose(1, 4).flatMap(k => Gen.listOfN(k, wordGen)).map(_.mkString(" "))
+  private val docGen: Gen[String] =
+    Gen.choose(1, 4).flatMap(k => Gen.listOfN(k, paraGen)).map(_.mkString("\n\n"))
+
+  test("property: paragraphDedup conserves distinct paragraphs exactly once") {
+    check(Prop.forAll(Gen.choose(2, 5).flatMap(n => Gen.listOfN(n, docGen))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val out = Dedup.paragraphDedup(docs, "id", "t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val inParas = texts.flatMap(_.split("\n\n")).toSet
+      val outParas = out.values.flatMap(t =>
+        if (t.isEmpty) Nil else t.split("\n\n").toSeq)
+      // every distinct input paragraph survives EXACTLY once corpus-wide
+      outParas.groupBy(identity).forall(_._2.size == 1) &&
+        outParas.toSet == inParas &&
+        out.size == texts.size
+    })
+  }
+
+  test("property: duplicateSpans are disjoint, in order, within bounds") {
+    val smallDoc: Gen[String] =
+      Gen.choose(3, 12).flatMap(k => Gen.listOfN(k, wordGen)).map(_.mkString(" "))
+    check(Prop.forAll(Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, smallDoc))) { texts =>
+      val n = 3
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val spans = Dedup.duplicateSpans(docs, "id", "t", n = n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      spans.groupBy(_._1).forall { case (id, ss) =>
+        val sorted = ss.sortBy(_._2)
+        val nTok = texts(id.toInt).split(" ").count(_.nonEmpty)
+        sorted.forall { case (_, s, e, g) =>
+          s >= 0 && e < nTok && e - s + 1 >= n && g >= 1 } &&
+          // spans never overlap and never abut (abutting would have merged)
+          sorted.toSeq.sliding(2).forall {
+            case Seq((_, _, e1, _), (_, s2, _, _)) => s2 > e1 + 1
+            case _ => true
+          }
+      }
+    })
+  }
+
+  test("property: PqAdcScore equals the direct lookup sum") {
+    val mGen = Gen.choose(1, 4)
+    check(Prop.forAll(mGen, Gen.choose(2, 4)) { (m, k) =>
+      val codesGen = Gen.listOfN(m, Gen.choose(0, k - 1))
+      val lutGen = Gen.listOfN(m * k, Gen.choose(-10.0, 10.0))
+      Prop.forAll(codesGen, lutGen) { (codes, lut) =>
+        val got = spark.range(1)
+          .select(org.apache.spark.sql.graft.VectorExpressions.pqAdcScore(
+            array(codes.map(lit(_)): _*),
+            array(lut.map(lit(_)): _*)).as("s"))
+          .collect().head.getDouble(0)
+        val want = codes.zipWithIndex.map { case (c, j) => lut(j * k + c) }.sum
+        math.abs(got - want) < 1e-12
+      }
+    })
+  }
+}
