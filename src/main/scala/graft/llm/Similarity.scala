@@ -332,17 +332,34 @@ object Similarity {
     }
     val cents = array(coarse.map(c =>
       array(c.toIndexedSeq.map(lit(_)): _*)).toIndexedSeq: _*)
+    val indexed = corpus.select(col(idCol),
+      pqEncode(col(vecCol), codebooks).as("__codes"),
+      ivfAssign(col(vecCol), cents).as("__cell"))
+    ivfPqTopKCoded(indexed, idCol, "__codes", "__cell",
+      q => cosRank(q).take(nprobe).map(_ + 1L), codebooks, queries, k)
+  }
+
+  /** Stored-index IVF-PQ search — the call shape a 100 TB deployment
+    * uses: the corpus was encoded ONCE ([[pqEncode]] + [[ivfAssign]],
+    * both map-only) and persisted as (id, codes, cell) — ~10 bytes/row —
+    * typically bucketed by cell so a probe reads only its buckets. Each
+    * query batch then runs against the tiny index table without touching
+    * a single vector. `probeCells` maps a query vector to its probed
+    * cell ids (1-based, matching ivfAssign).
+    */
+  def ivfPqTopKCoded(index: DataFrame, idCol: String, codesCol: String,
+                     cellCol: String, probeCells: Array[Float] => Seq[Long],
+                     codebooks: Array[Array[Array[Float]]],
+                     queries: Seq[(Long, Array[Float])], k: Int): DataFrame = {
     val qarr = array(queries.map { case (qid, qv) =>
       struct(lit(qid).as("query_id"),
-        array(cosRank(qv).take(nprobe).map(c => lit(c + 1L)): _*).as("cells"),
+        array(probeCells(qv).map(lit(_)): _*).as("cells"),
         array(pqLut(qv, codebooks).map(lit(_)): _*).as("lut"))
     }: _*)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
-    corpus.select(col(idCol).as("neighbor_id"),
-        pqEncode(col(vecCol), codebooks).as("__codes"),
-        ivfAssign(col(vecCol), cents).as("__cell"),
-        explode(qarr).as("__q"))
+    index.select(col(idCol).as("neighbor_id"), col(codesCol).as("__codes"),
+        col(cellCol).as("__cell"), explode(qarr).as("__q"))
       .filter(array_contains(col("__q.cells"), col("__cell")))
       .select(col("__q.query_id").as("query_id"), col("neighbor_id"),
         org.apache.spark.sql.graft.VectorExpressions
