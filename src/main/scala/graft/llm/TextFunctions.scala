@@ -304,4 +304,40 @@ object TextFunctions {
         regexp_replace(text, emailRe, "<EMAIL>"),
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
+
+  /** Multilingual corpus rebalancing (UniMax/temperature-sampling shape,
+    * downsample-only): post-sample language sizes target n_l^alpha —
+    * alpha=1 keeps everything, alpha->0 flattens toward uniform. The
+    * smallest language keeps 100% and larger ones keep
+    * (n_min/n_l)^(1-alpha), so no upsampling/duplication is ever
+    * introduced; membership is the deterministic content-hash predicate
+    * ([[hashSamplePredicate]]'s domain), stable across runs, engines and
+    * partitionings.
+    *
+    * Scale shape: language counts are a tiny groupBy (|languages| rows)
+    * broadcast back; the keep decision is map-only. Returns the input
+    * plus `keep_prob` and boolean `keep` (callers filter).
+    *
+    * alpha=0.5 makes the rate a single sqrt — correctly rounded in IEEE,
+    * so any engine computes the identical threshold (the oracle pins
+    * this); other alphas go through pow(), whose last-bit behavior is
+    * libm-dependent across engines (fine in practice, not oracle-exact).
+    */
+  def languageRebalance(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        langCol: String, alpha: Double = 0.5,
+                        salt: String = "rebalance"): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+    val minRow = counts.agg(min("__n").as("__nmin"))
+    val rate =
+      if (alpha == 0.5) sqrt(col("__nmin").cast("double") / col("__n"))
+      else pow(col("__nmin").cast("double") / col("__n"), 1.0 - alpha)
+    df.join(broadcast(counts), Seq(langCol))
+      .crossJoin(broadcast(minRow))
+      .withColumn("keep_prob", rate)
+      .withColumn("keep",
+        pmod(hash64(concat(col(textCol), lit(salt))), lit(1000000L)) <
+          floor(col("keep_prob") * 1000000).cast("long"))
+      .drop("__n", "__nmin")
+  }
 }

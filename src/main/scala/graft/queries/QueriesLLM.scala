@@ -299,6 +299,17 @@ object QueriesLLM {
   def q_dedup_spans(spark: SparkSession, dir: String): DataFrame =
     Dedup.duplicateSpans(dupCorpus(spark, dir), "doc_id", "text", n = 5)
 
+  /** Multilingual rebalancing at alpha=0.5: per-language keep rates are
+    * sqrt(n_min/n_l) (IEEE-exact in every engine) and membership is the
+    * portable content-hash predicate — the oracle reproduces both the
+    * rates and each document's keep decision bit-for-bit.
+    */
+  def q_lang_rebalance(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.languageRebalance(table(spark, dir, "documents"),
+        "text", "lang", alpha = 0.5)
+      .select(col("doc_id"), col("lang"),
+        round(col("keep_prob"), 6).as("keep_prob"), col("keep"))
+
   /** Corpus-wide paragraph dedup (boilerplate removal): documents become
     * (source, text, lang) paragraph triples — source/lang values repeat
     * across many documents, so only their globally-first occurrence
@@ -472,6 +483,7 @@ object QueriesLLM {
     "q_ann_pq" -> (q_ann_pq _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
+    "q_lang_rebalance" -> (q_lang_rebalance _),
     "q_pii_redact" -> (q_pii_redact _),
   )
 
@@ -792,6 +804,17 @@ object QueriesLLM {
         |    // (((doc_id % 5) * 8000 + 8000) * 2) AS duration_ms,
         |  true AS ok
         |FROM documents""".stripMargin,
+    "q_lang_rebalance" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+        |), m AS (
+        |  SELECT min(n) AS nmin FROM c
+        |)
+        |SELECT d.doc_id, d.lang,
+        |  round(sqrt(m.nmin::DOUBLE / c.n), 6) AS keep_prob,
+        |  (('0x'||substr(md5(d.text||'rebalance'),1,15))::BIGINT % 1000000)
+        |    < floor(sqrt(m.nmin::DOUBLE / c.n) * 1000000)::BIGINT AS keep
+        |FROM documents d JOIN c USING (lang) CROSS JOIN m""".stripMargin,
     "q_dedup_spans" -> {
       val n = 5
       val gram = (0 until n).map(j => s"w[i+$j]").mkString("||' '||")

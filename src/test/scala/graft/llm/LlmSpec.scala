@@ -181,6 +181,30 @@ class LlmSpec extends AnyFunSuite {
       "within-document repetition must not count as cross-document duplication")
   }
 
+  test("languageRebalance: smallest language keeps all; alpha=1 keeps everything") {
+    val docs = (1 to 80).map(i => (i.toLong, s"doc number $i body", "en")) ++
+      (81 to 100).map(i => (i.toLong, s"doc number $i body", "nl")) ++
+      (101 to 105).map(i => (i.toLong, s"doc number $i body", "fy"))
+    val df = docs.toDF("id", "text", "lang")
+    val out = TextFunctions.languageRebalance(df, "text", "lang", alpha = 0.5)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Double]("keep_prob"),
+        r.getAs[Boolean]("keep")))
+    val byLang = out.groupBy(_._1)
+    assert(byLang("fy").forall(r => r._2 == 1.0 && r._3),
+      "the smallest language must keep everything")
+    assert(math.abs(byLang("en").head._2 - math.sqrt(5.0 / 80)) < 1e-12)
+    assert(math.abs(byLang("nl").head._2 - math.sqrt(5.0 / 20)) < 1e-12)
+    // deterministic: same content -> same decision on a rerun
+    val again = TextFunctions.languageRebalance(df, "text", "lang", alpha = 0.5)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Double]("keep_prob"),
+        r.getAs[Boolean]("keep")))
+    assert(out.sortBy(_.toString).toSeq == again.sortBy(_.toString).toSeq)
+    val all = TextFunctions.languageRebalance(df, "text", "lang", alpha = 1.0)
+      .collect()
+    assert(all.forall(r => r.getAs[Double]("keep_prob") == 1.0 &&
+      r.getAs[Boolean]("keep")), "alpha=1 must keep everything")
+  }
+
   test("cutSpans: span tokens removed, remainder stitched, others untouched") {
     val docs = Seq(
       (1L, "aa bb one two three four five cc dd"),
