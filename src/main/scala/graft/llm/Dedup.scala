@@ -438,7 +438,14 @@ object Dedup {
     * hot path: per pair only two long-array set ops, not a re-shingling of
     * both texts (docs in many candidate pairs would re-tokenize per pair).
     */
-  def jaccardBySets(sa: Column, sb: Column): Column = {
+  def jaccardBySets(sa: Column, sb: Column): Column =
+    org.apache.spark.sql.graft.TextHashExpressions.longSetJaccard(sa, sb)
+
+  /** The composed intersect/union formulation [[jaccardBySets]] replaced
+    * (kept as its equivalence oracle): four hash-table builds per pair
+    * vs the native kernel's one.
+    */
+  def jaccardBySetsComposed(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = size(array_union(sa, sb)).cast("double")
     when(union > 0, inter / union).otherwise(lit(0.0))

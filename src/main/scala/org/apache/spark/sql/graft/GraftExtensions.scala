@@ -81,6 +81,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => CosineArgmax(cs.head, cs(1)))
     register(ext, "l2_argmin", 2, classOf[L2Argmin],
       cs => L2Argmin(cs.head, cs(1)))
+    register(ext, "long_set_jaccard", 2, classOf[LongSetJaccard],
+      cs => LongSetJaccard(cs.head, cs(1)))
     register(ext, "pq_adc_score", 2, classOf[PqAdcScore],
       cs => PqAdcScore(cs.head, cs(1)))
   }

@@ -64,6 +64,18 @@ class LlmPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("property: native LongSetJaccard == composed intersect/union on sets") {
+    val setGen = Gen.listOf(Gen.choose(0L, 30L)).map(_.distinct)
+    check(Prop.forAll(setGen, setGen) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val Array(native, composed) = df.select(
+          Dedup.jaccardBySets(col("a"), col("b")).as("n"),
+          Dedup.jaccardBySetsComposed(col("a"), col("b")).as("c"))
+        .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+      native == composed
+    }, n = 30)
+  }
+
   test("property: PqAdcScore equals the direct lookup sum") {
     val mGen = Gen.choose(1, 4)
     check(Prop.forAll(mGen, Gen.choose(2, 4)) { (m, k) =>
