@@ -339,8 +339,8 @@ object Dedup {
     * hash pass, banded buckets); verification computes each candidate
     * document's distinct shingle-hash set ONCE (semi-join restricts the
     * set build to documents that appear in pairs — at corpus scale the
-    * overwhelming majority never does) and scores pairs with two
-    * long-array set ops; clustering is O(log diameter) rounds. `fast`
+    * overwhelming majority never does) and scores pairs with one
+    * native set kernel; clustering is O(log diameter) rounds. `fast`
     * swaps md5 for XXH64 in both phases. Candidates band over
     * pmod-reduced signature hashes while verification compares raw
     * 64-bit shingle sets — verification is exact in the raw domain
@@ -435,8 +435,8 @@ object Dedup {
     array_distinct(shingleHashes(text, shingleSize))
 
   /** Jaccard over two pre-computed [[shingleSet]] columns. The pair-verify
-    * hot path: per pair only two long-array set ops, not a re-shingling of
-    * both texts (docs in many candidate pairs would re-tokenize per pair).
+    * hot path: one native set kernel per pair (not a re-shingling of both
+    * texts — docs in many candidate pairs would re-tokenize per pair).
     */
   def jaccardBySets(sa: Column, sb: Column): Column =
     org.apache.spark.sql.graft.TextHashExpressions.longSetJaccard(sa, sb)
