@@ -76,7 +76,10 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("__i"), col("__p")))),
           x => x.getField("__p")),
         sep).as(textCol))
-    df.select(col(idCol))
+    // left join back onto the full frame: every other column survives
+    // (exactDedup's row-preserving contract); fully-deduplicated
+    // documents keep their row with an empty text
+    df.drop(textCol)
       .join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
@@ -131,6 +134,13 @@ object Dedup {
     * (shuffled by id — span rows, not text), then a single projection
     * filters each document's token positions through the span list.
     * Documents without spans pass through untouched via the left join.
+    *
+    * Tokenization is the SAME whitespace-run split (empties dropped) the
+    * span positions were computed against (ShingleHashes64's contract) —
+    * a single-space split would mis-index any document containing
+    * newlines or tabs. Consequence: documents that DO get cut come back
+    * single-space-joined (whitespace runs normalized); untouched
+    * documents keep their original text byte-for-byte.
     */
   def cutSpans(df: DataFrame, spans: DataFrame, idCol: String,
                textCol: String): DataFrame = {
@@ -142,7 +152,7 @@ object Dedup {
         .otherwise(array_join(
           filter(
             transform(
-              filter(split(col(textCol), " "), t => length(t) > 0),
+              filter(split(col(textCol), "\\s+"), t => length(t) > 0),
               (t, i) => when(exists(col("__spans"), s =>
                 i >= s.getField("span_start") && i <= s.getField("span_end")),
                 lit(null)).otherwise(t)),
@@ -439,7 +449,11 @@ object Dedup {
     * texts — docs in many candidate pairs would re-tokenize per pair).
     */
   def jaccardBySets(sa: Column, sb: Column): Column =
-    org.apache.spark.sql.graft.TextHashExpressions.longSetJaccard(sa, sb)
+    // coalesce preserves the composed form's null contract (a null set
+    // scored 0.0, not null — the native BinaryExpression is null-out)
+    coalesce(
+      org.apache.spark.sql.graft.TextHashExpressions.longSetJaccard(sa, sb),
+      lit(0.0))
 
   /** The composed intersect/union formulation [[jaccardBySets]] replaced
     * (kept as its equivalence oracle): four hash-table builds per pair

@@ -102,7 +102,11 @@ object ImageHeaders {
       val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
       val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
       val size = le32(b, i + 4)
-      if (isFmt && i + 8 + 12 <= b.length) byteRate = le32(b, i + 16)
+      // the byte rate is at fmt-payload offset 8..11: require the chunk
+      // to DECLARE at least 12 bytes, not just the buffer to have them —
+      // a short fmt chunk must not read the next chunk's header bytes
+      if (isFmt && size >= 12 && i + 8 + 12 <= b.length)
+        byteRate = le32(b, i + 16)
       if (isData) dataSize = size
       // advance in Long: a corrupt size near 2^31 must terminate the
       // walk, not wrap the Int cursor into a negative array index

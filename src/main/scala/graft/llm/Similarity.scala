@@ -259,6 +259,9 @@ object Similarity {
   def pqTopK(corpus: DataFrame, idCol: String, codesCol: String,
              queries: Seq[(Long, Array[Float])],
              codebooks: Array[Array[Array[Float]]], k: Int): DataFrame = {
+    if (queries.isEmpty)
+      return corpus.select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+        lit(0.0).as("score"), lit(0).as("rank")).limit(0)
     val qarr = array(queries.map { case (qid, qv) =>
       struct(lit(qid).as("query_id"),
         array(pqLut(qv, codebooks).map(lit(_)): _*).as("lut"))
@@ -313,7 +316,10 @@ object Similarity {
     * (queries are few); the corpus pass is cell-assign (map-only,
     * codegen'd argmax) -> cell-filtered explode of the query LUT
     * literals -> ADC window. With nprobe = nlist this degenerates to
-    * exactly [[pqTopK]] (property-tested).
+    * [[pqTopK]] over every corpus row with a cell assignment
+    * (property-tested); zero-norm corpus vectors have no cell (ivfAssign
+    * returns null, matching [[ivfTopK]]) and zero-norm queries probe
+    * nothing (matching [[ivfRanking]]'s null contract).
     */
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
                 coarse: Array[Array[Float]],
@@ -322,13 +328,18 @@ object Similarity {
                 nprobe: Int = 1): DataFrame = {
     def cosRank(q: Array[Float]): Seq[Int] = {
       val nq = math.sqrt(q.map(x => x.toDouble * x).sum)
-      coarse.indices.sortBy { c =>
-        val cent = coarse(c)
-        val nc = math.sqrt(cent.map(x => x.toDouble * x).sum)
-        val dot = q.indices.take(cent.length)
-          .map(i => q(i).toDouble * cent(i)).sum
-        -(if (nq > 0 && nc > 0) dot / (nq * nc) else Double.MinValue)
-      }
+      if (!(nq > 0)) return Seq.empty // ivfRanking's zero-norm contract
+      coarse.indices
+        .filter { c =>
+          math.sqrt(coarse(c).map(x => x.toDouble * x).sum) > 0
+        }
+        .sortBy { c =>
+          val cent = coarse(c)
+          val nc = math.sqrt(cent.map(x => x.toDouble * x).sum)
+          val dot = q.indices.take(cent.length)
+            .map(i => q(i).toDouble * cent(i)).sum
+          -dot / (nq * nc)
+        }
     }
     val cents = array(coarse.map(c =>
       array(c.toIndexedSeq.map(lit(_)): _*)).toIndexedSeq: _*)
@@ -351,9 +362,19 @@ object Similarity {
                      cellCol: String, probeCells: Array[Float] => Seq[Long],
                      codebooks: Array[Array[Array[Float]]],
                      queries: Seq[(Long, Array[Float])], k: Int): DataFrame = {
+    if (queries.isEmpty)
+      return index.select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+        lit(0.0).as("score"), lit(0).as("rank")).limit(0)
     val qarr = array(queries.map { case (qid, qv) =>
+      // a query probing nothing (zero norm) gets the sentinel cell -1,
+      // which no 1-based assignment matches — an empty literal array
+      // would type as array<null> and break the struct union
+      val cells = probeCells(qv) match {
+        case Seq() => Seq(-1L)
+        case cs => cs
+      }
       struct(lit(qid).as("query_id"),
-        array(probeCells(qv).map(lit(_)): _*).as("cells"),
+        array(cells.map(lit(_)): _*).as("cells"),
         array(pqLut(qv, codebooks).map(lit(_)): _*).as("lut"))
     }: _*)
     val w = Window.partitionBy("query_id")
@@ -398,6 +419,9 @@ object Similarity {
           .select(col("__codes"), posexplode(col("__v")).as(Seq("__d", "__x")))
           .withColumn("__j", (col("__d") / sub).cast("int"))
           .withColumn("__code", element_at(col("__codes"), col("__j") + 1))
+          // a ragged vector longer than m*sub yields __j >= m and a null
+          // code; drop those components instead of NPE-ing the driver read
+          .filter(col("__code").isNotNull)
           .groupBy("__j", "__code", "__d")
           .agg(avg(col("__x").cast("double")).as("__m"))
           .collect()

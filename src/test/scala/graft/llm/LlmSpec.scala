@@ -219,6 +219,49 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) == "untouched text here")
   }
 
+  test("cutSpans aligns with duplicateSpans tokenization on multi-whitespace text") {
+    // newline inside doc 1: a single-space split would shift every index
+    val docs = Seq(
+      (1L, "aa\nbb one two three four five\tcc dd"),
+      (2L, "one two three four five zz yy xx ww")).toDF("id", "t")
+    val spans = Dedup.duplicateSpans(docs, "id", "t", n = 3)
+    val out = Dedup.cutSpans(docs, spans.filter(col("id") === 1L), "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "aa bb cc dd",
+      s"span cut misaligned on whitespace runs: '${out(1L)}'")
+    assert(out(2L) == "one two three four five zz yy xx ww",
+      "untouched docs keep original bytes")
+  }
+
+  test("paragraphDedup preserves non-text columns") {
+    val docs = Seq((1L, "boiler\n\nalpha", "web", 9),
+      (2L, "boiler", "books", 7)).toDF("id", "t", "source", "extra")
+    val out = Dedup.paragraphDedup(docs, "id", "t")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("t"), r.getAs[String]("source"), r.getAs[Int]("extra"))))
+      .toMap
+    assert(out(1L) == (("boiler\n\nalpha", "web", 9)))
+    assert(out(2L) == (("", "books", 7)), "metadata must survive full dedup")
+  }
+
+  test("PQ edge cases: empty query set; null set scores 0.0") {
+    val df = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val cb = Array(Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+    val coded = df.select(col("id"), Similarity.pqEncode(col("v"), cb).as("c"))
+    assert(Similarity.pqTopK(coded, "id", "c", Seq.empty, cb, 3).count() == 0)
+    assert(Similarity.ivfPqTopK(df, "id", "v", Array(Array(1.0f, 0.0f)), cb,
+      Seq.empty, 3).count() == 0)
+    // zero-norm query probes nothing -> no rows for it
+    assert(Similarity.ivfPqTopK(df, "id", "v", Array(Array(1.0f, 0.0f)), cb,
+      Seq(7L -> Array(0.0f, 0.0f)), 3).count() == 0)
+    val nullSet = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]]))
+      .toDF("a", "b")
+    val j = nullSet.select(Dedup.jaccardBySets(col("a"), col("b")).as("j"))
+      .collect().head
+    assert(!j.isNullAt(0) && j.getDouble(0) == 0.0,
+      "null set must score 0.0 like the composed form")
+  }
+
   test("redactPii / piiCounts: ordered typed replacements") {
     val df = Seq((1L,
       "mail a.b+c@test.org or 10.0.0.7, call 555-123-4567; no pii here: 1.2"))
