@@ -27,28 +27,37 @@ object Calculated {
     */
   def addEnergyBalance(df: DataFrame): DataFrame = {
     val star = col("*")
-    val l1 = df
-      .withColumnRenamed("Zon-opwekTotaalDiff", "ZonopwekBruto")
-      .select(star,
-        (z("ElektriciteitTerugleveringLaagDiff") +
-          z("ElektriciteitTerugleveringHoogDiff")).as("TerugleveringTotaalNetto"),
-        (z("ElektriciteitNetgebruikLaagDiff") +
-          z("ElektriciteitNetgebruikHoogDiff")).as("ElektriciteitsgebruikTotaalNetto"),
-        (z("ElektriciteitsgebruikWarmtepompDiff") +
-          z("ElektriciteitsgebruikBoosterDiff")).as("ElektriciteitsgebruikTotaalWarmtepomp"))
-    val l2 = l1.select(star,
-      (z("ElektriciteitsgebruikTotaalNetto") - z("TerugleveringTotaalNetto"))
-        .as("Netuitwisseling"),
-      (z("ElektriciteitsgebruikTotaalWarmtepomp") + z("ElektriciteitsgebruikBoilervatDiff")
-        + z("ElektriciteitsgebruikWTWDiff") + z("ElektriciteitsgebruikRadiatorDiff"))
-        .as("ElektriciteitsgebruikTotaalGebouwgebonden"),
-      (z("ZonopwekBruto") - z("TerugleveringTotaalNetto")).as("Zelfgebruik"))
-    l2.select(star,
-      (z("Netuitwisseling") + z("ZonopwekBruto")
-        - z("ElektriciteitsgebruikTotaalGebouwgebonden"))
-        .as("ElektriciteitsgebruikTotaalHuishoudelijk"),
-      (z("ElektriciteitsgebruikTotaalNetto") + z("Zelfgebruik"))
-        .as("ElektriciteitsgebruikTotaalBruto"))
+    // drop any pre-existing output columns before projecting, so a
+    // re-application (a stage re-loaded via Tables and re-derived)
+    // replaces in place like the old withColumn chain instead of
+    // emitting duplicate names that break later references
+    def level(d: DataFrame, outs: Seq[(String, Column)]): DataFrame =
+      outs.map(_._1).foldLeft(d)(_ drop _)
+        .select(star +: outs.map { case (n, c) => c.as(n) }: _*)
+    val l1 = level(df.withColumnRenamed("Zon-opwekTotaalDiff", "ZonopwekBruto"),
+      Seq(
+        "TerugleveringTotaalNetto" ->
+          (z("ElektriciteitTerugleveringLaagDiff") +
+            z("ElektriciteitTerugleveringHoogDiff")),
+        "ElektriciteitsgebruikTotaalNetto" ->
+          (z("ElektriciteitNetgebruikLaagDiff") +
+            z("ElektriciteitNetgebruikHoogDiff")),
+        "ElektriciteitsgebruikTotaalWarmtepomp" ->
+          (z("ElektriciteitsgebruikWarmtepompDiff") +
+            z("ElektriciteitsgebruikBoosterDiff"))))
+    val l2 = level(l1, Seq(
+      "Netuitwisseling" ->
+        (z("ElektriciteitsgebruikTotaalNetto") - z("TerugleveringTotaalNetto")),
+      "ElektriciteitsgebruikTotaalGebouwgebonden" ->
+        (z("ElektriciteitsgebruikTotaalWarmtepomp") + z("ElektriciteitsgebruikBoilervatDiff")
+          + z("ElektriciteitsgebruikWTWDiff") + z("ElektriciteitsgebruikRadiatorDiff")),
+      "Zelfgebruik" -> (z("ZonopwekBruto") - z("TerugleveringTotaalNetto"))))
+    level(l2, Seq(
+      "ElektriciteitsgebruikTotaalHuishoudelijk" ->
+        (z("Netuitwisseling") + z("ZonopwekBruto")
+          - z("ElektriciteitsgebruikTotaalGebouwgebonden")),
+      "ElektriciteitsgebruikTotaalBruto" ->
+        (z("ElektriciteitsgebruikTotaalNetto") + z("Zelfgebruik"))))
   }
 
   /** I14 — kWh-per-interval -> kW conversion column. */

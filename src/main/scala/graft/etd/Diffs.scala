@@ -35,18 +35,6 @@ object Diffs {
     df.groupBy(col(ProjectId), col(HouseId)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Per-project upper bounds: 2 x exact p95 of house maxima > 1e-8
-    * (impute.py:55-60, 80-90). NA when no house qualifies.
-    */
-  def upperBounds(houseMax: DataFrame, diffCols: Seq[String]): DataFrame = {
-    val aggs = diffCols.map { c =>
-      (Aggregates.exactPercentile(
-        when(col(huisMaxCol(c)) > 1e-8, col(huisMaxCol(c))), 0.95) * 2)
-        .as(upperBoundCol(c))
-    }
-    houseMax.groupBy(col(ProjectId)).agg(aggs.head, aggs.tail: _*)
-  }
-
   /** Household max + bound table (`household_diff_max_bounds`,
     * impute.py:532-535): house maxima with their project bounds stamped
     * on. The bounds are the percentile computed as a WINDOW over the

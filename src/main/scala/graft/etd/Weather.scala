@@ -244,12 +244,27 @@ object Weather {
       .withColumn("days_in_week",
         round(count(col("date_column")).over(Window.partitionBy(weekly: _*)) / 24.0)
           .cast("int"))
+    // RANK on a decimal-stable weekly mean, not the raw double mean: an
+    // unordered window avg sums in shuffle-read order, so two weeks with
+    // near-tied means could swap ranks between runs/engines. The exact
+    // decimal sum -> double -> 1e-6 round is order-independent
+    // (Aggregates.exactMean's arithmetic, windowed); genuine 1e-6 ties
+    // break deterministically on week_of_year.
+    def stableWkMean(c: Column): Column = {
+      val w = Window.partitionBy(weekly: _*)
+      floor((sum(c.cast("decimal(28,12)")).over(w).cast("double")
+        / count(c).over(w)) * 1e6 + 0.5) / 1e6
+    }
+    val ranked = iso
+      .withColumn("__tRank", stableWkMean(col("Temperatuur")))
+      .withColumn("__gRank", stableWkMean(col("Gevoelstemperatuur")))
     val wT = Window.partitionBy(col("STN"), col("year"))
-      .orderBy(col("TemperatuurISOWk").asc_nulls_last, col("week_of_year"))
+      .orderBy(col("__tRank").asc_nulls_last, col("week_of_year"))
     val wG = Window.partitionBy(col("STN"), col("year"))
-      .orderBy(col("GevoelstemperatuurISOWk").asc_nulls_last, col("week_of_year"))
-    iso
+      .orderBy(col("__gRank").asc_nulls_last, col("week_of_year"))
+    ranked
       .withColumn("Koudste2ISOWkTemperatuur", dense_rank().over(wT) <= 2)
       .withColumn("Koudste2ISOWkGevoelstemperatuur", dense_rank().over(wG) <= 2)
+      .drop("__tRank", "__gRank")
   }
 }

@@ -457,7 +457,9 @@ object Similarity {
     * `dim` must be >= the vector length (extra signs are ignored — the
     * dot loops min(len)); default covers the 64-dim corpus embeddings.
     * The precondition is ENFORCED: a longer vector would silently bucket
-    * on its first `dim` components only, so it raises instead.
+    * on its first `dim` components only, so it raises instead. A NULL
+    * vector buckets to NULL (excluded from any grouping) rather than
+    * tripping the guard — not-yet-embedded rows must not kill the job.
     */
   def hyperplaneBucket(vec: Column, planes: Int = 8, dim: Int = 64): Column = {
     val bucket = (0 until planes).map { p =>
@@ -468,8 +470,10 @@ object Similarity {
       }: _*)
       when(Dedup.dot(vec, signs) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    when(size(vec) <= dim, bucket).otherwise(raise_error(concat(
-      lit("hyperplaneBucket: vector length "), size(vec).cast("string"),
-      lit(s" exceeds dim=$dim — pass dim >= the embedding width"))))
+    when(vec.isNull, lit(null).cast("long"))
+      .when(size(vec) <= dim, bucket)
+      .otherwise(raise_error(concat(
+        lit("hyperplaneBucket: vector length "), size(vec).cast("string"),
+        lit(s" exceeds dim=$dim — pass dim >= the embedding width"))))
   }
 }

@@ -13,15 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Content-derived row salt: xxhash64 over every column, mod `salt`.
-    * Unlike monotonically_increasing_id this is a pure function of the
-    * row — identical across task retries and repartitionings (a retried
-    * salted stage reproduces the same partials). Full-row duplicates
-    * share a salt, which only degrades the spread if a hot key's rows
-    * are ALSO byte-identical.
+  /** Content-derived row salt: xxhash64 over `saltBy` (every column when
+    * empty), mod `salt`. Unlike monotonically_increasing_id this is a
+    * pure function of the row — identical across task retries and
+    * repartitionings (a retried salted stage reproduces the same
+    * partials). Full-row duplicates share a salt — if a hot key's rows
+    * can be byte-identical (deduplicated heartbeats, projected
+    * low-cardinality frames), pass a unique discriminator column as
+    * `saltBy` (an event id, a source offset) or the hot key collapses
+    * back into one bucket and the mitigation silently disappears.
     */
-  private def rowSalt(df: DataFrame, salt: Int) =
-    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salt.toLong))
+  private def rowSalt(df: DataFrame, salt: Int,
+                      saltBy: Seq[String] = Nil) = {
+    val cols = if (saltBy.nonEmpty) saltBy else df.columns.toIndexedSeq
+    pmod(xxhash64(cols.map(col): _*), lit(salt.toLong))
+  }
 
   /** Salted equi-join: the big side gets a deterministic row salt, the
     * small side is replicated `salt` ways, and the join key becomes
@@ -37,10 +43,11 @@ object Skew {
     * meets exactly one replica).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                 salt: Int, joinType: String = "inner"): DataFrame = {
+                 salt: Int, joinType: String = "inner",
+                 saltBy: Seq[String] = Nil): DataFrame = {
     require(Seq("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
       .contains(joinType.toLowerCase), s"saltedJoin does not support $joinType")
-    val bigS = big.withColumn("__salt", rowSalt(big, salt))
+    val bigS = big.withColumn("__salt", rowSalt(big, salt, saltBy))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
@@ -56,7 +63,8 @@ object Skew {
     * distinct-ish payloads where partial buffers keep spilling.)
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String],
-                      aggs: Seq[(String, String)], salt: Int): DataFrame = {
+                      aggs: Seq[(String, String)], salt: Int,
+                      saltBy: Seq[String] = Nil): DataFrame = {
     def phase1(v: String, m: String) = m match {
       case "sum" => sum(col(v)).as(v)
       case "count" => count(col(v)).as(v)
@@ -71,7 +79,7 @@ object Skew {
       case "min" => min(col(v)).as(v)
       case other => throw new IllegalArgumentException(s"Unknown method $other")
     }
-    val salted = df.withColumn("__salt", rowSalt(df, salt))
+    val salted = df.withColumn("__salt", rowSalt(df, salt, saltBy))
     val p1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(phase1(aggs.head._1, aggs.head._2),
         aggs.tail.map { case (v, m) => phase1(v, m) }: _*)

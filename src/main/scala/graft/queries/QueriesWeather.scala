@@ -330,6 +330,10 @@ object QueriesWeather {
         |  SELECT *,
         |    avg(temperatuur) OVER wk AS t_isowk,
         |    avg(gevoelstemperatuur) OVER wk AS g_isowk,
+        |    floor(((sum(temperatuur::DECIMAL(28,12)) OVER wk)::DOUBLE
+        |      / count(temperatuur) OVER wk) * 1000000 + 0.5) / 1000000 AS t_rank,
+        |    floor(((sum(gevoelstemperatuur::DECIMAL(28,12)) OVER wk)::DOUBLE
+        |      / count(gevoelstemperatuur) OVER wk) * 1000000 + 0.5) / 1000000 AS g_rank,
         |    round(count(date_column) OVER wk / 24.0)::INT AS days_in_week
         |  FROM kwk WINDOW wk AS (PARTITION BY stn, year, week_of_year)
         |)
@@ -342,9 +346,9 @@ object QueriesWeather {
         |  floor(t_isowk * 1000000 + 0.499) / 1000000 AS t_isowk,
         |  days_in_week::BIGINT AS days_in_week,
         |  (dense_rank() OVER (PARTITION BY stn, year
-        |    ORDER BY t_isowk ASC NULLS LAST, week_of_year) <= 2) AS k2iso_t,
+        |    ORDER BY t_rank ASC NULLS LAST, week_of_year) <= 2) AS k2iso_t,
         |  (dense_rank() OVER (PARTITION BY stn, year
-        |    ORDER BY g_isowk ASC NULLS LAST, week_of_year) <= 2) AS k2iso_g
+        |    ORDER BY g_rank ASC NULLS LAST, week_of_year) <= 2) AS k2iso_g
         |FROM kiso""".stripMargin,
     "q_qa_missing_weather" -> (QueriesEtd.shimSql +
       """, keyed AS (

@@ -54,10 +54,12 @@ object StreamingImpute {
   case class CumReading(huis: Long, tsSec: Long, cum: Option[Double])
 
   /** Per-house state: last processed slot, last OBSERVED cumulative, and
-    * the open gap's slot timestamps (newest first).
+    * the open gap's slot timestamps (newest first). `pendingLen` tracks
+    * the list length so the per-row dead-meter cap check is O(1) — a
+    * List.size walk made each dark slot O(gap), i.e. O(gap^2) per gap.
     */
   case class HouseState(lastTs: Long, lastCum: Option[Double],
-                        pending: List[Long])
+                        pending: List[Long], pendingLen: Int = 0)
 
   /** Emitted diff row; `imputeType` is the batch bit-flag, null when the
     * value is observed (or unknowable: pre-first-observation rows).
@@ -83,19 +85,20 @@ object StreamingImpute {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (huis: Long, rows: Iterator[CumReading], state: GroupState[HouseState]) =>
           var st = state.getOption.getOrElse(
-            HouseState(Long.MinValue, None, Nil))
+            HouseState(Long.MinValue, None, Nil, 0))
           val out = Seq.newBuilder[ImputedDiff]
           rows.toSeq.sortBy(_.tsSec).foreach { r =>
             if (r.tsSec > st.lastTs) r.cum match {
               case None =>
-                st = st.copy(lastTs = r.tsSec, pending = r.tsSec :: st.pending)
-                if (st.pending.size >= maxGapLength) {
+                st = st.copy(lastTs = r.tsSec, pending = r.tsSec :: st.pending,
+                  pendingLen = st.pendingLen + 1)
+                if (st.pendingLen >= maxGapLength) {
                   // dead-meter cap: flush the over-long open gap as
                   // unimputed rows and reset to the restart state so a
                   // permanently dark meter cannot accrete state
                   st.pending.reverse.foreach(ts =>
                     out += ImputedDiff(huis, ts, None, None, isImputed = false))
-                  st = HouseState(r.tsSec, None, Nil)
+                  st = HouseState(r.tsSec, None, Nil, 0)
                 }
               case Some(c) =>
                 st.lastCum match {
@@ -114,7 +117,7 @@ object StreamingImpute {
                     } else {
                       // closed gap: pending rows + closing row all carry
                       // the cascade fill (gap_length = pending + 1)
-                      val n = st.pending.size + 1
+                      val n = st.pendingLen + 1
                       val (fill, tpe) =
                         if (jump < 0) (0.0, ImputeType.NegativeGapJump)
                         else if (jump < 1e-8) (0.0, ImputeType.NearZeroGapJump)
@@ -124,7 +127,7 @@ object StreamingImpute {
                           isImputed = true))
                     }
                 }
-                st = HouseState(r.tsSec, Some(c), Nil)
+                st = HouseState(r.tsSec, Some(c), Nil, 0)
             }
           }
           if (st.lastTs > Long.MinValue) state.update(st)
@@ -147,7 +150,7 @@ object StreamingImpute {
   case class PendingSlot(tsSec: Long, iv: Double)
 
   case class HouseStateScaled(lastTs: Long, lastCum: Option[Double],
-                              pending: List[PendingSlot])
+                              pending: List[PendingSlot], pendingLen: Int = 0)
 
   /** Scaled streaming imputation — the full known-jump cascade including
     * SCALED_FILL (I7's avg-proportional branch): with the average-diff
@@ -172,17 +175,18 @@ object StreamingImpute {
         (huis: Long, rows: Iterator[CumReadingAvg],
          state: GroupState[HouseStateScaled]) =>
           var st = state.getOption.getOrElse(
-            HouseStateScaled(Long.MinValue, None, Nil))
+            HouseStateScaled(Long.MinValue, None, Nil, 0))
           val out = Seq.newBuilder[ImputedDiff]
           rows.toSeq.sortBy(_.tsSec).foreach { r =>
             if (r.tsSec > st.lastTs) r.cum match {
               case None =>
                 st = st.copy(lastTs = r.tsSec,
-                  pending = PendingSlot(r.tsSec, r.avg.getOrElse(0.0)) :: st.pending)
-                if (st.pending.size >= maxGapLength) {
+                  pending = PendingSlot(r.tsSec, r.avg.getOrElse(0.0)) :: st.pending,
+                  pendingLen = st.pendingLen + 1)
+                if (st.pendingLen >= maxGapLength) {
                   st.pending.reverse.foreach(p =>
                     out += ImputedDiff(huis, p.tsSec, None, None, isImputed = false))
-                  st = HouseStateScaled(r.tsSec, None, Nil)
+                  st = HouseStateScaled(r.tsSec, None, Nil, 0)
                 }
               case Some(c) =>
                 st.lastCum match {
@@ -220,7 +224,7 @@ object StreamingImpute {
                       }
                     }
                 }
-                st = HouseStateScaled(r.tsSec, Some(c), Nil)
+                st = HouseStateScaled(r.tsSec, Some(c), Nil, 0)
             }
           }
           if (st.lastTs > Long.MinValue) state.update(st)
