@@ -45,5 +45,14 @@ class SkewSpec extends AnyFunSuite {
         Seq("v" -> "sum", "n" -> "count"), salt = 8)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     assert(salted == plain)
+    // explicit discriminator (for byte-identical hot-key rows): same result
+    val byId = Skew.saltedAggregate(
+        big.withColumn("n", lit(1L)).withColumn("rid",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("k").orderBy("v"))),
+        Seq("k"), Seq("v" -> "sum", "n" -> "count"), salt = 8,
+        saltBy = Seq("rid"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(byId == plain)
   }
 }
