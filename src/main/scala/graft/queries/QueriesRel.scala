@@ -302,12 +302,27 @@ object QueriesRel {
         col("event_id").as("max_event"),
         col("n"))
 
+  /** Salted replicate-side join vs its unsalted twin: the salt spreads a
+    * hot key over `salt` tasks, the oracle is the PLAIN join — salting
+    * must be invisible in the result.
+    */
+  def q_skew_salted_join(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedJoin(
+        table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        table(spark, dir, "part").select(col("p_partkey").as("l_partkey"),
+          col("p_name")),
+        Seq("l_partkey"), salt = 8)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("double").as("qty"), col("p_name"))
+
   // ------------------------------------------------------------------
   // Registry + oracles
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_salted_agg" -> (q_skew_salted_agg _),
+    "q_skew_salted_join" -> (q_skew_salted_join _),
     "q_p2p3p4_projection" -> (q_p2p3p4_projection _),
     "q_p6_semi_filter" -> (q_p6_semi_filter _),
     "q_j12_anti" -> (q_j12_anti _),
@@ -340,6 +355,9 @@ object QueriesRel {
         |  max(event_id)::BIGINT AS max_event,
         |  count(user_id)::BIGINT AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT l.l_orderkey, l.l_partkey, l.l_quantity::DOUBLE AS qty, p.p_name
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
     "q_p2p3p4_projection" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total, o_orderdate
         |FROM orders""".stripMargin,
