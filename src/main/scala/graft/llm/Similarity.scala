@@ -326,19 +326,17 @@ object Similarity {
                 codebooks: Array[Array[Array[Float]]],
                 queries: Seq[(Long, Array[Float])], k: Int,
                 nprobe: Int = 1): DataFrame = {
+    val centNorms = coarse.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
     def cosRank(q: Array[Float]): Seq[Int] = {
       val nq = math.sqrt(q.map(x => x.toDouble * x).sum)
       if (!(nq > 0)) return Seq.empty // ivfRanking's zero-norm contract
       coarse.indices
-        .filter { c =>
-          math.sqrt(coarse(c).map(x => x.toDouble * x).sum) > 0
-        }
+        .filter(c => centNorms(c) > 0)
         .sortBy { c =>
           val cent = coarse(c)
-          val nc = math.sqrt(cent.map(x => x.toDouble * x).sum)
           val dot = q.indices.take(cent.length)
             .map(i => q(i).toDouble * cent(i)).sum
-          -dot / (nq * nc)
+          -dot / (nq * centNorms(c))
         }
     }
     val cents = array(coarse.map(c =>

@@ -327,17 +327,26 @@ object TextFunctions {
                         langCol: String, alpha: Double = 0.5,
                         salt: String = "rebalance"): org.apache.spark.sql.DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
-    val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+    // rows with a NULL language (language-ID gave up) stay in the OUTPUT
+    // with keep_prob NULL and keep=false — they are neither silently
+    // dropped (an inner join on a null key would do that) nor allowed to
+    // poison n_min (a tiny NULL group would over-downsample every real
+    // language); route them to a dedicated handling pass instead
+    val counts = df.filter(col(langCol).isNotNull)
+      .groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
     val minRow = counts.agg(min("__n").as("__nmin"))
     val rate =
       if (alpha == 0.5) sqrt(col("__nmin").cast("double") / col("__n"))
       else pow(col("__nmin").cast("double") / col("__n"), 1.0 - alpha)
-    df.join(broadcast(counts), Seq(langCol))
+    df.join(broadcast(counts), Seq(langCol), "left")
       .crossJoin(broadcast(minRow))
       .withColumn("keep_prob", rate)
-      .withColumn("keep",
+      // coalesce(false): NULL lang AND NULL text both land in the
+      // rejected partition, so kept + rejected == input always holds
+      .withColumn("keep", coalesce(
         pmod(hash64(concat(col(textCol), lit(salt))), lit(1000000L)) <
-          floor(col("keep_prob") * 1000000).cast("long"))
+          floor(col("keep_prob") * 1000000).cast("long"),
+        lit(false)))
       .drop("__n", "__nmin")
   }
 }

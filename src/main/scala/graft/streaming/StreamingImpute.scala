@@ -57,6 +57,11 @@ object StreamingImpute {
     * the open gap's slot timestamps (newest first). `pendingLen` tracks
     * the list length so the per-row dead-meter cap check is O(1) — a
     * List.size walk made each dark slot O(gap), i.e. O(gap^2) per gap.
+    *
+    * NOTE: adding pendingLen changed the state ENCODER SCHEMA — a query
+    * restarted from a checkpoint written by an earlier build fails
+    * Spark's state-schema compatibility check; start it with a fresh
+    * checkpoint directory (state loss = at most the open gaps).
     */
   case class HouseState(lastTs: Long, lastCum: Option[Double],
                         pending: List[Long], pendingLen: Int = 0)

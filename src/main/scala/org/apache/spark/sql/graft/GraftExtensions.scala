@@ -81,8 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => CosineArgmax(cs.head, cs(1)))
     register(ext, "l2_argmin", 2, classOf[L2Argmin],
       cs => L2Argmin(cs.head, cs(1)))
+    // SQL input is arbitrary: wrap in array_distinct so duplicates can't
+    // skew the |a|+|b|-|inter| union identity (the internal Column path
+    // feeds pre-distinct shingle sets and skips the extra pass)
     register(ext, "long_set_jaccard", 2, classOf[LongSetJaccard],
-      cs => LongSetJaccard(cs.head, cs(1)))
+      cs => LongSetJaccard(
+        org.apache.spark.sql.catalyst.expressions.ArrayDistinct(cs.head),
+        org.apache.spark.sql.catalyst.expressions.ArrayDistinct(cs(1))))
     register(ext, "pq_adc_score", 2, classOf[PqAdcScore],
       cs => PqAdcScore(cs.head, cs(1)))
   }

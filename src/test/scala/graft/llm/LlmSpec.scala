@@ -203,6 +203,18 @@ class LlmSpec extends AnyFunSuite {
       .collect()
     assert(all.forall(r => r.getAs[Double]("keep_prob") == 1.0 &&
       r.getAs[Boolean]("keep")), "alpha=1 must keep everything")
+    // NULL language: row survives with keep=false and does NOT poison n_min
+    val withNull = (docs :+ ((106L, "mystery text", null: String)))
+      .toDF("id", "text", "lang")
+    val nOut = TextFunctions.languageRebalance(withNull, "text", "lang", 0.5)
+      .collect()
+    assert(nOut.length == 106, "null-lang rows must stay in the output")
+    val nullRow = nOut.find(_.getAs[Long]("id") == 106L).get
+    assert(nullRow.isNullAt(nullRow.fieldIndex("keep_prob")) &&
+      !nullRow.getAs[Boolean]("keep"))
+    assert(nOut.filter(_.getAs[String]("lang") == "fy")
+      .forall(_.getAs[Double]("keep_prob") == 1.0),
+      "n_min must come from the smallest REAL language, not the null group")
   }
 
   test("cutSpans: span tokens removed, remainder stitched, others untouched") {
@@ -350,6 +362,18 @@ class LlmSpec extends AnyFunSuite {
     // empty codebook -> null
     assert(spark.sql("SELECT l2_argmin(array(1.0f), array())").collect()
       .head.isNullAt(0))
+    // SQL long_set_jaccard dedupes arbitrary input (the registration
+    // wraps array_distinct): {1,2} vs {2,3} = 1/3 even with duplicates
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_set_jaccard", exprs => {
+        import org.apache.spark.sql.catalyst.expressions.ArrayDistinct
+        org.apache.spark.sql.graft.LongSetJaccard(
+          ArrayDistinct(exprs.head), ArrayDistinct(exprs(1)))
+      }, "built-in")
+    val jac = spark.sql(
+      "SELECT long_set_jaccard(array(1L, 1L, 2L), array(2L, 3L))")
+      .collect().head.getDouble(0)
+    assert(math.abs(jac - 1.0 / 3.0) < 1e-15, s"got $jac")
   }
 
   test("contaminationScores: benchmark-gram coverage; maxDf drops stop-phrases") {
