@@ -85,4 +85,18 @@ object Aggregates {
     */
   def sumMinCountStable(c: Column, minCount: Column): Column =
     when(count(c) >= minCount, sum(c.cast("decimal(28,12)")).cast("double"))
+
+  /** The method-name -> gated-aggregate dispatch shared by
+    * [[Resample.resample]] and [[ProjectAggregate.aggregate]] — one
+    * vocabulary, so both stages accept exactly the same methods.
+    */
+  def gated(method: String, v: Column, minCount: Column): Column =
+    method match {
+      case "sum" => sumMinCount(v, minCount)
+      case "sum_stable" => sumMinCountStable(v, minCount)
+      case "max" => maxMinCount(v, minCount)
+      case "avg" => avgMinCount(v, minCount)
+      case "avg_stable" => avgMinCountStable(v, minCount)
+      case other => throw new IllegalArgumentException(s"Unknown method $other")
+    }
 }

@@ -134,6 +134,12 @@ object Impute {
     * (vectorized_impute.py:630-756). Branch conditions reproduce the
     * reference comparisons exactly, including the strict 1e-8 bounds.
     * Returns (imputedDiff, imputeType) column expressions.
+    *
+    * ACCEPTED DEVIATION: fill values round with Spark/DuckDB HALF_UP at
+    * the 10th decimal where pandas Series.round is HALF_EVEN — they
+    * differ only when a quotient's nearest double is an exact half-step
+    * at 1e-10 (measure-zero for real meter data). The engine and its
+    * oracle share HALF_UP, so cross-engine determinism is unaffected.
     */
   def imputeCascade(diffC: String): (Column, Column) =
     cascadeExprs(col(diffC), col("cumulative_value_group"),

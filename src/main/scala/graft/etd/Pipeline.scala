@@ -46,12 +46,17 @@ object Pipeline {
 
     private val resampledCache =
       scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-    /** A8 — the calculated frame resampled to `iv` (5min = native grain). */
+    /** A8 — the calculated frame resampled to `iv`. 5min resamples too
+      * (the reference's resample_hh_data includes it): on-grid complete
+      * input passes through value-identical, but off-grid timestamps
+      * floor to their bucket and absent rows densify to NA fillers —
+      * skipping it made the 60%-gate denominator of the 5min project
+      * aggregation diverge from the reference wherever a row was missing.
+      */
     def resampled(iv: String): DataFrame = {
       require(intervals.contains(iv), s"interval $iv not in $intervals")
       resampledCache.getOrElseUpdate(iv,
-        if (iv == "5min") calculated
-        else Resample.resampleStandard(calculated, iv))
+        Resample.resampleStandard(calculated, iv))
     }
 
     private val projectAggCache =

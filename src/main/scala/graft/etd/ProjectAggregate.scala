@@ -27,17 +27,12 @@ object ProjectAggregate {
     */
   def aggregate(df: DataFrame, variables: Seq[(String, String)],
                 groupCols: Seq[String] = Seq(ProjectId)): DataFrame = {
+    require(variables.nonEmpty,
+      "aggregate: no variables to aggregate — the frame has none of the " +
+        "configured aggregation columns")
     val gate = Aggregates.sixtyPctOfGroup
     val aggs = variables.map { case (v, method) =>
-      val gated = method match {
-        case "sum" => Aggregates.sumMinCount(col(v), gate)
-        case "sum_stable" => Aggregates.sumMinCountStable(col(v), gate)
-        case "max" => Aggregates.maxMinCount(col(v), gate)
-        case "avg" => Aggregates.avgMinCount(col(v), gate)
-        case "avg_stable" => Aggregates.avgMinCountStable(col(v), gate)
-        case other => throw new IllegalArgumentException(s"Unknown method $other")
-      }
-      gated.as(v)
+      Aggregates.gated(method, col(v), gate).as(v)
     } :+ count(lit(1)).as("n")
     df.groupBy((Seq(ReadingDate) ++ groupCols).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -59,6 +54,7 @@ object ProjectAggregate {
     * (aggregate.py:188-194), one pass.
     */
   def aggregatedDiff(df: DataFrame, diffCols: Seq[String]): DataFrame = {
+    require(diffCols.nonEmpty, "aggregatedDiff: no diff columns given")
     val aggs = diffCols.map(c => Aggregates.exactMean(col(c)).as(c))
     df.groupBy(col(ProjectId), col(ReadingDate)).agg(aggs.head, aggs.tail: _*)
   }
@@ -68,6 +64,13 @@ object ProjectAggregate {
     * XCheck = diff(X - XOriginal). The reference loops over the full
     * global cumulative_columns list regardless of the cum_cols param
     * (SURVEY §2.9 I11 note); here the caller passes the list explicitly.
+    *
+    * pandas cumsum leaves NA at a NaN input row and carries the running
+    * total PAST it ([1, NaN, 3] for [1, NaN, 2]) — a bare window sum
+    * would return the carried value AT the null row too, so the rebuilt
+    * cumulative is masked to null wherever the diff itself is null
+    * (check columns then null-propagate exactly like the reference's
+    * .diff()).
     */
   def rebuildCumulative(df: DataFrame, cumulativeCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(ProjectId, HouseId).orderBy(ReadingDate)
@@ -80,7 +83,9 @@ object ProjectAggregate {
     // Impute.imputeColumnsBatched cures (Impute.scala batching note).
     val rebuilt = df.select(
       df.columns.map { c =>
-        if (cumSet(c)) sum(diffCol(c)).over(running).as(c) else col(c)
+        if (cumSet(c))
+          when(col(diffCol(c)).isNotNull, sum(diffCol(c)).over(running)).as(c)
+        else col(c)
       }.toSeq ++ cumulativeCols.map(c => col(c).as(originalCol(c))): _*)
     rebuilt.select(
       df.columns.map(col).toSeq ++
@@ -102,7 +107,8 @@ object ProjectAggregate {
     cumulativeCols.foldLeft(df) { (acc, c) =>
       acc
         .withColumn(originalCol(c), col(c))
-        .withColumn(c, sum(diffCol(c)).over(running))
+        .withColumn(c,
+          when(col(diffCol(c)).isNotNull, sum(diffCol(c)).over(running)))
         .withColumn(checkCol(c), {
           val delta = col(c) - col(originalCol(c))
           delta - lag(delta, 1).over(w)

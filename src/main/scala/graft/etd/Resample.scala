@@ -80,17 +80,12 @@ object Resample {
                interval: String,
                groupCols: Seq[String] = Seq(ProjectId, HouseId),
                minCountOverride: Option[Int] = None): DataFrame = {
+    require(variables.nonEmpty,
+      "resample: no variables to aggregate — the frame has none of the " +
+        "configured aggregation columns")
     val minCount = lit(minCountOverride.getOrElse(intervalMinCount(interval)))
     val aggs = variables.map { case (v, method) =>
-      val gated = method match {
-        case "sum" => Aggregates.sumMinCount(col(v), minCount)
-        case "sum_stable" => Aggregates.sumMinCountStable(col(v), minCount)
-        case "max" => Aggregates.maxMinCount(col(v), minCount)
-        case "avg" => Aggregates.avgMinCount(col(v), minCount)
-        case "avg_stable" => Aggregates.avgMinCountStable(col(v), minCount)
-        case other => throw new IllegalArgumentException(s"Unknown method $other")
-      }
-      gated.as(v)
+      Aggregates.gated(method, col(v), minCount).as(v)
     }
     val bucketed = df
       .withColumn(ReadingDate, bucket(col(ReadingDate), interval))

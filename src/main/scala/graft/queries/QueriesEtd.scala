@@ -779,8 +779,9 @@ object QueriesEtd {
     "q_i11_cumsum_rebuild" -> (shimSql +
       """, rb AS (
         |  SELECT huis, t_us, meter::DECIMAL(28,10) AS meter_original,
-        |    sum(meter_diff::DECIMAL(28,10)) OVER (PARTITION BY huis ORDER BY t_us
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rebuilt
+        |    CASE WHEN meter_diff IS NOT NULL THEN
+        |      sum(meter_diff::DECIMAL(28,10)) OVER (PARTITION BY huis ORDER BY t_us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS rebuilt
         |  FROM r
         |), rb2 AS (
         |  SELECT huis, t_us, rebuilt,
