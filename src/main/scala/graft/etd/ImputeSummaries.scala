@@ -35,10 +35,15 @@ object ImputeSummaries {
         count(col(impTy)).as("imputed"),
         (count(when(col("cumulative_value_group").isNotNull, 1))
           - count(col(impTy))).as("imputed_na"),
-        // A15: methods -> bitmask. The reference folds 1 << (method-1) over
-        // the method list; our method values are already the bit flags
-        // (Model.ImputeType), THRESHOLD_ADJUSTED composites included, so
-        // the fold is a bit_or over the per-row flag values.
+        // A15: methods -> bitmask, as a bit_or over the per-row ImputeType
+        // flag values. ACCEPTED DEVIATION from methods_to_bitwise
+        // (vectorized_impute.py:18-55): the reference folds 1 << (method-1)
+        // over values that are ALREADY power-of-two IntFlags, yielding
+        // 1<<3 for LINEAR_FILL(4), 1<<63 (the sign bit) for
+        // NO_END_VALUE(64) and undefined shifts for THRESHOLD_ADJUSTED
+        // composites like 132; the direct flag union is the sane encoding
+        // of "set of methods used" and round-trips against
+        // Model.ImputeType without a shift table.
         coalesce(bit_or(col(impTy)), lit(0)).cast("long").as("bitwise_methods"))
       .withColumn("column", lit(diffC))
   }

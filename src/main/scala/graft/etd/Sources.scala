@@ -86,8 +86,9 @@ object Sources {
       .map(_.getString(0))
       .getOrElse(throw new IllegalArgumentException(
         s"No '#' header preamble found in $path"))
+    // the reference's rename(columns={"# STN": "STN"}) parity happens
+    // HERE: stripPrefix("#") + trim normalizes the first header token
     val names = headerLine.stripPrefix("#").split(",").map(_.trim)
-      .map { case "STN" | "# STN" => "STN"; case n => n }
     val df = spark.read
       .option("comment", "#")
       .option("inferSchema", "true")
@@ -160,7 +161,12 @@ object Sources {
                     bucketCols: Seq[String] = Seq(Model.HouseId),
                     sortCols: Seq[String] = Seq(Model.HouseId)): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // backtick-quoted: a hyphenated stage name must not be a parse error;
+    // the DROP exists because saveAsTable refuses to overwrite an
+    // EXTERNAL table whose path changed — losing the registration on a
+    // failed write is acceptable (the parquet data at the old path
+    // survives; re-registering is one CREATE TABLE)
+    spark.sql(s"DROP TABLE IF EXISTS `${name.replace("`", "``")}`")
     df.write.mode("overwrite")
       .format("parquet")
       .option("path", path)

@@ -89,9 +89,11 @@ object Weather {
     val extremeTs = when(col(avgVar) === extreme, ts)
     // group-broadcast every extreme timestamp (usually one; ties collect)
     val extremes = collect_set(extremeTs).over(grp)
+    // exists() over the empty array (all-null group) is already false;
+    // coalesce covers a null ts comparison inside the lambda
     df.withColumn(flagName,
       exists(extremes, t =>
-        ts > t - expr(s"INTERVAL $days DAYS") && ts <= t) && size(extremes) > 0)
+        ts > t - expr(s"INTERVAL $days DAYS") && ts <= t))
       .withColumn(flagName, coalesce(col(flagName), lit(false)))
   }
 

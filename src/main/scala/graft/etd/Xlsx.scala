@@ -42,8 +42,14 @@ object Xlsx {
 
       val rows = (sheetXml \\ "row").map { row =>
         val cells = mutable.Map.empty[Int, String]
+        // ECMA-376 makes the cell ref `r` OPTIONAL: a cell without it
+        // implicitly follows its predecessor, so track the cursor instead
+        // of parking r-less cells at index -1 (silently dropped)
+        var cursor = -1
         (row \ "c").foreach { c =>
-          val idx = colIndex((c \@ "r"))
+          val ref = c \@ "r"
+          val idx = if (ref.nonEmpty) colIndex(ref) else cursor + 1
+          cursor = idx
           val t = c \@ "t"
           val v = (c \ "v").headOption.map(_.text)
           val value = t match {

@@ -37,9 +37,12 @@ object GapDetection {
           val gaps = Seq.newBuilder[Gap]
           sorted.foreach { r =>
             last.foreach { l =>
-              if (r.tsSec - l > stepSec)
-                gaps += Gap(huis, l + stepSec, r.tsSec - stepSec,
-                  (r.tsSec - l) / stepSec - 1)
+              // the missed-slot count gates the emission: off-grid
+              // timestamps (e.g. l+1.5*step) would otherwise emit an
+              // inverted zero-slot gap (fromSec > toSec)
+              val missed = (r.tsSec - l) / stepSec - 1
+              if (missed >= 1)
+                gaps += Gap(huis, l + stepSec, r.tsSec - stepSec, missed)
             }
             last = Some(r.tsSec)
           }

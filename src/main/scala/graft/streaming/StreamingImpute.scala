@@ -53,19 +53,6 @@ object StreamingImpute {
   /** One meter reading; `cum` null while the meter is dark. */
   case class CumReading(huis: Long, tsSec: Long, cum: Option[Double])
 
-  /** Per-house state: last processed slot, last OBSERVED cumulative, and
-    * the open gap's slot timestamps (newest first). `pendingLen` tracks
-    * the list length so the per-row dead-meter cap check is O(1) — a
-    * List.size walk made each dark slot O(gap), i.e. O(gap^2) per gap.
-    *
-    * NOTE: adding pendingLen changed the state ENCODER SCHEMA — a query
-    * restarted from a checkpoint written by an earlier build fails
-    * Spark's state-schema compatibility check; start it with a fresh
-    * checkpoint directory (state loss = at most the open gaps).
-    */
-  case class HouseState(lastTs: Long, lastCum: Option[Double],
-                        pending: List[Long], pendingLen: Int = 0)
-
   /** Emitted diff row; `imputeType` is the batch bit-flag, null when the
     * value is observed (or unknowable: pre-first-observation rows).
     */
@@ -82,62 +69,16 @@ object StreamingImpute {
 
   def imputeStream(readings: Dataset[CumReading],
                    maxGapLength: Int = 8640): Dataset[ImputedDiff] = {
-    implicit val outEnc = Encoders.product[ImputedDiff]
-    implicit val stateEnc = Encoders.product[HouseState]
-    implicit val keyEnc = Encoders.scalaLong
-    readings
-      .groupByKey(_.huis)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (huis: Long, rows: Iterator[CumReading], state: GroupState[HouseState]) =>
-          var st = state.getOption.getOrElse(
-            HouseState(Long.MinValue, None, Nil, 0))
-          val out = Seq.newBuilder[ImputedDiff]
-          rows.toSeq.sortBy(_.tsSec).foreach { r =>
-            if (r.tsSec > st.lastTs) r.cum match {
-              case None =>
-                st = st.copy(lastTs = r.tsSec, pending = r.tsSec :: st.pending,
-                  pendingLen = st.pendingLen + 1)
-                if (st.pendingLen >= maxGapLength) {
-                  // dead-meter cap: flush the over-long open gap as
-                  // unimputed rows and reset to the restart state so a
-                  // permanently dark meter cannot accrete state
-                  st.pending.reverse.foreach(ts =>
-                    out += ImputedDiff(huis, ts, None, None, isImputed = false))
-                  st = HouseState(r.tsSec, None, Nil, 0)
-                }
-              case Some(c) =>
-                st.lastCum match {
-                  case None =>
-                    // no prior observation: gap has no start — diffs stay
-                    // NA, matching the batch no-start-no-end branch
-                    st.pending.reverse.foreach(ts =>
-                      out += ImputedDiff(huis, ts, None, None, isImputed = false))
-                    out += ImputedDiff(huis, r.tsSec, None, None, isImputed = false)
-                  case Some(prev) =>
-                    val jump = c - prev
-                    if (st.pending.isEmpty) {
-                      // uninterrupted: plain observed diff
-                      out += ImputedDiff(huis, r.tsSec, Some(jump), None,
-                        isImputed = false)
-                    } else {
-                      // closed gap: pending rows + closing row all carry
-                      // the cascade fill (gap_length = pending + 1)
-                      val n = st.pendingLen + 1
-                      val (fill, tpe) =
-                        if (jump < 0) (0.0, ImputeType.NegativeGapJump)
-                        else if (jump < 1e-8) (0.0, ImputeType.NearZeroGapJump)
-                        else (round10(jump / n), ImputeType.LinearFill)
-                      (st.pending.reverse :+ r.tsSec).foreach(ts =>
-                        out += ImputedDiff(huis, ts, Some(fill), Some(tpe),
-                          isImputed = true))
-                    }
-                }
-                st = HouseState(r.tsSec, Some(c), Nil, 0)
-            }
-          }
-          if (st.lastTs > Long.MinValue) state.update(st)
-          out.result().iterator
-      }
+    // With no averages, the scaled cascade degenerates EXACTLY to the
+    // simple one: every iv is 0, so imputeJump < 1e-8 and closed gaps
+    // take the negative / near-zero / linear branches with identical
+    // fills, caps, and no-start handling. One state machine to maintain
+    // instead of two copies that could drift (StreamingImputeSpec pins
+    // streaming == batch on both entry points).
+    implicit val avgEnc = Encoders.product[CumReadingAvg]
+    imputeStreamScaled(
+      readings.map(r => CumReadingAvg(r.huis, r.tsSec, r.cum, None)),
+      maxGapLength)
   }
 
   /** One meter reading carrying its per-(project, slot) average diff —
@@ -154,6 +95,17 @@ object StreamingImpute {
     */
   case class PendingSlot(tsSec: Long, iv: Double)
 
+  /** Per-house state: last processed slot, last OBSERVED cumulative, and
+    * the open gap's slots (newest first). `pendingLen` tracks the list
+    * length so the per-row dead-meter cap check is O(1) — a List.size
+    * walk made each dark slot O(gap), i.e. O(gap^2) per gap.
+    *
+    * NOTE: the pendingLen addition (and the single-state-machine
+    * refactor) changed the state ENCODER SCHEMA — a query restarted from
+    * a checkpoint written by an earlier build fails Spark's state-schema
+    * compatibility check; start it with a fresh checkpoint directory
+    * (state loss = at most the open gaps).
+    */
   case class HouseStateScaled(lastTs: Long, lastCum: Option[Double],
                               pending: List[PendingSlot], pendingLen: Int = 0)
 

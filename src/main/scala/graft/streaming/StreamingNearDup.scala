@@ -5,19 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.llm.Dedup
-import graft.llm.TextFunctions.shingleHashes
 
 /** Streaming near-duplicate candidate generation: MinHash + LSH banding
   * over a live document stream, with per-bucket state.
   *
-  * Batch/stream parity: signatures and band keys are the SAME seeded
-  * universal hashes the batch path computes ([[Dedup.minhashFromHashes]] /
-  * [[Dedup.lshBandKeys]]), so a pair the stream flags is exactly a pair
-  * the batch LSH would flag. The per-document signature is map-only (the
-  * native fused shingle-hash pass bound to a column, then 16 mins over a
-  * cheap column reference — no re-hashing per seed); the only shuffle is
-  * the groupByKey on (band, band key), the same key the batch bucket
-  * groupBy uses.
+  * Batch/stream parity: signatures and band keys use the SAME portable
+  * formulas as the batch path ([[Dedup.minhashSignatures]] /
+  * [[Dedup.lshBandKeys]] — md5 60-bit shingle hashes, seeded universal
+  * hashes, md5 band keys), so a pair the stream flags is exactly a pair
+  * the batch LSH would flag. The per-document signature is map-only,
+  * computed in a typed map with ONE fused shingle pass (see
+  * [[bandedStream]]); the only shuffle is the groupByKey on (band, band
+  * key), the same key the batch bucket groupBy uses.
   *
   * State per bucket is the member id list, capped at `maxBucket` (a
   * capped bucket's members are already exact-dup candidates by band
@@ -34,21 +33,56 @@ object StreamingNearDup {
   case class BucketState(ids: List[Long])
   case class CandidatePair(idA: Long, idB: Long)
 
-  /** (bucket, doc) stream: signature -> band keys, exploded. */
+  /** (bucket, doc) stream: signature -> band keys, exploded.
+    *
+    * Computed in a TYPED map (pure JVM, one fused shingle pass per
+    * document) rather than nested Catalyst HOFs: a withColumn-bound hash
+    * array referenced once collapses back into the signature expression
+    * (CollapseProject counts a lambda-bound alias as one use), and lambda
+    * bodies get no common-subexpression elimination — the tokenize/md5
+    * pass would re-run once per seed, the exact 16x blowup
+    * [[Dedup.minhashFromHashes]]'s docs warn about. The arithmetic is the
+    * SAME portable formulas (md5-60-bit shingle hash, seeded universal
+    * hashes, md5 band keys), so stream pairs == batch pairs
+    * (StreamingNearDupSpec pins it).
+    */
   def bandedStream(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, bands: Int = 4,
                    shingleSize: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    docs
-      .withColumn("__hs",
-        transform(shingleHashes(col(textCol), shingleSize),
-          h => pmod(h, lit(Dedup.lshPrime))))
-      .withColumn("__sig", Dedup.minhashFromHashes(col("__hs"), numHashes))
-      .select(col(idCol).as("docId"),
-        posexplode(Dedup.lshBandKeys(col("__sig"), bands, rowsPerBand))
-          .as(Seq("band", "bandKey")))
-      .select(concat(col("band"), lit("|"), col("bandKey")).as("bucket"),
-        col("docId"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hsRaw = org.apache.spark.sql.graft.Md5Util.shingleHashes(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            if (text == null) "" else text), shingleSize).toLongArray
+        val sig = Array.tabulate(numHashes) { i =>
+          if (hsRaw.isEmpty) Dedup.lshPrime
+          else {
+            var best = Long.MaxValue
+            var j = 0
+            while (j < hsRaw.length) {
+              val h = java.lang.Math.floorMod(hsRaw(j), Dedup.lshPrime)
+              val v = java.lang.Math.floorMod(
+                Dedup.seedA(i) * h + Dedup.seedB(i), Dedup.lshPrime)
+              if (v < best) best = v
+              j += 1
+            }
+            best
+          }
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until bands).map { b =>
+          val joined = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+            .mkString("_")
+          md.reset()
+          val key = md.digest(joined.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (s"$b|$key", id)
+        }
+      }
+      .toDF("bucket", "docId")
   }
 
   /** Candidate pairs as they become known: each new document pairs with
