@@ -77,14 +77,19 @@ object Multimodal {
       sequence(lit(0L), durationMs - 1, lit(everyMs)))
       .otherwise(array())
 
-  /** Byte-weighted repartitioning: ranges on cumulative payload size so
-    * each partition carries ~`targetBytes` of media, regardless of row
-    * skew (a 4K video != a thumbnail).
+  /** Byte-aware repartitioning: rows range-partition on (size class,
+    * content hash) — the size class isolates huge payloads (a 4K video
+    * != a thumbnail) and the hash spreads the rows WITHIN a class
+    * uniformly across its range. Without the hash, every row of one
+    * class shares a sort key and repartitionByRange cannot split them —
+    * a thumbnail-only corpus collapsed into a single partition.
+    * Deterministic (pure function of the payload), unlike a rand() salt.
     */
   def repartitionByBytes(df: DataFrame, bin: String, targetBytes: Long,
                          numPartitions: Int): DataFrame =
     df.withColumn("__w", (length(col(bin)).cast("long") / targetBytes).cast("int"))
-      .repartitionByRange(numPartitions, col("__w"), col(bin).isNull)
+      .repartitionByRange(numPartitions, col("__w"), col(bin).isNull,
+        xxhash64(col(bin)))
       .drop("__w")
 
   /** Batch decode via mapPartitions. Image dimensions and WAV audio
@@ -107,9 +112,12 @@ object Multimodal {
       StructField("duration_ms", LongType),
       StructField("ok", BooleanType),
       StructField("decode_error", StringType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    // normalize the id to a nullable long up front: a direct getLong on
+    // an int/string id column would ClassCastException in the executor
+    val src = df.select(col(idCol).cast("long").as(idCol), col(binCol))
+    val idIdx = src.schema.fieldIndex(idCol)
+    val binIdx = src.schema.fieldIndex(binCol)
+    val rdd = src.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
@@ -119,7 +127,7 @@ object Multimodal {
             if (bytes == null || bytes.isEmpty) "empty payload"
             else if (dims.isEmpty && dur.isEmpty) "unrecognized format"
             else null
-          Row(r.getLong(idIdx),
+          Row(if (r.isNullAt(idIdx)) null else Long.box(r.getLong(idIdx)),
             if (bytes == null) 0L else bytes.length.toLong,
             dims.map(d => Int.box(d._1)).orNull,
             dims.map(d => Int.box(d._2)).orNull,

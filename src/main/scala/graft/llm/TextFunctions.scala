@@ -177,16 +177,34 @@ object TextFunctions {
     * branches (exchange reuse caches only the shuffle, not the dedup agg)
     * and shuffled the gram table twice. Same shuffle keys (hash, then
     * doc), half the gram-table passes. All shuffles carry longs.
+    *
+    * CAVEAT at full corpus scale: the window partitions by the bigram
+    * hash, whose DOMAIN is tiny (a few thousand distinct char bigrams in
+    * natural text) — parallelism caps at the distinct-bigram count and
+    * each window partition buffers every (doc, hash) row for its bigram.
+    * Past ~10^8 documents set `broadcastDf = true`: the per-bigram counts
+    * aggregate map-side-combined into a |distinct bigrams|-row frame that
+    * broadcast-joins back — the dedup agg runs on both branches (one
+    * extra pass over the shuffled gram table), but parallelism follows
+    * the data and nothing buffers per key.
     */
   def bigramNoveltyStats(df: org.apache.spark.sql.DataFrame,
-                         idCol: String, textCol: String)
+                         idCol: String, textCol: String,
+                         broadcastDf: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val grams = df
       .select(col(idCol), explode(charShingleHashes(col(textCol), 2)).as("__h"))
       .distinct()
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
     val f = lit(1000000)
-    grams.withColumn("df", count(lit(1)).over(wh))
+    val withDf =
+      if (broadcastDf) {
+        val counts = grams.groupBy(col("__h")).agg(count(lit(1)).as("df"))
+        grams.join(broadcast(counts), Seq("__h"))
+      } else {
+        val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+        grams.withColumn("df", count(lit(1)).over(wh))
+      }
+    withDf
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -213,10 +231,14 @@ object TextFunctions {
                       lineSep: String = "\n")
       : org.apache.spark.sql.DataFrame = {
     def r6(x: Column) = floor(x * 1000000 + 0.5) / 1000000
+    // empty segments (paragraph breaks, trailing separators) are NOT
+    // lines: counting them gave every blank-line-separated document a
+    // phantom duplicated "line" and a nonzero dup_line_ratio
     val lines = df
       .select(col(idCol),
         explode(split(col(textCol),
           java.util.regex.Pattern.quote(lineSep))).as("__line"))
+      .filter(length(col("__line")) > 0)
       .groupBy(col(idCol), col("__line"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__len", length(col("__line")))
@@ -229,16 +251,28 @@ object TextFunctions {
       .select(col(idCol), explode(shingleHashes(col(textCol), 2)).as("__g"))
       .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(max("__c").as("__maxG"), sum("__c").as("__nG"))
-    lineStats.join(grams, Seq(idCol), "left").select(
-      col(idCol), col("n_lines"), col("n_uniq_lines"),
-      r6((col("n_lines") - col("n_uniq_lines")).cast("double") /
-        col("n_lines")).as("dup_line_ratio"),
-      when(col("__chars") > 0,
-        r6(col("__dupChars").cast("double") / col("__chars")))
-        .otherwise(lit(0.0)).as("dup_line_char_ratio"),
-      when(col("__nG") > 0,
-        r6(col("__maxG").cast("double") / col("__nG")))
-        .otherwise(lit(0.0)).as("top_gram_ratio"))
+    // left join from the full id set: NULL/empty documents keep a row of
+    // zero stats instead of vanishing (the hazard languageRebalance's
+    // null-lang handling documents — absence reads as "filtered")
+    df.select(col(idCol))
+      .join(lineStats.join(grams, Seq(idCol), "left"), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_uniq_lines"), lit(0L)).as("n_uniq_lines"),
+        coalesce(
+          when(col("n_lines") > 0,
+            r6((col("n_lines") - col("n_uniq_lines")).cast("double") /
+              col("n_lines"))),
+          lit(0.0)).as("dup_line_ratio"),
+        coalesce(
+          when(col("__chars") > 0,
+            r6(col("__dupChars").cast("double") / col("__chars"))),
+          lit(0.0)).as("dup_line_char_ratio"),
+        coalesce(
+          when(col("__nG") > 0,
+            r6(col("__maxG").cast("double") / col("__nG"))),
+          lit(0.0)).as("top_gram_ratio"))
   }
 
   /** Deterministic hash-sampling predicate: keep a row iff

@@ -741,6 +741,7 @@ object QueriesLLM {
       """WITH l AS (
         |  SELECT doc_id, seg, count(*) AS c, len(seg) AS slen
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS seg FROM documents)
+        |  WHERE len(seg) > 0
         |  GROUP BY doc_id, seg
         |), ls AS (
         |  SELECT doc_id, sum(c)::BIGINT AS n_lines, count(*)::BIGINT AS n_uniq_lines,

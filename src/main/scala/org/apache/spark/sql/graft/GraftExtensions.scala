@@ -81,13 +81,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => CosineArgmax(cs.head, cs(1)))
     register(ext, "l2_argmin", 2, classOf[L2Argmin],
       cs => L2Argmin(cs.head, cs(1)))
-    // SQL input is arbitrary: wrap in array_distinct so duplicates can't
-    // skew the |a|+|b|-|inter| union identity (the internal Column path
-    // feeds pre-distinct shingle sets and skips the extra pass)
+    // SQL input is arbitrary: array_compact drops null elements (the
+    // kernel would read them as 0 and fake intersections with genuine
+    // zeros) and array_distinct drops duplicates that would skew the
+    // |a|+|b|-|inter| union identity; the internal Column path feeds
+    // pre-distinct non-null shingle sets and skips both passes
     register(ext, "long_set_jaccard", 2, classOf[LongSetJaccard],
       cs => LongSetJaccard(
-        org.apache.spark.sql.catalyst.expressions.ArrayDistinct(cs.head),
-        org.apache.spark.sql.catalyst.expressions.ArrayDistinct(cs(1))))
+        org.apache.spark.sql.catalyst.expressions.ArrayDistinct(
+          org.apache.spark.sql.catalyst.expressions.ArrayCompact(cs.head)),
+        org.apache.spark.sql.catalyst.expressions.ArrayDistinct(
+          org.apache.spark.sql.catalyst.expressions.ArrayCompact(cs(1)))))
     register(ext, "pq_adc_score", 2, classOf[PqAdcScore],
       cs => PqAdcScore(cs.head, cs(1)))
   }

@@ -25,6 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Md5Util {
 
+  /** Cached whitespace pattern: String.split("\\s+") recompiles the
+    * regex per call — per ROW in these kernels.
+    */
+  private[graft] val WS: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
+
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
@@ -71,7 +77,7 @@ object Md5Util {
     shingleHashes(text, n, fast = false)
 
   def shingleHashes(text: UTF8String, n: Int, fast: Boolean): ArrayData = {
-    val toks0 = text.toString.split("\\s+")
+    val toks0 = Md5Util.WS.split(text.toString)
     var m = 0
     var i = 0
     while (i < toks0.length) { if (!toks0(i).isEmpty) m += 1; i += 1 }
@@ -251,7 +257,7 @@ object TokenStatsUtil {
     * `lower()` on ASCII corpora).
     */
   def tokenStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
-    val toks = text.toString.split("\\s+")
+    val toks = Md5Util.WS.split(text.toString)
     var nWords = 0L
     var sumLen = 0L
     var enHits = 0L

@@ -75,13 +75,17 @@ case class DotProductFloat(left: Expression, right: Expression)
 /** Shared eval for the argmax-cosine cell assignment. */
 object VectorUtil {
 
-  /** 1-based index of the centroid with the highest cosine to `vec`,
+    /** 1-based index of the centroid with the highest cosine to `vec`,
     * first-max tie-break; -1 encodes SQL null (zero-norm query, or no
     * centroid with positive norm). Arithmetic is EXACTLY the composed
     * formulation it replaces — per cell `dot/(sqrt(self_a)*sqrt(self_b))`
     * with left-to-right double accumulation — so assignments are
     * bit-identical to `array_position(transform(cents, c -> cosine(v,c)),
-    * array_max(...))` and oracle-compatible.
+    * array_max(...))` and oracle-compatible, with ONE deliberate
+    * divergence: a zero-norm CENTROID is skipped here (it has no cosine),
+    * while the composed form's NaN (dot/0) sorts greatest and would win
+    * array_max — oracles must model the skip (cosine guarded by nb > 0),
+    * as the shipped ones do.
     */
   def cosineArgmax(vec: ArrayData, cents: ArrayData): Long = {
     val d = vec.numElements()

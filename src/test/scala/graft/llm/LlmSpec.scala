@@ -362,18 +362,25 @@ class LlmSpec extends AnyFunSuite {
     // empty codebook -> null
     assert(spark.sql("SELECT l2_argmin(array(1.0f), array())").collect()
       .head.isNullAt(0))
-    // SQL long_set_jaccard dedupes arbitrary input (the registration
-    // wraps array_distinct): {1,2} vs {2,3} = 1/3 even with duplicates
+    // SQL long_set_jaccard sanitizes arbitrary input (the registration
+    // wraps array_compact + array_distinct): duplicates dedupe and null
+    // elements drop instead of reading as fake zeros
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_set_jaccard", exprs => {
-        import org.apache.spark.sql.catalyst.expressions.ArrayDistinct
+        import org.apache.spark.sql.catalyst.expressions.{ArrayCompact, ArrayDistinct}
         org.apache.spark.sql.graft.LongSetJaccard(
-          ArrayDistinct(exprs.head), ArrayDistinct(exprs(1)))
+          ArrayDistinct(ArrayCompact(exprs.head)),
+          ArrayDistinct(ArrayCompact(exprs(1))))
       }, "built-in")
     val jac = spark.sql(
       "SELECT long_set_jaccard(array(1L, 1L, 2L), array(2L, 3L))")
       .collect().head.getDouble(0)
     assert(math.abs(jac - 1.0 / 3.0) < 1e-15, s"got $jac")
+    // a null element must not intersect a genuine 0
+    val jn = spark.sql(
+      "SELECT long_set_jaccard(array(1L, CAST(NULL AS LONG)), array(0L, 2L))")
+      .collect().head.getDouble(0)
+    assert(jn == 0.0, s"null element faked an intersection: $jn")
   }
 
   test("contaminationScores: benchmark-gram coverage; maxDf drops stop-phrases") {
