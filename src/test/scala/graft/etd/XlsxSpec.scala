@@ -42,4 +42,31 @@ class XlsxSpec extends AnyFunSuite {
       == Seq("SCHIPHOL", "DE BILT"))
     assert(rows.map(_.getAs[Long]("STN")).toSeq == Seq(240L, 260L))
   }
+
+  test("S5: cells without the optional r attribute follow sequentially (ECMA-376)") {
+    val f = Files.createTempFile("noref", ".xlsx").toFile
+    val zip = new ZipOutputStream(new FileOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?>
+        |<sst><si><t>Weerstation</t></si><si><t>Nummer</t></si>
+        |<si><t>eelde</t></si></sst>""".stripMargin)
+    // no r attributes at all — implied sequential positions
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet><sheetData>
+        |<row><c t="s"><v>0</v></c><c t="s"><v>1</v></c></row>
+        |<row><c t="s"><v>2</v></c><c><v>280</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    val df = Xlsx.readStationMapping(spark, f.getAbsolutePath)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("Weerstation") == "EELDE")
+    assert(rows.head.getAs[Long]("STN") == 280L)
+  }
 }
