@@ -85,4 +85,17 @@ class LooseEndsSpec extends AnyFunSuite {
     assert(out.count() == 20)
     assert(out.rdd.getNumPartitions == 4)
   }
+
+  test("byte-weighted repartition spreads a single size class (thumbnail corpus)") {
+    // 200 distinct tiny payloads, all in size class 0: without the
+    // content-hash spread they all shared one range-sort key and
+    // collapsed into a single partition
+    val df = Seq.tabulate(200)(i => (i.toLong, s"thumb_$i"))
+      .toDF("id", "t").withColumn("bin", col("t").cast("binary"))
+    val out = Multimodal.repartitionByBytes(df, "bin",
+      targetBytes = 1 << 20, numPartitions = 4)
+    val sizes = out.rdd.glom().map(_.length).collect()
+    assert(sizes.count(_ > 0) >= 3,
+      s"size class collapsed into too few partitions: ${sizes.toSeq}")
+  }
 }

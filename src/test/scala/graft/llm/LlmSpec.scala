@@ -181,6 +181,18 @@ class LlmSpec extends AnyFunSuite {
       "within-document repetition must not count as cross-document duplication")
   }
 
+  test("bigramNoveltyStats: broadcast-join scale path == count-window path") {
+    val docs = Seq((1L, "the cat sat"), (2L, "the dog ran"),
+      (3L, "zq"), (4L, "the cat sat")).toDF("id", "t")
+    def rows(broadcastDf: Boolean) =
+      TextFunctions.bigramNoveltyStats(docs, "id", "t", broadcastDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+    assert(rows(broadcastDf = true) == rows(broadcastDf = false),
+      "the two document-frequency formulations must agree exactly")
+    assert(rows(broadcastDf = false).nonEmpty)
+  }
+
   test("languageRebalance: smallest language keeps all; alpha=1 keeps everything") {
     val docs = (1 to 80).map(i => (i.toLong, s"doc number $i body", "en")) ++
       (81 to 100).map(i => (i.toLong, s"doc number $i body", "nl")) ++
