@@ -22,10 +22,11 @@ import graft.llm.Dedup
   * capped bucket's members are already exact-dup candidates by band
   * collision — same policy as the batch path). Each arriving document
   * emits pairs against the bucket's existing members only, so output is
-  * incremental and never all-pairs. State is bounded by the run scope
-  * (like a batch job's) — long-running deployments should restart per
-  * corpus epoch or add an event-time timeout with a watermark; capped
-  * buckets keep any single key's state at `maxBucket` ids.
+  * incremental and never all-pairs. [[candidatePairs]] bounds state by
+  * the run scope (like a batch job's); long-running deployments use
+  * [[candidatePairsExpiring]], whose event-time TTL evicts buckets the
+  * watermark has passed — total state is then buckets-in-horizon x
+  * maxBucket ids, independent of stream lifetime.
   */
 object StreamingNearDup {
 
@@ -112,6 +113,59 @@ object StreamingNearDup {
           }
           state.update(BucketState(ids))
           out.result().iterator
+      }
+  }
+
+  /** A banded document carrying its event time (for TTL eviction). */
+  case class BandedDocTs(bucket: String, docId: Long,
+                         eventTime: java.sql.Timestamp)
+
+  /** [[candidatePairs]] with event-time bucket eviction — the
+    * LONG-RUNNING deployment shape: [[candidatePairs]]' per-bucket state
+    * is capped, but the NUMBER of bucket keys grows with every distinct
+    * band key ever seen, unbounded over an infinite stream. Here each
+    * bucket arms an event-time timeout `ttl` past its newest member;
+    * when the watermark passes it, the bucket's state evicts — documents
+    * further apart than the TTL no longer pair in-stream (the batch
+    * compaction over the sink owns cross-epoch duplicates, exactly as
+    * for [[StreamingDedup]]'s horizon). The input MUST carry a watermark
+    * on `eventTime`.
+    */
+  def candidatePairsExpiring(banded: Dataset[BandedDocTs],
+                             maxBucket: Int = 1000,
+                             ttlMs: Long = 24L * 3600 * 1000)
+      : Dataset[CandidatePair] = {
+    implicit val pairEnc = Encoders.product[CandidatePair]
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val keyEnc = Encoders.STRING
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[BandedDocTs],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var ids = state.getOption.map(_.ids).getOrElse(Nil)
+            val out = Seq.newBuilder[CandidatePair]
+            var maxTs = Long.MinValue
+            rows.toSeq.sortBy(r => (r.eventTime.getTime, r.docId)).foreach { r =>
+              maxTs = math.max(maxTs, r.eventTime.getTime)
+              if (!ids.contains(r.docId) && ids.size < maxBucket) {
+                ids.foreach { seen =>
+                  out += (if (seen < r.docId) CandidatePair(seen, r.docId)
+                          else CandidatePair(r.docId, seen))
+                }
+                ids = r.docId :: ids
+              }
+            }
+            state.update(BucketState(ids))
+            if (maxTs > Long.MinValue)
+              state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
+          }
       }
   }
 }

@@ -44,6 +44,40 @@ class StreamingNearDupSpec extends AnyFunSuite {
       "cross-batch duplicate pairs with the earlier copy; lone doc never pairs")
   }
 
+  test("expiring buckets: watermark-passed state evicts; fresh pairs still emit") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(hour: Int) = Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00")
+    val input = MemoryStream[StreamingNearDup.BandedDocTs]
+    // 1h lateness: watermark trails max event time by 1h (rows at or
+    // before the watermark would be dropped as late before the operator)
+    val banded = input.toDS().withWatermark("eventTime", "1 hour")
+      .as[StreamingNearDup.BandedDocTs]
+    val pairs = StreamingNearDup.candidatePairsExpiring(banded,
+      ttlMs = 3600 * 1000) // 1 hour
+    val query = pairs.writeStream
+      .format("memory").queryName("neardup_ttl").outputMode("append")
+      .start()
+
+    input.addData(StreamingNearDup.BandedDocTs("0|k1", 1L, ts(0)))
+    query.processAllAvailable()
+    // watermark -> ts(9), far past the bucket's ts(1) TTL -> state evicts
+    input.addData(StreamingNearDup.BandedDocTs("9|zz", 99L, ts(10)))
+    query.processAllAvailable()
+    // doc 2 arrives in doc 1's bucket AFTER eviction: no stale pair
+    input.addData(StreamingNearDup.BandedDocTs("0|k1", 2L, ts(11)))
+    query.processAllAvailable()
+    // doc 3 within doc 2's fresh horizon: pairs with 2 only
+    input.addData(StreamingNearDup.BandedDocTs("0|k1", 3L, ts(12)))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("neardup_ttl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 3L)),
+      s"evicted member must not pair; fresh members must: $got")
+  }
+
   test("banding stage matches the batch LSH (same signatures, same keys)") {
     val docs = Seq((1L, textA), (2L, textA), (3L, textB)).toDF("doc_id", "text")
     // run the streaming banding expressions in batch mode
