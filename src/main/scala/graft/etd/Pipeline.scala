@@ -177,14 +177,25 @@ object Tables {
 
   val intervals = Seq("5min", "15min", "60min", "6h", "24h")
 
+  /** `metadataColumns` selects WHICH index columns ride along
+    * (read_hh_data's metadata_columns, aggregate.py:57-96) — None joins
+    * the whole index; Catalyst prunes unused ones anyway, so this is an
+    * API-parity convenience, not a performance lever.
+    */
   def household(spark: SparkSession, dir: String,
                 index: Option[DataFrame] = None,
-                wanted: Seq[String] = intervals): Map[String, DataFrame] =
+                wanted: Seq[String] = intervals,
+                metadataColumns: Option[Seq[String]] = None)
+      : Map[String, DataFrame] =
     wanted.map { iv =>
       val df = Sources.normalizeLegacyColumns(
         spark.read.parquet(s"$dir/household_$iv.parquet"))
-      iv -> index.fold(df)(ix =>
-        df.join(broadcast(ix), Seq(Model.HouseId, Model.ProjectId), "left"))
+      iv -> index.fold(df) { ix =>
+        val keys = Seq(Model.HouseId, Model.ProjectId)
+        val ixSel = metadataColumns.fold(ix)(ms =>
+          ix.select((keys ++ ms.filterNot(keys.contains)).map(col): _*))
+        df.join(broadcast(ixSel), keys, "left")
+      }
     }.toMap
 
   def project(spark: SparkSession, dir: String,

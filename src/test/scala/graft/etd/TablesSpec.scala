@@ -50,5 +50,12 @@ class TablesSpec extends AnyFunSuite {
     assert(hh("60min").count() == 2 * 4, "2 houses x 4 hourly buckets")
     val proj = Tables.project(spark, dir, Seq("60min"))
     assert(proj("60min").columns.contains("n"))
+
+    // metadata_columns parity: only the requested index columns join
+    val hhSel = Tables.household(spark, dir, Some(index), Seq("60min"),
+      metadataColumns = Some(Seq("Oppervlakte")))
+    assert(hhSel("60min").columns.contains("Oppervlakte"))
+    assert(!hhSel("60min").columns.contains("Meenemen"),
+      "unrequested metadata column must not join")
   }
 }
