@@ -42,4 +42,39 @@ object Packing {
       .withColumn("seq_offset", pmod(col("__before"), lit(budget)))
       .drop("__cum", "__before")
   }
+
+  /** Overlapping token-window chunking — the within-document counterpart
+    * of [[packSequences]] (RAG passage extraction, long-doc context
+    * windows): each document splits into windows of `size` whitespace
+    * tokens starting every `stride` tokens, each chunk re-joined with
+    * single spaces. The final window may be shorter (never empty); a
+    * document shorter than `size` yields exactly one chunk; stride <
+    * size gives overlap. Map-only + one explode — chunk starts enumerate
+    * with `sequence`, windows slice the token array, nothing shuffles
+    * (chunk counts grow the row count, not the plan).
+    *
+    * Output: the input row (minus `textCol`) + chunk_idx (0-based),
+    * chunk_text, n_chunk_tokens.
+    */
+  def chunkTokenWindows(df: DataFrame, idCol: String, textCol: String,
+                        size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, s"size/stride must be positive")
+    val arrSize = org.apache.spark.sql.functions.size _
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val n = arrSize(toks)
+    // last window start: the largest multiple of stride < n (so a short
+    // tail still chunks); a doc with no tokens yields no rows
+    val starts = when(n > 0,
+      sequence(lit(0), greatest(
+        (ceil((n - size).cast("double") / stride) * stride).cast("int"),
+        lit(0)), lit(stride)))
+    df
+      .withColumn("__toks", toks)
+      .select(col("*"), posexplode(starts).as(Seq("chunk_idx", "__start")))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), col("__start") + 1, lit(size)), " "))
+      .withColumn("n_chunk_tokens",
+        least(arrSize(col("__toks")) - col("__start"), lit(size)).cast("long"))
+      .drop("__toks", "__start", textCol)
+  }
 }

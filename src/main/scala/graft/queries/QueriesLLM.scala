@@ -299,6 +299,18 @@ object QueriesLLM {
   def q_dedup_spans(spark: SparkSession, dir: String): DataFrame =
     Dedup.duplicateSpans(dupCorpus(spark, dir), "doc_id", "text", n = 5)
 
+  /** Overlapping token-window chunking (RAG passages / context windows):
+    * size-20 windows every 15 tokens; the tail window is shorter, never
+    * empty. The oracle replays tokenization, window-start enumeration,
+    * slicing and rejoin.
+    */
+  def q_text_chunk(spark: SparkSession, dir: String): DataFrame =
+    Packing.chunkTokenWindows(
+        table(spark, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", size = 20, stride = 15)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"), col("n_chunk_tokens"))
+
   /** Multilingual rebalancing at alpha=0.5: per-language keep rates are
     * sqrt(n_min/n_l) (IEEE-exact in every engine) and membership is the
     * portable content-hash predicate — the oracle reproduces both the
@@ -484,6 +496,7 @@ object QueriesLLM {
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
     "q_lang_rebalance" -> (q_lang_rebalance _),
+    "q_text_chunk" -> (q_text_chunk _),
     "q_pii_redact" -> (q_pii_redact _),
   )
 
@@ -805,6 +818,20 @@ object QueriesLLM {
         |    // (((doc_id % 5) * 8000 + 8000) * 2) AS duration_ms,
         |  true AS ok
         |FROM documents""".stripMargin,
+    "q_text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0,
+        |      greatest(ceil((len(w) - 20)::DOUBLE / 15)::BIGINT * 15, 0), 15)) AS s
+        |  FROM toks WHERE len(w) > 0
+        |)
+        |SELECT doc_id, (s // 15)::BIGINT AS chunk_idx,
+        |  array_to_string(w[s+1 : s+20], ' ') AS chunk_text,
+        |  least(len(w) - s, 20)::BIGINT AS n_chunk_tokens
+        |FROM st""".stripMargin,
     "q_lang_rebalance" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n FROM documents GROUP BY 1

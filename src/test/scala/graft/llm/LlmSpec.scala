@@ -181,6 +181,22 @@ class LlmSpec extends AnyFunSuite {
       "within-document repetition must not count as cross-document duplication")
   }
 
+  test("chunkTokenWindows: overlap, short tail, sub-size and empty docs") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens, size 4 stride 3
+      (2L, "a b"),                  // shorter than one window
+      (3L, "")).toDF("id", "t")     // no tokens -> no chunks
+    val out = Packing.chunkTokenWindows(docs, "id", "t", size = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(out((1L, 0)) == (("t0 t1 t2 t3", 4L)))
+    assert(out((1L, 1)) == (("t3 t4 t5 t6", 4L)), "windows overlap by size-stride")
+    assert(!out.contains((1L, 2)), "no window past the last stride start")
+    assert(out((2L, 0)) == (("a b", 2L)), "sub-size doc yields one short chunk")
+    assert(!out.exists(_._1._1 == 3L), "empty doc yields no chunks")
+  }
+
   test("bigramNoveltyStats: broadcast-join scale path == count-window path") {
     val docs = Seq((1L, "the cat sat"), (2L, "the dog ran"),
       (3L, "zq"), (4L, "the cat sat")).toDF("id", "t")
