@@ -71,18 +71,25 @@ object Bench {
     catch { case _: Throwable => () }
 
     var failed = List.empty[String]
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try {
-          materialize(fn(spark, sfDir))
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            failed ::= name
-            name -> -1.0
-        }
+    val results = headline.map { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          val t0 = System.nanoTime()
+          try {
+            materialize(fn(spark, sfDir))
+            name -> (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              failed ::= name
+              name -> -1.0
+          }
+        case None =>
+          // a renamed registry entry must surface as a FAILURE, not a
+          // silently-shorter total that reads as a speedup
+          System.err.println(s"[bench] $name missing from SparkEntry.queries")
+          failed ::= name
+          name -> -1.0
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -67,8 +67,16 @@ object Weather {
     * row number = the 2 coldest ISO weeks).
     */
   def coldestWeekFlags(weeklySummary: DataFrame, tempCol: String,
-                       flagName: String): DataFrame = {
-    val w = Window.partitionBy("STN", "year").orderBy(col(tempCol))
+                       flagName: String,
+                       tieBreak: String = "week_of_year"): DataFrame = {
+    // nulls LAST (Spark's asc default is nulls-first; DuckDB's is
+    // nulls-last — an all-null week must not become the "coldest") and a
+    // deterministic tie-break: row_number over equal means would
+    // otherwise pick either week, varying run-to-run and across engines
+    val tb = if (weeklySummary.columns.contains(tieBreak)) Seq(col(tieBreak))
+             else Seq.empty[Column]
+    val w = Window.partitionBy("STN", "year")
+      .orderBy(col(tempCol).asc_nulls_last +: tb: _*)
     weeklySummary
       .withColumn("rank_" + tempCol, rank().over(w))
       .withColumn(flagName, row_number().over(w) <= 2)

@@ -28,6 +28,19 @@ object QueriesLLM {
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
 
+  /** First-k-vectors codebook as an array-of-arrays literal — collected
+    * to the driver like a trained codebook would be; shared by every
+    * IVF/PQ query so the `vec_id < k` convention lives in ONE place
+    * (matching the oracles' `cents` CTEs).
+    */
+  def firstKCodebook(emb: DataFrame, k: Int = 8): Array[Array[Float]] =
+    emb.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+
+  def firstKCodebookLit(emb: DataFrame, k: Int = 8): Column =
+    array(firstKCodebook(emb, k).map(v =>
+      array(v.toIndexedSeq.map(lit(_)): _*)).toIndexedSeq: _*)
+
   private val dupCorpusSql =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -55,9 +68,15 @@ object QueriesLLM {
       |    coalesce(list_min(list_transform(hs,
       |      h -> (((2*seed+131)*(h % 2147483647) + (7*seed+87)) % 2147483647))), 2147483647) AS mh
       |  FROM hashes, unnest(generate_series(0,15)) t(seed)
-      |), bands AS (
+      |), bands0 AS (
       |  SELECT doc_id, seed//4 AS band, md5(string_agg(mh::VARCHAR, '_' ORDER BY seed)) AS bk
       |  FROM sig GROUP BY doc_id, seed//4
+      |), bands AS (
+      |  -- mirror Dedup.lshCandidatePairs' maxBucket=1000 cap: an
+      |  -- oversized bucket emits NO pairs on the Spark side
+      |  SELECT doc_id, band, bk FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band, bk) AS bsz FROM bands0)
+      |  WHERE bsz <= 1000
       |)""".stripMargin
 
   // ------------------------------------------------------------------
@@ -148,12 +167,8 @@ object QueriesLLM {
     */
   def q_embed_dup_ivf(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val codebook = emb.filter(col("vec_id") < 8)
-      .orderBy("vec_id").select("embedding").collect()
-      .map(_.getSeq[Float](0))
-    val cents = array(codebook.map(v =>
-      array(v.map(lit(_)): _*)).toIndexedSeq: _*)
-    Dedup.embeddingNearDupsBucketed(emb, "vec_id", "embedding", 0.35, cents)
+    Dedup.embeddingNearDupsBucketed(emb, "vec_id", "embedding", 0.35,
+      firstKCodebookLit(emb))
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
@@ -179,11 +194,7 @@ object QueriesLLM {
     */
   def q_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val codebook = emb.filter(col("vec_id") < 8)
-      .orderBy("vec_id").select("embedding").collect()
-      .map(_.getSeq[Float](0))
-    val cents = array(codebook.map(v =>
-      array(v.map(lit(_)): _*)).toIndexedSeq: _*)
+    val cents = firstKCodebookLit(emb)
     Similarity.ivfTopK(
         emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb,
         "vec_id", "embedding", cents, k = 3)
@@ -369,8 +380,7 @@ object QueriesLLM {
     */
   def q_ann_pq(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val base = emb.filter(col("vec_id") < 8).orderBy("vec_id")
-      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val base = firstKCodebook(emb)
     val m = 4
     val sub = 16
     val cb = Array.tabulate(m, base.length)((j, i) =>
@@ -560,10 +570,15 @@ object QueriesLLM {
         |  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS bitsum
         |  FROM th, unnest(generate_series(0,31)) s(j)
         |  GROUP BY doc_id, j
+        |), sh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+        |  FROM bits GROUP BY doc_id
         |)
-        |SELECT doc_id,
-        |  sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
-        |FROM bits GROUP BY doc_id""".stripMargin,
+        |-- anchor on documents: a token-less doc keeps simhash 0 (the
+        |-- library's explode_outer contract), it does not vanish
+        |SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
+        |FROM documents d LEFT JOIN sh USING (doc_id)""".stripMargin,
     "q_embed_cosine_dup" ->
       """WITH c AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -776,11 +791,17 @@ object QueriesLLM {
         |), gs AS (
         |  SELECT doc_id, max(c)::BIGINT AS maxg, sum(c)::BIGINT AS ng FROM g GROUP BY doc_id
         |)
-        |SELECT ls.doc_id, n_lines, n_uniq_lines,
-        |  floor(((n_lines - n_uniq_lines)::DOUBLE / n_lines) * 1000000 + 0.5)/1000000 AS dup_line_ratio,
-        |  CASE WHEN chars > 0 THEN floor((dchars::DOUBLE / chars) * 1000000 + 0.5)/1000000 ELSE 0.0 END AS dup_line_char_ratio,
-        |  CASE WHEN ng > 0 THEN floor((maxg::DOUBLE / ng) * 1000000 + 0.5)/1000000 ELSE 0.0 END AS top_gram_ratio
-        |FROM ls LEFT JOIN gs USING (doc_id)""".stripMargin,
+        |-- anchor on documents: a doc with no non-empty segments keeps a
+        |-- zero-stat row (the library's full-id-set contract)
+        |SELECT d.doc_id,
+        |  coalesce(n_lines, 0)::BIGINT AS n_lines,
+        |  coalesce(n_uniq_lines, 0)::BIGINT AS n_uniq_lines,
+        |  coalesce(CASE WHEN n_lines > 0 THEN
+        |    floor(((n_lines - n_uniq_lines)::DOUBLE / n_lines) * 1000000 + 0.5)/1000000 END,
+        |    0.0) AS dup_line_ratio,
+        |  coalesce(CASE WHEN chars > 0 THEN floor((dchars::DOUBLE / chars) * 1000000 + 0.5)/1000000 END, 0.0) AS dup_line_char_ratio,
+        |  coalesce(CASE WHEN ng > 0 THEN floor((maxg::DOUBLE / ng) * 1000000 + 0.5)/1000000 END, 0.0) AS top_gram_ratio
+        |FROM documents d LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE ('0x'||substr(md5(text||'sample'),1,15))::BIGINT % 1000000 < 100000""".stripMargin,
@@ -834,15 +855,21 @@ object QueriesLLM {
         |FROM st""".stripMargin,
     "q_lang_rebalance" ->
       """WITH c AS (
-        |  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+        |  SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1
         |), m AS (
         |  SELECT min(n) AS nmin FROM c
         |)
+        |-- LEFT join + coalesce(keep,false): NULL-lang rows stay in the
+        |-- output rejected, mirroring languageRebalance's contract (the
+        |-- counts CTE also excludes them from n_min on both sides)
         |SELECT d.doc_id, d.lang,
         |  round(sqrt(m.nmin::DOUBLE / c.n), 6) AS keep_prob,
-        |  (('0x'||substr(md5(d.text||'rebalance'),1,15))::BIGINT % 1000000)
-        |    < floor(sqrt(m.nmin::DOUBLE / c.n) * 1000000)::BIGINT AS keep
-        |FROM documents d JOIN c USING (lang) CROSS JOIN m""".stripMargin,
+        |  coalesce(
+        |    (('0x'||substr(md5(d.text||'rebalance'),1,15))::BIGINT % 1000000)
+        |      < floor(sqrt(m.nmin::DOUBLE / c.n) * 1000000)::BIGINT,
+        |    false) AS keep
+        |FROM documents d LEFT JOIN c USING (lang) CROSS JOIN m""".stripMargin,
     "q_dedup_spans" -> {
       val n = 5
       val gram = (0 until n).map(j => s"w[i+$j]").mkString("||' '||")

@@ -152,10 +152,14 @@ object QueriesRel {
     * two separate passes).
     */
   def q_a16_rollup(spark: SparkSession, dir: String): DataFrame =
+    // exactMean, not round(avg): the grand-total group is the whole
+    // table, whose exact mean can land on a 6dp half-step where the two
+    // engines' double sums (different association) disagree
     table(spark, dir, "events")
       .withColumn("project", pmod(col("user_id"), lit(5L)))
       .rollup("project", "user_id")
-      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_v"))
+      .agg(count(lit(1)).as("n"),
+        graft.etd.Aggregates.exactMean(col("value")).as("avg_v"))
 
   /** §2.7 — intersect/except (absent in the reference, free in Spark):
     * users seen purchasing AND erroring; users purchasing but never
@@ -415,7 +419,7 @@ object QueriesRel {
       "SELECT DISTINCT lang, source FROM documents",
     "q_a16_rollup" ->
       """SELECT user_id % 5 AS project, user_id, count(*) AS n,
-        |  round(avg(value), 6) AS avg_v
+        |  floor((sum(value::DECIMAL(28,12))::DOUBLE / count(value)) * 1000000 + 0.5) / 1000000 AS avg_v
         |FROM events GROUP BY ROLLUP (project, user_id)""".stripMargin,
     "q_setops" ->
       """SELECT user_id, 'both' AS op FROM (

@@ -227,7 +227,8 @@ object QueriesWeather {
       |  FROM wx GROUP BY 1, 2
       |), ranked AS (
       |  SELECT *, rank() OVER w AS rnk, row_number() OVER w <= 2 AS koudste2
-      |  FROM weekly WINDOW w AS (PARTITION BY stn ORDER BY wk_t)
+      |  FROM weekly WINDOW w AS (PARTITION BY stn
+      |    ORDER BY wk_t ASC NULLS LAST, week)
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
