@@ -70,14 +70,27 @@ object Bench {
     try materialize(SparkEntry.table(spark, sfDir, "events").limit(1000))
     catch { case _: Throwable => () }
 
+    // Each query runs `runs` times and reports the MEDIAN: single runs on
+    // this box drift +/-30% between rounds on identical binaries (VERDICT
+    // r7 measured +9.5% total on zero code change), which drowns real
+    // regressions. Medians make round-over-round deltas attributable.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     var failed = List.empty[String]
     val results = headline.map { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
-          val t0 = System.nanoTime()
           try {
-            materialize(fn(spark, sfDir))
-            name -> (System.nanoTime() - t0) / 1e9
+            val times = (1 to runs).map { _ =>
+              val t0 = System.nanoTime()
+              materialize(fn(spark, sfDir))
+              (System.nanoTime() - t0) / 1e9
+            }
+            name -> median(times)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -96,7 +109,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}""")
     spark.stop()
   }
 }

@@ -8,14 +8,13 @@ import org.apache.spark.sql.types._
   * pipelines: media travel as opaque `binary` columns with typed metadata
   * structs; decode / feature-extract steps run per-partition in batches.
   *
-  * Image dimensions and WAV audio duration are decoded from REAL payload
-  * bytes ([[ImageHeaders]]: PNG IHDR / JPEG SOFn / GIF / RIFF headers,
-  * pure JVM) in [[decodePartitions]]. Compressed audio/video codecs are
-  * not vendored in this environment, so THEIR duration remains a
-  * clearly-marked deterministic STUB ([[stubDecode]]) — the Spark-side
-  * contract (schema, batch shape, partition-parallel execution, null-safe
-  * error channel) is real and tested; swapping the stub for a JNI/javacv
-  * decoder changes one function.
+  * Image dimensions and audio/video durations are decoded from REAL
+  * payload bytes ([[ImageHeaders]]: PNG IHDR / JPEG SOFn / GIF / RIFF /
+  * MP3 frame+Xing / MP4 mvhd headers, pure JVM) in [[decodePartitions]].
+  * Payloads outside those formats surface null metadata plus a
+  * `decode_error` — never fabricated values. Full-pixel decode / codec
+  * transcode would need a native library not vendored here; it slots
+  * into the same batch loop without changing the contract.
   *
   * Scale notes: media bytes dominate row size, so every transform here
   * (a) never shuffles the binary payload — metadata extraction is map-only
@@ -43,29 +42,24 @@ object Multimodal {
     "byte_length" -> length(bin).cast("long"),
     "content_hash" -> md5(bin))
 
-  /** STUB decode ??? — deterministic fake dimensions derived from the
-    * content hash, standing in for a codec where none is available. For
-    * image dimensions and WAV duration prefer [[decodePartitions]], which
-    * parses the REAL payload headers; this expression-only path remains
-    * for compressed audio/video duration (no JVM-built-in codec) and for
-    * payloads that are not actually media. Everything downstream (schema,
-    * nullability, error channel) is identical either way.
+  /** Expression-only metadata struct for a binary media column: mime tag,
+    * byte length, content digest — everything derivable WITHOUT a decode,
+    * as pure codegen'd Catalyst expressions (map-only, payload never
+    * shuffles). Dimensions and duration are intentionally null here with
+    * `decode_error` explaining why: real values come from the header
+    * parse in [[decodePartitions]], never from fabrication.
     */
-  def stubDecode(bin: Column, mime: Column): Column = {
-    val h = TextFunctions.hash64(md5(bin))
-    val h2 = TextFunctions.hash64b(md5(bin))
+  def mediaMeta(bin: Column, mime: Column): Column =
     struct(
       mime.as("mime"),
       length(bin).cast("long").as("byte_length"),
       md5(bin).as("content_hash"),
-      when(mime.startsWith("image/"), (pmod(h, lit(1920L)) + 1).cast("int"))
-        .as("width"),
-      when(mime.startsWith("image/"), (pmod(h2, lit(1080L)) + 1).cast("int"))
-        .as("height"),
-      when(mime.startsWith("audio/") || mime.startsWith("video/"),
-        pmod(h, lit(600000L))).as("duration_ms"),
-      when(length(bin) === 0, lit("empty payload")).as("decode_error"))
-  }
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      lit(null).cast("long").as("duration_ms"),
+      when(length(bin) === 0, lit("empty payload"))
+        .otherwise(lit("not decoded: use decodePartitions"))
+        .as("decode_error"))
 
   /** Frame-sample row expansion for video: one output row per sampled
     * frame index at `fps`-spaced offsets — the explode happens on
@@ -92,14 +86,14 @@ object Multimodal {
         xxhash64(col(bin)))
       .drop("__w")
 
-  /** Batch decode via mapPartitions. Image dimensions and WAV audio
-    * duration come from the REAL payload bytes ([[ImageHeaders]] —
-    * PNG/JPEG/GIF/RIFF header parse, a few dozen byte reads per row);
-    * rows process in fixed-size batches (the shape a native decoder or
-    * model server wants). Unrecognized or empty payloads surface on the
+  /** Batch decode via mapPartitions. Image dimensions and audio/video
+    * durations come from the REAL payload bytes ([[ImageHeaders]] —
+    * PNG/JPEG/GIF headers for dimensions; RIFF/WAV, MP3 frame+Xing, and
+    * MP4 mvhd walks for duration — a few dozen byte reads per row); rows
+    * process in fixed-size batches (the shape a native decoder or model
+    * server wants). Unrecognized or empty payloads surface on the
     * decode_error channel instead of failing the job. A full-pixel
-    * decoder (or compressed audio/video probe) slots into the same batch
-    * loop.
+    * decoder slots into the same batch loop.
     */
   def decodePartitions(df: DataFrame, idCol: String, binCol: String,
                        batchSize: Int = 32): DataFrame = {
@@ -122,7 +116,7 @@ object Multimodal {
         batch.map { r =>
           val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
           val dims = ImageHeaders.dimensions(bytes)
-          val dur = if (dims.isDefined) None else ImageHeaders.wavDurationMs(bytes)
+          val dur = if (dims.isDefined) None else ImageHeaders.durationMs(bytes)
           val err =
             if (bytes == null || bytes.isEmpty) "empty payload"
             else if (dims.isEmpty && dur.isEmpty) "unrecognized format"

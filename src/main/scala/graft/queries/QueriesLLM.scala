@@ -400,18 +400,19 @@ object QueriesLLM {
   // Multimodal plumbing
   // ------------------------------------------------------------------
 
-  /** Binary media column + stub-decoded metadata struct (the decode is a
-    * deterministic stand-in; the schema/plumbing is the contract).
+  /** Binary media column + expression-only metadata struct: everything
+    * derivable without a decode (length, digest, error channel) as pure
+    * map-only Catalyst expressions; dimensions/duration stay null here —
+    * real values come only from the header parse in decodePartitions.
     */
   def q_multimodal_meta(spark: SparkSession, dir: String): DataFrame = {
     val bin = col("text").cast("binary")
     table(spark, dir, "documents")
-      .withColumn("meta", Multimodal.stubDecode(bin, lit("image/png")))
+      .withColumn("meta", Multimodal.mediaMeta(bin, lit("application/octet-stream")))
       .select(col("doc_id"),
         col("meta.byte_length").as("byte_length"),
         col("meta.content_hash").as("content_hash"),
-        col("meta.width").cast("long").as("width"),
-        col("meta.height").cast("long").as("height"))
+        col("meta.decode_error").as("decode_error"))
   }
 
   /** Real image-header decode, oracled as a round-trip: the query
@@ -472,6 +473,72 @@ object QueriesLLM {
         col("duration_ms"), col("ok"))
   }
 
+  /** Real MP3 duration decode, oracled as a round-trip like
+    * [[q_multimodal_audio]]: even doc_ids CONSTRUCT a VBR payload — an
+    * ID3v2 tag (exercising the syncsafe skip), an MPEG1 Layer III mono
+    * frame header, 17 side-info bytes, and a Xing block whose frame count
+    * derives from doc_id; odd doc_ids construct a CBR payload (header +
+    * doc_id-sized padding). The pure-JVM frame-header walk parses both
+    * back, and DuckDB recomputes the expected durations arithmetically
+    * from the public bitrate/sample-rate tables — any table, offset, or
+    * syncsafe bug fails the hash compare.
+    */
+  def q_multimodal_mp3(spark: SparkSession, dir: String): DataFrame = {
+    def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+    val zeroBlob = lit(new Array[Byte](1200))
+    def zeros(n: Column): Column = zeroBlob.substr(lit(1), n)
+    val bri = pmod(col("doc_id"), lit(14L)) + 1 // bitrate index 1..14
+    val sri = pmod(col("doc_id"), lit(3L))      // sample-rate index 0..2
+    // 0xFF 0xFB = sync + MPEG1 + Layer III; byte 2 packs bitrate/samplerate
+    val hdr = concat(unhex(lit("FFFB")),
+      unhex(lpad(hex(bri * 16 + sri * 4), 2, "0")), unhex(lit("C0")))
+    val id3sz = pmod(col("doc_id"), lit(50L))
+    // "ID3" + version 03 00 + flags 00 + syncsafe u28 size (here < 128,
+    // so three zero bytes + the size byte)
+    val id3 = concat(lit("ID3".getBytes("US-ASCII")), unhex(lit("030000000000")),
+      unhex(lpad(hex(id3sz), 2, "0")), zeros(id3sz))
+    val frames = pmod(col("doc_id") * 7919L, lit(100000L)) + 100
+    val xing = concat(lit("Xing".getBytes("US-ASCII")), be32(lit(1L)), be32(frames))
+    val vbr = concat(id3, hdr, zeros(lit(17L)), xing)
+    val cbr = concat(hdr, zeros(pmod(col("doc_id"), lit(1000L)) + 60))
+    val src = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, vbr).otherwise(cbr).as("payload"))
+    Multimodal.decodePartitions(src, "doc_id", "payload")
+      .select(col("id").as("doc_id"), col("byte_length"),
+        col("duration_ms"), col("ok"))
+  }
+
+  /** Real MP4 (ISO-BMFF) duration decode, round-trip oracled: CONSTRUCT
+    * an `ftyp` box plus a `moov`/`mvhd` whose timescale and duration
+    * derive from doc_id — version-0 (u32 fields) for even ids, version-1
+    * (u64 fields) for odd — parse back with the pure-JVM box walk, and
+    * have DuckDB recompute duration×1000/timescale arithmetically. Also
+    * exercises [[Multimodal.frameSampleIndexes]] on the REAL decoded
+    * duration (n_frames at 40 ms spacing).
+    */
+  def q_multimodal_mp4(spark: SparkSession, dir: String): DataFrame = {
+    def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+    def be64(c: Column): Column = unhex(lpad(hex(c), 16, "0"))
+    val ts = (pmod(col("doc_id"), lit(4L)) + 1) * 600
+    val dur = pmod(col("doc_id") * 977L, lit(1000000L)) + 1000L
+    val ftyp = concat(be32(lit(16L)), lit("ftypisom".getBytes("US-ASCII")), be32(lit(0L)))
+    val mvhd0 = concat(be32(lit(28L)), lit("mvhd".getBytes("US-ASCII")),
+      unhex(lit("00000000")), be32(lit(0L)), be32(lit(0L)), be32(ts), be32(dur))
+    val moov0 = concat(be32(lit(36L)), lit("moov".getBytes("US-ASCII")), mvhd0)
+    val mvhd1 = concat(be32(lit(40L)), lit("mvhd".getBytes("US-ASCII")),
+      unhex(lit("01000000")), be64(lit(0L)), be64(lit(0L)), be32(ts), be64(dur))
+    val moov1 = concat(be32(lit(48L)), lit("moov".getBytes("US-ASCII")), mvhd1)
+    val src = table(spark, dir, "documents")
+      .select(col("doc_id"), concat(ftyp,
+        when(pmod(col("doc_id"), lit(2L)) === 0, moov0).otherwise(moov1)).as("payload"))
+    Multimodal.decodePartitions(src, "doc_id", "payload")
+      .select(col("id").as("doc_id"), col("byte_length"), col("duration_ms"),
+        size(Multimodal.frameSampleIndexes(col("duration_ms"), 40L))
+          .cast("long").as("n_frames"),
+        col("ok"))
+  }
+
   // ------------------------------------------------------------------
   // Registry + oracles
   // ------------------------------------------------------------------
@@ -502,6 +569,8 @@ object QueriesLLM {
     "q_multimodal_meta" -> (q_multimodal_meta _),
     "q_multimodal_decode" -> (q_multimodal_decode _),
     "q_multimodal_audio" -> (q_multimodal_audio _),
+    "q_multimodal_mp3" -> (q_multimodal_mp3 _),
+    "q_multimodal_mp4" -> (q_multimodal_mp4 _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
@@ -824,9 +893,35 @@ object QueriesLLM {
       """SELECT doc_id,
         |  octet_length(encode(text))::BIGINT AS byte_length,
         |  md5(text) AS content_hash,
-        |  (('0x'||substr(md5(md5(text)),1,15))::BIGINT % 1920 + 1) AS width,
-        |  (('0x'||substr(md5(md5(text)),18,15))::BIGINT % 1080 + 1) AS height
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN 'empty payload'
+        |       ELSE 'not decoded: use decodePartitions' END AS decode_error
         |FROM documents""".stripMargin,
+    "q_multimodal_mp3" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 43 + doc_id % 50
+        |        ELSE 64 + doc_id % 1000 END)::BIGINT AS byte_length,
+        |  (CASE WHEN doc_id % 2 = 0
+        |    THEN ((doc_id * 7919 % 100000 + 100) * 1152 * 1000)
+        |      // (([44100, 48000, 32000])[(doc_id % 3 + 1)::INT])
+        |    ELSE ((64 + doc_id % 1000) * 8)
+        |      // (([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+        |           [(doc_id % 14 + 1)::INT])
+        |  END)::BIGINT AS duration_ms,
+        |  true AS ok
+        |FROM documents""".stripMargin,
+    "q_multimodal_mp4" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ((doc_id * 977 % 1000000 + 1000) * 1000)
+        |      // ((doc_id % 4 + 1) * 600) AS dur_ms
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 52 ELSE 64 END)::BIGINT AS byte_length,
+        |  dur_ms::BIGINT AS duration_ms,
+        |  ((dur_ms - 1) // 40 + 1)::BIGINT AS n_frames,
+        |  true AS ok
+        |FROM p""".stripMargin,
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |  (CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 23 END)::BIGINT AS byte_length,

@@ -564,18 +564,19 @@ class LlmSpec extends AnyFunSuite {
     assert(packed.values.forall(_._2 < 8))
   }
 
-  test("multimodal: stub decode metadata and partition-batched decode") {
+  test("multimodal: expression-only metadata and partition-batched decode") {
     val df = Seq((1L, "payload"), (2L, ""), (3L, "more bytes"))
       .toDF("id", "text")
       .withColumn("bin", col("text").cast("binary"))
     val meta = df.select(col("id"),
-        Multimodal.stubDecode(col("bin"), lit("image/png")).as("m"))
+        Multimodal.mediaMeta(col("bin"), lit("image/png")).as("m"))
       .select("id", "m.byte_length", "m.width", "m.height", "m.decode_error")
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(meta(1L).getLong(1) == 7L)
     assert(meta(2L).getString(4) == "empty payload")
-    val w = meta(1L).getInt(2)
-    assert(w >= 1 && w <= 1920)
+    // no fabrication: dimensions are null until a real decode runs
+    assert(meta(1L).isNullAt(2) && meta(1L).isNullAt(3))
+    assert(meta(1L).getString(4) == "not decoded: use decodePartitions")
     val decoded = Multimodal.decodePartitions(df, "id", "bin", batchSize = 2)
       .collect().map(r => r.getLong(0) -> r).toMap
     // text payloads are not images: ok=false, error channel explains why
@@ -583,6 +584,68 @@ class LlmSpec extends AnyFunSuite {
     assert(decoded(1L).getAs[String]("decode_error") == "unrecognized format")
     assert(decoded(2L).getAs[String]("decode_error") == "empty payload")
     assert(decoded(3L).getAs[Long]("byte_length") == 10L)
+  }
+
+  test("multimodal: MP3 frame-header/Xing and MP4 mvhd duration probes") {
+    def be32(x: Long): Array[Byte] =
+      Array(((x >> 24) & 0xff).toByte, ((x >> 16) & 0xff).toByte,
+        ((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+    def be64(x: Long): Array[Byte] = be32(x >>> 32) ++ be32(x & 0xffffffffL)
+
+    // CBR: MPEG1 Layer III, 128 kbps (index 9), 44100 Hz (index 0), mono.
+    // duration = bytes*8/kbps ms
+    val cbrHdr = Array(0xff.toByte, 0xfb.toByte, (9 << 4).toByte, 0xc0.toByte)
+    val cbr = cbrHdr ++ new Array[Byte](1596) // 1600 bytes total
+    assert(ImageHeaders.mp3DurationMs(cbr).contains(1600L * 8 / 128))
+
+    // VBR: ID3v2 (13-byte body) + header + 17 side-info zeros + Xing
+    // with 2000 frames at 44100 Hz -> 2000*1152*1000/44100 ms
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 13) ++ new Array[Byte](13)
+    val xing = new Array[Byte](17) ++ "Xing".getBytes ++ be32(1) ++ be32(2000)
+    assert(ImageHeaders.mp3DurationMs(id3 ++ cbrHdr ++ xing)
+      .contains(2000L * 1152 * 1000 / 44100))
+
+    // MPEG2 Layer III 22050 Hz: samples/frame halves to 576; bitrate
+    // index 9 in the V2 L2/L3 table is 80 kbps. 0xF3 = sync|V2|LIII.
+    val v2 = Array(0xff.toByte, 0xf3.toByte, (9 << 4).toByte, 0xc0.toByte) ++
+      new Array[Byte](796)
+    assert(ImageHeaders.mp3DurationMs(v2).contains(800L * 8 / 80))
+
+    // not MP3: no frame sync
+    assert(ImageHeaders.mp3DurationMs("random text".getBytes).isEmpty)
+    // truncated ID3 promising more bytes than present
+    assert(ImageHeaders.mp3DurationMs(
+      "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 100)).isEmpty)
+
+    // MP4 v0 mvhd: timescale 600, duration 3000 units -> 5000 ms
+    val mvhd0 = be32(28) ++ "mvhd".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(600) ++ be32(3000)
+    val ftyp = be32(16) ++ "ftypisom".getBytes ++ be32(0)
+    val mp4v0 = ftyp ++ be32(36) ++ "moov".getBytes ++ mvhd0
+    assert(ImageHeaders.mp4DurationMs(mp4v0).contains(5000L))
+
+    // MP4 v1 mvhd (64-bit duration): timescale 1000, duration 42000
+    val mvhd1 = be32(40) ++ "mvhd".getBytes ++ Array[Byte](1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(1000) ++ be64(42000L)
+    val mp4v1 = ftyp ++ be32(48) ++ "moov".getBytes ++ mvhd1
+    assert(ImageHeaders.mp4DurationMs(mp4v1).contains(42000L))
+
+    // moov after an mdat the walk must skip over
+    val mdat = be32(24) ++ "mdat".getBytes ++ new Array[Byte](16)
+    assert(ImageHeaders.mp4DurationMs(ftyp ++ mdat ++ be32(36) ++
+      "moov".getBytes ++ mvhd0).contains(5000L))
+
+    // not MP4: first box type implausible
+    assert(ImageHeaders.mp4DurationMs("AAAAAAAAAAAAAAAAAAAA".getBytes).isEmpty)
+    // zero timescale must not divide
+    val badMvhd = be32(28) ++ "mvhd".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(3000)
+    assert(ImageHeaders.mp4DurationMs(ftyp ++ be32(36) ++ "moov".getBytes ++
+      badMvhd).isEmpty)
+
+    // the combined probe dispatches: WAV stays WAV, MP3/MP4 route through
+    assert(ImageHeaders.durationMs(cbr).contains(100L))
+    assert(ImageHeaders.durationMs(mp4v0).contains(5000L))
   }
 
   test("multimodal: real PNG/JPEG/GIF header decode from actual image bytes") {
