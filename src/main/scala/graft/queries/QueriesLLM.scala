@@ -103,18 +103,47 @@ object QueriesLLM {
   def q_lsh_pairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidatePairs(dupCorpus(spark, dir), "doc_id", "text")
 
-  /** FAST-mode MinHash signatures (XXH64 instead of md5) — the pure-Spark
-    * throughput path. Deliberately NO SQL oracle: xxhash64 has no DuckDB
-    * twin (the driver records a rows-only check); signature-domain
-    * correctness is pinned by NativeTextHashSpec (element == Spark's own
-    * xxhash64) and the pair-recovery spec.
+  /** FAST-mode MinHash (XXH64 instead of md5) — the pure-Spark throughput
+    * path — oracled on its hash-identity-INDEPENDENT structure: xxhash64
+    * has no DuckDB twin, so raw signature values stay spec-pinned
+    * elementwise by NativeTextHashSpec, while this query emits what any
+    * correct MinHash family must agree on and DuckDB recomputes from the
+    * portable md5 family: the signature length, the exact-text twin
+    * partition, signature equality within each twin class (exact
+    * duplicates MUST collide under any family), and LSH recall on exact
+    * duplicates — every doc's count of candidate partners with IDENTICAL
+    * text must equal its twin-class size minus one, because equal
+    * signatures share every band key. (Unrestricted partner counts are
+    * deliberately NOT emitted: band collisions between near-identical
+    * texts are probabilistic per family, so the md5 and xx graphs differ
+    * on borderline pairs.)
     */
-  def q_minhash_fast(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(dupCorpus(spark, dir), "doc_id", "text",
-        fast = true)
-      .select(col("doc_id"),
-        posexplode_outer(col("sig")).as(Seq("seed", "minhash")))
-      .withColumn("seed", col("seed").cast("long"))
+  def q_minhash_fast(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", fast = true)
+    val wText = Window.partitionBy(col("text"))
+    val wHead = wText.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pairs = Dedup.lshCandidatePairs(corpus, "doc_id", "text", fast = true)
+    val exactPartners = pairs
+      .join(corpus.select(col("doc_id").as("id_a"), md5(col("text")).as("ha")), "id_a")
+      .join(corpus.select(col("doc_id").as("id_b"), md5(col("text")).as("hb")), "id_b")
+      .filter(col("ha") === col("hb"))
+    val partners = exactPartners
+      .select(col("id_a").as("doc_id"), col("id_b").as("p"))
+      .unionByName(exactPartners.select(col("id_b").as("doc_id"), col("id_a").as("p")))
+      .groupBy("doc_id").agg(countDistinct(col("p")).as("np"))
+    corpus.join(sigs, "doc_id")
+      .select(col("doc_id"), col("text"),
+        size(col("sig")).cast("long").as("sig_len"),
+        min(col("doc_id")).over(wText).as("twin_id"),
+        count(lit(1)).over(wText).as("twin_n"),
+        (col("sig") <=> first(col("sig")).over(wHead)).as("sig_matches_twin"))
+      .join(partners, Seq("doc_id"), "left")
+      .withColumn("n_exact_partners", coalesce(col("np"), lit(0L)))
+      .select("doc_id", "sig_len", "twin_id", "twin_n", "sig_matches_twin",
+        "n_exact_partners")
+  }
 
   /** Near-dup verification: exact shingle-set Jaccard on the LSH
     * candidates, thresholded. Each document's distinct shingle-hash set is
@@ -595,6 +624,13 @@ object QueriesLLM {
       """ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin),
+    "q_minhash_fast" -> (dupCorpusSql +
+      """SELECT doc_id, 16::BIGINT AS sig_len,
+        |  min(doc_id) OVER (PARTITION BY text) AS twin_id,
+        |  count(*) OVER (PARTITION BY text)::BIGINT AS twin_n,
+        |  true AS sig_matches_twin,
+        |  (count(*) OVER (PARTITION BY text) - 1)::BIGINT AS n_exact_partners
+        |FROM corpus""".stripMargin),
     "q_near_dup_jaccard" -> (dupCorpusSql + minhashSql +
       """, pairs AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
