@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale evidence: generates a ~10-50x dataset from sf0.1 by
+  * unioning key-offset copies (content perturbed per copy so dedup/LSH
+  * see distinct documents, embeddings see distinct vectors, and the
+  * household axis — the axis that grows at 100 TB — multiplies), then
+  * times the scale-critical queries at BOTH sf0.1 and the scaled dir in
+  * the same session, reporting wall time plus per-task maxima (shuffle
+  * read/write bytes, peak execution memory) from a task-metrics listener
+  * — the numbers that decide whether a partition strategy survives a
+  * 100x scale-up, as opposed to plan-shape argument alone.
+  *
+  * Usage:
+  *   runMain graft.ScaleBench [gen] [run]    (default: gen if missing, then run)
+  * Env: SPARK_GRAFT_SCALE_DIR (default /tmp/sfscale), SPARK_GRAFT_CPUS.
+  *
+  * Copy counts: events/lineitem x10 (6M lineitem rows, 10x households),
+  * documents x20 (100k docs), embeddings x50 (100k vectors — the scale
+  * PERFNOTES predicts the IVF/PQ-vs-brute crossover at).
+  */
+object ScaleBench {
+
+  /** Per-task maxima (the "would one task OOM/straggle" signal) plus
+    * job totals (the "did the shuffle volume actually scale 10x" signal)
+    * across a query's stages. Registered once; reset between queries.
+    */
+  private class TaskMetricsProbe extends SparkListener {
+    @volatile var maxShuffleRead = 0L
+    @volatile var maxShuffleWrite = 0L
+    @volatile var maxPeakMem = 0L
+    @volatile var totShuffleWrite = 0L
+    @volatile var totInput = 0L
+    @volatile var totRecords = 0L
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) synchronized {
+        maxShuffleRead = maxShuffleRead.max(m.shuffleReadMetrics.totalBytesRead)
+        maxShuffleWrite = maxShuffleWrite.max(m.shuffleWriteMetrics.bytesWritten)
+        maxPeakMem = maxPeakMem.max(m.peakExecutionMemory)
+        totShuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        totInput += m.inputMetrics.bytesRead
+        totRecords += m.inputMetrics.recordsRead
+      }
+    }
+    def reset(): Unit = synchronized {
+      maxShuffleRead = 0L; maxShuffleWrite = 0L; maxPeakMem = 0L
+      totShuffleWrite = 0L; totInput = 0L; totRecords = 0L
+    }
+  }
+
+  /** The queries whose plans carry the 100 TB claims. */
+  val scaleQueries: Seq[String] = Seq(
+    "q_pipeline_e2e",    // full impute/aggregate pipeline, household axis
+    "q_i7_impute_cascade",
+    "q_dedup_spans",     // duplicate n-gram span windows
+    "q_lsh_pairs",       // banded MinHash bucketing
+    "q_ann_topk",        // brute-force cosine — the baseline IVF/PQ must beat
+    "q_ann_ivf",
+    "q_ann_pq")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/sfscale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val doGen = args.contains("gen") ||
+      (args.isEmpty && !new java.io.File(s"$outDir/documents.parquet").exists())
+    val doRun = args.contains("run") || args.isEmpty || doGen
+
+    if (doGen) generate(spark, srcDir, outDir)
+
+    if (doRun) {
+      val listener = new TaskMetricsProbe
+      spark.sparkContext.addSparkListener(listener)
+      // warmup
+      try SparkEntry.table(spark, srcDir, "events").limit(1000)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      for (dir <- Seq(srcDir, outDir); name <- scaleQueries) {
+        SparkEntry.queries.get(name).foreach { fn =>
+          listener.reset()
+          val t0 = System.nanoTime()
+          var planSec = -1.0
+          val outcome =
+            try {
+              val df = fn(spark, dir)
+              df.queryExecution.executedPlan // force analysis+optimization
+              planSec = (System.nanoTime() - t0) / 1e9
+              df.write.format("noop").mode("overwrite").save()
+              "ok"
+            } catch { case e: Throwable => s"failed: ${e.getMessage}" }
+          val sec = (System.nanoTime() - t0) / 1e9
+          // listener events post asynchronously (the bus drain API is
+          // private[spark]); a short pause suffices in local mode
+          Thread.sleep(300)
+          println(f"""{"query":"$name","dir":"$dir","sec":$sec%.2f,""" +
+            f""""plan_sec":$planSec%.2f,""" +
+            s""""rows_read":${listener.totRecords},""" +
+            s""""input_bytes":${listener.totInput},""" +
+            s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+            s""""max_task_shuffle_read":${listener.maxShuffleRead},""" +
+            s""""max_task_shuffle_write":${listener.maxShuffleWrite},""" +
+            s""""max_task_peak_mem":${listener.maxPeakMem},"status":"$outcome"}""")
+        }
+      }
+      if (args.contains("crossover") || args.isEmpty || doGen)
+        annCrossover(spark, srcDir, outDir, listener)
+    }
+    spark.stop()
+  }
+
+  /** IVF/PQ-vs-brute crossover: the registry's ann queries carry 3-10
+    * broadcast query vectors, so per-query scan cost is swamped by fixed
+    * overhead at any corpus size. Here 200 query vectors amortize that:
+    * brute = 200 x N x 64 mults; IVF(probe 2/8) scans ~a quarter; PQ ADC
+    * replaces the 64-mult dot product with 4 table adds. Timed at both
+    * the 2k corpus (sf0.1) and the 100k corpus (scaled).
+    */
+  private def annCrossover(spark: SparkSession, srcDir: String,
+                           outDir: String, listener: TaskMetricsProbe): Unit = {
+    import graft.llm.Similarity
+    for (dir <- Seq(srcDir, outDir)) {
+      val emb = SparkEntry.table(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 200 + 8)
+        .filter(col("vec_id") >= 8) // keep codebook ids out of the query set
+      val nCorpus = emb.count()
+      val cents = graft.queries.QueriesLLM.firstKCodebookLit(emb)
+      val cbBase = graft.queries.QueriesLLM.firstKCodebook(emb)
+      val m = 4; val sub = 16
+      val pqCb = Array.tabulate(m, cbBase.length)((j, i) =>
+        cbBase(i).slice(j * sub, (j + 1) * sub))
+      val coded = emb.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), pqCb).as("codes"))
+        .localCheckpoint() // encode once; time only the ADC scan below
+      val qVecs = queries.orderBy("vec_id").select("vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+      def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        listener.reset()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"""{"ann":"$label","dir":"$dir","n_corpus":$nCorpus,""" +
+          f""""n_queries":${qVecs.size},"sec":$sec%.2f,""" +
+          s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+      }
+      time("brute")(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+      time("ivf_probe2")(Similarity.ivfTopKProbed(queries, emb, "vec_id",
+        "embedding", cents, k = 5, nprobe = 2))
+      time("pq_adc")(Similarity.pqTopK(coded, "vec_id", "codes", qVecs, pqCb, k = 5))
+    }
+  }
+
+  /** Key-offset copies; content perturbed so copies are not duplicates. */
+  private def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    def copies(df: DataFrame, n: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until n).map(i => f(df, i)).reduce(_ unionByName _)
+    val t0 = System.nanoTime()
+
+    // events x10: user_id (the household key) offsets — household COUNT
+    // grows, per-house history length stays constant, exactly how the
+    // real data grows; event ids offset to stay unique.
+    val events = SparkEntry.table(spark, srcDir, "events")
+    copies(events, 10) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
+    }.repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // documents x20: per-copy substitution cipher on common letters so
+    // copies share almost no shingles (no artificial 20-way dup classes).
+    val docs = SparkEntry.table(spark, srcDir, "documents")
+    val alpha = "etaoinsrhl"
+    copies(docs, 20) { (df, i) =>
+      val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+      df.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+        .withColumn("text", translate(col("text"), alpha, rot))
+    }.repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // embeddings x50 -> 100k vectors; small per-copy shift keeps vectors
+    // distinct; codebook/query id conventions (vec_id < 8, 10..12) match
+    // only the untouched copy 0.
+    val emb = SparkEntry.table(spark, srcDir, "embeddings")
+    copies(emb, 50) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(i.toFloat * 0.001f)))
+    }.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // lineitem x10 -> 6M rows
+    val li = SparkEntry.table(spark, srcDir, "lineitem")
+    copies(li, 10) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+    }.repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // small dims pass through unchanged for any query that joins them
+    Seq("region", "nation", "customer", "supplier", "part", "orders").foreach { t =>
+      if (new java.io.File(s"$srcDir/$t.parquet").exists())
+        SparkEntry.table(spark, srcDir, t)
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    println(f"""{"generated":"$outDir","sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+  }
+}

@@ -72,18 +72,38 @@ object Sources {
     * comes from the parsed header.
     */
   def readKnmiCsv(spark: SparkSession, path: String): DataFrame = {
-    // driver-side collect is bounded: a well-formed KNMI preamble is tens
-    // of lines; a pathological all-comment file must not OOM the driver
+    // Header discovery is a DRIVER-SIDE bounded read of the file's
+    // LEADING comment block — a contract, not a convention: the previous
+    // monotonically_increasing_id ordering was only guaranteed for
+    // single-split files, and a stray '#' line mid-file would have
+    // (wrongly) become the header. Streaming + takeWhile reads only the
+    // preamble bytes; a pathological all-comment file is cut off at
+    // maxPreamble instead of OOMing the driver.
     val maxPreamble = 10000
-    val preamble = spark.read.text(path)
-      .filter(col("value").startsWith("#"))
-      .orderBy(monotonically_increasing_id())
-      .limit(maxPreamble + 1)
-      .collect()
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    val file =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val listing = java.nio.file.Files.list(p)
+        try listing.iterator().asScala
+          .filter { f =>
+            val n = f.getFileName.toString
+            java.nio.file.Files.isRegularFile(f) &&
+              !n.startsWith("_") && !n.startsWith(".")
+          }
+          .toSeq.sortBy(_.toString).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path is an empty directory — no KNMI file to read"))
+        finally listing.close()
+      } else p
+    val lines = java.nio.file.Files.lines(file)
+    val preamble =
+      try lines.iterator().asScala
+        .takeWhile(_.startsWith("#")).take(maxPreamble + 1).toVector
+      finally lines.close()
     require(preamble.length <= maxPreamble,
-      s"$path has >$maxPreamble '#' lines — not a KNMI preamble")
+      s"$path has >$maxPreamble leading '#' lines — not a KNMI preamble")
     val headerLine = preamble.lastOption
-      .map(_.getString(0))
       .getOrElse(throw new IllegalArgumentException(
         s"No '#' header preamble found in $path"))
     // the reference's rename(columns={"# STN": "STN"}) parity happens

@@ -610,6 +610,40 @@ object QueriesEtd {
     * rounded-at-definition artifact and both aggregation hops use the
     * decimal-stable sum/mean (see Model.aggregationVariables note).
     */
+  /** BENCH-ONLY full-width flagship: the e2e pipeline over ALL 13
+    * production cumulative columns (q_pipeline_e2e imputes 2 — enough
+    * for its hand-written oracle, not for proving the batched plan
+    * holds at production width). fabricatedDiffs covers 10 diffs; the
+    * remaining 3 are fabricated here the same way. NOT in
+    * SparkEntry.queries: column-level correctness of the batched impute
+    * is pinned by the ImputeBatchedSpec equivalence suite and the
+    * q_pipeline_e2e hash oracle; this entry exists so BENCH_r{N} carries
+    * a full-width timing (Bench.benchOnly).
+    */
+  def q_pipeline_full13(spark: SparkSession, dir: String): DataFrame = {
+    val cums = Model.cumulativeColumns
+    val v = abs(col("value"))
+    val grid = fabricatedDiffs(spark, dir)
+      .withColumn("GasgebruikDiff", round(v / 22, 6))
+      .withColumn("WarmteproductieWarmtepompDiff", round(v / 28, 6))
+      .withColumn("WatergebruikWarmTapwaterDiff", round(v / 16, 6))
+      .withColumn(ReadingDate, timestamp_seconds(
+        lit(1704067200L) + (row_number().over(
+          Window.partitionBy(ProjectId, HouseId).orderBy("t_us")) - 1)
+          .cast("long") * 300L))
+    val wHouse = Window.partitionBy(ProjectId, HouseId).orderBy(ReadingDate)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCums = grid.select(col("*") +:
+      cums.map(c => sum(Model.diffCol(c)).over(wHouse).as(c)): _*)
+    val stages = graft.etd.Pipeline.run(withCums, cums,
+      intervals = Seq("5min", "60min", "24h"))
+    stages.projectAggregated("60min")
+      .select(col(ProjectId).as("project"),
+        col(ReadingDate).cast("long").as("bucket_s"),
+        col("ElektriciteitsgebruikTotaalNetto").as("net_use"),
+        col("n"))
+  }
+
   def q_pipeline_e2e(spark: SparkSession, dir: String): DataFrame = {
     val cums = Seq("ElektriciteitNetgebruikLaag", "ElektriciteitTerugleveringLaag")
     val grid = fabricatedDiffs(spark, dir)

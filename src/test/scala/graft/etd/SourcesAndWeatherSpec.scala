@@ -32,6 +32,38 @@ class SourcesAndWeatherSpec extends AnyFunSuite {
     assert(rows(1).getAs[Double]("Gevoelstemperatuur") < rows(1).getAs[Double]("Temperatuur"))
   }
 
+  test("S4: header comes from the LEADING comment block; mid-file '#' lines are data-skipped, not headers") {
+    val dir = Files.createTempDirectory("knmi_mid").toFile
+    val f = new java.io.File(dir, "uurgeg_261.txt")
+    val w = new java.io.PrintWriter(f)
+    w.println("# KNMI hourly data")
+    w.println("# STN,YYYYMMDD,HH,T")
+    w.println("261,20230101,1,-15")
+    // a stray comment mid-file: the old whole-file last-'#'-line rule
+    // would have made THIS the header; the leading-block contract must not
+    w.println("# stray annotation, not a header")
+    w.println("261,20230101,2,-20")
+    w.close()
+    val df = Sources.readKnmiCsv(spark, f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("STN", "YYYYMMDD", "HH", "T"))
+    assert(df.count() == 2, "the stray comment line is skipped as data")
+
+    // directory input: header discovery picks a real data file, skipping
+    // _SUCCESS-style markers
+    new java.io.PrintWriter(new java.io.File(dir, "_SUCCESS")) { close() }
+    val viaDir = Sources.readKnmiCsv(spark, dir.getAbsolutePath)
+    assert(viaDir.columns.toSeq == Seq("STN", "YYYYMMDD", "HH", "T"))
+
+    // no leading comment block at all -> explicit failure, not a guess
+    val bare = new java.io.File(dir, "bare.txt")
+    val w2 = new java.io.PrintWriter(bare)
+    w2.println("261,20230101,1,-15")
+    w2.close()
+    intercept[IllegalArgumentException] {
+      Sources.readKnmiCsv(spark, bare.getAbsolutePath)
+    }
+  }
+
   test("S3/S8: glob combine stamps HuisIdBSV from the path and filters Meenemen") {
     val dir = Files.createTempDirectory("mapped").toFile.getAbsolutePath
     Seq((100L, 1.0)).toDF("ReadingSeq", "X")
