@@ -637,11 +637,17 @@ object QueriesEtd {
       cums.map(c => sum(Model.diffCol(c)).over(wHouse).as(c)): _*)
     val stages = graft.etd.Pipeline.run(withCums, cums,
       intervals = Seq("5min", "60min", "24h"))
-    stages.projectAggregated("60min")
-      .select(col(ProjectId).as("project"),
-        col(ReadingDate).cast("long").as("bucket_s"),
-        col("ElektriciteitsgebruikTotaalNetto").as("net_use"),
-        col("n"))
+    // materialize EVERY interval's project aggregate — the full stage DAG
+    // (13-column impute -> 3 resamples -> 3 project aggs), the writeStages
+    // work volume without the parquet-encode cost
+    Seq("5min", "60min", "24h").map { iv =>
+      stages.projectAggregated(iv)
+        .select(lit(iv).as("interval"),
+          col(ProjectId).as("project"),
+          col(ReadingDate).cast("long").as("bucket_s"),
+          col("ElektriciteitsgebruikTotaalNetto").as("net_use"),
+          col("n"))
+    }.reduce(_ unionByName _)
   }
 
   def q_pipeline_e2e(spark: SparkSession, dir: String): DataFrame = {

@@ -568,6 +568,21 @@ object QueriesLLM {
         col("ok"))
   }
 
+  /** Frame-sample row expansion on REAL decoded durations: the mp4
+    * round-trip's duration feeds [[Multimodal.frameSampleIndexes]] and
+    * explodes to one row per 40 s sample point — the lightweight
+    * (id, frame_idx, offset) rows a frame-decode stage fans out over,
+    * with the binary payload never duplicated. DuckDB regenerates the
+    * same series arithmetically.
+    */
+  def q_multimodal_frames(spark: SparkSession, dir: String): DataFrame =
+    q_multimodal_mp4(spark, dir)
+      .select(col("doc_id"),
+        posexplode(Multimodal.frameSampleIndexes(col("duration_ms"), 40000L))
+          .as(Seq("frame_idx", "offset_ms")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("offset_ms"))
+
   // ------------------------------------------------------------------
   // Registry + oracles
   // ------------------------------------------------------------------
@@ -600,6 +615,7 @@ object QueriesLLM {
     "q_multimodal_audio" -> (q_multimodal_audio _),
     "q_multimodal_mp3" -> (q_multimodal_mp3 _),
     "q_multimodal_mp4" -> (q_multimodal_mp4 _),
+    "q_multimodal_frames" -> (q_multimodal_frames _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
@@ -958,6 +974,15 @@ object QueriesLLM {
         |  ((dur_ms - 1) // 40 + 1)::BIGINT AS n_frames,
         |  true AS ok
         |FROM p""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ((doc_id * 977 % 1000000 + 1000) * 1000)
+        |      // ((doc_id % 4 + 1) * 600) AS dur_ms
+        |  FROM documents
+        |)
+        |SELECT doc_id, (u // 40000)::BIGINT AS frame_idx, u::BIGINT AS offset_ms
+        |FROM p, unnest(generate_series(0, dur_ms - 1, 40000)) t(u)""".stripMargin,
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |  (CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 23 END)::BIGINT AS byte_length,
