@@ -637,17 +637,43 @@ object QueriesEtd {
       cums.map(c => sum(Model.diffCol(c)).over(wHouse).as(c)): _*)
     val stages = graft.etd.Pipeline.run(withCums, cums,
       intervals = Seq("5min", "60min", "24h"))
+    // cut lineage at the NARROW calculated frame (temp gap cols already
+    // dropped): the four legs below share one impute execution instead of
+    // re-running the 13-column cascade each. Measured sf0.1/local[32]:
+    // checkpoint 20.3s vs pruned-recompute 19.3s — a tie on one box where
+    // the page cache hides the re-scan, but the recompute form repeats
+    // every window over the house exchange once per leg, which is the
+    // part that scales with cluster size (exchange reuse shares only the
+    // shuffle files, not the window compute downstream of them).
+    val cal = stages.calculated.localCheckpoint()
+    // household leg: per-project checksum over ALL 13 imputed diff
+    // columns — the project aggregate only consumes the 9 electricity
+    // diffs (+ derived calc vars), so without this leg Catalyst prunes
+    // the Gasgebruik/Warmte/Watergebruik impute cascades away and the
+    // bench silently measures a 10-column pipeline, not 13 (the
+    // household_calculated sink production writes carries all 13)
+    // post-calculated name: Zon-opwekTotaalDiff is renamed ZonopwekBruto
+    val hhDiffCols = cums.map(Model.diffCol)
+      .map(c => if (c == "Zon-opwekTotaalDiff") "ZonopwekBruto" else c)
+    val hhLeg = cal.groupBy(col(ProjectId))
+      .agg(round(sum(hhDiffCols.map(c => coalesce(col(c), lit(0.0)))
+          .reduce(_ + _)), 6).as("net_use"),
+        count(lit(1)).as("n"))
+      .select(lit("household").as("interval"),
+        col(ProjectId).as("project"), lit(0L).as("bucket_s"),
+        col("net_use"), col("n"))
     // materialize EVERY interval's project aggregate — the full stage DAG
     // (13-column impute -> 3 resamples -> 3 project aggs), the writeStages
     // work volume without the parquet-encode cost
-    Seq("5min", "60min", "24h").map { iv =>
-      stages.projectAggregated(iv)
+    (Seq("5min", "60min", "24h").map { iv =>
+      graft.etd.ProjectAggregate.aggregateStandard(
+          graft.etd.Resample.resampleStandard(cal, iv))
         .select(lit(iv).as("interval"),
           col(ProjectId).as("project"),
           col(ReadingDate).cast("long").as("bucket_s"),
           col("ElektriciteitsgebruikTotaalNetto").as("net_use"),
           col("n"))
-    }.reduce(_ unionByName _)
+    } :+ hhLeg).reduce(_ unionByName _)
   }
 
   def q_pipeline_e2e(spark: SparkSession, dir: String): DataFrame = {
