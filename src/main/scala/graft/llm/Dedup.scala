@@ -596,4 +596,27 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
       .distinct()
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster the corpus into IVF cells and, within each
+    * cell, keep exactly one representative of every near-duplicate
+    * relation: a row is DROPPED iff some lower-id row in a shared cell is
+    * cosine-similar above `threshold` ("keep lowest id", the deterministic
+    * analogue of the paper's keep-one-per-clique; transitive chains thin
+    * to their minimum like [[clusterPairs]] canonicalization, except
+    * cell-locally).
+    *
+    * Scale shape: the pair join is cell-bounded
+    * ([[embeddingNearDupsBucketed]]); the drop set shuffles bare ids; the
+    * final filter is a left_anti hash join on the id — the payload
+    * columns never fan out through the pair generation.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, centroids: Column,
+               nprobe: Int = 1): DataFrame = {
+    val drops = embeddingNearDupsBucketed(df, idCol, vecCol, threshold,
+        centroids, nprobe)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
 }

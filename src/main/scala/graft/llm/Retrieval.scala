@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions.tokens
+
+/** Sparse text retrieval over a document corpus: BM25 (Robertson &
+  * Zaragoza 2009, "The Probabilistic Relevance Framework") through an
+  * inverted-index join — the lexical search primitive a training-data
+  * pipeline uses for targeted corpus slicing (and the lexical half of
+  * hybrid dense+sparse retrieval next to [[Similarity]]).
+  *
+  * Scale design: scoring touches only (query term, posting) matches —
+  * queries never cross-join the corpus. The postings list is one
+  * explode + hash-agg keyed by (doc, term) with map-side combine; per-term
+  * document frequencies ride a window over the term key (same exchange);
+  * corpus-level scalars (N, avgdl) broadcast as a single row. Shuffled
+  * bytes are (doc, termhash, tf) triples — document text never moves.
+  *
+  * Engine portability: idf is floor-rounded at 1e-9 immediately after the
+  * one transcendental (ln), every per-term contribution at 1e-6, and the
+  * per-(query,doc) total is an exact decimal sum of those roundings —
+  * summation order cannot flip a hash compare.
+  */
+object Retrieval {
+
+  private def r6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+  private def r9(x: Column): Column = floor(x * 1e9 + 0.5) / 1e9
+
+  /** (doc, term, tf, dl) postings of `corpus` under the single-space
+    * token convention — the inverted index both scoring paths share.
+    */
+  def postings(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))
+        .cast("double"))
+
+  /** BM25 top-`k` documents per query. `queries` is a small frame of
+    * (query id, query text); its tokens are deduplicated (standard bag-of
+    * -words query semantics: repeated query terms score once).
+    *
+    * k1 saturates term frequency, b normalizes by document length; the
+    * idf is the "+1" form (Lucene's), strictly positive even for terms in
+    * more than half the corpus.
+    */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(corpus, idCol, textCol)
+    // corpus scalars: one row, broadcast
+    val stats = post.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum("dl").as("total_len"))
+      .withColumn("avgdl", col("total_len") / col("n_docs"))
+    // per-term document frequency on the same term-keyed exchange the
+    // postings join below uses
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val postDf = post.withColumn("df", count(lit(1)).over(wTerm))
+    val qTerms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    val scored = qTerms.join(postDf, Seq("term"))
+      .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
+      .withColumn("idf",
+        r9(log((col("n_docs") - col("df") + lit(0.5)) /
+               (col("df") + lit(0.5)) + lit(1.0))))
+      .withColumn("contrib",
+        r6(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib").cast("decimal(28,12)")).cast("double").as("score"))
+    val wQ = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+}

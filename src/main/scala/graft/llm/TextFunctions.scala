@@ -383,4 +383,58 @@ object TextFunctions {
         lit(false)))
       .drop("__n", "__nmin")
   }
+
+  /** DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by how much more likely its hashed char-bigram
+    * features are under the TARGET slice's distribution than under the
+    * raw corpus distribution — the data-selection signal for
+    * domain-matching a pretraining corpus to a target domain.
+    * `targetPred` (any boolean Column over the input row) marks the
+    * target slice.
+    *
+    *   log w(doc) = mean over the doc's gram OCCURRENCES g of
+    *     ln p_tgt(g) − ln p_raw(g),   add-1 smoothed over the corpus
+    *     gram vocabulary V.
+    *
+    * Documents too short for a bigram surface with n_grams = 0 and a NULL
+    * weight (no features ⇒ no evidence), not silently dropped.
+    *
+    * Scale shape: one explode → the gram table shuffles (id, hash, flag)
+    * rows once on the hash key, where two window counts (raw / target)
+    * attach; corpus totals broadcast as a single row; the per-doc mean is
+    * one hash-agg keyed by id. Engine-portable: each ln floor-rounds at
+    * 1e-9, each per-gram diff at 1e-6, and the mean is an exact decimal
+    * sum / count ([[bigramNoveltyStats]] discipline).
+    */
+  def dsirLogWeights(df: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     targetPred: Column): org.apache.spark.sql.DataFrame = {
+    def r6(x: Column) = floor(x * 1e6 + 0.5) / 1e6
+    def r9(x: Column) = floor(x * 1e9 + 0.5) / 1e9
+    val grams = df
+      .select(col(idCol), targetPred.cast("int").as("__tgt"),
+        explode(charShingleHashes(col(textCol), 2)).as("__h"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val counted = grams
+      .withColumn("raw_c", count(lit(1)).over(wh))
+      .withColumn("tgt_c", sum(col("__tgt")).over(wh))
+    val totals = grams.agg(
+      count(lit(1)).as("raw_total"),
+      sum(col("__tgt")).as("tgt_total"),
+      countDistinct(col("__h")).as("v"))
+    val perDoc = counted
+      .crossJoin(broadcast(totals))
+      .withColumn("diff", r6(
+        r9(log((col("tgt_c") + 1).cast("double") /
+               (col("tgt_total") + col("v")).cast("double"))) -
+        r9(log((col("raw_c") + 1).cast("double") /
+               (col("raw_total") + col("v")).cast("double")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        (floor((sum(col("diff").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))) * 1e6 + 0.5) / 1e6).as("log_w"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.table
-import graft.llm.{Dedup, Multimodal, Packing, Similarity, TextFunctions}
+import graft.llm.{Dedup, Multimodal, Packing, Retrieval, Similarity, TextFunctions}
 
 /** LLM-training-data pipeline coverage queries over the driver's
   * `documents` and `embeddings` tables, with DuckDB oracles.
@@ -583,6 +583,33 @@ object QueriesLLM {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("offset_ms"))
 
+  /** SemDeDup over the embeddings corpus: IVF cells from the first-8
+    * codebook, drop every vector with a lower-id near-duplicate
+    * (cos >= 0.35) in its cell — the kept set the training run reads.
+    */
+  def q_semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Dedup.semDedup(emb, "vec_id", "embedding", 0.35, firstKCodebookLit(emb))
+      .select(col("vec_id"))
+  }
+
+  /** BM25 retrieval: the first 3 documents as queries against the whole
+    * corpus through the inverted-index join, top-5 per query.
+    */
+  def q_bm25_topk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    Retrieval.bm25TopK(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
+  }
+
+  /** DSIR importance log-weights against a deterministic target slice
+    * (doc_id % 7 == 0 — the slice definition is the caller's business;
+    * the operator only needs a boolean predicate).
+    */
+  def q_dsir_weights(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.dsirLogWeights(table(spark, dir, "documents"),
+      "doc_id", "text", pmod(col("doc_id"), lit(7L)) === 0)
+
   // ------------------------------------------------------------------
   // Registry + oracles
   // ------------------------------------------------------------------
@@ -616,6 +643,9 @@ object QueriesLLM {
     "q_multimodal_mp3" -> (q_multimodal_mp3 _),
     "q_multimodal_mp4" -> (q_multimodal_mp4 _),
     "q_multimodal_frames" -> (q_multimodal_frames _),
+    "q_semdedup" -> (q_semdedup _),
+    "q_bm25_topk" -> (q_bm25_topk _),
+    "q_dsir_weights" -> (q_dsir_weights _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
@@ -779,6 +809,91 @@ object QueriesLLM {
         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |)
         |SELECT id_a, id_b, round(cos, 6) AS cos FROM c WHERE cos >= 0.35""".stripMargin,
+    "q_semdedup" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
+        |  FROM embeddings e CROSS JOIN cents c
+        |), cells AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cent_id) AS r
+        |    FROM assigned) WHERE r = 1
+        |), drops AS (
+        |  SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+        |    >= 0.35
+        |)
+        |SELECT e.vec_id FROM embeddings e ANTI JOIN drops d ON e.vec_id = d.vec_id""".stripMargin,
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, sum(dl) / count(*)::DOUBLE AS avgdl FROM dl
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3
+        |), contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    floor((floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1000000000 + 0.5) / 1000000000)
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+        |      * 1000000 + 0.5) / 1000000 AS c
+        |  FROM q JOIN tf USING (term) JOIN dfreq d USING (term)
+        |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+        |), scored AS (
+        |  SELECT query_id, doc_id, sum(c::DECIMAL(28,12))::DOUBLE AS score
+        |  FROM contrib GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, doc_id, rank::BIGINT AS rank, score
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH cg AS (
+        |  SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS h FROM (
+        |    SELECT doc_id, substr(text, i, 2) AS g
+        |    FROM documents, unnest(generate_series(1, length(text)-1)) t(i)
+        |    WHERE length(text) >= 2
+        |  )
+        |), cnt AS (
+        |  SELECT h, count(*) AS raw_c,
+        |    sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS tgt_c
+        |  FROM cg GROUP BY h
+        |), tot AS (
+        |  SELECT count(*) AS raw_total,
+        |    sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS tgt_total,
+        |    count(DISTINCT h) AS v
+        |  FROM cg
+        |), diffs AS (
+        |  SELECT cg.doc_id,
+        |    floor((floor(ln((c.tgt_c + 1)::DOUBLE / (t.tgt_total + t.v)::DOUBLE) * 1000000000 + 0.5) / 1000000000
+        |         - floor(ln((c.raw_c + 1)::DOUBLE / (t.raw_total + t.v)::DOUBLE) * 1000000000 + 0.5) / 1000000000)
+        |      * 1000000 + 0.5) / 1000000 AS d
+        |  FROM cg JOIN cnt c USING (h) CROSS JOIN tot t
+        |), per AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |    floor((sum(d::DECIMAL(28,12))::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS log_w
+        |  FROM diffs GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams, p.log_w
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
     "q_ann_hyperplane" ->
       """WITH b AS (
         |  SELECT vec_id, p,

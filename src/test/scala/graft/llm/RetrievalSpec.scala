@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** BM25 retrieval, SemDeDup, and DSIR importance weights on
+  * hand-computable fixtures.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("bm25: tf saturation and length normalization rank as expected") {
+    val corpus = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple cherry"),
+      (3L, "banana banana banana")).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple")).toDF("qid", "qtext")
+    val hits = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .orderBy("rank").collect()
+    // only the two apple-bearing docs match; tf=2 beats tf=1
+    assert(hits.map(_.getLong(1)).toSeq == Seq(2L, 1L))
+    assert(hits.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(hits.forall(_.getDouble(3) > 0))
+    // idf of a term in 2 of 3 docs: ln((3-2+0.5)/(2+0.5)+1) = ln(1.6);
+    // doc2 contrib = idf*(2*2.2)/(2+1.2*(0.25+0.75*3/(8.0/3)))
+    val idf = math.floor(math.log(1.6) * 1e9 + 0.5) / 1e9
+    val expected2 = math.floor(
+      idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / (8.0 / 3))) * 1e6 + 0.5) / 1e6
+    assert(hits.head.getDouble(3) == expected2)
+  }
+
+  test("bm25: repeated query terms score once (bag-of-words dedup)") {
+    val corpus = Seq((1L, "apple pie"), (2L, "cherry pie")).toDF("doc_id", "text")
+    val once = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq((1L, "apple")).toDF("q", "t"), "q", "t", 5).collect()
+    val twice = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq((1L, "apple apple")).toDF("q", "t"), "q", "t", 5).collect()
+    assert(once.map(r => (r.getLong(1), r.getDouble(3))).toSet ==
+      twice.map(r => (r.getLong(1), r.getDouble(3))).toSet)
+  }
+
+  test("semDedup: keeps the lowest id of each cell-local near-dup set") {
+    val df = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(1f, 0f)),       // exact dup of 1 -> dropped
+      (3L, Array(0f, 1f)),       // orthogonal -> kept
+      (4L, Array(0.999f, 0.01f)) // near-dup of 1 -> dropped
+    ).toDF("vec_id", "embedding")
+    val cents = array(array(lit(1f), lit(0f)), array(lit(0f), lit(1f)))
+    val kept = Dedup.semDedup(df, "vec_id", "embedding", 0.9, cents)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // a lower threshold in the same geometry merges nothing across cells:
+    // 3 lives in its own cell and always survives
+    val kept2 = Dedup.semDedup(df, "vec_id", "embedding", 0.5, cents)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept2.contains(3L) && kept2.contains(1L))
+  }
+
+  test("dsir: grams frequent in the target slice score above absent ones") {
+    val docs = Seq(
+      (0L, "aaaa"),  // target
+      (1L, "aaaa"),  // raw doc made of target-frequent grams
+      (2L, "zzzz"),  // raw doc with grams the target never saw
+      (3L, "x")      // too short for a bigram
+    ).toDF("doc_id", "text")
+    val w = TextFunctions.dsirLogWeights(docs, "doc_id", "text",
+        col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(w(1L)._1 == 3 && w(2L)._1 == 3)
+    assert(w(1L)._2.get > w(2L)._2.get)
+    assert(w(3L) == ((0L, None)))
+  }
+}
