@@ -55,6 +55,7 @@ object Bench {
     "q_text_quality",
     "q_text_fingerprint",
     "q_text_bigram_lm",
+    "q_bm25_topk",
   )
 
   def main(args: Array[String]): Unit = {

@@ -82,4 +82,32 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("rank"), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): merge ranked runs —
+    * typically BM25 and a dense ANN run — into one ranking per query by
+    *   rrf(d) = Σ_runs 1 / (k0 + rank_run(d)).
+    * Each input needs (query_id, doc_id, rank); documents absent from a
+    * run simply contribute nothing (the standard semantics). Rank
+    * arithmetic only — no score calibration between runs is needed,
+    * which is why RRF is the default hybrid combiner.
+    *
+    * Scale shape: a union of (query, doc, part) triples and one
+    * hash-agg keyed by (query, doc); nothing per-run is recomputed.
+    * Portability: each reciprocal floor-rounds at 1e-9 and the fusion
+    * sum is decimal-exact.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse: no runs given")
+    val fused = runs.map(_.select(col("query_id"), col("doc_id"),
+        r9(lit(1.0) / (lit(k0.toLong) + col("rank"))).as("part")))
+      .reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("part").cast("decimal(28,12)")).cast("double").as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("rrf"))
+  }
 }

@@ -602,6 +602,21 @@ object QueriesLLM {
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
   }
 
+  /** Hybrid retrieval: RRF-fuse the BM25 run (first 3 documents as
+    * queries) with a dense brute-force cosine run for the same query ids
+    * over the embeddings corpus (vec_id aligned with doc_id, the usual
+    * aligned-id layout), top-5 per query.
+    */
+  def q_rrf_hybrid(spark: SparkSession, dir: String): DataFrame = {
+    val lex = q_bm25_topk(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = table(spark, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(lex, dense), k = 5)
+  }
+
   /** DSIR importance log-weights against a deterministic target slice
     * (doc_id % 7 == 0 — the slice definition is the caller's business;
     * the operator only needs a boolean predicate).
@@ -645,6 +660,7 @@ object QueriesLLM {
     "q_multimodal_frames" -> (q_multimodal_frames _),
     "q_semdedup" -> (q_semdedup _),
     "q_bm25_topk" -> (q_bm25_topk _),
+    "q_rrf_hybrid" -> (q_rrf_hybrid _),
     "q_dsir_weights" -> (q_dsir_weights _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
@@ -865,6 +881,61 @@ object QueriesLLM {
         |)
         |SELECT query_id, doc_id, rank::BIGINT AS rank, score
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_rrf_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, sum(dl) / count(*)::DOUBLE AS avgdl FROM dl
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3
+        |), contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    floor((floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1000000000 + 0.5) / 1000000000)
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+        |      * 1000000 + 0.5) / 1000000 AS c
+        |  FROM q JOIN tf USING (term) JOIN dfreq d USING (term)
+        |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+        |), bm25s AS (
+        |  SELECT query_id, doc_id, sum(c::DECIMAL(28,12))::DOUBLE AS score
+        |  FROM contrib GROUP BY 1, 2
+        |), bm25 AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |    FROM bm25s) WHERE rank <= 5
+        |), denses AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND q.vec_id <> c.vec_id
+        |), dense AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id) AS rank
+        |    FROM denses) WHERE rank <= 5
+        |), parts AS (
+        |  SELECT query_id, doc_id, floor(1.0 / (60 + rank) * 1000000000 + 0.5) / 1000000000 AS part FROM bm25
+        |  UNION ALL
+        |  SELECT query_id, doc_id, floor(1.0 / (60 + rank) * 1000000000 + 0.5) / 1000000000 AS part FROM dense
+        |), fused AS (
+        |  SELECT query_id, doc_id, sum(part::DECIMAL(28,12))::DOUBLE AS rrf
+        |  FROM parts GROUP BY 1, 2
+        |), rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused
+        |)
+        |SELECT query_id, doc_id, rank::BIGINT AS rank, rrf
+        |FROM rr WHERE rank <= 5""".stripMargin,
     "q_dsir_weights" ->
       """WITH cg AS (
         |  SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS h FROM (

@@ -43,6 +43,16 @@ class RetrievalSpec extends AnyFunSuite {
       twice.map(r => (r.getLong(1), r.getDouble(3))).toSet)
   }
 
+  test("rrf: a document present in both runs outranks single-run ones") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 3).orderBy("rank").collect()
+    assert(out.head.getLong(1) == 11L)
+    assert(out.map(_.getLong(1)).toSet == Set(10L, 11L, 12L))
+    val r9 = (x: Double) => math.floor(x * 1e9 + 0.5) / 1e9
+    assert(math.abs(out.head.getDouble(3) - (r9(1.0 / 62) + r9(1.0 / 61))) < 1e-12)
+  }
+
   test("semDedup: keeps the lowest id of each cell-local near-dup set") {
     val df = Seq(
       (1L, Array(1f, 0f)),
