@@ -52,10 +52,15 @@ object Retrieval {
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val post = postings(corpus, idCol, textCol)
-    // corpus scalars: one row, broadcast
-    val stats = post.groupBy("doc_id").agg(first("dl").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        sum("dl").as("total_len"))
+    // corpus scalars straight off the token explode: n_docs = docs with
+    // >= 1 token, avgdl = token occurrences / n_docs — same values the
+    // postings aggregation implies, without re-building the (doc, term)
+    // aggregate + per-doc window a second time just for two scalars
+    val stats = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .agg(count_distinct(col("doc_id")).cast("double").as("n_docs"),
+        count(lit(1)).cast("double").as("total_len"))
       .withColumn("avgdl", col("total_len") / col("n_docs"))
     // per-term document frequency on the same term-keyed exchange the
     // postings join below uses
