@@ -60,7 +60,9 @@ object ScaleBench {
     "q_lsh_pairs",       // banded MinHash bucketing
     "q_ann_topk",        // brute-force cosine — the baseline IVF/PQ must beat
     "q_ann_ivf",
-    "q_ann_pq")
+    "q_ann_pq",
+    "q_bm25_topk",       // inverted-index retrieval over the full corpus
+    "q_semdedup")        // cell-local semantic dedup
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

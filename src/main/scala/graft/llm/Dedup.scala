@@ -582,8 +582,16 @@ object Dedup {
                                 nprobe: Int = 1): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
       .withColumn("na", l2norm(col("va")))
+      // nprobe=1 takes the native CosineArgmax assignment (codegen'd
+      // tight loop) — identical cell (both 1-based, equivalence pinned in
+      // LlmSpec) without ivfRanking's interpreted per-row score-and-sort
+      // over all nlist centroids, which dominates wall time once nlist
+      // scales with the corpus (measured: 100k x nlist=256 semDedup
+      // 220 s -> see PERFNOTES). A null cell (zero-norm vector) drops in
+      // the inner join exactly like the empty probe slice did.
       .withColumn("__cell",
-        explode(slice(Similarity.ivfRanking(col("va"), centroids), 1, nprobe)))
+        if (nprobe == 1) Similarity.ivfAssign(col("va"), centroids)
+        else explode(slice(Similarity.ivfRanking(col("va"), centroids), 1, nprobe)))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("nb", l2norm(col("vb")))
       .withColumn("__cell", Similarity.ivfAssign(col("vb"), centroids))
