@@ -588,10 +588,11 @@ object Dedup {
       // over all nlist centroids, which dominates wall time once nlist
       // scales with the corpus (measured: 100k x nlist=256 semDedup
       // 220 s -> see PERFNOTES). A null cell (zero-norm vector) drops in
-      // the inner join exactly like the empty probe slice did.
+      // the inner join exactly like the empty probe slice did. Multi-probe
+      // takes the native top-cells selection for the same reason.
       .withColumn("__cell",
         if (nprobe == 1) Similarity.ivfAssign(col("va"), centroids)
-        else explode(slice(Similarity.ivfRanking(col("va"), centroids), 1, nprobe)))
+        else explode(Similarity.ivfProbeCells(col("va"), centroids, nprobe)))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("nb", l2norm(col("vb")))
       .withColumn("__cell", Similarity.ivfAssign(col("vb"), centroids))

@@ -56,6 +56,16 @@ object Similarity {
   def ivfAssign(vec: Column, centroids: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.cosineArgmax(vec, centroids)
 
+  /** The `nprobe` nearest cells as ONE native loop — elementwise
+    * `slice(ivfRanking(vec, centroids), 1, nprobe)` (equivalence
+    * property-tested), without the interpreted per-row score-and-sort
+    * over the whole codebook that made multi-probe assignment cost grow
+    * with nlist.
+    */
+  def ivfProbeCells(vec: Column, centroids: Column, nprobe: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions.cosineTopCells(
+      vec, centroids, nprobe)
+
   /** IVF top-k: corpus and queries are assigned to cells; each query
     * searches only its own cell (nprobe=1 — the scale path trades recall
     * for a 1/nlist scan). Returns (query_id, neighbor_id, rank, cos).
@@ -77,7 +87,7 @@ object Similarity {
                     nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qcell",
-        explode(slice(ivfRanking(col("qv"), centroids), 1, nprobe)))
+        explode(ivfProbeCells(col("qv"), centroids, nprobe)))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("ccell", ivfAssign(col("cv"), centroids))
     val w = Window.partitionBy("query_id")

@@ -155,6 +155,81 @@ object VectorUtil {
     bestIdx
   }
 
+  /** Top-`n` centroid indices (1-based) by descending cosine to `vec`,
+    * ties broken by lower index; zero-norm/null centroids rank last (in
+    * index order among themselves) — elementwise equal to
+    * `slice(ivfRanking(vec, cents), 1, n)` on finite inputs (the
+    * NaN-free-embedding contract every vector kernel here shares).
+    * Returns null (the reference) when the ranking is null: zero-norm
+    * `vec`, or no centroid with a cosine at all.
+    *
+    * Selection is O(k·n) — n is nprobe (single digits), so this stays
+    * linear in the codebook instead of the full score-struct-sort the
+    * interpreted ranking pays per row.
+    */
+  def cosineTopCells(vec: ArrayData, cents: ArrayData, n: Int): ArrayData = {
+    val d = vec.numElements()
+    var selfA = 0.0
+    var i = 0
+    while (i < d) {
+      val x = vec.getFloat(i).toDouble; selfA += x * x; i += 1
+    }
+    val na = java.lang.Math.sqrt(selfA)
+    if (!(na > 0)) return null
+    val k = cents.numElements()
+    val cos = new Array[Double](k)
+    val valid = new Array[Boolean](k)
+    var anyValid = false
+    var c = 0
+    while (c < k) {
+      if (!cents.isNullAt(c)) {
+        val cell = cents.getArray(c)
+        val m = cell.numElements()
+        var selfB = 0.0
+        var j = 0
+        while (j < m) {
+          val y = cell.getFloat(j).toDouble; selfB += y * y; j += 1
+        }
+        val nb = java.lang.Math.sqrt(selfB)
+        if (nb > 0) {
+          val nn = math.min(d, m)
+          var dot = 0.0
+          j = 0
+          while (j < nn) {
+            dot += vec.getFloat(j).toDouble * cell.getFloat(j).toDouble; j += 1
+          }
+          cos(c) = dot / (na * nb); valid(c) = true; anyValid = true
+        }
+      }
+      c += 1
+    }
+    if (!anyValid) return null
+    val take = math.min(n, k)
+    val out = new Array[Long](take)
+    val used = new Array[Boolean](k)
+    var filled = 0
+    while (filled < take) {
+      var bestIdx = -1
+      var bestCos = 0.0
+      var bestValid = false
+      var c2 = 0
+      while (c2 < k) {
+        if (!used(c2)) {
+          if (valid(c2)) {
+            if (!bestValid || cos(c2) > bestCos) {
+              bestValid = true; bestCos = cos(c2); bestIdx = c2
+            }
+          } else if (!bestValid && bestIdx < 0) bestIdx = c2
+        }
+        c2 += 1
+      }
+      used(bestIdx) = true
+      out(filled) = bestIdx + 1
+      filled += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** ADC score: sum_j lut[j*k + codes[j]] with k = |lut|/|codes|, j
     * ascending, double accumulation. Out-of-range or null codes are
     * skipped.
@@ -210,6 +285,42 @@ case class CosineArgmax(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "cosine_argmax"
+}
+
+/** Top-nprobe IVF cells as ONE native loop — the multi-probe analogue of
+  * [[CosineArgmax]]. Replaces `slice(ivfRanking(...), 1, nprobe)`, whose
+  * interpreted per-row score-struct-sort over ALL nlist centroids made
+  * assignment cost grow with codebook size (PERFNOTES: 31 s -> 220 s
+  * when nlist went 64 -> 256 on the same corpus).
+  */
+case class CosineTopCells(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.cosineTopCells(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  org.apache.spark.sql.graft.VectorUtil.cosineTopCells($x, $y, $n);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineTopCells =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_top_cells"
 }
 
 /** Shared plumbing for int8 scalar quantization. */
@@ -402,6 +513,13 @@ object VectorExpressions {
   def cosineArgmax(vec: Column, cents: Column): Column =
     ExpressionUtils.column(CosineArgmax(
       ExpressionUtils.expression(vec), ExpressionUtils.expression(cents)))
+
+  /** Native top-nprobe cell ranking (1-based; null on zero norm) —
+    * elementwise `slice(ivfRanking, 1, n)`.
+    */
+  def cosineTopCells(vec: Column, cents: Column, n: Int): Column =
+    ExpressionUtils.column(CosineTopCells(
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(cents), n))
 
   /** Native nearest-centroid-by-L2 assignment (1-based; null when the
     * codebook is empty).

@@ -520,6 +520,30 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("native top-cells == slice(ivfRanking) (ties, zero norms, n > k)") {
+    val cents = array(
+      array(lit(1.0f), lit(0.0f)), array(lit(0.8f), lit(0.6f)),
+      array(lit(1.0f), lit(0.0f)), // duplicate of cell 1: tie -> lower idx
+      array(lit(0.0f), lit(0.0f))) // zero-norm centroid: ranks last
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.5f, 0.5f)),
+      (3L, Array(1.0f, 0.0f)), // exact tie between cells 1 and 3
+      (4L, Array(0.0f, 0.0f)), // zero-norm query -> null
+      (5L, Array(-1.0f, -0.5f)))
+      .toDF("id", "v")
+    for (n <- Seq(1, 2, 3, 4, 9)) { // 9 > nlist: full ranking
+      val rows = vecs.select(
+        Similarity.ivfProbeCells(col("v"), cents, n).as("native"),
+        slice(Similarity.ivfRanking(col("v"), cents), 1, n).as("ranked"))
+        .collect()
+      rows.foreach { r =>
+        val nv = if (r.isNullAt(0)) null else r.getSeq[Long](0)
+        val rv = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+        assert(nv == rv, s"n=$n native=$nv ranked=$rv")
+      }
+    }
+  }
+
   test("IVF assignment picks the nearest centroid cell") {
     val centroids = array(
       array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f)))
