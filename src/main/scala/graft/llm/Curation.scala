@@ -1,0 +1,41 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch corpus curation — the composed chain a pretraining-data run
+  * executes, as ONE lazy DataFrame (the batch analogue of
+  * [[graft.streaming.StreamingCuration.curateStream]]):
+  *
+  *   1. quality gate ([[TextFunctions.qualityScore]] >= minQuality),
+  *      scored on the raw text;
+  *   2. PII redaction ([[TextFunctions.redactPii]]) — BEFORE any dedup,
+  *      so documents identical up to contact details collapse in step 3;
+  *   3. exact dedup on the redacted text (keep lowest id,
+  *      [[Dedup.exactDedup]]);
+  *   4. MinHash/LSH near-dedup of the survivors
+  *      ([[Dedup.nearDedup]]: banded candidates -> exact shingle-set
+  *      Jaccard verify -> connected components -> keep cluster minima).
+  *
+  * Output: the kept rows, `textCol` redacted, plus a `quality` column.
+  *
+  * Scale shape is the sum of its parts, each individually audited
+  * (PERFNOTES): the gate and redaction are map-only; exact dedup
+  * shuffles digests; near-dedup is banded and verifies candidates only.
+  * Nothing in the chain materializes an intermediate.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minQuality: Double = 0.25,
+             jaccardThreshold: Double = 0.8,
+             fast: Boolean = false): DataFrame = {
+    val gated = docs
+      .withColumn("__q", TextFunctions.qualityScore(col(textCol)))
+      .filter(col("__q") >= minQuality)
+      .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+    val exact = Dedup.exactDedup(gated, idCol, textCol)
+    Dedup.nearDedup(exact, idCol, textCol, jaccardThreshold, fast = fast)
+      .withColumnRenamed("__q", "quality")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.table
-import graft.llm.{Dedup, Multimodal, Packing, Retrieval, Similarity, TextFunctions}
+import graft.llm.{Curation, Dedup, Multimodal, Packing, Retrieval, Similarity, TextFunctions}
 
 /** LLM-training-data pipeline coverage queries over the driver's
   * `documents` and `embeddings` tables, with DuckDB oracles.
@@ -617,6 +617,24 @@ object QueriesLLM {
     Retrieval.rrfFuse(Seq(lex, dense), k = 5)
   }
 
+  /** End-to-end batch curation flagship (the LLM-path analogue of
+    * q_pipeline_e2e's composed-DAG hash check): the dup corpus gets a
+    * per-copy PII suffix — so exact twins differ pre-redaction and
+    * collapse only BECAUSE redaction runs before dedup — then flows
+    * through [[Curation.curate]]: quality gate -> redact -> exact dedup
+    * -> LSH near-dedup (verify + cluster + keep minima). The oracle
+    * replays the whole chain, recursive-CTE closure included.
+    */
+  def q_curation_e2e(spark: SparkSession, dir: String): DataFrame = {
+    val base = dupCorpus(spark, dir)
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com")))
+    Curation.curate(base, "doc_id", "text",
+        minQuality = 0.25, jaccardThreshold = 0.2)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
+        col("quality"))
+  }
+
   /** DSIR importance log-weights against a deterministic target slice
     * (doc_id % 7 == 0 — the slice definition is the caller's business;
     * the operator only needs a boolean predicate).
@@ -662,6 +680,7 @@ object QueriesLLM {
     "q_bm25_topk" -> (q_bm25_topk _),
     "q_rrf_hybrid" -> (q_rrf_hybrid _),
     "q_dsir_weights" -> (q_dsir_weights _),
+    "q_curation_e2e" -> (q_curation_e2e _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
@@ -936,6 +955,63 @@ object QueriesLLM {
         |)
         |SELECT query_id, doc_id, rank::BIGINT AS rank, rrf
         |FROM rr WHERE rank <= 5""".stripMargin,
+    "q_curation_e2e" -> {
+      val e = TextFunctions.emailRe
+      val i = TextFunctions.ipv4Re
+      val p = TextFunctions.phoneRe
+      s"""WITH RECURSIVE corpus0 AS (
+         |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com' AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id,
+         |    text || ' contact user' || (doc_id + 10000) || '@example.com' AS text
+         |  FROM documents WHERE doc_id < 50
+         |), qual AS (
+         |  SELECT doc_id, text,
+         |    round((least(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) / 50.0, 1.0)
+         |      + least((CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) > 0
+         |          THEN len(list_filter(list_filter(string_split(lower(text), ' '), t -> length(t) > 0),
+         |                t -> list_contains($enList, t)))::DOUBLE
+         |               / len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0))
+         |          ELSE 0.0 END) * 5.0, 1.0)) / 2.0, 6) AS quality
+         |  FROM corpus0
+         |), red AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS text,
+         |    quality
+         |  FROM qual WHERE quality >= 0.25
+         |), keepx AS (
+         |  SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(text)
+         |), corpus AS (
+         |  SELECT r.doc_id, r.text, r.quality FROM red r JOIN keepx k ON r.doc_id = k.doc_id
+         |)""".stripMargin + minhashSql +
+      """, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+         |), shd AS (
+         |  SELECT doc_id, list_distinct(hs) AS ds FROM hashes
+         |), verified AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN shd a ON p.id_a = a.doc_id JOIN shd b ON p.id_b = b.doc_id
+         |  WHERE (CASE WHEN len(list_distinct(a.ds || b.ds)) > 0
+         |    THEN len(list_intersect(a.ds, b.ds))::DOUBLE / len(list_distinct(a.ds || b.ds))
+         |    ELSE 0.0 END) >= 0.2
+         |), edges AS (
+         |  SELECT id_a, id_b FROM verified
+         |  UNION
+         |  SELECT id_b AS id_a, id_a AS id_b FROM verified
+         |), reach AS (
+         |  SELECT id_a AS id, id_a AS label FROM edges
+         |  UNION
+         |  SELECT e.id_a AS id, r.label FROM edges e JOIN reach r ON e.id_b = r.id
+         |), drops AS (
+         |  SELECT id AS doc_id FROM reach GROUP BY id HAVING min(label) <> id
+         |)
+         |SELECT c.doc_id, md5(c.text) AS content_hash, c.quality
+         |FROM corpus c ANTI JOIN drops d ON c.doc_id = d.doc_id""".stripMargin
+    },
     "q_dsir_weights" ->
       """WITH cg AS (
         |  SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS h FROM (

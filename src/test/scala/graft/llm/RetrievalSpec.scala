@@ -71,6 +71,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(kept2.contains(3L) && kept2.contains(1L))
   }
 
+  test("curation chain: gate, redact-before-dedup, exact + near dedup") {
+    val base = "the cat and the dog is on a mat in the house with a hat"
+    val docs = Seq(
+      (1L, base + " contact a@b.com"),
+      (2L, base + " contact c@d.com"), // same doc, different email
+      (3L, "zzz"),                     // fails the quality gate
+      (4L, base + " extra")) // near-dup of 1 (bands collide at this edit)
+      .toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "doc_id", "text",
+      minQuality = 0.2, jaccardThreshold = 0.2).collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L))
+    val r = kept.head
+    assert(r.getString(1).contains("<EMAIL>") && !r.getString(1).contains("a@b.com"))
+    assert(r.getDouble(2) > 0.2)
+  }
+
   test("dsir: grams frequent in the target slice score above absent ones") {
     val docs = Seq(
       (0L, "aaaa"),  // target
