@@ -56,6 +56,7 @@ object Bench {
     "q_text_fingerprint",
     "q_text_bigram_lm",
     "q_bm25_topk",
+    "q_curation_e2e",
   )
 
   def main(args: Array[String]): Unit = {
