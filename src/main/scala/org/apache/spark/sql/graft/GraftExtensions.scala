@@ -81,6 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => CosineArgmax(cs.head, cs(1)))
     register(ext, "l2_argmin", 2, classOf[L2Argmin],
       cs => L2Argmin(cs.head, cs(1)))
+    // nprobe arrives as a SQL literal: cosine_top_cells(vec, cents, 2)
+    register(ext, "cosine_top_cells", 3, classOf[CosineTopCells],
+      cs => CosineTopCells(cs.head, cs(1),
+        constInt("cosine_top_cells", "n", cs(2))))
     // SQL input is arbitrary: array_compact drops null elements (the
     // kernel would read them as 0 and fake intersections with genuine
     // zeros) and array_distinct drops duplicates that would skew the

@@ -409,6 +409,16 @@ class LlmSpec extends AnyFunSuite {
       "SELECT long_set_jaccard(array(1L, CAST(NULL AS LONG)), array(0L, 2L))")
       .collect().head.getDouble(0)
     assert(jn == 0.0, s"null element faked an intersection: $jn")
+    // cosine_top_cells takes its nprobe as a SQL literal
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_top_cells", exprs =>
+        org.apache.spark.sql.graft.CosineTopCells(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    val tc = spark.sql(
+      """SELECT cosine_top_cells(array(0.9f, 0.1f),
+        |  array(array(1.0f, 0.0f), array(0.0f, 1.0f)), 2)""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(tc == Seq(1L, 2L), s"got $tc")
   }
 
   test("contaminationScores: benchmark-gram coverage; maxDf drops stop-phrases") {
