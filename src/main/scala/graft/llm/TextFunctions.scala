@@ -408,16 +408,30 @@ object TextFunctions {
     */
   def dsirLogWeights(df: org.apache.spark.sql.DataFrame,
                      idCol: String, textCol: String,
-                     targetPred: Column): org.apache.spark.sql.DataFrame = {
+                     targetPred: Column,
+                     broadcastCounts: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
     def r6(x: Column) = floor(x * 1e6 + 0.5) / 1e6
     def r9(x: Column) = floor(x * 1e9 + 0.5) / 1e9
     val grams = df
       .select(col(idCol), targetPred.cast("int").as("__tgt"),
         explode(charShingleHashes(col(textCol), 2)).as("__h"))
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
-    val counted = grams
-      .withColumn("raw_c", count(lit(1)).over(wh))
-      .withColumn("tgt_c", sum(col("__tgt")).over(wh))
+    // same tradeoff as bigramNoveltyStats.broadcastDf: the window form
+    // counts on the one gram-hash exchange (no size limit, pays the
+    // per-partition sort); the broadcast form hash-aggs the counts and
+    // ships the |distinct grams| frame to every executor — right when
+    // the gram vocabulary is small, wrong when it is corpus-sized
+    val counted =
+      if (broadcastCounts) {
+        val cnt = grams.groupBy(col("__h"))
+          .agg(count(lit(1)).as("raw_c"), sum(col("__tgt")).as("tgt_c"))
+        grams.join(broadcast(cnt), Seq("__h"))
+      } else {
+        val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+        grams
+          .withColumn("raw_c", count(lit(1)).over(wh))
+          .withColumn("tgt_c", sum(col("__tgt")).over(wh))
+      }
     val totals = grams.agg(
       count(lit(1)).as("raw_total"),
       sum(col("__tgt")).as("tgt_total"),

@@ -101,5 +101,11 @@ class RetrievalSpec extends AnyFunSuite {
     assert(w(1L)._1 == 3 && w(2L)._1 == 3)
     assert(w(1L)._2.get > w(2L)._2.get)
     assert(w(3L) == ((0L, None)))
+    // broadcast-counts path is value-identical to the window path
+    val wb = TextFunctions.dsirLogWeights(docs, "doc_id", "text",
+        col("doc_id") === 0, broadcastCounts = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(wb == w)
   }
 }
