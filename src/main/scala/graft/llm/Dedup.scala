@@ -339,6 +339,34 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Keep each near-dup cluster's BEST member by `priority` (descending,
+    * ties broken by lower id) instead of its lowest id — production
+    * pipelines keep the longest / highest-quality representative, not
+    * the first-seen one. Untouched documents (absent from `pairs`)
+    * always survive.
+    *
+    * Group key: the CC label for clustered rows, the row's own id for
+    * untouched rows — the coalesce cannot collide, because every cluster
+    * label IS a member id of some pair, and untouched ids by definition
+    * appear in no pair. The keep decision runs on a NARROW
+    * (id, priority, label) frame — one window exchange of three columns —
+    * and the payload re-attaches with a left_semi on the id, keeping the
+    * document text out of every shuffle like the rest of the dedup path.
+    */
+  def nearDedupKeepBy(df: DataFrame, idCol: String, pairs: DataFrame,
+                      priority: Column): DataFrame = {
+    val clusters = clusterPairs(pairs).withColumnRenamed("id", idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(coalesce(col("cluster_id"), col(idCol)))
+      .orderBy(col("__pri").desc, col(idCol))
+    val keep = df.select(col(idCol), priority.as("__pri"))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** The full near-dedup pipeline in one call — what a corpus run
     * actually executes: MinHash+LSH candidates (banded, never all-pairs)
     * -> exact shingle-set Jaccard verification of ONLY the candidates ->

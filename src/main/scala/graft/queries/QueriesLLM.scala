@@ -145,6 +145,19 @@ object QueriesLLM {
         "n_exact_partners")
   }
 
+  /** Keep-best near-dedup: same LSH candidate graph as q_dedup_cluster,
+    * but each cluster keeps its highest-PRIORITY member (priority =
+    * doc_id % 97, an arbitrary deterministic stand-in for a quality
+    * score) instead of its lowest id — the production keep rule.
+    */
+  def q_dedup_keep_best(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val pairs = Dedup.lshCandidatePairs(corpus, "doc_id", "text")
+    Dedup.nearDedupKeepBy(corpus, "doc_id", pairs,
+        pmod(col("doc_id"), lit(97L)))
+      .select(col("doc_id"))
+  }
+
   /** Near-dup verification: exact shingle-set Jaccard on the LSH
     * candidates, thresholded. Each document's distinct shingle-hash set is
     * computed ONCE ([[Dedup.shingleSet]]) and joined to the pairs — the
@@ -655,6 +668,7 @@ object QueriesLLM {
     "q_lsh_pairs" -> (q_lsh_pairs _),
     "q_near_dup_jaccard" -> (q_near_dup_jaccard _),
     "q_dedup_cluster" -> (q_dedup_cluster _),
+    "q_dedup_keep_best" -> (q_dedup_keep_best _),
     "q_simhash" -> (q_simhash _),
     "q_embed_cosine_dup" -> (q_embed_cosine_dup _),
     "q_embed_dup_ivf" -> (q_embed_dup_ivf _),
@@ -745,6 +759,28 @@ object QueriesLLM {
         |)
         |SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
         |FROM reach GROUP BY id""".stripMargin),
+    "q_dedup_keep_best" -> (dupCorpusSql.replaceFirst("WITH corpus", "WITH RECURSIVE corpus") + minhashSql +
+      """, pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  UNION
+        |  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+        |), reach AS (
+        |  SELECT id_a AS id, id_a AS label FROM edges
+        |  UNION
+        |  SELECT e.id_a AS id, r.label FROM edges e JOIN reach r ON e.id_b = r.id
+        |), clusters AS (
+        |  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+        |), ranked AS (
+        |  SELECT c.doc_id, row_number() OVER (
+        |    PARTITION BY coalesce(cl.cluster_id, c.doc_id)
+        |    ORDER BY c.doc_id % 97 DESC, c.doc_id) AS rn
+        |  FROM corpus c LEFT JOIN clusters cl ON c.doc_id = cl.id
+        |)
+        |SELECT doc_id FROM ranked WHERE rn = 1""".stripMargin),
     "q_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w

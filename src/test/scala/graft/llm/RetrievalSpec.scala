@@ -87,6 +87,17 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r.getDouble(2) > 0.2)
   }
 
+  test("nearDedupKeepBy keeps the highest-priority cluster member") {
+    import org.apache.spark.sql.functions.length
+    val docs = Seq(
+      (1L, "short"), (2L, "a much longer duplicate text"), (3L, "mid text"),
+      (9L, "untouched loner")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // one cluster {1,2,3}
+    val kept = Dedup.nearDedupKeepBy(docs, "doc_id", pairs, length(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L)) // longest member wins; loner survives
+  }
+
   test("dsir: grams frequent in the target slice score above absent ones") {
     val docs = Seq(
       (0L, "aaaa"),  // target
