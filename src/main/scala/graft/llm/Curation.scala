@@ -26,16 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** `keepBestQuality = true` switches the near-dedup keep rule from
+    * lowest-id to highest-quality-score (id tie-break) — each cluster
+    * keeps its best-written member. The default stays lowest-id, the
+    * deterministic rule `q_curation_e2e` pins.
+    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.25,
              jaccardThreshold: Double = 0.8,
-             fast: Boolean = false): DataFrame = {
+             fast: Boolean = false,
+             keepBestQuality: Boolean = false): DataFrame = {
     val gated = docs
       .withColumn("__q", TextFunctions.qualityScore(col(textCol)))
       .filter(col("__q") >= minQuality)
       .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
     val exact = Dedup.exactDedup(gated, idCol, textCol)
-    Dedup.nearDedup(exact, idCol, textCol, jaccardThreshold, fast = fast)
+    Dedup.nearDedup(exact, idCol, textCol, jaccardThreshold, fast = fast,
+        priority = if (keepBestQuality) Some(col("__q")) else None)
       .withColumnRenamed("__q", "quality")
   }
 }

@@ -391,7 +391,8 @@ object Dedup {
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
                 jaccardThreshold: Double = 0.8,
                 numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
-                maxBucket: Int = 1000, fast: Boolean = false): DataFrame = {
+                maxBucket: Int = 1000, fast: Boolean = false,
+                priority: Option[Column] = None): DataFrame = {
     val candidates = lshCandidatePairs(df, idCol, textCol, numHashes, bands,
       shingleSize, maxBucket, fast)
     val inPairs = candidates.select(col("id_a").as(idCol))
@@ -406,7 +407,10 @@ object Dedup {
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), Seq("id_b"))
       .filter(jaccardBySets(col("__sa"), col("__sb")) >= jaccardThreshold)
       .select("id_a", "id_b")
-    nearDedupKeep(df, idCol, verified)
+    // keep rule: lowest id by default; highest caller-supplied priority
+    // (e.g. a quality score) when given — the production keep rule
+    priority.fold(nearDedupKeep(df, idCol, verified))(
+      p => nearDedupKeepBy(df, idCol, verified, p))
   }
 
   // ------------------------------------------------------------------
