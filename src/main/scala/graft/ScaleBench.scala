@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,7 +14,8 @@ import org.apache.spark.sql.functions._
   * 100x scale-up, as opposed to plan-shape argument alone.
   *
   * Usage:
-  *   runMain graft.ScaleBench [gen] [run]    (default: gen if missing, then run)
+  *   runMain graft.ScaleBench [gen] [run] [crossover]
+  *   (no args: gen-if-missing + run + crossover; each verb alone runs only itself)
   * Env: SPARK_GRAFT_SCALE_DIR (default /tmp/sfscale), SPARK_GRAFT_CPUS.
   *
   * Copy counts: events/lineitem x10 (6M lineitem rows, 10x households),
@@ -23,34 +23,6 @@ import org.apache.spark.sql.functions._
   * PERFNOTES predicts the IVF/PQ-vs-brute crossover at).
   */
 object ScaleBench {
-
-  /** Per-task maxima (the "would one task OOM/straggle" signal) plus
-    * job totals (the "did the shuffle volume actually scale 10x" signal)
-    * across a query's stages. Registered once; reset between queries.
-    */
-  private class TaskMetricsProbe extends SparkListener {
-    @volatile var maxShuffleRead = 0L
-    @volatile var maxShuffleWrite = 0L
-    @volatile var maxPeakMem = 0L
-    @volatile var totShuffleWrite = 0L
-    @volatile var totInput = 0L
-    @volatile var totRecords = 0L
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      val m = t.taskMetrics
-      if (m != null) synchronized {
-        maxShuffleRead = maxShuffleRead.max(m.shuffleReadMetrics.totalBytesRead)
-        maxShuffleWrite = maxShuffleWrite.max(m.shuffleWriteMetrics.bytesWritten)
-        maxPeakMem = maxPeakMem.max(m.peakExecutionMemory)
-        totShuffleWrite += m.shuffleWriteMetrics.bytesWritten
-        totInput += m.inputMetrics.bytesRead
-        totRecords += m.inputMetrics.recordsRead
-      }
-    }
-    def reset(): Unit = synchronized {
-      maxShuffleRead = 0L; maxShuffleWrite = 0L; maxPeakMem = 0L
-      totShuffleWrite = 0L; totInput = 0L; totRecords = 0L
-    }
-  }
 
   /** The queries whose plans carry the 100 TB claims. */
   val scaleQueries: Seq[String] = Seq(
@@ -80,7 +52,9 @@ object ScaleBench {
 
     val doGen = args.contains("gen") ||
       (args.isEmpty && !new java.io.File(s"$outDir/documents.parquet").exists())
-    val doRun = args.contains("run") || args.isEmpty || doGen
+    // verbs are independent: `gen` alone only generates; `run` alone only
+    // benches; `crossover` alone only runs the crossover; no args = all
+    val doRun = args.contains("run") || args.isEmpty
 
     if (doGen) generate(spark, srcDir, outDir)
 
@@ -118,8 +92,11 @@ object ScaleBench {
             s""""max_task_peak_mem":${listener.maxPeakMem},"status":"$outcome"}""")
         }
       }
-      if (args.contains("crossover") || args.isEmpty || doGen)
-        annCrossover(spark, srcDir, outDir, listener)
+    }
+    if (args.contains("crossover") || args.isEmpty) {
+      val listener = new TaskMetricsProbe
+      spark.sparkContext.addSparkListener(listener)
+      annCrossover(spark, srcDir, outDir, listener)
     }
     spark.stop()
   }

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,19 +21,6 @@ import graft.ops.Skew
   */
 object SkewBench {
 
-  private class TaskProbe extends SparkListener {
-    @volatile var maxTaskMs = 0L
-    @volatile var maxShuffleRead = 0L
-    @volatile var tasks = 0
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
-      if (t.taskInfo != null) maxTaskMs = maxTaskMs.max(t.taskInfo.duration)
-      if (t.taskMetrics != null)
-        maxShuffleRead = maxShuffleRead.max(t.taskMetrics.shuffleReadMetrics.totalBytesRead)
-      tasks += 1
-    }
-    def reset(): Unit = synchronized { maxTaskMs = 0L; maxShuffleRead = 0L; tasks = 0 }
-  }
-
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -52,7 +38,7 @@ object SkewBench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val probe = new TaskProbe
+    val probe = new TaskMetricsProbe
     spark.sparkContext.addSparkListener(probe)
 
     // 8M rows, 2000 keys, key 0 owns 50%; ~100-byte payload so the hot

@@ -80,27 +80,35 @@ object Sources {
     // preamble bytes; a pathological all-comment file is cut off at
     // maxPreamble instead of OOMing the driver.
     val maxPreamble = 10000
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(path)
-    val file =
-      if (java.nio.file.Files.isDirectory(p)) {
-        val listing = java.nio.file.Files.list(p)
-        try listing.iterator().asScala
-          .filter { f =>
-            val n = f.getFileName.toString
-            java.nio.file.Files.isRegularFile(f) &&
-              !n.startsWith("_") && !n.startsWith(".")
-          }
-          .toSeq.sortBy(_.toString).headOption
-          .getOrElse(throw new IllegalArgumentException(
-            s"$path is an empty directory — no KNMI file to read"))
-        finally listing.close()
-      } else p
-    val lines = java.nio.file.Files.lines(file)
+    // Hadoop FileSystem, not java.nio: the data scan below accepts any
+    // Hadoop-visible path (hdfs://, s3a://, globs), so header discovery
+    // must too — java.nio silently restricted the whole function to
+    // driver-local POSIX paths. Globs and directories resolve to their
+    // lexicographically first data file (ignoring _*/.*), mirroring how
+    // the distributed scan orders splits.
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(hpath)).map(_.toSeq).getOrElse(Seq.empty)
+    require(matched.nonEmpty, s"$path matches no files")
+    val file = matched
+      .flatMap(f => if (f.isDirectory) fs.listStatus(f.getPath).toSeq else Seq(f))
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath).sortBy(_.toString).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path contains no KNMI data file"))
+    // ISO-8859-1 maps every byte, so a stray Latin-1 character in a
+    // comment line cannot throw (strict UTF-8 did); the header tokens
+    // themselves are ASCII, identical under either decoding.
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(file), java.nio.charset.StandardCharsets.ISO_8859_1))
     val preamble =
-      try lines.iterator().asScala
-        .takeWhile(_.startsWith("#")).take(maxPreamble + 1).toVector
-      finally lines.close()
+      try Iterator.continually(reader.readLine())
+        .takeWhile(l => l != null && l.startsWith("#"))
+        .take(maxPreamble + 1).toVector
+      finally reader.close()
     require(preamble.length <= maxPreamble,
       s"$path has >$maxPreamble leading '#' lines — not a KNMI preamble")
     val headerLine = preamble.lastOption

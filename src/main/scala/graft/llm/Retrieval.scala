@@ -25,9 +25,6 @@ import TextFunctions.tokens
   */
 object Retrieval {
 
-  private def r6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
-  private def r9(x: Column): Column = floor(x * 1e9 + 0.5) / 1e9
-
   /** (doc, term, tf, dl) postings of `corpus` under the single-space
     * token convention — the inverted index both scoring paths share.
     */
@@ -73,10 +70,10 @@ object Retrieval {
     val scored = qTerms.join(postDf, Seq("term"))
       .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
       .withColumn("idf",
-        r9(log((col("n_docs") - col("df") + lit(0.5)) /
+        TextFunctions.round9(log((col("n_docs") - col("df") + lit(0.5)) /
                (col("df") + lit(0.5)) + lit(1.0))))
       .withColumn("contrib",
-        r6(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        TextFunctions.round6(col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("contrib").cast("decimal(28,12)")).cast("double").as("score"))
@@ -104,7 +101,7 @@ object Retrieval {
   def rrfFuse(runs: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
     require(runs.nonEmpty, "rrfFuse: no runs given")
     val fused = runs.map(_.select(col("query_id"), col("doc_id"),
-        r9(lit(1.0) / (lit(k0.toLong) + col("rank"))).as("part")))
+        TextFunctions.round9(lit(1.0) / (lit(k0.toLong) + col("rank"))).as("part")))
       .reduce(_ unionByName _)
       .groupBy("query_id", "doc_id")
       .agg(sum(col("part").cast("decimal(28,12)")).cast("double").as("rrf"))

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** The floor-rounding discipline every oracle-checked double passes
+    * through: round6 pins outputs/per-term contributions at 1e-6;
+    * round9 pins transcendental results (ln) at 1e-9 immediately after
+    * the libm call. ONE definition — the cross-engine hash-compare
+    * contract depends on both sides (and every operator here) computing
+    * the identical formula.
+    */
+  def round6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+  def round9(x: Column): Column = floor(x * 1e9 + 0.5) / 1e9
+
   /** Deterministic 60-bit hash of a string: the first 15 hex digits of its
     * md5, as a non-negative long. Stable across engines, versions, and
     * partitionings (unlike Spark's murmur `hash`, which is
@@ -230,7 +240,6 @@ object TextFunctions {
                       idCol: String, textCol: String,
                       lineSep: String = "\n")
       : org.apache.spark.sql.DataFrame = {
-    def r6(x: Column) = floor(x * 1000000 + 0.5) / 1000000
     // empty segments (paragraph breaks, trailing separators) are NOT
     // lines: counting them gave every blank-line-separated document a
     // phantom duplicated "line" and a nonzero dup_line_ratio
@@ -262,16 +271,16 @@ object TextFunctions {
         coalesce(col("n_uniq_lines"), lit(0L)).as("n_uniq_lines"),
         coalesce(
           when(col("n_lines") > 0,
-            r6((col("n_lines") - col("n_uniq_lines")).cast("double") /
+            round6((col("n_lines") - col("n_uniq_lines")).cast("double") /
               col("n_lines"))),
           lit(0.0)).as("dup_line_ratio"),
         coalesce(
           when(col("__chars") > 0,
-            r6(col("__dupChars").cast("double") / col("__chars"))),
+            round6(col("__dupChars").cast("double") / col("__chars"))),
           lit(0.0)).as("dup_line_char_ratio"),
         coalesce(
           when(col("__nG") > 0,
-            r6(col("__maxG").cast("double") / col("__nG"))),
+            round6(col("__maxG").cast("double") / col("__nG"))),
           lit(0.0)).as("top_gram_ratio"))
   }
 
@@ -411,8 +420,6 @@ object TextFunctions {
                      targetPred: Column,
                      broadcastCounts: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
-    def r6(x: Column) = floor(x * 1e6 + 0.5) / 1e6
-    def r9(x: Column) = floor(x * 1e9 + 0.5) / 1e9
     val grams = df
       .select(col(idCol), targetPred.cast("int").as("__tgt"),
         explode(charShingleHashes(col(textCol), 2)).as("__h"))
@@ -438,10 +445,10 @@ object TextFunctions {
       countDistinct(col("__h")).as("v"))
     val perDoc = counted
       .crossJoin(broadcast(totals))
-      .withColumn("diff", r6(
-        r9(log((col("tgt_c") + 1).cast("double") /
+      .withColumn("diff", round6(
+        round9(log((col("tgt_c") + 1).cast("double") /
                (col("tgt_total") + col("v")).cast("double"))) -
-        r9(log((col("raw_c") + 1).cast("double") /
+        round9(log((col("raw_c") + 1).cast("double") /
                (col("raw_total") + col("v")).cast("double")))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),

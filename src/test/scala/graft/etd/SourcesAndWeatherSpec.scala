@@ -54,6 +54,21 @@ class SourcesAndWeatherSpec extends AnyFunSuite {
     val viaDir = Sources.readKnmiCsv(spark, dir.getAbsolutePath)
     assert(viaDir.columns.toSeq == Seq("STN", "YYYYMMDD", "HH", "T"))
 
+    // glob input: the distributed scan accepts it, so discovery must too
+    val viaGlob = Sources.readKnmiCsv(spark, dir.getAbsolutePath + "/uurgeg_*.txt")
+    assert(viaGlob.columns.toSeq == Seq("STN", "YYYYMMDD", "HH", "T"))
+
+    // a Latin-1 byte in a COMMENT line must not break header discovery
+    // (strict UTF-8 decoding threw; ISO-8859-1 maps every byte)
+    val dirL = Files.createTempDirectory("knmi_latin1").toFile
+    val lat = new java.io.File(dirL, "uurgeg_262.txt")
+    val fos = new java.io.FileOutputStream(lat)
+    fos.write("# temperatuur in 0.1 °C\n# STN,YYYYMMDD,HH,T\n262,20230101,1,-15\n"
+      .getBytes("ISO-8859-1"))
+    fos.close()
+    assert(Sources.readKnmiCsv(spark, lat.getAbsolutePath).columns.toSeq ==
+      Seq("STN", "YYYYMMDD", "HH", "T"))
+
     // no leading comment block at all -> explicit failure, not a guess
     val bare = new java.io.File(dir, "bare.txt")
     val w2 = new java.io.PrintWriter(bare)
