@@ -58,9 +58,12 @@ object ScaleBench {
 
     if (doGen) generate(spark, srcDir, outDir)
 
+    // one probe for both measurement blocks — registered once per
+    // session per its contract; reset() isolates per-query readings
+    val listener = new TaskMetricsProbe
+    spark.sparkContext.addSparkListener(listener)
+
     if (doRun) {
-      val listener = new TaskMetricsProbe
-      spark.sparkContext.addSparkListener(listener)
       // warmup
       try SparkEntry.table(spark, srcDir, "events").limit(1000)
         .write.format("noop").mode("overwrite").save()
@@ -93,11 +96,8 @@ object ScaleBench {
         }
       }
     }
-    if (args.contains("crossover") || args.isEmpty) {
-      val listener = new TaskMetricsProbe
-      spark.sparkContext.addSparkListener(listener)
+    if (args.contains("crossover") || args.isEmpty)
       annCrossover(spark, srcDir, outDir, listener)
-    }
     spark.stop()
   }
 

@@ -99,11 +99,15 @@ object Sources {
       .map(_.getPath).sortBy(_.toString).headOption
       .getOrElse(throw new IllegalArgumentException(
         s"$path contains no KNMI data file"))
-    // ISO-8859-1 maps every byte, so a stray Latin-1 character in a
-    // comment line cannot throw (strict UTF-8 did); the header tokens
-    // themselves are ASCII, identical under either decoding.
-    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(file), java.nio.charset.StandardCharsets.ISO_8859_1))
+    // Lenient UTF-8: malformed bytes (a stray Latin-1 character in a
+    // comment line) decode to U+FFFD instead of throwing, while a header
+    // line that IS valid UTF-8 keeps its non-ASCII tokens intact —
+    // ISO-8859-1 would mojibake those, strict UTF-8 threw on the former.
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(file), dec))
     val preamble =
       try Iterator.continually(reader.readLine())
         .takeWhile(l => l != null && l.startsWith("#"))

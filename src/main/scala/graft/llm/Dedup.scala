@@ -345,26 +345,27 @@ object Dedup {
     * the first-seen one. Untouched documents (absent from `pairs`)
     * always survive.
     *
-    * Group key: the CC label for clustered rows, the row's own id for
-    * untouched rows — the coalesce cannot collide, because every cluster
-    * label IS a member id of some pair, and untouched ids by definition
-    * appear in no pair. The keep decision runs on a NARROW
-    * (id, priority, label) frame — one window exchange of three columns —
-    * and the payload re-attaches with a left_semi on the id, keeping the
-    * document text out of every shuffle like the rest of the dedup path.
+    * The keep decision runs ONLY over cluster members (inner join to the
+    * CC labels): at corpus scale the overwhelming majority of documents
+    * appear in no pair, and they must not pay a window exchange just to
+    * be ranked alone in a singleton partition. The members' NARROW
+    * (id, priority, label) frame — three columns, cluster rows only —
+    * is ranked per label, losers become the drop set, and the payload
+    * survives via left_anti exactly like [[nearDedupKeep]], keeping the
+    * document text out of every shuffle.
     */
   def nearDedupKeepBy(df: DataFrame, idCol: String, pairs: DataFrame,
                       priority: Column): DataFrame = {
     val clusters = clusterPairs(pairs).withColumnRenamed("id", idCol)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(coalesce(col("cluster_id"), col(idCol)))
+      .partitionBy(col("cluster_id"))
       .orderBy(col("__pri").desc, col(idCol))
-    val keep = df.select(col(idCol), priority.as("__pri"))
-      .join(clusters, Seq(idCol), "left")
+    val drop = df.select(col(idCol), priority.as("__pri"))
+      .join(clusters, Seq(idCol))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") =!= 1)
       .select(col(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** The full near-dedup pipeline in one call — what a corpus run

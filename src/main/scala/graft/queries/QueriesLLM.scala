@@ -53,6 +53,29 @@ object QueriesLLM {
     * shingles, 16 universal hashes h_i(x) = (a_i x + b_i) mod p over the
     * md5-derived 60-bit shingle hash, 4 bands of 4 rows keyed by md5).
     */
+  /** Banded candidate pairs + connected-components closure over `bands`
+    * — the candidate graph both clustering oracles (`q_dedup_cluster`,
+    * `q_dedup_keep_best`) must model IDENTICALLY; one definition so a
+    * future change cannot diverge them. Ends with
+    * `clusters(id, cluster_id)`.
+    */
+  private val ccClustersSql =
+    """, pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      |), edges AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  UNION
+      |  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+      |), reach AS (
+      |  SELECT id_a AS id, id_a AS label FROM edges
+      |  UNION
+      |  SELECT e.id_a AS id, r.label FROM edges e JOIN reach r ON e.id_b = r.id
+      |), clusters AS (
+      |  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+      |)""".stripMargin
+
   private val minhashSql =
     """, toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w FROM corpus
@@ -744,37 +767,13 @@ object QueriesLLM {
         |)
         |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.2""".stripMargin),
     "q_dedup_cluster" -> (dupCorpusSql.replaceFirst("WITH corpus", "WITH RECURSIVE corpus") + minhashSql +
-      """, pairs AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-        |), edges AS (
-        |  SELECT id_a, id_b FROM pairs
-        |  UNION
-        |  SELECT id_b AS id_a, id_a AS id_b FROM pairs
-        |), reach AS (
-        |  SELECT id_a AS id, id_a AS label FROM edges
-        |  UNION
-        |  SELECT e.id_a AS id, r.label FROM edges e JOIN reach r ON e.id_b = r.id
-        |)
-        |SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
-        |FROM reach GROUP BY id""".stripMargin),
+      ccClustersSql +
+      """
+        |SELECT id AS doc_id, cluster_id::BIGINT AS cluster_id
+        |FROM clusters""".stripMargin),
     "q_dedup_keep_best" -> (dupCorpusSql.replaceFirst("WITH corpus", "WITH RECURSIVE corpus") + minhashSql +
-      """, pairs AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-        |), edges AS (
-        |  SELECT id_a, id_b FROM pairs
-        |  UNION
-        |  SELECT id_b AS id_a, id_a AS id_b FROM pairs
-        |), reach AS (
-        |  SELECT id_a AS id, id_a AS label FROM edges
-        |  UNION
-        |  SELECT e.id_a AS id, r.label FROM edges e JOIN reach r ON e.id_b = r.id
-        |), clusters AS (
-        |  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
-        |), ranked AS (
+      ccClustersSql +
+      """, ranked AS (
         |  SELECT c.doc_id, row_number() OVER (
         |    PARTITION BY coalesce(cl.cluster_id, c.doc_id)
         |    ORDER BY c.doc_id % 97 DESC, c.doc_id) AS rn

@@ -59,7 +59,7 @@ class SourcesAndWeatherSpec extends AnyFunSuite {
     assert(viaGlob.columns.toSeq == Seq("STN", "YYYYMMDD", "HH", "T"))
 
     // a Latin-1 byte in a COMMENT line must not break header discovery
-    // (strict UTF-8 decoding threw; ISO-8859-1 maps every byte)
+    // (strict UTF-8 decoding threw; lenient decode maps it to U+FFFD)
     val dirL = Files.createTempDirectory("knmi_latin1").toFile
     val lat = new java.io.File(dirL, "uurgeg_262.txt")
     val fos = new java.io.FileOutputStream(lat)
@@ -68,6 +68,14 @@ class SourcesAndWeatherSpec extends AnyFunSuite {
     fos.close()
     assert(Sources.readKnmiCsv(spark, lat.getAbsolutePath).columns.toSeq ==
       Seq("STN", "YYYYMMDD", "HH", "T"))
+
+    // ...while a valid-UTF-8 header keeps its non-ASCII tokens intact
+    val utf = new java.io.File(dirL, "uurgeg_utf8.txt")
+    val fos2 = new java.io.FileOutputStream(utf)
+    fos2.write("# STN,YYYYMMDD,HH,T°\n262,20230101,1,-15\n".getBytes("UTF-8"))
+    fos2.close()
+    assert(Sources.readKnmiCsv(spark, utf.getAbsolutePath).columns.toSeq ==
+      Seq("STN", "YYYYMMDD", "HH", "T°"))
 
     // no leading comment block at all -> explicit failure, not a guess
     val bare = new java.io.File(dir, "bare.txt")

@@ -98,6 +98,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(kept == Set(2L, 9L)) // longest member wins; loner survives
   }
 
+  test("keep-best plumbing: nearDedup(priority) and curate(keepBestQuality)") {
+    // identical texts guarantee an LSH pair; priority = doc_id pins the
+    // fold branches (swapped branches would keep the lowest id here)
+    val dup = Seq((1L, "same text in both documents of this pair"),
+                  (2L, "same text in both documents of this pair"),
+                  (9L, "an entirely different untouched loner document"))
+      .toDF("doc_id", "text")
+    val defKept = Dedup.nearDedup(dup, "doc_id", "text", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(defKept == Set(1L, 9L)) // default: lowest id
+    val priKept = Dedup.nearDedup(dup, "doc_id", "text", 0.5,
+        priority = Some(col("doc_id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(priKept == Set(2L, 9L)) // highest priority wins
+
+    // curate: the near-dup cluster's higher-quality member is NOT the
+    // lowest id — keepBestQuality flips which one survives
+    val base = "the cat and the dog is on a mat in the house with a hat"
+    val docs = Seq((1L, base), (4L, base + " extra")).toDF("doc_id", "text")
+    val lowId = Curation.curate(docs, "doc_id", "text",
+      minQuality = 0.2, jaccardThreshold = 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(lowId == Set(1L))
+    val best = Curation.curate(docs, "doc_id", "text",
+      minQuality = 0.2, jaccardThreshold = 0.2, keepBestQuality = true)
+      .select("doc_id", "quality").collect()
+    assert(best.map(_.getLong(0)).toSet == Set(4L)) // longer -> higher quality
+    assert(best.head.getDouble(1) > 0.6)
+  }
+
   test("dsir: grams frequent in the target slice score above absent ones") {
     val docs = Seq(
       (0L, "aaaa"),  // target
