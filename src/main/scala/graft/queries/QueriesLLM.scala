@@ -619,6 +619,48 @@ object QueriesLLM {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("offset_ms"))
 
+  /** REAL full-pixel decode round-trip: CONSTRUCT a solid-gray PNG per
+    * doc_id (gray level, width, and height all derive from doc_id; the
+    * bytes come from `ImageIO.write`, so this exercises a genuine zlib
+    * IDAT encode/decode cycle, not a hand-built header), run it through
+    * [[Multimodal.imageFeaturesPartitions]], and have DuckDB compute the
+    * expected dimensions and mean luma arithmetically — a solid gray
+    * image's integer-milli luma mean is its gray level EXACTLY, so any
+    * pixel-decode, channel-order, or luma-formula bug fails the hash
+    * compare. The encode UDF is fixture construction only (production
+    * callers bring their own binary column); the decode side is the
+    * shipped map-only batch loop.
+    */
+  def q_multimodal_pixels(spark: SparkSession, dir: String): DataFrame = {
+    val pngOf = udf { (id: Long) =>
+      val c = ((id * 37 + 11) % 256).toInt
+      val w = (id % 5).toInt + 2
+      val h = (id % 3).toInt + 1
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (c << 16) | (c << 8) | c
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+        x += 1
+      }
+      javax.imageio.ImageIO.setUseCache(false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val src = table(spark, dir, "documents")
+      .select(col("doc_id"), pngOf(col("doc_id")).as("payload"))
+    Multimodal.imageFeaturesPartitions(src, "doc_id", "payload")
+      .select(col("id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("mean_luma"),
+        size(col("features")).cast("long").as("n_features"),
+        col("ok"))
+  }
+
   /** SemDeDup over the embeddings corpus: IVF cells from the first-8
     * codebook, drop every vector with a lower-id near-duplicate
     * (cos >= 0.35) in its cell — the kept set the training run reads.
@@ -713,6 +755,7 @@ object QueriesLLM {
     "q_multimodal_mp3" -> (q_multimodal_mp3 _),
     "q_multimodal_mp4" -> (q_multimodal_mp4 _),
     "q_multimodal_frames" -> (q_multimodal_frames _),
+    "q_multimodal_pixels" -> (q_multimodal_pixels _),
     "q_semdedup" -> (q_semdedup _),
     "q_bm25_topk" -> (q_bm25_topk _),
     "q_rrf_hybrid" -> (q_rrf_hybrid _),
@@ -1285,6 +1328,16 @@ object QueriesLLM {
         |  (CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 23 END)::BIGINT AS byte_length,
         |  (doc_id % 1920 + 1)::BIGINT AS width,
         |  (doc_id % 1080 + 1)::BIGINT AS height
+        |FROM documents""".stripMargin,
+    // a solid gray image's integer-milli luma mean is its gray level
+    // exactly; dims round-trip the real raster, n_features = side^2
+    "q_multimodal_pixels" ->
+      """SELECT doc_id,
+        |  (doc_id % 5 + 2)::BIGINT AS width,
+        |  (doc_id % 3 + 1)::BIGINT AS height,
+        |  ((doc_id * 37 + 11) % 256)::DOUBLE AS mean_luma,
+        |  64::BIGINT AS n_features,
+        |  true AS ok
         |FROM documents""".stripMargin,
     "q_multimodal_audio" ->
       """SELECT doc_id, 44::BIGINT AS byte_length,

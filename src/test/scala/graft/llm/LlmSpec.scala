@@ -703,6 +703,47 @@ class LlmSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((123, 45)), 2L -> ((64, 128))))
   }
 
+  test("multimodal: full-pixel decode, exact luma, bilinear resize features") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // solid gray 200: mean_luma is EXACTLY the gray level
+    val solid = new BufferedImage(6, 4, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 6; y <- 0 until 4)
+      solid.setRGB(x, y, (200 << 16) | (200 << 8) | 200)
+    // left half black, right half white: resized features must keep
+    // the spatial gradient (left columns dark, right columns bright)
+    val split = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16; y <- 0 until 16)
+      split.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)
+    val df = Seq(
+      (1L, encode(solid, "png")),
+      (2L, encode(split, "png")),
+      (3L, "definitely not an image".getBytes("US-ASCII")),
+      (4L, encode(solid, "jpg"))).toDF("id", "bin")
+    val out = Multimodal.imageFeaturesPartitions(df, "id", "bin", side = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val s = out(1L)
+    assert((s.getInt(1), s.getInt(2)) == ((6, 4)) && s.getBoolean(5))
+    assert(s.getDouble(3) == 200.0) // integer-milli luma: exact
+    val feats = out(2L).getSeq[Float](4)
+    assert(feats.length == 16)
+    // row-major 4x4: columns 0-1 from the black half, 2-3 from white
+    for (row <- 0 until 4) {
+      assert(feats(row * 4) < 64f && feats(row * 4 + 3) > 191f)
+      assert(feats(row * 4) < feats(row * 4 + 3))
+    }
+    assert(!out(3L).getBoolean(5) && out(3L).getString(6) != null)
+    // JPEG is lossy: dims exact, luma within compression tolerance
+    val j = out(4L)
+    assert((j.getInt(1), j.getInt(2)) == ((6, 4)))
+    assert(math.abs(j.getDouble(3) - 200.0) < 3.0)
+  }
+
   test("multimodal: real WAV duration decode from actual audio bytes") {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
     // 1.5 s of silence at 8 kHz mono 16-bit -> 24000 data bytes
