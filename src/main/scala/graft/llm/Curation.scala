@@ -22,7 +22,19 @@ import org.apache.spark.sql.functions._
   * Scale shape is the sum of its parts, each individually audited
   * (PERFNOTES): the gate and redaction are map-only; exact dedup
   * shuffles digests; near-dedup is banded and verifies candidates only.
-  * Nothing in the chain materializes an intermediate.
+  *
+  * Lineage cut (`cutLineage`, default on): near-dedup consumes its
+  * input three times (candidate generation, shingle-set build, the
+  * final anti-join), and because each consumer prunes different
+  * columns, Catalyst plans three DIFFERENT exchanges — exchange reuse
+  * never fires, so without a cut the full corpus scan + quality gate +
+  * 3-regex redaction + exact-dedup shuffle all execute once PER
+  * CONSUMER (measured: 6 scans, 18 regex sites, 0 reused exchanges in
+  * the final AQE plan). The cut materializes the gated/redacted/
+  * exact-deduped survivors ONCE (same trade [[graft.etd.Pipeline.run]]
+  * makes for the 13-column impute, see PERFNOTES) — that repeated map
+  * work is what grows with corpus size at 100 TB. `cutLineage = false`
+  * restores the fully lazy chain.
   */
 object Curation {
 
@@ -35,12 +47,15 @@ object Curation {
              minQuality: Double = 0.25,
              jaccardThreshold: Double = 0.8,
              fast: Boolean = false,
-             keepBestQuality: Boolean = false): DataFrame = {
+             keepBestQuality: Boolean = false,
+             cutLineage: Boolean = true): DataFrame = {
     val gated = docs
       .withColumn("__q", TextFunctions.qualityScore(col(textCol)))
       .filter(col("__q") >= minQuality)
       .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
-    val exact = Dedup.exactDedup(gated, idCol, textCol)
+    val exact0 = Dedup.exactDedup(gated, idCol, textCol)
+    // lazy cut: materializes on the first action, not at plan build
+    val exact = if (cutLineage) exact0.localCheckpoint(eager = false) else exact0
     Dedup.nearDedup(exact, idCol, textCol, jaccardThreshold, fast = fast,
         priority = if (keepBestQuality) Some(col("__q")) else None)
       .withColumnRenamed("__q", "quality")
