@@ -744,6 +744,30 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(j.getDouble(3) - 200.0) < 3.0)
   }
 
+  test("multimodal: image features feed the embedding near-dup path") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 16; y <- 0 until 16) {
+        val c = f(x, y) & 0xff
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gradient = png((x, _) => x * 16)                     // left-dark ramp
+    val nearDup = png((x, y) => x * 16 + (if (y == 0) 4 else 0)) // + noise
+    val inverted = png((x, _) => 255 - x * 16)               // reversed ramp
+    val df = Seq((1L, gradient), (2L, nearDup), (3L, inverted)).toDF("id", "bin")
+    val feats = Multimodal.imageFeaturesPartitions(df, "id", "bin", side = 4)
+      .select(col("id"), col("features"))
+    val pairs = Dedup.embeddingNearDups(feats, "id", "features", 0.995)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L))) // the perturbed twin, not the inverse
+  }
+
   test("multimodal: real WAV duration decode from actual audio bytes") {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
     // 1.5 s of silence at 8 kHz mono 16-bit -> 24000 data bytes
