@@ -34,7 +34,8 @@ object ScaleBench {
     "q_ann_ivf",
     "q_ann_pq",
     "q_bm25_topk",       // inverted-index retrieval over the full corpus
-    "q_semdedup")        // cell-local semantic dedup
+    "q_semdedup",        // cell-local semantic dedup
+    "q_curation_e2e")    // composed flagship: gate->redact->dedup (lineage cut)
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
