@@ -94,14 +94,29 @@ object Bench {
     }
     var failed = List.empty[String]
     val registry = SparkEntry.queries ++ benchOnly
-    val results = headline.map { name =>
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    // headline entries (unset for the driver's full run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(headline)(s => headline.filter(s.contains))
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val results = selected.map { name =>
       registry.get(name) match {
         case Some(fn) =>
           try {
-            val times = (1 to runs).map { _ =>
+            val times = (1 to runs).map { r =>
+              val g0 = gcMillis
               val t0 = System.nanoTime()
               materialize(fn(spark, sfDir))
-              (System.nanoTime() - t0) / 1e9
+              val sec = (System.nanoTime() - t0) / 1e9
+              // per-run detail to stderr: medians hide run-over-run
+              // drift (state accumulation, JIT, GC) — this line is how
+              // a 2x median discrepancy gets attributed (VERDICT r8 #1)
+              System.err.println(
+                f"[bench] $name run $r: $sec%.2fs gc=${gcMillis - g0}ms")
+              sec
             }
             name -> median(times)
           } catch {

@@ -30,8 +30,9 @@ object Profile {
     try spark.read.parquet(s"$sfDir/events.parquet").limit(1000)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val registry = SparkEntry.queries ++ Bench.benchOnly
     names.foreach { n =>
-      SparkEntry.queries.get(n).foreach { fn =>
+      registry.get(n).foreach { fn =>
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()

@@ -329,23 +329,52 @@ object Impute {
         .otherwise(coalesce(ratio, lit(1.0))).as(s"__hf_$c")
     }: _*)
 
-    // S6 — cascade + thresholds per column (plain projections).
-    val cascaded = cums.foldLeft(s5b) { (acc, c) =>
+    // S6 — cascade + thresholds for ALL columns in TWO projections. The
+    // previous per-column withColumn fold (6 chained withColumns x 13
+    // columns) re-ran the analyzer over the whole ~300-column tree ~78
+    // times — measured 11 s of pure driver-side construction time per
+    // full13 submission at 13 columns (Profile, sf0.1). Columns are
+    // mutually independent, so all-cascades-then-all-thresholds is
+    // byte-identical to the interleaved fold (ImputeSpec's
+    // "batched == sequential" test pins it against imputeColumn).
+    val cascadePair = cums.map { c =>
       val grp = col(cvgC(c))
-      val (imputedDiff, imputeType) = cascadeExprs(col(diffCol(c)), grp,
+      c -> cascadeExprs(col(diffCol(c)), grp,
         col(s"__jump_$c").isNull && grp.isNotNull, col(s"__jump_$c"),
         col(s"__end_$c"), col(s"__prev_$c"), col(s"__iv_$c"),
         col(s"__ij_$c"), col(glC(c)), col(s"__hf_$c"))
+    }.toMap
+    val diffOwner = cums.map(c => diffCol(c) -> c).toMap
+    val afterCascade = s5b.select(
+      s5b.columns.map { n =>
+        diffOwner.get(n).fold(col(n))(c => cascadePair(c)._1.as(n))
+      }.toSeq ++ cums.flatMap { c =>
+        val ty = cascadePair(c)._2
+        Seq(ty.as(imputeTypeCol(c)), ty.isNotNull.as(isImputedCol(c)))
+      }: _*)
+    // thresholds (I9) — the when() wraps even for (-inf, inf) bounds:
+    // Spark orders NaN above +inf, so an unbounded column's NaNs still
+    // clamp to the average exactly like applyThresholds does
+    def outsideC(c: String): Column = {
       val d = diffCol(c)
-      val withFlags = acc
-        .withColumn(imputeTypeCol(c), imputeType)
-        .withColumn(isImputedCol(c), col(imputeTypeCol(c)).isNotNull)
-        .withColumn(d, imputedDiff)
       val (lo, hi) = thresholds.getOrElse(d,
         (Double.NegativeInfinity, Double.PositiveInfinity))
-      applyThresholds(withFlags, d, avgCol(c), isImputedCol(c),
-        imputeTypeCol(c), lo, hi)
+      (col(d) < lo || col(d) > hi) && col(d).isNotNull
     }
+    val typeOwner = cums.map(c => imputeTypeCol(c) -> c).toMap
+    val impOwner = cums.map(c => isImputedCol(c) -> c).toMap
+    val cascaded = afterCascade.select(afterCascade.columns.map { n =>
+      diffOwner.get(n).map { c =>
+        when(outsideC(c), col(avgCol(c))).otherwise(col(n)).as(n)
+      }.orElse(typeOwner.get(n).map { c =>
+        when(outsideC(c),
+          coalesce(col(n), lit(ImputeType.None))
+            .bitwiseOR(lit(ImputeType.ThresholdAdjusted)))
+          .otherwise(col(n)).as(n)
+      }).orElse(impOwner.get(n).map { c =>
+        when(outsideC(c), lit(true)).otherwise(col(n)).as(n)
+      }).getOrElse(col(n))
+    }.toSeq: _*)
 
     val tempDrop = cums.flatMap(c => Seq(
       s"__gapstart_$c", s"__lagseen_$c", s"__grp_$c", s"__prevcand_$c",

@@ -645,7 +645,7 @@ object QueriesEtd {
     // every window over the house exchange once per leg, which is the
     // part that scales with cluster size (exchange reuse shares only the
     // shuffle files, not the window compute downstream of them).
-    val cal = stages.calculated.localCheckpoint()
+    val cal = stages.calculated.localCheckpoint(eager = false)
     // household leg: per-project checksum over ALL 13 imputed diff
     // columns — the project aggregate only consumes the 9 electricity
     // diffs (+ derived calc vars), so without this leg Catalyst prunes
