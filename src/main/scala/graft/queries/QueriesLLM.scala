@@ -144,7 +144,12 @@ object QueriesLLM {
   def q_minhash_fast(spark: SparkSession, dir: String): DataFrame = {
     val corpus = dupCorpus(spark, dir)
     val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", fast = true)
-    val wText = Window.partitionBy(col("text"))
+    // twin windows key on md5(text), not raw text: the shuffle key and
+    // sort comparator become fixed 32-char digests instead of
+    // arbitrary-length documents (same trick as Dedup.paragraphDedup);
+    // md5 equality == text equality for grouping purposes, so the
+    // window output — and the oracle hash — is unchanged (VERDICT r8 #7)
+    val wText = Window.partitionBy(col("__th"))
     val wHead = wText.orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val pairs = Dedup.lshCandidatePairs(corpus, "doc_id", "text", fast = true)
@@ -157,7 +162,8 @@ object QueriesLLM {
       .unionByName(exactPartners.select(col("id_b").as("doc_id"), col("id_a").as("p")))
       .groupBy("doc_id").agg(countDistinct(col("p")).as("np"))
     corpus.join(sigs, "doc_id")
-      .select(col("doc_id"), col("text"),
+      .withColumn("__th", md5(col("text")))
+      .select(col("doc_id"),
         size(col("sig")).cast("long").as("sig_len"),
         min(col("doc_id")).over(wText).as("twin_id"),
         count(lit(1)).over(wText).as("twin_n"),
