@@ -51,8 +51,11 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val doGen = args.contains("gen") ||
-      (args.isEmpty && !new java.io.File(s"$outDir/documents.parquet").exists())
+    // every verb that READS outDir (run/crossover/no-args) generates it
+    // first if missing — an explicit-verb first run used to bench a
+    // missing dataset and report every scaled query failed (ADVICE r8)
+    val scaledExists = new java.io.File(s"$outDir/documents.parquet").exists()
+    val doGen = args.contains("gen") || !scaledExists
     // verbs are independent: `gen` alone only generates; `run` alone only
     // benches; `crossover` alone only runs the crossover; no args = all
     val doRun = args.contains("run") || args.isEmpty

@@ -90,11 +90,34 @@ object Sources {
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matched = Option(fs.globStatus(hpath)).map(_.toSeq).getOrElse(Seq.empty)
     require(matched.nonEmpty, s"$path matches no files")
+    // directories recurse (listFiles(recursive=true)) so a nested /
+    // partitioned layout the distributed scan below reads fine doesn't
+    // fail header discovery with 'contains no KNMI data file' (ADVICE r8)
+    // hidden/meta components (_SUCCESS, .crc, _temporary/...) are skipped
+    // only below the matched roots — an explicitly-given path is never
+    // second-guessed, matching what the distributed scan skips
+    def visibleUnder(root: org.apache.hadoop.fs.Path,
+                     q: org.apache.hadoop.fs.Path): Boolean =
+      q == null || q == root ||
+        (!q.getName.startsWith("_") && !q.getName.startsWith(".") &&
+          visibleUnder(root, q.getParent))
     val file = matched
-      .flatMap(f => if (f.isDirectory) fs.listStatus(f.getPath).toSeq else Seq(f))
-      .filter { f =>
-        val n = f.getPath.getName
-        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      .flatMap { f =>
+        if (f.isDirectory) {
+          val it = fs.listFiles(f.getPath, true)
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.hadoop.fs.FileStatus]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && visibleUnder(f.getPath, st.getPath)) buf += st
+          }
+          buf.toSeq
+        } else
+          // glob-expanded files keep the original name-only check
+          Seq(f).filter { g =>
+            val n = g.getPath.getName
+            g.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
       }
       .map(_.getPath).sortBy(_.toString).headOption
       .getOrElse(throw new IllegalArgumentException(

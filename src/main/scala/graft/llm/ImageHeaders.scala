@@ -172,12 +172,15 @@ object ImageHeaders {
       if (layer == 3) 384
       else if (layer == 2) 1152
       else if (version == 3) 1152 else 576 // layer III halves for V2/V2.5
-    // Xing/Info VBR header sits after the side info of the first frame
+    // Xing/Info VBR header sits after the side info of the first frame;
+    // protection bit 0 (header byte 1, bit 0) means a 2-byte CRC-16
+    // precedes the side info, shifting the Xing/Info block (ADVICE r8)
     val mono = ((u8(b(i + 3)) >> 6) & 3) == 3
+    val crcBytes = if ((u8(b(i + 1)) & 1) == 0) 2 else 0
     val sideInfo =
       if (version == 3) { if (mono) 17 else 32 }
       else { if (mono) 9 else 17 }
-    val x = i + 4 + sideInfo
+    val x = i + 4 + crcBytes + sideInfo
     if (x + 8 <= b.length &&
         ((b(x) == 'X' && b(x + 1) == 'i' && b(x + 2) == 'n' && b(x + 3) == 'g') ||
          (b(x) == 'I' && b(x + 1) == 'n' && b(x + 2) == 'f' && b(x + 3) == 'o'))) {
