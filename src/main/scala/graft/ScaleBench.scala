@@ -102,7 +102,55 @@ object ScaleBench {
     }
     if (args.contains("crossover") || args.isEmpty)
       annCrossover(spark, srcDir, outDir, listener)
+    if (args.contains("bm25") || args.isEmpty)
+      bm25Split(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** BM25 build/search split at 100k docs: the lexical analogue of the
+    * ANN crossover. One-call bm25TopK pays tokenize + postings + windows
+    * on EVERY query batch; buildPostings + a term-bucketed persisted
+    * index pays it once, after which each batch is a broadcast-sized
+    * join against the index. Three rows: the one-call baseline, the
+    * one-time build+persist, and search-over-persisted.
+    */
+  private def bm25Split(spark: SparkSession, outDir: String,
+                        listener: TaskMetricsProbe): Unit = {
+    import graft.llm.Retrieval
+    val docs = SparkEntry.table(spark, outDir, "documents")
+    val queries = docs.filter(col("doc_id") < 3)
+    val nCorpus = docs.count()
+    def time(label: String)(body: => Unit): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"bm25":"$label","n_corpus":$nCorpus,"sec":$sec%.2f,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+    }
+    time("one_call")(Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "doc_id", "text", k = 5)
+      .write.format("noop").mode("overwrite").save())
+    val statsPath = s"$outDir/bm25_stats.parquet"
+    time("build_persist") {
+      val (post, stats) = Retrieval.buildPostings(docs, "doc_id", "text")
+      graft.etd.Sources.writeBucketed(post, "bm25_postings_scale",
+        s"$outDir/bm25_postings", buckets = 32,
+        bucketCols = Seq("term"), sortCols = Seq("term"))
+      stats.write.mode("overwrite").parquet(statsPath)
+    }
+    val idx = spark.table("bm25_postings_scale")
+    val stats = spark.read.parquet(statsPath)
+    // twice: the second run shows the steady-state per-batch cost once
+    // the OS page cache holds the index files
+    time("search_persisted")(Retrieval.searchPostings(idx, stats,
+      queries, "doc_id", "text", k = 5)
+      .write.format("noop").mode("overwrite").save())
+    time("search_persisted_warm")(Retrieval.searchPostings(idx, stats,
+      queries, "doc_id", "text", k = 5)
+      .write.format("noop").mode("overwrite").save())
   }
 
   /** IVF/PQ-vs-brute crossover: the registry's ann queries carry 3-10

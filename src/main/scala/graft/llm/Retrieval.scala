@@ -37,18 +37,30 @@ object Retrieval {
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))
         .cast("double"))
 
-  /** BM25 top-`k` documents per query. `queries` is a small frame of
-    * (query id, query text); its tokens are deduplicated (standard bag-of
-    * -words query semantics: repeated query terms score once).
+  /** Build-once postings index: the (doc, term) postings with document
+    * frequency and document length ALREADY resolved, plus the one-row
+    * corpus-stats frame — everything [[searchPostings]] needs, so search
+    * never re-touches the corpus.
     *
-    * k1 saturates term frequency, b normalizes by document length; the
-    * idf is the "+1" form (Lucene's), strictly positive even for terms in
-    * more than half the corpus.
+    * This is the lexical twin of [[Similarity.ivfPqTopKCoded]]'s
+    * build/search split (and of load_data.py's lazy-tables "build once,
+    * query many" philosophy, /root/reference/etdtransform/load_data.py):
+    * the expensive half — tokenize, explode, (doc, term) hash-agg, the
+    * per-doc and per-term windows — runs ONCE; a persisted index (e.g.
+    * `Sources.writeBucketed(post, name, path, n, Seq("term"),
+    * Seq("term"))`) then serves every query batch with a join that
+    * shuffles nothing but query terms. Returns (postings, stats):
+    * postings is (doc_id, term, tf, dl, df), stats is one row of
+    * (n_docs, total_len, avgdl).
     */
-  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
-               queries: DataFrame, queryIdCol: String, queryTextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  def buildPostings(corpus: DataFrame, idCol: String,
+                    textCol: String): (DataFrame, DataFrame) = {
+    // per-term document frequency rides a window over the term key —
+    // one extra local pass on the postings' own exchange at build time,
+    // and search drops its corpus-wide window entirely
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val post = postings(corpus, idCol, textCol)
+      .withColumn("df", count(lit(1)).over(wTerm))
     // corpus scalars straight off the token explode: n_docs = docs with
     // >= 1 token, avgdl = token occurrences / n_docs — same values the
     // postings aggregation implies, without re-building the (doc, term)
@@ -59,15 +71,27 @@ object Retrieval {
       .agg(count_distinct(col("doc_id")).cast("double").as("n_docs"),
         count(lit(1)).cast("double").as("total_len"))
       .withColumn("avgdl", col("total_len") / col("n_docs"))
-    // per-term document frequency on the same term-keyed exchange the
-    // postings join below uses
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
-    val postDf = post.withColumn("df", count(lit(1)).over(wTerm))
+    (post, stats)
+  }
+
+  /** BM25 top-`k` over a PRE-BUILT index ([[buildPostings]] shape —
+    * read back from its persisted form or passed through directly).
+    * Search-side work is only (query term ⋈ posting) matches: the tiny
+    * exploded query-term set joins the index on `term` (broadcast-sized
+    * by construction), stats broadcast as one row, and the per-query
+    * top-k window partitions by query id. A term-bucketed persisted
+    * index additionally serves the join without shuffling a single
+    * posting.
+    */
+  def searchPostings(postIdx: DataFrame, stats: DataFrame,
+                     queries: DataFrame, queryIdCol: String,
+                     queryTextCol: String, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = queries
       .select(col(queryIdCol).as("query_id"),
         explode(tokens(col(queryTextCol))).as("term"))
       .distinct()
-    val scored = qTerms.join(postDf, Seq("term"))
+    val scored = qTerms.join(postIdx, Seq("term"))
       .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
       .withColumn("idf",
         TextFunctions.round9(log((col("n_docs") - col("df") + lit(0.5)) /
@@ -83,6 +107,23 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** BM25 top-`k` documents per query, building the index inline —
+    * [[buildPostings]] composed with [[searchPostings]]. `queries` is a
+    * small frame of (query id, query text); its tokens are deduplicated
+    * (standard bag-of-words query semantics: repeated query terms score
+    * once).
+    *
+    * k1 saturates term frequency, b normalizes by document length; the
+    * idf is the "+1" form (Lucene's), strictly positive even for terms in
+    * more than half the corpus.
+    */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (post, stats) = buildPostings(corpus, idCol, textCol)
+    searchPostings(post, stats, queries, queryIdCol, queryTextCol, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009): merge ranked runs —

@@ -43,6 +43,35 @@ class RetrievalSpec extends AnyFunSuite {
       twice.map(r => (r.getLong(1), r.getDouble(3))).toSet)
   }
 
+  test("bm25: search over a persisted term-bucketed index == one-call scores") {
+    val corpus = Seq(
+      (1L, "apple banana cherry apple"),
+      (2L, "apple apple cherry"),
+      (3L, "banana banana banana date"),
+      (4L, "cherry date elderberry"),
+      (5L, "fig")).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple cherry"), (11L, "banana date"),
+      (12L, "fig missingterm")).toDF("qid", "qtext")
+    val oneCall = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      queries, "qid", "qtext", k = 3).collect().toSet
+
+    // build once, persist the postings bucketed by term (the join key a
+    // search uses) and the one-row stats next to them, then search the
+    // read-back tables — the production call shape
+    val (post, stats) = Retrieval.buildPostings(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    graft.etd.Sources.writeBucketed(post, "bm25_postings_spec",
+      s"$dir/postings", buckets = 4, bucketCols = Seq("term"),
+      sortCols = Seq("term"))
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    val persisted = Retrieval.searchPostings(
+      spark.table("bm25_postings_spec"), spark.read.parquet(s"$dir/stats"),
+      queries, "qid", "qtext", k = 3).collect().toSet
+
+    assert(persisted == oneCall)
+    assert(oneCall.nonEmpty)
+  }
+
   test("rrf: a document present in both runs outranks single-run ones") {
     val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
