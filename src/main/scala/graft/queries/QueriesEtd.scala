@@ -616,9 +616,11 @@ object QueriesEtd {
     * holds at production width). fabricatedDiffs covers 10 diffs; the
     * remaining 3 are fabricated here the same way. NOT in
     * SparkEntry.queries: column-level correctness of the batched impute
-    * is pinned by the ImputeBatchedSpec equivalence suite and the
-    * q_pipeline_e2e hash oracle; this entry exists so BENCH_r{N} carries
-    * a full-width timing (Bench.benchOnly).
+    * is pinned by ImputeSpec's batched==sequential equivalence test and
+    * the q_pipeline_e2e hash oracle; this entry exists so BENCH_r{N}
+    * carries a full-width timing (Bench.benchOnly). Covers ALL FIVE
+    * production intervals (aggregate.py:830-841) — 13-column impute ->
+    * 5 resamples -> 5 project aggregates + the household checksum leg.
     */
   def q_pipeline_full13(spark: SparkSession, dir: String): DataFrame = {
     val cums = Model.cumulativeColumns
@@ -636,7 +638,7 @@ object QueriesEtd {
     val withCums = grid.select(col("*") +:
       cums.map(c => sum(Model.diffCol(c)).over(wHouse).as(c)): _*)
     val stages = graft.etd.Pipeline.run(withCums, cums,
-      intervals = Seq("5min", "60min", "24h"))
+      intervals = Seq("5min", "15min", "60min", "6h", "24h"))
     // cut lineage at the NARROW calculated frame (temp gap cols already
     // dropped): the four legs below share one impute execution instead of
     // re-running the 13-column cascade each. Measured sf0.1/local[32]:
@@ -663,9 +665,9 @@ object QueriesEtd {
         col(ProjectId).as("project"), lit(0L).as("bucket_s"),
         col("net_use"), col("n"))
     // materialize EVERY interval's project aggregate — the full stage DAG
-    // (13-column impute -> 3 resamples -> 3 project aggs), the writeStages
+    // (13-column impute -> 5 resamples -> 5 project aggs), the writeStages
     // work volume without the parquet-encode cost
-    (Seq("5min", "60min", "24h").map { iv =>
+    (Seq("5min", "15min", "60min", "6h", "24h").map { iv =>
       graft.etd.ProjectAggregate.aggregateStandard(
           graft.etd.Resample.resampleStandard(cal, iv))
         .select(lit(iv).as("interval"),
