@@ -31,22 +31,7 @@ object Phases {
     for (rnd <- 1 to 3) {
       val t0 = System.nanoTime()
       val cums = graft.etd.Model.cumulativeColumns
-      val v = abs(col("value"))
-      import org.apache.spark.sql.expressions.Window
-      val grid = graft.queries.QueriesEtd.fabricatedDiffs(spark, sfDir)
-        .withColumn("GasgebruikDiff", round(v / 22, 6))
-        .withColumn("WarmteproductieWarmtepompDiff", round(v / 28, 6))
-        .withColumn("WatergebruikWarmTapwaterDiff", round(v / 16, 6))
-        .withColumn(graft.etd.Model.ReadingDate, timestamp_seconds(
-          lit(1704067200L) + (row_number().over(
-            Window.partitionBy(graft.etd.Model.ProjectId, graft.etd.Model.HouseId)
-              .orderBy("t_us")) - 1).cast("long") * 300L))
-      val wHouse = Window
-        .partitionBy(graft.etd.Model.ProjectId, graft.etd.Model.HouseId)
-        .orderBy(graft.etd.Model.ReadingDate)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val withCums = grid.select(col("*") +:
-        cums.map(c => sum(graft.etd.Model.diffCol(c)).over(wHouse).as(c)): _*)
+      val withCums = graft.queries.QueriesEtd.full13Input(spark, sfDir)
       val stages = graft.etd.Pipeline.run(withCums, cums,
         intervals = Seq("5min", "60min", "24h"))
       val cal0 = stages.calculated // forces all per-select analyses

@@ -154,14 +154,25 @@ object Pipeline {
     * sink re-executes the shared cascade (the reference avoids the same
     * re-compute by materializing parquet between steps).
     */
-  def writeStages(stages: Stages, dir: String): Unit = {
-    Sources.writeStage(stages.imputed, dir, "household_imputed")
+  /** `partitionByProject` routes every HOUSEHOLD-grain sink through
+    * `partitionBy(ProjectIdBSV)` so downstream project-sliced reads prune
+    * at the directory level — the production layout. Project-grain sinks
+    * (summaries, project_{iv}) stay unpartitioned: they are small by
+    * construction and one file per project per table would be pure
+    * small-file overhead.
+    */
+  def writeStages(stages: Stages, dir: String,
+                  partitionByProject: Boolean = false): Unit = {
+    Sources.writeStage(stages.imputed, dir, "household_imputed",
+      partitionByProject)
     Sources.writeStage(stages.gapStats, dir, "impute_gap_stats")
     Sources.writeStage(stages.householdSummary, dir, "impute_summary_household")
     Sources.writeStage(stages.projectSummary, dir, "impute_summary_project")
-    Sources.writeStage(stages.calculated, dir, "household_calculated")
+    Sources.writeStage(stages.calculated, dir, "household_calculated",
+      partitionByProject)
     stages.intervals.foreach { iv =>
-      Sources.writeStage(stages.resampled(iv), dir, s"household_$iv")
+      Sources.writeStage(stages.resampled(iv), dir, s"household_$iv",
+        partitionByProject)
       Sources.writeStage(stages.projectAggregated(iv), dir, s"project_$iv")
     }
   }

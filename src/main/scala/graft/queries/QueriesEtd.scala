@@ -622,7 +622,11 @@ object QueriesEtd {
     * production intervals (aggregate.py:830-841) — 13-column impute ->
     * 5 resamples -> 5 project aggregates + the household checksum leg.
     */
-  def q_pipeline_full13(spark: SparkSession, dir: String): DataFrame = {
+  /** The full-width shim input q_pipeline_full13, WriteBench and Phases
+    * share: fabricated diffs for all 13 production cumulative columns on
+    * the 5-minute grid, cumulative meters rebuilt per house.
+    */
+  def full13Input(spark: SparkSession, dir: String): DataFrame = {
     val cums = Model.cumulativeColumns
     val v = abs(col("value"))
     val grid = fabricatedDiffs(spark, dir)
@@ -635,8 +639,13 @@ object QueriesEtd {
           .cast("long") * 300L))
     val wHouse = Window.partitionBy(ProjectId, HouseId).orderBy(ReadingDate)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCums = grid.select(col("*") +:
+    grid.select(col("*") +:
       cums.map(c => sum(Model.diffCol(c)).over(wHouse).as(c)): _*)
+  }
+
+  def q_pipeline_full13(spark: SparkSession, dir: String): DataFrame = {
+    val cums = Model.cumulativeColumns
+    val withCums = full13Input(spark, dir)
     val stages = graft.etd.Pipeline.run(withCums, cums,
       intervals = Seq("5min", "15min", "60min", "6h", "24h"))
     // cut lineage at the NARROW calculated frame (temp gap cols already
