@@ -106,6 +106,38 @@ object StreamBench {
       }
       q.stop()
     }
+
+    // --- per-house impute with event-time TTL eviction ----------------
+    // 5000 houses; after batch 4 half the fleet goes permanently dark
+    // (meters die). TTL 600 s: the silent houses' timeouts arm at their
+    // last event + 2 slots, the live half drags the watermark forward,
+    // and state_rows must FALL from 5000 to ~2500 once the watermark
+    // passes the horizon (batch ~7) — the eviction the NoTimeout
+    // variant above cannot express (its curve would hold at 5000).
+    {
+      val input = MemoryStream[StreamingImpute.CumReadingAvgTs]
+      val diffs = StreamingImpute.imputeStreamScaledExpiring(
+        input.toDS().withWatermark("eventTime", "0 seconds")
+          .as[StreamingImpute.CumReadingAvgTs],
+        ttlMs = 600 * 1000)
+      val q = diffs.writeStream.format("noop")
+        .option("checkpointLocation", s"$ckptRoot/impute_expiring")
+        .outputMode("append").start()
+      for (b <- 1 to 12) {
+        val ts = 1704067200L + b.toLong * 300
+        val rows = (0 until 5000)
+          .filter(h => b <= 4 || h % 2 == 0)
+          .map { h =>
+            StreamingImpute.CumReadingAvgTs(h.toLong, ts,
+              Some(b * 10.0 + h * 0.001), Some(0.5),
+              new Timestamp(ts * 1000))
+          }
+        input.addData(rows: _*)
+        q.processAllAvailable()
+        progressLine("impute_expiring_half_fleet_dies", b, q)
+      }
+      q.stop()
+    }
     spark.stop()
   }
 }

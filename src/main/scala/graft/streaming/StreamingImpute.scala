@@ -37,11 +37,13 @@ import graft.etd.Model.ImputeType
   * open gap's timestamps, and the open gap is CAPPED at `maxGapLength`
   * slots: a permanently dark meter (dead/decommissioned) flushes its
   * over-long gap as unimputed rows and resets to the no-prior-observation
-  * state — so state is bounded even though the operator uses NoTimeout
-  * (state is otherwise overwritten in place; ProcessingTimeTimeout is
-  * also a planner landmine on Spark 4.1.2). A post-cap resume is treated
-  * as a meter restart: the batch cascade would give such a gap the
-  * avg-based no-end treatment, which is the batch backfill's job.
+  * state — so the PER-HOUSE payload is bounded even in the NoTimeout
+  * entry points. The NUMBER of house rows still grows with every house
+  * ever seen; [[imputeStreamScaledExpiring]] adds event-time TTL
+  * eviction so dead meters age out entirely — the long-running fleet
+  * shape. A post-cap (or post-eviction) resume is treated as a meter
+  * restart: the batch cascade would give such a gap the avg-based
+  * no-end treatment, which is the batch backfill's job.
   *
   * Ordering: rows are processed in timestamp order within a micro-batch;
   * a row at or before the house's last processed timestamp is late beyond
@@ -121,6 +123,68 @@ object StreamingImpute {
     * bit-identical to the batch path — StreamingImputeSpec pins it.
     * State is capped exactly like [[imputeStream]].
     */
+  /** The per-house state transition both entry points share: fold the
+    * micro-batch's (time-sorted) rows of one house through the cascade,
+    * appending emissions to `out`, returning the new state.
+    */
+  private def advanceHouse(huis: Long, sorted: Seq[CumReadingAvg],
+                           st0: HouseStateScaled, maxGapLength: Int,
+                           out: scala.collection.mutable.Builder[
+                             ImputedDiff, Seq[ImputedDiff]]): HouseStateScaled = {
+    var st = st0
+    sorted.foreach { r =>
+      if (r.tsSec > st.lastTs) r.cum match {
+        case None =>
+          st = st.copy(lastTs = r.tsSec,
+            pending = PendingSlot(r.tsSec, r.avg.getOrElse(0.0)) :: st.pending,
+            pendingLen = st.pendingLen + 1)
+          if (st.pendingLen >= maxGapLength) {
+            st.pending.reverse.foreach(p =>
+              out += ImputedDiff(huis, p.tsSec, None, None, isImputed = false))
+            st = HouseStateScaled(r.tsSec, None, Nil, 0)
+          }
+        case Some(c) =>
+          st.lastCum match {
+            case None =>
+              st.pending.reverse.foreach(p =>
+                out += ImputedDiff(huis, p.tsSec, None, None, isImputed = false))
+              out += ImputedDiff(huis, r.tsSec, None, None, isImputed = false)
+            case Some(prev) =>
+              val jump = c - prev
+              if (st.pending.isEmpty) {
+                out += ImputedDiff(huis, r.tsSec, Some(jump), None,
+                  isImputed = false)
+              } else {
+                // gap slots in time order; the closing row belongs
+                // to the gap too (its lag-diff is equally unknown)
+                val slots = st.pending.reverse :+
+                  PendingSlot(r.tsSec, r.avg.getOrElse(0.0))
+                val n = slots.size
+                val imputeJump = slots.foldLeft(0.0)(_ + _.iv)
+                if (jump < 0)
+                  slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
+                    Some(0.0), Some(ImputeType.NegativeGapJump), isImputed = true))
+                else if (jump < 1e-8)
+                  slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
+                    Some(0.0), Some(ImputeType.NearZeroGapJump), isImputed = true))
+                else if (imputeJump < 1e-8) {
+                  val fill = round10(jump / n)
+                  slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
+                    Some(fill), Some(ImputeType.LinearFill), isImputed = true))
+                } else {
+                  val q = jump / imputeJump
+                  slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
+                    Some(round10(p.iv * q)), Some(ImputeType.ScaledFill),
+                    isImputed = true))
+                }
+              }
+          }
+          st = HouseStateScaled(r.tsSec, Some(c), Nil, 0)
+      }
+    }
+    st
+  }
+
   def imputeStreamScaled(readings: Dataset[CumReadingAvg],
                          maxGapLength: Int = 8640): Dataset[ImputedDiff] = {
     implicit val outEnc = Encoders.product[ImputedDiff]
@@ -131,61 +195,71 @@ object StreamingImpute {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (huis: Long, rows: Iterator[CumReadingAvg],
          state: GroupState[HouseStateScaled]) =>
-          var st = state.getOption.getOrElse(
-            HouseStateScaled(Long.MinValue, None, Nil, 0))
           val out = Seq.newBuilder[ImputedDiff]
-          rows.toSeq.sortBy(_.tsSec).foreach { r =>
-            if (r.tsSec > st.lastTs) r.cum match {
-              case None =>
-                st = st.copy(lastTs = r.tsSec,
-                  pending = PendingSlot(r.tsSec, r.avg.getOrElse(0.0)) :: st.pending,
-                  pendingLen = st.pendingLen + 1)
-                if (st.pendingLen >= maxGapLength) {
-                  st.pending.reverse.foreach(p =>
-                    out += ImputedDiff(huis, p.tsSec, None, None, isImputed = false))
-                  st = HouseStateScaled(r.tsSec, None, Nil, 0)
-                }
-              case Some(c) =>
-                st.lastCum match {
-                  case None =>
-                    st.pending.reverse.foreach(p =>
-                      out += ImputedDiff(huis, p.tsSec, None, None, isImputed = false))
-                    out += ImputedDiff(huis, r.tsSec, None, None, isImputed = false)
-                  case Some(prev) =>
-                    val jump = c - prev
-                    if (st.pending.isEmpty) {
-                      out += ImputedDiff(huis, r.tsSec, Some(jump), None,
-                        isImputed = false)
-                    } else {
-                      // gap slots in time order; the closing row belongs
-                      // to the gap too (its lag-diff is equally unknown)
-                      val slots = st.pending.reverse :+
-                        PendingSlot(r.tsSec, r.avg.getOrElse(0.0))
-                      val n = slots.size
-                      val imputeJump = slots.foldLeft(0.0)(_ + _.iv)
-                      if (jump < 0)
-                        slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
-                          Some(0.0), Some(ImputeType.NegativeGapJump), isImputed = true))
-                      else if (jump < 1e-8)
-                        slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
-                          Some(0.0), Some(ImputeType.NearZeroGapJump), isImputed = true))
-                      else if (imputeJump < 1e-8) {
-                        val fill = round10(jump / n)
-                        slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
-                          Some(fill), Some(ImputeType.LinearFill), isImputed = true))
-                      } else {
-                        val q = jump / imputeJump
-                        slots.foreach(p => out += ImputedDiff(huis, p.tsSec,
-                          Some(round10(p.iv * q)), Some(ImputeType.ScaledFill),
-                          isImputed = true))
-                      }
-                    }
-                }
-                st = HouseStateScaled(r.tsSec, Some(c), Nil, 0)
-            }
-          }
+          val st = advanceHouse(huis, rows.toSeq.sortBy(_.tsSec),
+            state.getOption.getOrElse(
+              HouseStateScaled(Long.MinValue, None, Nil, 0)),
+            maxGapLength, out)
           if (st.lastTs > Long.MinValue) state.update(st)
           out.result().iterator
+      }
+  }
+
+  /** A reading carrying its event time (for TTL state eviction). */
+  case class CumReadingAvgTs(huis: Long, tsSec: Long, cum: Option[Double],
+                             avg: Option[Double],
+                             eventTime: java.sql.Timestamp)
+
+  /** [[imputeStreamScaled]] with EVENT-TIME state eviction — the
+    * long-running fleet shape ([[StreamingNearDup.candidatePairsExpiring]]
+    * pattern): without it, a churning fleet accrues one state row per
+    * house EVER seen, dead meters included. Each house arms a timeout
+    * `ttl` past its newest reading; when the watermark passes it, the
+    * house's open gap — which can no longer close in-stream, because
+    * no reading older than the watermark will be admitted — flushes as
+    * unimputed rows (the batch backfill owns them, exactly like the
+    * maxGapLength cap flush) and the state row evicts. A meter that
+    * resumes after eviction restarts from the no-prior-observation
+    * state, same as a post-cap resume. The input MUST carry a watermark
+    * on `eventTime`.
+    */
+  def imputeStreamScaledExpiring(readings: Dataset[CumReadingAvgTs],
+                                 maxGapLength: Int = 8640,
+                                 ttlMs: Long = 24L * 3600 * 1000)
+      : Dataset[ImputedDiff] = {
+    implicit val outEnc = Encoders.product[ImputedDiff]
+    implicit val stateEnc = Encoders.product[HouseStateScaled]
+    implicit val keyEnc = Encoders.scalaLong
+    readings
+      .groupByKey(_.huis)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (huis: Long, rows: Iterator[CumReadingAvgTs],
+         state: GroupState[HouseStateScaled]) =>
+          if (state.hasTimedOut) {
+            val out = Seq.newBuilder[ImputedDiff]
+            state.getOption.foreach(_.pending.reverse.foreach(p =>
+              out += ImputedDiff(huis, p.tsSec, None, None, isImputed = false)))
+            state.remove()
+            out.result().iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsSec)
+            val out = Seq.newBuilder[ImputedDiff]
+            val st = advanceHouse(huis,
+              sorted.map(r => CumReadingAvg(r.huis, r.tsSec, r.cum, r.avg)),
+              state.getOption.getOrElse(
+                HouseStateScaled(Long.MinValue, None, Nil, 0)),
+              maxGapLength, out)
+            if (st.lastTs > Long.MinValue) {
+              state.update(st)
+              // a batch of all-late rows could compute a target at or
+              // below the watermark, which setTimeoutTimestamp rejects
+              val maxEventMs = sorted.map(_.eventTime.getTime).max
+              state.setTimeoutTimestamp(math.max(maxEventMs + ttlMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
       }
   }
 }

@@ -148,6 +148,43 @@ class StreamingImputeSpec extends AnyFunSuite {
     }
   }
 
+  test("expiring: TTL flushes a silent house's open gap and resets state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CumReadingAvgTs]
+    def r(huis: Long, ts: Long, cum: Option[Double]) =
+      CumReadingAvgTs(huis, ts, cum, Some(0.5),
+        new java.sql.Timestamp(ts * 1000))
+    val query = StreamingImpute.imputeStreamScaledExpiring(
+        input.toDS().withWatermark("eventTime", "0 seconds")
+          .as[CumReadingAvgTs],
+        ttlMs = 600 * 1000) // 10 min TTL
+      .writeStream.format("memory").queryName("impute_expiring")
+      .outputMode("append").start()
+    // house 1 opens a gap then goes dark; house 2 keeps reporting and
+    // drags the watermark far past house 1's TTL horizon
+    input.addData(r(1L, 300, Some(1.0)), r(1L, 600, None),
+      r(2L, 600, Some(5.0)))
+    query.processAllAvailable()
+    input.addData(r(2L, 7200, Some(6.0)))
+    query.processAllAvailable()
+    input.addData(r(2L, 7500, Some(6.5))) // timeout fires this batch
+    query.processAllAvailable()
+    // post-eviction resume: a meter restart, not a gap close — even
+    // though cum is observed, there is no prior observation in state
+    input.addData(r(1L, 9000, Some(2.0)))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("impute_expiring").as[ImputedDiff].collect()
+      .map(d => (d.huis, d.tsSec) -> ((d.diff, d.imputeType, d.isImputed)))
+      .toMap
+    // the evicted open-gap slot flushed unimputed (batch backfill owns it)
+    assert(got((1L, 600L)) == ((None, None, false)))
+    // the resume took the no-prior-observation branch, NOT a 6.0-jump fill
+    assert(got((1L, 9000L)) == ((None, None, false)))
+    // house 2's ordinary diffs were untouched by house 1's eviction
+    assert(got((2L, 7200L)) == ((Some(1.0), None, false)))
+  }
+
   test("streaming fills match the batch cascade on the same frame") {
     // Batch twin: the same house run through Impute.imputeColumn. Parity
     // is scoped to the jump-known branches streaming implements (observed
