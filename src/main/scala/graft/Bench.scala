@@ -23,7 +23,9 @@ object Bench {
     * see each definition's doc).
     */
   val benchOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("q_pipeline_full13" -> (graft.queries.QueriesEtd.q_pipeline_full13 _))
+    Map(
+      "q_pipeline_full13" -> (graft.queries.QueriesEtd.q_pipeline_full13 _),
+      "q_image_neardup_e2e" -> (graft.queries.QueriesLLM.q_image_neardup_e2e _))
 
   /** Representative heavy queries, one per operator family. */
   val headline: Seq[String] = Seq(
@@ -57,6 +59,7 @@ object Bench {
     "q_text_bigram_lm",
     "q_bm25_topk",
     "q_curation_e2e",
+    "q_image_neardup_e2e",
   )
 
   def main(args: Array[String]): Unit = {

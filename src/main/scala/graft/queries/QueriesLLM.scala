@@ -667,6 +667,95 @@ object QueriesLLM {
         col("ok"))
   }
 
+  /** Quadrant fixture for the image near-dup flagship: a `px` x `px`
+    * two-tone PNG whose four `px/2`-square quadrants are black or white
+    * by bits 0-3 of the id — 16 deterministic image classes, identical
+    * bytes within a class.
+    */
+  private def quadrantPng(id: Long, px: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      px, px, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < px) {
+      var y = 0
+      while (y < px) {
+        val q = (if (x >= px / 2) 1 else 0) + (if (y >= px / 2) 2 else 0)
+        val c = if (((id >> q) & 1L) == 1L) 255 else 0
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        y += 1
+      }
+      x += 1
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image near-dup flagship (ORACLED): the multimodal composition the
+    * family lacked a headline for — binary image column -> real pixel
+    * decode + feature extraction ([[Multimodal.imageFeaturesPartitions]])
+    * -> IVF-bucketed semantic dedup ([[Dedup.semDedup]]), end to end.
+    *
+    * The fixture makes the whole chain EXACTLY oracle-checkable: 4x4
+    * quadrant PNGs decode at identity scale (no resample blending), so
+    * features are the quadrant's exact {0, 255} bytes and DuckDB can
+    * rebuild the 4-dim quadrant vector arithmetically — per-quadrant
+    * repetition cancels out of every cosine, the repeated-component
+    * norm/dot scalings are exact power-of-two FP rescalings, and the
+    * sums are small-integer-exact, so the DuckDB cosines are
+    * bit-identical to the native [[Dedup.dot]]/[[Dedup.l2norm]] path.
+    * Cell assignment reduces to first-max cosine over four
+    * one-bright-quadrant centroids (ties resolve to the FIRST maximum in
+    * both engines — CosineArgmax uses strict `>`); all-dark images are
+    * zero-norm -> null cell -> never dropped, the semDedup contract.
+    * Same-class cosine is exactly 1; the closest cross-class pair is
+    * 3/sqrt(12) ~ 0.866, far under the 0.95 threshold — the kept set is
+    * exact, not threshold-fragile.
+    */
+  def q_image_neardup(spark: SparkSession, dir: String): DataFrame = {
+    val pngOf = udf((id: Long) => quadrantPng(id, 4))
+    val src = table(spark, dir, "documents")
+      .select(col("doc_id"), pngOf(col("doc_id")).as("payload"))
+    val feats = Multimodal.imageFeaturesPartitions(src, "doc_id", "payload",
+        side = 4)
+      .filter(col("ok"))
+      .select(col("id").as("doc_id"), col("features"))
+    val cents = array((0 until 4).map { j =>
+      array((0 until 16).map { i =>
+        val q = (if (i % 4 >= 2) 1 else 0) + (if (i / 4 >= 2) 2 else 0)
+        lit(if (q == j) 255f else 0f)
+      }: _*)
+    }: _*)
+    Dedup.semDedup(feats, "doc_id", "features", 0.95, cents)
+      .select(col("doc_id"))
+  }
+
+  /** BENCH-ONLY image near-dup flagship at realistic decode cost: the
+    * same composition as [[q_image_neardup]] with 64x64 PNGs — real
+    * zlib inflate + 4096-pixel luma/resample work per image, the part
+    * the 4x4 oracle fixture deliberately minimizes. Correctness of the
+    * composition is q_image_neardup's exact oracle; this entry exists so
+    * BENCH_r{N} carries the decode-heavy timing (Bench.benchOnly).
+    */
+  def q_image_neardup_e2e(spark: SparkSession, dir: String): DataFrame = {
+    val pngOf = udf((id: Long) => quadrantPng(id, 64))
+    val src = table(spark, dir, "documents")
+      .select(col("doc_id"), pngOf(col("doc_id")).as("payload"))
+    val feats = Multimodal.imageFeaturesPartitions(src, "doc_id", "payload",
+        side = 4)
+      .filter(col("ok"))
+      .select(col("id").as("doc_id"), col("features"))
+    val cents = array((0 until 4).map { j =>
+      array((0 until 16).map { i =>
+        val q = (if (i % 4 >= 2) 1 else 0) + (if (i / 4 >= 2) 2 else 0)
+        lit(if (q == j) 255f else 0f)
+      }: _*)
+    }: _*)
+    Dedup.semDedup(feats, "doc_id", "features", 0.95, cents)
+      .select(col("doc_id"))
+  }
+
   /** SemDeDup over the embeddings corpus: IVF cells from the first-8
     * codebook, drop every vector with a lower-id near-duplicate
     * (cos >= 0.35) in its cell — the kept set the training run reads.
@@ -762,6 +851,7 @@ object QueriesLLM {
     "q_multimodal_mp4" -> (q_multimodal_mp4 _),
     "q_multimodal_frames" -> (q_multimodal_frames _),
     "q_multimodal_pixels" -> (q_multimodal_pixels _),
+    "q_image_neardup" -> (q_image_neardup _),
     "q_semdedup" -> (q_semdedup _),
     "q_bm25_topk" -> (q_bm25_topk _),
     "q_rrf_hybrid" -> (q_rrf_hybrid _),
@@ -1345,6 +1435,34 @@ object QueriesLLM {
         |  64::BIGINT AS n_features,
         |  true AS ok
         |FROM documents""".stripMargin,
+    // the 4x4 quadrant fixture decodes to exact {0,255} quadrant vectors
+    // (identity-scale resample, gray endpoints are conversion-invariant);
+    // per-quadrant repetition cancels from every cosine, so the oracle
+    // replays cell assignment (first-max cosine over the four
+    // one-bright-quadrant centroids = first bright quadrant; all-dark =
+    // zero norm = null cell, never dropped) and the cell-local
+    // lower-id-near-dup drop on 4-dim quadrant vectors
+    "q_image_neardup" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id & 1) != 0 THEN 255.0 ELSE 0.0 END AS q0,
+        |    CASE WHEN (doc_id & 2) != 0 THEN 255.0 ELSE 0.0 END AS q1,
+        |    CASE WHEN (doc_id & 4) != 0 THEN 255.0 ELSE 0.0 END AS q2,
+        |    CASE WHEN (doc_id & 8) != 0 THEN 255.0 ELSE 0.0 END AS q3
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, q0, q1, q2, q3,
+        |    sqrt(q0*q0 + q1*q1 + q2*q2 + q3*q3) AS nrm,
+        |    CASE WHEN q0 > 0 THEN 1 WHEN q1 > 0 THEN 2
+        |         WHEN q2 > 0 THEN 3 WHEN q3 > 0 THEN 4 END AS cell
+        |  FROM q
+        |)
+        |SELECT x.doc_id FROM a x
+        |WHERE x.cell IS NULL OR NOT EXISTS (
+        |  SELECT 1 FROM a y
+        |  WHERE y.cell = x.cell AND y.doc_id < x.doc_id
+        |    AND (x.q0*y.q0 + x.q1*y.q1 + x.q2*y.q2 + x.q3*y.q3)
+        |          / (x.nrm * y.nrm) >= 0.95)""".stripMargin,
     "q_multimodal_audio" ->
       """SELECT doc_id, 44::BIGINT AS byte_length,
         |  (((doc_id * 977) % 1000000 + 1000) * 1000)

@@ -744,6 +744,24 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(j.getDouble(3) - 200.0) < 3.0)
   }
 
+  test("image near-dup flagship: exact features, cells, and kept set") {
+    // the oracle's load-bearing claims, pinned at spec scale on the real
+    // composed query over sf0.001: (1) the 4x4 fixture decodes to EXACT
+    // {0,255} quadrant features (identity-scale resample, endpoint-exact
+    // gray conversion); (2) the kept set is min-id per image class plus
+    // every all-dark (zero-norm, null-cell) image
+    val dir = "/root/testdata/sf0.001"
+    val ids = graft.SparkEntry.table(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty)
+    val kept = graft.queries.QueriesLLM.q_image_neardup(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val expected = ids.filter(id => (id & 15L) == 0L).toSet ++
+      ids.filter(id => (id & 15L) != 0L).groupBy(_ & 15L).values.map(_.min)
+    assert(kept == expected,
+      s"kept diverges: extra=${(kept -- expected).take(5)} missing=${(expected -- kept).take(5)}")
+  }
+
   test("multimodal: image features feed the embedding near-dup path") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
