@@ -35,7 +35,8 @@ object ScaleBench {
     "q_ann_pq",
     "q_bm25_topk",       // inverted-index retrieval over the full corpus
     "q_semdedup",        // cell-local semantic dedup
-    "q_curation_e2e")    // composed flagship: gate->redact->dedup (lineage cut)
+    "q_curation_e2e",    // composed flagship: gate->redact->dedup (lineage cut)
+    "q_image_neardup_e2e") // image decode -> features -> semantic dedup
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,8 +73,9 @@ object ScaleBench {
       try SparkEntry.table(spark, srcDir, "events").limit(1000)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      val registry = SparkEntry.queries ++ Bench.benchOnly
       for (dir <- Seq(srcDir, outDir); name <- scaleQueries) {
-        SparkEntry.queries.get(name).foreach { fn =>
+        registry.get(name).foreach { fn =>
           listener.reset()
           val t0 = System.nanoTime()
           var planSec = -1.0

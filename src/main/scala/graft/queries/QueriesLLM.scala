@@ -695,7 +695,10 @@ object QueriesLLM {
   /** Image near-dup flagship (ORACLED): the multimodal composition the
     * family lacked a headline for — binary image column -> real pixel
     * decode + feature extraction ([[Multimodal.imageFeaturesPartitions]])
-    * -> IVF-bucketed semantic dedup ([[Dedup.semDedup]]), end to end.
+    * -> exact-twin collapse + IVF-bucketed semantic dedup
+    * ([[Dedup.semDedupDistinct]] — identical kept set as semDedup, with
+    * the cell-local quadratic over DISTINCT vectors only, which is what
+    * lets the 16-class fixture scale), end to end.
     *
     * The fixture makes the whole chain EXACTLY oracle-checkable: 4x4
     * quadrant PNGs decode at identity scale (no resample blending), so
@@ -717,17 +720,22 @@ object QueriesLLM {
     val pngOf = udf((id: Long) => quadrantPng(id, 4))
     val src = table(spark, dir, "documents")
       .select(col("doc_id"), pngOf(col("doc_id")).as("payload"))
+    // the decode output feeds three consumers (zero/nonzero split +
+    // the final semi-join); without a lineage cut each re-runs the
+    // pixel decode — the pruned-consumers pattern exchange reuse never
+    // catches (PERFNOTES r8 curation section)
     val feats = Multimodal.imageFeaturesPartitions(src, "doc_id", "payload",
         side = 4)
       .filter(col("ok"))
       .select(col("id").as("doc_id"), col("features"))
+      .localCheckpoint(eager = false)
     val cents = array((0 until 4).map { j =>
       array((0 until 16).map { i =>
         val q = (if (i % 4 >= 2) 1 else 0) + (if (i / 4 >= 2) 2 else 0)
         lit(if (q == j) 255f else 0f)
       }: _*)
     }: _*)
-    Dedup.semDedup(feats, "doc_id", "features", 0.95, cents)
+    Dedup.semDedupDistinct(feats, "doc_id", "features", 0.95, cents)
       .select(col("doc_id"))
   }
 
@@ -742,17 +750,22 @@ object QueriesLLM {
     val pngOf = udf((id: Long) => quadrantPng(id, 64))
     val src = table(spark, dir, "documents")
       .select(col("doc_id"), pngOf(col("doc_id")).as("payload"))
+    // the decode output feeds three consumers (zero/nonzero split +
+    // the final semi-join); without a lineage cut each re-runs the
+    // pixel decode — the pruned-consumers pattern exchange reuse never
+    // catches (PERFNOTES r8 curation section)
     val feats = Multimodal.imageFeaturesPartitions(src, "doc_id", "payload",
         side = 4)
       .filter(col("ok"))
       .select(col("id").as("doc_id"), col("features"))
+      .localCheckpoint(eager = false)
     val cents = array((0 until 4).map { j =>
       array((0 until 16).map { i =>
         val q = (if (i % 4 >= 2) 1 else 0) + (if (i / 4 >= 2) 2 else 0)
         lit(if (q == j) 255f else 0f)
       }: _*)
     }: _*)
-    Dedup.semDedup(feats, "doc_id", "features", 0.95, cents)
+    Dedup.semDedupDistinct(feats, "doc_id", "features", 0.95, cents)
       .select(col("doc_id"))
   }
 

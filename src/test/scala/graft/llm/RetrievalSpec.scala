@@ -100,6 +100,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(kept2.contains(3L) && kept2.contains(1L))
   }
 
+  test("semDedupDistinct == semDedup on twin-heavy and zero-norm input") {
+    // exact twins (1,2,5), a near-dup (4), an orthogonal loner (3), and
+    // zero vectors (6,7) — the collapse must not change ANY outcome:
+    // twins drop, the near-dup drops, zero vectors all survive
+    val df = Seq(
+      (5L, Array(1f, 0f)),
+      (1L, Array(1f, 0f)),
+      (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f)),
+      (4L, Array(0.999f, 0.01f)),
+      (6L, Array(0f, 0f)),
+      (7L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val cents = array(array(lit(1f), lit(0f)), array(lit(0f), lit(1f)))
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id").collect().map(_.getLong(0)).toSet
+    val plain = keys(Dedup.semDedup(df, "vec_id", "embedding", 0.9, cents))
+    val dist = keys(Dedup.semDedupDistinct(df, "vec_id", "embedding", 0.9, cents))
+    assert(dist == plain)
+    assert(plain == Set(1L, 3L, 6L, 7L))
+    // multi-probe path too
+    val plain2 = keys(Dedup.semDedup(df, "vec_id", "embedding", 0.9, cents, nprobe = 2))
+    val dist2 = keys(Dedup.semDedupDistinct(df, "vec_id", "embedding", 0.9, cents, nprobe = 2))
+    assert(dist2 == plain2)
+  }
+
   test("curation chain: gate, redact-before-dedup, exact + near dedup") {
     val base = "the cat and the dog is on a mat in the house with a hat"
     val docs = Seq(
