@@ -118,7 +118,11 @@ object Pipeline {
       val withAvgs = Diffs.joinAverages(sorted, avgDiffs)
       val imputedAll0 = Impute.imputeColumnsBatched(withAvgs, cumulativeCols,
         keepGapCols = true)
-      localCheckpointEvery.fold(imputedAll0)(_ => imputedAll0.localCheckpoint())
+      // lazy: materialize inside the first consumer's execution instead
+      // of blocking at stage construction (r9 full13 lesson — an eager
+      // checkpoint charges every build, even ones that never execute)
+      localCheckpointEvery.fold(imputedAll0)(_ =>
+        imputedAll0.localCheckpoint(eager = false))
     }
 
     // I10 — per-column gap stats, unioned.
