@@ -76,6 +76,28 @@ class LlmPropertiesSpec extends AnyFunSuite {
     }, n = 30)
   }
 
+  test("property: semDedupDistinct == semDedup on random twin-heavy corpora") {
+    // vectors drawn from a SMALL pool so exact twins are common (the
+    // case the collapse exists for), plus zero vectors; random threshold
+    // and nprobe — the kept sets must agree exactly every time
+    val poolGen: Gen[List[List[Float]]] = Gen.choose(2, 5).flatMap(p =>
+      Gen.listOfN(p, Gen.listOfN(3, Gen.oneOf(0f, 1f, 2f, 5f))))
+    check(Prop.forAll(poolGen, Gen.choose(4, 12), Gen.choose(0.3, 0.99),
+      Gen.choose(1, 2)) { (pool, n, thr, nprobe) =>
+      val picks = (0 until n).map(i => pool(i % pool.size))
+      val df = picks.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }.toDF("vec_id", "embedding")
+      val cents = array(
+        array(lit(1f), lit(0f), lit(0f)),
+        array(lit(0f), lit(1f), lit(0f)),
+        array(lit(0f), lit(0f), lit(1f)))
+      def keys(d: org.apache.spark.sql.DataFrame) =
+        d.select("vec_id").collect().map(_.getLong(0)).toSet
+      keys(Dedup.semDedupDistinct(df, "vec_id", "embedding", thr, cents, nprobe)) ==
+        keys(Dedup.semDedup(df, "vec_id", "embedding", thr, cents, nprobe))
+    }, n = 15)
+  }
+
   test("property: PqAdcScore equals the direct lookup sum") {
     val mGen = Gen.choose(1, 4)
     check(Prop.forAll(mGen, Gen.choose(2, 4)) { (m, k) =>
