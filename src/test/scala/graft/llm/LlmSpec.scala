@@ -639,6 +639,14 @@ class LlmSpec extends AnyFunSuite {
     assert(ImageHeaders.mp3DurationMs(id3 ++ cbrHdr ++ xing)
       .contains(2000L * 1152 * 1000 / 44100))
 
+    // CRC-protected VBR (protection bit 0 in 0xFA): a 2-byte CRC-16
+    // precedes the side info, shifting the Xing block — without the
+    // offset fix this silently fell back to the CBR byte-length estimate
+    val crcHdr = Array(0xff.toByte, 0xfa.toByte, (9 << 4).toByte, 0xc0.toByte)
+    val xingCrc = new Array[Byte](2 + 17) ++ "Xing".getBytes ++ be32(1) ++ be32(3000)
+    assert(ImageHeaders.mp3DurationMs(crcHdr ++ xingCrc)
+      .contains(3000L * 1152 * 1000 / 44100))
+
     // MPEG2 Layer III 22050 Hz: samples/frame halves to 576; bitrate
     // index 9 in the V2 L2/L3 table is 80 kbps. 0xF3 = sync|V2|LIII.
     val v2 = Array(0xff.toByte, 0xf3.toByte, (9 << 4).toByte, 0xc0.toByte) ++
