@@ -18,15 +18,17 @@ import org.apache.spark.sql.functions._
   *   (no args: gen-if-missing + run + crossover; each verb alone runs only itself)
   * Env: SPARK_GRAFT_SCALE_DIR (default /tmp/sfscale), SPARK_GRAFT_CPUS.
   *
-  * Copy counts: events/lineitem x10 (6M lineitem rows, 10x households),
-  * documents x20 (100k docs), embeddings x50 (100k vectors — the scale
-  * PERFNOTES predicts the IVF/PQ-vs-brute crossover at).
+  * Copy counts: events x20 (20x households — the ETD flagship's scale
+  * axis), lineitem x10 (6M rows), documents x20 (100k docs), embeddings
+  * x50 (100k vectors — the scale PERFNOTES predicts the IVF/PQ-vs-brute
+  * crossover at).
   */
 object ScaleBench {
 
   /** The queries whose plans carry the 100 TB claims. */
   val scaleQueries: Seq[String] = Seq(
     "q_pipeline_e2e",    // full impute/aggregate pipeline, household axis
+    "q_pipeline_full13", // 5-interval full13 flagship — the ETD scale claim
     "q_i7_impute_cascade",
     "q_dedup_spans",     // duplicate n-gram span windows
     "q_lsh_pairs",       // banded MinHash bucketing
@@ -106,7 +108,59 @@ object ScaleBench {
       annCrossover(spark, srcDir, outDir, listener)
     if (args.contains("bm25") || args.isEmpty)
       bm25Split(spark, outDir, listener)
+    if (args.contains("dense") || args.isEmpty)
+      denseSplit(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** Dense-retrieval build/search split at 100k vectors — the BM25
+    * build/search pattern applied to IVF-PQ. One-call ivfPqTopK re-runs
+    * pqEncode + ivfAssign over every corpus vector on EVERY query batch;
+    * buildIvfPqIndex persisted cell-bucketed pays the encode once, after
+    * which each batch's ivfPqTopKCoded scan reads only the ~10-byte/row
+    * (id, codes, cell) table — input_bytes is the tell: the index file is
+    * ~50x smaller than the float vectors. Four rows: one-call baseline,
+    * one-time build+persist, search-over-persisted cold and warm.
+    */
+  private def denseSplit(spark: SparkSession, outDir: String,
+                         listener: TaskMetricsProbe): Unit = {
+    import graft.llm.Similarity
+    val emb = SparkEntry.table(spark, outDir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 208)
+    val nCorpus = emb.count()
+    val coarse = graft.queries.QueriesLLM.firstKCodebook(emb)
+    val m = 4; val sub = coarse.head.length / m
+    val pqCb = Array.tabulate(m, coarse.length)((j, i) =>
+      coarse(i).slice(j * sub, (j + 1) * sub))
+    val qVecs = queries.orderBy("vec_id").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val ranking = Similarity.probeRanking(coarse)
+    def time(label: String)(body: => Unit): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"dense":"$label","n_corpus":$nCorpus,""" +
+        f""""n_queries":${qVecs.size},"sec":$sec%.2f,""" +
+        s""""input_bytes":${listener.totInput},""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+    }
+    time("one_call")(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      coarse, pqCb, qVecs, k = 5, nprobe = 2)
+      .write.format("noop").mode("overwrite").save())
+    time("build_persist")(graft.etd.Sources.writeBucketed(
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", coarse, pqCb),
+      "ivfpq_index_scale", s"$outDir/ivfpq_index", buckets = 32,
+      bucketCols = Seq("cell"), sortCols = Seq("cell")))
+    val idx = spark.table("ivfpq_index_scale")
+    time("search_persisted")(Similarity.ivfPqTopKCoded(idx, "id", "codes",
+      "cell", q => ranking(q).take(2), pqCb, qVecs, k = 5)
+      .write.format("noop").mode("overwrite").save())
+    time("search_persisted_warm")(Similarity.ivfPqTopKCoded(idx, "id", "codes",
+      "cell", q => ranking(q).take(2), pqCb, qVecs, k = 5)
+      .write.format("noop").mode("overwrite").save())
   }
 
   /** BM25 build/search split at 100k docs: the lexical analogue of the
@@ -203,11 +257,11 @@ object ScaleBench {
       (0 until n).map(i => f(df, i)).reduce(_ unionByName _)
     val t0 = System.nanoTime()
 
-    // events x10: user_id (the household key) offsets — household COUNT
+    // events x20: user_id (the household key) offsets — household COUNT
     // grows, per-house history length stays constant, exactly how the
     // real data grows; event ids offset to stay unique.
     val events = SparkEntry.table(spark, srcDir, "events")
-    copies(events, 10) { (df, i) =>
+    copies(events, 20) { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
         .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
     }.repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")

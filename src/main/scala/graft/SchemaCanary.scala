@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema-drift canary for the driver-provided testdata.
+  *
+  * The driver regenerates /root/testdata between rounds and has already
+  * changed column physical types once (events.ts: int64 TIMESTAMP(NANOS)
+  * -> timestamp[us], which flips the Spark-side type from LongType to
+  * TIMESTAMP_NTZ and silently killed 30 oracle queries in round 9).
+  * This check makes the next such drift fail loudly and locally: every
+  * main that reads testdata calls [[warn]] first, and SchemaCanarySpec
+  * pins [[diagnose]] green on the checked-in testdata, so a regenerated
+  * table with an unexpected type prints one diagnostic line per column
+  * instead of 30 downstream analysis errors.
+  *
+  * Types are compared on `DataType.simpleString`. Where the driver has
+  * legitimately varied a type across vintages (timestamps), every
+  * vintage the engine supports is listed as acceptable; the consuming
+  * shim ([[SparkEntry.eventsWithMicros]]) adapts at the same seam.
+  */
+object SchemaCanary {
+
+  /** Acceptable simpleString types per column, per table. `bigint` is in
+    * every timestamp set because spark.sql.legacy.parquet.nanosAsLong
+    * (set by all mains) longifies the TIMESTAMP(NANOS) vintage.
+    */
+  private val ts: Set[String] = Set("timestamp", "timestamp_ntz", "bigint")
+  val expected: Map[String, Map[String, Set[String]]] = Map(
+    "region" -> Map(
+      "r_regionkey" -> Set("int", "bigint"), "r_name" -> Set("string")),
+    "nation" -> Map(
+      "n_nationkey" -> Set("int", "bigint"), "n_name" -> Set("string"),
+      "n_regionkey" -> Set("int", "bigint")),
+    "customer" -> Map(
+      "c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+      "c_nationkey" -> Set("int", "bigint"), "c_acctbal" -> Set("double"),
+      "c_mktsegment" -> Set("string")),
+    "supplier" -> Map(
+      "s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+      "s_nationkey" -> Set("int", "bigint"), "s_acctbal" -> Set("double")),
+    "part" -> Map(
+      "p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+      "p_brand" -> Set("string"), "p_type" -> Set("string"),
+      "p_size" -> Set("int", "bigint"), "p_retailprice" -> Set("double")),
+    "orders" -> Map(
+      "o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+      "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+      "o_orderdate" -> (ts + "date"), "o_orderpriority" -> Set("string")),
+    "lineitem" -> Map(
+      "l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+      "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int", "bigint"),
+      "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+      "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+      "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+      "l_shipdate" -> (ts + "date")),
+    "events" -> Map(
+      "event_id" -> Set("bigint"), "ts" -> ts, "user_id" -> Set("bigint"),
+      "event_type" -> Set("string"), "value" -> Set("double"),
+      "props" -> Set("string")),
+    "documents" -> Map(
+      "doc_id" -> Set("bigint"), "text" -> Set("string"),
+      "lang" -> Set("string"), "source" -> Set("string"),
+      "n_chars" -> Set("bigint")),
+    "embeddings" -> Map(
+      "vec_id" -> Set("bigint"),
+      "embedding" -> Set("array<float>", "array<double>"),
+      "label" -> Set("int", "bigint")))
+
+  /** One line per drifted/missing column; empty = vintage is supported. */
+  def diagnoseTable(df: DataFrame, name: String): Seq[String] = {
+    val have = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    expected(name).toSeq.sortBy(_._1).flatMap { case (colName, ok) =>
+      have.get(colName) match {
+        case None =>
+          Some(s"$name.$colName is MISSING (have: ${df.schema.fieldNames.mkString(", ")})")
+        case Some(t) if !ok(t) =>
+          Some(s"$name.$colName is $t, expected one of ${ok.toSeq.sorted.mkString("[", ", ", "]")}" +
+            " - driver testdata schema drifted; adapt the reading shim")
+        case _ => None
+      }
+    }
+  }
+
+  def diagnose(spark: SparkSession, dir: String): Seq[String] =
+    expected.keys.toSeq.sorted.flatMap { t =>
+      try diagnoseTable(spark.read.parquet(s"$dir/$t.parquet"), t)
+      catch { case e: Throwable => Seq(s"$t unreadable at $dir: ${e.getMessage}") }
+    }
+
+  /** stderr one-liners; never throws (a drifted but still-working vintage
+    * should not take down the whole Verify/Bench run).
+    */
+  def warn(spark: SparkSession, dir: String): Unit =
+    diagnose(spark, dir).foreach(d => System.err.println(s"[canary] $d"))
+}

@@ -17,6 +17,35 @@ object SparkEntry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with `t_us` = microseconds since epoch derived from `ts`,
+    * robust to the driver testdata vintage:
+    *   - int64 TIMESTAMP(NANOS), read as LongType when
+    *     spark.sql.legacy.parquet.nanosAsLong is set -> `ts div 1000`;
+    *   - timestamp[us] isAdjustedToUTC=true  -> TIMESTAMP     -> unix_micros;
+    *   - timestamp[us] isAdjustedToUTC=false -> TIMESTAMP_NTZ ->
+    *     timestampdiff from the NTZ epoch, which reads the wall time AS
+    *     UTC without ever consulting spark.sql.session.timeZone. (A plain
+    *     cast to TIMESTAMP, or to_utc_timestamp, goes through an implicit
+    *     NTZ->LTZ conversion in the session zone and would shift t_us on
+    *     any session not pinned to UTC.)
+    * The DuckDB oracle side (`epoch_ns(ts)//1000`) accepts every vintage
+    * unchanged, so only this Spark-side shim needs to adapt.
+    */
+  def eventsWithMicros(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val ev = table(spark, dir, "events")
+    val tUs = ev.schema("ts").dataType match {
+      case LongType      => expr("ts div 1000")
+      case TimestampType => unix_micros(col("ts"))
+      case TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected int64 nanos (LongType), " +
+          "TIMESTAMP, or TIMESTAMP_NTZ - did the driver regenerate testdata with a new schema?")
+    }
+    ev.withColumn("t_us", tUs)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full imputation cascade (SURVEY §2.9 I3-I9) — the reference's
     * core IP — run end-to-end through graft.etd.Impute.

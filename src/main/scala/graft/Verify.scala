@@ -14,11 +14,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); Spark has no ns type, so
-      // read as int64 nanos (exact; DuckDB oracle side uses epoch_ns()).
+      // nanosAsLong covers the int64 TIMESTAMP(NANOS) testdata vintage;
+      // timestamp[us] vintages pass through as TIMESTAMP/TIMESTAMP_NTZ
+      // and SparkEntry.eventsWithMicros adapts per-type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SchemaCanary.warn(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // No coalesce(1): the driver's checker reads whole result directories,
     // and a single-task writer would bottleneck row-heavy queries (ADVICE r1).

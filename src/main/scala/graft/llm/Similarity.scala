@@ -331,16 +331,20 @@ object Similarity {
     * returns null, matching [[ivfTopK]]) and zero-norm queries probe
     * nothing (matching [[ivfRanking]]'s null contract).
     */
-  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
-                coarse: Array[Array[Float]],
-                codebooks: Array[Array[Array[Float]]],
-                queries: Seq[(Long, Array[Float])], k: Int,
-                nprobe: Int = 1): DataFrame = {
+  /** Query-side coarse probe: every cell id (1-based, matching
+    * [[ivfAssign]]) ranked by centroid cosine against the query vector.
+    * Driver-side arithmetic over the k x dim centroid array only — the
+    * probe list for a query batch never touches the cluster. Zero-norm
+    * queries (and zero-norm centroids) probe nothing, matching
+    * ivfRanking's null contract. Shared by [[ivfPqTopK]] and any caller
+    * searching a persisted coded index via [[ivfPqTopKCoded]].
+    */
+  def probeRanking(coarse: Array[Array[Float]]): Array[Float] => Seq[Long] = {
     val centNorms = coarse.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
-    def cosRank(q: Array[Float]): Seq[Int] = {
+    q => {
       val nq = math.sqrt(q.map(x => x.toDouble * x).sum)
-      if (!(nq > 0)) return Seq.empty // ivfRanking's zero-norm contract
-      coarse.indices
+      if (!(nq > 0)) Seq.empty // ivfRanking's zero-norm contract
+      else coarse.indices
         .filter(c => centNorms(c) > 0)
         .sortBy { c =>
           val cent = coarse(c)
@@ -348,14 +352,37 @@ object Similarity {
             .map(i => q(i).toDouble * cent(i)).sum
           -dot / (nq * centNorms(c))
         }
+        .map(_ + 1L)
     }
+  }
+
+  /** Map-only corpus encode into the persisted IVF-PQ index shape
+    * (id, codes, cell) — the ~10-byte/row table [[ivfPqTopKCoded]]
+    * searches. Built ONCE per corpus vintage (typically written with
+    * `Sources.writeBucketed(_, _, _, n, Seq("cell"), Seq("cell"))` so a
+    * probe's cell filter prunes whole buckets); every query batch after
+    * that reads only this index, never a vector.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      coarse: Array[Array[Float]],
+                      codebooks: Array[Array[Array[Float]]]): DataFrame = {
     val cents = array(coarse.map(c =>
       array(c.toIndexedSeq.map(lit(_)): _*)).toIndexedSeq: _*)
-    val indexed = corpus.select(col(idCol),
-      pqEncode(col(vecCol), codebooks).as("__codes"),
-      ivfAssign(col(vecCol), cents).as("__cell"))
-    ivfPqTopKCoded(indexed, idCol, "__codes", "__cell",
-      q => cosRank(q).take(nprobe).map(_ + 1L), codebooks, queries, k)
+    corpus.select(col(idCol).as("id"),
+      pqEncode(col(vecCol), codebooks).as("codes"),
+      ivfAssign(col(vecCol), cents).as("cell"))
+  }
+
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                coarse: Array[Array[Float]],
+                codebooks: Array[Array[Array[Float]]],
+                queries: Seq[(Long, Array[Float])], k: Int,
+                nprobe: Int = 1): DataFrame = {
+    val ranking = probeRanking(coarse)
+    val indexed = buildIvfPqIndex(corpus, idCol, vecCol, coarse, codebooks)
+      .withColumnRenamed("id", idCol)
+    ivfPqTopKCoded(indexed, idCol, "codes", "cell",
+      q => ranking(q).take(nprobe), codebooks, queries, k)
   }
 
   /** Stored-index IVF-PQ search — the call shape a 100 TB deployment

@@ -37,8 +37,7 @@ object QueriesEtd {
   def readings(spark: SparkSession, dir: String): DataFrame = {
     val wHouse = Window.partitionBy("user_id").orderBy("t_us")
     val running = wHouse.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    table(spark, dir, "events")
-      .withColumn("t_us", expr("ts div 1000"))
+    graft.SparkEntry.eventsWithMicros(spark, dir)
       .withColumn("__rn", row_number().over(
         Window.partitionBy("user_id", "t_us").orderBy("event_id")))
       .filter(col("__rn") === 1).drop("__rn")

@@ -17,8 +17,7 @@ object QueriesWeather {
 
   /** Weather-shaped frame: one observation per (stn, t_us, event_id). */
   def wx(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("t_us", expr("ts div 1000"))
+    graft.SparkEntry.eventsWithMicros(spark, dir)
       .withColumn("stn", pmod(col("user_id"), lit(10L)))
       .withColumn("temp", when(col("event_type") =!= "error", col("value")))
       .withColumn("day", expr("t_us div 86400000000"))
@@ -123,8 +122,7 @@ object QueriesWeather {
     * composed [[Weather.weatherTable]].
     */
   def knmiRaw(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("t_us", expr("ts div 1000"))
+    graft.SparkEntry.eventsWithMicros(spark, dir)
       .withColumn("stn", pmod(col("user_id"), lit(10L)))
       .withColumn("hr", expr("t_us div 3600000000"))
       .groupBy("stn", "hr")

@@ -78,6 +78,42 @@ class StreamingNearDupSpec extends AnyFunSuite {
       s"evicted member must not pair; fresh members must: $got")
   }
 
+  test("re-arrival after eviction: old member re-pairs with post-horizon members only") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(hour: Int) = Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00")
+    val input = MemoryStream[StreamingNearDup.BandedDocTs]
+    val banded = input.toDS().withWatermark("eventTime", "1 hour")
+      .as[StreamingNearDup.BandedDocTs]
+    val pairs = StreamingNearDup.candidatePairsExpiring(banded,
+      ttlMs = 3600 * 1000)
+    val query = pairs.writeStream
+      .format("memory").queryName("neardup_rearrival").outputMode("append")
+      .start()
+
+    // docs 1 and 2 share a bucket pre-horizon: pair (1,2) emits
+    input.addData(
+      StreamingNearDup.BandedDocTs("0|k1", 1L, ts(0)),
+      StreamingNearDup.BandedDocTs("0|k1", 2L, ts(0)))
+    query.processAllAvailable()
+    // advance the watermark far past the bucket's TTL -> state evicts
+    input.addData(StreamingNearDup.BandedDocTs("9|zz", 99L, ts(10)))
+    query.processAllAvailable()
+    // doc 1 RE-ARRIVES after the horizon: its old pairing is gone, so it
+    // must NOT re-emit (1,2); it seeds a fresh bucket instead
+    input.addData(StreamingNearDup.BandedDocTs("0|k1", 1L, ts(11)))
+    query.processAllAvailable()
+    // doc 3 lands in the re-seeded bucket: pairs with the re-arrived 1 only
+    input.addData(StreamingNearDup.BandedDocTs("0|k1", 3L, ts(12)))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("neardup_rearrival")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L)),
+      s"re-arrived member pairs with post-horizon members only, no (2,3): $got")
+  }
+
   test("banding stage matches the batch LSH (same signatures, same keys)") {
     val docs = Seq((1L, textA), (2L, textA), (3L, textB)).toDF("doc_id", "text")
     // run the streaming banding expressions in batch mode
