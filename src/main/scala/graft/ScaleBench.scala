@@ -110,7 +110,41 @@ object ScaleBench {
       bm25Split(spark, outDir, listener)
     if (args.contains("dense") || args.isEmpty)
       denseSplit(spark, outDir, listener)
+    if (args.contains("semdedup") || args.isEmpty)
+      semDedupNlist(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** The nlist ∝ N rule, measured. The registry's q_semdedup pins
+    * nlist=8 for its oracle; at 100k ALL-DISTINCT vectors that puts
+    * ~12.5k rows in every cell and the cell-local pair join goes
+    * quadratic (the r10 scale run measured 105 s vs 1.1 s at 5k — 93x
+    * for 20x data; semDedupDistinct cannot help when every vector is
+    * distinct). The production rule from PERFNOTES — grow nlist with the
+    * corpus so rows/cell stays bounded — is what this block evidences:
+    * same corpus, same semantics, nlist 8 vs 128 (first-128 codebook),
+    * expecting roughly nlist-fold fewer pair comparisons and near-linear
+    * wall. Cell-balance caveat: first-k "centroids" are arbitrary
+    * vectors, so cells are uneven; a trained codebook tightens this
+    * further.
+    */
+  private def semDedupNlist(spark: SparkSession, outDir: String,
+                            listener: TaskMetricsProbe): Unit = {
+    import graft.llm.Dedup
+    val emb = SparkEntry.table(spark, outDir, "embeddings")
+    val nCorpus = emb.count()
+    for (nlist <- Seq(8, 128)) {
+      listener.reset()
+      val t0 = System.nanoTime()
+      Dedup.semDedup(emb, "vec_id", "embedding", 0.35,
+          graft.queries.QueriesLLM.firstKCodebookLit(emb, nlist))
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"semdedup_nlist":$nlist,"n_corpus":$nCorpus,"sec":$sec%.2f,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+    }
   }
 
   /** Dense-retrieval build/search split at 100k vectors — the BM25

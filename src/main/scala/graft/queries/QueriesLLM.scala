@@ -467,6 +467,34 @@ object QueriesLLM {
         round(col("score"), 6).as("score"))
   }
 
+  /** IVF + PQ composed through the LIBRARY path
+    * ([[Similarity.ivfPqTopK]] = [[Similarity.buildIvfPqIndex]] +
+    * [[Similarity.probeRanking]] + [[Similarity.ivfPqTopKCoded]]): the
+    * billion-scale index shape — coarse cells from the first-8 codebook,
+    * 4x16 PQ codes, 3 queries probing their 2 nearest cells and scoring
+    * only those cells' rows by ADC. The oracle composes the q_ann_ivf
+    * cell-assignment CTEs with the q_ann_pq code/LUT CTEs and a probe
+    * ranking (pcos DESC, cid — probeRanking's stable-sort tie-break), so
+    * cell assignment, probe selection, encoding AND scoring must all
+    * match to hash-equal.
+    */
+  def q_ann_ivfpq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val base = firstKCodebook(emb)
+    val m = 4
+    val sub = 16
+    val cb = Array.tabulate(m, base.length)((j, i) =>
+      base(i).slice(j * sub, (j + 1) * sub))
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 13)
+      .orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    Similarity.ivfPqTopK(emb, "vec_id", "embedding", base, cb, queries,
+        k = 5, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -871,6 +899,7 @@ object QueriesLLM {
     "q_dsir_weights" -> (q_dsir_weights _),
     "q_curation_e2e" -> (q_curation_e2e _),
     "q_ann_pq" -> (q_ann_pq _),
+    "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
     "q_lang_rebalance" -> (q_lang_rebalance _),
@@ -1612,6 +1641,60 @@ object QueriesLLM {
         |    max(CASE WHEN l.j = 0 THEN ip END) + max(CASE WHEN l.j = 1 THEN ip END)
         |      + max(CASE WHEN l.j = 2 THEN ip END) + max(CASE WHEN l.j = 3 THEN ip END) AS score
         |  FROM codes n JOIN lut l ON n.j = l.j AND n.code = l.cid
+        |  WHERE n.vec_id <> l.query_id
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_ann_ivfpq" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), subs AS (SELECT unnest(range(4)) AS j),
+        |assigned AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
+        |  FROM embeddings e CROSS JOIN cents c
+        |), cells AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS r
+        |    FROM assigned) WHERE r = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS r
+        |    FROM assigned WHERE vec_id >= 10 AND vec_id < 13) WHERE r <= 2
+        |), dists AS (
+        |  SELECT e.vec_id, s.j, c.cid,
+        |    list_sum(list_transform(
+        |      list_zip(e.embedding[s.j*16+1 : s.j*16+16], c.cv[s.j*16+1 : s.j*16+16]),
+        |      p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS d2
+        |  FROM embeddings e CROSS JOIN subs s CROSS JOIN cents c
+        |), codes AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |      ORDER BY d2 ASC, cid) AS r FROM dists) WHERE r = 1
+        |), lut AS (
+        |  SELECT q.vec_id AS query_id, s.j, c.cid,
+        |    list_sum(list_transform(
+        |      list_zip(q.embedding[s.j*16+1 : s.j*16+16], c.cv[s.j*16+1 : s.j*16+16]),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS ip
+        |  FROM embeddings q CROSS JOIN subs s CROSS JOIN cents c
+        |  WHERE q.vec_id >= 10 AND q.vec_id < 13
+        |), scored AS (
+        |  SELECT l.query_id, n.vec_id AS neighbor_id,
+        |    max(CASE WHEN l.j = 0 THEN ip END) + max(CASE WHEN l.j = 1 THEN ip END)
+        |      + max(CASE WHEN l.j = 2 THEN ip END) + max(CASE WHEN l.j = 3 THEN ip END) AS score
+        |  FROM codes n JOIN lut l ON n.j = l.j AND n.code = l.cid
+        |  JOIN cells cl ON cl.vec_id = n.vec_id
+        |  JOIN probes p ON p.query_id = l.query_id AND p.cell = cl.cell
         |  WHERE n.vec_id <> l.query_id
         |  GROUP BY 1, 2
         |), ranked AS (
