@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units",
+  * arXiv:1508.07909) — the vocabulary-induction pass a training-data
+  * pipeline runs before tokenizing a corpus.
+  *
+  * Scale shape — the key fact about BPE at 100 TB is that only ONE pass
+  * is corpus-scale: [[wordCounts]] (tokenize + one hash-agg shuffle on
+  * the word). Everything after operates on the DISTINCT-WORD frequency
+  * table (bounded by the language's vocabulary, millions of rows at
+  * web scale — cluster-trivial), exactly how reference tokenizer
+  * trainers stage it. Each merge round is one aggregation on that small
+  * cached table; lineage is cut every `checkpointEvery` rounds so the
+  * per-word symbol column's plan stays bounded (the clusterPairs
+  * pattern).
+  *
+  * Determinism: the merge pick orders by (count DESC, pair ASC) — no
+  * hash-map iteration order anywhere, so a laptop and a 1000-executor
+  * cluster learn the SAME vocabulary bit-for-bit.
+  */
+object BpeTrain {
+
+  /** End-of-word marker (a separate final symbol, Sennrich's convention:
+    * "est" mid-word and "est&lt;/w&gt;" word-final learn independently).
+    */
+  val EndOfWord = "</w>"
+
+  /** The ONE corpus-scale pass: single-space tokens (the repo-wide
+    * convention, [[TextFunctions.tokens]]) -> (word, cnt). `wordFilter`
+    * defaults to lowercase-ASCII words, which keeps the char alphabet
+    * (and therefore the oracle) engine-portable — Spark's split("")
+    * works on UTF-16 code units while most engines split code points,
+    * so non-BMP text would diverge; production callers widen the filter
+    * deliberately.
+    */
+  def wordCounts(df: DataFrame, textCol: String,
+                 wordFilter: String = "^[a-z]+$"): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike(wordFilter))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** word -> initial symbol sequence: characters plus the [[EndOfWord]]
+    * marker as a separate trailing symbol.
+    */
+  def initSymbols(word: Column): Column =
+    // split(w, "") runs with Java's limit=-1 semantics, which KEEPS a
+    // trailing empty element — filter it or every word grows a "" symbol
+    concat(filter(split(word, ""), c => length(c) > 0), array(lit(EndOfWord)))
+
+  /** Adjacent-pair frequencies of a (syms, cnt) frame: one aggregation,
+    * keyed by the pair. The zip_with pairs arrays stay inside codegen —
+    * only the exploded (a, b, cnt) rows shuffle.
+    */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("cnt").as("n"))
+
+  /** One BPE merge applied to a symbol array: every leftmost-first,
+    * non-overlapping adjacent (a, b) becomes the fused symbol. A single
+    * left fold — after a merge the fused symbol is the accumulator's
+    * tail, so an overlapping second occurrence ("aaa" under (a,a) ->
+    * [aa, a]) cannot re-match, which IS the standard semantics.
+    */
+  def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn up to `numMerges` merges from a [[wordCounts]] frame. Stops
+    * early when the best remaining pair's frequency falls below
+    * `minFrequency` (merging hapax pairs just memorizes the corpus).
+    * Each round: one aggregation + a 1-row collect (the argmax pick,
+    * deterministic tie-break) + a lazy map-only merge; the driver only
+    * ever holds the merge list.
+    */
+  def learnMerges(wordCounts: DataFrame, numMerges: Int,
+                  minFrequency: Long = 2,
+                  checkpointEvery: Int = 8): Seq[(String, String)] = {
+    var words = wordCounts
+      .select(initSymbols(col("word")).as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val top = pairCounts(words)
+        .filter(col("n") >= minFrequency)
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        words = words.withColumn("syms", mergePair(col("syms"), a, b))
+        // bound the accumulated merge-expression plan (clusterPairs'
+        // lineage-cut pattern); off the checkpoint rounds the merge
+        // stays lazy and fuses into the next round's aggregation
+        if ((i + 1) % checkpointEvery == 0) words = words.localCheckpoint()
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize with a learned merge list: per word, start from
+    * [[initSymbols]] and replay the merges IN LEARNED ORDER (the
+    * definition of BPE application; rank-greedy implementations are an
+    * equivalent optimization). Pure expression — the merge list unrolls
+    * into `merges.size` nested folds inside one transform, so whole
+    * rows never leave codegen'd projection. Intended for bounded merge
+    * lists (vocab prototyping, spec/oracle checks; past a few hundred
+    * merges the expression tree is better replaced by a broadcast
+    * rank-table mapPartitions, the [[Multimodal]] justification).
+    */
+  def bpeSplit(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(TextFunctions.tokens(text), w =>
+      merges.foldLeft(initSymbols(w)) { case (s, (a, b)) => mergePair(s, a, b) }))
+}

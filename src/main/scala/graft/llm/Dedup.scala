@@ -700,4 +700,37 @@ object Dedup {
     nonzero.join(keptReps.select(col(idCol)), Seq(idCol), "left_semi")
       .unionByName(zero)
   }
+
+  /** [[semDedupDistinct]] with the nlist ∝ N sizing rule applied for the
+    * caller: nlist = clamp(ceil(sqrt(corpus rows)), minNlist, maxNlist),
+    * centroids = the first nlist nonzero vectors by id (the same
+    * deterministic "collected like a trained codebook would be"
+    * convention the registry queries use). This exists because a FIXED
+    * nlist is the one semDedup parameter that silently goes quadratic as
+    * the corpus grows — measured at 100k distinct vectors: nlist 8 =
+    * 95 s, nlist 128 = 6.3 s (PERFNOTES r10). sqrt(N) keeps expected
+    * rows/cell = sqrt(N), i.e. cell-local pair work linear in N, the
+    * FAISS sizing convention.
+    *
+    * `maxNlist` defaults to 4096 because centroids ride the plan as a
+    * LITERAL array (nlist x dim floats) into the codegen'd assignment
+    * expression — fine to a few thousand cells; past that, train a
+    * coarse quantizer and pass it to [[semDedupDistinct]] directly.
+    * The exact-twin pre-collapse comes free via semDedupDistinct (a
+    * linear pass; provably identical kept set).
+    */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, nprobe: Int = 1,
+                   minNlist: Int = 8, maxNlist: Int = 4096): DataFrame = {
+    val n = df.count()
+    val nlist = math.min(maxNlist.toLong,
+      math.max(minNlist.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val cents = df.filter(l2norm(col(vecCol)) > 0)
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centsLit = array(cents.toIndexedSeq.map(v =>
+      array(v.toIndexedSeq.map(lit(_)): _*)): _*)
+    semDedupDistinct(df, idCol, vecCol, threshold, centsLit, nprobe)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.table
-import graft.llm.{Curation, Dedup, Multimodal, Packing, Retrieval, Similarity, TextFunctions}
+import graft.llm.{BpeTrain, Curation, Dedup, Multimodal, Packing, Retrieval, Similarity, TextFunctions}
 
 /** LLM-training-data pipeline coverage queries over the driver's
   * `documents` and `embeddings` tables, with DuckDB oracles.
@@ -495,6 +495,23 @@ object QueriesLLM {
         round(col("score"), 6).as("score"))
   }
 
+  /** BPE vocabulary induction, corpus-scale half ([[BpeTrain.wordCounts]]
+    * + [[BpeTrain.initSymbols]] + [[BpeTrain.pairCounts]]): the adjacent
+    * symbol-pair frequency table the first merge argmaxes over. This IS
+    * the distributed part of tokenizer training (everything after runs
+    * on the distinct-word table); the oracle replays tokenize -> word
+    * filter -> char symbols + "&lt;/w&gt;" -> pair explode -> sum in SQL, so
+    * the symbol and count conventions must match exactly. The merge LOOP
+    * is spec-pinned (BpeSpec, Sennrich worked example) — an iterative
+    * argmax is not one SQL query.
+    */
+  def q_bpe_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val wc = BpeTrain.wordCounts(table(spark, dir, "documents"), "text")
+    BpeTrain.pairCounts(
+        wc.select(BpeTrain.initSymbols(col("word")).as("syms"), col("cnt")))
+      .select(col("a"), col("b"), col("n"))
+  }
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -900,6 +917,7 @@ object QueriesLLM {
     "q_curation_e2e" -> (q_curation_e2e _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
+    "q_bpe_pairs" -> (q_bpe_pairs _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
     "q_lang_rebalance" -> (q_lang_rebalance _),
@@ -1704,5 +1722,19 @@ object QueriesLLM {
         |)
         |SELECT query_id, neighbor_id, rank, round(score, 6) AS score
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word
+        |  FROM documents
+        |), wf AS (
+        |  SELECT word, count(*) AS cnt FROM words
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1
+        |), syms AS (
+        |  SELECT list_append(string_split(word, ''), '</w>') AS s, cnt FROM wf
+        |), pairs AS (
+        |  SELECT s[i] AS a, s[i+1] AS b, cnt
+        |  FROM syms, unnest(range(1, len(s))) AS t(i)
+        |)
+        |SELECT a, b, sum(cnt)::BIGINT AS n FROM pairs GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Pins BPE vocabulary induction on the Sennrich et al. (2016) worked
+  * example — every merge hand-derivable — and tokenization as the
+  * learned-order replay of those merges.
+  */
+class BpeSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  // the paper's corpus: {low:5, lower:2, newest:6, widest:3}
+  private def corpus = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    .toDF("word", "cnt")
+
+  test("learnMerges: Sennrich worked example, deterministic tie-breaks") {
+    // round-by-round argmax with (count DESC, pair ASC):
+    //   (e,s)=9 over (s,t)=9/(t,</w>)=9 lexicographically; then
+    //   (es,t)=9; (est,</w>)=9; (l,o)=7 over (o,w)=7; (lo,w)=7;
+    //   (e,w)=6 over (n,e)=6/(w,est</w>)=6
+    val merges = BpeTrain.learnMerges(corpus, numMerges = 6)
+    assert(merges == Seq(
+      "e" -> "s", "es" -> "t", "est" -> "</w>",
+      "l" -> "o", "lo" -> "w", "e" -> "w"))
+  }
+
+  test("learnMerges: minFrequency stops before hapax pairs; checkpoint rounds agree") {
+    // with minFrequency above every pair count, nothing is learned
+    assert(BpeTrain.learnMerges(corpus, 10, minFrequency = 100).isEmpty)
+    // a checkpoint boundary inside the loop must not change the result
+    val every2 = BpeTrain.learnMerges(corpus, 6, checkpointEvery = 2)
+    assert(every2 == BpeTrain.learnMerges(corpus, 6))
+  }
+
+  test("bpeSplit: replaying learned merges tokenizes unseen words") {
+    val merges = BpeTrain.learnMerges(corpus, 6)
+    def toks(s: String): Seq[String] =
+      spark.range(1).select(BpeTrain.bpeSplit(lit(s), merges))
+        .collect().head.getSeq[String](0).toSeq
+    // the classic result: "lowest" = low + est</w>
+    assert(toks("lowest") == Seq("low", "est</w>"))
+    // seen word fully merges along its own path
+    assert(toks("low") == Seq("low", "</w>"))
+    // multiple words flatten in order; unknown chars stay single symbols
+    assert(toks("low low") == Seq("low", "</w>", "low", "</w>"))
+    assert(toks("xy") == Seq("x", "y", "</w>"))
+  }
+
+  test("mergePair: leftmost non-overlapping semantics") {
+    def m(syms: Seq[String], a: String, b: String): Seq[String] =
+      spark.range(1).select(BpeTrain.mergePair(
+        array(syms.map(lit(_)): _*), a, b))
+        .collect().head.getSeq[String](0).toSeq
+    assert(m(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(m(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(m(Seq("a", "a", "b"), "a", "b") == Seq("a", "ab"))
+    assert(m(Seq("x"), "a", "b") == Seq("x"))
+  }
+
+  test("wordCounts + pairCounts: one corpus pass, portable word filter") {
+    val docs = Seq((1L, "low low lower"), (2L, "Newest ab")).toDF("doc_id", "text")
+    val wc = BpeTrain.wordCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "Newest" fails the lowercase-ascii filter
+    assert(wc == Map("low" -> 2L, "lower" -> 1L, "ab" -> 1L))
+    val pc = BpeTrain.pairCounts(
+      BpeTrain.wordCounts(docs, "text")
+        .select(BpeTrain.initSymbols(col("word")).as("syms"), col("cnt")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pc(("l", "o")) == 3L)   // low x2 + lower
+    assert(pc(("w", "</w>")) == 2L) // low x2 word-final
+    assert(pc(("a", "b")) == 1L)
+    assert(pc(("b", "</w>")) == 1L)
+  }
+}

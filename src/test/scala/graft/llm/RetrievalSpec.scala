@@ -125,6 +125,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(dist2 == plain2)
   }
 
+  test("semDedupAuto: sqrt(N) nlist, first-nonzero-k centroids, == explicit call") {
+    // 16 rows -> nlist = clamp(ceil(sqrt(16)), 8, 4096) = 8; the first 8
+    // NONZERO vectors by id are the centroids (id 0's zero vector is
+    // skipped, so centroids = vectors of ids 1..8)
+    val vecs = (0L to 15L).map { i =>
+      if (i == 0L) (i, Array(0f, 0f, 0f))
+      else (i, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        (i % 3).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = array((1L to 8L).map(i =>
+      array(vecs(i.toInt)._2.toIndexedSeq.map(lit(_)): _*)): _*)
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id").collect().map(_.getLong(0)).toSet
+    val auto = keys(Dedup.semDedupAuto(df, "vec_id", "embedding", 0.95))
+    val explicit = keys(Dedup.semDedupDistinct(df, "vec_id", "embedding", 0.95, cents))
+    assert(auto == explicit)
+    assert(auto.contains(0L), "zero-norm row always survives")
+  }
+
   test("curation chain: gate, redact-before-dedup, exact + near dedup") {
     val base = "the cat and the dog is on a mat in the house with a hat"
     val docs = Seq(
