@@ -54,6 +54,8 @@ object Bench {
     "q_embed_dup_ivf",
     "q_ann_topk",
     "q_ann_pq",
+    "q_ann_ivfpq",
+    "q_bpe_pairs",
     "q_text_quality",
     "q_text_fingerprint",
     "q_text_bigram_lm",

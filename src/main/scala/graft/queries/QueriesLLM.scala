@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.table
-import graft.llm.{BpeTrain, Curation, Dedup, Multimodal, Packing, Retrieval, Similarity, TextFunctions}
+import graft.llm.{BpeTrain, Curation, Dedup, Multimodal, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions}
 
 /** LLM-training-data pipeline coverage queries over the driver's
   * `documents` and `embeddings` tables, with DuckDB oracles.
@@ -512,6 +512,25 @@ object QueriesLLM {
       .select(col("a"), col("b"), col("n"))
   }
 
+  /** Model-based quality scoring ([[QualityClassifier.margin]]): hashed
+    * unigram+bigram buckets (the md5-60 convention) scored against a
+    * FORMULA-derived weight vector (w[k] = ((k*2654435761) % 1000)/1000
+    * - 0.5) so the oracle can regenerate the weights in SQL instead of
+    * inlining a 512-float literal. Pins featurize + bucket-fold + mean +
+    * bias — the exact scoring path a TRAINED model uses (training itself
+    * is spec-pinned: deterministic decimal-sum GD, QualityClassifierSpec).
+    * The margin (not the sigmoid) is compared: pure +,*,/ arithmetic —
+    * exp() may differ in the last ulp across engines' libm.
+    */
+  def q_quality_lr(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 512
+    val w = Array.tabulate(dim)(k =>
+      ((k.toLong * 2654435761L) % 1000L) / 1000.0 - 0.5)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.round6(
+        QualityClassifier.margin(col("text"), w, 0.1, dim)).as("margin"))
+  }
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -918,6 +937,7 @@ object QueriesLLM {
     "q_ann_pq" -> (q_ann_pq _),
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_bpe_pairs" -> (q_bpe_pairs _),
+    "q_quality_lr" -> (q_quality_lr _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
     "q_lang_rebalance" -> (q_lang_rebalance _),
@@ -1736,5 +1756,26 @@ object QueriesLLM {
         |  FROM syms, unnest(range(1, len(s))) AS t(i)
         |)
         |SELECT a, b, sum(cnt)::BIGINT AS n FROM pairs GROUP BY 1, 2""".stripMargin,
+    "q_quality_lr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_concat(w,
+        |    CASE WHEN len(w) >= 2
+        |      THEN list_transform(generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1])
+        |      ELSE [] END) AS gs
+        |  FROM toks
+        |), buckets AS (
+        |  SELECT doc_id,
+        |    list_transform(gs, g -> ('0x'||substr(md5(g),1,15))::BIGINT % 512) AS bs
+        |  FROM grams
+        |), scored AS (
+        |  SELECT doc_id, CASE WHEN len(bs) = 0 THEN 0.1
+        |    ELSE 0.1 + list_sum(list_transform(bs,
+        |      k -> ((k*2654435761) % 1000)/1000.0 - 0.5)) / len(bs) END AS m
+        |  FROM buckets
+        |)
+        |SELECT doc_id, floor(m*1000000 + 0.5)/1000000 AS margin FROM scored""".stripMargin,
   )
 }
