@@ -531,6 +531,20 @@ object QueriesLLM {
         QualityClassifier.margin(col("text"), w, 0.1, dim)).as("margin"))
   }
 
+  /** Corpus profiling rollup — the per-(lang, source) dashboard a
+    * curation run reports: document count, total whitespace tokens,
+    * decimal-exact mean char length, empty-document count. One hash-agg;
+    * the token counting stays inside codegen (size over the shared
+    * tokens() split, no explode).
+    */
+  def q_corpus_stats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("total_tokens"),
+        graft.etd.Aggregates.exactMean(col("n_chars")).as("avg_chars"),
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("n_empty"))
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -938,6 +952,7 @@ object QueriesLLM {
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_bpe_pairs" -> (q_bpe_pairs _),
     "q_quality_lr" -> (q_quality_lr _),
+    "q_corpus_stats" -> (q_corpus_stats _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
     "q_lang_rebalance" -> (q_lang_rebalance _),
@@ -1777,5 +1792,11 @@ object QueriesLLM {
         |  FROM buckets
         |)
         |SELECT doc_id, floor(m*1000000 + 0.5)/1000000 AS margin FROM scored""".stripMargin,
+    "q_corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0)))::BIGINT AS total_tokens,
+        |  floor((sum(n_chars::DECIMAL(28,12))::DOUBLE / count(n_chars)) * 1000000 + 0.5) / 1000000 AS avg_chars,
+        |  sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
+        |FROM documents GROUP BY 1, 2""".stripMargin,
   )
 }
