@@ -112,7 +112,40 @@ object ScaleBench {
       denseSplit(spark, outDir, listener)
     if (args.contains("semdedup") || args.isEmpty)
       semDedupNlist(spark, outDir, listener)
+    if (args.contains("bpe") || args.isEmpty)
+      bpeScale(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** BPE training at 100k docs: evidences the scale split the module is
+    * built on — [[graft.llm.BpeTrain.wordCounts]] is the ONLY
+    * corpus-scale pass (one tokenize + word hash-agg), after which 20
+    * merge rounds run on the distinct-word table regardless of corpus
+    * size. Two rows: the corpus pass alone, then the full learn loop
+    * (whose per-round cost is word-table-sized, not corpus-sized).
+    */
+  private def bpeScale(spark: SparkSession, outDir: String,
+                       listener: TaskMetricsProbe): Unit = {
+    import graft.llm.BpeTrain
+    val docs = SparkEntry.table(spark, outDir, "documents")
+    val nCorpus = docs.count()
+    def time(label: String, extra: Long = -1L)(body: => Unit): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"bpe":"$label","n_corpus":$nCorpus,"sec":$sec%.2f,""" +
+        s""""n_words":$extra,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite}}""")
+    }
+    val wc = BpeTrain.wordCounts(docs, "text")
+    var nWords = -1L
+    time("word_counts") { nWords = wc.count() }
+    time("learn_20_merges", nWords) {
+      val merges = BpeTrain.learnMerges(wc, numMerges = 20)
+      require(merges.size == 20, s"expected 20 merges, got ${merges.size}")
+    }
   }
 
   /** The nlist ∝ N rule, measured. The registry's q_semdedup pins

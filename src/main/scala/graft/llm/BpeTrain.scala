@@ -126,4 +126,69 @@ object BpeTrain {
   def bpeSplit(text: Column, merges: Seq[(String, String)]): Column =
     flatten(transform(TextFunctions.tokens(text), w =>
       merges.foldLeft(initSymbols(w)) { case (s, (a, b)) => mergePair(s, a, b) }))
+
+  /** Production tokenization for UNBOUNDED merge lists (a 32k-vocab
+    * tokenizer would unroll [[bpeSplit]] into 32k nested folds): the
+    * rank-greedy algorithm over a broadcast rank table — per word,
+    * repeatedly merge every occurrence of the lowest-rank adjacent pair
+    * until none has a rank. Equivalent to learned-order replay (lower
+    * ranks cannot be re-enabled by higher-rank merges — a merged symbol
+    * is a NEW symbol, so its pairs were never ranked lower), which
+    * BpeSpec property-pins against [[bpeSplit]]. mapPartitions is
+    * justified here exactly as for [[Multimodal]]: a per-row iterative
+    * loop with data-dependent trip count that no Catalyst expression
+    * expresses; the merge table ships once per executor as a broadcast.
+    * Returns (id, `outCol` array&lt;string&gt;) — join back by id for other
+    * columns, keeping the shuffled payload to the tokens themselves.
+    */
+  def bpeTokensPartitions(df: DataFrame, idCol: String, textCol: String,
+                          merges: Seq[(String, String)],
+                          outCol: String = "tokens"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = spark.sparkContext.broadcast(
+      merges.zipWithIndex.toMap)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        val rk = ranks.value
+        rows.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.split("\\s+").filter(_.nonEmpty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          words.foreach { w =>
+            var syms = w.map(_.toString).toBuffer += EndOfWord
+            var continue = true
+            while (continue && syms.length > 1) {
+              // lowest-rank adjacent pair present in this word
+              var best = Int.MaxValue
+              var bi = -1
+              var i = 0
+              while (i < syms.length - 1) {
+                rk.get((syms(i), syms(i + 1))).foreach { r =>
+                  if (r < best) { best = r; bi = i }
+                }
+                i += 1
+              }
+              if (bi < 0) continue = false
+              else {
+                // merge EVERY leftmost-first occurrence of that pair
+                val (a, b) = (syms(bi), syms(bi + 1))
+                val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+                var j = 0
+                while (j < syms.length) {
+                  if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                    merged += (a + b); j += 2
+                  } else { merged += syms(j); j += 1 }
+                }
+                syms = merged
+              }
+            }
+            out ++= syms
+          }
+          (id, out.toSeq)
+        }
+      }
+      .toDF(idCol, outCol)
+  }
 }

@@ -62,6 +62,29 @@ class BpeSpec extends AnyFunSuite {
     assert(m(Seq("x"), "a", "b") == Seq("x"))
   }
 
+  test("property: rank-greedy mapPartitions tokenizer == learned-order replay") {
+    // small alphabet + repeated substrings force deep merge chains and
+    // overlapping-pair edge cases; deterministic seed
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    def word() = (1 to (1 + rnd.nextInt(6)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (1 + rnd.nextInt(8))).map(_ => word()).mkString(" ")))
+      .toDF("doc_id", "text")
+    val wc = BpeTrain.wordCounts(docs, "text")
+    val merges = BpeTrain.learnMerges(wc, numMerges = 25, minFrequency = 2)
+    assert(merges.nonEmpty)
+    val replay = docs
+      .select(col("doc_id"), BpeTrain.bpeSplit(col("text"), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val greedy = BpeTrain.bpeTokensPartitions(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(greedy == replay,
+      s"rank-greedy and replay tokenizations diverge: " +
+        s"${greedy.find(kv => replay(kv._1) != kv._2)}")
+  }
+
   test("wordCounts + pairCounts: one corpus pass, portable word filter") {
     val docs = Seq((1L, "low low lower"), (2L, "Newest ab")).toDF("doc_id", "text")
     val wc = BpeTrain.wordCounts(docs, "text")

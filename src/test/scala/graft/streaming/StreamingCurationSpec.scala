@@ -58,4 +58,31 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(batch == Map(1L -> rows(1L)),
       "streaming stateless stages must equal the batch expressions")
   }
+
+  test("trained-classifier margin gates a stream (pure expression, no state)") {
+    implicit val sqlCtx = spark.sqlContext
+    // train in batch on a separable corpus, then gate a STREAM with the
+    // same margin expression — model-based filtering is deployable in
+    // both modes because scoring is a stateless column expression
+    val corpus = Seq(
+      (1L, "meter readings arrive hourly from the household", 1.0),
+      (2L, "solar panels convert sunlight into electricity", 1.0),
+      (3L, "click here buy now free offer prize", 0.0),
+      (4L, "win free prize click subscribe now", 0.0)).toDF("doc_id", "text", "label")
+    val (w, b) = graft.llm.QualityClassifier.train(corpus, "text", "label",
+      dim = 128, iterations = 30, lr = 1.0)
+
+    val input = MemoryStream[(Long, String)]
+    val gated = input.toDF().toDF("id", "text")
+      .filter(graft.llm.QualityClassifier.margin(col("text"), w, b, 128) > 0)
+    val query = gated.writeStream
+      .format("memory").queryName("clf_gate_test").outputMode("append").start()
+    input.addData(
+      (10L, "household meter readings and solar electricity"),
+      (11L, "free prize click now"))
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark.table("clf_gate_test").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), s"stream gate must pass clean, drop spam: $kept")
+  }
 }
