@@ -733,4 +733,74 @@ object Dedup {
       array(v.toIndexedSeq.map(lit(_)): _*)): _*)
     semDedupDistinct(df, idCol, vecCol, threshold, centsLit, nprobe)
   }
+
+  // ------------------------------------------------------------------
+  // Incremental (snapshot-over-archive) dedup
+  // ------------------------------------------------------------------
+
+  /** Archive digest index for incremental exact dedup: one row per
+    * distinct content digest in the archive — 16 bytes/distinct-doc,
+    * independent of payload size. Persist it (e.g.
+    * `Sources.writeBucketed(_, _, _, n, Seq("content_hash"),
+    * Seq("content_hash"))`) and every new snapshot dedups against ALL
+    * prior snapshots without re-reading a single archived document —
+    * the monthly-crawl pattern. Union each accepted snapshot's index in
+    * afterwards to keep the archive current.
+    */
+  def digestIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash")).distinct()
+
+  /** Exact dedup of a NEW snapshot: rows whose digest exists in the
+    * archive index drop (anti join on the 16-byte digest — the payload
+    * never shuffles against the archive), then the within-snapshot
+    * min-id dedup runs as usual. With archive ids ordered before
+    * snapshot ids this equals running [[exactDedup]] over
+    * archive ∪ snapshot and keeping the snapshot's survivors
+    * (IncrementalDedupSpec pins the equivalence).
+    */
+  def exactDedupAgainst(df: DataFrame, idCol: String, textCol: String,
+                        index: DataFrame): DataFrame =
+    exactDedup(
+      df.join(index,
+        md5(col(textCol)) === index("content_hash"), "left_anti"),
+      idCol, textCol)
+
+  /** Archive band-key index for the incremental NEAR-dup screen:
+    * distinct (band, band_key) rows — the banded-LSH analogue of
+    * [[digestIndex]], 1 md5 per band per distinct signature.
+    */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                numHashes: Int = 16, bands: Int = 4,
+                shingleSize: Int = 3, fast: Boolean = false): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    minhashSignatures(df, idCol, textCol, numHashes, shingleSize, fast)
+      .select(posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "band_key")))
+      .distinct()
+  }
+
+  /** Near-dup SCREEN of a new snapshot against an archive [[bandIndex]]:
+    * drops every row sharing ANY band key with the archive (band
+    * collision = LSH candidate, treated as duplicate — the membership
+    * semantics of the screen; the false-positive rate is the banding
+    * scheme's, tunable via bands/rowsPerBand). Survivors are documents
+    * no archived signature collides with. Exact Jaccard verification
+    * against archived TEXT requires the archive payload and is a batch
+    * job over both snapshots — this screen exists so that job only ever
+    * runs on the collision subset.
+    */
+  def nearDupScreenAgainst(df: DataFrame, idCol: String, textCol: String,
+                           index: DataFrame,
+                           numHashes: Int = 16, bands: Int = 4,
+                           shingleSize: Int = 3,
+                           fast: Boolean = false): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val hit = minhashSignatures(df, idCol, textCol, numHashes, shingleSize, fast)
+      .select(col(idCol),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "band_key")))
+      .join(index, Seq("band", "band_key"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(hit, Seq(idCol), "left_anti")
+  }
 }

@@ -545,6 +545,24 @@ object QueriesLLM {
         graft.etd.Aggregates.exactMean(col("n_chars")).as("avg_chars"),
         sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("n_empty"))
 
+  /** Incremental snapshot dedup ([[Dedup.digestIndex]] +
+    * [[Dedup.exactDedupAgainst]]): docs &lt; 250 play the archive, the
+    * snapshot is docs &gt;= 250 plus re-injected archive texts under new
+    * ids (which must drop against the index), then within-snapshot
+    * min-id dedup. The 16-byte digest is the only thing that crosses
+    * snapshots.
+    */
+  def q_dedup_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val archive = docs.filter(col("doc_id") < 250)
+    val snap = docs.filter(col("doc_id") >= 250).select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    Dedup.exactDedupAgainst(snap, "doc_id", "text",
+        Dedup.digestIndex(archive, "doc_id", "text"))
+      .select(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -953,6 +971,7 @@ object QueriesLLM {
     "q_bpe_pairs" -> (q_bpe_pairs _),
     "q_quality_lr" -> (q_quality_lr _),
     "q_corpus_stats" -> (q_corpus_stats _),
+    "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
     "q_lang_rebalance" -> (q_lang_rebalance _),
@@ -1798,5 +1817,19 @@ object QueriesLLM {
         |  floor((sum(n_chars::DECIMAL(28,12))::DOUBLE / count(n_chars)) * 1000000 + 0.5) / 1000000 AS avg_chars,
         |  sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH archive AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+        |), snap AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+        |), idx AS (
+        |  SELECT DISTINCT md5(text) AS content_hash FROM archive
+        |), filtered AS (
+        |  SELECT s.doc_id, s.text FROM snap s
+        |  ANTI JOIN idx a ON md5(s.text) = a.content_hash
+        |)
+        |SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)""".stripMargin,
   )
 }
