@@ -563,6 +563,47 @@ object QueriesLLM {
       .select(col("doc_id"))
   }
 
+  /** Top-k frequent word bigrams — the vocabulary/boilerplate report.
+    * One agg on the gram (map-side combine carries (gram, partial n));
+    * top-k via sort+limit with a total (count DESC, gram ASC) order so
+    * ties are deterministic.
+    */
+  def q_top_ngrams(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(20)
+
+  /** Token-length histogram in buckets of 10 — the length-distribution
+    * report a filtering run consults. Token counting stays inside
+    * codegen (size over the shared split — no explode).
+    */
+  def q_token_histogram(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select((floor(size(TextFunctions.tokens(col("text"))) / 10) * 10)
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+
+  /** One distributed k-means (Lloyd) update step over the embeddings:
+    * assign every vector to its nearest first-8 centroid (the codegen'd
+    * cosine argmax the IVF family uses), then recompute each cell's
+    * per-dimension mean with the decimal-exact mean. This is the
+    * iterated kernel of codebook training
+    * ([[Similarity.trainCodebook]]/[[Similarity.pqTrain]]) pinned as a
+    * hash-checked oracle: assignment ties, explode indexing, and the
+    * mean's rounding must all match.
+    */
+  def q_kmeans_step(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    emb.select(col("vec_id"),
+        Similarity.ivfAssign(col("embedding"), firstKCodebookLit(emb)).as("cell"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+      // float -> double FIRST (exact on every engine), then the proven
+      // double -> decimal exact-mean path
+      .agg(graft.etd.Aggregates.exactMean(col("x").cast("double")).as("c"))
+  }
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -972,6 +1013,9 @@ object QueriesLLM {
     "q_quality_lr" -> (q_quality_lr _),
     "q_corpus_stats" -> (q_corpus_stats _),
     "q_dedup_incremental" -> (q_dedup_incremental _),
+    "q_top_ngrams" -> (q_top_ngrams _),
+    "q_token_histogram" -> (q_token_histogram _),
+    "q_kmeans_step" -> (q_kmeans_step _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
     "q_lang_rebalance" -> (q_lang_rebalance _),
@@ -1831,5 +1875,44 @@ object QueriesLLM {
         |  ANTI JOIN idx a ON md5(s.text) = a.content_hash
         |)
         |SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)""".stripMargin,
+    "q_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1])
+        |    ELSE [] END) AS gram
+        |  FROM toks
+        |)
+        |SELECT gram, count(*) AS n FROM grams
+        |GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    "q_token_histogram" ->
+      """SELECT (len(list_filter(string_split(text, ' '), t -> length(t) > 0)) // 10 * 10)::BIGINT AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_kmeans_step" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
+        |  FROM embeddings e CROSS JOIN cents c
+        |), cells AS (
+        |  SELECT vec_id, cid + 1 AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS r
+        |    FROM assigned) WHERE r = 1
+        |), comps AS (
+        |  SELECT c.cell, i - 1 AS dim, e.embedding[i]::DOUBLE AS x
+        |  FROM cells c JOIN embeddings e USING (vec_id),
+        |    unnest(generate_series(1, len(e.embedding))) AS t(i)
+        |)
+        |SELECT cell, dim,
+        |  floor((sum(x::DECIMAL(28,12))::DOUBLE / count(x)) * 1000000 + 0.5) / 1000000 AS c
+        |FROM comps GROUP BY 1, 2""".stripMargin,
   )
 }
