@@ -299,6 +299,30 @@ object TextFunctions {
       math.round(fraction * 1000000).toLong
   }
 
+  /** Per-stratum deterministic sampling — the data-mixing primitive: a
+    * row keeps iff its content hash lands under ITS STRATUM's rate
+    * (e.g. source-level mixture weights from an ablation plan). Same
+    * hash domain and stability guarantees as [[hashSamplePredicate]];
+    * strata absent from `rates` use `defaultFraction`. The rate lookup
+    * is a literal map expression — no join, stays map-side.
+    */
+  def stratifiedSamplePredicate(key: Column, stratum: Column,
+                                rates: Map[String, Double],
+                                defaultFraction: Double,
+                                salt: String = "sample"): Column = {
+    (rates.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction must be in [0,1]: $f"))
+    val rateExpr =
+      if (rates.isEmpty) lit(math.round(defaultFraction * 1000000))
+      else coalesce(
+        element_at(
+          map(rates.toSeq.sortBy(_._1).flatMap { case (k, f) =>
+            Seq(lit(k), lit(math.round(f * 1000000))) }: _*),
+          stratum),
+        lit(math.round(defaultFraction * 1000000)))
+    pmod(hash64(concat(key, lit(salt))), lit(1000000L)) < rateExpr
+  }
+
   /** Rolling polynomial fingerprint of the token stream (document
     * fingerprinting): fold acc = (acc * P + h(token) mod M) mod M. All
     * arithmetic stays < 2^60 so it is exact in any 64-bit integer engine

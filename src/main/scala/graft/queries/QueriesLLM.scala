@@ -604,6 +604,18 @@ object QueriesLLM {
       .agg(graft.etd.Aggregates.exactMean(col("x").cast("double")).as("c"))
   }
 
+  /** Stratified deterministic sampling
+    * ([[TextFunctions.stratifiedSamplePredicate]]): per-source mixture
+    * rates (src0 heavily downsampled, src1 kept in full, everything
+    * else at the default) through the content-hash domain — the
+    * data-mixing primitive, reproducible on any engine/partitioning.
+    */
+  def q_sample_stratified(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(TextFunctions.stratifiedSamplePredicate(col("text"), col("source"),
+        Map("src0" -> 0.05, "src1" -> 1.0), defaultFraction = 0.2))
+      .select(col("doc_id"), col("source"))
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -1016,6 +1028,7 @@ object QueriesLLM {
     "q_top_ngrams" -> (q_top_ngrams _),
     "q_token_histogram" -> (q_token_histogram _),
     "q_kmeans_step" -> (q_kmeans_step _),
+    "q_sample_stratified" -> (q_sample_stratified _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
     "q_lang_rebalance" -> (q_lang_rebalance _),
@@ -1914,5 +1927,10 @@ object QueriesLLM {
         |SELECT cell, dim,
         |  floor((sum(x::DECIMAL(28,12))::DOUBLE / count(x)) * 1000000 + 0.5) / 1000000 AS c
         |FROM comps GROUP BY 1, 2""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x'||substr(md5(text||'sample'),1,15))::BIGINT % 1000000 <
+        |  CASE source WHEN 'src0' THEN 50000 WHEN 'src1' THEN 1000000
+        |    ELSE 200000 END""".stripMargin,
   )
 }

@@ -134,6 +134,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("corpus rollups: partial aggregation before the exchange (map-side combine)") {
+    for (q <- Seq(graft.queries.QueriesLLM.q_corpus_stats _,
+                  graft.queries.QueriesLLM.q_token_histogram _)) {
+      val p = plan(q(spark, dir))
+      // partial + final HashAggregate pair: the shuffle carries one row
+      // per group per mapper, never per document
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"expected partial+final aggregation:\n$p")
+      assert(!p.contains("Join"), s"rollup must not join:\n$p")
+    }
+  }
+
+  test("incremental exact dedup: the anti-join key is the digest, not the text") {
+    val p = plan(graft.queries.QueriesLLM.q_dedup_incremental(spark, dir))
+    assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
+    // both the archive-index side and the join key are md5 digests — the
+    // document text must not appear as a join key anywhere
+    assert("(?i)leftanti, \\[text".r.findFirstIn(p).isEmpty &&
+      !p.contains("[text#"), s"text used as a join key:\n$p")
+  }
+
   test("PQ ADC scan: one corpus scan serves all queries, no joins") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cb = Array.tabulate(4, 8)((j, i) =>
