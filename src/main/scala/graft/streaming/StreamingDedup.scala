@@ -36,4 +36,22 @@ object StreamingDedup {
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** [[dedupStream]] against a persisted archive digest index
+    * ([[graft.llm.Dedup.digestIndex]]) as well: rows whose content the
+    * archive already holds drop via a stream-static anti join on the
+    * digest BEFORE the within-stream state, so archived duplicates never
+    * even enter the dedup state store. The static side re-reads per
+    * micro-batch (Spark's stream-static contract), which is exactly
+    * what a digest index persisted bucketed-by-hash serves cheaply; the
+    * streaming analogue of [[graft.llm.Dedup.exactDedupAgainst]].
+    */
+  def dedupStreamAgainst(docs: DataFrame, textCol: String,
+                         eventTimeCol: String, index: DataFrame,
+                         lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .join(index.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -41,4 +41,32 @@ class StreamingDedupSpec extends AnyFunSuite {
     val ids = spark.table("dedup_test").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 4L), "first arrival survives; cross-batch dup dropped")
   }
+
+  test("archive-indexed stream: archived content drops before the state store") {
+    implicit val sqlCtx = spark.sqlContext
+    val archive = Seq(100L -> "alpha", 101L -> "omega").toDF("doc_id", "text")
+    val idx = graft.llm.Dedup.digestIndex(archive, "doc_id", "text")
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("id", "text", "ts")
+    val deduped = StreamingDedup.dedupStreamAgainst(docs, "text", "ts", idx,
+      lateness = "10 minutes")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_idx_test").outputMode("append")
+      .start()
+
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // "alpha" is archived -> dropped in its FIRST batch (never enters
+    // state); "beta" is novel -> kept once across batches
+    input.addData((1L, "alpha", ts(0)), (2L, "beta", ts(1)))
+    query.processAllAvailable()
+    input.addData((3L, "beta", ts(2)), (4L, "omega", ts(3)), (5L, "delta", ts(4)))
+    query.processAllAvailable()
+    query.stop()
+
+    val ids = spark.table("dedup_idx_test").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 5L),
+      s"archived content must never surface; novel content dedups in-stream: $ids")
+  }
 }
