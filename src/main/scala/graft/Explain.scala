@@ -8,8 +8,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args.filter(_.startsWith("q_")).toSeq
-                else Bench.headline
+    // a bare sfDir argument must not empty the query list (it used to:
+    // filtering args for q_ names dropped everything, silently printing
+    // zero plans) — fall back to the full headline set
+    val qArgs = args.filter(_.startsWith("q_")).toSeq
+    val names = if (qArgs.nonEmpty) qArgs else Bench.headline
     val sfDir = args.find(a => !a.startsWith("q_")).getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -27,6 +27,7 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SchemaCanary.warn(spark, sfDir)
     try spark.read.parquet(s"$sfDir/events.parquet").limit(1000)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }

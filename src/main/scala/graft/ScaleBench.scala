@@ -53,6 +53,7 @@ object ScaleBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SchemaCanary.warn(spark, srcDir)
 
     // every verb that READS outDir (run/crossover/no-args) generates it
     // first if missing — an explicit-verb first run used to bench a
