@@ -25,7 +25,42 @@ object Bench {
   val benchOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map(
       "q_pipeline_full13" -> (graft.queries.QueriesEtd.q_pipeline_full13 _),
-      "q_image_neardup_e2e" -> (graft.queries.QueriesLLM.q_image_neardup_e2e _))
+      "q_image_neardup_e2e" -> (graft.queries.QueriesLLM.q_image_neardup_e2e _),
+      "q_bm25_indexed" -> (searchPreparedBm25 _))
+
+  /** Session-prepared BM25 postings index ([[prepareBm25Index]]) — the
+    * "build once, query many" half of the Retrieval build/search split.
+    * `q_bm25_topk` keeps timing the one-call rebuild form for comparison;
+    * this entry times what a serving deployment actually pays per batch.
+    */
+  private var bm25Index: Option[(org.apache.spark.sql.DataFrame,
+    org.apache.spark.sql.DataFrame)] = None
+
+  private def prepareBm25Index(spark: SparkSession, dir: String): Unit = {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val (post, stats) =
+      graft.llm.Retrieval.buildPostings(docs, "doc_id", "text")
+    val p = post.persist()
+    val s = stats.persist()
+    p.count(); s.count() // materialize: timed searches measure search only
+    bm25Index = Some((p, s))
+  }
+
+  private def searchPreparedBm25(spark: SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    val (post, stats) = bm25Index.getOrElse(
+      sys.error("q_bm25_indexed: prepareBm25Index was not run"))
+    val docs = SparkEntry.table(spark, dir, "documents")
+    graft.llm.Retrieval.searchPostings(post, stats,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 3),
+      "doc_id", "text", k = 5)
+  }
+
+  /** Untimed per-query preparation; its persisted state survives the
+    * inter-run sweeps (and is dropped when the query's runs finish).
+    */
+  val setup: Map[String, (SparkSession, String) => Unit] =
+    Map("q_bm25_indexed" -> (prepareBm25Index _))
 
   /** Representative heavy queries, one per operator family. */
   val headline: Seq[String] = Seq(
@@ -60,6 +95,7 @@ object Bench {
     "q_text_fingerprint",
     "q_text_bigram_lm",
     "q_bm25_topk",
+    "q_bm25_indexed",
     "q_curation_e2e",
     "q_image_neardup_e2e",
   )
@@ -112,6 +148,17 @@ object Bench {
       registry.get(name) match {
         case Some(fn) =>
           try {
+            setup.get(name).foreach { prep =>
+              val t0 = System.nanoTime()
+              prep(spark, sfDir)
+              System.err.println(f"[bench] $name setup: " +
+                f"${(System.nanoTime() - t0) / 1e9}%.2fs (untimed)")
+            }
+            // spare the setup's deliberately-persistent state from the
+            // inter-run sweeps; everything else a run leaves behind
+            // (lazy-checkpoint cuts, stray caches) is freed so run r+1
+            // measures the query, not run r's residue (VERDICT r10 #1)
+            val keep = Checkpoints.persistentIds(spark)
             val times = (1 to runs).map { r =>
               val g0 = gcMillis
               val t0 = System.nanoTime()
@@ -122,6 +169,7 @@ object Bench {
               // a 2x median discrepancy gets attributed (VERDICT r8 #1)
               System.err.println(
                 f"[bench] $name run $r: $sec%.2fs gc=${gcMillis - g0}ms")
+              Checkpoints.sweep(spark, keep) // after the clock stops
               sec
             }
             name -> median(times)
@@ -130,6 +178,9 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               failed ::= name
               name -> -1.0
+          } finally {
+            bm25Index = None
+            Checkpoints.sweep(spark) // drop setup state too
           }
         case None =>
           // a renamed registry entry must surface as a FAILURE, not a

@@ -120,7 +120,10 @@ object Pipeline {
         keepGapCols = true)
       // lazy: materialize inside the first consumer's execution instead
       // of blocking at stage construction (r9 full13 lesson — an eager
-      // checkpoint charges every build, even ones that never execute)
+      // checkpoint charges every build, even ones that never execute).
+      // The cut's blocks belong to the caller: free them with
+      // Checkpoints.free(<consumed stage frame>) after the last action
+      // over the stages, or Checkpoints.sweep between measurements.
       localCheckpointEvery.fold(imputedAll0)(_ =>
         imputedAll0.localCheckpoint(eager = false))
     }

@@ -90,26 +90,36 @@ object BpeTrain {
     var words = wordCounts
       .select(initSymbols(col("word")).as("syms"), col("cnt"))
       .localCheckpoint()
+    // the frame whose checkpoint blocks `words` currently rides on; each
+    // new cut frees the superseded one so the loop holds ONE generation
+    // of the distinct-word table, not numMerges/checkpointEvery of them
+    var cut = words
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     var done = false
-    while (i < numMerges && !done) {
-      val top = pairCounts(words)
-        .filter(col("n") >= minFrequency)
-        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-        .collect()
-      if (top.isEmpty) done = true
-      else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        words = words.withColumn("syms", mergePair(col("syms"), a, b))
-        // bound the accumulated merge-expression plan (clusterPairs'
-        // lineage-cut pattern); off the checkpoint rounds the merge
-        // stays lazy and fuses into the next round's aggregation
-        if ((i + 1) % checkpointEvery == 0) words = words.localCheckpoint()
-        i += 1
+    try {
+      while (i < numMerges && !done) {
+        val top = pairCounts(words)
+          .filter(col("n") >= minFrequency)
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .collect()
+        if (top.isEmpty) done = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          words = words.withColumn("syms", mergePair(col("syms"), a, b))
+          // bound the accumulated merge-expression plan (clusterPairs'
+          // lineage-cut pattern); off the checkpoint rounds the merge
+          // stays lazy and fuses into the next round's aggregation
+          if ((i + 1) % checkpointEvery == 0) {
+            words = words.localCheckpoint() // eager — old cut now dead
+            graft.Checkpoints.free(cut)
+            cut = words
+          }
+          i += 1
+        }
       }
-    }
+    } finally graft.Checkpoints.free(cut)
     merges.toSeq
   }
 

@@ -54,7 +54,10 @@ object Curation {
       .filter(col("__q") >= minQuality)
       .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
     val exact0 = Dedup.exactDedup(gated, idCol, textCol)
-    // lazy cut: materializes on the first action, not at plan build
+    // lazy cut: materializes on the first action, not at plan build.
+    // Its blocks outlive this call by design (the result references
+    // them); the CALLER frees them with Checkpoints.free(result) once
+    // the result's actions have run (harnesses: Checkpoints.sweep).
     val exact = if (cutLineage) exact0.localCheckpoint(eager = false) else exact0
     Dedup.nearDedup(exact, idCol, textCol, jaccardThreshold, fast = fast,
         priority = if (keepBestQuality) Some(col("__q")) else None)

@@ -301,7 +301,12 @@ object Dedup {
     *
     * Scale: per round one join + one aggregation, all hash-partitioned on
     * id; lineage is cut with localCheckpoint per round so plans stay
-    * bounded.
+    * bounded, and each SUPERSEDED generation's blocks are unpersisted the
+    * moment the next one is materialized — the loop's block-manager
+    * footprint is one labels generation plus the edge set, independent of
+    * round count (r10's leak: every generation lived for the JVM's life).
+    * The returned frame is itself a checkpoint; the caller frees it with
+    * [[graft.Checkpoints.free]] after its consumers have run.
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
@@ -312,25 +317,28 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
-      // pointer edges fold the doubling lookup into this round's join:
-      // neighbor b = label(id) contributes label(label(id)) to the min
-      val dynEdges = edges.unionByName(
-        labels.select(col("id").as("id_a"), col("label").as("id_b")))
-      val neighborMin = dynEdges.join(labels, dynEdges("id_b") === labels("id"))
-        .groupBy(dynEdges("id_a").as("nid")).agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
-        .select(labels("id"), labels("label").as("old"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label")))
-            .as("label"))
-        .localCheckpoint()
-      // the old label rode along through the checkpoint, so convergence
-      // is a filter over materialized blocks — no join, no shuffle
-      val changed = updated.filter(col("label") =!= col("old")).count()
-      labels = updated.drop("old")
-      converged = changed == 0
-      i += 1
-    }
+    try {
+      while (!converged && i < maxIter) {
+        // pointer edges fold the doubling lookup into this round's join:
+        // neighbor b = label(id) contributes label(label(id)) to the min
+        val dynEdges = edges.unionByName(
+          labels.select(col("id").as("id_a"), col("label").as("id_b")))
+        val neighborMin = dynEdges.join(labels, dynEdges("id_b") === labels("id"))
+          .groupBy(dynEdges("id_a").as("nid")).agg(min("label").as("nlabel"))
+        val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+          .select(labels("id"), labels("label").as("old"),
+            least(labels("label"), coalesce(col("nlabel"), labels("label")))
+              .as("label"))
+          .localCheckpoint() // eager: fully materialized on return …
+        graft.Checkpoints.free(labels) // … so the old generation is dead
+        // the old label rode along through the checkpoint, so convergence
+        // is a filter over materialized blocks — no join, no shuffle
+        val changed = updated.filter(col("label") =!= col("old")).count()
+        labels = updated.drop("old")
+        converged = changed == 0
+        i += 1
+      }
+    } finally graft.Checkpoints.free(edges)
     if (!converged)
       throw new IllegalStateException(
         s"clusterPairs did not converge within $maxIter rounds — component " +

@@ -72,6 +72,7 @@ object QualityClassifier {
         col(labelCol).cast("double").as("__y"))
       .filter(size(col("__b")) > 0)
       .localCheckpoint()
+    try {
     val n = feats.count().toDouble
     require(n > 0, "train: no documents with at least one token")
     val weights = Array.fill(dim)(0.0)
@@ -103,5 +104,8 @@ object QualityClassifier {
       it += 1
     }
     (weights, bias)
+    // the checkpointed feature frame is train-internal state; free its
+    // blocks on every exit so repeated trainings don't accumulate
+    } finally graft.Checkpoints.free(feats)
   }
 }

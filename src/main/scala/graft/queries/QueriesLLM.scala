@@ -937,6 +937,21 @@ object QueriesLLM {
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
   }
 
+  /** Same retrieval through the explicit build/search split
+    * ([[Retrieval.buildPostings]] / [[Retrieval.searchPostings]]) — the
+    * path a serving deployment runs, where the index is built once and
+    * persisted. Verify checks it against the SAME oracle as
+    * `q_bm25_topk` (the split must not change a single rank); Bench
+    * times it with the index pre-built and persisted per session
+    * ([[graft.Bench.setup]]), so the row measures search cost alone.
+    */
+  def q_bm25_indexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val (post, stats) = Retrieval.buildPostings(docs, "doc_id", "text")
+    Retrieval.searchPostings(post, stats,
+      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
+  }
+
   /** Hybrid retrieval: RRF-fuse the BM25 run (first 3 documents as
     * queries) with a dense brute-force cosine run for the same query ids
     * over the embeddings corpus (vec_id aligned with doc_id, the usual
@@ -1016,6 +1031,7 @@ object QueriesLLM {
     "q_image_neardup" -> (q_image_neardup _),
     "q_semdedup" -> (q_semdedup _),
     "q_bm25_topk" -> (q_bm25_topk _),
+    "q_bm25_indexed" -> (q_bm25_indexed _),
     "q_rrf_hybrid" -> (q_rrf_hybrid _),
     "q_dsir_weights" -> (q_dsir_weights _),
     "q_curation_e2e" -> (q_curation_e2e _),
@@ -1039,7 +1055,7 @@ object QueriesLLM {
   private val enList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
   private val nlList = TextFunctions.nlStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "q_dedup_exact" -> (dupCorpusSql +
       """ SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_dups
@@ -1933,4 +1949,9 @@ object QueriesLLM {
         |  CASE source WHEN 'src0' THEN 50000 WHEN 'src1' THEN 1000000
         |    ELSE 200000 END""".stripMargin,
   )
+
+  // the indexed search path must return byte-identical rankings to the
+  // one-call rebuild form — same oracle SQL, checked independently
+  val oracles: Map[String, String] =
+    oracles0 + ("q_bm25_indexed" -> oracles0("q_bm25_topk"))
 }
