@@ -64,8 +64,34 @@ object SchemaCanary {
       "n_chars" -> Set("bigint")),
     "embeddings" -> Map(
       "vec_id" -> Set("bigint"),
+      // array<double> is a SUPPORTED vintage because SparkEntry.table
+      // narrows it to array<float> at the read seam (ADVICE r10) — the
+      // getSeq[Float] collect paths and float literals then hold. The
+      // narrowing still prints via [[warn]]'s shimmed-vintage note below
+      // so the oracle-rounding margin (float32 ~1e-7 vs round6) is a
+      // diagnosed state, not a silent one.
       "embedding" -> Set("array<float>", "array<double>"),
       "label" -> Set("int", "bigint")))
+
+  /** The DuckDB-side spelling of a Spark simpleString type — printed with
+    * every drift so the fix (Spark shim + oracle SQL cast) is obvious
+    * from the one diagnostic line (VERDICT r10 #7).
+    */
+  def duckType(sparkSimple: String): String = sparkSimple match {
+    case "bigint"        => "BIGINT"
+    case "int"           => "INTEGER"
+    case "double"        => "DOUBLE"
+    case "float"         => "FLOAT"
+    case "string"        => "VARCHAR"
+    case "date"          => "DATE"
+    case "timestamp"     => "TIMESTAMP WITH TIME ZONE"
+    case "timestamp_ntz" => "TIMESTAMP"
+    case "binary"        => "BLOB"
+    case "boolean"       => "BOOLEAN"
+    case s if s.startsWith("array<") && s.endsWith(">") =>
+      duckType(s.stripPrefix("array<").stripSuffix(">")) + "[]"
+    case other => s"<no direct DuckDB equivalent for $other>"
+  }
 
   /** One line per drifted/missing column; empty = vintage is supported. */
   def diagnoseTable(df: DataFrame, name: String): Seq[String] = {
@@ -75,8 +101,15 @@ object SchemaCanary {
         case None =>
           Some(s"$name.$colName is MISSING (have: ${df.schema.fieldNames.mkString(", ")})")
         case Some(t) if !ok(t) =>
-          Some(s"$name.$colName is $t, expected one of ${ok.toSeq.sorted.mkString("[", ", ", "]")}" +
+          Some(s"$name.$colName is $t (DuckDB sees: ${duckType(t)}), " +
+            s"expected one of ${ok.toSeq.sorted.mkString("[", ", ", "]")}" +
             " - driver testdata schema drifted; adapt the reading shim")
+        case Some("array<double>")
+            if name == "embeddings" && colName == "embedding" =>
+          Some(s"$name.$colName is array<double> - supported: " +
+            "SparkEntry.table narrows it to array<float> at the read " +
+            "seam; float32 error ~1e-7 sits inside the oracle round6 " +
+            "margin but deserves this line, not silence")
         case _ => None
       }
     }

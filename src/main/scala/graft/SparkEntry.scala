@@ -14,8 +14,26 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Read one of the driver-provided tables from a scale-factor dir. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // embeddings vintage shim (ADVICE r10): every consumer — codebook
+    // collects, SemDeDup/ANN getSeq[Float] paths, float literals —
+    // assumes array<float>. If a driver regeneration ships
+    // array<double>, adapt HERE (one cast at the read seam, the
+    // eventsWithMicros pattern) instead of ClassCastException-ing in
+    // ~all embeddings queries. The canary still prints the drift (the
+    // double->float narrowing is visible, not silent): oracle compares
+    // round at 1e-6 and unit-scale float32 error is ~1e-7, but that
+    // margin deserves a diagnosed line, not trust.
+    if (name == "embeddings") {
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      df.schema.find(_.name == "embedding").map(_.dataType) match {
+        case Some(ArrayType(DoubleType, _)) =>
+          df.withColumn("embedding", col("embedding").cast("array<float>"))
+        case _ => df
+      }
+    } else df
+  }
 
   /** `events` with `t_us` = microseconds since epoch derived from `ts`,
     * robust to the driver testdata vintage:

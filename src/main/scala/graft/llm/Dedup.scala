@@ -754,9 +754,24 @@ object Dedup {
     * prior snapshots without re-reading a single archived document —
     * the monthly-crawl pattern. Union each accepted snapshot's index in
     * afterwards to keep the archive current.
+    *
+    * Null text gets a sentinel digest (ADVICE r10): md5(null) is null,
+    * and a null key never equals anything in a join — a null-text
+    * archive row would otherwise silently vanish from the index and
+    * null-text snapshot rows would bypass the archive screen. The
+    * sentinel (not a coalesce of the TEXT to '') keeps null distinct
+    * from the empty string, exactly matching [[exactGroups]]'s groupBy
+    * semantics (nulls group together, '' is its own md5 group) — so the
+    * archive ∪ snapshot equivalence the incremental spec pins holds
+    * even on corpora containing both null and empty documents.
     */
-  def digestIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(md5(col(textCol)).as("content_hash")).distinct()
+  private val NullDigest = "__NULL_TEXT__" // non-hex: can't collide with an md5
+
+  private def digestOf(textCol: String) =
+    coalesce(md5(col(textCol)), lit(NullDigest))
+
+  def digestIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(digestOf(textCol).as("content_hash")).distinct()
 
   /** Exact dedup of a NEW snapshot: rows whose digest exists in the
     * archive index drop (anti join on the 16-byte digest — the payload
@@ -770,7 +785,7 @@ object Dedup {
                         index: DataFrame): DataFrame =
     exactDedup(
       df.join(index,
-        md5(col(textCol)) === index("content_hash"), "left_anti"),
+        digestOf(textCol) === index("content_hash"), "left_anti"),
       idCol, textCol)
 
   /** Archive band-key index for the incremental NEAR-dup screen:

@@ -559,7 +559,7 @@ object QueriesLLM {
       .unionByName(docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
     Dedup.exactDedupAgainst(snap, "doc_id", "text",
-        Dedup.digestIndex(archive, "doc_id", "text"))
+        Dedup.digestIndex(archive, "text"))
       .select(col("doc_id"))
   }
 

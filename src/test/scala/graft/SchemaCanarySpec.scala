@@ -25,8 +25,45 @@ class SchemaCanarySpec extends AnyFunSuite {
     val diags = SchemaCanary.diagnoseTable(bad, "events")
     assert(diags.size == 1)
     assert(diags.head.contains("events.ts is string"))
+    // the drift line names the DuckDB-side spelling too, so the oracle
+    // SQL fix is obvious from the same diagnostic (VERDICT r10 #7)
+    assert(diags.head.contains("DuckDB sees: VARCHAR"))
     val missing = SchemaCanary.diagnoseTable(bad.drop("props"), "events")
     assert(missing.exists(_.contains("events.props is MISSING")))
+  }
+
+  test("canary: duckType maps the spark simpleStrings the testdata can ship") {
+    assert(SchemaCanary.duckType("bigint") == "BIGINT")
+    assert(SchemaCanary.duckType("timestamp_ntz") == "TIMESTAMP")
+    assert(SchemaCanary.duckType("timestamp") == "TIMESTAMP WITH TIME ZONE")
+    assert(SchemaCanary.duckType("array<float>") == "FLOAT[]")
+    assert(SchemaCanary.duckType("array<double>") == "DOUBLE[]")
+  }
+
+  test("embeddings array<double> vintage: supported via float narrowing, and diagnosed") {
+    val tmp = java.nio.file.Files.createTempDirectory("embdouble").toString
+    SparkEntry.table(spark, sfDir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    // the read seam narrows back to float, so getSeq[Float] paths hold
+    val shimmed = SparkEntry.table(spark, tmp, "embeddings")
+    assert(shimmed.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true))
+    val first = shimmed.orderBy("vec_id").limit(1).collect()(0)
+    assert(first.getSeq[Float](1).nonEmpty) // no ClassCastException
+    // and round-trips the float values exactly (float->double->float is
+    // lossless in that direction)
+    val orig = SparkEntry.table(spark, sfDir, "embeddings")
+      .orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
+    assert(first.getSeq[Float](1) == orig)
+
+    // the vintage is NOT silent: diagnose names it as supported-but-narrowed
+    val raw = spark.read.parquet(s"$tmp/embeddings.parquet")
+    val diags = SchemaCanary.diagnoseTable(raw, "embeddings")
+    assert(diags.size == 1 && diags.head.contains("array<double>")
+      && diags.head.contains("supported"))
   }
 
   test("eventsWithMicros: identical t_us for NTZ, TIMESTAMP, and int64-nanos vintages") {

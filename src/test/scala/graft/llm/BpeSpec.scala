@@ -85,6 +85,35 @@ class BpeSpec extends AnyFunSuite {
         s"${greedy.find(kv => replay(kv._1) != kv._2)}")
   }
 
+  test("property: tokenizer equivalence holds on mixed whitespace (tabs, newlines, runs)") {
+    // ADVICE r10: the mapPartitions path splits with Scala's
+    // split("\\s+") while bpeSplit goes through TextFunctions.tokens
+    // (Spark split on \s+). Both treat ANY whitespace run as one
+    // separator and drop boundary empties — pin that equivalence on
+    // text the single-space property test never exercises.
+    val rnd = new scala.util.Random(7)
+    val seps = Array(" ", "\t", "\n", "  ", " \t ", "\r\n")
+    val alphabet = "abc"
+    def word() = (1 to (1 + rnd.nextInt(5)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (1L to 30L).map { i =>
+      val body = (1 to (1 + rnd.nextInt(8))).map(_ => word())
+        .mkString(seps(rnd.nextInt(seps.length)))
+      // leading/trailing whitespace on some rows: boundary empties
+      (i, if (i % 3 == 0) s"\t$body\n" else body)
+    }.toDF("doc_id", "text")
+    val wc = BpeTrain.wordCounts(docs, "text")
+    val merges = BpeTrain.learnMerges(wc, numMerges = 20, minFrequency = 2)
+    assert(merges.nonEmpty)
+    val replay = docs
+      .select(col("doc_id"), BpeTrain.bpeSplit(col("text"), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val greedy = BpeTrain.bpeTokensPartitions(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(greedy == replay,
+      s"mixed-whitespace divergence: ${greedy.find(kv => replay(kv._1) != kv._2)}")
+  }
+
   test("wordCounts + pairCounts: one corpus pass, portable word filter") {
     val docs = Seq((1L, "low low lower"), (2L, "Newest ab")).toDF("doc_id", "text")
     val wc = BpeTrain.wordCounts(docs, "text")

@@ -29,7 +29,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
     // round-trip the index through parquet like a real archive would
     val tmp = java.nio.file.Files.createTempDirectory("digidx").toString
-    Dedup.digestIndex(archive, "doc_id", "text")
+    Dedup.digestIndex(archive, "text")
       .write.mode("overwrite").parquet(s"$tmp/idx")
     val idx = spark.read.parquet(s"$tmp/idx")
 
@@ -41,6 +41,39 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(incremental == full.filter(_ >= 10L),
       "incremental must equal full-union dedup restricted to snapshot ids")
+  }
+
+  test("null and empty text survive the archive screen consistently (ADVICE r10)") {
+    // null text: md5(null) is null, so without the sentinel digest the
+    // index would silently drop the null-archive row AND null snapshot
+    // rows would never match it (null never equals in a join). Empty
+    // text must stay DISTINCT from null — exactDedup's groupBy keeps
+    // them in separate groups, and the equivalence must hold on corpora
+    // containing both.
+    val archive = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, a))
+      .toDF("doc_id", "text")
+    val snapshot = Seq(
+      (10L, null.asInstanceOf[String]), // archived (null) -> dropped
+      (11L, ""),                        // archived ('')  -> dropped
+      (12L, c)                          // novel -> kept
+    ).toDF("doc_id", "text")
+    val idx = Dedup.digestIndex(archive, "text")
+    assert(idx.count() == 3, "null, '', and a are three distinct digests")
+    val incremental = Dedup.exactDedupAgainst(snapshot, "doc_id", "text", idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incremental == Set(12L))
+    val full = Dedup.exactDedup(archive.unionByName(snapshot), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incremental == full.filter(_ >= 10L))
+
+    // null-only archive must NOT screen an ''-text snapshot row (and
+    // vice versa) — the sentinel keeps the two apart
+    val nullIdx = Dedup.digestIndex(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"), "text")
+    val keptEmpty = Dedup.exactDedupAgainst(
+        Seq((20L, "")).toDF("doc_id", "text"), "doc_id", "text", nullIdx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptEmpty == Set(20L), "'' must not be screened by a null-text archive")
   }
 
   test("nearDupScreenAgainst drops band-collision docs, keeps novel ones") {

@@ -45,7 +45,7 @@ class StreamingDedupSpec extends AnyFunSuite {
   test("archive-indexed stream: archived content drops before the state store") {
     implicit val sqlCtx = spark.sqlContext
     val archive = Seq(100L -> "alpha", 101L -> "omega").toDF("doc_id", "text")
-    val idx = graft.llm.Dedup.digestIndex(archive, "doc_id", "text")
+    val idx = graft.llm.Dedup.digestIndex(archive, "text")
 
     val input = MemoryStream[(Long, String, Timestamp)]
     val docs = input.toDF().toDF("id", "text", "ts")
