@@ -227,10 +227,63 @@ object ScaleBench {
     val wc = BpeTrain.wordCounts(docs, "text")
     var nWords = -1L
     time("word_counts") { nWords = wc.count() }
-    time("learn_20_merges", nWords) {
-      val merges = BpeTrain.learnMerges(wc, numMerges = 20)
-      require(merges.size == 20, s"expected 20 merges, got ${merges.size}")
+    var sequential: Seq[(String, String)] = Nil
+    time("learn_60_sequential", nWords) {
+      sequential = BpeTrain.learnMerges(wc, numMerges = 60)
+      require(sequential.size == 60,
+        s"expected 60 merges, got ${sequential.size}")
     }
+    // batched argmax: SAME merge list (required — the whole point is
+    // equivalence), fewer rounds; at 32k production merges the round
+    // count is what multiplies the 0.29 s/round job overhead into hours
+    var rounds = 0
+    time("learn_60_batched", nWords) {
+      val batched = BpeTrain.learnMergesBatched(wc, numMerges = 60,
+        batchSize = 16, onRound = r => rounds = r)
+      require(batched == sequential,
+        s"batched merge list diverged from sequential at " +
+          s"${batched.zip(sequential).indexWhere(p => p._1 != p._2)}")
+    }
+    // honest caveat with the row: this corpus has ~31 distinct words, so
+    // nearly every top pair shares a symbol and the exact-equivalence
+    // prefix rarely exceeds 1 — the batch factor is a property of the
+    // vocabulary, not the algorithm
+    println(s"""{"bpe":"batched_rounds","rounds":$rounds,"merges":60}""")
+
+    // the regime production BPE actually trains in: a LARGE vocabulary.
+    // The merge loop's input is the distinct-word table (corpus size is
+    // gone after wordCounts), so the fixture IS the real input shape:
+    // 20k distinct seeded-random words, Zipf counts. Here top pairs are
+    // mostly disjoint and the prefix batch pays.
+    val rnd = new scala.util.Random(13)
+    import spark.implicits._
+    val richVocab = (1 to 20000).map { i =>
+      val w = (1 to (3 + rnd.nextInt(8)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      (w, math.max(1L, (200000.0 / i).toLong))
+    }.toDF("word", "cnt").groupBy("word").agg(sum("cnt").as("cnt"))
+      .localCheckpoint()
+    var richSeq: Seq[(String, String)] = Nil
+    time("rich_200_sequential", 20000) {
+      richSeq = BpeTrain.learnMerges(richVocab, numMerges = 200)
+    }
+    var richRounds = 0
+    time("rich_200_batched", 20000) {
+      val batched = BpeTrain.learnMergesBatched(richVocab, numMerges = 200,
+        batchSize = 16, onRound = r => richRounds = r)
+      require(batched == richSeq,
+        s"rich-vocab batched diverged at " +
+          s"${batched.zip(richSeq).indexWhere(p => p._1 != p._2)}")
+    }
+    // the batch factor widens as merges enlarge the symbol inventory
+    // (more symbols -> fewer shared-symbol interactions in the top
+    // prefix): compare rounds for the FIRST 100 merges vs all 200
+    var rounds100 = 0
+    BpeTrain.learnMergesBatched(richVocab, numMerges = 100,
+      batchSize = 16, onRound = r => rounds100 = r)
+    println(s"""{"bpe":"rich_rounds_first100","rounds":$rounds100,""" +
+      s""""rounds_second100":${richRounds - rounds100}}""")
+    graft.Checkpoints.free(richVocab)
   }
 
   /** The nlist ∝ N rule, measured. The registry's q_semdedup pins

@@ -123,6 +123,137 @@ object BpeTrain {
     merges.toSeq
   }
 
+  /** Batched merge learning: EXACTLY the [[learnMerges]] merge list, in
+    * ~batchSize-fold fewer Spark rounds. At 32k production merges the
+    * sequential loop's cost is rounds x job overhead (~0.29 s/round
+    * measured = ~2.6 h of pure scheduling); this variant applies a whole
+    * prefix of the sorted pair table per round, so round count — and
+    * with it the scheduling bill — drops ~10x (ScaleBench `bpe`
+    * measures it).
+    *
+    * Why a prefix batch is EXACT (BatchedBpeSpec property-pins it
+    * against the sequential list on twin-heavy corpora):
+    *
+    *  - Merging pair p cannot change the count of any pair sharing no
+    *    symbol with p: a merge only consumes (x,a),(a,b),(b,y)
+    *    adjacencies and creates (x,ab),(ab,y) ones. So the top-sorted
+    *    pairs, as long as they are pairwise symbol-disjoint, keep
+    *    exactly the counts the sequential argmax would see.
+    *  - The batch must be a PREFIX of the (n desc, a, b) sort, cut at
+    *    the first pair that interacts with it: a skipped interacting
+    *    pair keeps a count bigger than everything after it, and after
+    *    the earlier merges the sequential argmax could pick it (or a
+    *    new pair bounded by it) before any later disjoint pair.
+    *  - Every batched pair after the first must beat the cut count
+    *    STRICTLY: merge-created pairs ((x,ab) etc.) are bounded by the
+    *    pre-merge counts of interacting pairs (<= the cut count), and on
+    *    a tie the (a, b) lexicographic tie-break could prefer the new
+    *    pair. The argmax itself is always safe to keep — merging just it
+    *    IS the sequential round.
+    *  - String-collision guard: symbols are strings, so a merged symbol
+    *    can equal an EXISTING one (merge (ab,</w>) -> "ab</w>" while a
+    *    prior (a,b</w>) merge already made "ab</w>"). Occurrence sets
+    *    then combine and counts involving that symbol can JUMP, breaking
+    *    the invariance — so the batch is truncated before any pair whose
+    *    concatenation appears as a symbol anywhere in the CURRENT pair
+    *    table (checked unfiltered: a sub-minFrequency pair still gains
+    *    occurrences). Symbols living only in single-symbol words have no
+    *    pairs, and no merge can reach into a single-symbol word — the
+    *    pair table IS the complete interaction surface.
+    *
+    * Per round: one pairCounts aggregation (persisted, reused by the
+    * top-prefix collect and the collision probe — both driver-bounded:
+    * 4*batchSize rows and |batch| symbols), one lineage-cutting
+    * checkpoint. The merges themselves are chained lazy column folds —
+    * they ride the NEXT round's aggregation, not jobs of their own.
+    */
+  def learnMergesBatched(wordCounts: DataFrame, numMerges: Int,
+                         minFrequency: Long = 2,
+                         batchSize: Int = 16,
+                         onRound: Int => Unit = _ => ()): Seq[(String, String)] = {
+    require(batchSize >= 1, "learnMergesBatched: batchSize must be >= 1")
+    var rounds = 0
+    var words = wordCounts
+      .select(initSymbols(col("word")).as("syms"), col("cnt"))
+      .localCheckpoint()
+    var cut = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    try {
+      while (merges.size < numMerges && !done) {
+        val collectLimit = 4 * batchSize
+        val pcAll = pairCounts(words).persist()
+        try {
+          val top = pcAll.filter(col("n") >= minFrequency)
+            .orderBy(col("n").desc, col("a"), col("b")).limit(collectLimit)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          if (top.isEmpty) done = true
+          else {
+            var batch = selectBatchPrefix(top.toSeq, batchSize,
+              complete = top.length < collectLimit, minFrequency)
+            // string-collision probe over the UNFILTERED pair table
+            val concats = batch.map { case (a, b) => a + b }
+            if (concats.nonEmpty) {
+              val present = pcAll
+                .where(col("a").isInCollection(concats) ||
+                  col("b").isInCollection(concats))
+                .select(explode(array(col("a"), col("b"))).as("s"))
+                .where(col("s").isInCollection(concats))
+                .distinct().collect().map(_.getString(0)).toSet
+              val firstCollide =
+                batch.indexWhere { case (a, b) => present(a + b) }
+              if (firstCollide == 0) batch = batch.take(1) // sequential round
+              else if (firstCollide > 0) batch = batch.take(firstCollide)
+            }
+            val applied = batch.take(numMerges - merges.size)
+            applied.foreach { case (a, b) =>
+              merges += ((a, b))
+              words = words.withColumn("syms", mergePair(col("syms"), a, b))
+            }
+            words = words.localCheckpoint() // eager — old cut now dead
+            graft.Checkpoints.free(cut)
+            cut = words
+          }
+          rounds += 1
+          onRound(rounds)
+        } finally pcAll.unpersist()
+      }
+    } finally graft.Checkpoints.free(cut)
+    merges.toSeq
+  }
+
+  /** The disjoint-strict prefix of the sorted pair list (see
+    * [[learnMergesBatched]]). `complete` = the list is the WHOLE
+    * >= minFrequency table, so nothing outside it can reach
+    * minFrequency after disjoint merges and the strict guard relaxes to
+    * the minFrequency floor.
+    */
+  private[llm] def selectBatchPrefix(top: Seq[(String, String, Long)],
+                                     maxBatch: Int, complete: Boolean,
+                                     minFrequency: Long): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var cutN = -1L // count of the first pair NOT admitted, -1 = none
+    var i = 0
+    while (i < top.length && cutN < 0) {
+      val (a, b, n) = top(i)
+      if (batch.length >= maxBatch || used(a) || used(b) || used(a + b))
+        cutN = n
+      else {
+        batch += ((a, b, n))
+        used += a; used += b; used += (a + b)
+      }
+      i += 1
+    }
+    val stopN =
+      if (cutN >= 0) cutN
+      else if (complete) minFrequency - 1
+      else top.last._3
+    val guarded = batch.takeWhile(_._3 > stopN).map { case (a, b, _) => (a, b) }
+    if (guarded.isEmpty) Seq((top.head._1, top.head._2)) else guarded.toSeq
+  }
+
   /** Tokenize with a learned merge list: per word, start from
     * [[initSymbols]] and replay the merges IN LEARNED ORDER (the
     * definition of BPE application; rank-greedy implementations are an
