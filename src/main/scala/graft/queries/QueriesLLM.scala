@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.table
-import graft.llm.{BpeTrain, Curation, Dedup, Multimodal, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions}
+import graft.llm.{BpeTrain, Curation, Dedup, Mixing, Multimodal, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions}
 
 /** LLM-training-data pipeline coverage queries over the driver's
   * `documents` and `embeddings` tables, with DuckDB oracles.
@@ -937,6 +937,52 @@ object QueriesLLM {
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
   }
 
+  /** Deterministic training shuffle: every document's shard (stable
+    * hash bucket) and within-shard read position — the reproducible
+    * permutation a training reader consumes. Shard and order are
+    * independent md5-bit streams, so the oracle replays both exactly.
+    * Scale note: the `position` window exists to make the order
+    * oracle-checkable (parallelism = nShards, fine at thousands of
+    * file-grained shards); the production sink is
+    * [[Mixing.writeShuffled]], which sorts within partitions and never
+    * runs a window at all.
+    */
+  def q_shard_assign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shuffle_order"), col("doc_id"))
+    Mixing.shuffleKeys(docs, "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("shuffle_order"))
+      .withColumn("position", row_number().over(w).cast("long"))
+  }
+
+  /** Token-budget mixture plan over the corpus sources: 4 weighted
+    * sources against a 50k-token budget with a 2.5-epoch repeat cap;
+    * unweighted sources report zero epochs. One aggregation + literal
+    * arithmetic — the planning step of a Pile/Llama-style data recipe.
+    */
+  def q_mixture_plan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("n_tokens",
+        size(TextFunctions.tokens(col("text"))).cast("long"))
+    Mixing.mixturePlan(docs, "source", "n_tokens",
+      Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+      budget = 50000.0, maxEpochs = 2.5)
+  }
+
+  /** Epoch expansion under a fractional-epochs map: per (source,
+    * epoch) document counts after [[Mixing.mixtureExpand]] — full
+    * copies for the integer part, deterministic per-document hash
+    * membership for the fractional tail.
+    */
+  def q_mixture_expand(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    Mixing.mixtureExpand(docs, "doc_id", "source",
+      Map("src0" -> 2.25, "src1" -> 0.5, "src2" -> 1.0))
+      .groupBy(col("source"), col("epoch").cast("long").as("epoch"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Same retrieval through the explicit build/search split
     * ([[Retrieval.buildPostings]] / [[Retrieval.searchPostings]]) — the
     * path a serving deployment runs, where the index is built once and
@@ -1032,6 +1078,9 @@ object QueriesLLM {
     "q_semdedup" -> (q_semdedup _),
     "q_bm25_topk" -> (q_bm25_topk _),
     "q_bm25_indexed" -> (q_bm25_indexed _),
+    "q_shard_assign" -> (q_shard_assign _),
+    "q_mixture_plan" -> (q_mixture_plan _),
+    "q_mixture_expand" -> (q_mixture_expand _),
     "q_rrf_hybrid" -> (q_rrf_hybrid _),
     "q_dsir_weights" -> (q_dsir_weights _),
     "q_curation_e2e" -> (q_curation_e2e _),
@@ -1948,6 +1997,60 @@ object QueriesLLM {
         |WHERE ('0x'||substr(md5(text||'sample'),1,15))::BIGINT % 1000000 <
         |  CASE source WHEN 'src0' THEN 50000 WHEN 'src1' THEN 1000000
         |    ELSE 200000 END""".stripMargin,
+    "q_shard_assign" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5(doc_id::VARCHAR||'shuffle'),1,15))::BIGINT % 8 AS shard,
+        |    ('0x'||substr(md5(doc_id::VARCHAR||'shuffle'),18,15))::BIGINT AS shuffle_order
+        |  FROM documents
+        |)
+        |SELECT doc_id, shard, shuffle_order,
+        |  row_number() OVER (PARTITION BY shard
+        |    ORDER BY shuffle_order, doc_id)::BIGINT AS position
+        |FROM keyed""".stripMargin,
+    "q_mixture_plan" ->
+      """WITH agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0))::DECIMAL(28,0))::DOUBLE AS total_tokens
+        |  FROM documents GROUP BY 1
+        |), weighted AS (
+        |  SELECT source, n_docs, total_tokens,
+        |    floor(CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+        |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END::DOUBLE
+        |      / 1.0 * 1000000 + 0.5) / 1000000 AS weight
+        |  FROM agg
+        |), t AS (
+        |  SELECT *, floor(weight * 50000 * 1000000 + 0.5) / 1000000 AS target_tokens
+        |  FROM weighted
+        |), e AS (
+        |  SELECT *, floor(least(2.5, CASE WHEN total_tokens > 0
+        |      THEN target_tokens / total_tokens ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS epochs
+        |  FROM t
+        |), p AS (
+        |  SELECT *, floor(epochs * total_tokens * 1000000 + 0.5) / 1000000 AS planned_tokens
+        |  FROM e
+        |)
+        |SELECT source, n_docs, total_tokens, weight, target_tokens, epochs,
+        |  planned_tokens,
+        |  floor((target_tokens - planned_tokens) * 1000000 + 0.5) / 1000000 AS shortfall_tokens
+        |FROM p""".stripMargin,
+    "q_mixture_expand" ->
+      """WITH micro AS (
+        |  SELECT source, doc_id,
+        |    CASE source WHEN 'src0' THEN 2250000 WHEN 'src1' THEN 500000
+        |      WHEN 'src2' THEN 1000000 ELSE 0 END AS m
+        |  FROM documents
+        |), copies AS (
+        |  SELECT source, doc_id, m // 1000000 +
+        |    CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR||'mix'),1,15))::BIGINT % 1000000 < m % 1000000
+        |      THEN 1 ELSE 0 END AS c
+        |  FROM micro
+        |), expanded AS (
+        |  SELECT source, doc_id, unnest(generate_series(0, c - 1)) AS epoch
+        |  FROM copies WHERE c > 0
+        |)
+        |SELECT source, epoch::BIGINT AS epoch, count(*) AS n_docs
+        |FROM expanded GROUP BY 1, 2""".stripMargin,
   )
 
   // the indexed search path must return byte-identical rankings to the

@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Library-level properties of [[Mixing]] the DuckDB oracles
+  * (`q_shard_assign`, `q_mixture_plan`, `q_mixture_expand`) don't cover:
+  * stability under corpus growth, the written shard layout, and the
+  * exact copy semantics of epoch expansion.
+  */
+class MixingSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("shuffleKeys: stable under corpus growth; salt changes the permutation") {
+    val base = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val grown = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def keys(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Mixing.shuffleKeys(df, "doc_id", nShards = 8, salt = salt)
+        .select("doc_id", "shard", "shuffle_order")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = keys(base, "shuffle")
+    val b = keys(grown, "shuffle")
+    // adding 100 documents moves NOBODY: every original doc keeps its
+    // (shard, order) — the property orderBy(rand()) loses
+    assert(a.forall { case (id, so) => b(id) == so })
+    // a different salt is a genuinely different permutation
+    val c = keys(base, "run2")
+    assert(a.exists { case (id, so) => c(id) != so })
+    // shards are reasonably balanced (hash-uniform: no shard empty or
+    // dominant at n=200, k=8)
+    val sizes = a.values.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.size == 8 && sizes.values.min > 200 / 8 / 3)
+  }
+
+  test("writeShuffled: shard directories hold the deterministic read order") {
+    val docs = (1L to 120L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("shuffled").toString
+    Mixing.writeShuffled(docs, "doc_id", nShards = 4, s"$tmp/corpus")
+    val back = spark.read.parquet(s"$tmp/corpus")
+    assert(back.count() == 120)
+    // within one shard directory, file row order IS the shuffle order
+    val shard0 = spark.read.parquet(s"$tmp/corpus/shard=0")
+      .select("shuffle_order", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(shard0.nonEmpty && (shard0 sameElements shard0.sortBy(identity)))
+    // and the membership matches shuffleKeys exactly
+    val expected0 = Mixing.shuffleKeys(docs, "doc_id", 4)
+      .filter(col("shard") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(shard0.map(_._2).toSet == expected0)
+  }
+
+  test("mixturePlan: caps at maxEpochs, reports shortfall, zero-weights excluded") {
+    val docs = Seq(
+      ("a", 100L), ("a", 100L),          // source a: 200 tokens
+      ("b", 1000L), ("b", 1000L),        // source b: 2000 tokens
+      ("c", 500L)                        // source c: unweighted
+    ).toDF("source", "n_tokens")
+    val plan = Mixing.mixturePlan(docs, "source", "n_tokens",
+        Map("a" -> 0.5, "b" -> 0.5), budget = 2000.0, maxEpochs = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7))).toMap
+    // a: target 1000 over 200 tokens -> wants 5 epochs, capped at 3 ->
+    // planned 600, shortfall 400
+    assert(plan("a") == (0.5, 1000.0, 3.0, 600.0, 400.0))
+    // b: target 1000 over 2000 tokens -> 0.5 epochs, uncapped, no shortfall
+    assert(plan("b") == (0.5, 1000.0, 0.5, 1000.0, 0.0))
+    // c: weight 0 -> zero everything (still reported)
+    assert(plan("c") == (0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("mixtureExpand: integer epochs copy exactly; fractional tail is the hash predicate") {
+    val docs = (1L to 100L).map(i =>
+      (i, if (i <= 50) "full" else "frac")).toDF("doc_id", "source")
+    val out = Mixing.mixtureExpand(docs, "doc_id", "source",
+      Map("full" -> 2.0, "frac" -> 0.4))
+    // source "full": every doc exactly twice, epochs 0 and 1
+    val full = out.filter(col("source") === "full")
+      .groupBy("doc_id").agg(collect_set("epoch").as("es")).collect()
+    assert(full.length == 50 &&
+      full.forall(_.getSeq[Int](1).toSet == Set(0, 1)))
+    // source "frac": subset at epoch 0 only, membership == the same
+    // hash64 predicate the stratified sampler uses
+    val fracIds = out.filter(col("source") === "frac")
+      .select("doc_id", "epoch").collect()
+    assert(fracIds.forall(_.getInt(1) == 0))
+    val expected = docs.filter(col("source") === "frac")
+      .filter(pmod(TextFunctions.hash64(
+        concat(col("doc_id").cast("string"), lit("mix"))), lit(1000000L))
+        < lit(400000L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fracIds.map(_.getLong(0)).toSet == expected)
+    // expansion is deterministic: two runs, identical multiset
+    val again = Mixing.mixtureExpand(docs, "doc_id", "source",
+      Map("full" -> 2.0, "frac" -> 0.4))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+}
