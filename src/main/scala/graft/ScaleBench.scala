@@ -182,9 +182,16 @@ object ScaleBench {
           .repartition(32).write.mode("overwrite").parquet(s"$dir/digest")
         Dedup.bandIndex(archive, "doc_id", "text")
           .repartition(32).write.mode("overwrite").parquet(s"$dir/band")
+        Dedup.bandIndexWithIds(archive, "doc_id", "text")
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/band_ids")
+        // the archive PAYLOAD, persisted like a real archive's — the
+        // verify row below must read only its collision subset
+        archive.write.mode("overwrite").parquet(s"$dir/archive_text")
       }
       val digestIdx = spark.read.parquet(s"$dir/digest")
       val bandIdx = spark.read.parquet(s"$dir/band")
+      val bandIdsIdx = spark.read.parquet(s"$dir/band_ids")
+      val archiveText = spark.read.parquet(s"$dir/archive_text")
       // the two screens: wall should NOT follow mult — the snapshot side
       // is the work, the archive participates digest-only
       time("screen_exact", mult)(
@@ -192,6 +199,13 @@ object ScaleBench {
           .write.format("noop").mode("overwrite").save())
       time("screen_near", mult)(
         Dedup.nearDupScreenAgainst(snap, "doc_id", "text", bandIdx)
+          .write.format("noop").mode("overwrite").save())
+      // the exact-verify batch: only the collision subset touches
+      // archived text (semi join on candidate archive ids); wall should
+      // track collisions — constant here — not the archive multiple
+      time("verify_exact", mult)(
+        Dedup.nearDupVerifyAgainst(snap, "doc_id", "text", bandIdsIdx,
+            archiveText, "doc_id", "text", jaccardThreshold = 0.9)
           .write.format("noop").mode("overwrite").save())
       // the exact-verify batch's working set: snapshot docs with >= 1
       // band collision — everything else never touches archived text

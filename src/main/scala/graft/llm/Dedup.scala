@@ -826,4 +826,72 @@ object Dedup {
       .select(col(idCol)).distinct()
     df.join(hit, Seq(idCol), "left_anti")
   }
+
+  /** Id-carrying archive band index — the verify-capable form of
+    * [[bandIndex]]: distinct (band, band_key, archive_id) rows, so a
+    * collision resolves to WHICH archived documents to verify against,
+    * not just that one exists. Still signature-scale (ids ride along —
+    * ~3x the membership index, never payload-scale).
+    */
+  def bandIndexWithIds(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 16, bands: Int = 4,
+                       shingleSize: Int = 3,
+                       fast: Boolean = false): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    minhashSignatures(df, idCol, textCol, numHashes, shingleSize, fast)
+      .select(col(idCol).as("archive_id"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "band_key")))
+      .distinct()
+  }
+
+  /** The EXACT-verify batch job the band screen exists to bound
+    * ([[nearDupScreenAgainst]] treats any collision as a duplicate —
+    * membership semantics; this is the false-positive-free form). A
+    * snapshot document drops iff exact shingle-set Jaccard against some
+    * band-colliding archive partner clears `jaccardThreshold`; screen
+    * false positives (collision but low Jaccard) are recovered.
+    *
+    * Scale shape — the claim ScaleBench `incdedup` measures: candidate
+    * pairs come from the snapshot's band keys joined to the id-carrying
+    * index (signature-scale); the archive PAYLOAD (`archiveText`) is
+    * touched only through a semi join on the candidates' archive ids —
+    * the collision subset — and only those documents are re-shingled.
+    * Both sides' shingle sets are built once per involved document
+    * (the [[nearDedup]] candidate-subset pattern), and the verify join
+    * moves |candidate pairs| rows.
+    */
+  def nearDupVerifyAgainst(df: DataFrame, idCol: String, textCol: String,
+                           index: DataFrame, archiveText: DataFrame,
+                           archiveIdCol: String, archiveTextCol: String,
+                           jaccardThreshold: Double = 0.8,
+                           numHashes: Int = 16, bands: Int = 4,
+                           shingleSize: Int = 3,
+                           fast: Boolean = false): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val candidates = minhashSignatures(df, idCol, textCol, numHashes,
+        shingleSize, fast)
+      .select(col(idCol),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "band_key")))
+      .join(index, Seq("band", "band_key"))
+      .select(col(idCol), col("archive_id")).distinct()
+    def sh(c: Column) =
+      if (fast) shingleHashesFast(c, shingleSize)
+      else shingleHashes(c, shingleSize)
+    val snapSets = df
+      .join(candidates.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol), array_distinct(sh(col(textCol))).as("__sa"))
+    val archSets = archiveText
+      .join(candidates.select(col("archive_id").as(archiveIdCol)).distinct(),
+        Seq(archiveIdCol), "left_semi")
+      .select(col(archiveIdCol).as("archive_id"),
+        array_distinct(sh(col(archiveTextCol))).as("__sb"))
+    val dropped = candidates
+      .join(snapSets, Seq(idCol))
+      .join(archSets, Seq("archive_id"))
+      .filter(jaccardBySets(col("__sa"), col("__sb")) >= jaccardThreshold)
+      .select(col(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -563,6 +563,28 @@ object QueriesLLM {
       .select(col("doc_id"))
   }
 
+  /** Incremental near-dup with EXACT verification: the snapshot's band
+    * collisions against the id-carrying archive index resolve to
+    * candidate (snapshot, archive) pairs, exact shingle-set Jaccard
+    * runs on ONLY those, and a document drops iff a partner clears the
+    * 0.9 threshold — screen false positives (band collision, low
+    * Jaccard) survive. Archived exact copies (the +100000 rows) are the
+    * certain drops; the tiny shared vocabulary makes plenty of
+    * collision-but-below-threshold pairs, so the recovery path is
+    * genuinely exercised.
+    */
+  def q_dedup_verify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val archive = docs.filter(col("doc_id") < 250)
+    val snap = docs.filter(col("doc_id") >= 250).select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    Dedup.nearDupVerifyAgainst(snap, "doc_id", "text",
+        Dedup.bandIndexWithIds(archive, "doc_id", "text"),
+        archive, "doc_id", "text", jaccardThreshold = 0.9)
+      .select(col("doc_id"))
+  }
+
   /** Top-k frequent word bigrams — the vocabulary/boilerplate report.
     * One agg on the gram (map-side combine carries (gram, partial n));
     * top-k via sort+limit with a total (count DESC, gram ASC) order so
@@ -1090,6 +1112,7 @@ object QueriesLLM {
     "q_quality_lr" -> (q_quality_lr _),
     "q_corpus_stats" -> (q_corpus_stats _),
     "q_dedup_incremental" -> (q_dedup_incremental _),
+    "q_dedup_verify" -> (q_dedup_verify _),
     "q_top_ngrams" -> (q_top_ngrams _),
     "q_token_histogram" -> (q_token_histogram _),
     "q_kmeans_step" -> (q_kmeans_step _),
@@ -1997,6 +2020,30 @@ object QueriesLLM {
         |WHERE ('0x'||substr(md5(text||'sample'),1,15))::BIGINT % 1000000 <
         |  CASE source WHEN 'src0' THEN 50000 WHEN 'src1' THEN 1000000
         |    ELSE 200000 END""".stripMargin,
+    "q_dedup_verify" -> (
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+        |)""".stripMargin + minhashSql +
+      """, cross_cand AS (
+        |  SELECT DISTINCT s.doc_id AS snap_id, a.doc_id AS archive_id
+        |  FROM bands0 s JOIN bands0 a ON s.band = a.band AND s.bk = a.bk
+        |  WHERE s.doc_id >= 250 AND a.doc_id < 250
+        |), shd AS (
+        |  SELECT doc_id, list_distinct(hs) AS ds FROM hashes
+        |), dropped AS (
+        |  SELECT DISTINCT c.snap_id AS doc_id
+        |  FROM cross_cand c
+        |  JOIN shd s ON c.snap_id = s.doc_id
+        |  JOIN shd a ON c.archive_id = a.doc_id
+        |  WHERE round(CASE WHEN len(list_distinct(s.ds || a.ds)) > 0
+        |      THEN len(list_intersect(s.ds, a.ds))::DOUBLE / len(list_distinct(s.ds || a.ds))
+        |      ELSE 0.0 END, 6) >= 0.9
+        |)
+        |SELECT c.doc_id FROM corpus c
+        |ANTI JOIN dropped d ON c.doc_id = d.doc_id
+        |WHERE c.doc_id >= 250""".stripMargin),
     "q_shard_assign" ->
       """WITH keyed AS (
         |  SELECT doc_id,

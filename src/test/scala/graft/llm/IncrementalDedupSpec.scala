@@ -76,6 +76,46 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(keptEmpty == Set(20L), "'' must not be screened by a null-text archive")
   }
 
+  test("nearDupVerifyAgainst: recovers screen false positives, drops verified dups") {
+    val archive = Seq(1L -> a, 2L -> b).toDF("doc_id", "text")
+    val snapshot = Seq(
+      10L -> a,                 // exact archived copy: jaccard 1.0 -> dropped
+      11L -> (a + " today"),    // true near-dup of archived a -> dropped
+      // one word swapped: band-collides with archived `a` (probed:
+      // the screen DROPS it) but exact Jaccard is 0.538 < 0.8 — a
+      // genuine screen false positive the verify path must recover
+      12L -> a.replace("lazy", "sleepy"),
+      13L -> c                  // novel -> kept
+    ).toDF("doc_id", "text")
+    val idIdx = Dedup.bandIndexWithIds(archive, "doc_id", "text")
+    val kept = Dedup.nearDupVerifyAgainst(snapshot, "doc_id", "text",
+        idIdx, archive, "doc_id", "text", jaccardThreshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(13L) && !kept.contains(10L) && !kept.contains(11L))
+    assert(kept.contains(12L), "verify must recover the low-Jaccard collision")
+
+    // verify-kept is a STRICT superset of screen-kept here: the screen
+    // over-drops doc 12 (membership semantics), verification recovers it
+    val memIdx = Dedup.bandIndex(archive, "doc_id", "text")
+    val screenKept = Dedup.nearDupScreenAgainst(snapshot, "doc_id", "text",
+        memIdx).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(screenKept.subsetOf(kept) && !screenKept.contains(12L))
+
+    // and the dropped set equals the union-corpus definition: a cross
+    // (snapshot, archive) candidate pair with exact Jaccard >= t
+    val union = archive.unionByName(snapshot)
+    val crossVerified = Dedup.lshCandidatePairs(union, "doc_id", "text")
+      .filter((col("id_a") < 3 && col("id_b") >= 10) ||
+        (col("id_b") < 3 && col("id_a") >= 10))
+      .join(union.select(col("doc_id").as("id_a"), col("text").as("__ta")), Seq("id_a"))
+      .join(union.select(col("doc_id").as("id_b"), col("text").as("__tb")), Seq("id_b"))
+      .filter(Dedup.jaccard(col("__ta"), col("__tb")) >= 0.8)
+      .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val dropped = Set(10L, 11L, 12L, 13L) -- kept
+    assert(dropped == crossVerified)
+  }
+
   test("nearDupScreenAgainst drops band-collision docs, keeps novel ones") {
     val archive = Seq(1L -> a, 2L -> b).toDF("doc_id", "text")
     val snapshot = Seq(
