@@ -959,6 +959,27 @@ object QueriesLLM {
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
   }
 
+  /** Sketch-based corpus profile — the 100 TB form of `q_corpus_stats`:
+    * HyperLogLog++ distinct counts (`approx_count_distinct`) and
+    * mergeable quantile sketches (`percentile_approx`) keep per-group
+    * state O(1) instead of shuffling every digest / sorting every
+    * length; the partial sketches combine map-side exactly like sums.
+    * No DuckDB oracle on purpose: sketch internals are
+    * engine-specific, so the driver records the rows-only check and
+    * SketchSpec pins accuracy against exact answers instead.
+    */
+  def q_corpus_sketch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(md5(col("text"))).as("approx_distinct_texts"),
+        percentile_approx(
+          size(TextFunctions.tokens(col("text"))).cast("double"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(1000))
+          .as("token_pctiles"))
+  }
+
   /** Deterministic training shuffle: every document's shard (stable
     * hash bucket) and within-shard read position — the reproducible
     * permutation a training reader consumes. Shard and order are
@@ -1100,6 +1121,7 @@ object QueriesLLM {
     "q_semdedup" -> (q_semdedup _),
     "q_bm25_topk" -> (q_bm25_topk _),
     "q_bm25_indexed" -> (q_bm25_indexed _),
+    "q_corpus_sketch" -> (q_corpus_sketch _),
     "q_shard_assign" -> (q_shard_assign _),
     "q_mixture_plan" -> (q_mixture_plan _),
     "q_mixture_expand" -> (q_mixture_expand _),

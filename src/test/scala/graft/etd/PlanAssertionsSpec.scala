@@ -155,6 +155,42 @@ class PlanAssertionsSpec extends AnyFunSuite {
       !p.contains("[text#"), s"text used as a join key:\n$p")
   }
 
+  test("BM25 indexed search: no corpus re-tokenization, query filter pushed") {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (post, stats) = graft.llm.Retrieval.buildPostings(docs, "doc_id", "text")
+    post.write.mode("overwrite").parquet(s"$tmp/post")
+    stats.write.mode("overwrite").parquet(s"$tmp/stats")
+    val p = plan(graft.llm.Retrieval.searchPostings(
+      spark.read.parquet(s"$tmp/post"), spark.read.parquet(s"$tmp/stats"),
+      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5))
+    // three scans: postings index, stats, and the QUERY side of
+    // documents — the corpus itself is never re-read or re-tokenized
+    assert("Scan parquet".r.findAllIn(p).length == 3,
+      s"search must scan index + stats + queries only:\n$p")
+    assert(p.contains("LessThan(doc_id,3)"),
+      s"query-side filter must reach the documents scan:\n$p")
+    // the postings scan reads the index columns, not any text
+    assert(p.contains("struct<doc_id:bigint,term:string,tf:bigint,dl:double,df:bigint>"),
+      s"postings ReadSchema wrong:\n$p")
+  }
+
+  test("shard assignment: map-side hashes over a pruned scan") {
+    val p = plan(graft.queries.QueriesLLM.q_shard_assign(spark, dir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"shard keys must read doc_id alone:\n$p")
+    assert(!p.contains("Join"), s"shard assignment must not join:\n$p")
+  }
+
+  test("mixtureExpand: map-only epoch expansion (no join, no exchange)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.Mixing.mixtureExpand(docs, "doc_id", "source",
+      Map("src0" -> 2.25, "src1" -> 0.5)))
+    assert(p.contains("Generate"), s"expected posexplode:\n$p")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"epoch expansion must be map-only:\n$p")
+  }
+
   test("PQ ADC scan: one corpus scan serves all queries, no joins") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cb = Array.tabulate(4, 8)((j, i) =>
