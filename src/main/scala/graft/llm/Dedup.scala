@@ -473,6 +473,53 @@ object Dedup {
       .select("corpus_id", "bench_id", "overlap", "contamination")
   }
 
+  /** [[contaminationScores]] with a broadcast Bloom pre-screen — the
+    * 100 TB form. The plain shape explodes EVERY corpus n-gram into the
+    * `maxDf` window / join exchange; at corpus scale that shuffle is
+    * (tokens x corpus)-sized while the benchmark side is a few MB. Here
+    * the benchmark's distinct gram hashes build one Bloom filter
+    * (`fpp` default 1%) that rides into the corpus scan as a native
+    * codegen'd `mightContainLong` — non-colliding grams die map-side
+    * and the exchange carries only (actual overlap + fpp x corpus
+    * grams).
+    *
+    * Results are EXACTLY [[contaminationScores]]'s (spec-pinned):
+    * false negatives are impossible, false positives are eliminated by
+    * the same exact hash join, and the `maxDf` document-frequency of a
+    * surviving gram is unchanged because screening drops whole gram
+    * groups (the screen is a function of `__h`), never part of one.
+    */
+  def contaminationScoresBloom(corpus: DataFrame, corpusId: String, corpusText: String,
+                               bench: DataFrame, benchId: String, benchText: String,
+                               shingleSize: Int = 3, threshold: Double = 0.0,
+                               maxDf: Option[Long] = None,
+                               fpp: Double = 0.01): DataFrame = {
+    val b = bench.select(col(benchId).as("bench_id"),
+      explode(array_distinct(shingleHashes(col(benchText), shingleSize))).as("__h"))
+    val bGrams = b.select("__h").distinct()
+    val nGrams = math.max(bGrams.count(), 1L) // benchmark side is small by contract
+    val bloom = org.apache.spark.sql.graft.BloomExpressions.serialize(
+      bGrams.stat.bloomFilter("__h", nGrams, fpp))
+    val c0 = corpus.select(col(corpusId).as("corpus_id"),
+        explode(array_distinct(shingleHashes(col(corpusText), shingleSize))).as("__h"))
+      .filter(org.apache.spark.sql.graft.BloomExpressions
+        .mightContainLong(col("__h"), bloom))
+    val c = maxDf.fold(c0) { cap =>
+      val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+      c0.withColumn("__df", count(lit(1)).over(wh))
+        .filter(col("__df") <= cap).drop("__df")
+    }
+    val bSizes = b.groupBy("bench_id").agg(count(lit(1)).as("__bn"))
+    val f = 1e6
+    c.join(b, Seq("__h"))
+      .groupBy("corpus_id", "bench_id").agg(count(lit(1)).as("overlap"))
+      .join(bSizes, Seq("bench_id"))
+      .withColumn("contamination",
+        floor(col("overlap").cast("double") / col("__bn") * f + 0.5) / f)
+      .filter(col("contamination") >= threshold)
+      .select("corpus_id", "bench_id", "overlap", "contamination")
+  }
+
   // ------------------------------------------------------------------
   // Verification measures
   // ------------------------------------------------------------------

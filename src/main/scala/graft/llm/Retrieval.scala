@@ -74,6 +74,90 @@ object Retrieval {
     (post, stats)
   }
 
+  // ------------------------------------------------------------------
+  // Normalized (append-only, incrementally updatable) index form
+  // ------------------------------------------------------------------
+
+  /** [[buildPostings]] with document frequency NORMALIZED OUT into its
+    * own per-term table instead of denormalized onto every posting:
+    * returns (postings (doc_id, term, tf, dl), termDf (term, df),
+    * stats (n_docs, total_len, avgdl)).
+    *
+    * This is the index shape that makes incremental maintenance
+    * append-only: adding documents changes every existing term's df,
+    * and with df inside the postings rows that means REWRITING the
+    * whole index per snapshot. Normalized, [[updatePostingsNorm]]
+    * appends the snapshot's postings untouched and merges only the
+    * term table (vocabulary-sized) and the one-row stats — at 100 TB
+    * the difference between rewriting the archive's index per batch
+    * and writing bytes proportional to the snapshot.
+    */
+  def buildPostingsNorm(corpus: DataFrame, idCol: String,
+                        textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val post = postings(corpus, idCol, textCol)
+    val termDf = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .agg(count_distinct(col("doc_id")).cast("double").as("n_docs"),
+        count(lit(1)).cast("double").as("total_len"))
+      .withColumn("avgdl", col("total_len") / col("n_docs"))
+    (post, termDf, stats)
+  }
+
+  /** Fold a snapshot of NEW documents (ids disjoint from the indexed
+    * corpus — the same contract as [[Dedup.exactDedupAgainst]]'s
+    * snapshot) into a normalized index. Postings are a pure union (the
+    * archive side is appended to, never read back row-by-row); the
+    * term table merges by summed df; stats add. The result is
+    * EXACTLY [[buildPostingsNorm]] of the union corpus
+    * (RetrievalSpec pins it), so searches before and after an update
+    * need no special casing.
+    */
+  def updatePostingsNorm(post: DataFrame, termDf: DataFrame, stats: DataFrame,
+                         newDocs: DataFrame, idCol: String,
+                         textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val (newPost, newTermDf, newStats) = buildPostingsNorm(newDocs, idCol, textCol)
+    val mergedPost = post.unionByName(newPost)
+    val mergedTermDf = termDf
+      .unionByName(newTermDf)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val mergedStats = stats.unionByName(newStats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
+      .withColumn("avgdl", col("total_len") / col("n_docs"))
+    (mergedPost, mergedTermDf, mergedStats)
+  }
+
+  /** BM25 top-`k` over the normalized index: query terms explode
+    * (tiny), pick up df from the term table FIRST — a join of two
+    * query-vocabulary-sized sides — then meet the postings on `term`.
+    * The arithmetic (and thus every rounded value) is identical to
+    * [[searchPostings]]; only where df comes from differs.
+    */
+  def searchPostingsNorm(post: DataFrame, termDf: DataFrame, stats: DataFrame,
+                         queries: DataFrame, queryIdCol: String,
+                         queryTextCol: String, k: Int,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    val qWithDf = termDf.join(broadcast(qTerms), Seq("term"))
+    val scored = qWithDf.join(post, Seq("term"))
+      .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
+      .withColumn("idf",
+        TextFunctions.round9(log((col("n_docs") - col("df") + lit(0.5)) /
+               (col("df") + lit(0.5)) + lit(1.0))))
+      .withColumn("contrib",
+        TextFunctions.round6(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib").cast("decimal(28,12)")).cast("double").as("score"))
+    graft.ops.TopK.topKPerQuery(scored, "query_id", "doc_id", "score", k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
   /** BM25 top-`k` over a PRE-BUILT index ([[buildPostings]] shape —
     * read back from its persisted form or passed through directly).
     * Search-side work is only (query term ⋈ posting) matches: the tiny
@@ -101,10 +185,7 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("contrib").cast("decimal(28,12)")).cast("double").as("score"))
-    val wQ = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(wQ))
-      .filter(col("rank") <= k)
+    graft.ops.TopK.topKPerQuery(scored, "query_id", "doc_id", "score", k)
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("rank"), col("score"))
   }
@@ -146,10 +227,7 @@ object Retrieval {
       .reduce(_ unionByName _)
       .groupBy("query_id", "doc_id")
       .agg(sum(col("part").cast("decimal(28,12)")).cast("double").as("rrf"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("rrf").desc, col("doc_id"))
-    fused.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.ops.TopK.topKPerQuery(fused, "query_id", "doc_id", "rrf", k)
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("rank"), col("rrf"))
   }

@@ -342,6 +342,21 @@ object QueriesLLM {
       .withColumnRenamed("overlap", "n_shared")
   }
 
+  /** [[q_contamination]] through the Bloom-prescreen form
+    * ([[Dedup.contaminationScoresBloom]]): the benchmark's gram hashes
+    * build one broadcast Bloom filter that kills non-colliding corpus
+    * grams map-side before any exchange. Same oracle as
+    * `q_contamination` — the screen is exact-by-construction (no false
+    * negatives; false positives die in the hash join).
+    */
+  def q_contamination_bloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    Dedup.contaminationScoresBloom(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "doc_id", "text", threshold = 0.1)
+      .filter(col("corpus_id") =!= col("bench_id"))
+      .withColumnRenamed("overlap", "n_shared")
+  }
+
   /** Repetition / diversity stats (Gopher-family curation signals). The
     * corpus is single-line, so segments split at spaces — the ratios
     * become token-repetition measures (1 - type/token ratio, repeated-
@@ -594,6 +609,25 @@ object QueriesLLM {
     table(spark, dir, "documents")
       .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(20)
+
+  /** [[q_top_ngrams]] through the mergeable Misra-Gries summary
+    * ([[org.apache.spark.sql.graft.FreqItemsSketch]]): per-partition
+    * state is O(capacity) no matter how many distinct grams stream
+    * through — the 100 TB form of the vocabulary report, where the
+    * exact hash-agg's key set grows with the corpus vocabulary.
+    * Capacity 4096 >= the testdata's distinct bigrams, so the summary
+    * is exact here and the driver hash-checks it against the SAME
+    * oracle as the exact query; FreqItemsSpec pins the
+    * capacity-constrained error bounds the oracle can't see.
+    */
+  def q_top_ngrams_sketch(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("gram"))
+      .agg(org.apache.spark.sql.graft.FreqItemsExpressions
+        .freqItemsSketch(col("gram"), 4096).as("__fi"))
+      .select(explode(col("__fi")).as("__e"))
+      .select(col("__e.item").as("gram"), col("__e.est").as("n"))
       .orderBy(col("n").desc, col("gram")).limit(20)
 
   /** Token-length histogram in buckets of 10 — the length-distribution
@@ -1041,6 +1075,24 @@ object QueriesLLM {
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
   }
 
+  /** Incrementally-maintained BM25: the normalized index is built on
+    * the first half of the corpus, the second half folds in through
+    * [[Retrieval.updatePostingsNorm]] (postings append-only; only the
+    * vocabulary-sized term table and one-row stats merge), and search
+    * runs over the updated index. Ranks the full corpus — same oracle
+    * as `q_bm25_topk`, because update-then-search must equal
+    * build-on-the-union exactly.
+    */
+  def q_bm25_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val (p0, t0, s0) = Retrieval.buildPostingsNorm(
+      docs.filter(col("doc_id") < 250), "doc_id", "text")
+    val (p1, t1, s1) = Retrieval.updatePostingsNorm(p0, t0, s0,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text")
+    Retrieval.searchPostingsNorm(p1, t1, s1,
+      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
+  }
+
   /** Hybrid retrieval: RRF-fuse the BM25 run (first 3 documents as
     * queries) with a dense brute-force cosine run for the same query ids
     * over the embeddings corpus (vec_id aligned with doc_id, the usual
@@ -1108,6 +1160,7 @@ object QueriesLLM {
     "q_text_bigram_lm" -> (q_text_bigram_lm _),
     "q_text_repetition" -> (q_text_repetition _),
     "q_contamination" -> (q_contamination _),
+    "q_contamination_bloom" -> (q_contamination_bloom _),
     "q_sample_hash" -> (q_sample_hash _),
     "q_pack_sequences" -> (q_pack_sequences _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
@@ -1121,6 +1174,7 @@ object QueriesLLM {
     "q_semdedup" -> (q_semdedup _),
     "q_bm25_topk" -> (q_bm25_topk _),
     "q_bm25_indexed" -> (q_bm25_indexed _),
+    "q_bm25_incremental" -> (q_bm25_incremental _),
     "q_corpus_sketch" -> (q_corpus_sketch _),
     "q_shard_assign" -> (q_shard_assign _),
     "q_mixture_plan" -> (q_mixture_plan _),
@@ -1136,6 +1190,7 @@ object QueriesLLM {
     "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_dedup_verify" -> (q_dedup_verify _),
     "q_top_ngrams" -> (q_top_ngrams _),
+    "q_top_ngrams_sketch" -> (q_top_ngrams_sketch _),
     "q_token_histogram" -> (q_token_histogram _),
     "q_kmeans_step" -> (q_kmeans_step _),
     "q_sample_stratified" -> (q_sample_stratified _),
@@ -2123,7 +2178,13 @@ object QueriesLLM {
   )
 
   // the indexed search path must return byte-identical rankings to the
-  // one-call rebuild form — same oracle SQL, checked independently
+  // one-call rebuild form — same oracle SQL, checked independently;
+  // likewise the Bloom-prescreened contamination (exact by construction)
+  // and the MG-sketch n-gram report (exact while capacity >= distinct)
   val oracles: Map[String, String] =
-    oracles0 + ("q_bm25_indexed" -> oracles0("q_bm25_topk"))
+    oracles0 +
+      ("q_bm25_indexed" -> oracles0("q_bm25_topk")) +
+      ("q_bm25_incremental" -> oracles0("q_bm25_topk")) +
+      ("q_contamination_bloom" -> oracles0("q_contamination")) +
+      ("q_top_ngrams_sketch" -> oracles0("q_top_ngrams"))
 }

@@ -223,4 +223,34 @@ class RetrievalSpec extends AnyFunSuite {
         (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     assert(wb == w)
   }
+
+  test("normalized index: build+search == one-call; update == build-on-union") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("apple", "banana", "cherry", "date", "fig", "grape", "kiwi")
+    def doc(len: Int) = (0 until len).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val all = (0L until 60L).map(i => (i, doc(3 + rnd.nextInt(12)))).toDF("doc_id", "text")
+    val queries = (100L to 102L).map(i => (i, doc(4))).toDF("qid", "qtext")
+
+    val expected = Retrieval.bm25TopK(all, "doc_id", "text",
+      queries, "qid", "qtext", k = 7).orderBy("query_id", "rank").collect().toSeq
+
+    val (p, t, s) = Retrieval.buildPostingsNorm(all, "doc_id", "text")
+    val normAll = Retrieval.searchPostingsNorm(p, t, s,
+      queries, "qid", "qtext", k = 7).orderBy("query_id", "rank").collect().toSeq
+    assert(normAll == expected)
+
+    val (p0, t0, s0) = Retrieval.buildPostingsNorm(
+      all.filter(col("doc_id") < 30), "doc_id", "text")
+    val (p1, t1, s1) = Retrieval.updatePostingsNorm(p0, t0, s0,
+      all.filter(col("doc_id") >= 30), "doc_id", "text")
+    val updated = Retrieval.searchPostingsNorm(p1, t1, s1,
+      queries, "qid", "qtext", k = 7).orderBy("query_id", "rank").collect().toSeq
+    assert(updated == expected)
+
+    // the update's postings side is append-only: the archive postings
+    // survive row-identical inside the merged index
+    val archiveRows = p0.collect().toSet
+    val mergedRows = p1.collect().toSet
+    assert(archiveRows.subsetOf(mergedRows))
+  }
 }
