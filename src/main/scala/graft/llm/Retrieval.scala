@@ -153,7 +153,10 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("contrib").cast("decimal(28,12)")).cast("double").as("score"))
-    graft.ops.TopK.topKPerQuery(scored, "query_id", "doc_id", "score", k)
+    val wQ = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("rank"), col("score"))
   }
@@ -185,7 +188,13 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("contrib").cast("decimal(28,12)")).cast("double").as("score"))
-    graft.ops.TopK.topKPerQuery(scored, "query_id", "doc_id", "score", k)
+    // row_number + rank<=k: InferWindowGroupLimit bounds the exchange to
+    // k rows per query per map task (measured equal to the partial
+    // aggregate's shuffle — PERFNOTES r11 "top-k finisher")
+    val wQ = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("rank"), col("score"))
   }
@@ -227,7 +236,10 @@ object Retrieval {
       .reduce(_ unionByName _)
       .groupBy("query_id", "doc_id")
       .agg(sum(col("part").cast("decimal(28,12)")).cast("double").as("rrf"))
-    graft.ops.TopK.topKPerQuery(fused, "query_id", "doc_id", "rrf", k)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("rank"), col("rrf"))
   }

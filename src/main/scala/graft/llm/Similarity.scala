@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Dedup.cosine
@@ -35,7 +36,11 @@ object Similarity {
       .withColumn("cos",
         when(col("qn") > 0 && col("cn") > 0,
           Dedup.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
-    graft.ops.TopK.topKPerQuery(scored, "query_id", "neighbor_id", "cos", k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
@@ -85,10 +90,13 @@ object Similarity {
         explode(ivfProbeCells(col("qv"), centroids, nprobe)))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("ccell", ivfAssign(col("cv"), centroids))
-    val scored = c.join(broadcast(q),
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q),
         col("qcell") === col("ccell") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    graft.ops.TopK.topKPerQuery(scored, "query_id", "neighbor_id", "cos", k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
@@ -191,18 +199,18 @@ object Similarity {
       .withColumn("qq", quantize8(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cq", quantize8(col("cv")))
-    // stage 1 keeps only candidate IDS through the partial top-k agg;
-    // the exact stage re-fetches the few surviving vectors by join —
-    // the full-precision payload never rides the stage-1 shuffle
-    val approxScored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val pool = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("acos", quantizedCosine(col("qq"), col("cq")))
-    val pool = graft.ops.TopK.topKPerQuery(
-      approxScored, "query_id", "neighbor_id", "acos", candidates)
-    val exactScored = pool.select("query_id", "neighbor_id")
-      .join(c.select("neighbor_id", "cv"), Seq("neighbor_id"))
-      .join(broadcast(q.select("query_id", "qv")), Seq("query_id"))
+      .withColumn("__ar", row_number().over(wApprox))
+      .filter(col("__ar") <= candidates)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pool
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    graft.ops.TopK.topKPerQuery(exactScored, "query_id", "neighbor_id", "cos", k)
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
@@ -268,14 +276,16 @@ object Similarity {
       struct(lit(qid).as("query_id"),
         array(pqLut(qv, codebooks).map(lit(_)): _*).as("lut"))
     }: _*)
-    val scored = corpus.select(col(idCol).as("neighbor_id"),
-        col(codesCol).as("__codes"), explode(qarr).as("__q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    corpus.select(col(idCol).as("neighbor_id"), col(codesCol).as("__codes"),
+        explode(qarr).as("__q"))
       .select(col("__q.query_id").as("query_id"), col("neighbor_id"),
         org.apache.spark.sql.graft.VectorExpressions
           .pqAdcScore(col("__codes"), col("__q.lut")).as("score"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    graft.ops.TopK.topKPerQuery(scored, "query_id", "neighbor_id", "score", k)
-      .select("query_id", "neighbor_id", "score", "rank")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Two-stage PQ search: ADC over the code column keeps the top
@@ -297,11 +307,13 @@ object Similarity {
     val cand = pqTopK(coded, "neighbor_id", "__codes", qSeq, codebooks,
       k * overfetch)
     val qDf = qSeq.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "qv")
-    val exactScored = cand
-      .join(coded.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(coded.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
       .join(broadcast(qDf), Seq("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    graft.ops.TopK.topKPerQuery(exactScored, "query_id", "neighbor_id", "cos", k)
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
@@ -400,16 +412,17 @@ object Similarity {
         array(cells.map(lit(_)): _*).as("cells"),
         array(pqLut(qv, codebooks).map(lit(_)): _*).as("lut"))
     }: _*)
-    val scored = index.select(col(idCol).as("neighbor_id"),
-        col(codesCol).as("__codes"),
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    index.select(col(idCol).as("neighbor_id"), col(codesCol).as("__codes"),
         col(cellCol).as("__cell"), explode(qarr).as("__q"))
       .filter(array_contains(col("__q.cells"), col("__cell")))
       .select(col("__q.query_id").as("query_id"), col("neighbor_id"),
         org.apache.spark.sql.graft.VectorExpressions
           .pqAdcScore(col("__codes"), col("__q.lut")).as("score"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    graft.ops.TopK.topKPerQuery(scored, "query_id", "neighbor_id", "score", k)
-      .select("query_id", "neighbor_id", "score", "rank")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Distributed PQ codebook training: per-subspace k-means, all m

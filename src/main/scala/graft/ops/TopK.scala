@@ -3,19 +3,22 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Per-group top-k as a partial aggregate instead of a window sort.
+/** Per-group top-k as a partial aggregate — the ALTERNATIVE finisher
+  * to the `row_number().over(...)` + `rank <= k` window form.
   *
-  * The window form — `row_number().over(Window.partitionBy(query)
-  * .orderBy(score.desc, id))` then `rank <= k` — shuffles EVERY scored
-  * row into the query's partition and sorts it there, only to discard
-  * all but k. This helper routes the same selection through the native
-  * [[org.apache.spark.sql.graft.TopKPairs]] aggregate: each map task
-  * reduces its slice to at most k entries per group before the
-  * exchange (ObjectHashAggregate partial + final merge), so the shuffle
-  * carries O(groups x k) per task instead of the scored relation. On a
-  * 1000-executor scan of a 100 TB corpus the scored relation is
-  * (corpus x queries)-sized; this is the difference between re-shuffling
-  * the corpus and shuffling kilobytes.
+  * Measured honesty (PERFNOTES r11 "top-k finisher"): Spark 4's
+  * `InferWindowGroupLimit` already rewrites the window form into a
+  * map-side partial group-limit, so BOTH forms shuffle O(groups x k)
+  * per task — the window form is NOT the scale hazard it reads as,
+  * and its codegen'd processing edges out this aggregate's
+  * interpreted update on a 20M-row scored relation (4.1 s vs 4.8 s,
+  * equal shuffle bytes). The hot paths therefore keep the window
+  * form; this helper (and the native
+  * [[org.apache.spark.sql.graft.TopKPairs]] it wraps) stays as the
+  * A/B measurement surface and for compositions where an
+  * `array<struct<id, score>>` aggregate value is the natural shape
+  * (e.g. carrying a group's top-k through a further aggregation
+  * without re-widening to rows).
   *
   * Result equality with the window form (including null scores — DESC
   * NULLS LAST — id tie-breaks, and -0.0/0.0) is pinned in TopKAggSpec.

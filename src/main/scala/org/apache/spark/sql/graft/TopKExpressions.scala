@@ -66,18 +66,17 @@ final class TopKBuffer(val k: Int) {
 
 /** Native partial top-k aggregate: per group, the k best (id, score)
   * pairs by (score DESC NULLS LAST, id ASC), returned sorted as
-  * `array<struct<id: bigint, score: double>>`.
+  * `array<struct<id: bigint, score: double>>`. Runs inside
+  * ObjectHashAggregate with a partial-merge phase: each map task
+  * reduces its slice to at most k entries per group before the
+  * exchange.
   *
-  * Why this exists: every per-query top-k in the engine (ANN re-rank,
-  * BM25, RRF) was a `row_number().over(Window.partitionBy(query))` —
-  * which shuffles EVERY scored row to sort it inside the query's
-  * partition. As a TypedImperativeAggregate this runs inside
-  * ObjectHashAggregate with a partial-merge phase: each map task reduces
-  * its slice to at most k rows per group before the exchange, so the
-  * shuffle carries O(groups x k x mappers) rows instead of O(scored
-  * rows). At 100 TB the scored relation is (corpus x queries) sized —
-  * the partial agg is the difference between shuffling the corpus per
-  * query and shuffling a few KB per query per task.
+  * Role (see [[graft.ops.TopK]] for the measured comparison): Spark 4's
+  * `InferWindowGroupLimit` gives the `row_number <= k` window form the
+  * same O(groups x k)-per-task exchange, so the engine's hot paths keep
+  * the codegen'd window; this aggregate is the A/B surface for that
+  * claim and the building block for compositions that want a group's
+  * top-k as a VALUE (one array per group) rather than as rows.
   *
   * Result equality with the window form is pinned in TopKAggSpec
   * (including null scores, +/-0.0 and id tie-breaks).
