@@ -28,7 +28,29 @@ object Retrieval {
   /** (doc, term, tf, dl) postings of `corpus` under the single-space
     * token convention — the inverted index both scoring paths share.
     */
-  def postings(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+  def postings(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // row-local build: term frequency and document length are facts of
+    // ONE row, so they are computed where the document already is (the
+    // native term_freqs pass) and the postings table needs no exchange
+    // at all. The composed form this replaced — explode, hash-agg
+    // keyed (doc, term), dl window over doc — shuffled every (doc,
+    // term) pair twice; RetrievalSpec pins this form row-identical to
+    // it, and the map-only shape is what a streaming index maintainer
+    // appends per micro-batch.
+    val tf = org.apache.spark.sql.graft.TextHashExpressions
+    corpus
+      .select(col(idCol).as("doc_id"), tf.termFreqs(col(textCol)).as("__tf"))
+      .select(col("doc_id"), col("__tf.dl").cast("double").as("dl"),
+        explode(col("__tf.terms")).as("__t"))
+      .select(col("doc_id"), col("__t.term").as("term"),
+        col("__t.tf").as("tf"), col("dl"))
+  }
+
+  /** The composed explode + (doc, term) hash-agg + per-doc dl window
+    * formulation [[postings]] replaced — kept as its equivalence
+    * oracle (RetrievalSpec pins row-identity on randomized corpora).
+    */
+  def postingsComposed(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
@@ -36,6 +58,7 @@ object Retrieval {
       .withColumn("dl", sum(col("tf")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))
         .cast("double"))
+      .select("doc_id", "term", "tf", "dl")
 
   /** Build-once postings index: the (doc, term) postings with document
     * frequency and document length ALREADY resolved, plus the one-row
@@ -61,18 +84,21 @@ object Retrieval {
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val post = postings(corpus, idCol, textCol)
       .withColumn("df", count(lit(1)).over(wTerm))
-    // corpus scalars straight off the token explode: n_docs = docs with
-    // >= 1 token, avgdl = token occurrences / n_docs — same values the
-    // postings aggregation implies, without re-building the (doc, term)
-    // aggregate + per-doc window a second time just for two scalars
-    val stats = corpus
-      .select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("term"))
-      .agg(count_distinct(col("doc_id")).cast("double").as("n_docs"),
-        count(lit(1)).cast("double").as("total_len"))
-      .withColumn("avgdl", col("total_len") / col("n_docs"))
-    (post, stats)
+    (post, corpusStats(corpus, textCol))
   }
+
+  /** One-row corpus scalars from the row-local dl — no explode, no
+    * distinct: n_docs = docs with >= 1 token, avgdl = token
+    * occurrences / n_docs (exactly the values the postings imply).
+    */
+  private def corpusStats(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(org.apache.spark.sql.graft.TextHashExpressions
+        .termFreqs(col(textCol)).getField("dl").as("__dl"))
+      .agg(coalesce(sum(when(col("__dl") > 0, 1L).otherwise(0L)), lit(0L))
+          .cast("double").as("n_docs"),
+        coalesce(sum(col("__dl")), lit(0L)).cast("double").as("total_len"))
+      .withColumn("avgdl", col("total_len") / col("n_docs"))
 
   // ------------------------------------------------------------------
   // Normalized (append-only, incrementally updatable) index form
@@ -96,13 +122,7 @@ object Retrieval {
                         textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val post = postings(corpus, idCol, textCol)
     val termDf = post.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = corpus
-      .select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("term"))
-      .agg(count_distinct(col("doc_id")).cast("double").as("n_docs"),
-        count(lit(1)).cast("double").as("total_len"))
-      .withColumn("avgdl", col("total_len") / col("n_docs"))
-    (post, termDf, stats)
+    (post, termDf, corpusStats(corpus, textCol))
   }
 
   /** Fold a snapshot of NEW documents (ids disjoint from the indexed

@@ -384,8 +384,99 @@ case class LongSetJaccard(left: Expression, right: Expression)
   override def prettyName: String = "long_set_jaccard"
 }
 
+/** Row-local term-frequency computation for the postings build. */
+object TermFreqUtil {
+
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  // ASCII whitespace classes of Java regex \s — the token convention
+  // TextFunctions.tokens (split on "\\s+", drop empties) defines
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** struct(dl, array<struct<term, tf>>) for one document, one pass:
+    * dl = total token occurrences, terms in first-occurrence order.
+    * Byte-level scanning is UTF-8-safe (multi-byte sequences contain
+    * no ASCII bytes).
+    */
+  def termFreqs(text: UTF8String): GenericInternalRow = {
+    val bytes = text.getBytes
+    val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+    var dl = 0L
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        val cur = counts.get(tok)
+        counts.put(tok, if (cur == null) 1L else cur + 1L)
+        dl += 1L
+      }
+    }
+    val terms = new Array[Any](counts.size)
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val row = new GenericInternalRow(2)
+      row.update(0, e.getKey)
+      row.setLong(1, e.getValue)
+      terms(j) = row
+      j += 1
+    }
+    val out = new GenericInternalRow(2)
+    out.setLong(0, dl)
+    out.update(1, new GenericArrayData(terms))
+    out
+  }
+}
+
+/** Per-document postings in ONE map-side pass:
+  * `struct<dl: bigint, terms: array<struct<term: string, tf: bigint>>>`
+  * under the single-space token convention ([[TermFreqUtil]]).
+  *
+  * Why native: the composed postings build — explode tokens, hash-agg
+  * (doc, term), window dl over doc — EXCHANGES every (doc, term) pair
+  * twice (once for the agg keyed (doc, term), once for the per-doc
+  * window). Term frequency and document length are per-row facts; this
+  * computes them where the document already is, so the postings table
+  * needs NO exchange at all and the build's only shuffles are the
+  * term-df agg and the one-row stats. It is also the shape a STREAMING
+  * index maintainer needs: map-only postings append per micro-batch.
+  */
+case class TermFreqs(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("terms", ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false),
+      nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    TermFreqUtil.termFreqs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TermFreqUtil.termFreqs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TermFreqs =
+    copy(child = newChild)
+
+  override def prettyName: String = "term_freqs"
+}
+
 /** Column-API entry points for the native text-hash expressions. */
 object TextHashExpressions {
+
+  def termFreqs(text: Column): Column =
+    ExpressionUtils.column(TermFreqs(ExpressionUtils.expression(text)))
 
   def md5Prefix64(c: Column): Column =
     ExpressionUtils.column(Md5Prefix64(ExpressionUtils.expression(c)))

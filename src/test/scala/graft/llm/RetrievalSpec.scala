@@ -224,6 +224,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(wb == w)
   }
 
+  test("row-local postings == composed explode/agg/window form (incl. whitespace runs)") {
+    val rnd = new scala.util.Random(3)
+    val words = Vector("apple", "banana", "cherry", "", " ", "fig\tgrape", "x")
+    def doc() = (0 until 1 + rnd.nextInt(15))
+      .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val corpus = ((0L until 40L).map(i => (i, doc())) :+ (98L, "") :+ (99L, " \t\n "))
+      .toDF("doc_id", "text")
+    val rowLocal = Retrieval.postings(corpus, "doc_id", "text").collect().toSet
+    val composed = Retrieval.postingsComposed(corpus, "doc_id", "text").collect().toSet
+    assert(rowLocal == composed)
+    // the row-local build plans NO exchange for the postings table
+    val plan = Retrieval.postings(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"postings must be map-only:\n$plan")
+  }
+
   test("normalized index: build+search == one-call; update == build-on-union") {
     val rnd = new scala.util.Random(11)
     val words = Vector("apple", "banana", "cherry", "date", "fig", "grape", "kiwi")

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.llm.Retrieval
+
+/** Streaming BM25 index maintenance: micro-batch appends to the
+  * log-structured normalized index, then load + search equals the
+  * one-call batch build over everything that arrived.
+  */
+class StreamingRetrievalSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("3 micro-batches of appends; load+search == batch build; compaction preserves it") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files.createTempDirectory("bm25stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25ckpt").toString
+
+    val rnd = new scala.util.Random(5)
+    val words = Vector("apple", "banana", "cherry", "date", "fig", "grape")
+    def doc(len: Int) = (0 until len).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val batches = Seq(
+      (0L until 20L).map(i => (i, doc(3 + rnd.nextInt(8)))),
+      (20L until 40L).map(i => (i, doc(3 + rnd.nextInt(8)))),
+      (40L until 60L).map(i => (i, doc(3 + rnd.nextInt(8)))))
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = StreamingRetrieval.maintainIndex(docs, "doc_id", "text",
+      indexDir, ckpt).start()
+    batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    query.stop()
+
+    val all = batches.flatten.toDF("doc_id", "text")
+    val queries = all.filter($"doc_id" < 3)
+    val expected = Retrieval.bm25TopK(all, "doc_id", "text",
+      queries, "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
+
+    val (p, t, s) = StreamingRetrieval.loadIndex(spark, indexDir)
+    val got = Retrieval.searchPostingsNorm(p, t, s,
+      queries, "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
+    assert(got == expected)
+
+    // the df/stats logs hold one delta per batch before compaction
+    assert(spark.read.parquet(s"$indexDir/stats").count() == 3)
+    StreamingRetrieval.compactIndex(spark, indexDir)
+    assert(spark.read.parquet(s"$indexDir/stats").count() == 1)
+    val (p2, t2, s2) = StreamingRetrieval.loadIndex(spark, indexDir)
+    val gotCompacted = Retrieval.searchPostingsNorm(p2, t2, s2,
+      queries, "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
+    assert(gotCompacted == expected)
+  }
+
+  test("appendBatch stamps batch ids for retry detection") {
+    val indexDir = java.nio.file.Files.createTempDirectory("bm25append").toString
+    val b0 = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    StreamingRetrieval.appendBatch(indexDir, "doc_id", "text")(b0, 7L)
+    val ids = spark.read.parquet(s"$indexDir/postings")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(7L))
+  }
+}
