@@ -194,6 +194,54 @@ object Sources {
     else w.parquet(path)
   }
 
+  /** JSONL corpus ingest — the arrival format of most LLM training
+    * corpora (one JSON document per line, thousands of files). Contract
+    * for 100 TB reads:
+    *   - `schema` is REQUIRED: letting Spark infer would burn one full
+    *     scan of the corpus before the first real job, and a drifted
+    *     field would silently widen types mid-corpus. Unexpected fields
+    *     are dropped by the schema projection (columnar-pruned at the
+    *     parser level); missing fields surface as nulls.
+    *   - PERMISSIVE parsing with malformed lines CAPTURED, not dropped:
+    *     the raw line lands in `_corrupt_record` so a quarantine split
+    *     ([[jsonlQuarantine]]) can route it to a dead-letter sink — at
+    *     corpus scale "0.1% bad lines" is millions of documents someone
+    *     must be able to audit.
+    *   - per-file lineage (`source_file`) from `input_file_name()` —
+    *     the provenance column the curation chain carries through
+    *     (which dump shard did this document come from).
+    */
+  def readJsonl(spark: SparkSession, pathGlob: String,
+                schema: org.apache.spark.sql.types.StructType,
+                lineage: Boolean = true): DataFrame = {
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(pathGlob)
+    if (lineage) raw.withColumn("source_file", input_file_name()) else raw
+  }
+
+  /** Split a [[readJsonl]] frame into (clean, quarantine): clean rows
+    * drop the corrupt-record column; quarantine rows carry the raw
+    * line + lineage for the dead-letter sink. Callers persist or
+    * re-read the parsed frame before splitting it twice (the two
+    * filters otherwise parse the files twice — fine, both are one
+    * map-only scan).
+    */
+  def jsonlQuarantine(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val clean = parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = parsed.filter(col("_corrupt_record").isNotNull)
+      .select((Seq(col("_corrupt_record").as("raw_line")) ++
+        (if (parsed.columns.contains("source_file"))
+          Seq(col("source_file")) else Nil)): _*)
+    (clean, bad)
+  }
+
   /** Legacy-schema normalization: HuisCode -> HuisIdBSV when the old name
     * appears (load_data.py:52-54, 97-99).
     */

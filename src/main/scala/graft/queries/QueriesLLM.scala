@@ -660,6 +660,19 @@ object QueriesLLM {
       .agg(graft.etd.Aggregates.exactMean(col("x").cast("double")).as("c"))
   }
 
+  /** Upper-triangle population covariance of the embedding corpus in
+    * the engine-portable arithmetic contract (products floor-rounded at
+    * 1e-6 at definition, decimal exact-means, entries at 1e-9) — the
+    * cross-engine-checkable twin of the PCA training pass
+    * ([[graft.llm.Embeddings.moments]]: one fixed-size accumulator per
+    * partition, no explode). PcaSpec pins |fast - oracle| inside the
+    * rounding budget; this query pins the covariance values themselves
+    * against DuckDB.
+    */
+  def q_embed_covariance(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Embeddings.covarianceRelational(
+      table(spark, dir, "embeddings"), "vec_id", "embedding")
+
   /** Stratified deterministic sampling
     * ([[TextFunctions.stratifiedSamplePredicate]]): per-source mixture
     * rates (src0 heavily downsampled, src1 kept in full, everything
@@ -1176,6 +1189,7 @@ object QueriesLLM {
     "q_bm25_indexed" -> (q_bm25_indexed _),
     "q_bm25_incremental" -> (q_bm25_incremental _),
     "q_corpus_sketch" -> (q_corpus_sketch _),
+    "q_embed_covariance" -> (q_embed_covariance _),
     "q_shard_assign" -> (q_shard_assign _),
     "q_mixture_plan" -> (q_mixture_plan _),
     "q_mixture_expand" -> (q_mixture_expand _),
@@ -2092,6 +2106,28 @@ object QueriesLLM {
         |SELECT cell, dim,
         |  floor((sum(x::DECIMAL(28,12))::DOUBLE / count(x)) * 1000000 + 0.5) / 1000000 AS c
         |FROM comps GROUP BY 1, 2""".stripMargin,
+    "q_embed_covariance" ->
+      """WITH e AS (
+        |  SELECT vec_id, (i - 1)::BIGINT AS d, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |), m AS (
+        |  SELECT d,
+        |    floor((sum(x::DECIMAL(28,12))::DOUBLE / count(x)) * 1000000 + 0.5)
+        |      / 1000000 AS mx
+        |  FROM e GROUP BY d
+        |), p AS (
+        |  SELECT a.d AS i, b.d AS j,
+        |    floor(a.x * b.x * 1000000 + 0.5) / 1000000 AS pr
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+        |), mp AS (
+        |  SELECT i, j,
+        |    floor((sum(pr::DECIMAL(28,12))::DOUBLE / count(pr)) * 1000000000 + 0.5)
+        |      / 1000000000 AS mxy
+        |  FROM p GROUP BY i, j
+        |)
+        |SELECT mp.i, mp.j,
+        |  floor((mp.mxy - mi.mx * mj.mx) * 1000000000 + 0.5) / 1000000000 AS cov
+        |FROM mp JOIN m mi ON mp.i = mi.d JOIN m mj ON mp.j = mj.d""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM documents
         |WHERE ('0x'||substr(md5(text||'sample'),1,15))::BIGINT % 1000000 <
