@@ -195,6 +195,18 @@ object Embeddings {
     }: _*)
   }
 
+  /** [[pcaProject]] narrowed to the engine's `array<float>` embedding
+    * convention — the column the ANN / SemDeDup / IVF-PQ stack consumes
+    * directly. With k = dim the projection is a pure rotation of the
+    * centered vector (orthonormal components), so pairwise distances
+    * are preserved (PcaSpec pins the isometry): rotate-then-PQ is the
+    * OPQ-style decorrelation that makes PQ subspace codebooks honest,
+    * and truncated projections feed [[Dedup.semDedupAuto]] /
+    * [[Similarity]] as drop-in cheaper vectors.
+    */
+  def pcaProjectF(vec: Column, model: PcaModel): Column =
+    transform(pcaProject(vec, model), x => x.cast("float"))
+
   /** Map-only reconstruction from a [[pcaProject]] column: mean +
     * sum_i proj(i) * component_i, as `array<double>` of length d.
     */

@@ -87,6 +87,21 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("full-dim projection is an isometry (rotation): pairwise distances preserved") {
+    val full = Embeddings.pcaTrain(df, "vec", dim, k = dim)
+    val proj = df.select(col("id"), Embeddings.pcaProject(col("vec"), full).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val byId = vecs.toMap
+    val ids = vecs.take(20).map(_._1)
+    for (a <- ids; b <- ids if a < b) {
+      val dOrig = math.sqrt(byId(a).zip(byId(b))
+        .map { case (x, y) => math.pow(x.toDouble - y.toDouble, 2) }.sum)
+      val dProj = math.sqrt(proj(a).zip(proj(b))
+        .map { case (x, y) => math.pow(x - y, 2) }.sum)
+      assert(math.abs(dOrig - dProj) < 1e-9, s"($a,$b): $dOrig vs $dProj")
+    }
+  }
+
   test("relational (oracle-arithmetic) covariance agrees with the fast moment path") {
     val (n, s, g) = Embeddings.moments(df, "vec", dim)
     val (_, cov) = Embeddings.covarianceMatrix(n, s, g, dim)
