@@ -96,6 +96,8 @@ object Bench {
     "q_text_bigram_lm",
     "q_bm25_topk",
     "q_bm25_indexed",
+    "q_bm25_incremental",
+    "q_contamination_bloom",
     "q_curation_e2e",
     "q_image_neardup_e2e",
   )

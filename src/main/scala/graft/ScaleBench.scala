@@ -121,7 +121,44 @@ object ScaleBench {
       topkFinisher(spark, outDir, listener)
     if (args.contains("bloom") || args.isEmpty)
       bloomScreen(spark, outDir, listener)
+    if (args.contains("pca") || args.isEmpty)
+      pcaScale(spark, srcDir, outDir, listener)
     spark.stop()
+  }
+
+  /** PCA training cost vs corpus size: the claim is that training is
+    * ONE input-bound scan (fixed d + d(d+1)/2 doubles per partition,
+    * driver receives only partition moments) and projection is a
+    * map-only pass — both linear in the corpus with no shuffle at all.
+    * Timed at sf0.1 (2k vectors) and the scaled corpus (100k): wall
+    * should track input size; shuffle_write_bytes should be ~0 for
+    * both phases.
+    */
+  private def pcaScale(spark: SparkSession, srcDir: String, outDir: String,
+                       listener: TaskMetricsProbe): Unit = {
+    import graft.llm.Embeddings
+    for (dir <- Seq(srcDir, outDir)) {
+      val emb = SparkEntry.table(spark, dir, "embeddings")
+      val n = emb.count()
+      val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+        .first().getInt(0)
+      def time(label: String)(body: => Unit): Unit = {
+        listener.reset()
+        val t0 = System.nanoTime()
+        body
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"""{"pca":"$label","dir":"$dir","n_corpus":$n,"dim":$dim,""" +
+          f""""sec":$sec%.2f,""" +
+          s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+          s""""input_bytes":${listener.totInput}}""")
+      }
+      var model: Embeddings.PcaModel = null
+      time("train_k16") { model = Embeddings.pcaTrain(emb, "embedding", dim, k = 16) }
+      time("project")(emb.select(col("vec_id"),
+          Embeddings.pcaProjectF(col("embedding"), model).as("p"))
+        .write.format("noop").mode("overwrite").save())
+    }
   }
 
   /** Window-vs-aggregate top-k finisher over a genuinely large scored
