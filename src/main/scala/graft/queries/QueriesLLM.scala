@@ -693,6 +693,39 @@ object QueriesLLM {
       .select(col("vec_id"))
   }
 
+  /** Cross-source vocabulary overlap via KMV summaries — the corpus
+    * planning question ("how much of crawl B's vocabulary is already
+    * in crawl A") answered at O(k) per source instead of a
+    * distinct-set join. Each source's distinct trigram-hash set folds
+    * into one k-min sketch (k=16384 — unsaturated at test scale, so
+    * the driver-side pairwise intersections are EXACT and the DuckDB
+    * join oracle hash-checks them; at 100 TB the same plan returns
+    * bounded-error estimates, KmvSpec pins that regime). Only the 20
+    * k-bounded summaries reach the driver.
+    */
+  def q_corpus_overlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 16384
+    val sketches = table(spark, dir, "documents")
+      .select(col("source"),
+        explode(array_distinct(
+          TextFunctions.shingleHashes(col("text"), 3))).as("__h"))
+      .groupBy("source")
+      .agg(org.apache.spark.sql.graft.KmvExpressions
+        .kmvSketch(col("__h"), k).as("__s"))
+      .collect()
+      .map(r => r.getString(0) ->
+        graft.llm.Kmv.Summary(k, r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val pairs = for {
+      (sa, suma) <- sketches
+      (sb, sumb) <- sketches if sa < sb
+      inter = graft.llm.Kmv.intersection(suma, sumb)
+      if inter > 0
+    } yield (sa, sb, math.round(inter))
+    pairs.toSeq.toDF("source_a", "source_b", "n_shared")
+  }
+
   /** Stratified deterministic sampling
     * ([[TextFunctions.stratifiedSamplePredicate]]): per-source mixture
     * rates (src0 heavily downsampled, src1 kept in full, everything
@@ -1211,6 +1244,7 @@ object QueriesLLM {
     "q_corpus_sketch" -> (q_corpus_sketch _),
     "q_embed_covariance" -> (q_embed_covariance _),
     "q_pca_semdedup" -> (q_pca_semdedup _),
+    "q_corpus_overlap" -> (q_corpus_overlap _),
     "q_shard_assign" -> (q_shard_assign _),
     "q_mixture_plan" -> (q_mixture_plan _),
     "q_mixture_expand" -> (q_mixture_expand _),
@@ -2127,6 +2161,22 @@ object QueriesLLM {
         |SELECT cell, dim,
         |  floor((sum(x::DECIMAL(28,12))::DOUBLE / count(x)) * 1000000 + 0.5) / 1000000 AS c
         |FROM comps GROUP BY 1, 2""".stripMargin,
+    "q_corpus_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT source, CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |    ELSE [] END AS shingles
+        |  FROM toks
+        |), hs AS (
+        |  SELECT DISTINCT source, ('0x'||substr(md5(s),1,15))::BIGINT AS h
+        |  FROM (SELECT source, unnest(shingles) AS s FROM sh)
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "q_embed_covariance" ->
       """WITH e AS (
         |  SELECT vec_id, (i - 1)::BIGINT AS d, embedding[i]::DOUBLE AS x
