@@ -123,7 +123,78 @@ object ScaleBench {
       bloomScreen(spark, outDir, listener)
     if (args.contains("pca") || args.isEmpty)
       pcaScale(spark, srcDir, outDir, listener)
+    if (args.contains("zorder") || args.isEmpty)
+      zorderSkip(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** Z-order data skipping, measured: the scaled lineitem (6M rows)
+    * written in three layouts — natural, sorted by l_partkey, z-ordered
+    * on (l_partkey, l_suppkey) — then a two-column box filter
+    * (~0.25% x 25% selectivity) scans each. rows_read is the signal:
+    * parquet row-group min/max pruning serves a filter only on columns
+    * the layout localized. Expect natural ~ full scan, single-sort
+    * pruning on l_partkey only, z-order pruning on BOTH.
+    */
+  private def zorderSkip(spark: SparkSession, outDir: String,
+                         listener: TaskMetricsProbe): Unit = {
+    import graft.ops.ZOrder
+    val li = SparkEntry.table(spark, outDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice")
+    val n = li.count()
+    val base = s"$outDir/zorder_layouts"
+    // small row groups force many pruning units per file (the 100 TB
+    // analogue: thousands of row groups per executor's file set)
+    li.write.mode("overwrite")
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(s"$base/natural")
+    li.repartitionByRange(32, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(s"$base/sorted")
+    writeZSmallGroups(li, s"$base/zordered")
+    // three workload shapes: the box, and each column alone — the
+    // z-order claim is WORKLOAD-level (one layout prunes for all three;
+    // a single-column sort serves only queries touching its column)
+    val shapes: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "box" -> (col("l_partkey").between(1000L, 1500L) &&
+        col("l_suppkey").between(100L, 1100L)),
+      "partkey_only" -> col("l_partkey").between(1000L, 1500L),
+      "suppkey_only" -> col("l_suppkey").between(100L, 200L))
+    for (layout <- Seq("natural", "sorted", "zordered");
+         (shape, pred) <- shapes) {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val got = spark.read.parquet(s"$base/$layout")
+        .filter(pred)
+        .agg(count(lit(1)), sum("l_quantity")).collect().head.getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"zorder":"$layout","shape":"$shape","n_total":$n,""" +
+        f""""n_match":$got,"sec":$sec%.2f,""" +
+        s""""rows_read":${listener.totRecords},""" +
+        s""""input_bytes":${listener.totInput}}""")
+    }
+  }
+
+  private def writeZSmallGroups(li: org.apache.spark.sql.DataFrame,
+                                path: String): Unit = {
+    // writeZOrdered with the same small row groups as the other layouts
+    val stats = Seq("l_partkey", "l_suppkey").flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = li.agg(stats.head, stats.tail: _*).collect().head
+    val z = graft.ops.ZOrder.zvalue(Seq(
+      graft.ops.ZOrder.normalized(col("l_partkey"), row.getDouble(0), row.getDouble(1), 18),
+      graft.ops.ZOrder.normalized(col("l_suppkey"), row.getDouble(2), row.getDouble(3), 18)), 18)
+    li.withColumn("__z", z)
+      .repartitionByRange(32, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(path)
   }
 
   /** PCA training cost vs corpus size: the claim is that training is
