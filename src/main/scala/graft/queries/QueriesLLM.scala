@@ -693,6 +693,21 @@ object QueriesLLM {
       .select(col("vec_id"))
   }
 
+  /** Per-source top-3 documents by quality score through the native
+    * partial top-k aggregate ([[graft.ops.TopK.topKPerQuery]] /
+    * TopKPairs) — the aggregate finisher's driver-verified entry: its
+    * ordering contract (score DESC NULLS LAST, id ASC, rank 1..k)
+    * must reproduce the oracle's row_number window exactly.
+    */
+  def q_source_topk_quality(spark: SparkSession, dir: String): DataFrame = {
+    val scored = table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("score"))
+    graft.ops.TopK.topKPerQuery(scored, "source", "doc_id", "score", 3)
+      .select(col("source"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
   /** Cross-source vocabulary overlap via KMV summaries — the corpus
     * planning question ("how much of crawl B's vocabulary is already
     * in crawl A") answered at O(k) per source instead of a
@@ -1245,6 +1260,7 @@ object QueriesLLM {
     "q_embed_covariance" -> (q_embed_covariance _),
     "q_pca_semdedup" -> (q_pca_semdedup _),
     "q_corpus_overlap" -> (q_corpus_overlap _),
+    "q_source_topk_quality" -> (q_source_topk_quality _),
     "q_shard_assign" -> (q_shard_assign _),
     "q_mixture_plan" -> (q_mixture_plan _),
     "q_mixture_expand" -> (q_mixture_expand _),
@@ -1674,6 +1690,28 @@ object QueriesLLM {
         |  round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
         |  round((least(n_words/50.0, 1.0) + least(sr*5.0, 1.0)) / 2.0, 6) AS score
         |FROM sig""".stripMargin,
+    "q_source_topk_quality" ->
+      s"""WITH toks AS (
+        |  SELECT source, doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w,
+        |    list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS wl
+        |  FROM documents
+        |), sig AS (
+        |  SELECT source, doc_id, len(w) AS n_words,
+        |    CASE WHEN len(wl) > 0
+        |      THEN len(list_filter(wl, t -> list_contains($enList, t)))::DOUBLE / len(wl)
+        |      ELSE 0.0 END AS sr
+        |  FROM toks
+        |), sc AS (
+        |  SELECT source, doc_id,
+        |    round((least(n_words/50.0, 1.0) + least(sr*5.0, 1.0)) / 2.0, 6) AS score
+        |  FROM sig
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY score DESC, doc_id) AS rank FROM sc
+        |)
+        |SELECT source, doc_id, rank::BIGINT AS rank, score
+        |FROM r WHERE rank <= 3""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_ws,
