@@ -43,6 +43,101 @@ object Packing {
       .drop("__cum", "__before")
   }
 
+  /** No-straddle bin packing — the OTHER packing discipline: each
+    * document lands whole in exactly one bin of capacity `budget`
+    * (trainers that cannot split a document across sequences pad the
+    * bin tail, so the packer's job is minimizing that padding).
+    * Best-fit-decreasing per shard: documents sort (length desc, id)
+    * and each takes the fullest open bin it fits; a bounded open-bin
+    * list (`maxOpenBins`) keeps per-shard state O(1) — bins that fall
+    * off the list are closed and never reopened, trading a bounded
+    * sliver of fill for streaming memory (the practical packer's
+    * standard move).
+    *
+    * Scale shape mirrors [[packSequences]]: shard by content-stable
+    * hash, repartition so each partition holds whole shards, ONE local
+    * sort, one streaming pass per shard. Deterministic on any cluster
+    * size: same corpus -> same shards -> same (len desc, id) order ->
+    * same bins. Documents longer than `budget` are rejected (truncate
+    * or chunk upstream — silently overflowing a bin would corrupt the
+    * training shape).
+    *
+    * Output: input columns + (shard, bin_id) with bin_id shard-local;
+    * [[binReport]] derives per-bin fill/padding relationally so the
+    * packer itself streams with O(maxOpenBins) state.
+    */
+  def packBins(df: DataFrame, idCol: String, tokenCol: String,
+               budget: Long, shards: Int, maxOpenBins: Int = 64): DataFrame = {
+    require(budget > 0 && shards > 0 && maxOpenBins > 0)
+    val sharded = df
+      .withColumn("shard", pmod(hash64(col(idCol).cast("string")), lit(shards.toLong)))
+      .withColumn("__len", col(tokenCol).cast("long"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__len").desc, col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sharded.schema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
+        "bin_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val shardIdx = sharded.schema.fieldIndex("shard")
+    val lenIdx = sharded.schema.fieldIndex("__len")
+    val packed = sharded.mapPartitions { it =>
+      // state resets at shard boundaries (the hash repartition keeps
+      // each shard whole inside one partition; the local sort makes
+      // shards contiguous) — each row emits immediately, state is the
+      // bounded open-bin list only
+      var curShard = Long.MinValue
+      var nextBin = 0L
+      val open = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      it.map { row =>
+        val shard = row.getLong(shardIdx)
+        if (shard != curShard) { open.clear(); nextBin = 0L; curShard = shard }
+        val len = row.getLong(lenIdx)
+        require(len <= budget,
+          s"packBins: document of $len tokens exceeds budget $budget")
+        // best fit: fullest open bin with room; ties -> lowest bin id
+        var best = -1
+        var bestRem = Long.MaxValue
+        var i = 0
+        while (i < open.length) {
+          val rem = open(i)._2
+          if (rem >= len && (rem < bestRem ||
+              (rem == bestRem && (best < 0 || open(i)._1 < open(best)._1))))
+            { best = i; bestRem = rem }
+          i += 1
+        }
+        val binId =
+          if (best >= 0) {
+            val (id, rem) = open(best)
+            if (rem - len == 0) open.remove(best)
+            else open(best) = (id, rem - len)
+            id
+          } else {
+            val id = nextBin; nextBin += 1
+            if (len < budget) {
+              open += ((id, budget - len))
+              if (open.length > maxOpenBins) {
+                // evict the most-full bin: least remaining to gain from
+                val victim = open.indices.minBy(j => (open(j)._2, open(j)._1))
+                open.remove(victim)
+              }
+            }
+            id
+          }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ binId)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    packed.drop("__len")
+  }
+
+  /** Per-bin padding report over a [[packBins]] result: fill and
+    * padding per (shard, bin) plus the number of documents — a plain
+    * aggregation, so the packer itself never buffers a shard.
+    */
+  def binReport(packed: DataFrame, tokenCol: String, budget: Long): DataFrame =
+    packed.groupBy("shard", "bin_id")
+      .agg(sum(col(tokenCol).cast("long")).as("bin_fill"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("padding", lit(budget) - col("bin_fill"))
+
   /** Overlapping token-window chunking — the within-document counterpart
     * of [[packSequences]] (RAG passage extraction, long-doc context
     * windows): each document splits into windows of `size` whitespace

@@ -693,6 +693,23 @@ object QueriesLLM {
       .select(col("vec_id"))
   }
 
+  /** No-straddle bin packing over the documents corpus (bins of 512
+    * whitespace tokens, 8 shards): every document lands whole in one
+    * shard-local bin via streaming best-fit-decreasing with a bounded
+    * open-bin list. Rows-only driver check BY DESIGN (the greedy
+    * assignment is procedural, not SQL-expressible); PackBinsSpec pins
+    * capacity, placement uniqueness, determinism across
+    * partitionings, and the waste bound vs sequential filling.
+    */
+  def q_pack_bins(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        least(size(TextFunctions.tokens(col("text"))), lit(512)).cast("long")
+          .as("n_tokens"))
+    Packing.packBins(docs, "doc_id", "n_tokens", budget = 512L, shards = 8)
+      .select(col("doc_id"), col("shard"), col("bin_id"))
+  }
+
   /** Per-source top-3 documents by quality score through the native
     * partial top-k aggregate ([[graft.ops.TopK.topKPerQuery]] /
     * TopKPairs) — the aggregate finisher's driver-verified entry: its
@@ -1261,6 +1278,7 @@ object QueriesLLM {
     "q_pca_semdedup" -> (q_pca_semdedup _),
     "q_corpus_overlap" -> (q_corpus_overlap _),
     "q_source_topk_quality" -> (q_source_topk_quality _),
+    "q_pack_bins" -> (q_pack_bins _),
     "q_shard_assign" -> (q_shard_assign _),
     "q_mixture_plan" -> (q_mixture_plan _),
     "q_mixture_expand" -> (q_mixture_expand _),
