@@ -183,10 +183,22 @@ object Embeddings {
   }
 
   /** Map-only projection: `array<double>` of length k — (v - mean) dot
-    * each component, model folded in as literals (broadcast into
-    * codegen exactly like the IVF codebooks).
+    * each component, model folded into the expression (broadcast into
+    * codegen exactly like the IVF codebooks). Backed by the native
+    * [[org.apache.spark.sql.graft.PcaProjectExpr]] — one fused loop
+    * instead of k x d interpreted higher-order-function lambdas
+    * (measured 2.07 -> sub-second at 100k x 64, ScaleBench `pca`);
+    * bit-identical to [[pcaProjectComposed]] (same left-to-right
+    * double arithmetic — PcaSpec pins it).
     */
-  def pcaProject(vec: Column, model: PcaModel): Column = {
+  def pcaProject(vec: Column, model: PcaModel): Column =
+    org.apache.spark.sql.graft.PcaExpressions.pcaProject(
+      vec, model.mean, model.components)
+
+  /** The composed HOF formulation [[pcaProject]] replaced — kept as
+    * its equivalence oracle.
+    */
+  def pcaProjectComposed(vec: Column, model: PcaModel): Column = {
     val meanLit = array(model.mean.toIndexedSeq.map(lit(_)): _*)
     val centered = zip_with(vec, meanLit, (x, m) => x.cast("double") - m)
     array(model.components.toIndexedSeq.map { comp =>

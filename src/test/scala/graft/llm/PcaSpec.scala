@@ -87,6 +87,19 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("native projection == composed HOF form bit-for-bit; short vectors null") {
+    val rows = df.select(col("id"),
+        Embeddings.pcaProject(col("vec"), model).as("nat"),
+        Embeddings.pcaProjectComposed(col("vec"), model).as("comp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2), s"id ${r.getLong(0)}")
+    }
+    val short = Seq((1L, Array(1f, 2f))).toDF("id", "vec")
+      .select(Embeddings.pcaProject(col("vec"), model).as("p")).collect()
+    assert(short.head.isNullAt(0))
+  }
+
   test("full-dim projection is an isometry (rotation): pairwise distances preserved") {
     val full = Embeddings.pcaTrain(df, "vec", dim, k = dim)
     val proj = df.select(col("id"), Embeddings.pcaProject(col("vec"), full).as("p"))
