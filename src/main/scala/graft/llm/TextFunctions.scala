@@ -34,6 +34,15 @@ object TextFunctions {
   def hash64(c: Column): Column =
     org.apache.spark.sql.graft.TextHashExpressions.md5Prefix64(c)
 
+  /** Canonical text normalization (NFKD, strip combining marks,
+    * codepoint lowercase, collapse whitespace) — native, one pass;
+    * see [[org.apache.spark.sql.graft.NormalizeUtil.normalize]].
+    * `exactDedup` over this column catches case/accent/width/ligature
+    * variants the raw digest misses.
+    */
+  def normalizeText(c: Column): Column =
+    org.apache.spark.sql.graft.NormalizeExpressions.normalizeText(c)
+
   /** A second independent hash stream (last 15 hex digits), native. */
   def hash64b(c: Column): Column =
     org.apache.spark.sql.graft.TextHashExpressions.md5Suffix60(c)

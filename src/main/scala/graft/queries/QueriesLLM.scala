@@ -693,6 +693,19 @@ object QueriesLLM {
       .select(col("vec_id"))
   }
 
+  /** Canonical-form digests: md5 of the normalized text
+    * ([[TextFunctions.normalizeText]] — NFKD, strip marks, lowercase,
+    * collapse whitespace) per document. On the all-ASCII corpus the
+    * DuckDB twin (`lower` + whitespace-collapse regexp) replays the
+    * normalization exactly, pinning the cross-engine string semantics;
+    * the Unicode folds (accents, fullwidth, ligatures) are
+    * NormalizeSpec's jurisdiction.
+    */
+  def q_text_normalize(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(TextFunctions.normalizeText(col("text"))).as("content_norm"))
+
   /** No-straddle bin packing over the documents corpus (bins of 512
     * whitespace tokens, 8 shards): every document lands whole in one
     * shard-local bin via streaming best-fit-decreasing with a bounded
@@ -1279,6 +1292,7 @@ object QueriesLLM {
     "q_corpus_overlap" -> (q_corpus_overlap _),
     "q_source_topk_quality" -> (q_source_topk_quality _),
     "q_pack_bins" -> (q_pack_bins _),
+    "q_text_normalize" -> (q_text_normalize _),
     "q_shard_assign" -> (q_shard_assign _),
     "q_mixture_plan" -> (q_mixture_plan _),
     "q_mixture_expand" -> (q_mixture_expand _),
@@ -1708,6 +1722,10 @@ object QueriesLLM {
         |  round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
         |  round((least(n_words/50.0, 1.0) + least(sr*5.0, 1.0)) / 2.0, 6) AS score
         |FROM sig""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_norm
+        |FROM documents""".stripMargin,
     "q_source_topk_quality" ->
       s"""WITH toks AS (
         |  SELECT source, doc_id, text,
