@@ -77,6 +77,45 @@ object Embeddings {
     (n, sum, gram)
   }
 
+  /** Moments are ADDITIVE — the property that makes PCA incrementally
+    * maintainable: keep (n, sum, gram) per corpus vintage, fold a
+    * snapshot's moments in with one vector add, re-run the (driver,
+    * microseconds) eigensolve. No archived vector is ever re-read —
+    * the embedding twin of the incremental dedup/BM25 indexes.
+    * Numerics: merged sums group additions differently than a single
+    * union pass, so models agree to fp-accumulation tolerance (~1e-12
+    * relative — PcaSpec pins it), exactly the "deterministic for a
+    * fixed batch decomposition" contract trainCodebook documents.
+    */
+  def mergeMoments(a: (Long, Array[Double], Array[Double]),
+                   b: (Long, Array[Double], Array[Double]))
+      : (Long, Array[Double], Array[Double]) = {
+    require(a._2.length == b._2.length, "moments: dim mismatch")
+    (a._1 + b._1,
+      a._2.zip(b._2).map { case (x, y) => x + y },
+      a._3.zip(b._3).map { case (x, y) => x + y })
+  }
+
+  /** Eigensolve + ordering + sign convention over pre-computed
+    * moments — [[pcaTrain]] is `pcaFromMoments(moments(df), ...)`.
+    */
+  def pcaFromMoments(m: (Long, Array[Double], Array[Double]),
+                     dim: Int, k: Int): PcaModel = {
+    require(k >= 1 && k <= dim, s"pca: k=$k out of range for dim=$dim")
+    val (n, sum, gram) = m
+    val (mean, cov) = covarianceMatrix(n, sum, gram, dim)
+    val (values, vectors) = jacobiEigen(cov)
+    val order = (0 until dim).sortBy(i => (-values(i), i)).take(k)
+    val comps = order.map { i =>
+      val vec = vectors(i)
+      var best = 0
+      var j = 1
+      while (j < dim) { if (math.abs(vec(j)) > math.abs(vec(best))) best = j; j += 1 }
+      if (vec(best) < 0) vec.map(x => -x) else vec.clone()
+    }.toArray
+    PcaModel(mean, comps, order.map(values(_)).toArray, n)
+  }
+
   /** Population covariance from [[moments]]: cov = E[xxT] - mean meanT. */
   def covarianceMatrix(n: Long, sum: Array[Double], gram: Array[Double],
                        dim: Int): (Array[Double], Array[Array[Double]]) = {
@@ -166,21 +205,8 @@ object Embeddings {
   /** Train the top-`k` PCA model: one distributed moment pass, driver
     * eigensolve, deterministic ordering + sign convention.
     */
-  def pcaTrain(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
-    require(k >= 1 && k <= dim, s"pca: k=$k out of range for dim=$dim")
-    val (n, sum, gram) = moments(df, vecCol, dim)
-    val (mean, cov) = covarianceMatrix(n, sum, gram, dim)
-    val (values, vectors) = jacobiEigen(cov)
-    val order = (0 until dim).sortBy(i => (-values(i), i)).take(k)
-    val comps = order.map { i =>
-      val vec = vectors(i)
-      var best = 0
-      var j = 1
-      while (j < dim) { if (math.abs(vec(j)) > math.abs(vec(best))) best = j; j += 1 }
-      if (vec(best) < 0) vec.map(x => -x) else vec.clone()
-    }.toArray
-    PcaModel(mean, comps, order.map(values(_)).toArray, n)
-  }
+  def pcaTrain(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel =
+    pcaFromMoments(moments(df, vecCol, dim), dim, k)
 
   /** Map-only projection: `array<double>` of length k — (v - mean) dot
     * each component, model folded into the expression (broadcast into

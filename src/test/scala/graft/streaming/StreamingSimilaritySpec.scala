@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.llm.{Embeddings, Similarity}
+
+/** Streaming ANN index maintenance (append-only coded IVF-PQ) and the
+  * incremental-moments PCA update that shares the serving loop.
+  */
+class StreamingSimilaritySpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val rnd = new scala.util.Random(21)
+  private def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+  private val batches: Seq[Seq[(Long, Array[Float])]] = {
+    var id = -1L
+    Seq.fill(3)(Seq.fill(40) { id += 1; (id, vec()) })
+  }
+  private val all = batches.flatten
+
+  test("micro-batch appends; load + coded search == batch-built index search") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files.createTempDirectory("annstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("annckpt").toString
+
+    // codebooks frozen from the FIRST batch (the seed corpus)
+    val seed = batches.head.toDF("vec_id", "embedding")
+    val coarse = Similarity.trainCodebook(seed, "vec_id", "embedding", k = 4,
+      iterations = 2)
+    val pq = Similarity.pqTrain(seed, "vec_id", "embedding", m = 4, k = 8,
+      iterations = 2)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val vectors = input.toDF().toDF("vec_id", "embedding")
+    val query = StreamingSimilarity.maintainIndex(vectors, "vec_id", "embedding",
+      coarse, pq, indexDir, ckpt).start()
+    batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    query.stop()
+
+    val queries = all.take(3)
+    val ranking = Similarity.probeRanking(coarse)
+    def search(index: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopKCoded(index, "id", "codes", "cell",
+          q => ranking(q).take(2), pq, queries, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+
+    val allDf = all.toDF("vec_id", "embedding")
+    val expected = search(
+      Similarity.buildIvfPqIndex(allDf, "vec_id", "embedding", coarse, pq))
+    val got = search(StreamingSimilarity.loadIndex(spark, indexDir))
+    assert(got == expected)
+    assert(expected.nonEmpty)
+
+    // batch ids stamped on every appended row
+    val ids = spark.read.parquet(s"$indexDir/coded")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L))
+  }
+
+  test("incremental PCA: merged snapshot moments == union-trained model (fp tolerance)") {
+    val a = batches(0).toDF("vec_id", "embedding")
+    val b = (batches(1) ++ batches(2)).toDF("vec_id", "embedding")
+    val merged = Embeddings.mergeMoments(
+      Embeddings.moments(a, "embedding", dim),
+      Embeddings.moments(b, "embedding", dim))
+    val mInc = Embeddings.pcaFromMoments(merged, dim, k = 4)
+    val mAll = Embeddings.pcaTrain(all.toDF("vec_id", "embedding"),
+      "embedding", dim, k = 4)
+    assert(mInc.n == mAll.n)
+    mInc.mean.zip(mAll.mean).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-12) }
+    mInc.eigenvalues.zip(mAll.eigenvalues).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9) }
+    mInc.components.zip(mAll.components).foreach { case (ci, ca) =>
+      ci.zip(ca).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+    }
+  }
+}
