@@ -315,6 +315,30 @@ object TextFunctions {
     * strata absent from `rates` use `defaultFraction`. The rate lookup
     * is a literal map expression — no join, stays map-side.
     */
+  /** EXACT-count per-group sampling: keep exactly min(n, |group|)
+    * rows per group, chosen by content-hash order (ties impossible
+    * within a group when keys are distinct; the id tiebreak covers
+    * hash collisions). Deterministic on any engine/partitioning —
+    * same corpus, same kept set — where rate-based predicates give
+    * only EXPECTED counts. This is the hard-cap form of a UniMax
+    * budget ("at most N documents per language"); fractional mixture
+    * targets stay with [[stratifiedSamplePredicate]].
+    *
+    * Scale shape: one exchange keyed by the group (the same shuffle
+    * any per-group cap needs); InferWindowGroupLimit bounds it to n
+    * rows per group per map task (the measured top-k finisher
+    * result).
+    */
+  def sampleExactPerGroup(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                          groupCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n > 0, "sampleExactPerGroup: n must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(hash64(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   def stratifiedSamplePredicate(key: Column, stratum: Column,
                                 rates: Map[String, Double],
                                 defaultFraction: Double,

@@ -693,6 +693,17 @@ object QueriesLLM {
       .select(col("vec_id"))
   }
 
+  /** Exact-count per-source sampling: exactly 7 documents per source
+    * by content-hash order ([[TextFunctions.sampleExactPerGroup]]) —
+    * the hard-cap mixture primitive (rate predicates only give
+    * expected counts). Deterministic: the DuckDB oracle replays the
+    * hash order row for row.
+    */
+  def q_sample_exact_n(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.sampleExactPerGroup(
+        table(spark, dir, "documents"), "doc_id", "source", n = 7)
+      .select(col("doc_id"), col("source"))
+
   /** Canonical-form digests: md5 of the normalized text
     * ([[TextFunctions.normalizeText]] — NFKD, strip marks, lowercase,
     * collapse whitespace) per document. On the all-ASCII corpus the
@@ -1293,6 +1304,7 @@ object QueriesLLM {
     "q_source_topk_quality" -> (q_source_topk_quality _),
     "q_pack_bins" -> (q_pack_bins _),
     "q_text_normalize" -> (q_text_normalize _),
+    "q_sample_exact_n" -> (q_sample_exact_n _),
     "q_shard_assign" -> (q_shard_assign _),
     "q_mixture_plan" -> (q_mixture_plan _),
     "q_mixture_expand" -> (q_mixture_expand _),
@@ -1722,6 +1734,12 @@ object QueriesLLM {
         |  round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
         |  round((least(n_words/50.0, 1.0) + least(sr*5.0, 1.0)) / 2.0, 6) AS score
         |FROM sig""".stripMargin,
+    "q_sample_exact_n" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 7""".stripMargin,
     "q_text_normalize" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_norm
