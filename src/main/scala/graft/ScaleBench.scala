@@ -125,7 +125,68 @@ object ScaleBench {
       pcaScale(spark, srcDir, outDir, listener)
     if (args.contains("zorder") || args.isEmpty)
       zorderSkip(spark, outDir, listener)
+    if (args.contains("kmv") || args.isEmpty)
+      kmvOverlap(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** KMV overlap estimation at the SATURATED regime (the scaled corpus
+    * vocabulary exceeds k, so the summaries are genuine sketches):
+    * exact per-source-pair trigram overlap via the distinct join vs the
+    * sketch path (one agg + driver pairwise over 20 k-bounded
+    * summaries). Reports both walls, the shuffle deltas, and the worst
+    * relative Jaccard error across pairs — the accuracy/cost trade the
+    * unsaturated oracle can't show.
+    */
+  private def kmvOverlap(spark: SparkSession, outDir: String,
+                         listener: TaskMetricsProbe): Unit = {
+    import graft.llm.{Kmv, TextFunctions}
+    val docs = SparkEntry.table(spark, outDir, "documents")
+    val grams = docs.select(col("source"),
+      explode(array_distinct(
+        TextFunctions.shingleHashes(col("text"), 3))).as("h"))
+    def time[T](label: String)(body: => T): T = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"kmv":"$label","sec":$sec%.2f,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite}}""")
+      r
+    }
+    val exact = time("exact_join") {
+      val hs = grams.distinct()
+      hs.as("a").join(hs.as("b").select(col("source").as("source_b"), col("h")), Seq("h"))
+        .filter(col("source") < col("source_b"))
+        .groupBy("source", "source_b").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    val k = 4096
+    val sketches = time("sketch_build") {
+      grams.groupBy("source")
+        .agg(org.apache.spark.sql.graft.KmvExpressions.kmvSketch(col("h"), k).as("s"))
+        .collect().map(r => r.getString(0) ->
+          Kmv.Summary(k, r.getSeq[Long](1).toArray)).toMap
+    }
+    val perSource = time("exact_distincts") {
+      grams.distinct().groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    var worstJacErr = 0.0
+    var worstIntErr = 0.0
+    exact.foreach { case ((a, b), n) =>
+      val est = Kmv.intersection(sketches(a), sketches(b))
+      val trueUnion = perSource(a) + perSource(b) - n
+      val trueJ = n.toDouble / trueUnion
+      val estJ = Kmv.jaccard(sketches(a), sketches(b))
+      worstJacErr = math.max(worstJacErr, math.abs(estJ - trueJ))
+      if (n > 0) worstIntErr = math.max(worstIntErr, math.abs(est - n) / n.toDouble)
+    }
+    val sat = sketches.values.count(_.saturated)
+    println(f"""{"kmv":"accuracy","k":$k,"n_pairs":${exact.size},""" +
+      f""""saturated_sketches":$sat,"worst_jaccard_abs_err":$worstJacErr%.4f,""" +
+      f""""worst_intersection_rel_err":$worstIntErr%.3f}""")
   }
 
   /** Z-order data skipping, measured: the scaled lineitem (6M rows)
