@@ -462,15 +462,7 @@ object Dedup {
     }
     val b = bench.select(col(benchId).as("bench_id"),
       explode(array_distinct(shingleHashes(col(benchText), shingleSize))).as("__h"))
-    val bSizes = b.groupBy("bench_id").agg(count(lit(1)).as("__bn"))
-    val f = 1e6
-    c.join(b, Seq("__h"))
-      .groupBy("corpus_id", "bench_id").agg(count(lit(1)).as("overlap"))
-      .join(bSizes, Seq("bench_id"))
-      .withColumn("contamination",
-        floor(col("overlap").cast("double") / col("__bn") * f + 0.5) / f)
-      .filter(col("contamination") >= threshold)
-      .select("corpus_id", "bench_id", "overlap", "contamination")
+    contaminationFromGrams(c, b, threshold)
   }
 
   /** [[contaminationScores]] with a broadcast Bloom pre-screen — the
@@ -509,6 +501,16 @@ object Dedup {
       c0.withColumn("__df", count(lit(1)).over(wh))
         .filter(col("__df") <= cap).drop("__df")
     }
+    contaminationFromGrams(c, b, threshold)
+  }
+
+
+  /** Shared scoring tail of the two contamination forms: inverted-index
+    * join on the gram hash, per-(corpus, bench) overlap counts,
+    * floor-rounded containment fraction, threshold filter.
+    */
+  private def contaminationFromGrams(c: DataFrame, b: DataFrame,
+                                     threshold: Double): DataFrame = {
     val bSizes = b.groupBy("bench_id").agg(count(lit(1)).as("__bn"))
     val f = 1e6
     c.join(b, Seq("__h"))

@@ -726,6 +726,9 @@ object QueriesLLM {
     * partitionings, and the waste bound vs sequential filling.
     */
   def q_pack_bins(spark: SparkSession, dir: String): DataFrame = {
+    // token counts capped at the budget: packBins rejects oversized
+    // documents by contract, and this query packs whatever fits (the
+    // cap stands in for the chunk-first step a real pipeline runs)
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"),
         least(size(TextFunctions.tokens(col("text"))), lit(512)).cast("long")
