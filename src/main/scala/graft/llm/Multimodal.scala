@@ -64,6 +64,23 @@ object Multimodal {
         .otherwise(lit("not decoded: use decodePartitions"))
         .as("decode_error"))
 
+  /** ViT-style patch-token count for an image of the given pixel
+    * dimensions: `ceil(width/patch) * ceil(height/patch)` — the number
+    * of `patch`x`patch` tiles a vision transformer spends on the image
+    * (Dosovitskiy et al., arXiv:2010.11929, use 14/16/32-px patches).
+    * The inputs are HEADER-decoded dimensions ([[decodePartitions]]),
+    * so budgeting a 100 TB interleaved corpus reads a few dozen bytes
+    * per image, never a pixel. Null dims (undecodable payload) yield
+    * null, so broken media surface in the budget audit instead of
+    * silently costing zero.
+    */
+  def patchTokens(width: Column, height: Column, patch: Int): Column = {
+    require(patch > 0, s"patchTokens: patch must be positive, got $patch")
+    val p = lit(patch.toLong)
+    (floor((width.cast("long") + (p - 1L)) / p) *
+      floor((height.cast("long") + (p - 1L)) / p)).cast("long")
+  }
+
   /** Frame-sample row expansion for video: one output row per sampled
     * frame index at `fps`-spaced offsets — the explode happens on
     * lightweight (id, frame_idx) rows; the binary payload is NOT

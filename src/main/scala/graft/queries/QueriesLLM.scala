@@ -206,6 +206,18 @@ object QueriesLLM {
       .select("id_a", "id_b", "jac")
   }
 
+  /** EXACT threshold Jaccard join over the duplicated corpus
+    * ([[graft.llm.Dedup.jaccardJoin]] — prefix filtering, SSJoin
+    * family): ALL pairs with shingle-set Jaccard >= 0.5, no banding
+    * miss-rate. The oracle computes the ground truth by brute
+    * inverted-index + exact Jaccard, so the hash compare proves the
+    * prefix-pruned candidate generation lost nothing — the operator's
+    * entire claim.
+    */
+  def q_jaccard_join(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoin(dupCorpus(spark, dir), "doc_id", "text",
+      threshold = 0.5)
+
   /** Near-dup clustering endgame: connected components over the LSH
     * candidate graph (iterative min-label propagation). Oracle-checked via
     * DuckDB's recursive CTE transitive closure — component minima are
@@ -997,6 +1009,59 @@ object QueriesLLM {
         col("ok"))
   }
 
+  /** Interleaved multimodal sequence packing — the training-batch
+    * budgeting question for an image-text corpus: each document costs
+    * its text tokens PLUS `ceil(w/14)*ceil(h/14)` ViT patch tokens per
+    * attached image (+2 boundary tokens per image), and documents pack
+    * into 4096-token sequences with [[Packing.packSequences]].
+    *
+    * The images are CONSTRUCTED PNG headers whose dimensions derive
+    * from (doc_id, k) — doc_id % 3 images per document — and the patch
+    * counts flow through the REAL header parse
+    * ([[Multimodal.decodePartitions]]), so the oracle's arithmetic
+    * shortcut re-verifies the parser round-trip AND the packing
+    * prefix-sum at once. Scale shape: patch counting is header-only
+    * (a few dozen bytes per image, never a pixel), the per-image rows
+    * that shuffle into the per-doc sum are (img_id, n_patch) longs —
+    * the payload never leaves its scan task — and the pack itself is
+    * one window over (shard, id).
+    */
+  def q_pack_multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    // k-th image of a doc: img_id = doc_id*2 + k (k < 2 by doc_id % 3)
+    val nImg = pmod(col("doc_id"), lit(3L)).cast("int")
+    val imgIds = docs
+      .select(col("doc_id"),
+        explode(slice(array(lit(0L), lit(1L)), lit(1), nImg)).as("k"))
+      .select((col("doc_id") * 2 + col("k")).as("img_id"),
+        (pmod(col("doc_id") * 7 + col("k") * 13, lit(1920L)) + 1)
+          .cast("int").as("w"),
+        (pmod(col("doc_id") * 11 + col("k") * 17, lit(1080L)) + 1)
+          .cast("int").as("h"))
+    // same canonical PNG construction as q_multimodal_decode
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      unhex(lpad(hex(col("w")), 8, "0")), unhex(lpad(hex(col("h")), 8, "0")),
+      unhex(lit("0806000000")))
+    val perImage = Multimodal.decodePartitions(
+        imgIds.select(col("img_id"), png.as("payload")), "img_id", "payload")
+      .select(col("id"),
+        (Multimodal.patchTokens(col("width"), col("height"), 14) + 2L)
+          .as("n_patch"))
+    val perDoc = perImage
+      .groupBy((col("id") / 2).cast("long").as("doc_id"))
+      .agg(sum("n_patch").as("img_tok"))
+    val counted = docs
+      .select(col("doc_id"),
+        TextFunctions.regexTokenCount(col("text")).cast("long").as("txt_tok"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("txt_tok") + coalesce(col("img_tok"), lit(0L))).as("n_tokens"))
+    Packing.packSequences(counted, "doc_id", "n_tokens",
+        budget = 4096L, shards = 4)
+      .select("doc_id", "shard", "seq_id", "seq_offset", "n_tokens")
+  }
+
   /** Quadrant fixture for the image near-dup flagship: a `px` x `px`
     * two-tone PNG whose four `px/2`-square quadrants are black or white
     * by bits 0-3 of the id — 16 deterministic image classes, identical
@@ -1306,6 +1371,8 @@ object QueriesLLM {
     "q_corpus_overlap" -> (q_corpus_overlap _),
     "q_source_topk_quality" -> (q_source_topk_quality _),
     "q_pack_bins" -> (q_pack_bins _),
+    "q_pack_multimodal" -> (q_pack_multimodal _),
+    "q_jaccard_join" -> (q_jaccard_join _),
     "q_text_normalize" -> (q_text_normalize _),
     "q_sample_exact_n" -> (q_sample_exact_n _),
     "q_shard_assign" -> (q_shard_assign _),
@@ -1373,6 +1440,27 @@ object QueriesLLM {
         |  JOIN shd b ON p.id_b = b.doc_id
         |)
         |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.2""".stripMargin),
+    // ground truth for the EXACT join: brute inverted-index candidates
+    // (complete for any t > 0 — a qualifying pair shares a shingle)
+    // + exact Jaccard; hash-match proves prefix pruning lost nothing
+    "q_jaccard_join" -> (dupCorpusSql + minhashSql +
+      """, shd AS (
+        |  SELECT doc_id, list_distinct(hs) AS ds FROM hashes
+        |), inv AS (
+        |  SELECT doc_id, unnest(ds) AS h FROM shd
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+        |), jac AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(CASE WHEN len(list_distinct(a.ds || b.ds)) > 0
+        |      THEN len(list_intersect(a.ds, b.ds))::DOUBLE / len(list_distinct(a.ds || b.ds))
+        |      ELSE 0.0 END, 6) AS jac
+        |  FROM cand c
+        |  JOIN shd a ON c.id_a = a.doc_id
+        |  JOIN shd b ON c.id_b = b.doc_id
+        |)
+        |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5""".stripMargin),
     "q_dedup_cluster" -> (dupCorpusSql.replaceFirst("WITH corpus", "WITH RECURSIVE corpus") + minhashSql +
       ccClustersSql +
       """
@@ -1876,6 +1964,34 @@ object QueriesLLM {
         |)
         |SELECT doc_id, shard, (bef // 2048)::BIGINT AS seq_id,
         |  (bef % 2048)::BIGINT AS seq_offset
+        |FROM c""".stripMargin,
+    // the arithmetic shortcut for the PNG-header round-trip: dims derive
+    // from (doc_id, k), patch cost = ceil(w/14)*ceil(h/14) + 2 boundary
+    // tokens per image, doc_id % 3 images per doc
+    "q_pack_multimodal" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 >= 1 THEN
+        |       (((doc_id*7) % 1920 + 14) // 14) * (((doc_id*11) % 1080 + 14) // 14) + 2
+        |     ELSE 0 END)::BIGINT
+        |    + (CASE WHEN doc_id % 3 >= 2 THEN
+        |       (((doc_id*7 + 13) % 1920 + 14) // 14) * (((doc_id*11 + 17) % 1080 + 14) // 14) + 2
+        |     ELSE 0 END)::BIGINT AS img_n
+        |  FROM documents
+        |), t AS (
+        |  SELECT d.doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+        |      + i.img_n AS n,
+        |    ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 4 AS shard
+        |  FROM documents d JOIN img i USING (doc_id)
+        |), c AS (
+        |  SELECT doc_id, shard, n,
+        |    (sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n AS bef
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, (bef // 4096)::BIGINT AS seq_id,
+        |  (bef % 4096)::BIGINT AS seq_offset, n AS n_tokens
         |FROM c""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,

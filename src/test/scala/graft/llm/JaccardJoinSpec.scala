@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Exact prefix-filtered similarity join: the output must equal the
+  * brute-force all-pairs answer — the operator's entire claim is that
+  * prefix pruning loses NOTHING at any threshold.
+  */
+class JaccardJoinSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  // twin-heavy corpus: templated sentences with word substitutions at
+  // varying edit density, so Jaccard spans the whole (0, 1] range
+  private def corpus(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    (0L until n.toLong).map { i =>
+      val base = Vector.tabulate(12)(j => vocab((j + i.toInt / 4) % vocab.size))
+      val edits = rnd.nextInt(6)
+      val words = (0 until edits).foldLeft(base) { (w, _) =>
+        w.updated(rnd.nextInt(w.size), vocab(rnd.nextInt(vocab.size)))
+      }
+      (i, words.mkString(" "))
+    }
+  }
+
+  private def brute(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
+    def shingles(s: String): Set[String] =
+      s.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, s) => (id, shingles(s)) }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= t
+    } yield (ia, ib, jr)).toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] =
+    Dedup.jaccardJoin(docs.toDF("doc_id", "text"), "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("equals brute force across thresholds on twin-heavy corpora") {
+    for (seed <- Seq(1, 2, 3); t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val docs = corpus(seed, 60)
+      assert(run(docs, t) == brute(docs, t),
+        s"prefix join diverged from brute force at t=$t seed=$seed")
+    }
+  }
+
+  test("t = 1.0 finds exactly the identical-shingle-set pairs") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),     // identical
+      (3L, "a b c d e f"), (4L, "x y z w v")    // superset / disjoint
+    )
+    assert(run(docs, 1.0) == Set((1L, 2L, 1.0)))
+  }
+
+  test("docs shorter than the shingle size never pair") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "p q r s t u v"))
+    assert(run(docs, 0.5).isEmpty)
+  }
+}
