@@ -125,9 +125,62 @@ object ScaleBench {
       pcaScale(spark, srcDir, outDir, listener)
     if (args.contains("zorder") || args.isEmpty)
       zorderSkip(spark, outDir, listener)
+    if (args.contains("jacjoin") || args.isEmpty)
+      jacJoinScale(spark, outDir, listener)
     if (args.contains("kmv") || args.isEmpty)
       kmvOverlap(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** Exact prefix-filtered Jaccard join at 100k docs: the claim is
+    * that prefix filtering keeps an EXACT similarity join affordable
+    * where the naive complete candidate generator (full inverted
+    * index: every pair sharing ANY shingle) goes quadratic through
+    * frequent shingles. Per threshold this verb reports, from ONE
+    * dfreq pass: the exploded index sizes (prefix vs full) and the
+    * candidate join rows each would produce (sum over shingles of
+    * C(df,2) — the exchange cost, computed arithmetically so the
+    * quadratic baseline never has to actually run), then times the
+    * real [[graft.llm.Dedup.jaccardJoin]] end-to-end. Expected shape:
+    * candidate rows drop orders of magnitude as t rises (prefixes
+    * shrink AND frequent shingles leave them), wall tracks the prefix
+    * candidates, never the full-index count.
+    */
+  private def jacJoinScale(spark: SparkSession, outDir: String,
+                           listener: TaskMetricsProbe): Unit = {
+    import graft.llm.Dedup
+    val docs = SparkEntry.table(spark, outDir, "documents")
+    val sets = Dedup.jaccardSets(docs, "doc_id", "text").localCheckpoint()
+    try {
+      val nDocs = sets.count()
+      val fullRows = sets.select(explode(col("__set")).as("__h"))
+      val fullCand = fullRows.groupBy("__h").agg(count(lit(1)).as("d"))
+        .agg(sum(col("d") * (col("d") - 1) / 2).cast("long"),
+          count(lit(1)), sum("d").cast("long"))
+        .collect().head
+      val (fullPairs, nShingles, nFullRows) =
+        (fullCand.getLong(0), fullCand.getLong(1), fullCand.getLong(2))
+      for (t <- Seq(0.5, 0.8)) {
+        val prefixRows = Dedup.jaccardPrefixes(sets, t)
+          .select(explode(col("__prefix")).as("__h"))
+        val pc = prefixRows.groupBy("__h").agg(count(lit(1)).as("d"))
+          .agg(sum(col("d") * (col("d") - 1) / 2).cast("long"),
+            sum("d").cast("long"))
+          .collect().head
+        listener.reset()
+        val t0 = System.nanoTime()
+        val nOut = Dedup.jaccardJoin(docs, "doc_id", "text", t).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"""{"jacjoin_t":$t,"n_docs":$nDocs,""" +
+          s""""index_rows_full":$nFullRows,"index_rows_prefix":${pc.getLong(1)},""" +
+          s""""cand_rows_full":$fullPairs,"cand_rows_prefix":${pc.getLong(0)},""" +
+          s""""n_shingles":$nShingles,"n_pairs_out":$nOut,""" +
+          f""""sec":$sec%.2f,""" +
+          s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+          s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+      }
+    } finally graft.Checkpoints.free(sets)
   }
 
   /** KMV overlap estimation at the SATURATED regime (the scaled corpus

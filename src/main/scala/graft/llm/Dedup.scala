@@ -471,25 +471,8 @@ object Dedup {
     */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double, shingleSize: Int = 3): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"jaccardJoin: threshold must be in (0, 1], got $threshold")
-    val sets = df
-      .select(col(idCol).as("__id"),
-        array_distinct(shingleHashes(col(textCol), shingleSize)).as("__set"))
-      .filter(size(col("__set")) > 0)
-    val tok = sets.select(col("__id"), explode(col("__set")).as("__h"))
-    val dfreq = tok.groupBy("__h").agg(count(lit(1)).as("__df"))
-    val ordered = tok.join(dfreq, Seq("__h"))
-      .groupBy("__id")
-      .agg(sort_array(collect_list(struct(col("__df"), col("__h"))))
-          .as("__ord"),
-        count(lit(1)).as("__n"))
-    val prefixLen =
-      (col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
-        .cast("int")
-    val prefixes = ordered.select(col("__id"), col("__n"),
-      slice(transform(col("__ord"), s => s("__h")), lit(1), prefixLen)
-        .as("__prefix"))
+    val sets = jaccardSets(df, idCol, textCol, shingleSize)
+    val prefixes = jaccardPrefixes(sets, threshold)
     val pa = prefixes.select(col("__id").as("id_a"), col("__n").as("__na"),
       explode(col("__prefix")).as("__h"))
     val pb = prefixes.select(col("__id").as("id_b"), col("__n").as("__nb"),
@@ -507,6 +490,41 @@ object Dedup {
       .withColumn("jac", round(jaccardBySets(col("__sa"), col("__sb")), 6))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
+  }
+
+  /** [[jaccardJoin]]'s set build: (__id, __set) distinct shingle-hash
+    * sets, empty sets excluded. Split out so scale harnesses measure
+    * the SAME code path the operator runs.
+    */
+  def jaccardSets(df: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).as("__id"),
+        array_distinct(shingleHashes(col(textCol), shingleSize)).as("__set"))
+      .filter(size(col("__set")) > 0)
+
+  /** [[jaccardJoin]]'s prefix build over a [[jaccardSets]] frame:
+    * (__id, __n, __prefix) with the df-ascending order and the fp-safe
+    * prefix length. This is also the exact-join INDEX: persist it and
+    * a later snapshot's prefixes join against it without re-reading
+    * archived text (the [[bandIndex]] pattern, but with a completeness
+    * guarantee).
+    */
+  def jaccardPrefixes(sets: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardPrefixes: threshold must be in (0, 1], got $threshold")
+    val tok = sets.select(col("__id"), explode(col("__set")).as("__h"))
+    val dfreq = tok.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val ordered = tok.join(dfreq, Seq("__h"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h"))))
+          .as("__ord"),
+        count(lit(1)).as("__n"))
+    val prefixLen =
+      (col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
+        .cast("int")
+    ordered.select(col("__id"), col("__n"),
+      slice(transform(col("__ord"), s => s("__h")), lit(1), prefixLen)
+        .as("__prefix"))
   }
 
   // ------------------------------------------------------------------
