@@ -84,6 +84,7 @@ object Bench {
     "q_minhash_fast",
     "q_lsh_pairs",
     "q_near_dup_jaccard",
+    "q_jaccard_join",
     "q_simhash",
     "q_embed_cosine_dup",
     "q_embed_dup_ivf",

@@ -490,6 +490,8 @@ object ScaleBench {
           .repartition(32).write.mode("overwrite").parquet(s"$dir/band")
         Dedup.bandIndexWithIds(archive, "doc_id", "text")
           .repartition(32).write.mode("overwrite").parquet(s"$dir/band_ids")
+        Dedup.jaccardIndex(archive, "doc_id", "text", threshold = 0.9)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/jaccard")
         // the archive PAYLOAD, persisted like a real archive's — the
         // verify row below must read only its collision subset
         archive.write.mode("overwrite").parquet(s"$dir/archive_text")
@@ -512,6 +514,19 @@ object ScaleBench {
       time("verify_exact", mult)(
         Dedup.nearDupVerifyAgainst(snap, "doc_id", "text", bandIdsIdx,
             archiveText, "doc_id", "text", jaccardThreshold = 0.9)
+          .write.format("noop").mode("overwrite").save())
+      // the COMPLETE screen (prefix index, no banding miss-rate):
+      // same flat-in-mult contract, index is shingle-prefix-scale
+      // rather than signature-scale — report its bytes alongside
+      val jacIdx = spark.read.parquet(s"$dir/jaccard")
+      val jacBytes = new java.io.File(s"$dir/jaccard").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val bandIdsBytes = new java.io.File(s"$dir/band_ids").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      time("screen_exact_jaccard", mult,
+        s""","index_bytes":$jacBytes,"band_ids_bytes":$bandIdsBytes""")(
+        Dedup.jaccardDedupAgainst(snap, "doc_id", "text", jacIdx,
+            archiveText, "doc_id", "text", threshold = 0.9)
           .write.format("noop").mode("overwrite").save())
       // the exact-verify batch's working set: snapshot docs with >= 1
       // band collision — everything else never touches archived text

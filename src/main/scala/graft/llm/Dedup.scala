@@ -527,6 +527,84 @@ object Dedup {
         .as("__prefix"))
   }
 
+  /** Prefix frame under HASH-ascending order — the cross-corpus form
+    * of [[jaccardPrefixes]]. The prefix bound holds for ANY global
+    * total order, but completeness across two corpora requires the
+    * SAME order on both sides: df-ascending is corpus-DEPENDENT (the
+    * archive's df and a later snapshot's df disagree), so an
+    * incremental index orders by the hash value alone — fixed forever,
+    * no df table to version. The price is average-case rather than
+    * df-optimized pruning; the batch [[jaccardJoin]] keeps df order
+    * because both sides come from one corpus.
+    */
+  def jaccardPrefixesFixedOrder(sets: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardPrefixesFixedOrder: threshold must be in (0, 1], got $threshold")
+    val n = size(col("__set"))
+    val prefixLen =
+      (n - ceil(lit(threshold) * n - lit(1e-9)) + 1).cast("int")
+    sets.select(col("__id"), n.cast("long").as("__n"),
+      slice(sort_array(col("__set")), lit(1), prefixLen).as("__prefix"))
+  }
+
+  /** Archive prefix index for the incremental EXACT-Jaccard screen:
+    * (archive_id, n, prefix) rows under the fixed hash order —
+    * [[bandIndexWithIds]]'s analogue with a completeness guarantee.
+    * Persist it once per accepted snapshot (union new rows in); the
+    * index is valid for screens at any threshold >= `threshold` (a
+    * higher-t screen needs a prefix no longer than this one).
+    */
+  def jaccardIndex(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, shingleSize: Int = 3): DataFrame =
+    jaccardPrefixesFixedOrder(jaccardSets(df, idCol, textCol, shingleSize),
+        threshold)
+      .select(col("__id").as("archive_id"), col("__n").as("n"),
+        col("__prefix").as("prefix"))
+
+  /** Incremental EXACT near-dup screen: drop every snapshot document
+    * whose shingle-set Jaccard against SOME archived document clears
+    * `threshold` — complete (no banding miss-rate, unlike
+    * [[nearDupScreenAgainst]]) and false-positive-free (exact verify,
+    * like [[nearDupVerifyAgainst]]) in one call. Candidates come from
+    * the snapshot's fixed-order prefixes joined to the persisted
+    * [[jaccardIndex]] plus the size filter; the archive PAYLOAD is
+    * touched only through a semi join on the candidates' archive ids,
+    * and only those documents are re-shingled — the `incdedup`
+    * scale shape with a guarantee. Within-snapshot pairs are
+    * [[jaccardJoin]]'s job; this screens against the archive only.
+    */
+  def jaccardDedupAgainst(df: DataFrame, idCol: String, textCol: String,
+                          index: DataFrame, archiveText: DataFrame,
+                          archiveIdCol: String, archiveTextCol: String,
+                          threshold: Double,
+                          shingleSize: Int = 3): DataFrame = {
+    val snapSets = jaccardSets(df, idCol, textCol, shingleSize)
+    val snapPref = jaccardPrefixesFixedOrder(snapSets, threshold)
+      .select(col("__id"), col("__n").as("__na"),
+        explode(col("__prefix")).as("__h"))
+    val archPref = index.select(col("archive_id"), col("n").as("__nb"),
+      explode(col("prefix")).as("__h"))
+    val candidates = snapPref.join(archPref, Seq("__h"))
+      .filter(col("__nb") >= lit(threshold) * col("__na") - lit(1e-9) &&
+        col("__na") >= lit(threshold) * col("__nb") - lit(1e-9))
+      .select(col("__id"), col("archive_id")).distinct()
+    val snapCand = snapSets
+      .join(candidates.select(col("__id")).distinct(), Seq("__id"), "left_semi")
+      .select(col("__id"), col("__set").as("__sa"))
+    val archCand = jaccardSets(
+        archiveText.join(
+          candidates.select(col("archive_id").as(archiveIdCol)).distinct(),
+          Seq(archiveIdCol), "left_semi"),
+        archiveIdCol, archiveTextCol, shingleSize)
+      .select(col("__id").as("archive_id"), col("__set").as("__sb"))
+    val dropped = candidates
+      .join(snapCand, Seq("__id"))
+      .join(archCand, Seq("archive_id"))
+      .filter(round(jaccardBySets(col("__sa"), col("__sb")), 6) >= threshold)
+      .select(col("__id").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // Benchmark decontamination
   // ------------------------------------------------------------------

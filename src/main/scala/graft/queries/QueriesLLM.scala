@@ -218,6 +218,27 @@ object QueriesLLM {
     Dedup.jaccardJoin(dupCorpus(spark, dir), "doc_id", "text",
       threshold = 0.5)
 
+  /** Incremental EXACT near-dup screen
+    * ([[graft.llm.Dedup.jaccardDedupAgainst]]): even doc_ids form the
+    * archive (indexed via [[graft.llm.Dedup.jaccardIndex]] — the
+    * completeness-guaranteed analogue of the band index), odd doc_ids
+    * plus 30 verbatim archive copies form the snapshot; survivors are
+    * snapshot docs with NO archive partner at Jaccard >= 0.5. The
+    * oracle computes brute-force ground truth, so the hash compare
+    * proves the fixed-order prefix screen lost nothing cross-corpus.
+    */
+  def q_jaccard_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val archive = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+    val snapshot = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      .unionByName(archive.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val idx = Dedup.jaccardIndex(archive, "doc_id", "text", threshold = 0.5)
+    Dedup.jaccardDedupAgainst(snapshot, "doc_id", "text",
+        idx, archive, "doc_id", "text", threshold = 0.5)
+      .select("doc_id")
+  }
+
   /** Near-dup clustering endgame: connected components over the LSH
     * candidate graph (iterative min-label propagation). Oracle-checked via
     * DuckDB's recursive CTE transitive closure — component minima are
@@ -1373,6 +1394,7 @@ object QueriesLLM {
     "q_pack_bins" -> (q_pack_bins _),
     "q_pack_multimodal" -> (q_pack_multimodal _),
     "q_jaccard_join" -> (q_jaccard_join _),
+    "q_jaccard_incremental" -> (q_jaccard_incremental _),
     "q_text_normalize" -> (q_text_normalize _),
     "q_sample_exact_n" -> (q_sample_exact_n _),
     "q_shard_assign" -> (q_shard_assign _),
@@ -1461,6 +1483,46 @@ object QueriesLLM {
         |  JOIN shd b ON c.id_b = b.doc_id
         |)
         |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5""".stripMargin),
+    // brute-force cross-corpus ground truth for the incremental exact
+    // screen: snapshot survivors = docs with no archive partner >= 0.5
+    "q_jaccard_incremental" ->
+      """WITH arch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |), snap AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id < 60
+        |), uni AS (
+        |  SELECT 'a' AS side, doc_id, text FROM arch
+        |  UNION ALL
+        |  SELECT 's' AS side, doc_id, text FROM snap
+        |), toks AS (
+        |  SELECT side, doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w FROM uni
+        |), sh AS (
+        |  SELECT side, doc_id, CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |    ELSE [] END AS shingles
+        |  FROM toks
+        |), shd AS (
+        |  SELECT side, doc_id,
+        |    list_distinct(list_transform(shingles, s -> ('0x'||substr(md5(s),1,15))::BIGINT)) AS ds
+        |  FROM sh
+        |), inv AS (
+        |  SELECT side, doc_id, unnest(ds) AS h FROM shd
+        |), cand AS (
+        |  SELECT DISTINCT s.doc_id AS sid, a.doc_id AS aid
+        |  FROM inv s JOIN inv a ON s.h = a.h AND s.side = 's' AND a.side = 'a'
+        |), dropped AS (
+        |  SELECT DISTINCT c.sid AS doc_id
+        |  FROM cand c
+        |  JOIN shd s ON s.side = 's' AND c.sid = s.doc_id
+        |  JOIN shd a ON a.side = 'a' AND c.aid = a.doc_id
+        |  WHERE round(len(list_intersect(s.ds, a.ds))::DOUBLE
+        |      / len(list_distinct(s.ds || a.ds)), 6) >= 0.5
+        |)
+        |SELECT doc_id FROM snap
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
     "q_dedup_cluster" -> (dupCorpusSql.replaceFirst("WITH corpus", "WITH RECURSIVE corpus") + minhashSql +
       ccClustersSql +
       """
