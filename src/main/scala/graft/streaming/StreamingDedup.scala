@@ -54,4 +54,32 @@ object StreamingDedup {
       .join(index.select(col("content_hash")), Seq("content_hash"), "left_anti")
       .withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming COMPLETE exact-Jaccard archive screen: each micro-batch
+    * runs [[graft.llm.Dedup.jaccardDedupAgainst]] against the persisted
+    * [[graft.llm.Dedup.jaccardIndex]] + archive payload, so per-batch
+    * semantics are EXACTLY the batch operator's — every batch document
+    * with an archived partner at Jaccard >= `threshold` drops, no
+    * banding miss-rate, no false positives. The screen's candidate/
+    * verify shape needs aggregations a single streaming plan cannot
+    * express in append mode, so this runs through `foreachBatch` (the
+    * [[StreamingRetrieval.maintainIndex]] contract: at-least-once per
+    * batch; `sink` receives the batch id to detect replays). Pairs
+    * WITHIN the stream remain the batch compaction's job — the same
+    * division of labor [[dedupStream]] documents.
+    */
+  def jaccardScreenStream(docs: DataFrame, idCol: String, textCol: String,
+                          index: DataFrame, archiveText: DataFrame,
+                          archiveIdCol: String, archiveTextCol: String,
+                          threshold: Double, checkpointDir: String,
+                          shingleSize: Int = 3)
+                         (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.llm.Dedup.jaccardDedupAgainst(batch, idCol, textCol,
+          index, archiveText, archiveIdCol, archiveTextCol,
+          threshold, shingleSize), id)
+      }
 }
