@@ -509,12 +509,30 @@ object Dedup {
     * archived text (the [[bandIndex]] pattern, but with a completeness
     * guarantee).
     */
-  def jaccardPrefixes(sets: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPrefixes(sets: DataFrame, threshold: Double): DataFrame =
+    jaccardPrefixesWithOrder(sets, jaccardDf(sets), threshold)
+
+  /** Shingle document frequencies of a [[jaccardSets]] frame:
+    * (__h, __df) — the global-order statistic both prefix builders
+    * share, and the table [[jaccardIndexFrozen]] freezes.
+    */
+  def jaccardDf(sets: DataFrame): DataFrame =
+    sets.select(explode(col("__set")).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+
+  /** Prefix frame under the order (df from `dfTable`, hash) — shingles
+    * ABSENT from the table order as df 0 (rarest; conservative AND
+    * right, since a never-seen shingle is maximally selective). The
+    * order is a pure function of the table, so two corpora ordered by
+    * the SAME table satisfy the cross-corpus pigeonhole bound.
+    */
+  def jaccardPrefixesWithOrder(sets: DataFrame, dfTable: DataFrame,
+                               threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
-      s"jaccardPrefixes: threshold must be in (0, 1], got $threshold")
+      s"jaccardPrefixesWithOrder: threshold must be in (0, 1], got $threshold")
     val tok = sets.select(col("__id"), explode(col("__set")).as("__h"))
-    val dfreq = tok.groupBy("__h").agg(count(lit(1)).as("__df"))
-    val ordered = tok.join(dfreq, Seq("__h"))
+    val ordered = tok.join(dfTable, Seq("__h"), "left")
+      .select(col("__id"), col("__h"), coalesce(col("__df"), lit(0L)).as("__df"))
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__h"))))
           .as("__ord"),
@@ -561,6 +579,28 @@ object Dedup {
       .select(col("__id").as("archive_id"), col("__n").as("n"),
         col("__prefix").as("prefix"))
 
+  /** [[jaccardIndex]] under FROZEN df order: returns (index, dfTable)
+    * — persist BOTH; the table (shingle_hash, df) is the global order
+    * every later snapshot must share, so screens prune with df-grade
+    * selectivity (frequent archive shingles leave prefixes) instead of
+    * hash-order's average case. The table is frozen at build: archive
+    * growth may append index rows under the ORIGINAL order (screens
+    * stay complete — consistency is what the bound needs, not
+    * freshness), but refreshing the order itself means rebuilding
+    * prefixes — an out-of-band compaction, the
+    * [[graft.streaming.StreamingRetrieval]] pattern.
+    */
+  def jaccardIndexFrozen(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, shingleSize: Int = 3)
+      : (DataFrame, DataFrame) = {
+    val sets = jaccardSets(df, idCol, textCol, shingleSize)
+    val dfTable = jaccardDf(sets)
+    val index = jaccardPrefixesWithOrder(sets, dfTable, threshold)
+      .select(col("__id").as("archive_id"), col("__n").as("n"),
+        col("__prefix").as("prefix"))
+    (index, dfTable.select(col("__h").as("shingle_hash"), col("__df").as("df")))
+  }
+
   /** Incremental EXACT near-dup screen: drop every snapshot document
     * whose shingle-set Jaccard against SOME archived document clears
     * `threshold` — complete (no banding miss-rate, unlike
@@ -577,9 +617,36 @@ object Dedup {
                           index: DataFrame, archiveText: DataFrame,
                           archiveIdCol: String, archiveTextCol: String,
                           threshold: Double,
-                          shingleSize: Int = 3): DataFrame = {
+                          shingleSize: Int = 3): DataFrame =
+    jaccardScreen(df, idCol, textCol, index, archiveText, archiveIdCol,
+      archiveTextCol, threshold, shingleSize,
+      jaccardPrefixesFixedOrder(_, threshold))
+
+  /** [[jaccardDedupAgainst]] against a [[jaccardIndexFrozen]] pair: the
+    * snapshot's prefixes order by the index's FROZEN df table, so both
+    * sides share the order the completeness bound requires while
+    * pruning with the archive's selectivity statistics.
+    */
+  def jaccardDedupAgainstFrozen(df: DataFrame, idCol: String, textCol: String,
+                                index: DataFrame, dfTable: DataFrame,
+                                archiveText: DataFrame,
+                                archiveIdCol: String, archiveTextCol: String,
+                                threshold: Double,
+                                shingleSize: Int = 3): DataFrame = {
+    val order = dfTable.select(col("shingle_hash").as("__h"),
+      col("df").as("__df"))
+    jaccardScreen(df, idCol, textCol, index, archiveText, archiveIdCol,
+      archiveTextCol, threshold, shingleSize,
+      jaccardPrefixesWithOrder(_, order, threshold))
+  }
+
+  private def jaccardScreen(df: DataFrame, idCol: String, textCol: String,
+                            index: DataFrame, archiveText: DataFrame,
+                            archiveIdCol: String, archiveTextCol: String,
+                            threshold: Double, shingleSize: Int,
+                            prefixer: DataFrame => DataFrame): DataFrame = {
     val snapSets = jaccardSets(df, idCol, textCol, shingleSize)
-    val snapPref = jaccardPrefixesFixedOrder(snapSets, threshold)
+    val snapPref = prefixer(snapSets)
       .select(col("__id"), col("__n").as("__na"),
         explode(col("__prefix")).as("__h"))
     val archPref = index.select(col("archive_id"), col("n").as("__nb"),

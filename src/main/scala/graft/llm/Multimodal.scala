@@ -81,6 +81,20 @@ object Multimodal {
       floor((height.cast("long") + (p - 1L)) / p)).cast("long")
   }
 
+  /** Audio/video token cost from HEADER-decoded duration:
+    * `ceil(duration_ms / msPerToken)` — discrete audio codecs spend a
+    * fixed token rate (e.g. 50 tokens/s = 20 ms/token for
+    * EnCodec-style codebooks, Defossez et al., arXiv:2210.13438), so
+    * budgeting reads the RIFF/Xing/mvhd header, never a sample. Null
+    * duration (undecodable) stays null, like [[patchTokens]].
+    */
+  def audioTokens(durationMs: Column, msPerToken: Long): Column = {
+    require(msPerToken > 0,
+      s"audioTokens: msPerToken must be positive, got $msPerToken")
+    val m = lit(msPerToken)
+    (floor((durationMs.cast("long") + (m - 1L)) / m)).cast("long")
+  }
+
   /** Frame-sample row expansion for video: one output row per sampled
     * frame index at `fps`-spaced offsets — the explode happens on
     * lightweight (id, frame_idx) rows; the binary payload is NOT
