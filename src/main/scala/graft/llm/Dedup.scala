@@ -492,6 +492,20 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
+  /** GUARANTEED-complete near-dedup: [[nearDedup]]'s pipeline with
+    * [[jaccardJoin]]'s exact pair generation in place of LSH banding —
+    * every pair at Jaccard >= `threshold` enters the cluster graph, so
+    * the kept set is the true transitive-closure minimum per cluster
+    * with NO banding miss-rate. The tool when dedup is a compliance
+    * contract rather than a statistical cleanup; costs the prefix-join
+    * candidate bill (ScaleBench `jacjoin`) instead of the banded one.
+    */
+  def nearDedupComplete(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleSize: Int = 3): DataFrame =
+    nearDedupKeep(df, idCol,
+      jaccardJoin(df, idCol, textCol, threshold, shingleSize)
+        .select("id_a", "id_b"))
+
   /** [[jaccardJoin]]'s set build: (__id, __set) distinct shingle-hash
     * sets, empty sets excluded. Split out so scale harnesses measure
     * the SAME code path the operator runs.

@@ -218,6 +218,18 @@ object QueriesLLM {
     Dedup.jaccardJoin(dupCorpus(spark, dir), "doc_id", "text",
       threshold = 0.5)
 
+  /** Guaranteed-complete near-dedup over the duplicated corpus
+    * ([[graft.llm.Dedup.nearDedupComplete]]): exact Jaccard pairs at
+    * >= 0.5 -> connected components -> keep each cluster's minimum id.
+    * The oracle replays brute-force pairs + a recursive-CTE closure,
+    * so the hash compare pins the WHOLE chain — complete pair
+    * generation, clustering, and the keep rule.
+    */
+  def q_dedup_complete(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDedupComplete(dupCorpus(spark, dir), "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id")
+
   /** Incremental EXACT near-dup screen
     * ([[graft.llm.Dedup.jaccardDedupAgainst]]): even doc_ids form the
     * archive (indexed via [[graft.llm.Dedup.jaccardIndex]] — the
@@ -1395,6 +1407,7 @@ object QueriesLLM {
     "q_pack_multimodal" -> (q_pack_multimodal _),
     "q_jaccard_join" -> (q_jaccard_join _),
     "q_jaccard_incremental" -> (q_jaccard_incremental _),
+    "q_dedup_complete" -> (q_dedup_complete _),
     "q_text_normalize" -> (q_text_normalize _),
     "q_sample_exact_n" -> (q_sample_exact_n _),
     "q_shard_assign" -> (q_shard_assign _),
@@ -1483,6 +1496,36 @@ object QueriesLLM {
         |  JOIN shd b ON c.id_b = b.doc_id
         |)
         |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5""".stripMargin),
+    // brute pairs + recursive closure + keep-min: pins the whole
+    // complete-near-dedup chain
+    "q_dedup_complete" -> (dupCorpusSql.replaceFirst("WITH corpus", "WITH RECURSIVE corpus") + minhashSql +
+      """, shd2 AS (
+        |  SELECT doc_id, list_distinct(hs) AS ds FROM hashes
+        |), inv2 AS (
+        |  SELECT doc_id, unnest(ds) AS h FROM shd2
+        |), cand2 AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv2 a JOIN inv2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |), jpairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand2 c
+        |  JOIN shd2 a ON c.id_a = a.doc_id
+        |  JOIN shd2 b ON c.id_b = b.doc_id
+        |  WHERE round(len(list_intersect(a.ds, b.ds))::DOUBLE
+        |      / len(list_distinct(a.ds || b.ds)), 6) >= 0.5
+        |), jedges AS (
+        |  SELECT id_a, id_b FROM jpairs
+        |  UNION
+        |  SELECT id_b AS id_a, id_a AS id_b FROM jpairs
+        |), jreach AS (
+        |  SELECT id_a AS id, id_a AS label FROM jedges
+        |  UNION
+        |  SELECT e.id_a AS id, r.label FROM jedges e JOIN jreach r ON e.id_b = r.id
+        |), jclusters AS (
+        |  SELECT id, min(label) AS cluster_id FROM jreach GROUP BY id
+        |)
+        |SELECT c.doc_id FROM corpus c LEFT JOIN jclusters cl ON c.doc_id = cl.id
+        |WHERE cl.id IS NULL OR cl.cluster_id = c.doc_id""".stripMargin),
     // brute-force cross-corpus ground truth for the incremental exact
     // screen: snapshot survivors = docs with no archive partner >= 0.5
     "q_jaccard_incremental" ->
