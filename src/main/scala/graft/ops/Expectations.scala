@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass data-quality expectations over a corpus — the ingest gate a
+  * 100 TB pipeline runs BEFORE accepting a snapshot (the Deequ idea,
+  * Schelter et al., VLDB 2018: declarative checks compiled into ONE
+  * aggregation pass, never one job per rule).
+  *
+  * Each expectation is a named boolean Column over a row; the report
+  * aggregates every rule in a single `agg(...)` so the corpus is read
+  * once regardless of rule count, and whole-stage codegen fuses the
+  * predicates into the scan. Rules that need more than row-local
+  * evaluation compose upstream: uniqueness is a [[keyUniqueness]]
+  * pre-aggregation (one extra exchange on the key, unavoidable), and
+  * cross-table reference checks are anti joins the caller counts.
+  *
+  * Scale shape: map-only predicate evaluation + one partial/final
+  * aggregate — the same rollup shape as the corpus-stats queries; the
+  * report is rule-count-sized (a handful of rows), never corpus-sized.
+  */
+object Expectations {
+
+  /** A named row-level expectation; `predicate` is TRUE when the row
+    * SATISFIES the rule. Nulls count as violations (a null predicate
+    * means the rule could not be established for the row).
+    */
+  final case class Rule(name: String, predicate: Column)
+
+  /** Evaluate all rules in one pass: per rule one output row with the
+    * rows checked, violations, and the violation fraction (rounded at
+    * 1e-6, the repo's oracle-exactness convention).
+    */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Expectations.report: no rules given")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "Expectations.report: rule names must be unique")
+    val aggs = rules.flatMap { r =>
+      val ok = coalesce(r.predicate, lit(false))
+      Seq(count(lit(1)).as(s"__n_${r.name}"),
+        sum(when(ok, 0L).otherwise(1L)).as(s"__v_${r.name}"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the one wide row into (rule, n_rows, n_violations, rate)
+    val entries = rules.map { r =>
+      struct(lit(r.name).as("rule"),
+        col(s"__n_${r.name}").as("n_rows"),
+        col(s"__v_${r.name}").as("n_violations"))
+    }
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.rule").as("rule"),
+        col("e.n_rows").as("n_rows"),
+        col("e.n_violations").as("n_violations"),
+        when(col("e.n_rows") > 0,
+          floor(col("e.n_violations").cast("double") / col("e.n_rows")
+            * 1000000 + 0.5) / 1000000)
+          .otherwise(lit(0.0)).as("violation_rate"))
+  }
+
+  /** Key-uniqueness report: (n_keys, n_duplicated_keys, n_excess_rows)
+    * — one exchange on the key (the minimum any uniqueness check
+    * costs), then a tiny final aggregate. Null keys group together,
+    * matching the dedup digest convention.
+    */
+  def keyUniqueness(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_duplicated_keys"),
+        sum(when(col("__c") > 1, col("__c") - 1L).otherwise(0L))
+          .as("n_excess_rows"))
+
+  /** Gate: throw unless every rule's violation fraction is within its
+    * budget (`maxRate` per rule name, default 0). The ingest-time
+    * fail-fast; the report itself stays available for the audit trail.
+    */
+  def enforce(df: DataFrame, rules: Seq[Rule],
+              maxRate: Map[String, Double] = Map.empty): Unit = {
+    val rows = report(df, rules).collect()
+    val broken = rows.filter { r =>
+      r.getAs[Double]("violation_rate") >
+        maxRate.getOrElse(r.getAs[String]("rule"), 0.0)
+    }
+    if (broken.nonEmpty)
+      throw new IllegalStateException(
+        "expectations violated: " + broken.map(r =>
+          s"${r.getAs[String]("rule")} rate=${r.getAs[Double]("violation_rate")}"
+        ).mkString(", "))
+  }
+}

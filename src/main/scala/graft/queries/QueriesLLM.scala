@@ -218,6 +218,22 @@ object QueriesLLM {
     Dedup.jaccardJoin(dupCorpus(spark, dir), "doc_id", "text",
       threshold = 0.5)
 
+  /** One-pass ingest expectations over the documents table
+    * ([[graft.ops.Expectations]] — the Deequ idea, VLDB'18): five
+    * declarative rules (null checks, format regex, cross-column
+    * consistency) compiled into ONE aggregation pass; the oracle
+    * replays every predicate and the 1e-6-rounded violation rates.
+    */
+  def q_expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations.{Rule, report}
+    report(table(spark, dir, "documents"), Seq(
+      Rule("doc_id_nonnull", col("doc_id").isNotNull),
+      Rule("text_nonempty", length(col("text")) > 0),
+      Rule("lang_nonnull", col("lang").isNotNull),
+      Rule("source_format", col("source").rlike("^src[0-9]+$")),
+      Rule("n_chars_consistent", col("n_chars") === length(col("text")))))
+  }
+
   /** Guaranteed-complete near-dedup over the duplicated corpus
     * ([[graft.llm.Dedup.nearDedupComplete]]): exact Jaccard pairs at
     * >= 0.5 -> connected components -> keep each cluster's minimum id.
@@ -1408,6 +1424,7 @@ object QueriesLLM {
     "q_jaccard_join" -> (q_jaccard_join _),
     "q_jaccard_incremental" -> (q_jaccard_incremental _),
     "q_dedup_complete" -> (q_dedup_complete _),
+    "q_expectations" -> (q_expectations _),
     "q_text_normalize" -> (q_text_normalize _),
     "q_sample_exact_n" -> (q_sample_exact_n _),
     "q_shard_assign" -> (q_shard_assign _),
@@ -1496,6 +1513,34 @@ object QueriesLLM {
         |  JOIN shd b ON c.id_b = b.doc_id
         |)
         |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5""".stripMargin),
+    // each rule re-stated as SQL; violation = predicate false OR null
+    "q_expectations" ->
+      """WITH r AS (
+        |  SELECT 'doc_id_nonnull' AS rule, count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text_nonempty', count(*)::BIGINT,
+        |    sum(CASE WHEN text IS NULL OR length(text) <= 0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang_nonnull', count(*)::BIGINT,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source_format', count(*)::BIGINT,
+        |    sum(CASE WHEN source IS NULL OR NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars_consistent', count(*)::BIGINT,
+        |    sum(CASE WHEN n_chars IS NULL OR text IS NULL OR n_chars != length(text) THEN 1 ELSE 0 END)::BIGINT
+        |  FROM documents
+        |)
+        |SELECT rule, n_rows, n_violations,
+        |  CASE WHEN n_rows > 0
+        |    THEN floor(n_violations::DOUBLE / n_rows * 1000000 + 0.5)/1000000
+        |    ELSE 0.0 END AS violation_rate
+        |FROM r""".stripMargin,
     // brute pairs + recursive closure + keep-min: pins the whole
     // complete-near-dedup chain
     "q_dedup_complete" -> (dupCorpusSql.replaceFirst("WITH corpus", "WITH RECURSIVE corpus") + minhashSql +
