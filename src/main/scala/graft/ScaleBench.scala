@@ -161,12 +161,25 @@ object ScaleBench {
       val (fullPairs, nShingles, nFullRows) =
         (fullCand.getLong(0), fullCand.getLong(1), fullCand.getLong(2))
       for (t <- Seq(0.5, 0.8)) {
-        val prefixRows = Dedup.jaccardPrefixes(sets, t)
-          .select(explode(col("__prefix")).as("__h"))
+        val prefixes = Dedup.jaccardPrefixes(sets, t)
+        val prefixRows = prefixes.select(explode(col("__prefix")).as("__h"))
         val pc = prefixRows.groupBy("__h").agg(count(lit(1)).as("d"))
           .agg(sum(col("d") * (col("d") - 1) / 2).cast("long"),
             sum("d").cast("long"))
           .collect().head
+        // distinct pairs entering verify: size filter alone vs + the
+        // PPJoin positional filter (the r11 addition)
+        val pa = prefixes.select(col("__id").as("id_a"), col("__n").as("__na"),
+          posexplode(col("__prefix")).as(Seq("__pa", "__h")))
+        val pb = prefixes.select(col("__id").as("id_b"), col("__n").as("__nb"),
+          posexplode(col("__prefix")).as(Seq("__pb", "__h")))
+        val sizeOnly = pa.join(pb, Seq("__h"))
+          .filter(col("id_a") < col("id_b") &&
+            col("__nb") >= lit(t) * col("__na") - lit(1e-9) &&
+            col("__na") >= lit(t) * col("__nb") - lit(1e-9))
+          .select("id_a", "id_b").distinct().count()
+        val positional = Dedup.candidatePairsPositional(pa, pb, t,
+          col("id_a") < col("id_b")).count()
         listener.reset()
         val t0 = System.nanoTime()
         val nOut = Dedup.jaccardJoin(docs, "doc_id", "text", t).count()
@@ -175,6 +188,7 @@ object ScaleBench {
         println(f"""{"jacjoin_t":$t,"n_docs":$nDocs,""" +
           s""""index_rows_full":$nFullRows,"index_rows_prefix":${pc.getLong(1)},""" +
           s""""cand_rows_full":$fullPairs,"cand_rows_prefix":${pc.getLong(0)},""" +
+          s""""verify_pairs_size_only":$sizeOnly,"verify_pairs_positional":$positional,""" +
           s""""n_shingles":$nShingles,"n_pairs_out":$nOut,""" +
           f""""sec":$sec%.2f,""" +
           s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +

@@ -474,14 +474,11 @@ object Dedup {
     val sets = jaccardSets(df, idCol, textCol, shingleSize)
     val prefixes = jaccardPrefixes(sets, threshold)
     val pa = prefixes.select(col("__id").as("id_a"), col("__n").as("__na"),
-      explode(col("__prefix")).as("__h"))
+      posexplode(col("__prefix")).as(Seq("__pa", "__h")))
     val pb = prefixes.select(col("__id").as("id_b"), col("__n").as("__nb"),
-      explode(col("__prefix")).as("__h"))
-    val candidates = pa.join(pb, Seq("__h"))
-      .filter(col("id_a") < col("id_b") &&
-        col("__nb") >= lit(threshold) * col("__na") - lit(1e-9) &&
-        col("__na") >= lit(threshold) * col("__nb") - lit(1e-9))
-      .select("id_a", "id_b").distinct()
+      posexplode(col("__prefix")).as(Seq("__pb", "__h")))
+    val candidates = candidatePairsPositional(pa, pb, threshold,
+      col("id_a") < col("id_b"))
     candidates
       .join(sets.select(col("__id").as("id_a"), col("__set").as("__sa")),
         Seq("id_a"))
@@ -490,6 +487,42 @@ object Dedup {
       .withColumn("jac", round(jaccardBySets(col("__sa"), col("__sb")), 6))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
+  }
+
+  /** Prefix-join candidate pairs with the size filter and PPJoin's
+    * POSITIONAL filter (Xiao et al., WWW'08). Inputs are posexploded
+    * prefix frames (id, n, 0-based position, hash). J >= t forces
+    * overlap o >= ceil(t/(1+t) * (na+nb)); every intersection element
+    * sits at global-order position >= the FIRST shared element's, so
+    * with that element at (0-based) positions (i*, j*),
+    * o <= min(na - i*, nb - j*). Prefix positions are monotone in the
+    * SAME global order on both sides, so min(i) and min(j) over the
+    * pair's shared prefix tokens are BOTH attained at the first shared
+    * element — one groupBy computes the bound exactly where the old
+    * code ran `.distinct()`, same exchange, and pairs whose bound
+    * cannot reach o are pruned before the verify join ever sees them.
+    * For a qualifying pair the bound >= o >= alpha (1e-9 fp slack on
+    * alpha's ceil only loosens it), so completeness is untouched —
+    * JaccardJoinSpec's brute-force equality pins it.
+    */
+  private[graft] def candidatePairsPositional(pa: DataFrame, pb: DataFrame,
+                                              threshold: Double,
+                                              pairCond: Column): DataFrame = {
+    val sizeOk =
+      col("__nb") >= lit(threshold) * col("__na") - lit(1e-9) &&
+        col("__na") >= lit(threshold) * col("__nb") - lit(1e-9)
+    val idA = pa.columns.head
+    val idB = pb.columns.head
+    pa.join(pb, Seq("__h"))
+      .filter(pairCond && sizeOk)
+      .groupBy(col(idA), col(idB))
+      .agg(max("__na").as("__na"), max("__nb").as("__nb"),
+        min("__pa").as("__ia"), min("__pb").as("__ib"))
+      .filter(
+        least(col("__na") - col("__ia"), col("__nb") - col("__ib")) >=
+          ceil(lit(threshold / (1.0 + threshold)) *
+            (col("__na") + col("__nb")) - lit(1e-9)))
+      .select(col(idA), col(idB))
   }
 
   /** GUARANTEED-complete near-dedup: [[nearDedup]]'s pipeline with
@@ -662,13 +695,11 @@ object Dedup {
     val snapSets = jaccardSets(df, idCol, textCol, shingleSize)
     val snapPref = prefixer(snapSets)
       .select(col("__id"), col("__n").as("__na"),
-        explode(col("__prefix")).as("__h"))
+        posexplode(col("__prefix")).as(Seq("__pa", "__h")))
     val archPref = index.select(col("archive_id"), col("n").as("__nb"),
-      explode(col("prefix")).as("__h"))
-    val candidates = snapPref.join(archPref, Seq("__h"))
-      .filter(col("__nb") >= lit(threshold) * col("__na") - lit(1e-9) &&
-        col("__na") >= lit(threshold) * col("__nb") - lit(1e-9))
-      .select(col("__id"), col("archive_id")).distinct()
+      posexplode(col("prefix")).as(Seq("__pb", "__h")))
+    val candidates =
+      candidatePairsPositional(snapPref, archPref, threshold, lit(true))
     val snapCand = snapSets
       .join(candidates.select(col("__id")).distinct(), Seq("__id"), "left_semi")
       .select(col("__id"), col("__set").as("__sa"))
