@@ -58,6 +58,40 @@ object Expectations {
           .otherwise(lit(0.0)).as("violation_rate"))
   }
 
+  /** An aggregate-level expectation: `metric` is an AGGREGATE Column
+    * (mean, count distinct, max, a fraction via avg(when...)) whose
+    * value must land in [lo, hi].
+    */
+  final case class MetricCheck(name: String, metric: Column,
+                               lo: Double, hi: Double)
+
+  /** Evaluate all metric checks in one aggregation pass (the Deequ
+    * metrics half): per check one row (metric, value, lo, hi, ok);
+    * values round at 1e-6 before the bounds compare so the report is
+    * engine-replayable. A null metric (e.g. avg over zero rows) fails
+    * the check rather than passing vacuously.
+    */
+  def metricReport(df: DataFrame, checks: Seq[MetricCheck]): DataFrame = {
+    require(checks.nonEmpty, "Expectations.metricReport: no checks given")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "Expectations.metricReport: check names must be unique")
+    val aggs = checks.map { c =>
+      (floor(c.metric.cast("double") * 1000000 + 0.5) / 1000000)
+        .as(s"__m_${c.name}")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = checks.map { c =>
+      struct(lit(c.name).as("metric"),
+        col(s"__m_${c.name}").as("value"),
+        lit(c.lo).as("lo"), lit(c.hi).as("hi"))
+    }
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.metric").as("metric"), col("e.value").as("value"),
+        col("e.lo").as("lo"), col("e.hi").as("hi"),
+        coalesce(col("e.value") >= col("e.lo") &&
+          col("e.value") <= col("e.hi"), lit(false)).as("ok"))
+  }
+
   /** Key-uniqueness report: (n_keys, n_duplicated_keys, n_excess_rows)
     * — one exchange on the key (the minimum any uniqueness check
     * costs), then a tiny final aggregate. Null keys group together,

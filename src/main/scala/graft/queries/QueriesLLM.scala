@@ -234,6 +234,25 @@ object QueriesLLM {
       Rule("n_chars_consistent", col("n_chars") === length(col("text")))))
   }
 
+  /** Aggregate-level metric expectations over documents
+    * ([[graft.ops.Expectations.metricReport]]): profile metrics (mean
+    * length, source cardinality, max id, an ASCII fraction) each
+    * bounds-checked, all in one aggregation pass; values 1e-6-rounded
+    * so DuckDB replays them bit-for-bit.
+    */
+  def q_expectations_metrics(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations.{MetricCheck, metricReport}
+    metricReport(table(spark, dir, "documents"), Seq(
+      MetricCheck("mean_n_chars", avg(col("n_chars")), 1.0, 100000.0),
+      MetricCheck("n_sources", countDistinct(col("source")).cast("double"),
+        1.0, 1000.0),
+      MetricCheck("max_doc_id", max(col("doc_id")).cast("double"),
+        0.0, 1e12),
+      MetricCheck("frac_with_digits",
+        avg(when(col("text").rlike("[0-9]"), 1.0).otherwise(0.0)),
+        0.0, 1.0)))
+  }
+
   /** Guaranteed-complete near-dedup over the duplicated corpus
     * ([[graft.llm.Dedup.nearDedupComplete]]): exact Jaccard pairs at
     * >= 0.5 -> connected components -> keep each cluster's minimum id.
@@ -1425,6 +1444,7 @@ object QueriesLLM {
     "q_jaccard_incremental" -> (q_jaccard_incremental _),
     "q_dedup_complete" -> (q_dedup_complete _),
     "q_expectations" -> (q_expectations _),
+    "q_expectations_metrics" -> (q_expectations_metrics _),
     "q_text_normalize" -> (q_text_normalize _),
     "q_sample_exact_n" -> (q_sample_exact_n _),
     "q_shard_assign" -> (q_shard_assign _),
@@ -1513,6 +1533,27 @@ object QueriesLLM {
         |  JOIN shd b ON c.id_b = b.doc_id
         |)
         |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5""".stripMargin),
+    // profile metrics + bounds replayed; values rounded at 1e-6
+    "q_expectations_metrics" ->
+      """WITH m AS (
+        |  SELECT
+        |    floor(avg(n_chars)*1000000+0.5)/1000000 AS mean_n_chars,
+        |    floor(count(DISTINCT source)::DOUBLE*1000000+0.5)/1000000 AS n_sources,
+        |    floor(max(doc_id)::DOUBLE*1000000+0.5)/1000000 AS max_doc_id,
+        |    floor(avg(CASE WHEN regexp_matches(text, '[0-9]') THEN 1.0 ELSE 0.0 END)*1000000+0.5)/1000000 AS fwd
+        |  FROM documents
+        |)
+        |SELECT 'mean_n_chars' AS metric, mean_n_chars AS value, 1.0 AS lo,
+        |  100000.0 AS hi, mean_n_chars BETWEEN 1.0 AND 100000.0 AS ok FROM m
+        |UNION ALL
+        |SELECT 'n_sources', n_sources, 1.0, 1000.0,
+        |  n_sources BETWEEN 1.0 AND 1000.0 FROM m
+        |UNION ALL
+        |SELECT 'max_doc_id', max_doc_id, 0.0, 1000000000000.0,
+        |  max_doc_id BETWEEN 0.0 AND 1000000000000.0 FROM m
+        |UNION ALL
+        |SELECT 'frac_with_digits', fwd, 0.0, 1.0,
+        |  fwd BETWEEN 0.0 AND 1.0 FROM m""".stripMargin,
     // each rule re-stated as SQL; violation = predicate false OR null
     "q_expectations" ->
       """WITH r AS (

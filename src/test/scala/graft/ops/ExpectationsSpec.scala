@@ -44,6 +44,26 @@ class ExpectationsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("metricReport: exact values, bounds compare, null metric fails") {
+    import Expectations.{MetricCheck, metricReport}
+    val rows = metricReport(df, Seq(
+        MetricCheck("mean_v", avg(col("v")), 0.0, 20.0),        // 13.75
+        MetricCheck("n_ids", countDistinct(col("id")).cast("double"), 3.0, 3.0),
+        MetricCheck("max_v", max(col("v")).cast("double"), 0.0, 10.0), // 30 -> fail
+        MetricCheck("mean_none", avg(when(lit(false), col("v"))), 0.0, 1.0)))
+      .collect().map(r => (r.getString(0), r.isNullAt(1), r.getBoolean(4))).toSet
+    assert(rows == Set(
+      ("mean_v", false, true),
+      ("n_ids", false, false),   // 2 distinct non-null... see below
+      ("max_v", false, false),
+      ("mean_none", true, false)))
+    // countDistinct ignores nulls: ids are {1, 2} -> 2, outside [3, 3]
+    val v = metricReport(df, Seq(
+        MetricCheck("n_ids", countDistinct(col("id")).cast("double"), 2.0, 2.0)))
+      .collect().head
+    assert(v.getDouble(1) == 2.0 && v.getBoolean(4))
+  }
+
   test("keyUniqueness arithmetic") {
     val r = keyUniqueness(df, Seq("id")).collect().head
     // keys: 1, 2 (x2), null -> 3 keys, 1 duplicated, 1 excess row
