@@ -206,4 +206,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"PQ scoring must not join:\n$p")
     assert(p.contains("Generate"), "query LUTs should ride along as an explode")
   }
+
+  test("exact Jaccard join: no cartesian product; candidate stage is one " +
+      "grouped aggregation (positional filter rides the distinct exchange)") {
+    val p = plan(graft.queries.QueriesLLM.q_jaccard_join(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"exact join must never go all-pairs:\n$p")
+    // the positional filter is a Filter directly over the pair groupBy,
+    // not a new exchange: CEIL bound over the min-position aggregate
+    assert(p.contains("HashAggregate(keys=[id_a") && p.contains("CEIL"),
+      s"positional filter must ride the candidate aggregation:\n$p")
+  }
+
+  test("expectations: rule count does not change the plan shape (one scan)") {
+    import graft.ops.Expectations.Rule
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def scans(n: Int): Int = {
+      val rules = (1 to n).map(i => Rule(s"r$i", col("n_chars") > i))
+      "Scan parquet".r.findAllIn(
+        plan(graft.ops.Expectations.report(docs, rules))).length
+    }
+    assert(scans(2) == 1 && scans(12) == 1,
+      "every rule must fold into the single aggregation pass")
+  }
 }
