@@ -506,6 +506,12 @@ object ScaleBench {
           .repartition(32).write.mode("overwrite").parquet(s"$dir/band_ids")
         Dedup.jaccardIndex(archive, "doc_id", "text", threshold = 0.9)
           .repartition(32).write.mode("overwrite").parquet(s"$dir/jaccard")
+        val (jacF, jacDfT) = Dedup.jaccardIndexFrozen(archive, "doc_id",
+          "text", threshold = 0.9)
+        jacF.repartition(32).write.mode("overwrite")
+          .parquet(s"$dir/jaccard_frozen")
+        jacDfT.repartition(32).write.mode("overwrite")
+          .parquet(s"$dir/jaccard_df")
         // the archive PAYLOAD, persisted like a real archive's — the
         // verify row below must read only its collision subset
         archive.write.mode("overwrite").parquet(s"$dir/archive_text")
@@ -541,6 +547,13 @@ object ScaleBench {
         s""","index_bytes":$jacBytes,"band_ids_bytes":$bandIdsBytes""")(
         Dedup.jaccardDedupAgainst(snap, "doc_id", "text", jacIdx,
             archiveText, "doc_id", "text", threshold = 0.9)
+          .write.format("noop").mode("overwrite").save())
+      // frozen-df order: same completeness, archive-statistics pruning
+      val jacFIdx = spark.read.parquet(s"$dir/jaccard_frozen")
+      val jacDfIdx = spark.read.parquet(s"$dir/jaccard_df")
+      time("screen_exact_jaccard_frozen", mult)(
+        Dedup.jaccardDedupAgainstFrozen(snap, "doc_id", "text", jacFIdx,
+            jacDfIdx, archiveText, "doc_id", "text", threshold = 0.9)
           .write.format("noop").mode("overwrite").save())
       // the exact-verify batch's working set: snapshot docs with >= 1
       // band collision — everything else never touches archived text
