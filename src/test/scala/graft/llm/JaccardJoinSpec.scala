@@ -54,6 +54,27 @@ class JaccardJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("property: equals brute force on GENERATED corpora and thresholds") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.choose(3, 10)
+      .flatMap(k => Gen.listOfN(k, wordGen)).map(_.mkString(" "))
+    val corpusGen = for {
+      n <- Gen.choose(4, 12)
+      texts <- Gen.listOfN(n, docGen)
+      t <- Gen.oneOf(0.2, 0.45, 0.7, 0.95, 1.0)
+    } yield (texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }, t)
+    // tiny vocabulary + short docs maximize shared shingles, tie-heavy
+    // sizes, and boundary Jaccard values — the regimes where an fp slip
+    // in the ceil guards or the positional bound would surface
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(15),
+      Prop.forAll(corpusGen) { case (docs, t) =>
+        run(docs, t) == brute(docs, t)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("t = 1.0 finds exactly the identical-shingle-set pairs") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"),     // identical
