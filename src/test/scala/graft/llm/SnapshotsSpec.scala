@@ -72,6 +72,25 @@ class SnapshotsSpec extends AnyFunSuite {
       .count()
     assert(again == 0L, s"re-screen must drop all accepted docs, kept $again")
 
+    // order-refresh equivalence: appending prefixes under the STALE
+    // frozen order and rebuilding everything under a FRESH order are
+    // both complete screens, so a later snapshot's survivors agree —
+    // the compaction can run whenever convenient without a semantic
+    // cliff
+    val snap2 = corpus(211, 40, idBase = 5000L)
+    val snap2Df = snap2.toDF("doc_id", "text")
+    val stale = Dedup.jaccardDedupAgainstFrozen(snap2Df, "doc_id", "text",
+        updated.jaccard, updated.jaccardDf, updatedArchiveText,
+        "doc_id", "text", t)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rebuilt = Snapshots.buildIndexes(updatedArchiveText, "doc_id", "text", t)
+    val fresh = Dedup.jaccardDedupAgainstFrozen(snap2Df, "doc_id", "text",
+        rebuilt.jaccard, rebuilt.jaccardDf, updatedArchiveText,
+        "doc_id", "text", t)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stale == fresh,
+      "stale-order append and fresh-order rebuild must screen identically")
+
     // and the digest index update screens exact copies of accepted docs
     val copies = accepted.select((org.apache.spark.sql.functions.col("doc_id")
       + 9000L).as("doc_id"), org.apache.spark.sql.functions.col("text"))
