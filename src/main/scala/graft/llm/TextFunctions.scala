@@ -356,6 +356,27 @@ object TextFunctions {
     pmod(hash64(concat(key, lit(salt))), lit(1000000L)) < rateExpr
   }
 
+  /** PER-ROW weighted (Poisson) sampling predicate — the continuous
+    * extension of [[stratifiedSamplePredicate]]: each row keeps with
+    * ITS OWN probability (a quality score, an importance weight, a
+    * curriculum temperature), deterministically from the content hash.
+    * Expected kept mass is sum(prob); inclusion decisions are
+    * independent — the standard Poisson-sampling design (Särndal et
+    * al., model-based survey sampling) and how importance weights
+    * (DSIR-style) are actually APPLIED to select a corpus at scale.
+    *
+    * Arithmetic is exact cross-engine: prob clamps to [0,1] and rounds
+    * half-up to millionths, the hash residue is an integer in
+    * [0, 1e6) — no libm in the decision, so an oracle replays every
+    * keep bit-for-bit (a null prob keeps nothing: the comparison is
+    * null -> filter drops it).
+    */
+  def weightedSamplePredicate(key: Column, prob: Column,
+                              salt: String = "wsample"): Column =
+    pmod(hash64(concat(key, lit(salt))), lit(1000000L)) <
+      floor(least(greatest(prob, lit(0.0)), lit(1.0)) * 1000000 + 0.5)
+        .cast("long")
+
   /** Rolling polynomial fingerprint of the token stream (document
     * fingerprinting): fold acc = (acc * P + h(token) mod M) mod M. All
     * arithmetic stays < 2^60 so it is exact in any 64-bit integer engine

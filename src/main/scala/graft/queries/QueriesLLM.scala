@@ -784,6 +784,21 @@ object QueriesLLM {
         table(spark, dir, "documents"), "doc_id", "source", n = 7)
       .select(col("doc_id"), col("source"))
 
+  /** Quality-weighted Poisson sampling
+    * ([[graft.llm.TextFunctions.weightedSamplePredicate]]): each doc
+    * keeps with probability 0.8 x its quality score — importance
+    * weights APPLIED as a deterministic per-row selection, the missing
+    * step between computing weights (q_dsir_weights, q_text_quality)
+    * and producing the sampled corpus. The oracle replays the quality
+    * arithmetic, the millionth-rounding, and the hash compare exactly
+    * (no libm anywhere in the decision).
+    */
+  def q_sample_weighted(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(TextFunctions.weightedSamplePredicate(col("text"),
+        TextFunctions.qualityScore(col("text")) * 0.8))
+      .select(col("doc_id"))
+
   /** Canonical-form digests: md5 of the normalized text
     * ([[TextFunctions.normalizeText]] — NFKD, strip marks, lowercase,
     * collapse whitespace) per document. On the all-ASCII corpus the
@@ -1447,6 +1462,7 @@ object QueriesLLM {
     "q_expectations_metrics" -> (q_expectations_metrics _),
     "q_text_normalize" -> (q_text_normalize _),
     "q_sample_exact_n" -> (q_sample_exact_n _),
+    "q_sample_weighted" -> (q_sample_weighted _),
     "q_shard_assign" -> (q_shard_assign _),
     "q_mixture_plan" -> (q_mixture_plan _),
     "q_mixture_expand" -> (q_mixture_expand _),
@@ -1533,6 +1549,28 @@ object QueriesLLM {
         |  JOIN shd b ON c.id_b = b.doc_id
         |)
         |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5""".stripMargin),
+    // quality score -> 0.8x keep probability in millionths -> integer
+    // hash compare; the whole decision is exact arithmetic
+    "q_sample_weighted" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w,
+        |    list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS wl
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id, text, len(w) AS n_words,
+        |    CASE WHEN len(wl) > 0
+        |      THEN len(list_filter(wl, t -> list_contains($enList, t)))::DOUBLE / len(wl)
+        |      ELSE 0.0 END AS sr
+        |  FROM toks
+        |), sc AS (
+        |  SELECT doc_id, text,
+        |    round((least(n_words/50.0, 1.0) + least(sr*5.0, 1.0)) / 2.0, 6) AS score
+        |  FROM sig
+        |)
+        |SELECT doc_id FROM sc
+        |WHERE ('0x'||substr(md5(text||'wsample'),1,15))::BIGINT % 1000000
+        |  < floor(least(greatest(score * 0.8, 0.0), 1.0) * 1000000 + 0.5)::BIGINT""".stripMargin,
     // profile metrics + bounds replayed; values rounded at 1e-6
     "q_expectations_metrics" ->
       """WITH m AS (

@@ -103,4 +103,26 @@ class MixingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == counts)
   }
+  test("weightedSamplePredicate: deterministic, monotone in prob, exact clamp") {
+    val docs = (0L until 500L).map(i => (i, s"doc body number $i with words"))
+      .toDF("doc_id", "text")
+    def kept(p: Double): Set[Long] = docs
+      .filter(TextFunctions.weightedSamplePredicate(col("text"), lit(p)))
+      .collect().map(_.getLong(0)).toSet
+    // determinism across partitionings
+    val a = kept(0.3)
+    val b = docs.repartition(13)
+      .filter(TextFunctions.weightedSamplePredicate(col("text"), lit(0.3)))
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // monotone: raising the probability only ADDS documents
+    assert(a.subsetOf(kept(0.6)) && kept(0.6).subsetOf(kept(1.0)))
+    // clamp: p >= 1 keeps everything, p <= 0 keeps nothing, null drops
+    assert(kept(1.0).size == 500 && kept(5.0).size == 500)
+    assert(kept(0.0).isEmpty && kept(-2.0).isEmpty)
+    assert(docs.filter(TextFunctions.weightedSamplePredicate(col("text"),
+      lit(null).cast("double"))).count() == 0)
+    // expected mass tracks sum(prob): p=0.3 keeps ~30% (hash-uniform)
+    assert(a.size > 100 && a.size < 200, s"${a.size} kept at p=0.3")
+  }
 }
