@@ -471,7 +471,16 @@ object Dedup {
     */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double, shingleSize: Int = 3): DataFrame = {
+    // sets feeds four divergent subtrees (df table, prefix build, both
+    // verify sides) that shuffle on different keys — exchange reuse
+    // cannot collapse them, so without this lineage cut the fused
+    // shingle pass (the dominant corpus-scale cost) would run 4x. Lazy
+    // checkpoint: materialized once by the first action, reused by the
+    // rest; the result frame depends on it, so the CALLER frees it
+    // ([[graft.Checkpoints.free]]) after its consumers have run — the
+    // clusterPairs ownership contract.
     val sets = jaccardSets(df, idCol, textCol, shingleSize)
+      .localCheckpoint(false)
     val prefixes = jaccardPrefixes(sets, threshold)
     val pa = prefixes.select(col("__id").as("id_a"), col("__n").as("__na"),
       posexplode(col("__prefix")).as(Seq("__pa", "__h")))
@@ -484,9 +493,14 @@ object Dedup {
         Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__set").as("__sb")),
         Seq("id_b"))
-      .withColumn("jac", round(jaccardBySets(col("__sa"), col("__sb")), 6))
-      .filter(col("jac") >= threshold)
-      .select("id_a", "id_b", "jac")
+      // completeness is derived for TRUE Jaccard >= t (prefix length,
+      // size filter, positional bound all use exact t), so the emitted
+      // set must be filtered on the UNROUNDED value — filtering on the
+      // display-rounded jac would emit near-threshold pairs the
+      // candidate stage is entitled to prune (round-up in [t-5e-7, t))
+      .withColumn("__jx", jaccardBySets(col("__sa"), col("__sb")))
+      .filter(col("__jx") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__jx"), 6).as("jac"))
   }
 
   /** Prefix-join candidate pairs with the size filter and PPJoin's
@@ -613,18 +627,22 @@ object Dedup {
   }
 
   /** Archive prefix index for the incremental EXACT-Jaccard screen:
-    * (archive_id, n, prefix) rows under the fixed hash order —
-    * [[bandIndexWithIds]]'s analogue with a completeness guarantee.
+    * (archive_id, n, prefix, t_build) rows under the fixed hash order
+    * — [[bandIndexWithIds]]'s analogue with a completeness guarantee.
     * Persist it once per accepted snapshot (union new rows in); the
     * index is valid for screens at any threshold >= `threshold` (a
     * higher-t screen needs a prefix no longer than this one).
+    * `t_build` rides every row so the screen can ENFORCE that
+    * direction — a lower-t screen against a higher-t index would be a
+    * silent completeness hole, which is the one failure mode this
+    * operator exists to rule out.
     */
   def jaccardIndex(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleSize: Int = 3): DataFrame =
     jaccardPrefixesFixedOrder(jaccardSets(df, idCol, textCol, shingleSize),
         threshold)
       .select(col("__id").as("archive_id"), col("__n").as("n"),
-        col("__prefix").as("prefix"))
+        col("__prefix").as("prefix"), lit(threshold).as("t_build"))
 
   /** [[jaccardIndex]] under FROZEN df order: returns (index, dfTable)
     * — persist BOTH; the table (shingle_hash, df) is the global order
@@ -644,7 +662,7 @@ object Dedup {
     val dfTable = jaccardDf(sets)
     val index = jaccardPrefixesWithOrder(sets, dfTable, threshold)
       .select(col("__id").as("archive_id"), col("__n").as("n"),
-        col("__prefix").as("prefix"))
+        col("__prefix").as("prefix"), lit(threshold).as("t_build"))
     (index, dfTable.select(col("__h").as("shingle_hash"), col("__df").as("df")))
   }
 
@@ -692,7 +710,25 @@ object Dedup {
                             archiveIdCol: String, archiveTextCol: String,
                             threshold: Double, shingleSize: Int,
                             prefixer: DataFrame => DataFrame): DataFrame = {
+    // a screen BELOW the index's build threshold needs prefixes the
+    // index does not carry — candidates would silently go missing, so
+    // refuse. One tiny max() job over the index's stamp column; indexes
+    // from before the stamp (no t_build) are waved through with a
+    // warning burden on the caller rather than a hard failure.
+    if (index.columns.contains("t_build")) {
+      val tb = index.agg(max(col("t_build"))).collect().head
+      if (!tb.isNullAt(0)) {
+        val built = tb.getDouble(0)
+        require(threshold >= built - 1e-12,
+          s"jaccard screen at t=$threshold against an index built at " +
+            s"t=$built: prefixes are too short for completeness below " +
+            "the build threshold - rebuild the index at the lower t")
+      }
+    }
+    // the snapshot re-shingles twice (prefix build + verify side)
+    // without a cut; lazy checkpoint, caller frees via Checkpoints.free
     val snapSets = jaccardSets(df, idCol, textCol, shingleSize)
+      .localCheckpoint(false)
     val snapPref = prefixer(snapSets)
       .select(col("__id"), col("__n").as("__na"),
         posexplode(col("__prefix")).as(Seq("__pa", "__h")))
@@ -712,7 +748,9 @@ object Dedup {
     val dropped = candidates
       .join(snapCand, Seq("__id"))
       .join(archCand, Seq("archive_id"))
-      .filter(round(jaccardBySets(col("__sa"), col("__sb")), 6) >= threshold)
+      // unrounded, like jaccardJoin: completeness is derived for true
+      // J >= t, so the drop decision must use the same boundary
+      .filter(jaccardBySets(col("__sa"), col("__sb")) >= threshold)
       .select(col("__id").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }

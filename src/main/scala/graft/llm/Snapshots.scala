@@ -70,7 +70,7 @@ object Snapshots {
         Dedup.jaccardSets(accepted, idCol, textCol, shingleSize),
         order, threshold)
       .select(col("__id").as("archive_id"), col("__n").as("n"),
-        col("__prefix").as("prefix"))
+        col("__prefix").as("prefix"), lit(threshold).as("t_build"))
     val updated = ArchiveIndexes(
       indexes.digest.unionByName(Dedup.digestIndex(accepted, textCol))
         .distinct(),

@@ -32,20 +32,27 @@ object Expectations {
     * rows checked, violations, and the violation fraction (rounded at
     * 1e-6, the repo's oracle-exactness convention).
     */
+  private val NamePattern = "[A-Za-z0-9_-]+"
+
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Expectations.report: no rules given")
     require(rules.map(_.name).distinct.size == rules.size,
       "Expectations.report: rule names must be unique")
-    val aggs = rules.flatMap { r =>
+    // names become intermediate column names; a dot or backtick would
+    // corrupt the column resolution silently
+    rules.foreach(r => require(r.name.matches(NamePattern),
+      s"Expectations.report: rule name '${r.name}' must match $NamePattern"))
+    // one shared row count + one violation sum per rule — N+1 aggregate
+    // buffers, not 2N
+    val aggs = count(lit(1)).as("__n") +: rules.map { r =>
       val ok = coalesce(r.predicate, lit(false))
-      Seq(count(lit(1)).as(s"__n_${r.name}"),
-        sum(when(ok, 0L).otherwise(1L)).as(s"__v_${r.name}"))
+      sum(when(ok, 0L).otherwise(1L)).as(s"__v_${r.name}")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the one wide row into (rule, n_rows, n_violations, rate)
     val entries = rules.map { r =>
       struct(lit(r.name).as("rule"),
-        col(s"__n_${r.name}").as("n_rows"),
+        col("__n").as("n_rows"),
         col(s"__v_${r.name}").as("n_violations"))
     }
     wide.select(explode(array(entries: _*)).as("e"))
@@ -75,6 +82,8 @@ object Expectations {
     require(checks.nonEmpty, "Expectations.metricReport: no checks given")
     require(checks.map(_.name).distinct.size == checks.size,
       "Expectations.metricReport: check names must be unique")
+    checks.foreach(c => require(c.name.matches(NamePattern),
+      s"Expectations.metricReport: check name '${c.name}' must match $NamePattern"))
     val aggs = checks.map { c =>
       (floor(c.metric.cast("double") * 1000000 + 0.5) / 1000000)
         .as(s"__m_${c.name}")
@@ -107,13 +116,19 @@ object Expectations {
   /** Gate: throw unless every rule's violation fraction is within its
     * budget (`maxRate` per rule name, default 0). The ingest-time
     * fail-fast; the report itself stays available for the audit trail.
+    *
+    * The comparison uses the EXACT counts (n_violations vs
+    * maxRate * n_rows), not the display-rounded rate: at a billion
+    * rows a handful of violations rounds to rate 0.0, and a
+    * zero-tolerance gate that passes them is no gate.
     */
   def enforce(df: DataFrame, rules: Seq[Rule],
               maxRate: Map[String, Double] = Map.empty): Unit = {
     val rows = report(df, rules).collect()
     val broken = rows.filter { r =>
-      r.getAs[Double]("violation_rate") >
-        maxRate.getOrElse(r.getAs[String]("rule"), 0.0)
+      r.getAs[Long]("n_violations").toDouble >
+        maxRate.getOrElse(r.getAs[String]("rule"), 0.0) *
+          r.getAs[Long]("n_rows")
     }
     if (broken.nonEmpty)
       throw new IllegalStateException(

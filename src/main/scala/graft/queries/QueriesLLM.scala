@@ -1541,14 +1541,14 @@ object QueriesLLM {
         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
         |), jac AS (
         |  SELECT c.id_a, c.id_b,
-        |    round(CASE WHEN len(list_distinct(a.ds || b.ds)) > 0
+        |    CASE WHEN len(list_distinct(a.ds || b.ds)) > 0
         |      THEN len(list_intersect(a.ds, b.ds))::DOUBLE / len(list_distinct(a.ds || b.ds))
-        |      ELSE 0.0 END, 6) AS jac
+        |      ELSE 0.0 END AS jx
         |  FROM cand c
         |  JOIN shd a ON c.id_a = a.doc_id
         |  JOIN shd b ON c.id_b = b.doc_id
         |)
-        |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5""".stripMargin),
+        |SELECT id_a, id_b, round(jx, 6) AS jac FROM jac WHERE jx >= 0.5""".stripMargin),
     // quality score -> 0.8x keep probability in millionths -> integer
     // hash compare; the whole decision is exact arithmetic
     "q_sample_weighted" ->
@@ -1635,8 +1635,8 @@ object QueriesLLM {
         |  FROM cand2 c
         |  JOIN shd2 a ON c.id_a = a.doc_id
         |  JOIN shd2 b ON c.id_b = b.doc_id
-        |  WHERE round(len(list_intersect(a.ds, b.ds))::DOUBLE
-        |      / len(list_distinct(a.ds || b.ds)), 6) >= 0.5
+        |  WHERE len(list_intersect(a.ds, b.ds))::DOUBLE
+        |      / len(list_distinct(a.ds || b.ds)) >= 0.5
         |), jedges AS (
         |  SELECT id_a, id_b FROM jpairs
         |  UNION
@@ -1685,8 +1685,8 @@ object QueriesLLM {
         |  FROM cand c
         |  JOIN shd s ON s.side = 's' AND c.sid = s.doc_id
         |  JOIN shd a ON a.side = 'a' AND c.aid = a.doc_id
-        |  WHERE round(len(list_intersect(s.ds, a.ds))::DOUBLE
-        |      / len(list_distinct(s.ds || a.ds)), 6) >= 0.5
+        |  WHERE len(list_intersect(s.ds, a.ds))::DOUBLE
+        |      / len(list_distinct(s.ds || a.ds)) >= 0.5
         |)
         |SELECT doc_id FROM snap
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,

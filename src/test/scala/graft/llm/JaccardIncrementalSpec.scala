@@ -15,33 +15,14 @@ class JaccardIncrementalSpec extends AnyFunSuite {
   import SharedSpark.spark
   import spark.implicits._
 
-  private def corpus(seed: Int, n: Int, idBase: Long): Seq[(Long, String)] = {
-    val rnd = new scala.util.Random(seed)
-    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-      "eta", "theta", "iota", "kappa")
-    (0L until n.toLong).map { i =>
-      val base = Vector.tabulate(12)(j => vocab((j + i.toInt / 4) % vocab.size))
-      val edits = rnd.nextInt(6)
-      val words = (0 until edits).foldLeft(base) { (w, _) =>
-        w.updated(rnd.nextInt(w.size), vocab(rnd.nextInt(vocab.size)))
-      }
-      (idBase + i, words.mkString(" "))
-    }
-  }
-
-  private def shingles(s: String): Set[String] =
-    s.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
-      .map(_.mkString(" ")).toSet
+  import JaccardFixture.{corpus, shingles, jac}
 
   private def bruteSurvivors(snap: Seq[(Long, String)],
                              arch: Seq[(Long, String)], t: Double): Set[Long] = {
     val archSets = arch.map { case (_, s) => shingles(s) }.filter(_.nonEmpty)
     snap.filter { case (_, s) =>
       val ss = shingles(s)
-      ss.isEmpty || !archSets.exists { as =>
-        val j = ss.intersect(as).size.toDouble / ss.union(as).size
-        BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= t
-      }
+      ss.isEmpty || !archSets.exists(as => jac(ss, as) >= t)
     }.map(_._1).toSet
   }
 
@@ -122,6 +103,15 @@ class JaccardIncrementalSpec extends AnyFunSuite {
     val snap = corpus(109, 40, idBase = 1000L)
     assert(run(snap, arch, tIndex = 0.4, tScreen = 0.8) ==
       bruteSurvivors(snap, arch, 0.8))
+  }
+
+  test("a HIGHER-threshold index refuses a lower-threshold screen") {
+    val arch = corpus(9, 10, idBase = 0L)
+    val snap = corpus(109, 10, idBase = 1000L)
+    val e = intercept[IllegalArgumentException](
+      run(snap, arch, tIndex = 0.8, tScreen = 0.5))
+    assert(e.getMessage.contains("built at"),
+      "index prefixes too short for the screen must be a hard error")
   }
 
   test("verbatim archive copies always drop; disjoint docs always survive") {

@@ -13,32 +13,15 @@ class JaccardJoinSpec extends AnyFunSuite {
   import SharedSpark.spark
   import spark.implicits._
 
-  // twin-heavy corpus: templated sentences with word substitutions at
-  // varying edit density, so Jaccard spans the whole (0, 1] range
-  private def corpus(seed: Int, n: Int): Seq[(Long, String)] = {
-    val rnd = new scala.util.Random(seed)
-    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-      "eta", "theta", "iota", "kappa")
-    (0L until n.toLong).map { i =>
-      val base = Vector.tabulate(12)(j => vocab((j + i.toInt / 4) % vocab.size))
-      val edits = rnd.nextInt(6)
-      val words = (0 until edits).foldLeft(base) { (w, _) =>
-        w.updated(rnd.nextInt(w.size), vocab(rnd.nextInt(vocab.size)))
-      }
-      (i, words.mkString(" "))
-    }
-  }
+  import JaccardFixture.{corpus, shingles, jac}
 
   private def brute(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
-    def shingles(s: String): Set[String] =
-      s.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
-        .map(_.mkString(" ")).toSet
     val sets = docs.map { case (id, s) => (id, shingles(s)) }.filter(_._2.nonEmpty)
     (for {
       (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
-      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      j = jac(sa, sb)
+      if j >= t
       jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if jr >= t
     } yield (ia, ib, jr)).toSet
   }
 

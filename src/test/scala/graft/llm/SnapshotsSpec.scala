@@ -13,28 +13,7 @@ class SnapshotsSpec extends AnyFunSuite {
   import SharedSpark.spark
   import spark.implicits._
 
-  private def corpus(seed: Int, n: Int, idBase: Long): Seq[(Long, String)] = {
-    val rnd = new scala.util.Random(seed)
-    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-      "eta", "theta", "iota", "kappa")
-    (0L until n.toLong).map { i =>
-      val base = Vector.tabulate(12)(j => vocab((j + i.toInt / 4) % vocab.size))
-      val edits = rnd.nextInt(6)
-      val words = (0 until edits).foldLeft(base) { (w, _) =>
-        w.updated(rnd.nextInt(w.size), vocab(rnd.nextInt(vocab.size)))
-      }
-      (idBase + i, words.mkString(" "))
-    }
-  }
-
-  private def shingles(s: String): Set[String] =
-    s.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
-      .map(_.mkString(" ")).toSet
-
-  private def jac(a: Set[String], b: Set[String]): Double =
-    if (a.isEmpty && b.isEmpty) 0.0
-    else BigDecimal(a.intersect(b).size.toDouble / a.union(b).size)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  import JaccardFixture.{corpus, shingles, jac}
 
   test("accepted set is internally clean, archive-clean, and idempotent") {
     val t = 0.5
