@@ -95,6 +95,18 @@ object Multimodal {
     (floor((durationMs.cast("long") + (m - 1L)) / m)).cast("long")
   }
 
+  /** Video token cost from header metadata alone: sampled frame count
+    * (the [[frameSampleIndexes]] grid — `ceil(duration_ms / everyMs)`
+    * frames) x per-frame ViT patches ([[patchTokens]]). Vision-language
+    * models spend tokens per sampled frame, so the budget is the frame
+    * grid times the tile count — all from the mvhd/RIFF duration and
+    * the dimension headers, never a decoded frame. Null duration or
+    * dims yield null, like the other budget columns.
+    */
+  def videoTokens(durationMs: Column, everyMs: Long,
+                  width: Column, height: Column, patch: Int): Column =
+    audioTokens(durationMs, everyMs) * patchTokens(width, height, patch)
+
   /** Frame-sample row expansion for video: one output row per sampled
     * frame index at `fps`-spaced offsets — the explode happens on
     * lightweight (id, frame_idx) rows; the binary payload is NOT
