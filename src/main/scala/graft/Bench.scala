@@ -95,6 +95,7 @@ object Bench {
     "q_text_quality",
     "q_text_fingerprint",
     "q_text_bigram_lm",
+    "q_kn_score",
     "q_bm25_topk",
     "q_bm25_indexed",
     "q_bm25_incremental",

@@ -24,7 +24,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // No coalesce(1): the driver's checker reads whole result directories,
     // and a single-task writer would bottleneck row-heavy queries (ADVICE r1).
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Iteration aid (unset under the driver): SPARK_GRAFT_VERIFY_ONLY=q_a,q_b
+    // dumps + registers oracles for just those queries.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selectedQueries =
+      only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    selectedQueries.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -43,7 +49,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = only.fold(SparkEntry.oracleSql)(s =>
+        SparkEntry.oracleSql.filter(kv => s(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

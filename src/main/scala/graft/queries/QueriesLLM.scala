@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.table
-import graft.llm.{BpeTrain, Curation, Dedup, Mixing, Multimodal, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions}
+import graft.llm.{BpeTrain, Curation, Dedup, Mixing, Multimodal, NgramLm, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions, UnigramLm}
 
 /** LLM-training-data pipeline coverage queries over the driver's
   * `documents` and `embeddings` tables, with DuckDB oracles.
@@ -409,6 +409,33 @@ object QueriesLLM {
     TextFunctions.bigramNoveltyStats(table(spark, dir, "documents"),
       "doc_id", "text")
 
+  /** Interpolated Kneser-Ney trigram model trained on the even-doc_id
+    * slice: the full ARPA-style trigram table (u, v, w, count,
+    * interpolated probability). All counts integer-exact; p is one
+    * fixed double expression tree over them (cross-engine identical).
+    */
+  def q_kn_model(spark: SparkSession, dir: String): DataFrame =
+    NgramLm.modelTable(NgramLm.trainFromCounts(knCounts(spark, dir)))
+
+  /** The persisted-counts seam both KN queries share: without the cut,
+    * each of the five model tables re-runs the corpus-scale trigram
+    * aggregation (the bench harness sweeps the blocks afterwards).
+    */
+  private def knCounts(spark: SparkSession, dir: String): DataFrame =
+    NgramLm.trigramCounts(
+      table(spark, dir, "documents").filter(col("doc_id") % 2 === 0),
+      "doc_id", "text").localCheckpoint(false)
+
+  /** CCNet-style perplexity filtering signal: every document scored by
+    * negative mean trigram log-probability under the even-slice KN
+    * model ([[q_kn_model]]). Odd documents are held out, so the full
+    * backoff cascade (trigram hit → context backoff → bigram →
+    * unigram → OOV) is exercised on real misses, not just self-scores.
+    */
+  def q_kn_score(spark: SparkSession, dir: String): DataFrame =
+    NgramLm.score(table(spark, dir, "documents"), "doc_id", "text",
+      NgramLm.trainFromCounts(knCounts(spark, dir)))
+
   /** Benchmark decontamination: every corpus doc scored against a
     * held-out "benchmark" slice (doc_id < 20 stands in), score = share
     * of the benchmark doc's distinct 3-grams present in the corpus doc.
@@ -605,6 +632,36 @@ object QueriesLLM {
     BpeTrain.pairCounts(
         wc.select(BpeTrain.initSymbols(col("word")).as("syms"), col("cnt")))
       .select(col("a"), col("b"), col("n"))
+  }
+
+  /** Unigram-LM seed vocabulary ([[UnigramLm.seedVocab]]): frequency-
+    * weighted substrings (≤ 4 chars) of the corpus word table — all
+    * single characters plus the top-256 multi-char pieces by
+    * (freq DESC, piece ASC). Pure counting, fully oracle-exact; the
+    * deterministic starting point the EM trainer shrinks from.
+    */
+  def q_unigram_seed(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.seedVocab(
+      BpeTrain.wordCounts(table(spark, dir, "documents"), "text"),
+      seedSize = 256)
+
+  /** Trained unigram-LM tokenization of the corpus (EM itself runs
+    * through libm exp/log, so the driver records the weaker rows-only
+    * check — UnigramLmSpec pins the trainer against brute-force
+    * enumeration and cross-partitioning bit-equality). Pieces
+    * re-concatenate to each document's letter-words by construction.
+    */
+  def q_unigram_tokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val model = UnigramLm.train(
+      BpeTrain.wordCounts(docs, "text"), vocabSize = 512, seedSize = 1024)
+    UnigramLm.tokenize(
+        docs.select(col("doc_id"),
+          concat_ws(" ", filter(TextFunctions.tokens(col("text")),
+            w => w.rlike("^[a-z]+$"))).as("letters")),
+        "doc_id", "letters", model)
+      .select(col("doc_id"), col("pieces"),
+        size(col("pieces")).cast("long").as("n_pieces"))
   }
 
   /** Model-based quality scoring ([[QualityClassifier.margin]]): hashed
@@ -1431,6 +1488,8 @@ object QueriesLLM {
     "q_text_tokens" -> (q_text_tokens _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_text_bigram_lm" -> (q_text_bigram_lm _),
+    "q_kn_model" -> (q_kn_model _),
+    "q_kn_score" -> (q_kn_score _),
     "q_text_repetition" -> (q_text_repetition _),
     "q_contamination" -> (q_contamination _),
     "q_contamination_bloom" -> (q_contamination_bloom _),
@@ -1472,6 +1531,8 @@ object QueriesLLM {
     "q_ann_pq" -> (q_ann_pq _),
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_bpe_pairs" -> (q_bpe_pairs _),
+    "q_unigram_seed" -> (q_unigram_seed _),
+    "q_unigram_tokens" -> (q_unigram_tokens _),
     "q_quality_lr" -> (q_quality_lr _),
     "q_corpus_stats" -> (q_corpus_stats _),
     "q_dedup_incremental" -> (q_dedup_incremental _),
@@ -1487,6 +1548,46 @@ object QueriesLLM {
     "q_text_chunk" -> (q_text_chunk _),
     "q_pii_redact" -> (q_pii_redact _),
   )
+
+  /** Shared CTE chain for the Kneser-Ney oracles: padded trigrams over
+    * all documents (`tg`), then the five model tables trained on the
+    * even-doc_id slice — the same fixed double expression trees as
+    * [[graft.llm.NgramLm.trainFromCounts]] (D = 0.75 is binary-exact,
+    * so no decimal-literal fuzz enters the tree).
+    */
+  private val knModelSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_concat(list_concat(['<s>','<s>'],
+      |    list_filter(string_split(coalesce(text,''), ' '), t -> length(t) > 0)),
+      |    ['</s>']) AS a
+      |  FROM documents
+      |), tg AS (
+      |  SELECT doc_id, a[i-2] AS u, a[i-1] AS v, a[i] AS w
+      |  FROM toks, unnest(generate_series(3, len(a))) t(i)
+      |), c3 AS (
+      |  SELECT u, v, w, count(*) AS c FROM tg WHERE doc_id % 2 = 0 GROUP BY u, v, w
+      |), ctx3 AS (
+      |  SELECT u, v, sum(c) AS c_uv, count(*) AS n1p_uv,
+      |    (0.75 * count(*)::DOUBLE) / sum(c)::DOUBLE AS bow3
+      |  FROM c3 GROUP BY u, v
+      |), mid AS (
+      |  SELECT v, w, count(*) AS n1p_vw FROM c3 GROUP BY v, w
+      |), ctx2 AS (
+      |  SELECT v, sum(n1p_vw) AS n1p_v_all, count(*) AS n1p_v_dot,
+      |    (0.75 * count(*)::DOUBLE) / sum(n1p_vw)::DOUBLE AS bow2
+      |  FROM mid GROUP BY v
+      |), uni AS (
+      |  SELECT w, count(*)::DOUBLE / (SELECT count(*) FROM mid)::DOUBLE AS p1
+      |  FROM mid GROUP BY w
+      |), bi AS (
+      |  SELECT mid.v, mid.w,
+      |    greatest(n1p_vw::DOUBLE - 0.75, 0) / n1p_v_all::DOUBLE + bow2 * p1 AS p2
+      |  FROM mid JOIN ctx2 USING (v) JOIN uni USING (w)
+      |), tri AS (
+      |  SELECT c3.u, c3.v, c3.w, c,
+      |    greatest(c::DOUBLE - 0.75, 0) / c_uv::DOUBLE + bow3 * p2 AS p3
+      |  FROM c3 JOIN ctx3 USING (u, v) JOIN bi USING (v, w)
+      |)""".stripMargin
 
   private val enList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
   private val nlList = TextFunctions.nlStopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -2507,6 +2608,27 @@ object QueriesLLM {
         |)
         |SELECT query_id, neighbor_id, rank, round(score, 6) AS score
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_unigram_seed" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word
+        |  FROM documents
+        |), wf AS (
+        |  SELECT word, count(*) AS cnt FROM words
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1
+        |), pieces AS (
+        |  SELECT substr(word, i, l) AS piece, sum(cnt)::BIGINT AS freq
+        |  FROM wf,
+        |    unnest(generate_series(1, length(word))) t(i),
+        |    unnest(generate_series(1, 4)) u(l)
+        |  WHERE i + l - 1 <= length(word)
+        |  GROUP BY 1
+        |)
+        |SELECT piece, freq FROM pieces WHERE length(piece) = 1
+        |UNION ALL
+        |SELECT piece, freq FROM (
+        |  SELECT piece, freq FROM pieces WHERE length(piece) > 1
+        |  ORDER BY freq DESC, piece LIMIT 256
+        |)""".stripMargin,
     "q_bpe_pairs" ->
       """WITH words AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word
@@ -2705,6 +2827,29 @@ object QueriesLLM {
         |  planned_tokens,
         |  floor((target_tokens - planned_tokens) * 1000000 + 0.5) / 1000000 AS shortfall_tokens
         |FROM p""".stripMargin,
+    "q_kn_model" -> (knModelSql +
+      """ SELECT u, v, w, c::BIGINT AS c,
+        |  floor(p3 * 1000000 + 0.5) / 1000000 AS p
+        |FROM tri""".stripMargin),
+    "q_kn_score" -> (knModelSql +
+      """, sc AS (
+        |  SELECT tg.doc_id,
+        |    CASE WHEN tri.p3 IS NOT NULL THEN tri.p3
+        |         WHEN ctx3.bow3 IS NOT NULL
+        |           THEN ctx3.bow3 * coalesce(bi.p2, ctx2.bow2 * uni.p1)
+        |         ELSE coalesce(bi.p2, ctx2.bow2 * uni.p1, uni.p1) END AS p
+        |  FROM tg
+        |  LEFT JOIN tri ON tg.u = tri.u AND tg.v = tri.v AND tg.w = tri.w
+        |  LEFT JOIN ctx3 ON tg.u = ctx3.u AND tg.v = ctx3.v
+        |  LEFT JOIN bi ON tg.v = bi.v AND tg.w = bi.w
+        |  LEFT JOIN ctx2 ON tg.v = ctx2.v
+        |  LEFT JOIN uni ON tg.w = uni.w
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_terms,
+        |  sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  floor(-(sum((floor(ln(p) * 1000000000 + 0.5) / 1000000000)::DECIMAL(28,12))::DOUBLE
+        |        / count(p)) * 1000000 + 0.5) / 1000000 AS nll
+        |FROM sc GROUP BY doc_id""".stripMargin),
     "q_mixture_expand" ->
       """WITH micro AS (
         |  SELECT source, doc_id,
