@@ -129,7 +129,68 @@ object ScaleBench {
       jacJoinScale(spark, outDir, listener)
     if (args.contains("kmv") || args.isEmpty)
       kmvOverlap(spark, outDir, listener)
+    if (args.contains("knlm") || args.isEmpty)
+      knLm(spark, srcDir, outDir, listener)
     spark.stop()
+  }
+
+  /** Kneser-Ney LM at 20x corpus: the claims are (a) only the trigram
+    * COUNT pass is corpus-scale — model derivation + scoring joins run
+    * on model-sized tables that grow sublinearly (distinct trigrams vs
+    * token instances, the Heaps-law gap); and (b) the counts table is
+    * an incrementally-maintained index — folding a 5% snapshot in via
+    * [[graft.llm.NgramLm.mergeCounts]] costs snapshot+model work, while
+    * a full retrain re-pays the whole corpus pass. Reported per dir:
+    * counts/model/score walls + shuffle, token instances vs model rows,
+    * and the merge-vs-retrain wall pair.
+    */
+  private def knLm(spark: SparkSession, srcDir: String, outDir: String,
+                   listener: TaskMetricsProbe): Unit = {
+    import graft.llm.NgramLm
+    def time[T](label: String, extra: String = "")(body: => T): T = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"knlm":"$label","sec":$sec%.2f,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite}$extra}""")
+      r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    for (dir <- Seq(srcDir, outDir)) {
+      val tag = if (dir == srcDir) "1x" else "20x"
+      val docs = SparkEntry.table(spark, dir, "documents")
+      val counts = NgramLm
+        .trigramCounts(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .localCheckpoint(false)
+      val modelRows = time(s"counts_pass_$tag") { counts.count() }
+      val tokenInstances = docs.filter(col("doc_id") % 2 === 0)
+        .select(sum(size(split(coalesce(col("text"), lit("")), "\\s+"))))
+        .collect().head.getLong(0)
+      println(s"""{"knlm":"size_$tag","token_instances":$tokenInstances,""" +
+        s""""model_rows":$modelRows}""")
+      val model = NgramLm.trainFromCounts(counts)
+      time(s"model_tables_$tag") { noop(NgramLm.modelTable(model)) }
+      time(s"score_corpus_$tag") {
+        noop(NgramLm.score(docs, "doc_id", "text", model))
+      }
+      // incremental refresh: a 5% snapshot folds into the persisted
+      // counts (snapshot pass + model-scale merge) vs a full retrain
+      // (re-pays the whole corpus pass)
+      val snapshot = docs.filter(col("doc_id") % 20 === 1)
+      time(s"merge_snapshot_$tag") {
+        NgramLm.mergeCounts(counts,
+          NgramLm.trigramCounts(snapshot, "doc_id", "text")).count()
+      }
+      time(s"full_retrain_$tag") {
+        NgramLm.trigramCounts(
+          docs.filter(col("doc_id") % 2 === 0).unionByName(snapshot),
+          "doc_id", "text").count()
+      }
+      graft.Checkpoints.free(counts)
+    }
   }
 
   /** Exact prefix-filtered Jaccard join at 100k docs: the claim is
