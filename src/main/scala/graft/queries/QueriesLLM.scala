@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.table
-import graft.llm.{BpeTrain, Curation, Dedup, Mixing, Multimodal, NgramLm, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions, UnigramLm}
+import graft.llm.{BpeTrain, Curation, Dedup, Mixing, Multimodal, NgramLm, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions, UnigramLm, WordPiece}
 
 /** LLM-training-data pipeline coverage queries over the driver's
   * `documents` and `embeddings` tables, with DuckDB oracles.
@@ -632,6 +632,39 @@ object QueriesLLM {
     BpeTrain.pairCounts(
         wc.select(BpeTrain.initSymbols(col("word")).as("syms"), col("cnt")))
       .select(col("a"), col("b"), col("n"))
+  }
+
+  /** WordPiece likelihood score table ([[WordPiece.scoredPairs]]) over
+    * the initial symbol frame: the pair ranking the first training
+    * round argmaxes — count(ab)/(count(a)·count(b)), integer counts +
+    * one double division, hash-exact cross-engine.
+    */
+  def q_wordpiece_scores(spark: SparkSession, dir: String): DataFrame =
+    WordPiece.scoredPairs(
+        BpeTrain.wordCounts(table(spark, dir, "documents"), "text")
+          .select(BpeTrain.initSymbols(col("word")).as("syms"), col("cnt")),
+        minFrequency = 2)
+      .select(col("a"), col("b"), col("n"), col("na"), col("nb"),
+        (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
+
+  /** WordPiece-trained greedy tokenization (rows-only: the merge LOOP
+    * feeds each round's argmax back into the next — not one SQL query;
+    * WordPieceSpec pins the argmax arithmetic via [[q_wordpiece_scores]]'s
+    * table, partitioning determinism, and BERT greedy semantics).
+    */
+  def q_wordpiece_tokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val wc = BpeTrain.wordCounts(docs, "text")
+    val merges = WordPiece.learnMerges(wc, numMerges = 16)
+    val vocab = WordPiece.vocabulary(wc, merges)
+      .select("piece").collect().map(_.getString(0)).toSet
+    WordPiece.wordPieceTokens(
+        docs.select(col("doc_id"),
+          concat_ws(" ", filter(TextFunctions.tokens(col("text")),
+            w => w.rlike("^[a-z]+$"))).as("letters")),
+        "doc_id", "letters", vocab)
+      .select(col("doc_id"), col("pieces"),
+        size(col("pieces")).cast("long").as("n_pieces"))
   }
 
   /** Unigram-LM seed vocabulary ([[UnigramLm.seedVocab]]): frequency-
@@ -1531,6 +1564,8 @@ object QueriesLLM {
     "q_ann_pq" -> (q_ann_pq _),
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_bpe_pairs" -> (q_bpe_pairs _),
+    "q_wordpiece_scores" -> (q_wordpiece_scores _),
+    "q_wordpiece_tokens" -> (q_wordpiece_tokens _),
     "q_unigram_seed" -> (q_unigram_seed _),
     "q_unigram_tokens" -> (q_unigram_tokens _),
     "q_quality_lr" -> (q_quality_lr _),
@@ -2643,6 +2678,29 @@ object QueriesLLM {
         |  FROM syms, unnest(range(1, len(s))) AS t(i)
         |)
         |SELECT a, b, sum(cnt)::BIGINT AS n FROM pairs GROUP BY 1, 2""".stripMargin,
+    "q_wordpiece_scores" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word
+        |  FROM documents
+        |), wf AS (
+        |  SELECT word, count(*) AS cnt FROM words
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1
+        |), syms AS (
+        |  SELECT list_append(string_split(word, ''), '</w>') AS s, cnt FROM wf
+        |), sy AS (
+        |  SELECT u AS sym, sum(cnt)::BIGINT AS m
+        |  FROM (SELECT unnest(s) AS u, cnt FROM syms) GROUP BY 1
+        |), pc AS (
+        |  SELECT a, b, sum(cnt)::BIGINT AS n FROM (
+        |    SELECT s[i] AS a, s[i+1] AS b, cnt
+        |    FROM syms, unnest(range(1, len(s))) AS t(i)
+        |  ) GROUP BY 1, 2
+        |)
+        |SELECT a, b, n, sa.m AS na, sb.m AS nb,
+        |  floor(n::DOUBLE / (sa.m::DOUBLE * sb.m::DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS score
+        |FROM pc JOIN sy sa ON pc.a = sa.sym JOIN sy sb ON pc.b = sb.sym
+        |WHERE n >= 2""".stripMargin,
     "q_quality_lr" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
