@@ -131,7 +131,119 @@ object ScaleBench {
       kmvOverlap(spark, outDir, listener)
     if (args.contains("knlm") || args.isEmpty)
       knLm(spark, srcDir, outDir, listener)
+    if (args.contains("tokenize") || args.isEmpty)
+      tokenizeThroughput(spark, outDir, listener)
+    if (args.contains("warc") || args.isEmpty)
+      warcThroughput(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** WARC ingestion throughput: synthesize a multi-file archive from
+    * the scaled documents corpus (one HTTP-response record per doc,
+    * HTML-wrapped), then time the full read → responses → htmlToText →
+    * quality-token count chain. The claims: parse wall scales with
+    * archive BYTES at file-level parallelism (16 files here), the walk
+    * is single-pass constant-memory, and the chain to extracted text
+    * adds no shuffle (map-only until an aggregation).
+    */
+  private def warcThroughput(spark: SparkSession, outDir: String,
+                             listener: TaskMetricsProbe): Unit = {
+    import graft.llm.{TextFunctions, Warc}
+    val dir = java.nio.file.Files.createTempDirectory("warcscale")
+    val crlf = "\r\n"
+    val texts = SparkEntry.table(spark, outDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val nFiles = 16
+    var totalBytes = 0L
+    (0 until nFiles).foreach { f =>
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(s"$dir/seg-$f.warc"))
+      texts.filter(_._1 % nFiles == f).foreach { case (id, t) =>
+        val body = s"<html><head><script>var x=1;</script></head>" +
+          s"<body><h1>doc $id</h1><p>$t</p></body></html>"
+        val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html" +
+          s"$crlf$crlf$body").getBytes("UTF-8")
+        val head = (Seq("WARC/1.0", "WARC-Type: response",
+          s"WARC-Target-URI: http://example.com/$id",
+          "WARC-Date: 2024-01-02T03:04:05Z",
+          s"Content-Length: ${http.length}", "", "").mkString(crlf))
+          .getBytes("UTF-8")
+        out.write(head); out.write(http)
+        out.write((crlf + crlf).getBytes("UTF-8"))
+        totalBytes += head.length + http.length + 4
+      }
+      out.close()
+    }
+    def timed(label: String)(body: => Long): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"warc":"$label","files":$nFiles,""" +
+        f""""archive_mb":${totalBytes / 1e6}%.1f,"sec":$sec%.2f,""" +
+        f""""mb_per_sec":${totalBytes / 1e6 / sec}%.1f,"rows_or_tokens":$n,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite}}""")
+    }
+    // parse-only vs parse + extraction chain: attributes the wall to
+    // the record walk vs the per-doc regex passes
+    timed("parse_only") {
+      Warc.readWarc(spark, s"$dir/*.warc").count()
+    }
+    timed("read_extract_count") {
+      Warc.responses(Warc.readWarc(spark, s"$dir/*.warc"))
+        .select(TextFunctions.regexTokenCount(
+          TextFunctions.htmlToText(col("html"))).as("n"))
+        .agg(sum("n")).collect().head.getLong(0)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  /** Tokenizer-family inference throughput at the 20x corpus (100k
+    * docs): rank-greedy BPE, unigram-LM Viterbi, WordPiece greedy —
+    * each trained small on the SAME word table, then timed tokenizing
+    * the full corpus through the noop sink. All three are map-only
+    * (broadcast model + mapPartitions), so the claim to check is that
+    * NONE of them shuffles and wall scales with corpus bytes, not
+    * model size; reported as docs/sec next to each family's model
+    * size.
+    */
+  private def tokenizeThroughput(spark: SparkSession, outDir: String,
+                                 listener: TaskMetricsProbe): Unit = {
+    import graft.llm.{BpeTrain, UnigramLm, WordPiece}
+    val docs = SparkEntry.table(spark, outDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val wc = BpeTrain.wordCounts(docs, "text").localCheckpoint()
+    def time(label: String, model: String)(body: => Unit): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"tokenize":"$label","sec":$sec%.2f,""" +
+        f""""docs_per_sec":${nDocs / sec}%.0f,$model""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite}}""")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    try {
+      val merges = BpeTrain.learnMerges(wc, numMerges = 64)
+      time("bpe_rank_greedy", s""""n_merges":${merges.size},""") {
+        noop(BpeTrain.bpeTokensPartitions(docs, "doc_id", "text", merges))
+      }
+      val uni = UnigramLm.train(wc, vocabSize = 512, seedSize = 1024)
+      time("unigram_viterbi", s""""vocab":${uni.logp.size},""") {
+        noop(UnigramLm.tokenize(docs, "doc_id", "text", uni))
+      }
+      val wpMerges = WordPiece.learnMerges(wc, numMerges = 64)
+      val vocab = WordPiece.vocabulary(wc, wpMerges)
+        .select("piece").collect().map(_.getString(0)).toSet
+      time("wordpiece_greedy", s""""vocab":${vocab.size},""") {
+        noop(WordPiece.wordPieceTokens(docs, "doc_id", "text", vocab))
+      }
+    } finally graft.Checkpoints.free(wc)
   }
 
   /** Kneser-Ney LM at 20x corpus: the claims are (a) only the trigram

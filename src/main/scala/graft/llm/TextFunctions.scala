@@ -47,6 +47,28 @@ object TextFunctions {
   def hash64b(c: Column): Column =
     org.apache.spark.sql.graft.TextHashExpressions.md5Suffix60(c)
 
+  /** HTML → text extraction as a fixed, engine-portable regex chain
+    * (the step between WARC ingestion and the language/quality/dedup
+    * gates): drop script/style subtrees and comments, strip tags,
+    * decode the entity set that survives into prose (`&amp;lt;` first,
+    * `&amp;amp;` LAST so entity-encoded markup stays text), collapse
+    * whitespace. Deliberately NOT a DOM parse — the chain is pure RE2-
+    * compatible regex (no backreferences), so the DuckDB oracle
+    * replays it verbatim (`q_html_extract`); block-level boilerplate
+    * scoring would sit downstream of this, on the extracted text's
+    * line structure.
+    */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script\\b.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTag) { case (col0, (e, r)) => replace(col0, lit(e), lit(r)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** hash64 of every word-n-gram shingle, fused into one native pass
     * (tokenize → shingle → hash without interpreted HOFs). n = 1 gives
     * per-token hashes. Equals `transform(wordShingles(text,n), hash64)`.

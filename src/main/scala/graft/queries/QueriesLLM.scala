@@ -634,6 +634,24 @@ object QueriesLLM {
       .select(col("a"), col("b"), col("n"))
   }
 
+  /** HTML → text extraction ([[TextFunctions.htmlToText]]) over a
+    * deterministic HTML wrapping of every document (title, style and
+    * script subtrees with markup-looking string content, comments,
+    * entities — the hostile cases): the WARC-pipeline extraction step,
+    * hash-exact cross-engine because the chain is pure RE2-compatible
+    * regex + literal entity replaces.
+    */
+  def q_html_extract(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>doc</title><style>p { color: red; }</style>"),
+      lit("<script type=\"text/javascript\">var x = '<p>not text</p>';</script></head>"),
+      lit("<body><!-- nav --><h1>Doc &amp; title</h1><p class=\"main\">"),
+      coalesce(col("text"), lit("")),
+      lit(" &lt;end&gt;&nbsp;fin</p></body></html>"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.htmlToText(html).as("extracted"))
+  }
+
   /** WordPiece likelihood score table ([[WordPiece.scoredPairs]]) over
     * the initial symbol frame: the pair ranking the first training
     * round argmaxes — count(ab)/(count(a)·count(b)), integer counts +
@@ -1566,6 +1584,7 @@ object QueriesLLM {
     "q_bpe_pairs" -> (q_bpe_pairs _),
     "q_wordpiece_scores" -> (q_wordpiece_scores _),
     "q_wordpiece_tokens" -> (q_wordpiece_tokens _),
+    "q_html_extract" -> (q_html_extract _),
     "q_unigram_seed" -> (q_unigram_seed _),
     "q_unigram_tokens" -> (q_unigram_tokens _),
     "q_quality_lr" -> (q_quality_lr _),
@@ -2701,6 +2720,29 @@ object QueriesLLM {
         |    / 1000000 AS score
         |FROM pc JOIN sy sa ON pc.a = sa.sym JOIN sy sb ON pc.b = sb.sym
         |WHERE n >= 2""".stripMargin,
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc</title><style>p { color: red; }</style>'
+        |    || '<script type="text/javascript">var x = ''<p>not text</p>'';</script></head>'
+        |    || '<body><!-- nav --><h1>Doc &amp; title</h1><p class="main">'
+        |    || coalesce(text, '')
+        |    || ' &lt;end&gt;&nbsp;fin</p></body></html>' AS html
+        |  FROM documents
+        |)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html, '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+        |          '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS extracted
+        |FROM h""".stripMargin,
     "q_quality_lr" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
