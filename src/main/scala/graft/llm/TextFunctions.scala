@@ -58,15 +58,54 @@ object TextFunctions {
     * scoring would sit downstream of this, on the extracted text's
     * line structure.
     */
-  def htmlToText(c: Column): Column = {
-    val noScript = regexp_replace(c, "(?is)<script\\b.*?</script\\s*>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style\\s*>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+  def htmlToText(c: Column): Column =
+    stripTags(dropNonContent(c))
+
+  /** Remove the subtrees that are never prose: script/style blocks and
+    * comments. Run BEFORE any block split or tag strip — a bare tag
+    * strip would leak javascript/css SOURCE into the text.
+    */
+  private def dropNonContent(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "(?is)<script\\b.*?</script\\s*>", " "),
+        "(?is)<style\\b.*?</style\\s*>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** Tag strip + entity decode (`&amp;amp;` LAST, so entity-encoded
+    * markup stays text) + whitespace collapse.
+    */
+  private def stripTags(c: Column): Column = {
+    val noTag = regexp_replace(c, "(?s)<[^>]*>", " ")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTag) { case (col0, (e, r)) => replace(col0, lit(e), lit(r)) }
     trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Main-content extraction with block-level boilerplate removal (the
+    * boilerpipe/trafilatura idea reduced to its load-bearing features,
+    * Kohlschütter et al. WSDM'10: block text length + link density):
+    * split the page at block-level tags, keep blocks with at least
+    * `minChars` of prose whose ANCHOR text is at most a third of it
+    * (navigation/footer link farms fail exactly that test), join the
+    * survivors. Exact integer arithmetic (`linkLen·3 ≤ textLen`), pure
+    * regex + array ops — the DuckDB oracle replays it (`q_html_main`).
+    */
+  def htmlMainText(c: Column, minChars: Int = 20): Column = {
+    val blocks = split(dropNonContent(c),
+      "(?i)</?(?:p|div|h[1-6]|li|br|td|th|tr|table|ul|ol|section|article|header|footer|nav|aside|blockquote)[^>]*>")
+    val scored = transform(blocks, b => struct(
+      stripTags(b).as("t"),
+      aggregate(
+        transform(
+          regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1)),
+          a => length(stripTags(a))),
+        lit(0), (acc, x) => acc + x).as("l")))
+    val kept = filter(scored, s =>
+      length(s.getField("t")) >= minChars &&
+        s.getField("l") * 3 <= length(s.getField("t")))
+    array_join(transform(kept, _.getField("t")), " ")
   }
 
   /** hash64 of every word-n-gram shingle, fused into one native pass

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.table
-import graft.llm.{BpeTrain, Curation, Dedup, Mixing, Multimodal, NgramLm, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions, UnigramLm, WordPiece}
+import graft.llm.{BpeTrain, Curation, Dedup, Mixing, Multimodal, NgramLm, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions, UnigramLm, UrlFunctions, WordPiece}
 
 /** LLM-training-data pipeline coverage queries over the driver's
   * `documents` and `embeddings` tables, with DuckDB oracles.
@@ -650,6 +650,74 @@ object QueriesLLM {
       lit(" &lt;end&gt;&nbsp;fin</p></body></html>"))
     table(spark, dir, "documents")
       .select(col("doc_id"), TextFunctions.htmlToText(html).as("extracted"))
+  }
+
+  /** The deterministic hostile-page template the crawl-extraction
+    * queries share: styled head, script with markup-looking strings, a
+    * link-farm nav (fails the density test), the document text as the
+    * main block, a sub-minChars stub, and a link-farm footer.
+    */
+  private def ccPage(text: Column): Column = concat(
+    lit("<html><head><title>t</title><style>p { x: y; }</style>" +
+      "<script>var n = '<div>no</div>';</script></head><body>" +
+      "<div class=\"nav\"><a href=\"/\">Home page</a> <a href=\"/a\">About this site</a> " +
+      "<a href=\"/c\">Contact and support</a> <a href=\"/d\">Documentation index</a></div>" +
+      "<p>"),
+    coalesce(text, lit("")),
+    lit("</p><div>Stub.</div><div class=\"footer\">" +
+      "<a href=\"/p\">Privacy policy page</a> | <a href=\"/t\">Terms of service</a>" +
+      "</div></body></html>"))
+
+  /** Block-level boilerplate removal ([[TextFunctions.htmlMainText]]):
+    * the nav/footer link farms and the sub-minChars stub are dropped by
+    * the exact (length, link-density) tests; only the document's own
+    * prose survives. Hash-exact cross-engine (integer arithmetic).
+    */
+  def q_html_main(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.htmlMainText(ccPage(col("text"))).as("main"))
+
+  /** URL canonicalization ([[graft.llm.UrlFunctions]]): scheme/host
+    * case, default ports, fragments, tracking params, param order —
+    * every variant collapses; host + registered-domain extraction
+    * rides along. Pure string/array ops, hash-exact.
+    */
+  def q_url_normalize(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTP://Example.COM:80/Path/"))
+        .when(col("doc_id") % 3 === 1,
+          lit("https://sub.shop.example.co.uk:443/p/"))
+        .otherwise(lit("http://example.com/Path/")),
+      col("doc_id"),
+      lit("?utm_source=feed&b=2&a=1#frag"))
+    val norm = UrlFunctions.normalizeUrl(url)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), norm.as("url"),
+        UrlFunctions.urlHost(norm).as("host"),
+        UrlFunctions.registeredDomain(UrlFunctions.urlHost(norm)).as("domain"))
+  }
+
+  /** The crawl-pipeline flagship, fully oracled end-to-end over the
+    * duplicated corpus: page synthesis → main-content extraction
+    * (boilerplate dropped) → minimum-length gate (≥ 5 tokens) → exact
+    * dedup on the EXTRACTED text (the injected doc_id+10000 twins
+    * collapse here) → canonical id + duplicate count per surviving
+    * page. WARC ingestion feeds the same chain in production
+    * ([[graft.llm.Warc.responses]] → html); the driver corpus has no
+    * WARC container, so the oracle starts at the page.
+    */
+  def q_cc_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val main = TextFunctions.htmlMainText(ccPage(col("text")))
+    dupCorpus(spark, dir)
+      .select(col("doc_id"), main.as("main"))
+      .withColumn("n_tokens",
+        size(TextFunctions.tokens(col("main"))).cast("long"))
+      .filter(col("n_tokens") >= 5)
+      .groupBy(col("main"), col("n_tokens"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).cast("long").as("n_dups"))
+      .select("doc_id", "main", "n_tokens", "n_dups")
   }
 
   /** WordPiece likelihood score table ([[WordPiece.scoredPairs]]) over
@@ -1585,6 +1653,9 @@ object QueriesLLM {
     "q_wordpiece_scores" -> (q_wordpiece_scores _),
     "q_wordpiece_tokens" -> (q_wordpiece_tokens _),
     "q_html_extract" -> (q_html_extract _),
+    "q_html_main" -> (q_html_main _),
+    "q_url_normalize" -> (q_url_normalize _),
+    "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_unigram_seed" -> (q_unigram_seed _),
     "q_unigram_tokens" -> (q_unigram_tokens _),
     "q_quality_lr" -> (q_quality_lr _),
@@ -1642,6 +1713,48 @@ object QueriesLLM {
       |    greatest(c::DOUBLE - 0.75, 0) / c_uv::DOUBLE + bow3 * p2 AS p3
       |  FROM c3 JOIN ctx3 USING (u, v) JOIN bi USING (v, w)
       |)""".stripMargin
+
+  /** DuckDB splices mirroring [[TextFunctions]]' HTML chain — built in
+    * Scala so the tag-strip/entity/collapse sequence is written ONCE
+    * and every oracle replays the identical expression tree.
+    */
+  private def duckDnc(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      """'(?is)<script\b.*?</script\s*>', ' ', 'g'), """ +
+      """'(?is)<style\b.*?</style\s*>', ' ', 'g'), """ +
+      """'(?s)<!--.*?-->', ' ', 'g')"""
+
+  private def duckStrip(e: String): String =
+    "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($e, '(?s)<[^>]*>', ' ', 'g'), " +
+      """'&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), """ +
+      """'&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g'))"""
+
+  private val duckPage: String =
+    """'<html><head><title>t</title><style>p { x: y; }</style>""" +
+      """<script>var n = ''<div>no</div>'';</script></head><body>""" +
+      """<div class="nav"><a href="/">Home page</a> <a href="/a">About this site</a> """ +
+      """<a href="/c">Contact and support</a> <a href="/d">Documentation index</a></div>""" +
+      """<p>' || coalesce(text, '') || '</p><div>Stub.</div><div class="footer">""" +
+      """<a href="/p">Privacy policy page</a> | <a href="/t">Terms of service</a>""" +
+      """</div></body></html>'"""
+
+  /** [[TextFunctions.htmlMainText]] over a column expression: block
+    * split on the same tag alternation, per-block (text, link-length)
+    * scoring, exact integer keep test, space join. `coalesce(list_sum,
+    * 0)` matters — DuckDB's list_sum of an empty list is NULL while
+    * Spark's aggregate seed is 0.
+    */
+  private def duckMain(e: String): String =
+    "array_to_string(list_transform(list_filter(list_transform(" +
+      s"string_split_regex(${duckDnc(e)}, " +
+      """'(?i)</?(?:p|div|h[1-6]|li|br|td|th|tr|table|ul|ol|section|article|header|footer|nav|aside|blockquote)[^>]*>'), """ +
+      s"b -> struct_pack(t := ${duckStrip("b")}, " +
+      "l := coalesce(list_sum(list_transform(" +
+      """regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1), """ +
+      s"a -> length(${duckStrip("a")}))), 0))), " +
+      "s -> length(s.t) >= 20 AND s.l * 3 <= length(s.t)), " +
+      "s -> s.t), ' ')"
 
   private val enList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
   private val nlList = TextFunctions.nlStopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -2743,6 +2856,74 @@ object QueriesLLM {
         |    '&nbsp;', ' '), '&amp;', '&'),
         |  '\s+', ' ', 'g')) AS extracted
         |FROM h""".stripMargin,
+    "q_html_main" ->
+      (s"""WITH h AS (SELECT doc_id, $duckPage AS html FROM documents)
+         |SELECT doc_id, ${duckMain("html")} AS main FROM h""".stripMargin),
+    "q_cc_pipeline" ->
+      (dupCorpusSql +
+        s""", h AS (SELECT doc_id, $duckPage AS html FROM corpus
+         |), m AS (
+         |  SELECT doc_id, ${duckMain("html")} AS main FROM h
+         |), t AS (
+         |  SELECT doc_id, main,
+         |    len(list_filter(string_split(main, ' '), x -> length(x) > 0))::BIGINT AS n_tokens
+         |  FROM m
+         |)
+         |SELECT min(doc_id) AS doc_id, main, n_tokens, count(*)::BIGINT AS n_dups
+         |FROM t WHERE n_tokens >= 5 GROUP BY main, n_tokens""".stripMargin),
+    "q_url_normalize" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://Example.COM:80/Path/'
+        |      WHEN 1 THEN 'https://sub.shop.example.co.uk:443/p/'
+        |      ELSE 'http://example.com/Path/' END)
+        |    || doc_id || '?utm_source=feed&b=2&a=1#frag' AS url
+        |  FROM documents
+        |), u1 AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u0
+        |), u2 AS (
+        |  SELECT *,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostlower,
+        |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '') AS rest
+        |  FROM u1
+        |), u3 AS (
+        |  SELECT *,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostlower, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostlower, ':443$', '')
+        |         ELSE hostlower END AS nop,
+        |    regexp_replace(rest, '\?.*$', '') AS path,
+        |    CASE WHEN contains(rest, '?')
+        |      THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS query
+        |  FROM u2
+        |), u4 AS (
+        |  SELECT *, list_sort(list_filter(string_split(query, '&'),
+        |      p -> length(p) > 0
+        |        AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))) AS kept
+        |  FROM u3
+        |), u5 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme = '' THEN url
+        |      ELSE scheme || '://' || nop || path ||
+        |        (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |         ELSE '' END) END AS url
+        |  FROM u4
+        |), u6 AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+        |  FROM u5
+        |), u7 AS (
+        |  SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+        |  FROM u6
+        |)
+        |SELECT doc_id, url, host,
+        |  CASE WHEN n <= 2 THEN host
+        |       WHEN length(ls[n]) = 2
+        |         AND ls[n-1] IN ('co','com','net','org','ac','gov','edu')
+        |         THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+        |       ELSE ls[n-1] || '.' || ls[n] END AS domain
+        |FROM u7""".stripMargin,
     "q_quality_lr" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w

@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** URL canonicalization and main-content extraction edges the oracle
+  * template doesn't reach: non-default ports, scheme-specific default
+  * ports, userinfo, relative URLs, single-label hosts, and the
+  * link-density keep/drop boundary.
+  */
+class UrlAndMainSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toSeq.toDF("u")
+      .select(UrlFunctions.normalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("normalizeUrl: ports, fragments, params, relative passthrough") {
+    assert(norm(
+      "HTTP://Example.COM:80/A/b?z=1&a=2",   // default http port + case
+      "https://x.org:443/p",                 // default https port
+      "https://x.org:80/p",                  // :80 is NOT default for https
+      "http://x.org:8080/p",                 // non-default port kept
+      "http://u:pw@x.org/p",                 // userinfo preserved
+      "http://x.org/p?utm_source=a&utm_medium=b", // all params tracked -> no ?
+      "/relative/path?a=1#f"                 // not absolute: untouched
+    ) == Seq(
+      "http://example.com/A/b?a=2&z=1",
+      "https://x.org/p",
+      "https://x.org:80/p",
+      "http://x.org:8080/p",
+      "http://u:pw@x.org/p",
+      "http://x.org/p",
+      "/relative/path?a=1#f"))
+  }
+
+  test("urlHost skips userinfo and port; registeredDomain approximation") {
+    val rows = Seq("http://u@Sub.Example.COM:8080/x", "http://bbc.co.uk/n",
+      "http://a.b.example.com/", "http://localhost/x")
+      .toDF("u")
+      .select(UrlFunctions.urlHost(col("u")).as("h"),
+        UrlFunctions.registeredDomain(UrlFunctions.urlHost(col("u"))).as("d"))
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq(
+      ("sub.example.com", "example.com"),
+      ("bbc.co.uk", "bbc.co.uk"),
+      ("a.b.example.com", "example.com"),
+      ("localhost", "localhost")))
+  }
+
+  test("htmlMainText: density boundary, anchor-free blocks, stub drop") {
+    val prose = "This paragraph carries enough prose to clear the gate."
+    val html =
+      s"<div><a href='/'>Home navigation</a> <a href='/b'>About the site</a></div>" + // all-link: drop
+        s"<p>$prose</p>" +                      // anchor-free: keep
+        "<p>Tiny.</p>" +                        // < 20 chars: drop
+        s"<p>$prose See <a href='/m'>more</a>.</p>" // low density: keep
+    val out = Seq(html).toDF("h")
+      .select(TextFunctions.htmlMainText(col("h"))).as[String].collect().head
+    // tags are REPLACED by spaces (then collapsed), so "</a>." keeps a
+    // space before the period — the documented strip semantics
+    assert(out == s"$prose $prose See more .")
+  }
+}
