@@ -102,6 +102,7 @@ object Bench {
     "q_contamination_bloom",
     "q_curation_e2e",
     "q_image_neardup_e2e",
+    "q_cc_pipeline",
   )
 
   def main(args: Array[String]): Unit = {

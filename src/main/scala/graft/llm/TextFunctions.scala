@@ -47,6 +47,16 @@ object TextFunctions {
   def hash64b(c: Column): Column =
     org.apache.spark.sql.graft.TextHashExpressions.md5Suffix60(c)
 
+  /** DEFLATE compression ratio of the text (native codegen'd kernel;
+    * [[org.apache.spark.sql.graft.CompressUtil]]) — low ratio =
+    * repetitive/templated/generated content, the RefinedWeb-family
+    * curation heuristic orthogonal to the token-level repetition
+    * stats. Spec-pinned (zlib output is JDK-build-specific, so no
+    * cross-engine hash oracle — same standing as the EM tokenizers).
+    */
+  def compressionRatio(c: Column): Column =
+    org.apache.spark.sql.graft.CompressExpressions.compressionRatio(c)
+
   /** HTML → text extraction as a fixed, engine-portable regex chain
     * (the step between WARC ingestion and the language/quality/dedup
     * gates): drop script/style subtrees and comments, strip tags,

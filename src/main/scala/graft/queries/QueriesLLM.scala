@@ -652,6 +652,16 @@ object QueriesLLM {
       .select(col("doc_id"), TextFunctions.htmlToText(html).as("extracted"))
   }
 
+  /** DEFLATE compression-ratio signal per document (rows-only: zlib
+    * output bytes are JDK-build-specific — CompressSpec pins
+    * determinism, the repetitive≪prose ordering, and agreement with a
+    * direct Deflater computation).
+    */
+  def q_compression_ratio(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.compressionRatio(col("text")).as("ratio"))
+
   /** The deterministic hostile-page template the crawl-extraction
     * queries share: styled head, script with markup-looking strings, a
     * link-farm nav (fails the density test), the document text as the
@@ -1653,6 +1663,7 @@ object QueriesLLM {
     "q_wordpiece_scores" -> (q_wordpiece_scores _),
     "q_wordpiece_tokens" -> (q_wordpiece_tokens _),
     "q_html_extract" -> (q_html_extract _),
+    "q_compression_ratio" -> (q_compression_ratio _),
     "q_html_main" -> (q_html_main _),
     "q_url_normalize" -> (q_url_normalize _),
     "q_cc_pipeline" -> (q_cc_pipeline _),

@@ -63,6 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         constInt("shingle_hashes64", "n", cs(1))))
     register(ext, "token_stats64", 1, classOf[TokenStats64],
       cs => TokenStats64(cs.head))
+    register(ext, "compression_ratio", 1, classOf[DeflateRatio],
+      cs => DeflateRatio(cs.head))
     register(ext, "char_shingle_hashes64", 2, classOf[CharShingleHashes64],
       cs => CharShingleHashes64(cs.head,
         constInt("char_shingle_hashes64", "n", cs(1))))
