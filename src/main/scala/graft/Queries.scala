@@ -124,12 +124,49 @@ object Queries {
           wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
       .select("event_id", "user_id", "filled")
 
+  /** As-of join ([[graft.ops.TimeJoins.asofJoin]]): every click gets
+    * its user's latest error at-or-before it, nulled past a 1-hour
+    * tolerance. The oracle runs DuckDB's NATIVE `ASOF LEFT JOIN` — a
+    * different algorithm entirely — so the hash compare checks the
+    * window composition against an independent implementation.
+    */
+  def q_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.SparkEntry.eventsWithMicros(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "t_us")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("t_us"),
+        col("event_id").as("err_id"), col("value").as("err_value"))
+    graft.ops.TimeJoins.asofJoin(clicks, errors, Seq("user_id"), "t_us",
+        Seq("err_id", "err_value"), toleranceUs = Some(3600L * 1000000L))
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        col("matched.err_id").as("err_id"),
+        col("matched.err_value").as("err_value"))
+  }
+
+  /** Range join ([[graft.ops.TimeJoins.rangeJoin]]): events joined to
+    * 20 OVERLAPPING value bands `[5i, 5i+8]` — each point can land in
+    * up to two bands, exercising the duplicate-free bucket expansion.
+    * Oracle = the plain (quadratic) range predicate in DuckDB.
+    */
+  def q_range_join(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 20).select(col("id").as("band_id"),
+      (col("id") * 5).cast("double").as("lo"),
+      (col("id") * 5 + 8).cast("double").as("hi"))
+    graft.ops.TimeJoins.rangeJoin(
+        table(spark, dir, "events").select("event_id", "value"),
+        bands, Seq.empty, "value", "lo", "hi", bucketWidth = 5L)
+      .select("event_id", "band_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
   /** Core operator-shape queries defined inline below. */
   val coreAll: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (q_asof_join _),
+    "q_range_join" -> (q_range_join _),
     "q_agg_pricing" -> (q_agg_pricing _),
     "q_a1_group_mean" -> (q_a1_group_mean _),
     "q_a2_group_max" -> (q_a2_group_max _),
@@ -143,6 +180,28 @@ object Queries {
   )
 
   val coreOracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS t_us, event_type, value
+        |  FROM events
+        |), c AS (
+        |  SELECT event_id, user_id, t_us FROM ev WHERE event_type = 'click'
+        |), e AS (
+        |  SELECT user_id, t_us, event_id AS err_id, value AS err_value
+        |  FROM ev WHERE event_type = 'error'
+        |)
+        |SELECT c.event_id, c.user_id, c.t_us,
+        |  CASE WHEN c.t_us - e.t_us <= 3600000000 THEN e.err_id END AS err_id,
+        |  CASE WHEN c.t_us - e.t_us <= 3600000000 THEN e.err_value END AS err_value
+        |FROM c ASOF LEFT JOIN e
+        |  ON c.user_id = e.user_id AND c.t_us >= e.t_us""".stripMargin,
+    "q_range_join" ->
+      """WITH b AS (
+        |  SELECT i::BIGINT AS band_id, i*5 AS lo, i*5+8 AS hi
+        |  FROM unnest(generate_series(0, 19)) t(i)
+        |)
+        |SELECT event_id, band_id
+        |FROM events JOIN b ON value >= lo AND value <= hi""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
