@@ -124,6 +124,57 @@ object Queries {
           wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
       .select("event_id", "user_id", "filled")
 
+  /** Sessionization: per-user sessions cut at >30-minute gaps (the W6
+    * cumsum-gap-group shape on the events stream), rolled up to one
+    * row per session — the event-analytics capability the same
+    * machinery as the meter-gap grouping provides for free.
+    */
+  def q_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.SparkEntry.eventsWithMicros(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    ev
+      .withColumn("__gap",
+        when(col("t_us") - lag("t_us", 1).over(w) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("__gap").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("long"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min("t_us").as("t_start"),
+        max("t_us").as("t_end"),
+        round(sum("value"), 6).as("sum_value"))
+      .withColumn("duration_us", col("t_end") - col("t_start"))
+  }
+
+  /** Funnel analysis: for each user, the ordered view → click →
+    * purchase progression (each stage's first timestamp AT OR AFTER
+    * the previous stage's), plus the depth reached — the standard
+    * event-funnel query as min-over-filtered-windows arithmetic.
+    */
+  def q_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.SparkEntry.eventsWithMicros(spark, dir)
+    val byUser = ev.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("t_us"))).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(collect_list("t_us").as("__cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(collect_list("t_us").as("__pts"))
+    byUser
+      .join(clicks, Seq("user_id"), "left")
+      .withColumn("t_click", when(col("t_view").isNotNull,
+        array_min(filter(col("__cts"), t => t >= col("t_view")))))
+      .join(purchases, Seq("user_id"), "left")
+      .withColumn("t_purchase", when(col("t_click").isNotNull,
+        array_min(filter(col("__pts"), t => t >= col("t_click")))))
+      .withColumn("depth",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1).otherwise(0).cast("long"))
+      .select("user_id", "t_view", "t_click", "t_purchase", "depth")
+  }
+
   /** As-of join ([[graft.ops.TimeJoins.asofJoin]]): every click gets
     * its user's latest error at-or-before it, nulled past a 1-hour
     * tolerance. The oracle runs DuckDB's NATIVE `ASOF LEFT JOIN` — a
@@ -159,6 +210,27 @@ object Queries {
       .select("event_id", "band_id")
   }
 
+  /** PageRank over the customer→supplier order graph (3 damped power
+    * iterations; supplier ids offset so the two key spaces cannot
+    * collide). The oracle is GENERATED per iteration count by
+    * [[graft.ops.PageRank.oracleSql]] and replays the exact decimal-
+    * summed expression trees — an iterative float algorithm that
+    * hash-matches cross-engine.
+    */
+  def q_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+    graft.ops.PageRank.pageRank(edges, iterations = 3)
+      .select(col("id"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+  }
+
+  private val pagerankEdgesCte =
+    """SELECT o_custkey::BIGINT AS src, l_suppkey::BIGINT + 1000000 AS dst
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -167,6 +239,9 @@ object Queries {
   val coreAll: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (q_asof_join _),
     "q_range_join" -> (q_range_join _),
+    "q_sessionize" -> (q_sessionize _),
+    "q_funnel" -> (q_funnel _),
+    "q_pagerank" -> (q_pagerank _),
     "q_agg_pricing" -> (q_agg_pricing _),
     "q_a1_group_mean" -> (q_a1_group_mean _),
     "q_a2_group_max" -> (q_a2_group_max _),
@@ -202,6 +277,48 @@ object Queries {
         |)
         |SELECT event_id, band_id
         |FROM events JOIN b ON value >= lo AND value <= hi""".stripMargin,
+    "q_pagerank" ->
+      graft.ops.PageRank.oracleSql(pagerankEdgesCte, iterations = 3),
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS t_us, value FROM events
+        |), g AS (
+        |  SELECT *, CASE WHEN t_us - lag(t_us, 1) OVER
+        |      (PARTITION BY user_id ORDER BY t_us, event_id) > 1800000000
+        |    THEN 1 ELSE 0 END AS gap
+        |  FROM ev
+        |), s AS (
+        |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
+        |  FROM g
+        |)
+        |SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+        |  min(t_us) AS t_start, max(t_us) AS t_end,
+        |  round(sum(value), 6) AS sum_value,
+        |  max(t_us) - min(t_us) AS duration_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS t_us FROM events
+        |), v AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN t_us END) AS t_view
+        |  FROM ev GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.t_us) AS t_click
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.t_us >= v.t_view
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.t_us) AS t_purchase
+        |  FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.t_us >= c.t_click
+        |  GROUP BY 1
+        |)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  (CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |        WHEN c.t_click IS NOT NULL THEN 2
+        |        WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS depth
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

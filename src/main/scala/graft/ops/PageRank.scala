@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over an edge list — the link-graph quality signal
+  * crawl curation uses (rank URLs/domains by the hyperlink graph
+  * before content signals exist; Page et al. 1999). Implemented as the
+  * classic relational power iteration: per round one join onto the
+  * edge list and one aggregation per destination — the same
+  * partitioning every round (hash on node id), so on a cluster the
+  * rank table never changes its distribution.
+  *
+  * ENGINE-PORTABLE BY CONSTRUCTION, unusually for an iterative float
+  * algorithm: per-edge contributions are single IEEE divisions,
+  * cross-edge sums go through DECIMAL(38,18) (exact, order-free), the
+  * dangling mass rides one broadcast scalar, and the update is a fixed
+  * expression tree — so ANY iteration count is bit-reproducible across
+  * partitionings AND engines, and `q_pagerank` hash-compares 3 full
+  * iterations against DuckDB replaying the same trees (the oracle SQL
+  * is GENERATED per iteration count).
+  *
+  * Semantics: multi-edges collapse (distinct src→dst); dangling nodes
+  * (no out-edges) redistribute their mass uniformly; rank mass is
+  * conserved to fp noise (spec-pinned ≤ 1e-9).
+  */
+object PageRank {
+
+  /** (id, rank) after `iterations` damped power-iteration rounds over
+    * `edges` (columns `src`, `dst`). Lineage is cut every
+    * `checkpointEvery` rounds (superseded generations freed — the
+    * clusterPairs contract).
+    */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+               checkpointEvery: Int = 4): DataFrame = {
+    require(iterations >= 0, "pageRank: iterations must be >= 0")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val n = nodes.count()
+      require(n > 0, "pageRank: empty graph")
+      val nD = lit(n.toDouble)
+      val d = lit(damping)
+      var ranks = nodes.withColumn("rank", lit(1.0) / nD).localCheckpoint()
+      var cut = ranks
+      var i = 0
+      try {
+        while (i < iterations) {
+          // fresh attribute ids for the edge side: ranks/nodes descend
+          // from e, so joining e directly is an ambiguous self-join
+          val eOut = e.select(col("src").as("__es"), col("dst").as("__ed"))
+          val withDeg = ranks.join(outdeg, ranks("id") === outdeg("src"), "left")
+          val contribs = withDeg.filter(col("deg").isNotNull)
+            .join(eOut, withDeg("id") === col("__es"))
+            .select(col("__ed").as("id"),
+              (col("rank") / col("deg").cast("double")).as("c"))
+          val sums = contribs
+            .groupBy(col("id"))
+            .agg(sum(col("c").cast("decimal(38,18)")).as("s"))
+            .select(col("id"), col("s").cast("double").as("s"))
+          val dangling = withDeg.filter(col("deg").isNull)
+            .agg(coalesce(sum(col("rank").cast("decimal(38,18)"))
+              .cast("double"), lit(0.0)).as("m"))
+          ranks = nodes
+            .join(sums, Seq("id"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("id"),
+              ((lit(1.0) - d) / nD +
+                d * (coalesce(col("s"), lit(0.0)) + col("m") / nD))
+                .as("rank"))
+          if ((i + 1) % checkpointEvery == 0 || i + 1 == iterations) {
+            ranks = ranks.localCheckpoint()
+            graft.Checkpoints.free(cut)
+            cut = ranks
+          }
+          i += 1
+        }
+        ranks
+      } finally if (cut ne ranks) graft.Checkpoints.free(cut)
+    } finally graft.Checkpoints.free(e)
+  }
+
+  /** The DuckDB oracle for [[pageRank]], generated for `iterations`
+    * rounds over an `edges` CTE the caller supplies (must define
+    * columns src, dst). Replays the exact expression trees.
+    */
+  def oracleSql(edgesCte: String, iterations: Int,
+                damping: Double = 0.85): String = {
+    val d = damping.toString
+    val head =
+      s"""WITH edges0 AS ($edgesCte),
+         |e AS (SELECT DISTINCT src, dst FROM edges0),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+         |od AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      val p = s"r${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS id, r.rank / od.deg::DOUBLE AS c
+         |  FROM $p r JOIN od ON r.id = od.src JOIN e ON e.src = r.id
+         |), s$k AS (
+         |  SELECT id, sum(c::DECIMAL(38,18))::DOUBLE AS s FROM c$k GROUP BY 1
+         |), m$k AS (
+         |  SELECT coalesce(sum(r.rank::DECIMAL(38,18))::DOUBLE, 0.0::DOUBLE) AS m
+         |  FROM $p r LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL
+         |), r$k AS (
+         |  SELECT n.id,
+         |    (1.0::DOUBLE - $d) / (SELECT n FROM nn) +
+         |    $d * (coalesce(s.s, 0.0::DOUBLE) + (SELECT m FROM m$k) / (SELECT n FROM nn)) AS rank
+         |  FROM nodes n LEFT JOIN s$k s ON n.id = s.id
+         |)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT id, floor(rank * 1000000 + 0.5) / 1000000 AS rank FROM r$iterations"
+  }
+}
