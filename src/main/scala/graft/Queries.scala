@@ -210,6 +210,32 @@ object Queries {
       .select("event_id", "band_id")
   }
 
+  /** Pivot (long → wide): per-user event-type value sums as columns,
+    * with the column set pinned explicitly (never inferred — inference
+    * is a distinct-scan plus nondeterministic column order at scale).
+    */
+  def q_pivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+      .agg(round(sum("value"), 6))
+
+  /** Unpivot/melt (wide → long): lineitem measures to
+    * (keys, measure, value) rows — Spark's native `unpivot`.
+    */
+  def q_unpivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_discount").cast("double").as("l_discount"),
+        col("l_tax").cast("double").as("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+
   /** PageRank over the customer→supplier order graph (3 damped power
     * iterations; supplier ids offset so the two key spaces cannot
     * collide). The oracle is GENERATED per iteration count by
@@ -242,6 +268,8 @@ object Queries {
     "q_sessionize" -> (q_sessionize _),
     "q_funnel" -> (q_funnel _),
     "q_pagerank" -> (q_pagerank _),
+    "q_pivot" -> (q_pivot _),
+    "q_unpivot" -> (q_unpivot _),
     "q_agg_pricing" -> (q_agg_pricing _),
     "q_a1_group_mean" -> (q_a1_group_mean _),
     "q_a2_group_max" -> (q_a2_group_max _),
@@ -279,6 +307,26 @@ object Queries {
         |FROM events JOIN b ON value >= lo AND value <= hi""".stripMargin,
     "q_pagerank" ->
       graft.ops.PageRank.oracleSql(pagerankEdgesCte, iterations = 3),
+    "q_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  l_quantity::DOUBLE AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  l_extendedprice::DOUBLE FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  l_discount::DOUBLE FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax',
+        |  l_tax::DOUBLE FROM lineitem""".stripMargin,
     "q_sessionize" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS t_us, value FROM events
