@@ -135,7 +135,56 @@ object ScaleBench {
       tokenizeThroughput(spark, outDir, listener)
     if (args.contains("warc") || args.isEmpty)
       warcThroughput(spark, outDir, listener)
+    if (args.contains("eventops") || args.isEmpty)
+      eventOps(spark, srcDir, outDir, listener)
     spark.stop()
+  }
+
+  /** The event/graph operators at 1x vs 20x: as-of join (clicks ←
+    * latest error), sessionization, and 3 PageRank iterations over the
+    * customer→supplier graph. Claims: as-of is ONE key exchange (wall
+    * tracks event volume, shuffle carries rows once — never a range
+    * join's candidate blow-up), sessions are one window pass, and each
+    * PageRank round's shuffle is edges+ranks (the decimal-sum
+    * portability costs nothing structural).
+    */
+  private def eventOps(spark: SparkSession, srcDir: String, outDir: String,
+                       listener: TaskMetricsProbe): Unit = {
+    // noop-sink materialization: a bare count() lets Catalyst prune the
+    // whole operator under test away (the r1 bench lesson — a count of
+    // the as-of join is just a count of the left side)
+    def time(label: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"eventops":"$label","sec":$sec%.2f,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite}}""")
+    }
+    for (dir <- Seq(srcDir, outDir)) {
+      val tag = if (dir == srcDir) "1x" else "20x"
+      time(s"asof_$tag", graft.Queries.q_asof_join(spark, dir))
+      time(s"sessionize_$tag", graft.Queries.q_sessionize(spark, dir))
+    }
+    // the scaled dir's lineitem offsets orderkeys away from the 1x
+    // orders dim, so a scaled GRAPH is built directly: 20 disjoint
+    // offset copies of the 1x customer→supplier edges (a sharded link
+    // graph — PageRank cost is edges + ranks per round regardless of
+    // connectivity)
+    val li = SparkEntry.table(spark, srcDir, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+    val ord = SparkEntry.table(spark, srcDir, "orders")
+      .select("o_orderkey", "o_custkey")
+    val edges1 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+    time("pagerank3_1x", graft.ops.PageRank.pageRank(edges1, 3))
+    val edges20 = (0 until 20).map { i =>
+      edges1.select((col("src") + lit(i.toLong * 10000000L)).as("src"),
+        (col("dst") + lit(i.toLong * 10000000L)).as("dst"))
+    }.reduce(_ unionByName _)
+    time("pagerank3_20x", graft.ops.PageRank.pageRank(edges20, 3))
   }
 
   /** WARC ingestion throughput: synthesize a multi-file archive from
