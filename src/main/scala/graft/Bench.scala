@@ -103,6 +103,8 @@ object Bench {
     "q_curation_e2e",
     "q_image_neardup_e2e",
     "q_cc_pipeline",
+    "q_asof_join",
+    "q_pagerank",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1452,6 +1452,38 @@ object QueriesLLM {
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
   }
 
+  /** Two-stage retrieval: BM25 recalls top-20 candidates per query
+    * (cheap, inverted index), exact cosine over the aligned embeddings
+    * REranks them to top-5 (expensive scorer touches 20 rows/query,
+    * never the corpus) — the standard retrieve-then-rerank serving
+    * shape, fully oracled end-to-end (both stages reuse the exact
+    * trees `q_bm25_topk` / `q_ann_topk` pin individually).
+    */
+  def q_rerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val cands = Retrieval.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 3), "doc_id", "text", k = 20)
+      .filter(col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"))
+    val emb = table(spark, dir, "embeddings")
+    val scored = cands
+      .join(broadcast(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), Seq("query_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")), Seq("neighbor_id"))
+      .withColumn("qn", Dedup.l2norm(col("qv")))
+      .withColumn("cn", Dedup.l2norm(col("cv")))
+      .withColumn("cos",
+        when(col("qn") > 0 && col("cn") > 0,
+          Dedup.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Sketch-based corpus profile — the 100 TB form of `q_corpus_stats`:
     * HyperLogLog++ distinct counts (`approx_count_distinct`) and
     * mergeable quantile sketches (`percentile_approx`) keep per-group
@@ -1634,6 +1666,7 @@ object QueriesLLM {
     "q_image_neardup" -> (q_image_neardup _),
     "q_semdedup" -> (q_semdedup _),
     "q_bm25_topk" -> (q_bm25_topk _),
+    "q_rerank" -> (q_rerank _),
     "q_bm25_indexed" -> (q_bm25_indexed _),
     "q_bm25_incremental" -> (q_bm25_incremental _),
     "q_corpus_sketch" -> (q_corpus_sketch _),
@@ -2137,6 +2170,52 @@ object QueriesLLM {
         |  FROM scored
         |)
         |SELECT query_id, doc_id, rank::BIGINT AS rank, score
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_rerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, sum(dl) / count(*)::DOUBLE AS avgdl FROM dl
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3
+        |), contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    floor((floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1000000000 + 0.5) / 1000000000)
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+        |      * 1000000 + 0.5) / 1000000 AS c
+        |  FROM q JOIN tf USING (term) JOIN dfreq d USING (term)
+        |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+        |), bscored AS (
+        |  SELECT query_id, doc_id, sum(c::DECIMAL(28,12))::DOUBLE AS score
+        |  FROM contrib GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT query_id, doc_id AS neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, doc_id) AS brank
+        |  FROM bscored
+        |), cc AS (
+        |  SELECT query_id, neighbor_id FROM cand
+        |  WHERE brank <= 20 AND query_id <> neighbor_id
+        |), rr AS (
+        |  SELECT cc.query_id, cc.neighbor_id,
+        |    list_sum(list_transform(list_zip(eq.embedding, ec.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(eq.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(ec.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM cc JOIN embeddings eq ON eq.vec_id = cc.query_id
+        |    JOIN embeddings ec ON ec.vec_id = cc.neighbor_id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM rr
+        |)
+        |SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 6) AS cos
         |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_rrf_hybrid" ->
       """WITH toks AS (
