@@ -210,6 +210,22 @@ object Queries {
       .select("event_id", "band_id")
   }
 
+  /** Semi-structured JSON extraction: parse the events `props` JSON
+    * column with an explicit schema (`from_json` — schema declared,
+    * never inferred: inference is a second scan and a drifting
+    * contract), extract `k`, and aggregate on it. Exercises the
+    * JSON-column path every real event stream has.
+    */
+  def q_json_extract(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+
   /** Pivot (long → wide): per-user event-type value sums as columns,
     * with the column set pinned explicitly (never inferred — inference
     * is a distinct-scan plus nondeterministic column order at scale).
@@ -270,6 +286,7 @@ object Queries {
     "q_pagerank" -> (q_pagerank _),
     "q_pivot" -> (q_pivot _),
     "q_unpivot" -> (q_unpivot _),
+    "q_json_extract" -> (q_json_extract _),
     "q_agg_pricing" -> (q_agg_pricing _),
     "q_a1_group_mean" -> (q_a1_group_mean _),
     "q_a2_group_max" -> (q_a2_group_max _),
@@ -307,6 +324,10 @@ object Queries {
         |FROM events JOIN b ON value >= lo AND value <= hi""".stripMargin,
     "q_pagerank" ->
       graft.ops.PageRank.oracleSql(pagerankEdgesCte, iterations = 3),
+    "q_json_extract" ->
+      """SELECT json_extract(props, '$.k')::BIGINT % 10 AS k_bucket,
+        |  count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,

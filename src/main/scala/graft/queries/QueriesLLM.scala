@@ -763,6 +763,25 @@ object QueriesLLM {
         size(col("pieces")).cast("long").as("n_pieces"))
   }
 
+  /** Fuzzy (edit-distance ≤ 1) vocabulary join
+    * ([[graft.ops.FuzzyJoin.editDistancePairs]]): the corpus word
+    * table plus a deterministic typo per 4+-char word (second char
+    * deleted — the dupCorpus convention applied to spelling), all
+    * pairs within distance 1 via q-gram candidates + exact
+    * `levenshtein` verify. The oracle runs the PLAIN quadratic
+    * predicate — completeness of the gram filter is what the hash
+    * compare checks.
+    */
+  def q_fuzzy_join(spark: SparkSession, dir: String): DataFrame = {
+    val wf = BpeTrain.wordCounts(table(spark, dir, "documents"), "text")
+      .select(col("word"))
+    val typos = wf.filter(length(col("word")) >= 4)
+      .select(concat(substring(col("word"), 1, 1),
+        expr("substring(word, 3)")).as("word"))
+    graft.ops.FuzzyJoin.editDistancePairs(
+      wf.unionByName(typos), "word", maxDist = 1)
+  }
+
   /** Unigram-LM seed vocabulary ([[UnigramLm.seedVocab]]): frequency-
     * weighted substrings (≤ 4 chars) of the corpus word table — all
     * single characters plus the top-256 multi-char pieces by
@@ -1702,6 +1721,7 @@ object QueriesLLM {
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_unigram_seed" -> (q_unigram_seed _),
     "q_unigram_tokens" -> (q_unigram_tokens _),
+    "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_quality_lr" -> (q_quality_lr _),
     "q_corpus_stats" -> (q_corpus_stats _),
     "q_dedup_incremental" -> (q_dedup_incremental _),
@@ -2886,6 +2906,23 @@ object QueriesLLM {
         |  SELECT piece, freq FROM pieces WHERE length(piece) > 1
         |  ORDER BY freq DESC, piece LIMIT 256
         |)""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word
+        |  FROM documents
+        |), wf AS (
+        |  SELECT DISTINCT word FROM words WHERE regexp_matches(word, '^[a-z]+$')
+        |), vocab AS (
+        |  SELECT word AS s FROM wf
+        |  UNION
+        |  SELECT substr(word, 1, 1) || substr(word, 3) AS s
+        |  FROM wf WHERE length(word) >= 4
+        |)
+        |SELECT a.s AS s_a, b.s AS s_b,
+        |  levenshtein(a.s, b.s)::BIGINT AS dist
+        |FROM vocab a JOIN vocab b
+        |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+        |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
     "q_bpe_pairs" ->
       """WITH words AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word

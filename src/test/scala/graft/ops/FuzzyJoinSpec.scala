@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Edit-distance join: complete and exact against a brute-force
+  * quadratic reference on random small-alphabet strings (where near
+  * pairs are dense), including the ≤ q·k short-string fallback bucket
+  * and maxDist 2.
+  */
+class FuzzyJoinSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private val rnd = new scala.util.Random(31)
+  private val strings = ((0 until 300).map(_ =>
+    (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+      .mkString) :+ "a" :+ "b" :+ "ab").distinct
+
+  test("== brute-force quadratic at maxDist 1 and 2 (incl. short strings)") {
+    for (k <- Seq(1, 2)) {
+      val got = FuzzyJoin.editDistancePairs(strings.toDF("s"), "s", k)
+        .as[(String, String, Long)].collect().toSet
+      val expect = (for {
+        a <- strings; b <- strings if a < b
+        d = lev(a, b) if d <= k
+      } yield (a, b, d.toLong)).toSet
+      assert(got == expect,
+        s"maxDist=$k: missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+      assert(expect.nonEmpty) // the fixture actually exercises the join
+    }
+  }
+
+  test("finds injected typos in a realistic vocabulary") {
+    val vocab = Seq("energy", "enrgy", "transform", "tranform", "meter",
+      "meters", "widely", "unrelated")
+    val got = FuzzyJoin.editDistancePairs(vocab.toDF("s"), "s", 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(got.contains(("energy", "enrgy", 1L)))
+    assert(got.contains(("tranform", "transform", 1L)))
+    assert(got.contains(("meter", "meters", 1L)))
+    assert(!got.exists(p => p._1 == "unrelated" || p._2 == "unrelated"))
+  }
+}
