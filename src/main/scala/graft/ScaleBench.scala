@@ -137,7 +137,47 @@ object ScaleBench {
       warcThroughput(spark, outDir, listener)
     if (args.contains("eventops") || args.isEmpty)
       eventOps(spark, srcDir, outDir, listener)
+    if (args.contains("fuzzy") || args.isEmpty)
+      fuzzyScale(spark, listener)
     spark.stop()
+  }
+
+  /** Edit-distance join at vocabulary scale (5k / 20k seeded-random
+    * words — the distinct-string table is the operator's real input
+    * shape): wall + the ARITHMETIC candidate bill (Σ df·(df−1)/2 over
+    * shared padded bigrams — the gram join's row count, computed from
+    * one df pass) against the quadratic n·(n−1)/2 a naive cross join
+    * would verify. The claim: candidates track gram-frequency mass,
+    * orders of magnitude under quadratic, and every candidate is a
+    * cheap integer levenshtein.
+    */
+  private def fuzzyScale(spark: SparkSession,
+                         listener: TaskMetricsProbe): Unit = {
+    import spark.implicits._
+    import graft.llm.TextFunctions
+    for (n <- Seq(5000, 20000)) {
+      val rnd = new scala.util.Random(7)
+      val vocab = (1 to n).map(_ => (1 to (3 + rnd.nextInt(8)))
+          .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+        .distinct.toDF("s").localCheckpoint()
+      val nDistinct = vocab.count()
+      val candBill = vocab
+        .select(explode(array_distinct(TextFunctions.charShingleHashes(
+          concat(lit("\u0001"), col("s"), lit("\u0001")), 2))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .agg(sum((col("df") * (col("df") - 1) / 2).cast("long")))
+        .collect().head.getLong(0)
+      listener.reset()
+      val t0 = System.nanoTime()
+      val found = graft.ops.FuzzyJoin.editDistancePairs(vocab, "s", 1).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"fuzzy":"ed1_join","n":$nDistinct,"sec":$sec%.2f,""" +
+        s""""pairs_found":$found,"gram_candidates":$candBill,""" +
+        s""""quadratic_cells":${nDistinct * (nDistinct - 1) / 2},""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite}}""")
+      graft.Checkpoints.free(vocab)
+    }
   }
 
   /** The event/graph operators at 1x vs 20x: as-of join (clicks ←
