@@ -436,6 +436,31 @@ object QueriesLLM {
     NgramLm.score(table(spark, dir, "documents"), "doc_id", "text",
       NgramLm.trainFromCounts(knCounts(spark, dir)))
 
+  /** The CCNet head/middle/tail split (Wenzek arXiv:1911.00359 §4.3):
+    * bucket the corpus by held-out-LM perplexity tertiles (exact
+    * interpolated percentiles — the A3 machinery — over [[q_kn_score]]'s
+    * nll), report per-bucket size and nll stats. THE curation decision
+    * CCNet ships: keep head+middle, drop or re-sample tail.
+    */
+  def q_ppl_split(spark: SparkSession, dir: String): DataFrame = {
+    val scored = NgramLm.score(table(spark, dir, "documents"),
+      "doc_id", "text", NgramLm.trainFromCounts(knCounts(spark, dir)))
+    val ts = scored.agg(
+      percentile(col("nll"), lit(1.0 / 3)).as("t1"),
+      percentile(col("nll"), lit(2.0 / 3)).as("t2"))
+    scored.crossJoin(broadcast(ts))
+      .withColumn("bucket",
+        when(col("nll").isNull, "oov")
+          .when(col("nll") <= col("t1"), "head")
+          .when(col("nll") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("nll").as("min_nll"), max("nll").as("max_nll"),
+        (floor((sum(col("nll").cast("decimal(28,12)")).cast("double") /
+          count(col("nll"))) * 1e6 + 0.5) / 1e6).as("mean_nll"))
+  }
+
   /** Benchmark decontamination: every corpus doc scored against a
     * held-out "benchmark" slice (doc_id < 20 stands in), score = share
     * of the benchmark doc's distinct 3-grams present in the corpus doc.
@@ -1670,6 +1695,7 @@ object QueriesLLM {
     "q_text_bigram_lm" -> (q_text_bigram_lm _),
     "q_kn_model" -> (q_kn_model _),
     "q_kn_score" -> (q_kn_score _),
+    "q_ppl_split" -> (q_ppl_split _),
     "q_text_repetition" -> (q_text_repetition _),
     "q_contamination" -> (q_contamination _),
     "q_contamination_bloom" -> (q_contamination_bloom _),
@@ -3258,6 +3284,36 @@ object QueriesLLM {
         |  floor(-(sum((floor(ln(p) * 1000000000 + 0.5) / 1000000000)::DECIMAL(28,12))::DOUBLE
         |        / count(p)) * 1000000 + 0.5) / 1000000 AS nll
         |FROM sc GROUP BY doc_id""".stripMargin),
+    "q_ppl_split" -> (knModelSql +
+      """, sc AS (
+        |  SELECT tg.doc_id,
+        |    CASE WHEN tri.p3 IS NOT NULL THEN tri.p3
+        |         WHEN ctx3.bow3 IS NOT NULL
+        |           THEN ctx3.bow3 * coalesce(bi.p2, ctx2.bow2 * uni.p1)
+        |         ELSE coalesce(bi.p2, ctx2.bow2 * uni.p1, uni.p1) END AS p
+        |  FROM tg
+        |  LEFT JOIN tri ON tg.u = tri.u AND tg.v = tri.v AND tg.w = tri.w
+        |  LEFT JOIN ctx3 ON tg.u = ctx3.u AND tg.v = ctx3.v
+        |  LEFT JOIN bi ON tg.v = bi.v AND tg.w = bi.w
+        |  LEFT JOIN ctx2 ON tg.v = ctx2.v
+        |  LEFT JOIN uni ON tg.w = uni.w
+        |), scored AS (
+        |  SELECT doc_id,
+        |    floor(-(sum((floor(ln(p) * 1000000000 + 0.5) / 1000000000)::DECIMAL(28,12))::DOUBLE
+        |          / count(p)) * 1000000 + 0.5) / 1000000 AS nll
+        |  FROM sc GROUP BY doc_id
+        |), t AS (
+        |  SELECT quantile_cont(nll, 0.3333333333333333) AS t1,
+        |         quantile_cont(nll, 0.6666666666666666) AS t2
+        |  FROM scored
+        |)
+        |SELECT CASE WHEN nll IS NULL THEN 'oov'
+        |            WHEN nll <= t1 THEN 'head'
+        |            WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*)::BIGINT AS n, min(nll) AS min_nll, max(nll) AS max_nll,
+        |  floor((sum(nll::DECIMAL(28,12))::DOUBLE / count(nll)) * 1000000 + 0.5)
+        |    / 1000000 AS mean_nll
+        |FROM scored, t GROUP BY 1""".stripMargin),
     "q_mixture_expand" ->
       """WITH micro AS (
         |  SELECT source, doc_id,
