@@ -718,19 +718,35 @@ object QueriesLLM {
     * every variant collapses; host + registered-domain extraction
     * rides along. Pure string/array ops, hash-exact.
     */
+  private def synthUrl: Column = concat(
+    when(col("doc_id") % 3 === 0, lit("HTTP://Example.COM:80/Path/"))
+      .when(col("doc_id") % 3 === 1,
+        lit("https://sub.shop.example.co.uk:443/p/"))
+      .otherwise(lit("http://example.com/Path/")),
+    col("doc_id"),
+    lit("?utm_source=feed&b=2&a=1#frag"))
+
   def q_url_normalize(spark: SparkSession, dir: String): DataFrame = {
-    val url = concat(
-      when(col("doc_id") % 3 === 0, lit("HTTP://Example.COM:80/Path/"))
-        .when(col("doc_id") % 3 === 1,
-          lit("https://sub.shop.example.co.uk:443/p/"))
-        .otherwise(lit("http://example.com/Path/")),
-      col("doc_id"),
-      lit("?utm_source=feed&b=2&a=1#frag"))
-    val norm = UrlFunctions.normalizeUrl(url)
+    val norm = UrlFunctions.normalizeUrl(synthUrl)
     table(spark, dir, "documents")
       .select(col("doc_id"), norm.as("url"),
         UrlFunctions.urlHost(norm).as("host"),
         UrlFunctions.registeredDomain(UrlFunctions.urlHost(norm)).as("domain"))
+  }
+
+  /** FineWeb-style per-domain cap: at most 50 documents per registered
+    * domain, selected in deterministic content-hash order (the
+    * `sampleExactPerGroup` rule) — the crawl-side dominance guard that
+    * keeps one prolific host from owning the corpus. Composes the URL
+    * chain with the exact-count sampler; hash-exact end to end.
+    */
+  def q_domain_cap(spark: SparkSession, dir: String): DataFrame = {
+    val domain = UrlFunctions.registeredDomain(
+      UrlFunctions.urlHost(UrlFunctions.normalizeUrl(synthUrl)))
+    TextFunctions.sampleExactPerGroup(
+        table(spark, dir, "documents").withColumn("domain", domain),
+        "doc_id", "domain", n = 50)
+      .select("doc_id", "domain")
   }
 
   /** The crawl-pipeline flagship, fully oracled end-to-end over the
@@ -1744,6 +1760,7 @@ object QueriesLLM {
     "q_compression_ratio" -> (q_compression_ratio _),
     "q_html_main" -> (q_html_main _),
     "q_url_normalize" -> (q_url_normalize _),
+    "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_unigram_seed" -> (q_unigram_seed _),
     "q_unigram_tokens" -> (q_unigram_tokens _),
@@ -1845,6 +1862,64 @@ object QueriesLLM {
       s"a -> length(${duckStrip("a")}))), 0))), " +
       "s -> length(s.t) >= 20 AND s.l * 3 <= length(s.t)), " +
       "s -> s.t), ' ')"
+
+  /** Shared u0..u7 CTE chain for the URL oracles (synthesized URLs →
+    * normalize → host), ending before the final SELECT; the registered-
+    * domain CASE is shared separately.
+    */
+  private val urlChainSql =
+    """WITH u0 AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://Example.COM:80/Path/'
+        |      WHEN 1 THEN 'https://sub.shop.example.co.uk:443/p/'
+        |      ELSE 'http://example.com/Path/' END)
+        |    || doc_id || '?utm_source=feed&b=2&a=1#frag' AS url
+        |  FROM documents
+        |), u1 AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u0
+        |), u2 AS (
+        |  SELECT *,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostlower,
+        |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '') AS rest
+        |  FROM u1
+        |), u3 AS (
+        |  SELECT *,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostlower, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostlower, ':443$', '')
+        |         ELSE hostlower END AS nop,
+        |    regexp_replace(rest, '\?.*$', '') AS path,
+        |    CASE WHEN contains(rest, '?')
+        |      THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS query
+        |  FROM u2
+        |), u4 AS (
+        |  SELECT *, list_sort(list_filter(string_split(query, '&'),
+        |      p -> length(p) > 0
+        |        AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))) AS kept
+        |  FROM u3
+        |), u5 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme = '' THEN url
+        |      ELSE scheme || '://' || nop || path ||
+        |        (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |         ELSE '' END) END AS url
+        |  FROM u4
+        |), u6 AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+        |  FROM u5
+        |), u7 AS (
+        |  SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+        |  FROM u6
+        |)""".stripMargin
+
+  private val domainCaseSql =
+    """CASE WHEN n <= 2 THEN host
+      |       WHEN length(ls[n]) = 2
+      |         AND ls[n-1] IN ('co','com','net','org','ac','gov','edu')
+      |         THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+      |       ELSE ls[n-1] || '.' || ls[n] END""".stripMargin
 
   private val enList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
   private val nlList = TextFunctions.nlStopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -3024,59 +3099,20 @@ object QueriesLLM {
          |)
          |SELECT min(doc_id) AS doc_id, main, n_tokens, count(*)::BIGINT AS n_dups
          |FROM t WHERE n_tokens >= 5 GROUP BY main, n_tokens""".stripMargin),
-    "q_url_normalize" ->
-      """WITH u0 AS (
-        |  SELECT doc_id,
-        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://Example.COM:80/Path/'
-        |      WHEN 1 THEN 'https://sub.shop.example.co.uk:443/p/'
-        |      ELSE 'http://example.com/Path/' END)
-        |    || doc_id || '?utm_source=feed&b=2&a=1#frag' AS url
-        |  FROM documents
-        |), u1 AS (
-        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u0
-        |), u2 AS (
-        |  SELECT *,
-        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostlower,
-        |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '') AS rest
-        |  FROM u1
-        |), u3 AS (
-        |  SELECT *,
-        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostlower, ':80$', '')
-        |         WHEN scheme = 'https' THEN regexp_replace(hostlower, ':443$', '')
-        |         ELSE hostlower END AS nop,
-        |    regexp_replace(rest, '\?.*$', '') AS path,
-        |    CASE WHEN contains(rest, '?')
-        |      THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS query
-        |  FROM u2
-        |), u4 AS (
-        |  SELECT *, list_sort(list_filter(string_split(query, '&'),
-        |      p -> length(p) > 0
-        |        AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))) AS kept
-        |  FROM u3
-        |), u5 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN scheme = '' THEN url
-        |      ELSE scheme || '://' || nop || path ||
-        |        (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-        |         ELSE '' END) END AS url
-        |  FROM u4
-        |), u6 AS (
-        |  SELECT doc_id, url,
-        |    lower(regexp_extract(url,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
-        |  FROM u5
-        |), u7 AS (
-        |  SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
-        |  FROM u6
+    "q_url_normalize" -> (urlChainSql +
+      s"""
+        |SELECT doc_id, url, host, $domainCaseSql AS domain
+        |FROM u7""".stripMargin),
+    "q_domain_cap" -> (urlChainSql +
+      s""", dom AS (
+        |  SELECT doc_id, $domainCaseSql AS domain FROM u7
+        |), capped AS (
+        |  SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+        |    ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id) AS rn
+        |  FROM dom
         |)
-        |SELECT doc_id, url, host,
-        |  CASE WHEN n <= 2 THEN host
-        |       WHEN length(ls[n]) = 2
-        |         AND ls[n-1] IN ('co','com','net','org','ac','gov','edu')
-        |         THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
-        |       ELSE ls[n-1] || '.' || ls[n] END AS domain
-        |FROM u7""".stripMargin,
+        |SELECT doc_id, domain FROM capped WHERE rn <= 50""".stripMargin),
+
     "q_quality_lr" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
