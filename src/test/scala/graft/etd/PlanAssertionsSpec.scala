@@ -218,6 +218,35 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"positional filter must ride the candidate aggregation:\n$p")
   }
 
+  test("as-of join: one hash exchange on the keys feeds the window; no range join") {
+    val l = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_id").as("t"))
+    val r = l.select(col("user_id"), col("t"), col("event_id").as("rid"))
+    val p = plan(graft.ops.TimeJoins.asofJoin(l, r, Seq("user_id"), "t", Seq("rid")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"as-of must not plan a range join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected the single key exchange, got $exchanges:\n$p")
+  }
+
+  test("KN scoring: no cartesian; vocabulary-sized model tables broadcast") {
+    val p = plan(graft.queries.QueriesLLM.q_kn_score(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in KN scorer:\n$p")
+    // uni (p1) and ctx2 (bow2) are vocab-sized: at least two of the five
+    // model joins must be broadcast at this scale
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"vocab-sized model tables should broadcast:\n$p")
+  }
+
+  test("crawl pipeline: extraction stays map-side — dedup's is the only wide agg over the corpus") {
+    val p = plan(graft.queries.QueriesLLM.q_cc_pipeline(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"page->main->dedup needs no join at all:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"extraction must fold into the dedup exchange, got $exchanges:\n$p")
+  }
+
   test("expectations: rule count does not change the plan shape (one scan)") {
     import graft.ops.Expectations.Rule
     val docs = spark.read.parquet(s"$dir/documents.parquet")
