@@ -53,6 +53,41 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("warm start re-converges after a perturbation far faster than cold") {
+    val e1 = edges.toDF("src", "dst")
+    val converged = PageRank.pageRank(e1, 20)
+    // perturb: drop a tenth of the edges
+    val e2 = edges.filterNot(p => (p._1 + p._2) % 10 == 0).toDF("src", "dst")
+    val cold2 = PageRank.pageRank(e2, 2)
+      .as[(Long, Double)].collect().toMap
+    val warm2 = PageRank.pageRankFrom(e2, converged, 2)
+      .as[(Long, Double)].collect().toMap
+    val coldLong = PageRank.pageRank(e2, 40).as[(Long, Double)].collect().toMap
+    def maxDiff(a: Map[Long, Double]) =
+      coldLong.map { case (id, r) => math.abs(a(id) - r) }.max
+    // same 2-round budget: starting near the old fixpoint beats the
+    // uniform start (the incremental-refresh claim; how MUCH it beats
+    // it depends on mixing speed, so the pin is the ordering + a bound)
+    assert(maxDiff(warm2) < maxDiff(cold2),
+      s"warm(2)=${maxDiff(warm2)} vs cold(2)=${maxDiff(cold2)}")
+    assert(maxDiff(warm2) < 1e-3)
+  }
+
+  test("warm start from uniform == cold start bit-for-bit") {
+    val e = edges.toDF("src", "dst")
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val uniform = nodes.map(v => (v, 1.0 / nodes.size)).toDF("id", "rank")
+    val warm = PageRank.pageRankFrom(e, uniform, 3)
+      .as[(Long, Double)].collect().toMap
+    val cold = PageRank.pageRank(e, 3).as[(Long, Double)].collect().toMap
+    // the renormalization divides by a decimal-exact mass of exactly the
+    // same doubles the cold init uses, so results can differ only by the
+    // /m operation — with m from summing n copies of (1.0/n)
+    warm.foreach { case (id, r) =>
+      assert(math.abs(r - cold(id)) < 1e-15, s"node $id: $r vs ${cold(id)}")
+    }
+  }
+
   test("invariant under partitioning; multi-edges collapse") {
     val dupEdges = edges ++ edges.take(50) // repeat some edges
     val a = PageRank.pageRank(dupEdges.toDF("src", "dst").repartition(1), 3)
