@@ -167,6 +167,9 @@ object ScaleBench {
         .groupBy("g").agg(count(lit(1)).as("df"))
         .agg(sum((col("df") * (col("df") - 1) / 2).cast("long")))
         .collect().head.getLong(0)
+      // the COUNT filter's surviving verify set vs the single-gram bill:
+      // the claim is that levenshtein runs on a fraction of candBill
+      val counted = graft.ops.FuzzyJoin.countFilterCandidates(vocab, "s", 1)
       listener.reset()
       val t0 = System.nanoTime()
       val found = graft.ops.FuzzyJoin.editDistancePairs(vocab, "s", 1).count()
@@ -174,6 +177,7 @@ object ScaleBench {
       Thread.sleep(300)
       println(f"""{"fuzzy":"ed1_join","n":$nDistinct,"sec":$sec%.2f,""" +
         s""""pairs_found":$found,"gram_candidates":$candBill,""" +
+        s""""count_filter_verified":$counted,""" +
         s""""quadratic_cells":${nDistinct * (nDistinct - 1) / 2},""" +
         s""""shuffle_write_bytes":${listener.totShuffleWrite}}""")
       graft.Checkpoints.free(vocab)

@@ -43,6 +43,29 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("count filter: verify set is complete and strictly prunes") {
+    val df = strings.toDF("s")
+    val truePairs = (for {
+      a <- strings; b <- strings if a < b
+      d = lev(a, b) if d <= 1
+    } yield (a, b)).size
+    // single-gram candidate set (what the pre-count-filter form verified):
+    // pairs sharing ANY padded bigram within the length band, plus the
+    // short×short bucket
+    def grams(s: String): Set[String] =
+      ("" + s + "").sliding(2).toSet
+    val singleGram = (for {
+      a <- strings; b <- strings
+      if a < b && math.abs(a.length - b.length) <= 1 &&
+        (grams(a).intersect(grams(b)).nonEmpty ||
+          (a.length <= 2 && b.length <= 2))
+    } yield (a, b)).size
+    val counted = FuzzyJoin.countFilterCandidates(df, "s", 1)
+    assert(counted >= truePairs, "count filter must keep every true pair")
+    assert(counted < singleGram,
+      s"count filter should prune the single-gram set ($counted vs $singleGram)")
+  }
+
   test("finds injected typos in a realistic vocabulary") {
     val vocab = Seq("energy", "enrgy", "transform", "tranform", "meter",
       "meters", "widely", "unrelated")
