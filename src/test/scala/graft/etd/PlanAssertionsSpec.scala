@@ -247,6 +247,28 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"extraction must fold into the dedup exchange, got $exchanges:\n$p")
   }
 
+  test("fuzzy join: gram path is an equi-join on (gram, occ) feeding the " +
+      "count-filter aggregate; only the bounded short bucket may nested-loop") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang").as("s"))
+    val p = plan(graft.ops.FuzzyJoin.editDistancePairs(docs, "s", 1))
+    assert(!p.contains("CartesianProduct"),
+      s"fuzzy join must never plan a cartesian:\n$p")
+    // the short-string (len <= q*k) all-pairs bucket is alphabet-bounded
+    // by construction and is ALLOWED to nested-loop; the corpus-scale
+    // gram join must not
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"only the short bucket may nested-loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"),
+      s"gram join must be an equi-join:\n$p")
+    // occurrence index is part of the join keys (the multiset join), and
+    // the Gravano count bound filters the pair aggregate before verify
+    assert(p.contains("occ"), s"occurrence index missing from plan:\n$p")
+    assert(p.contains("__shared"), s"count-filter aggregate missing:\n$p")
+    assert(p.contains("levenshtein"), s"bounded verify missing:\n$p")
+  }
+
   test("expectations: rule count does not change the plan shape (one scan)") {
     import graft.ops.Expectations.Rule
     val docs = spark.read.parquet(s"$dir/documents.parquet")
