@@ -229,6 +229,9 @@ object ScaleBench {
         (col("dst") + lit(i.toLong * 10000000L)).as("dst"))
     }.reduce(_ unionByName _)
     time("pagerank3_20x", graft.ops.PageRank.pageRank(edges20, 3))
+    // throughput tier on the same scaled graph: identical iteration,
+    // IEEE-double sums — the shuffle_write delta IS the decimal price
+    time("pagerank3_20x_fast", graft.ops.PageRank.pageRankFast(edges20, 3))
   }
 
   /** WARC ingestion throughput: synthesize a multi-file archive from

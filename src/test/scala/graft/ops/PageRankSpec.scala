@@ -53,6 +53,23 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("fast tier tracks the exact tier within fp noise; same top-k order") {
+    val df = edges.toDF("src", "dst")
+    val exact = PageRank.pageRank(df, 4, checkpointEvery = 2)
+      .as[(Long, Double)].collect().toMap
+    val fast = PageRank.pageRankFast(df, 4, checkpointEvery = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(fast.keySet == exact.keySet)
+    fast.foreach { case (id, r) =>
+      assert(math.abs(r - exact(id)) <= 1e-9, s"node $id: $r vs ${exact(id)}")
+    }
+    assert(math.abs(fast.values.sum - 1.0) < 1e-9, "fast tier conserves mass")
+    val topExact = exact.toSeq.sortBy { case (id, r) => (-r, id) }.take(10)
+    val topFast = fast.toSeq.sortBy { case (id, r) => (-r, id) }.take(10)
+    assert(topExact.map(_._1) == topFast.map(_._1),
+      "the tiers must agree on the top-10 ordering")
+  }
+
   test("warm start re-converges after a perturbation far faster than cold") {
     val e1 = edges.toDF("src", "dst")
     val converged = PageRank.pageRank(e1, 20)
