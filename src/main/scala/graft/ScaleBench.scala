@@ -1084,6 +1084,50 @@ object ScaleBench {
       time("ivf_probe2")(Similarity.ivfTopKProbed(queries, emb, "vec_id",
         "embedding", cents, k = 5, nprobe = 2))
       time("pq_adc")(Similarity.pqTopK(coded, "vec_id", "codes", qVecs, pqCb, k = 5))
+      time("pq_rerank_of8")(Similarity.pqRerankTopK(queries, emb, "vec_id",
+        "embedding", pqCb, k = 5, overfetch = 8))
+      // recall@5 vs brute (untimed; n_queries x k rows per method — a
+      // bounded driver read): the QUALITY half of the speed tradeoff the
+      // timed rows measure. Departures from 1.0 are the documented
+      // levers (nprobe for IVF boundary misses, codebook coarseness for
+      // ADC rank inversions) — at 100 TB you buy recall back with nprobe/
+      // overfetch, and this line is what tells you how much to buy. The
+      // rerank row IS the lever working: same coarse 8x16-centroid
+      // codebook, exact-cosine re-score of the k*8 ADC survivors.
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = pairs(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+      val rIvf = pairs(Similarity.ivfTopKProbed(queries, emb, "vec_id",
+        "embedding", cents, k = 5, nprobe = 2))
+      val rPq = pairs(Similarity.pqTopK(coded, "vec_id", "codes", qVecs, pqCb, k = 5))
+      val rRe = pairs(Similarity.pqRerankTopK(queries, emb, "vec_id",
+        "embedding", pqCb, k = 5, overfetch = 8))
+      def recall(got: Set[(Long, Long)]): Double =
+        if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
+      println(f"""{"ann":"recall_at_5","dir":"$dir","n_corpus":$nCorpus,""" +
+        f""""ivf_probe2":${recall(rIvf)}%.3f,"pq_adc":${recall(rPq)}%.3f,""" +
+        f""""pq_rerank_of8":${recall(rRe)}%.3f}""")
+      // the third recall lever: CODEBOOK QUALITY. Same m/k geometry,
+      // 5 Lloyd iterations over the corpus instead of the raw first-8
+      // seeds — the delta between this line and the one above is what
+      // codebook training buys before any nprobe/overfetch spend.
+      val tT = System.nanoTime()
+      val pqTrained = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = m, k = 8, iterations = 5)
+      val trainSec = (System.nanoTime() - tT) / 1e9
+      val codedT = emb.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), pqTrained).as("codes"))
+        .localCheckpoint()
+      val rPqT = pairs(Similarity.pqTopK(codedT, "vec_id", "codes", qVecs,
+        pqTrained, k = 5))
+      val rReT = pairs(Similarity.pqRerankTopK(queries, emb, "vec_id",
+        "embedding", pqTrained, k = 5, overfetch = 8))
+      println(f"""{"ann":"recall_at_5_trained","dir":"$dir",""" +
+        f""""train_sec":$trainSec%.2f,"pq_adc":${recall(rPqT)}%.3f,""" +
+        f""""pq_rerank_of8":${recall(rReT)}%.3f}""")
+      graft.Checkpoints.free(codedT)
+      graft.Checkpoints.free(coded)
     }
   }
 
