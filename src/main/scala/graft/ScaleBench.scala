@@ -1100,14 +1100,17 @@ object ScaleBench {
       val truth = pairs(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
       val rIvf = pairs(Similarity.ivfTopKProbed(queries, emb, "vec_id",
         "embedding", cents, k = 5, nprobe = 2))
+      // nprobe=4 of nlist=8: the IVF lever shown moving, not just named
+      val rIvf4 = pairs(Similarity.ivfTopKProbed(queries, emb, "vec_id",
+        "embedding", cents, k = 5, nprobe = 4))
       val rPq = pairs(Similarity.pqTopK(coded, "vec_id", "codes", qVecs, pqCb, k = 5))
       val rRe = pairs(Similarity.pqRerankTopK(queries, emb, "vec_id",
         "embedding", pqCb, k = 5, overfetch = 8))
       def recall(got: Set[(Long, Long)]): Double =
         if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
       println(f"""{"ann":"recall_at_5","dir":"$dir","n_corpus":$nCorpus,""" +
-        f""""ivf_probe2":${recall(rIvf)}%.3f,"pq_adc":${recall(rPq)}%.3f,""" +
-        f""""pq_rerank_of8":${recall(rRe)}%.3f}""")
+        f""""ivf_probe2":${recall(rIvf)}%.3f,"ivf_probe4":${recall(rIvf4)}%.3f,""" +
+        f""""pq_adc":${recall(rPq)}%.3f,"pq_rerank_of8":${recall(rRe)}%.3f}""")
       // the third recall lever: CODEBOOK QUALITY. Same m/k geometry,
       // 5 Lloyd iterations over the corpus instead of the raw first-8
       // seeds — the delta between this line and the one above is what
