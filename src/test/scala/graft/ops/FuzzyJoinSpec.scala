@@ -25,9 +25,18 @@ class FuzzyJoinSpec extends AnyFunSuite {
   }
 
   private val rnd = new scala.util.Random(31)
+  // includes the empty string: length 0 rides the short-string bucket
+  // and must pair with every 1-char value at distance 1
   private val strings = ((0 until 300).map(_ =>
     (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar)
-      .mkString) :+ "a" :+ "b" :+ "ab").distinct
+      .mkString) :+ "a" :+ "b" :+ "ab" :+ "").distinct
+
+  test("null strings never pair; empty string pairs via the short bucket") {
+    val df = Seq(Some("a"), Some(""), None, Some("b")).toDF("s")
+    val got = FuzzyJoin.editDistancePairs(df, "s", 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("", "a", 1L), ("", "b", 1L), ("a", "b", 1L)))
+  }
 
   test("== brute-force quadratic at maxDist 1 and 2 (incl. short strings)") {
     for (k <- Seq(1, 2)) {
