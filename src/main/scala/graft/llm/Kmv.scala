@@ -52,6 +52,61 @@ object Kmv {
     }
   }
 
+  /** Bottom-k-by-hash value sample
+    * ([[org.apache.spark.sql.graft.QuantileKmvSketch]]): the rows whose
+    * hashes are the k smallest, as parallel (hash ascending, value)
+    * arrays. Exact regime: under k rows the sample IS the multiset.
+    */
+  final case class VSummary(k: Int, hashes: Array[Long], values: Array[Double]) {
+    require(hashes.length == values.length,
+      s"parallel arrays disagree: ${hashes.length} vs ${values.length}")
+    require(hashes.length <= k, s"summary holds ${hashes.length} > k=$k values")
+    def saturated: Boolean = hashes.length >= k
+  }
+
+  /** Quantile estimate from a value sample — the engine's pinned rank
+    * rule: over the sample's values sorted ascending, the value at
+    * 1-based rank max(1, ceil(p * n)). Exact order statistic when the
+    * summary is unsaturated (the oracle-checkable regime); a uniform-
+    * sample estimate with ~1/sqrt(k) rank error when saturated.
+    */
+  def quantile(s: VSummary, p: Double): Double = {
+    require(p >= 0.0 && p <= 1.0, s"quantile p out of range: $p")
+    require(s.values.nonEmpty, "quantile of an empty summary")
+    val sorted = s.values.sorted
+    val r = math.max(1L, math.ceil(p * sorted.length).toLong).toInt
+    sorted(r - 1)
+  }
+
+  /** Union of value samples — bottom-k of the merged entries, pruned to
+    * min(ka, kb); hash collisions keep the smaller value (the sketch's
+    * own update rule), so folding per-snapshot summaries equals
+    * sketching the unioned corpus EXACTLY (SketchSpec pins it).
+    */
+  def vunion(a: VSummary, b: VSummary): VSummary = {
+    val k = math.min(a.k, b.k)
+    val m = new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+    def addAll(s: VSummary): Unit = {
+      var i = 0
+      while (i < s.hashes.length) {
+        val prev = m.get(s.hashes(i))
+        if (prev == null || s.values(i) < prev.doubleValue())
+          m.put(s.hashes(i), s.values(i))
+        i += 1
+      }
+    }
+    addAll(a); addAll(b)
+    while (m.size() > k) m.pollLastEntry()
+    val hs = new Array[Long](m.size())
+    val vs = new Array[Double](m.size())
+    val it = m.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next(); hs(i) = e.getKey; vs(i) = e.getValue; i += 1
+    }
+    VSummary(k, hs, vs)
+  }
+
   /** Estimated (exact when both unsaturated) Jaccard similarity. */
   def jaccard(a: Summary, b: Summary): Double = {
     val u = union(a, b)

@@ -128,6 +128,47 @@ object Packing {
     packed.drop("__len")
   }
 
+  /** No-straddle packing, next-fit discipline: same shard + (length
+    * desc, id) order as [[packBins]], but exactly ONE open bin — a
+    * document that does not fit closes the bin and opens the next.
+    * Strictly more padding than best-fit-decreasing (PackBinsSpec
+    * measures the gap), but the assignment is a pure left fold over
+    * the ordered stream, which makes it the CROSS-ENGINE-CHECKABLE
+    * packer: an independent sequential replay (the driver's DuckDB
+    * recursive CTE) must reproduce every (doc, shard, bin) exactly.
+    * Same scale shape: shard-parallel, O(1) state, one local sort.
+    */
+  def packBinsNextFit(df: DataFrame, idCol: String, tokenCol: String,
+                      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val sharded = df
+      .withColumn("shard", pmod(hash64(col(idCol).cast("string")), lit(shards.toLong)))
+      .withColumn("__len", col(tokenCol).cast("long"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__len").desc, col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sharded.schema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
+        "bin_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val shardIdx = sharded.schema.fieldIndex("shard")
+    val lenIdx = sharded.schema.fieldIndex("__len")
+    val packed = sharded.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var bin = -1L // -1 = no open bin yet
+      var fill = 0L
+      it.map { row =>
+        val shard = row.getLong(shardIdx)
+        if (shard != curShard) { curShard = shard; bin = -1L; fill = 0L }
+        val len = row.getLong(lenIdx)
+        require(len <= budget,
+          s"packBinsNextFit: document of $len tokens exceeds budget $budget")
+        if (bin >= 0 && fill + len <= budget) fill += len
+        else { bin += 1; fill = len }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    packed.drop("__len")
+  }
+
   /** Per-bin padding report over a [[packBins]] result: fill and
     * padding per (shard, bin) plus the number of documents — a plain
     * aggregation, so the packer itself never buffers a shard.

@@ -677,10 +677,12 @@ object QueriesLLM {
       .select(col("doc_id"), TextFunctions.htmlToText(html).as("extracted"))
   }
 
-  /** DEFLATE compression-ratio signal per document (rows-only: zlib
-    * output bytes are JDK-build-specific — CompressSpec pins
-    * determinism, the repetitive≪prose ordering, and agreement with a
-    * direct Deflater computation).
+  /** DEFLATE compression-ratio signal per document. NOT in the driver
+    * registry (r11 verdict: every registry entry must carry an oracle,
+    * and zlib output bytes are JDK-build-specific — no SQL replay can
+    * exist); CompressSpec is the verification surface: determinism,
+    * the repetitive≪prose ordering, and agreement with a direct
+    * Deflater computation.
     */
   def q_compression_ratio(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
@@ -784,23 +786,38 @@ object QueriesLLM {
       .select(col("a"), col("b"), col("n"), col("na"), col("nb"),
         (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
 
-  /** WordPiece-trained greedy tokenization (rows-only: the merge LOOP
-    * feeds each round's argmax back into the next — not one SQL query;
-    * WordPieceSpec pins the argmax arithmetic via [[q_wordpiece_scores]]'s
-    * table, partitioning determinism, and BERT greedy semantics).
+  /** BERT greedy longest-match tokenization
+    * ([[WordPiece.wordPieceTokens]]) under a DATA-DEPENDENT but
+    * SQL-recomputable vocabulary: all single letters (start and `##`
+    * continuation forms) plus the 16 most frequent letter-words and
+    * their 2-/3-char prefixes (so nested candidates exist and the
+    * longest-match rule is what the compare actually checks — `table`
+    * must beat `tab` must beat `ta`). The DuckDB oracle rebuilds the
+    * same vocabulary from the corpus and replays greedy matching
+    * row-for-row; output is flattened (`concat_ws`) because the driver
+    * comparator cannot sort array columns. The merge-LOOP-trained
+    * vocabulary composition stays WordPieceSpec's jurisdiction (the
+    * loop feeds each argmax back into the next round — not one SQL
+    * query); its scoring table is driver-pinned by
+    * [[q_wordpiece_scores]], and the tokenizer those two share is
+    * pinned HERE.
     */
   def q_wordpiece_tokens(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val wc = BpeTrain.wordCounts(docs, "text")
-    val merges = WordPiece.learnMerges(wc, numMerges = 16)
-    val vocab = WordPiece.vocabulary(wc, merges)
-      .select("piece").collect().map(_.getString(0)).toSet
+    val top = BpeTrain.wordCounts(docs, "text") // filters ^[a-z]+$ itself
+      .filter(length(col("word")) >= 2)
+      .orderBy(col("cnt").desc, col("word")).limit(16)
+      .select("word").collect().map(_.getString(0))
+    val singles = ('a' to 'z').map(_.toString)
+    val vocab = (singles ++ singles.map("##" + _) ++
+      top ++ top.map(_.take(2)) ++ top.map(_.take(3))).toSet
     WordPiece.wordPieceTokens(
         docs.select(col("doc_id"),
           concat_ws(" ", filter(TextFunctions.tokens(col("text")),
             w => w.rlike("^[a-z]+$"))).as("letters")),
         "doc_id", "letters", vocab)
-      .select(col("doc_id"), col("pieces"),
+      .select(col("doc_id"),
+        concat_ws(" ", col("pieces")).as("pieces_joined"),
         size(col("pieces")).cast("long").as("n_pieces"))
   }
 
@@ -834,11 +851,14 @@ object QueriesLLM {
       BpeTrain.wordCounts(table(spark, dir, "documents"), "text"),
       seedSize = 256)
 
-  /** Trained unigram-LM tokenization of the corpus (EM itself runs
-    * through libm exp/log, so the driver records the weaker rows-only
-    * check — UnigramLmSpec pins the trainer against brute-force
-    * enumeration and cross-partitioning bit-equality). Pieces
-    * re-concatenate to each document's letter-words by construction.
+  /** Trained unigram-LM tokenization of the corpus. NOT in the driver
+    * registry (r11 verdict: every registry entry must carry an oracle;
+    * EM training and Viterbi scoring run through libm exp/log, whose
+    * last-ulp behavior no SQL replay can pin) — UnigramLmSpec is the
+    * verification surface: trainer vs brute-force enumeration,
+    * cross-partitioning bit-equality, and pieces re-concatenating to
+    * each document's letter-words. The driver-checked unigram surface
+    * is [[q_unigram_seed]] (count-exact seed vocabulary).
     */
   def q_unigram_tokens(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -999,23 +1019,43 @@ object QueriesLLM {
     graft.llm.Embeddings.covarianceRelational(
       table(spark, dir, "embeddings"), "vec_id", "embedding")
 
-  /** SemDeDup over PCA-REDUCED vectors — the composed scale recipe:
-    * train the projection (one moment pass + driver eigensolve),
-    * project map-only to 16 dims, then cell-local semantic dedup on
-    * the short vectors (4x less memory traffic in every cosine).
-    * Rows-only driver check BY DESIGN: the eigensolve is not
-    * SQL-expressible; PcaSpec pins the algebra and determinism, and
-    * `q_embed_covariance` pins the distributed numeric core
-    * cross-engine.
+  /** SemDeDup over LINEARLY PROJECTED vectors — the composed scale
+    * recipe: project map-only to 16 dims through the native fused
+    * projection ([[org.apache.spark.sql.graft.PcaExpressions]]), then
+    * cell-local semantic dedup on the short vectors (4x less memory
+    * traffic in every cosine). The projection model here is
+    * FORMULA-generated (the `q_quality_lr` convention — mean[j] and
+    * comp[i][j] from the same integer hash formula) so the DuckDB
+    * oracle regenerates the constants and replays the fused
+    * (v - mean) · comp loop, the float narrowing, the cell argmax and
+    * the within-cell cosine drops EXACTLY — the full driver check the
+    * TRAINED composition cannot get (the eigensolve is not
+    * SQL-expressible; PcaSpec pins training determinism and
+    * `q_embed_covariance` pins the distributed moment numerics, so
+    * swapping [[graft.llm.Embeddings.pcaTrain]]'s model into this same
+    * pipeline is covered by those two pins plus this one).
     */
   def q_pca_semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = 64; val k = 16
+    // mean scaled to embedding magnitude (~±0.25): a ±0.5 formula mean
+    // would dominate the centering and collapse every projected vector
+    // onto -mean (one cell, cosine ~1 everywhere — a degenerate check)
+    val mean = Array.tabulate(d)(j =>
+      (((j.toLong * 2654435761L) % 1000L) / 1000.0 - 0.5) * 0.05)
+    val comps = Array.tabulate(k, d)((i, j) =>
+      (((i.toLong * d + j) * 2654435761L) % 1000L) / 1000.0 - 0.5)
+    val model = graft.llm.Embeddings.PcaModel(mean, comps,
+      new Array[Double](k), 0L)
     val emb = table(spark, dir, "embeddings")
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val model = graft.llm.Embeddings.pcaTrain(emb, "embedding", dim,
-      k = math.min(16, dim))
     val proj = emb.select(col("vec_id"),
       graft.llm.Embeddings.pcaProjectF(col("embedding"), model).as("pvec"))
-    Dedup.semDedupAuto(proj, "vec_id", "pvec", threshold = 0.35)
+    // centroids: the first-8 PROJECTED vectors (bounded collect, the
+    // q_semdedup convention) — SQL-recomputable from the formula model
+    val cents = proj.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("pvec")).collect().map(_.getSeq[Float](0).toArray)
+    val centsLit = array(cents.toIndexedSeq.map(v =>
+      array(v.toIndexedSeq.map(lit(_)): _*)): _*)
+    Dedup.semDedup(proj, "vec_id", "pvec", threshold = 0.7, centsLit)
       .select(col("vec_id"))
   }
 
@@ -1059,22 +1099,25 @@ object QueriesLLM {
         md5(TextFunctions.normalizeText(col("text"))).as("content_norm"))
 
   /** No-straddle bin packing over the documents corpus (bins of 512
-    * whitespace tokens, 8 shards): every document lands whole in one
-    * shard-local bin via streaming best-fit-decreasing with a bounded
-    * open-bin list. Rows-only driver check BY DESIGN (the greedy
-    * assignment is procedural, not SQL-expressible); PackBinsSpec pins
-    * capacity, placement uniqueness, determinism across
-    * partitionings, and the waste bound vs sequential filling.
+    * whitespace tokens, 8 shards), next-fit discipline
+    * ([[Packing.packBinsNextFit]]): every document lands whole in one
+    * shard-local bin; the assignment is a pure left fold over the
+    * (length desc, id) order, so the DuckDB oracle replays it
+    * row-for-row with a recursive CTE — the full cross-engine check a
+    * best-fit open-bin LIST cannot get (that production packer,
+    * [[Packing.packBins]], stays PackBinsSpec-pinned: capacity,
+    * placement uniqueness, determinism, and its padding win over this
+    * next-fit baseline).
     */
   def q_pack_bins(spark: SparkSession, dir: String): DataFrame = {
-    // token counts capped at the budget: packBins rejects oversized
+    // token counts capped at the budget: the packers reject oversized
     // documents by contract, and this query packs whatever fits (the
     // cap stands in for the chunk-first step a real pipeline runs)
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"),
         least(size(TextFunctions.tokens(col("text"))), lit(512)).cast("long")
           .as("n_tokens"))
-    Packing.packBins(docs, "doc_id", "n_tokens", budget = 512L, shards = 8)
+    Packing.packBinsNextFit(docs, "doc_id", "n_tokens", budget = 512L, shards = 8)
       .select(col("doc_id"), col("shard"), col("bin_id"))
   }
 
@@ -1545,24 +1588,40 @@ object QueriesLLM {
   }
 
   /** Sketch-based corpus profile — the 100 TB form of `q_corpus_stats`:
-    * HyperLogLog++ distinct counts (`approx_count_distinct`) and
-    * mergeable quantile sketches (`percentile_approx`) keep per-group
-    * state O(1) instead of shuffling every digest / sorting every
-    * length; the partial sketches combine map-side exactly like sums.
-    * No DuckDB oracle on purpose: sketch internals are
-    * engine-specific, so the driver records the rows-only check and
-    * SketchSpec pins accuracy against exact answers instead.
+    * per-source distinct counts via the KMV summary and token-length
+    * quantiles via the bottom-k-by-hash value sample
+    * ([[org.apache.spark.sql.graft.QuantileKmvSketch]]) keep per-group
+    * state O(k) instead of shuffling every digest / sorting every
+    * length; both summaries combine map-side exactly like sums AND
+    * persist/fold across snapshots ([[graft.llm.Kmv.vunion]] — the
+    * mergeability `percentile_approx`'s engine-private digest lacks).
+    * Driver-checkable by the engine's exact-regime contract (the
+    * `q_corpus_overlap` precedent): unsaturated summaries hold the
+    * exact sets, so distinct counts and the pinned rank-rule quantiles
+    * (rank = max(1, ceil(p*n)) over values ascending) hash-match a
+    * DuckDB exact replay; at 100 TB the identical plan returns
+    * bounded-error estimates, SketchSpec's jurisdiction. Quantile
+    * extraction is relational (sort the sample, index the rank) — no
+    * driver collect anywhere.
     */
   def q_corpus_sketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.KmvExpressions
     val docs = table(spark, dir, "documents")
-    docs.groupBy(col("source"))
+    val sk = docs.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        approx_count_distinct(md5(col("text"))).as("approx_distinct_texts"),
-        percentile_approx(
+        KmvExpressions.kmvSketch(
+          TextFunctions.hash64(col("text")), 16384).as("__texts"),
+        KmvExpressions.quantileKmv(
+          TextFunctions.hash64(col("doc_id").cast("string")),
           size(TextFunctions.tokens(col("text"))).cast("double"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(1000))
-          .as("token_pctiles"))
+          4096).as("__tok"))
+    val vals = array_sort(transform(col("__tok"), s => s.getField("v")))
+    def q(p: Double): Column =
+      element_at(vals, greatest(lit(1), ceil(lit(p) * size(vals)).cast("int")))
+    sk.select(col("source"), col("n_docs"),
+      size(col("__texts")).cast("long").as("distinct_texts"),
+      q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
   }
 
   /** Deterministic training shuffle: every document's shard (stable
@@ -1757,13 +1816,11 @@ object QueriesLLM {
     "q_wordpiece_scores" -> (q_wordpiece_scores _),
     "q_wordpiece_tokens" -> (q_wordpiece_tokens _),
     "q_html_extract" -> (q_html_extract _),
-    "q_compression_ratio" -> (q_compression_ratio _),
     "q_html_main" -> (q_html_main _),
     "q_url_normalize" -> (q_url_normalize _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_unigram_seed" -> (q_unigram_seed _),
-    "q_unigram_tokens" -> (q_unigram_tokens _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_quality_lr" -> (q_quality_lr _),
     "q_corpus_stats" -> (q_corpus_stats _),
@@ -1923,6 +1980,17 @@ object QueriesLLM {
 
   private val enList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
   private val nlList = TextFunctions.nlStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** DuckDB replay of `q_pca_semdedup`'s fused projection: the same
+    * formula constants, the same left-to-right (v - mean) · comp
+    * double loop, the same float narrowing — one expression per output
+    * dim, built here so the 16 projections stay one Scala loop.
+    */
+  private val pcaPvecSql: String = (0 until 16).map { i =>
+    "list_sum(list_transform(generate_series(1, 64), j -> " +
+      "(embedding[j]::DOUBLE - ((((j-1)*2654435761) % 1000)/1000.0 - 0.5) * 0.05) * " +
+      s"((((${i}*64 + j - 1)*2654435761) % 1000)/1000.0 - 0.5)))::FLOAT"
+  }.mkString("[", ", ", "]")
 
   private val oracles0: Map[String, String] = Map(
     "q_dedup_exact" -> (dupCorpusSql +
@@ -3134,6 +3202,141 @@ object QueriesLLM {
         |  FROM buckets
         |)
         |SELECT doc_id, floor(m*1000000 + 0.5)/1000000 AS margin FROM scored""".stripMargin,
+    // exact-regime replay of the KMV + bottom-k-value summaries: both
+    // sketches are unsaturated at verify scale, so distinct = distinct
+    // hash64 count and each quantile is the pinned rank rule over the
+    // full per-source multiset. p literals forced ::DOUBLE so ceil sees
+    // the SAME IEEE product Spark computes (decimal 0.9*10 = 9 but
+    // double 0.9*10 > 9 — the rank differs unless both sides use
+    // doubles).
+    "q_corpus_sketch" ->
+      """WITH tc AS (
+        |  SELECT source,
+        |    ('0x'||substr(md5(text),1,15))::BIGINT AS th,
+        |    len(list_filter(string_split(text, ' '), t -> length(t) > 0))::DOUBLE AS cnt
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM tc
+        |), qs AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = greatest(1, ceil(0.5::DOUBLE * n)) THEN cnt END) AS p50,
+        |    max(CASE WHEN rn = greatest(1, ceil(0.9::DOUBLE * n)) THEN cnt END) AS p90,
+        |    max(CASE WHEN rn = greatest(1, ceil(0.99::DOUBLE * n)) THEN cnt END) AS p99
+        |  FROM r GROUP BY source
+        |), ds AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    count(DISTINCT th)::BIGINT AS distinct_texts
+        |  FROM tc GROUP BY source
+        |)
+        |SELECT ds.source, ds.n_docs, ds.distinct_texts, qs.p50, qs.p90, qs.p99
+        |FROM ds JOIN qs USING (source)""".stripMargin,
+    // sequential replay of the next-fit fold: same shard hash, same
+    // (len desc, id) order, one open bin advanced row-by-row through a
+    // recursive CTE — every (doc, shard, bin) must land identically
+    "q_pack_bins" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 8 AS shard,
+        |    least(len(list_filter(string_split(text, ' '), t -> length(t) > 0)), 512)::BIGINT AS len
+        |  FROM documents
+        |), ordered AS (
+        |  SELECT doc_id, shard, len,
+        |    row_number() OVER (PARTITION BY shard ORDER BY len DESC, doc_id) AS rn
+        |  FROM docs
+        |), pack AS (
+        |  SELECT shard, rn, doc_id, len, 0::BIGINT AS bin_id, len AS fill
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.len,
+        |    CASE WHEN p.fill + o.len <= 512 THEN p.bin_id ELSE p.bin_id + 1 END,
+        |    CASE WHEN p.fill + o.len <= 512 THEN p.fill + o.len ELSE o.len END
+        |  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT doc_id, shard, bin_id FROM pack""".stripMargin,
+    // independent greedy replay: rebuild the same vocabulary (top-16
+    // letter-words + their 2-/3-prefixes; single chars as fallback),
+    // pick the LONGEST vocab piece prefixing each word, then single-char
+    // '##' continuations — exactly what BERT greedy does under this
+    // vocabulary class
+    "q_wordpiece_tokens" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word
+        |  FROM documents
+        |), wf AS (
+        |  SELECT word, count(*) AS cnt FROM words
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1
+        |), topw AS (
+        |  SELECT word FROM (
+        |    SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS rn
+        |    FROM wf WHERE length(word) >= 2) WHERE rn <= 16
+        |), pieces AS (
+        |  SELECT DISTINCT p FROM (
+        |    SELECT word AS p FROM topw
+        |    UNION ALL SELECT substr(word, 1, 2) FROM topw
+        |    UNION ALL SELECT substr(word, 1, 3) FROM topw)
+        |), docs AS (
+        |  SELECT doc_id, list_filter(
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0),
+        |    w -> regexp_matches(w, '^[a-z]+$')) AS lws
+        |  FROM documents
+        |), docw AS (
+        |  SELECT doc_id, i AS widx, lws[i] AS word
+        |  FROM docs, unnest(generate_series(1, len(lws))) t(i)
+        |), best AS (
+        |  SELECT d.doc_id, d.widx, p.p AS pref
+        |  FROM docw d JOIN pieces p ON starts_with(d.word, p.p)
+        |  QUALIFY row_number() OVER (PARTITION BY d.doc_id, d.widx
+        |    ORDER BY length(p.p) DESC, p.p) = 1
+        |), wp AS (
+        |  SELECT d.doc_id, d.widx, d.word,
+        |    coalesce(b.pref, substr(d.word, 1, 1)) AS head,
+        |    coalesce(length(b.pref), 1) AS mlen
+        |  FROM docw d LEFT JOIN best b ON d.doc_id = b.doc_id AND d.widx = b.widx
+        |), wpieces AS (
+        |  SELECT doc_id, widx,
+        |    array_to_string(list_concat([head],
+        |      list_transform(generate_series(mlen + 1, length(word)),
+        |        j -> '##' || substr(word, j, 1))), ' ') AS pw,
+        |    (1 + length(word) - mlen)::BIGINT AS np
+        |  FROM wp
+        |), perdoc AS (
+        |  SELECT doc_id, string_agg(pw, ' ' ORDER BY widx) AS joined,
+        |    sum(np)::BIGINT AS n
+        |  FROM wpieces GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(p.joined, '') AS pieces_joined,
+        |  coalesce(p.n, 0)::BIGINT AS n_pieces
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin,
+    "q_pca_semdedup" ->
+      (s"""WITH proj AS (
+         |  SELECT vec_id, $pcaPvecSql AS pvec FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, pvec AS cv FROM proj WHERE vec_id < 8
+         |), assigned AS (
+         |  SELECT p.vec_id, p.pvec, c.cent_id,
+         |    list_sum(list_transform(list_zip(p.pvec, c.cv),
+         |      z -> z[1]::DOUBLE * z[2]::DOUBLE))
+         |    / (sqrt(list_sum(list_transform(p.pvec, x -> x::DOUBLE * x::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
+         |  FROM proj p CROSS JOIN cents c
+         |), cells AS (
+         |  SELECT vec_id, pvec, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cent_id) AS r
+         |    FROM assigned) WHERE r = 1
+         |), drops AS (
+         |  SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_sum(list_transform(list_zip(a.pvec, b.pvec),
+         |      z -> z[1]::DOUBLE * z[2]::DOUBLE))
+         |    / (sqrt(list_sum(list_transform(a.pvec, x -> x::DOUBLE * x::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(b.pvec, x -> x::DOUBLE * x::DOUBLE))))
+         |    >= 0.7
+         |)
+         |SELECT p.vec_id FROM proj p ANTI JOIN drops d ON p.vec_id = d.vec_id""".stripMargin),
     "q_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0)))::BIGINT AS total_tokens,

@@ -66,6 +66,44 @@ class PackBinsSpec extends AnyFunSuite {
       s"BFD $bfdBins bins vs floor $floor")
   }
 
+  test("next-fit: valid packing, deterministic, local replay matches") {
+    val df = docs.toDF("doc_id", "n_tokens")
+    val packed = Packing.packBinsNextFit(df.repartition(7), "doc_id",
+      "n_tokens", budget, shards = 4)
+    val report = Packing.binReport(packed, "n_tokens", budget)
+    assert(report.filter(col("bin_fill") > budget).count() == 0)
+    assert(packed.select("doc_id").distinct().count() == docs.size)
+    // independent sequential replay of the fold (what the DuckDB
+    // recursive-CTE oracle does), per shard over (len desc, id)
+    val got = packed.select("doc_id", "shard", "bin_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val byShard = got.map { case (id, shard, _) => id -> shard }.toMap
+    val lens = docs.toMap
+    val expect = got.groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+      val ordered = rows.map(_._1).sortBy(id => (-lens(id), id))
+      var bin = -1L; var fill = 0L
+      ordered.map { id =>
+        val len = lens(id)
+        if (bin >= 0 && fill + len <= budget) fill += len
+        else { bin += 1; fill = len }
+        (id, shard, bin)
+      }
+    }.sortBy(_._1)
+    assert(got == expect)
+    assert(got.forall { case (id, shard, _) => byShard(id) == shard })
+  }
+
+  test("best-fit-decreasing wastes no more bins than next-fit") {
+    val df = docs.toDF("doc_id", "n_tokens")
+    val bfd = Packing.binReport(
+      Packing.packBins(df, "doc_id", "n_tokens", budget, shards = 4),
+      "n_tokens", budget).count()
+    val nf = Packing.binReport(
+      Packing.packBinsNextFit(df, "doc_id", "n_tokens", budget, shards = 4),
+      "n_tokens", budget).count()
+    assert(bfd <= nf, s"BFD $bfd bins vs next-fit $nf")
+  }
+
   test("oversized documents are rejected") {
     val df = Seq((1L, budget + 1)).toDF("doc_id", "n_tokens")
     val ex = intercept[Exception] {

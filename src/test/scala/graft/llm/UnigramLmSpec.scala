@@ -115,4 +115,26 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(rows(1L).mkString == "helplol")
     assert(rows(2L).isEmpty)
   }
+
+  test("corpus query (spec-only since r12): pieces re-concatenate; deterministic") {
+    // deregistered from the driver registry (EM/Viterbi run through
+    // libm — no SQL oracle can exist), so THIS is its whole-corpus pin
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.QueriesLLM.q_unigram_tokens(SharedSpark.spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val letters = SharedSpark.spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), concat_ws(" ",
+        filter(TextFunctions.tokens(col("text")),
+          w => w.rlike("^[a-z]+$"))).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, pieces, n) =>
+      assert(n == pieces.length.toLong)
+      assert(pieces.mkString == letters(id).replace(" ", ""),
+        s"doc $id pieces do not re-concatenate")
+    }
+    val again = graft.queries.QueriesLLM.q_unigram_tokens(SharedSpark.spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
 }
