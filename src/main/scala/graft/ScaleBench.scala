@@ -167,13 +167,16 @@ object ScaleBench {
         .groupBy("g").agg(count(lit(1)).as("df"))
         .agg(sum((col("df") * (col("df") - 1) / 2).cast("long")))
         .collect().head.getLong(0)
-      // the COUNT filter's surviving verify set vs the single-gram bill:
-      // the claim is that levenshtein runs on a fraction of candBill
-      val counted = graft.ops.FuzzyJoin.countFilterCandidates(vocab, "s", 1)
       listener.reset()
       val t0 = System.nanoTime()
       val found = graft.ops.FuzzyJoin.editDistancePairs(vocab, "s", 1).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // the COUNT filter's surviving verify set vs the single-gram bill:
+      // the claim is that levenshtein runs on a fraction of candBill.
+      // Counted AFTER the timed run (ADVICE r11): a pre-pass over the
+      // same vocab would warm JIT/shuffle dirs/page cache and break
+      // first-touch comparability with earlier rounds.
+      val counted = graft.ops.FuzzyJoin.countFilterCandidates(vocab, "s", 1)
       Thread.sleep(300)
       println(f"""{"fuzzy":"ed1_join","n":$nDistinct,"sec":$sec%.2f,""" +
         s""""pairs_found":$found,"gram_candidates":$candBill,""" +

@@ -67,11 +67,14 @@ object FuzzyJoin {
         size(filter(slice(arr, lit(1), i + lit(1)), x => x === g)).as("occ")))
   }
 
-  /** (s_a, s_b, dist) for every distinct pair of `strCol` values with
-    * levenshtein ≤ maxDist, s_a &lt; s_b.
+  /** The shared candidate pipeline (ADVICE r11: written ONCE so the
+    * benchmark's "verify set" number measures the exact pipeline the
+    * operator runs): (gram-join pairs surviving the count bound,
+    * short-string all-pairs bucket), both as (s_a, s_b) with the union
+    * disjoint by construction.
     */
-  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int,
-                        q: Int = 2): DataFrame = {
+  private def candidates(df: DataFrame, strCol: String, maxDist: Int,
+                         q: Int): (DataFrame, DataFrame) = {
     require(maxDist >= 1, "editDistancePairs: maxDist must be >= 1")
     require(q >= 2, "editDistancePairs: q must be >= 2")
     val s = df.select(col(strCol).as("s")).distinct()
@@ -100,6 +103,15 @@ object FuzzyJoin {
         col("a.s") < col("b.s") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.s").as("s_a"), col("b.s").as("s_b"))
+    (gramPairs, shortPairs)
+  }
+
+  /** (s_a, s_b, dist) for every distinct pair of `strCol` values with
+    * levenshtein ≤ maxDist, s_a &lt; s_b.
+    */
+  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int,
+                        q: Int = 2): DataFrame = {
+    val (gramPairs, shortPairs) = candidates(df, strCol, maxDist, q)
     gramPairs.unionByName(shortPairs)
       .withColumn("dist",
         levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
@@ -108,32 +120,12 @@ object FuzzyJoin {
 
   /** Surviving-candidate count for [[editDistancePairs]]'s verify stage
     * — the COUNT filter's output size, measured by ScaleBench `fuzzy`
-    * against the single-gram candidate bill (Σ df·(df−1)/2).
+    * against the single-gram candidate bill (Σ df·(df−1)/2). Built on
+    * the same [[candidates]] pipeline the operator runs.
     */
   def countFilterCandidates(df: DataFrame, strCol: String, maxDist: Int,
                             q: Int = 2): Long = {
-    val s = df.select(col(strCol).as("s")).distinct()
-      .withColumn("len", length(col("s")))
-    val shortLen = q * maxDist
-    val grams = s.select(col("s"), col("len"),
-        explode(occGrams(col("s"), q)).as("go"))
-      .select(col("s"), col("len"),
-        col("go.g").as("g"), col("go.occ").as("occ"))
-    val fromGrams = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
-          col("a.s") < col("b.s") &&
-          abs(col("a.len") - col("b.len")) <= maxDist &&
-          greatest(col("a.len"), col("b.len")) > shortLen)
-      .groupBy(col("a.s"), col("b.s"), col("a.len"), col("b.len"))
-      .agg(count(lit(1)).as("__shared"))
-      .filter(col("__shared") >=
-        greatest(col("a.len"), col("b.len")) + lit(q - 1 - maxDist * q))
-      .count()
-    val shorts = s.filter(col("len") <= shortLen)
-    val fromShorts = shorts.as("a").join(shorts.as("b"),
-        col("a.s") < col("b.s") &&
-          abs(col("a.len") - col("b.len")) <= maxDist)
-      .count()
-    fromGrams + fromShorts
+    val (gramPairs, shortPairs) = candidates(df, strCol, maxDist, q)
+    gramPairs.count() + shortPairs.count()
   }
 }

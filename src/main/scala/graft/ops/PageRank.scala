@@ -45,7 +45,11 @@ object PageRank {
     * volume, which the per-round edge-join traffic dominates in both
     * tiers (433 vs 427 MB). The 100 TB default when ranks feed a
     * threshold or a sort, not an oracle; PageRankSpec pins
-    * |fast − exact| ≤ 1e-9 per node and identical top-k ordering.
+    * |fast − exact| ≤ 1e-9 per node and identical top-k ordering ON
+    * THE TEST GRAPH (ADVICE r11: a fixture-scale pin, not a tier
+    * guarantee — at millions of edges partial-sum drift can exceed
+    * 1e-9 and flip near-tied orderings; callers needing bit-stable
+    * ranks use the exact tier).
     */
   def pageRankFast(edges: DataFrame, iterations: Int, damping: Double = 0.85,
                    checkpointEvery: Int = 4): DataFrame =

@@ -262,9 +262,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
         p.contains("BroadcastHashJoin"),
       s"gram join must be an equi-join:\n$p")
-    // occurrence index is part of the join keys (the multiset join), and
-    // the Gravano count bound filters the pair aggregate before verify
-    assert(p.contains("occ"), s"occurrence index missing from plan:\n$p")
+    // occurrence index is part of the EQUI-JOIN KEYS alongside the gram
+    // hash (the multiset join) — a bare substring check would survive
+    // the index being dropped from the keys (ADVICE r11), so match the
+    // key lists themselves
+    assert(
+      ("""(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) """ +
+        """\[g#\d+L?, occ#\d+\], \[g#\d+L?, occ#\d+\]""").r
+        .findFirstIn(p).isDefined,
+      s"(gram, occ) equi-join keys missing from plan:\n$p")
     assert(p.contains("__shared"), s"count-filter aggregate missing:\n$p")
     assert(p.contains("levenshtein"), s"bounded verify missing:\n$p")
   }
