@@ -51,25 +51,71 @@ object Warc {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path, minPartitions)
       .flatMap { case (file, pds) =>
-        val raw = pds.open()
-        val in = new java.io.BufferedInputStream(
-          if (file.endsWith(".gz"))
-            new java.util.zip.GZIPInputStream(raw) // multi-member capable
-          else raw)
-        new Iterator[Record] {
-          private var idx = 0L
-          private var nextRec: Record = advance()
-          private def advance(): Record = {
-            val rec = parseRecord(file, idx, in)
-            if (rec == null) { in.close(); null } else { idx += 1; rec }
-          }
-          override def hasNext: Boolean = nextRec != null
-          override def next(): Record = {
-            val r = nextRec; nextRec = advance(); r
-          }
-        }
+        parseWarcStream(file, pds.open(), gunzip = file.endsWith(".gz"))
       }
       .toDF()
+  }
+
+  /** The record walk behind [[readWarc]], over any stream — also the
+    * in-memory entry ([[parseWarcBytes]]) the roundtrip oracle and
+    * streaming ingestion use. Closes the stream at EOF.
+    */
+  def parseWarcStream(file: String, raw: java.io.InputStream,
+                      gunzip: Boolean): Iterator[Record] = {
+    val in = new java.io.BufferedInputStream(
+      if (gunzip) new java.util.zip.GZIPInputStream(raw) // multi-member capable
+      else raw)
+    new Iterator[Record] {
+      private var idx = 0L
+      private var nextRec: Record = advance()
+      private def advance(): Record = {
+        val rec = parseRecord(file, idx, in)
+        if (rec == null) { in.close(); null } else { idx += 1; rec }
+      }
+      override def hasNext: Boolean = nextRec != null
+      override def next(): Record = {
+        val r = nextRec; nextRec = advance(); r
+      }
+    }
+  }
+
+  /** Parse a whole WARC file image held in memory (gzipped iff
+    * `gunzip`) — the `q_warc_roundtrip` / fixture entry.
+    */
+  def parseWarcBytes(file: String, bytes: Array[Byte],
+                     gunzip: Boolean): Iterator[Record] =
+    parseWarcStream(file, new java.io.ByteArrayInputStream(bytes), gunzip)
+
+  /** Serialize one record: version line, headers (Content-Length
+    * appended), blank line, payload, CRLF CRLF trailer — the writer
+    * half of the reader above (re-sharding crawl segments, building
+    * fixtures). Header VALUES are taken as-is; the caller owns
+    * `WARC-Type` etc.
+    */
+  def warcRecordBytes(headers: Seq[(String, String)],
+                      payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes("UTF-8")
+    val trailer = "\r\n\r\n".getBytes("UTF-8")
+    val out = new Array[Byte](head.length + payload.length + trailer.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    System.arraycopy(trailer, 0, out, head.length + payload.length, trailer.length)
+    out
+  }
+
+  /** One gzip MEMBER over `bytes`: concatenating member outputs yields
+    * the multi-member archives crawls ship (each member independently
+    * decompressible — the property [[parseWarcStream]]'s
+    * GZIPInputStream walk depends on).
+    */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.finish(); gz.close()
+    bos.toByteArray
   }
 
   /** The crawl-pipeline entry view: `response` records with the body

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.table
-import graft.llm.{BpeTrain, Curation, Dedup, Mixing, Multimodal, NgramLm, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions, UnigramLm, UrlFunctions, WordPiece}
+import graft.llm.{BpeTrain, Curation, Dedup, Mixing, Multimodal, NgramLm, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions, UnigramLm, UrlFunctions, Warc, WordPiece}
 
 /** LLM-training-data pipeline coverage queries over the driver's
   * `documents` and `embeddings` tables, with DuckDB oracles.
@@ -771,6 +771,63 @@ object QueriesLLM {
       .agg(min(col("doc_id")).as("doc_id"),
         count(lit(1)).cast("long").as("n_dups"))
       .select("doc_id", "main", "n_tokens", "n_dups")
+  }
+
+  /** WARC container roundtrip — the driver row the reader itself was
+    * missing (r11 task 4): per document, BUILD a complete `.warc.gz`
+    * file image in memory (two gzip members; member 1 = warcinfo +
+    * an HTTP 200 text/html response wrapping the document text,
+    * member 2 = an HTTP 404 response — so record splitting,
+    * multi-member gzip, and HTTP status/header stripping ALL sit on
+    * the compared path), walk it back through
+    * [[graft.llm.Warc.parseWarcBytes]] (the same record walk
+    * [[graft.llm.Warc.readWarc]] runs per file), and emit the parsed
+    * fields. The gzip bytes are JDK-specific but never compared — the
+    * oracle recomputes the expected FIELD values per document, which
+    * only match if the walk split members/records and stripped HTTP
+    * heads exactly. Map-only; file-level parallelism is the production
+    * shape (PERFNOTES).
+    */
+  def q_warc_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), coalesce(col("text"), lit("")))
+      .as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val html = s"<html><body><h1>Doc $id</h1><p>$text</p></body></html>"
+        val httpOk = ("HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n" +
+          "X-Crawl: graft\r\n\r\n").getBytes("UTF-8") ++
+          html.getBytes("UTF-8")
+        val http404 = ("HTTP/1.1 404 Not Found\r\n" +
+          "Content-Type: text/plain\r\n\r\n" +
+          s"missing $id").getBytes("UTF-8")
+        val info = Warc.warcRecordBytes(Seq(
+            "WARC-Type" -> "warcinfo",
+            "Content-Type" -> "application/warc-fields"),
+          s"software: graft $id\r\n".getBytes("UTF-8"))
+        val respA = Warc.warcRecordBytes(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://example.com/doc/$id",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/http; msgtype=response"),
+          httpOk)
+        val respB = Warc.warcRecordBytes(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://example.com/missing/$id",
+            "WARC-Date" -> "2026-01-02T00:00:00Z",
+            "Content-Type" -> "application/http; msgtype=response"),
+          http404)
+        val fileBytes = Warc.gzipMember(info ++ respA) ++
+          Warc.gzipMember(respB)
+        Warc.parseWarcBytes(s"doc_$id.warc.gz", fileBytes, gunzip = true)
+          .map(r => (id, r.record_idx, r.warc_type, r.target_uri,
+            r.http_status.toLong, r.content_type,
+            new String(r.body, "UTF-8")))
+      }
+    }.toDF("doc_id", "record_idx", "warc_type", "uri", "http_status",
+      "content_type", "body_text")
   }
 
   /** WordPiece likelihood score table ([[WordPiece.scoredPairs]]) over
@@ -1820,6 +1877,7 @@ object QueriesLLM {
     "q_url_normalize" -> (q_url_normalize _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
+    "q_warc_roundtrip" -> (q_warc_roundtrip _),
     "q_unigram_seed" -> (q_unigram_seed _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_quality_lr" -> (q_quality_lr _),
@@ -3256,6 +3314,28 @@ object QueriesLLM {
         |  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
         |)
         |SELECT doc_id, shard, bin_id FROM pack""".stripMargin,
+    // expected WARC fields per document: three records per synthetic
+    // .warc.gz (warcinfo, HTTP 200 response, HTTP 404 response) — the
+    // parsed output matches ONLY if the reader split gzip members,
+    // record boundaries, and HTTP heads exactly
+    "q_warc_roundtrip" ->
+      """SELECT doc_id, 0::BIGINT AS record_idx, 'warcinfo' AS warc_type,
+        |  '' AS uri, 0::BIGINT AS http_status,
+        |  'application/warc-fields' AS content_type,
+        |  'software: graft ' || doc_id || chr(13) || chr(10) AS body_text
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1::BIGINT, 'response',
+        |  'http://example.com/doc/' || doc_id, 200::BIGINT,
+        |  'text/html; charset=utf-8',
+        |  '<html><body><h1>Doc ' || doc_id || '</h1><p>' || coalesce(text, '')
+        |    || '</p></body></html>'
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 2::BIGINT, 'response',
+        |  'http://example.com/missing/' || doc_id, 404::BIGINT,
+        |  'text/plain', 'missing ' || doc_id
+        |FROM documents""".stripMargin,
     // independent greedy replay: rebuild the same vocabulary (top-16
     // letter-words + their 2-/3-prefixes; single chars as fallback),
     // pick the LONGEST vocab piece prefixing each word, then single-char

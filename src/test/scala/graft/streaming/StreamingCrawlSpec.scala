@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.llm.{Dedup, TextFunctions, Warc}
+
+/** Streaming crawl ingestion: WARC file images arriving as a stream →
+  * parse → extract → gate → dedup against the PERSISTED digest index.
+  * The pins: cross-batch dedup actually crosses batches (a batch-2
+  * re-crawl of a batch-1 page drops), and the two-batch stream result
+  * equals the one-shot batch chain over the union — the foreachBatch
+  * composition adds nothing beyond persistence.
+  */
+class StreamingCrawlSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  // a page whose main block survives htmlMainText and the 5-token gate
+  private def page(body: String): String =
+    "<html><head><title>t</title></head><body>" +
+      "<div class=\"nav\"><a href=\"/\">Home page link</a> <a href=\"/a\">About page link</a></div>" +
+      s"<p>$body</p></body></html>"
+
+  private def warcFile(id: Long, body: String): (String, Array[Byte]) = {
+    val html = page(body)
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+      .getBytes("UTF-8")
+    val rec = Warc.warcRecordBytes(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"http://ex.com/$id"),
+      http)
+    (s"seg_$id.warc.gz", Warc.gzipMember(rec))
+  }
+
+  private val prose =
+    "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("two-batch stream: gate drops thin pages, index screens re-crawls, " +
+      "result == one-shot batch chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("crawl_spec").toString
+    val (sink, idx, ckpt) = (s"$tmp/sink", s"$tmp/index", s"$tmp/ckpt")
+
+    val input = MemoryStream[(String, Array[Byte])]
+    val parsed = StreamingCrawl.parseWarcFiles(
+      input.toDF().toDF("file", "bytes"), "file", "bytes")
+      .withColumn("id",
+        regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long"))
+      .select("id", "html")
+    val query = StreamingCrawl.ingest(parsed, "id", "html",
+      sink, idx, ckpt, minTokens = 5)
+
+    input.addData(
+      warcFile(1L, s"$prose one"),
+      warcFile(2L, "thin"), // gated: under 5 tokens after extraction
+      warcFile(3L, s"$prose one")) // within-batch dup of 1 -> min id kept
+    query.processAllAvailable()
+    input.addData(
+      warcFile(4L, s"$prose one"),  // re-crawl of batch-1 content: drops
+      warcFile(5L, s"$prose two"))  // genuinely new: accepted
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.read.parquet(sink).select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 5L),
+      s"expected cross-batch dedup to keep {1, 5}, got $got")
+
+    // the persisted index is digest-only and matches the accepted set
+    val index = spark.read.parquet(idx).as[String].collect().toSorted
+    val expectIdx = spark.read.parquet(sink)
+      .select(md5(col("main"))).as[String].collect().toSorted
+    assert(index == expectIdx)
+
+    // stream == one-shot batch chain over the union of both batches
+    val union = Seq(
+      1L -> s"$prose one", 2L -> "thin", 3L -> s"$prose one",
+      4L -> s"$prose one", 5L -> s"$prose two")
+      .map { case (id, b) => (id, page(b)) }.toDF("id", "html")
+    val (batchAccepted, _) = StreamingCrawl.acceptBatch(union, "id", "html",
+      Seq.empty[String].toDF("content_hash"), minTokens = 5)
+    val batchRows = batchAccepted
+      .select("id", "main", "n_tokens").collect().map(_.toSeq).toSet
+    val streamRows = spark.read.parquet(sink)
+      .select("id", "main", "n_tokens").collect().map(_.toSeq).toSet
+    assert(streamRows == batchRows,
+      "two-batch stream must equal the one-shot batch chain")
+  }
+
+  test("restart replay is content-idempotent: replayed docs drop on the index") {
+    val tmp = Files.createTempDirectory("crawl_replay").toString
+    val idxDir = s"$tmp/index"
+    val b1 = Seq(1L -> page(s"$prose one")).toDF("id", "html")
+    val empty = Seq.empty[String].toDF("content_hash")
+    val (a1, d1) = StreamingCrawl.acceptBatch(b1, "id", "html", empty)
+    assert(a1.count() == 1)
+    d1.write.mode("append").parquet(idxDir)
+    // the same batch arrives again (checkpoint lost, source replayed)
+    val (a2, _) = StreamingCrawl.acceptBatch(b1, "id", "html",
+      StreamingCrawl.loadIndex(spark, idxDir))
+    assert(a2.count() == 0, "replayed content must drop against the index")
+  }
+
+  private implicit class Sorted(a: Array[String]) {
+    def toSorted: Seq[String] = a.toSeq.sorted
+  }
+}
