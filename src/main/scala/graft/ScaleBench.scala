@@ -139,7 +139,81 @@ object ScaleBench {
       eventOps(spark, srcDir, outDir, listener)
     if (args.contains("fuzzy") || args.isEmpty)
       fuzzyScale(spark, listener)
+    if (args.contains("prskew") || args.isEmpty)
+      pageRankSkew(spark, listener)
     spark.stop()
+  }
+
+  /** PageRank under hub skew (r11 task 5): same 1.2 M-edge budget as a
+    * uniform graph, but two thirds of the edges concentrate on one hub
+    * (400k out of it, 400k into it). What each leg of the round does
+    * with that: the dst-side aggregation absorbs the hot IN-hub in
+    * map-side partial sums (one combined row per map partition — never
+    * a hot reducer), while the src-side rank⋈edges equi-join hashes
+    * ALL of the OUT-hub's edges to one partition — the one place a hot
+    * key can serialize a round. That partition is exactly what AQE's
+    * skew-join split exists for, so the verb measures the lever
+    * directly: uniform vs hub with the split on, vs hub with it off,
+    * reporting max task wall/shuffle-read (the serialization
+    * signature) alongside total wall. Thresholds are lowered to make
+    * the 20 MB bench graph exhibit the 100 TB partition shape;
+    * restored after.
+    */
+  private def pageRankSkew(spark: SparkSession,
+                           listener: TaskMetricsProbe): Unit = {
+    // 4 M edges over 2 M nodes; the hub variants put 1.6 M edges OUT of
+    // one node and 1.6 M INTO another (distinct pairs — multi-edges
+    // collapse inside the operator, so hub degree must come from
+    // distinct endpoints)
+    val n = 2000000L
+    def spread(rows: Long) =
+      spark.range(rows).select(
+        pmod(col("id") * 2654435761L, lit(n)).as("src"),
+        pmod(col("id") * 40503L + 7, lit(n)).as("dst"))
+    val uniform = spread(4000000L)
+    val hub = spread(800000L)
+      .unionByName(spark.range(1600000L)
+        .select(lit(n).as("src"), col("id").as("dst")))
+      .unionByName(spark.range(1600000L)
+        .select(col("id").as("src"), lit(n + 1).as("dst")))
+    def time(label: String,
+             edges: org.apache.spark.sql.DataFrame, salt: Int): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val ranks = graft.ops.PageRank.pageRankFast(edges, 3, saltJoin = salt)
+      ranks.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"prskew":"$label","sec":$sec%.2f,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_ms":${listener.maxTaskMs},""" +
+        s""""max_task_shuffle_read":${listener.maxShuffleRead}}""")
+      graft.Checkpoints.sweep(spark)
+    }
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      // at bench scale the rank table broadcasts and there IS no join
+      // skew (the hub's edges stay evenly spread on the stream side) —
+      // that is itself a finding, but the 100 TB regime this verb
+      // models is the one where ranks CANNOT broadcast; force the
+      // shuffle join to measure that shape
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      time("uniform", uniform, 1)
+      time("hub", hub, 1)
+      time("hub_salt4", hub, 4)
+      time("hub_salt8", hub, 8)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
   }
 
   /** Edit-distance join at vocabulary scale (5k / 20k seeded-random

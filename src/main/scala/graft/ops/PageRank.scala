@@ -32,8 +32,9 @@ object PageRank {
     * clusterPairs contract).
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-               checkpointEvery: Int = 4): DataFrame =
-    run(edges, None, iterations, damping, checkpointEvery, exact = true)
+               checkpointEvery: Int = 4, saltJoin: Int = 1): DataFrame =
+    run(edges, None, iterations, damping, checkpointEvery, exact = true,
+      saltJoin = saltJoin)
 
   /** THROUGHPUT tier: the same power iteration with IEEE-double sums
     * instead of DECIMAL(38,18), at the price of the cross-engine/
@@ -52,8 +53,9 @@ object PageRank {
     * ranks use the exact tier).
     */
   def pageRankFast(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-                   checkpointEvery: Int = 4): DataFrame =
-    run(edges, None, iterations, damping, checkpointEvery, exact = false)
+                   checkpointEvery: Int = 4, saltJoin: Int = 1): DataFrame =
+    run(edges, None, iterations, damping, checkpointEvery, exact = false,
+      saltJoin = saltJoin)
 
   /** WARM-START power iteration: resume from a previous rank table
     * (id, rank) after the edge list changed — the incremental-refresh
@@ -71,9 +73,20 @@ object PageRank {
     run(edges, Some(initRanks), iterations, damping, checkpointEvery,
       exact = true)
 
+  /** `saltJoin` > 1 spreads each node's EDGE rows over that many salt
+    * buckets in the per-round rank⋈edges join (the rank row replicates
+    * per bucket — [[Skew.saltedJoin]]): the hot-OUT-hub mitigation for
+    * graphs where one node's out-edges would otherwise serialize into
+    * a single join task. AQE's skew split does NOT cover this join (it
+    * is chained SMJ-after-SMJ on the same key inside one stage, which
+    * the splitter skips — measured, ScaleBench `prskew`). Exact-tier
+    * results are bit-identical under any salt (decimal sums are
+    * order-free); fast-tier results move in the last ulps like any
+    * repartitioning would.
+    */
   private def run(edges: DataFrame, init: Option[DataFrame], iterations: Int,
                   damping: Double, checkpointEvery: Int,
-                  exact: Boolean): DataFrame = {
+                  exact: Boolean, saltJoin: Int = 1): DataFrame = {
     // the ONLY tier difference: how cross-edge/cross-node mass sums.
     // exact = order-free decimal; fast = native IEEE double agg.
     def massSum(c: org.apache.spark.sql.Column) =
@@ -110,8 +123,17 @@ object PageRank {
           // from e, so joining e directly is an ambiguous self-join
           val eOut = e.select(col("src").as("__es"), col("dst").as("__ed"))
           val withDeg = ranks.join(outdeg, ranks("id") === outdeg("src"), "left")
-          val contribs = withDeg.filter(col("deg").isNotNull)
-            .join(eOut, withDeg("id") === col("__es"))
+          val linked = withDeg.filter(col("deg").isNotNull)
+          val joined =
+            if (saltJoin > 1)
+              // edges salted by dst content (deterministic), rank rows
+              // replicated saltJoin ways — the hub's edges fan over
+              // saltJoin tasks instead of one
+              Skew.saltedJoin(eOut,
+                linked.select(col("id").as("__es"), col("rank"), col("deg")),
+                Seq("__es"), saltJoin, saltBy = Seq("__ed"))
+            else linked.join(eOut, linked("id") === col("__es"))
+          val contribs = joined
             .select(col("__ed").as("id"),
               (col("rank") / col("deg").cast("double")).as("c"))
           val sums = contribs

@@ -116,4 +116,20 @@ class PageRankSpec extends AnyFunSuite {
     assert(a == b)
     assert(a == plain) // duplicates changed nothing
   }
+
+  test("salted hub-skew join: exact tier bit-identical under any salt") {
+    // the hot-OUT-hub mitigation (ScaleBench prskew measures the
+    // straggler lever) must not move a single bit of the exact tier:
+    // decimal sums are order-free, so spreading a node's edges over
+    // salt buckets only changes the partitioning
+    val hubby = edges ++ (200L to 260L).map(d => (7L, d)) // node 7 fans out
+    val plain = PageRank.pageRank(hubby.toDF("src", "dst"), 3)
+      .as[(Long, Double)].collect().toMap
+    for (salt <- Seq(3, 8)) {
+      val salted = PageRank.pageRank(hubby.toDF("src", "dst"), 3,
+          saltJoin = salt)
+        .as[(Long, Double)].collect().toMap
+      assert(salted == plain, s"salt=$salt moved exact-tier bits")
+    }
+  }
 }
