@@ -246,13 +246,23 @@ object Dedup {
                         numHashes: Int = 16, bands: Int = 4,
                         shingleSize: Int = 3,
                         maxBucket: Int = 1000,
-                        fast: Boolean = false): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val banded =
-      minhashSignatures(df, idCol, textCol, numHashes, shingleSize, fast)
-        .select(col(idCol).as("doc_a"),
-          posexplode_outer(lshBandKeys(col("sig"), bands, rowsPerBand))
-            .as(Seq("band", "band_key")))
+                        fast: Boolean = false): DataFrame =
+    lshCandidatePairsFromSigs(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleSize, fast),
+      idCol, bands, numHashes / bands, maxBucket)
+
+  /** [[lshCandidatePairs]] over PRECOMPUTED signatures (column `sig`) —
+    * the sharing entry for pipelines that consume both the signatures
+    * and the pairs (e.g. `q_minhash_fast`): one signature pass instead
+    * of a recompute per consumer.
+    */
+  def lshCandidatePairsFromSigs(sigs: DataFrame, idCol: String,
+                                bands: Int = 4, rowsPerBand: Int = 4,
+                                maxBucket: Int = 1000): DataFrame = {
+    val banded = sigs
+      .select(col(idCol).as("doc_a"),
+        posexplode_outer(lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "band_key")))
     val buckets = banded
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list("doc_a")).as("ids"))

@@ -143,6 +143,10 @@ object QueriesLLM {
     */
   def q_minhash_fast(spark: SparkSession, dir: String): DataFrame = {
     val corpus = dupCorpus(spark, dir)
+    // one signature DEFINITION feeds both the per-doc sig columns and
+    // the LSH banding (the subtree still evaluates once per consumer —
+    // a lazy checkpoint was measured a wash at sf0.1, the write cost
+    // offsetting the saved pass; at larger corpora persist `sigs`)
     val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", fast = true)
     // twin windows key on md5(text), not raw text: the shuffle key and
     // sort comparator become fixed 32-char digests instead of
@@ -152,7 +156,7 @@ object QueriesLLM {
     val wText = Window.partitionBy(col("__th"))
     val wHead = wText.orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val pairs = Dedup.lshCandidatePairs(corpus, "doc_id", "text", fast = true)
+    val pairs = Dedup.lshCandidatePairsFromSigs(sigs, "doc_id")
     val exactPartners = pairs
       .join(corpus.select(col("doc_id").as("id_a"), md5(col("text")).as("ha")), "id_a")
       .join(corpus.select(col("doc_id").as("id_b"), md5(col("text")).as("hb")), "id_b")
