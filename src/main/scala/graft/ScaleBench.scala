@@ -141,7 +141,81 @@ object ScaleBench {
       fuzzyScale(spark, listener)
     if (args.contains("prskew") || args.isEmpty)
       pageRankSkew(spark, listener)
+    if (args.contains("qsketch") || args.isEmpty)
+      quantileSketchScale(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** The mergeable quantile sketch at corpus scale (r11 task 7):
+    * token-length quantiles over the 20× documents corpus three ways —
+    * Spark's EXACT `percentile` (sort-based, one reducer buffers every
+    * value: the RAM wall), the bottom-k value sample
+    * (`quantile_kmv`, k = 4096: O(k) state, map-side combine), and the
+    * sketch built as 16 per-snapshot summaries FOLDED on the driver
+    * ([[graft.llm.Kmv.vunion]] — the archive-free snapshot story).
+    * Claims measured: the sketch's wall beats exact and stays flat in
+    * k; fold(16 parts) is BIT-IDENTICAL to the one-shot summary
+    * (bottom-k of a union == bottom-k of merged bottom-ks); CDF error
+    * of the saturated sketch ≤ the ~1/sqrt(k) band.
+    */
+  private def quantileSketchScale(spark: SparkSession, outDir: String,
+                                  listener: TaskMetricsProbe): Unit = {
+    import graft.llm.{Kmv, TextFunctions}
+    import org.apache.spark.sql.graft.KmvExpressions
+    val vals = SparkEntry.table(spark, outDir, "documents")
+      .select(TextFunctions.hash64(col("doc_id").cast("string")).as("h"),
+        size(TextFunctions.tokens(col("text"))).cast("double").as("v"))
+    val n = vals.count()
+    val k = 4096
+    def timed[T](label: String)(body: => T): T = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"qsketch":"$label","n":$n,"sec":$sec%.2f,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+      r
+    }
+    val exact = timed("exact_percentile") {
+      vals.agg(expr("percentile(v, array(0.5, 0.9, 0.99))")).head()
+        .getSeq[Double](0)
+    }
+    def toSummary(rows: Array[org.apache.spark.sql.Row]): Kmv.VSummary = {
+      val es = rows.map(r => (r.getLong(0), r.getDouble(1)))
+      Kmv.VSummary(k, es.map(_._1), es.map(_._2))
+    }
+    val oneShot = timed("kmv_oneshot") {
+      toSummary(vals.agg(KmvExpressions.quantileKmv(col("h"), col("v"), k).as("s"))
+        .select(explode(col("s")).as("e")).select(col("e.h"), col("e.v"))
+        .collect())
+    }
+    val folded = timed("kmv_fold16") {
+      // one pass building 16 independent snapshot summaries, folded on
+      // the driver — the cross-day shape (each day persists O(k))
+      val parts = vals.groupBy(pmod(col("h"), lit(16L)).as("snap"))
+        .agg(KmvExpressions.quantileKmv(col("h"), col("v"), k).as("s"))
+        .select(explode(col("s")).as("e"), col("snap"))
+        .select(col("snap"), col("e.h"), col("e.v"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (_, rows) =>
+          toSummary(rows.map(r =>
+            org.apache.spark.sql.Row(r.getLong(1), r.getDouble(2))))
+        }
+      parts.reduce(Kmv.vunion)
+    }
+    val identical = oneShot.hashes.sameElements(folded.hashes) &&
+      oneShot.values.sameElements(folded.values)
+    val errs = Seq(0.5, 0.9, 0.99).zip(exact).map { case (p, ex) =>
+      val est = Kmv.quantile(oneShot, p)
+      // rank-space error against the exact CDF (one untimed pass)
+      val cdf = vals.filter(col("v") <= est).count().toDouble / n
+      f"""{"p":$p,"exact":$ex%.1f,"est":$est%.1f,"cdf_err":${math.abs(cdf - p)}%.4f}"""
+    }
+    println(s"""{"qsketch":"fold_identity","identical":$identical,""" +
+      s""""errors":[${errs.mkString(",")}]}""")
+    require(identical, "fold(16) must equal the one-shot summary")
   }
 
   /** PageRank under hub skew (r11 task 5): same 1.2 M-edge budget as a
