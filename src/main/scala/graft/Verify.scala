@@ -31,8 +31,25 @@ object Verify {
     val selectedQueries =
       only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
     selectedQueries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // the driver comparator sorts every output column in pandas —
+        // array/map/struct columns crash it (r11: three entries lost
+        // their rows this way); flatten (concat_ws / explode to
+        // scalars) before registering
+        df.schema.fields.foreach { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType =>
+              System.err.println(s"[verify] WARN $name: column " +
+                s"'${f.name}' is ${f.dataType.simpleString} — the " +
+                "driver comparator cannot sort it; flatten the output")
+            case _ => ()
+          }
+        }
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally Checkpoints.sweep(spark) // no cross-query leaked blocks
