@@ -1665,24 +1665,30 @@ object QueriesLLM {
     * extraction is relational (sort the sample, index the rank) — no
     * driver collect anywhere.
     */
-  def q_corpus_sketch(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graft.KmvExpressions
+  def q_corpus_sketch(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.CorpusProfile.report(
+      graft.llm.CorpusProfile.profile(
+        table(spark, dir, "documents"), "source", "doc_id", "text"),
+      "source")
+
+  /** The INCREMENTAL form of [[q_corpus_sketch]]
+    * ([[graft.llm.CorpusProfile.fold]]): profile the even- and odd-id
+    * halves of the corpus as two independent "snapshots", fold the two
+    * persisted profiles relationally (explode + re-sketch — no driver
+    * state, no archive re-read), and report. The output must equal the
+    * whole-corpus profile BIT-FOR-BIT (bottom-k of a union == bottom-k
+    * of merged bottom-ks), so the oracle is `q_corpus_sketch`'s own
+    * whole-corpus SQL — the driver row that pins the fold path
+    * cross-engine.
+    */
+  def q_profile_fold(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val sk = docs.groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        KmvExpressions.kmvSketch(
-          TextFunctions.hash64(col("text")), 16384).as("__texts"),
-        KmvExpressions.quantileKmv(
-          TextFunctions.hash64(col("doc_id").cast("string")),
-          size(TextFunctions.tokens(col("text"))).cast("double"),
-          4096).as("__tok"))
-    val vals = array_sort(transform(col("__tok"), s => s.getField("v")))
-    def q(p: Double): Column =
-      element_at(vals, greatest(lit(1), ceil(lit(p) * size(vals)).cast("int")))
-    sk.select(col("source"), col("n_docs"),
-      size(col("__texts")).cast("long").as("distinct_texts"),
-      q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
+    val a = graft.llm.CorpusProfile.profile(
+      docs.filter(col("doc_id") % 2 === 0), "source", "doc_id", "text")
+    val b = graft.llm.CorpusProfile.profile(
+      docs.filter(col("doc_id") % 2 === 1), "source", "doc_id", "text")
+    graft.llm.CorpusProfile.report(
+      graft.llm.CorpusProfile.fold(a, b, "source"), "source")
   }
 
   /** Deterministic training shuffle: every document's shard (stable
@@ -1851,6 +1857,7 @@ object QueriesLLM {
     "q_bm25_indexed" -> (q_bm25_indexed _),
     "q_bm25_incremental" -> (q_bm25_incremental _),
     "q_corpus_sketch" -> (q_corpus_sketch _),
+    "q_profile_fold" -> (q_profile_fold _),
     "q_embed_covariance" -> (q_embed_covariance _),
     "q_pca_semdedup" -> (q_pca_semdedup _),
     "q_corpus_overlap" -> (q_corpus_overlap _),
@@ -2053,6 +2060,31 @@ object QueriesLLM {
       "(embedding[j]::DOUBLE - ((((j-1)*2654435761) % 1000)/1000.0 - 0.5) * 0.05) * " +
       s"((((${i}*64 + j - 1)*2654435761) % 1000)/1000.0 - 0.5)))::FLOAT"
   }.mkString("[", ", ", "]")
+
+  private val corpusSketchSql: String =
+      """WITH tc AS (
+        |  SELECT source,
+        |    ('0x'||substr(md5(text),1,15))::BIGINT AS th,
+        |    len(list_filter(string_split(text, ' '), t -> length(t) > 0))::DOUBLE AS cnt
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM tc
+        |), qs AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = greatest(1, ceil(0.5::DOUBLE * n)) THEN cnt END) AS p50,
+        |    max(CASE WHEN rn = greatest(1, ceil(0.9::DOUBLE * n)) THEN cnt END) AS p90,
+        |    max(CASE WHEN rn = greatest(1, ceil(0.99::DOUBLE * n)) THEN cnt END) AS p99
+        |  FROM r GROUP BY source
+        |), ds AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    count(DISTINCT th)::BIGINT AS distinct_texts
+        |  FROM tc GROUP BY source
+        |)
+        |SELECT ds.source, ds.n_docs, ds.distinct_texts, qs.p50, qs.p90, qs.p99
+        |FROM ds JOIN qs USING (source)""".stripMargin
 
   private val oracles0: Map[String, String] = Map(
     "q_dedup_exact" -> (dupCorpusSql +
@@ -3271,30 +3303,11 @@ object QueriesLLM {
     // the SAME IEEE product Spark computes (decimal 0.9*10 = 9 but
     // double 0.9*10 > 9 — the rank differs unless both sides use
     // doubles).
-    "q_corpus_sketch" ->
-      """WITH tc AS (
-        |  SELECT source,
-        |    ('0x'||substr(md5(text),1,15))::BIGINT AS th,
-        |    len(list_filter(string_split(text, ' '), t -> length(t) > 0))::DOUBLE AS cnt
-        |  FROM documents
-        |), r AS (
-        |  SELECT source, cnt,
-        |    row_number() OVER (PARTITION BY source ORDER BY cnt) AS rn,
-        |    count(*) OVER (PARTITION BY source) AS n
-        |  FROM tc
-        |), qs AS (
-        |  SELECT source,
-        |    max(CASE WHEN rn = greatest(1, ceil(0.5::DOUBLE * n)) THEN cnt END) AS p50,
-        |    max(CASE WHEN rn = greatest(1, ceil(0.9::DOUBLE * n)) THEN cnt END) AS p90,
-        |    max(CASE WHEN rn = greatest(1, ceil(0.99::DOUBLE * n)) THEN cnt END) AS p99
-        |  FROM r GROUP BY source
-        |), ds AS (
-        |  SELECT source, count(*)::BIGINT AS n_docs,
-        |    count(DISTINCT th)::BIGINT AS distinct_texts
-        |  FROM tc GROUP BY source
-        |)
-        |SELECT ds.source, ds.n_docs, ds.distinct_texts, qs.p50, qs.p90, qs.p99
-        |FROM ds JOIN qs USING (source)""".stripMargin,
+    "q_corpus_sketch" -> corpusSketchSql,
+    // the fold of two half-corpus profiles must equal the whole-corpus
+    // profile bit-for-bit, so the incremental query shares the
+    // whole-corpus oracle verbatim
+    "q_profile_fold" -> corpusSketchSql,
     // sequential replay of the next-fit fold: same shard hash, same
     // (len desc, id) order, one open bin advanced row-by-row through a
     // recursive CTE — every (doc, shard, bin) must land identically

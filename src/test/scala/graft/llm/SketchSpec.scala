@@ -119,6 +119,30 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CorpusProfile.fold == profile(union) row-identical, saturated included") {
+    import spark.implicits._
+    // k small enough that every summary saturates on the 500-doc corpus
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (k, kq) = (16, 8)
+    def prof(df: org.apache.spark.sql.DataFrame) =
+      CorpusProfile.profile(df, "source", "doc_id", "text", k, kq)
+    val folded = CorpusProfile.fold(
+        prof(docs.filter(col("doc_id") % 2 === 0)),
+        prof(docs.filter(col("doc_id") % 2 === 1)),
+        "source", k, kq)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2),
+          r.getSeq[org.apache.spark.sql.Row](3).map(x => (x.getLong(0), x.getDouble(1)))))
+      .toMap
+    val whole = prof(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2),
+          r.getSeq[org.apache.spark.sql.Row](3).map(x => (x.getLong(0), x.getDouble(1)))))
+      .toMap
+    assert(folded == whole,
+      "fold of half-corpus profiles must equal the whole-corpus profile")
+  }
+
   test("Kmv.quantile rank rule on a tiny summary") {
     val s = Kmv.VSummary(8, Array(1L, 2L, 3L, 4L), Array(40.0, 10.0, 30.0, 20.0))
     assert(Kmv.quantile(s, 0.0) == 10.0)  // rank max(1, 0) = 1
