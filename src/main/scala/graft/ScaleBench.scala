@@ -218,9 +218,10 @@ object ScaleBench {
     require(identical, "fold(16) must equal the one-shot summary")
   }
 
-  /** PageRank under hub skew (r11 task 5): same 1.2 M-edge budget as a
-    * uniform graph, but two thirds of the edges concentrate on one hub
-    * (400k out of it, 400k into it). What each leg of the round does
+  /** PageRank under hub skew (r11 task 5): a 4 M-edge budget over 2 M
+    * nodes, uniform vs hub-skewed where 80% of the edges concentrate
+    * on hubs (1.6 M out of one node, 1.6 M into another). What each
+    * leg of the round does
     * with that: the dst-side aggregation absorbs the hot IN-hub in
     * map-side partial sums (one combined row per map partition — never
     * a hot reducer), while the src-side rank⋈edges equi-join hashes

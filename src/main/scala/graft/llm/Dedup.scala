@@ -259,7 +259,20 @@ object Dedup {
   def lshCandidatePairsFromSigs(sigs: DataFrame, idCol: String,
                                 bands: Int = 4, rowsPerBand: Int = 4,
                                 maxBucket: Int = 1000): DataFrame = {
-    val banded = sigs
+    // bands × rowsPerBand must tile the signature exactly: a short slice
+    // past the end would silently yield md5("") — ONE band key shared by
+    // every document (an all-pairs explosion or a capped-and-dropped
+    // bucket, both wrong). Signature length is data, not schema, so the
+    // guard is a per-row raise_error rather than a require().
+    val expectedLen = bands * rowsPerBand
+    val sigType = sigs.schema(sigs.schema.fieldIndex("sig")).dataType
+    val checked = sigs.withColumn("sig",
+      when(size(col("sig")) === expectedLen, col("sig"))
+        .otherwise(raise_error(concat(
+          lit("lshCandidatePairsFromSigs: signature length "),
+          size(col("sig")).cast("string"),
+          lit(s" != bands*rowsPerBand = $expectedLen"))).cast(sigType)))
+    val banded = checked
       .select(col(idCol).as("doc_a"),
         posexplode_outer(lshBandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "band_key")))

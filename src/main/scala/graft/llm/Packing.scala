@@ -68,31 +68,11 @@ object Packing {
     */
   def packBins(df: DataFrame, idCol: String, tokenCol: String,
                budget: Long, shards: Int, maxOpenBins: Int = 64): DataFrame = {
-    require(budget > 0 && shards > 0 && maxOpenBins > 0)
-    val sharded = df
-      .withColumn("shard", pmod(hash64(col(idCol).cast("string")), lit(shards.toLong)))
-      .withColumn("__len", col(tokenCol).cast("long"))
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("__len").desc, col(idCol))
-    val outSchema = org.apache.spark.sql.types.StructType(
-      sharded.schema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
-        "bin_id", org.apache.spark.sql.types.LongType, nullable = false))
-    val shardIdx = sharded.schema.fieldIndex("shard")
-    val lenIdx = sharded.schema.fieldIndex("__len")
-    val packed = sharded.mapPartitions { it =>
-      // state resets at shard boundaries (the hash repartition keeps
-      // each shard whole inside one partition; the local sort makes
-      // shards contiguous) — each row emits immediately, state is the
-      // bounded open-bin list only
-      var curShard = Long.MinValue
+    require(maxOpenBins > 0)
+    packSharded(df, idCol, tokenCol, budget, shards, "packBins") { () =>
       var nextBin = 0L
       val open = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-      it.map { row =>
-        val shard = row.getLong(shardIdx)
-        if (shard != curShard) { open.clear(); nextBin = 0L; curShard = shard }
-        val len = row.getLong(lenIdx)
-        require(len <= budget,
-          s"packBins: document of $len tokens exceeds budget $budget")
+      len => {
         // best fit: fullest open bin with room; ties -> lowest bin id
         var best = -1
         var bestRem = Long.MaxValue
@@ -104,25 +84,62 @@ object Packing {
             { best = i; bestRem = rem }
           i += 1
         }
-        val binId =
-          if (best >= 0) {
-            val (id, rem) = open(best)
-            if (rem - len == 0) open.remove(best)
-            else open(best) = (id, rem - len)
-            id
-          } else {
-            val id = nextBin; nextBin += 1
-            if (len < budget) {
-              open += ((id, budget - len))
-              if (open.length > maxOpenBins) {
-                // evict the most-full bin: least remaining to gain from
-                val victim = open.indices.minBy(j => (open(j)._2, open(j)._1))
-                open.remove(victim)
-              }
+        if (best >= 0) {
+          val (id, rem) = open(best)
+          if (rem - len == 0) open.remove(best)
+          else open(best) = (id, rem - len)
+          id
+        } else {
+          val id = nextBin; nextBin += 1
+          if (len < budget) {
+            open += ((id, budget - len))
+            if (open.length > maxOpenBins) {
+              // evict the most-full bin: least remaining to gain from
+              val victim = open.indices.minBy(j => (open(j)._2, open(j)._1))
+              open.remove(victim)
             }
-            id
           }
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ binId)
+          id
+        }
+      }
+    }
+  }
+
+  /** Shared distribution scaffolding for the no-straddle packers: shard
+    * by id hash, locally order (shard, len desc, id), and run a
+    * per-shard state machine over the ordered stream. `newState` builds
+    * one fold (len => bin id); a fresh fold starts at every shard
+    * boundary (the hash repartition keeps each shard whole inside one
+    * partition; the local sort makes shards contiguous), so the
+    * discipline is the ONLY thing a packer defines — the sharding hash,
+    * sort order, and schema handling cannot drift between them.
+    */
+  private def packSharded(df: DataFrame, idCol: String, tokenCol: String,
+                          budget: Long, shards: Int, name: String)
+                         (newState: () => Long => Long): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val sharded = df
+      .withColumn("shard", pmod(hash64(col(idCol).cast("string")), lit(shards.toLong)))
+      .withColumn("__len", col(tokenCol).cast("long"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__len").desc, col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sharded.schema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
+        "bin_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val shardIdx = sharded.schema.fieldIndex("shard")
+    val lenIdx = sharded.schema.fieldIndex("__len")
+    val packed = sharded.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var fold: Long => Long = null
+      it.map { row =>
+        val shard = row.getLong(shardIdx)
+        if (fold == null || shard != curShard) {
+          curShard = shard; fold = newState()
+        }
+        val len = row.getLong(lenIdx)
+        require(len <= budget,
+          s"$name: document of $len tokens exceeds budget $budget")
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ fold(len))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
     packed.drop("__len")
@@ -139,35 +156,16 @@ object Packing {
     * Same scale shape: shard-parallel, O(1) state, one local sort.
     */
   def packBinsNextFit(df: DataFrame, idCol: String, tokenCol: String,
-                      budget: Long, shards: Int): DataFrame = {
-    require(budget > 0 && shards > 0)
-    val sharded = df
-      .withColumn("shard", pmod(hash64(col(idCol).cast("string")), lit(shards.toLong)))
-      .withColumn("__len", col(tokenCol).cast("long"))
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("__len").desc, col(idCol))
-    val outSchema = org.apache.spark.sql.types.StructType(
-      sharded.schema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
-        "bin_id", org.apache.spark.sql.types.LongType, nullable = false))
-    val shardIdx = sharded.schema.fieldIndex("shard")
-    val lenIdx = sharded.schema.fieldIndex("__len")
-    val packed = sharded.mapPartitions { it =>
-      var curShard = Long.MinValue
+                      budget: Long, shards: Int): DataFrame =
+    packSharded(df, idCol, tokenCol, budget, shards, "packBinsNextFit") { () =>
       var bin = -1L // -1 = no open bin yet
       var fill = 0L
-      it.map { row =>
-        val shard = row.getLong(shardIdx)
-        if (shard != curShard) { curShard = shard; bin = -1L; fill = 0L }
-        val len = row.getLong(lenIdx)
-        require(len <= budget,
-          s"packBinsNextFit: document of $len tokens exceeds budget $budget")
+      len => {
         if (bin >= 0 && fill + len <= budget) fill += len
         else { bin += 1; fill = len }
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bin)
+        bin
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-    packed.drop("__len")
-  }
+    }
 
   /** Per-bin padding report over a [[packBins]] result: fill and
     * padding per (shard, bin) plus the number of documents — a plain

@@ -23,7 +23,8 @@ import graft.llm.{Dedup, TextFunctions, Warc}
   * distinct accepted document (digest-only — archive payloads are
   * never re-read, the monthly-crawl property the batch incremental
   * dedup already measures flat across 2×–20× archives); each batch
-  * appends its survivors' digests. Bucket the index by content_hash
+  * adds a `batch_id` partition of its survivors' digests. Bucket the
+  * index by content_hash
   * ([[graft.etd.Sources.writeBucketed]]) when batches grow past the
   * broadcast threshold so the anti join co-locates without a shuffle
   * of the index side.
@@ -50,39 +51,59 @@ object StreamingCrawl {
     (accepted, Dedup.digestIndex(accepted, "main"))
   }
 
-  /** The archive index as stored: empty on first start. */
+  /** The archive index as stored — (content_hash, batch_id) rows;
+    * empty on first start. The probe is Hadoop-FS ([[BatchState]]), so
+    * the index dir can live on any Spark-visible storage — a
+    * driver-local probe would read a remote index as empty every batch
+    * and silently disable cross-batch dedup.
+    */
   def loadIndex(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
-    val d = new java.io.File(indexDir)
-    val files = Option(d.list()).getOrElse(Array.empty)
-    if (d.exists() && files.nonEmpty) spark.read.parquet(indexDir)
-    else Seq.empty[String].toDF("content_hash")
+    if (BatchState.hasData(spark, indexDir)) spark.read.parquet(indexDir)
+    else Seq.empty[(String, Long)].toDF("content_hash", "batch_id")
   }
 
   /** Start the intake query over a STREAMING frame of (id, html) rows
     * (e.g. parsed WARC responses — [[parseWarcFiles]] turns arriving
-    * `.warc.gz` bytes into that frame). Each batch appends survivors
+    * `.warc.gz` bytes into that frame). Each batch writes survivors
     * to `sinkDir` and their digests to `indexDir`; `checkpointDir`
-    * carries the source offsets, so a restart resumes without
-    * re-accepting (exactly-once via the digest screen even on replayed
-    * batches: a replayed document's digest is already in the index —
-    * the screen makes the sink idempotent at the content level).
+    * carries the source offsets.
+    *
+    * Restart safety: both writes land in a `batch_id=<N>` partition
+    * via DYNAMIC partition overwrite, so a replayed batch REWRITES its
+    * own partitions instead of appending next to a failed attempt's
+    * rows — the sink and index cannot accumulate duplicates however
+    * the batch dies between the two writes. The dedup screen excludes
+    * the current batch's own index rows, so the replay decides
+    * acceptance from exactly the committed pre-batch state (batches
+    * `< N` are immutable once batch N starts — Structured Streaming
+    * batch ids are monotone).
     */
   def ingest(stream: DataFrame, idCol: String, htmlCol: String,
              sinkDir: String, indexDir: String, checkpointDir: String,
              minTokens: Int = 5): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val committed = loadIndex(spark, indexDir)
+          .filter(col("batch_id") =!= lit(batchId))
+          .select("content_hash")
         val (accepted, _) =
-          acceptBatch(batch, idCol, htmlCol,
-            loadIndex(spark, indexDir), minTokens)
+          acceptBatch(batch, idCol, htmlCol, committed, minTokens)
         // accepted is consumed twice (sink + digests) in one batch:
         // cut once so the chain runs once
-        val cut = accepted.localCheckpoint(true)
-        cut.write.mode("append").parquet(sinkDir)
-        Dedup.digestIndex(cut, "main").write.mode("append").parquet(indexDir)
+        val cut = accepted.withColumn("batch_id", lit(batchId))
+          .localCheckpoint(true)
+        def writePartition(df: DataFrame, dir: String): Unit =
+          df.write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(dir)
+        writePartition(cut, sinkDir)
+        writePartition(
+          Dedup.digestIndex(cut.drop("batch_id"), "main")
+            .withColumn("batch_id", lit(batchId)),
+          indexDir)
         graft.Checkpoints.free(cut)
         ()
       }

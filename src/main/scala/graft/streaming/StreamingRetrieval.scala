@@ -81,15 +81,20 @@ object StreamingRetrieval {
     * needs no compaction (it is already the final table).
     */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    // Hadoop-FS renames, not java.io.File: the index lives wherever the
+    // stream writes it (hdfs://, s3a://), and a driver-local renameTo
+    // would fail every compaction off the driver's own disk
     def swapIn(sub: String)(compacted: DataFrame): Unit = {
-      val live = new java.io.File(s"$indexDir/$sub")
-      val tmp = new java.io.File(s"$indexDir/${sub}_compacting")
-      val old = new java.io.File(s"$indexDir/${sub}_old")
-      compacted.write.mode("overwrite").parquet(tmp.getPath)
-      if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-      if (!live.renameTo(old)) sys.error(s"compactIndex: cannot retire $live")
-      if (!tmp.renameTo(live)) sys.error(s"compactIndex: cannot promote $tmp")
-      org.apache.commons.io.FileUtils.deleteDirectory(old)
+      val (f, _) = BatchState.fs(spark, indexDir)
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${sub}_compacting")
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir/${sub}_old")
+      compacted.write.mode("overwrite").parquet(tmp.toString)
+      if (f.exists(old)) f.delete(old, true)
+      if (!f.rename(live, old)) sys.error(s"compactIndex: cannot retire $live")
+      if (!f.rename(tmp, live)) sys.error(s"compactIndex: cannot promote $tmp")
+      f.delete(old, true)
+      ()
     }
     swapIn("termdf")(spark.read.parquet(s"$indexDir/termdf")
       .groupBy("term").agg(sum(col("df")).as("df"))

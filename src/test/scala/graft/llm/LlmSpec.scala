@@ -61,6 +61,19 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)))
+
+    // banding that does not tile the signature must FAIL LOUDLY: a
+    // past-the-end slice would md5 an empty band — one key shared by
+    // every doc (all-pairs or a silently dropped capped bucket)
+    val sigDf = Dedup.minhashSignatures(df, "id", "text", 16, 3)
+    val ex = intercept[Exception] {
+      Dedup.lshCandidatePairsFromSigs(sigDf, "id", bands = 8).collect()
+    }
+    assert(ex.getMessage.contains("bands*rowsPerBand") ||
+      Option(ex.getCause).exists(_.getMessage.contains("bands*rowsPerBand")))
+    // a tiling that matches still works through the same guard
+    assert(Dedup.lshCandidatePairsFromSigs(sigDf, "id",
+      bands = 8, rowsPerBand = 2).collect().nonEmpty)
   }
 
   test("jaccard and simhash behave on identical/disjoint docs") {

@@ -71,7 +71,8 @@ class StreamingCrawlSpec extends AnyFunSuite {
       s"expected cross-batch dedup to keep {1, 5}, got $got")
 
     // the persisted index is digest-only and matches the accepted set
-    val index = spark.read.parquet(idx).as[String].collect().toSorted
+    val index = spark.read.parquet(idx)
+      .select("content_hash").as[String].collect().toSorted
     val expectIdx = spark.read.parquet(sink)
       .select(md5(col("main"))).as[String].collect().toSorted
     assert(index == expectIdx)
@@ -98,11 +99,45 @@ class StreamingCrawlSpec extends AnyFunSuite {
     val empty = Seq.empty[String].toDF("content_hash")
     val (a1, d1) = StreamingCrawl.acceptBatch(b1, "id", "html", empty)
     assert(a1.count() == 1)
-    d1.write.mode("append").parquet(idxDir)
-    // the same batch arrives again (checkpoint lost, source replayed)
+    d1.withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(idxDir)
+    // the checkpoint is LOST and the content re-arrives as a LATER
+    // batch: the committed index (all batch ids) screens it out
     val (a2, _) = StreamingCrawl.acceptBatch(b1, "id", "html",
-      StreamingCrawl.loadIndex(spark, idxDir))
+      StreamingCrawl.loadIndex(spark, idxDir).select("content_hash"))
     assert(a2.count() == 0, "replayed content must drop against the index")
+  }
+
+  test("a crashed batch's partial writes are rewritten, not appended, on replay") {
+    // mimic the ingest body's failure window: batch 1 wrote its sink
+    // partition, died before the index write, and is replayed — the
+    // dynamic partition overwrite must leave exactly one copy
+    val tmp = Files.createTempDirectory("crawl_partial").toString
+    val (sinkDir, idxDir) = (s"$tmp/sink", s"$tmp/index")
+    val b1 = Seq(10L -> page(s"$prose one"), 11L -> page(s"$prose two"))
+      .toDF("id", "html")
+    def runBatch(batchId: Long, dropIndexWrite: Boolean): Unit = {
+      val committed = StreamingCrawl.loadIndex(spark, idxDir)
+        .filter(col("batch_id") =!= lit(batchId)).select("content_hash")
+      val (accepted, _) =
+        StreamingCrawl.acceptBatch(b1, "id", "html", committed)
+      val stamped = accepted.withColumn("batch_id", lit(batchId))
+      stamped.write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(sinkDir)
+      if (!dropIndexWrite)
+        graft.llm.Dedup.digestIndex(stamped.drop("batch_id"), "main")
+          .withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(idxDir)
+    }
+    runBatch(1L, dropIndexWrite = true)  // crash between the writes
+    runBatch(1L, dropIndexWrite = false) // checkpoint replay
+    val ids = spark.read.parquet(sinkDir).select("id").as[Long].collect()
+    assert(ids.sorted.toSeq == Seq(10L, 11L),
+      s"replay must rewrite the batch partition, got ${ids.toSeq}")
+    assert(spark.read.parquet(idxDir).count() == 2)
   }
 
   private implicit class Sorted(a: Array[String]) {

