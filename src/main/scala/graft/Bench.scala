@@ -62,6 +62,53 @@ object Bench {
   val setup: Map[String, (SparkSession, String) => Unit] =
     Map("q_bm25_indexed" -> (prepareBm25Index _))
 
+  // ---- environment telemetry (task: self-diagnosing bench, VERDICT r12 #1)
+  // BENCH_r12 read 3.66x on unchanged code because the HOST was contended
+  // (sbt wall 640s vs 199s for the identical run); the JSON recorded
+  // nothing that could distinguish that from a real regression. These
+  // probes make a poisoned run self-identify: external CPU burn is
+  // measured directly (whole-box busy jiffies minus this JVM's own CPU),
+  // not inferred from timings.
+
+  /** (1m, 5m, 15m) load averages; None off-Linux. */
+  private def loadavg: Option[Seq[Double]] =
+    scala.util.Try {
+      val s = scala.io.Source.fromFile("/proc/loadavg")
+      try s.mkString.trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+      finally s.close()
+    }.toOption
+
+  /** Whole-box busy CPU time in seconds since boot (user+nice+system+
+    * irq+softirq+steal from /proc/stat's aggregate line); None off-Linux.
+    */
+  private def boxBusySec: Option[Double] =
+    scala.util.Try {
+      val s = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = s.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        // fields: user nice system idle iowait irq softirq steal ...
+        val busy = f(0) + f(1) + f(2) + f.lift(5).getOrElse(0L) +
+          f.lift(6).getOrElse(0L) + f.lift(7).getOrElse(0L)
+        busy.toDouble / sys.process.Process("getconf CLK_TCK").!!.trim.toDouble
+      } finally s.close()
+    }.toOption
+
+  /** This JVM's cumulative process CPU seconds. */
+  private def procCpuSec: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
+  /** Locale-pinned decimal (an f-interpolator in a comma-decimal locale
+    * would corrupt the JSON). */
+  private def num(v: Double, decimals: Int = 2): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
+  private def jsonArr(xs: Option[Seq[Double]]): String =
+    xs.fold("null")(_.map(num(_)).mkString("[", ",", "]"))
+
   /** Representative heavy queries, one per operator family. */
   val headline: Seq[String] = Seq(
     "q_agg_pricing",
@@ -105,6 +152,12 @@ object Bench {
     "q_cc_pipeline",
     "q_asof_join",
     "q_pagerank",
+    // r12-new operator tier (VERDICT r12 #7): green oracles, now with a
+    // round-over-round perf track
+    "q_fuzzy_join",
+    "q_profile_fold",
+    "q_warc_roundtrip",
+    "q_wordpiece_tokens",
   )
 
   def main(args: Array[String]): Unit = {
@@ -151,6 +204,11 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val loadBefore = loadavg
+    val boxBusy0 = boxBusySec
+    val procCpu0 = procCpuSec
+    val wall0 = System.nanoTime()
+    var cpuRatios = List.empty[(String, Double)]
     val results = selected.map { name =>
       registry.get(name) match {
         case Some(fn) =>
@@ -166,20 +224,28 @@ object Bench {
             // (lazy-checkpoint cuts, stray caches) is freed so run r+1
             // measures the query, not run r's residue (VERDICT r10 #1)
             val keep = Checkpoints.persistentIds(spark)
-            val times = (1 to runs).map { r =>
+            val timed = (1 to runs).map { r =>
               val g0 = gcMillis
+              val c0 = procCpuSec
               val t0 = System.nanoTime()
               materialize(fn(spark, sfDir))
               val sec = (System.nanoTime() - t0) / 1e9
+              // process-CPU/wall per run: on a quiet local[32] box a
+              // CPU-bound query's ratio is stable round-over-round; a
+              // collapsed ratio on unchanged code means the host stole
+              // the cores, not that the plan regressed (VERDICT r12 #1)
+              val ratio = if (c0 < 0) -1.0 else (procCpuSec - c0) / sec
               // per-run detail to stderr: medians hide run-over-run
               // drift (state accumulation, JIT, GC) — this line is how
               // a 2x median discrepancy gets attributed (VERDICT r8 #1)
               System.err.println(
-                f"[bench] $name run $r: $sec%.2fs gc=${gcMillis - g0}ms")
+                f"[bench] $name run $r: $sec%.2fs gc=${gcMillis - g0}ms " +
+                  f"cpu/wall=$ratio%.1f")
               Checkpoints.sweep(spark, keep) // after the clock stops
-              sec
+              (sec, ratio)
             }
-            name -> median(times)
+            cpuRatios ::= (name, median(timed.map(_._2)))
+            name -> median(timed.map(_._1))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -201,7 +267,36 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}""")
+
+    // ---- environment block: was THIS run's box quiet? (VERDICT r12 #1)
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val procCpu = procCpuSec - procCpu0
+    // cores of CPU burned by processes OTHER than this JVM while the
+    // bench ran — the direct contention measurement (sbt/driver wrappers
+    // are idle while the fork runs, so anything beyond ~1 core external
+    // is a foreign workload)
+    val externalCores = boxBusySec.flatMap(b1 => boxBusy0.map(b0 =>
+      ((b1 - b0) - procCpu) / wallSec))
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    // contended: a foreign workload held >= 1/8 of the box during the
+    // run, or the box was already loaded >= 1/4 before it started.
+    // Thresholds are deliberately coarse — the flag marks "do not read
+    // this round-over-round", it does not grade severity.
+    val contended =
+      externalCores.exists(_ > nCpus / 8.0) ||
+        loadBefore.exists(_.head > nCpus / 4.0)
+    val env = List(
+      "\"loadavg_before\":" + jsonArr(loadBefore),
+      "\"loadavg_after\":" + jsonArr(loadavg),
+      "\"cpus\":" + nCpus,
+      "\"wall_sec\":" + num(wallSec, 1),
+      "\"proc_cpu_sec\":" + num(procCpu, 1),
+      "\"external_cpu_cores\":" + externalCores.fold("null")(num(_))
+    ).mkString("{", ",", "}")
+    val ratios = cpuRatios.reverse
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median","env":$env,"contended":$contended,"cpu_wall_ratio":$ratios}""")
     spark.stop()
   }
 }

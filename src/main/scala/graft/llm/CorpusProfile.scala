@@ -65,8 +65,12 @@ object CorpusProfile {
     */
   def report(profile: DataFrame, groupCol: String): DataFrame = {
     val vals = array_sort(transform(col("tok_sample"), s => s.getField("v")))
-    def q(p: Double) =
-      element_at(vals, greatest(lit(1), ceil(lit(p) * size(vals)).cast("int")))
+    // a surviving group can carry an EMPTY sample (the aggregate skips
+    // null elements but the group row remains); index 1 into an empty
+    // array is null under non-ANSI and an error under ANSI — make the
+    // empty case an explicit null either way (ADVICE r12)
+    def q(p: Double) = when(size(vals) > 0,
+      element_at(vals, greatest(lit(1), ceil(lit(p) * size(vals)).cast("int"))))
     profile.select(col(groupCol), col("n_docs"),
       size(col("text_kmv")).cast("long").as("distinct_texts"),
       q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))

@@ -246,10 +246,17 @@ object Dedup {
                         numHashes: Int = 16, bands: Int = 4,
                         shingleSize: Int = 3,
                         maxBucket: Int = 1000,
-                        fast: Boolean = false): DataFrame =
+                        fast: Boolean = false): DataFrame = {
+    // bands must tile numHashes exactly: with integer division a ragged
+    // split (e.g. 18 hashes / 4 bands) would produce 16-row bands over
+    // an 18-hash signature and trip the per-row length guard downstream
+    // at runtime — fail here, driver-side, with the actual numbers
+    require(numHashes % bands == 0,
+      s"lshCandidatePairs: numHashes ($numHashes) must be divisible by bands ($bands)")
     lshCandidatePairsFromSigs(
       minhashSignatures(df, idCol, textCol, numHashes, shingleSize, fast),
       idCol, bands, numHashes / bands, maxBucket)
+  }
 
   /** [[lshCandidatePairs]] over PRECOMPUTED signatures (column `sig`) —
     * the sharing entry for pipelines that consume both the signatures

@@ -45,14 +45,22 @@ object BatchState {
 
   /** Durably replace versioned state: write the frame to `v<N>.tmp`,
     * rename to `v<N>` (atomic on HDFS and local FS — the new version
-    * appears all-or-nothing), then prune versions `< N`. The previous
-    * version stays readable until the new one is durable, so a crash
-    * at ANY point leaves a complete version on disk:
+    * appears all-or-nothing), then prune all versions `< N` EXCEPT the
+    * newest of them. That retained predecessor is the version batch N
+    * folded FROM, and it must outlive batch N's commit: Structured
+    * Streaming commits its source offsets only AFTER foreachBatch
+    * returns, so a crash in that gap re-executes batch N — the replay
+    * reads `latestVersion(beforeVersion = N)`, which must still be the
+    * pre-batch state, not pruned air (folding from nothing would
+    * overwrite v<N> with the lone batch's profile and silently destroy
+    * everything ever ingested — ADVICE r12). The predecessor is freed
+    * at batch N+1's commit, which only runs after batch N's offsets
+    * are durable, i.e. once a replay of N is impossible. Crash safety:
     *   - mid-write: only `.tmp` is partial; committed versions intact;
-    *   - post-rename, pre-prune: two versions; readers take the max;
-    *   - replay of batch N: the write mode is overwrite and a stale
-    *     `v<N>` from a failed attempt is deleted before the rename,
-    *     so the commit is idempotent.
+    *   - post-rename, pre-prune: extra versions; readers take the max;
+    *   - replay of batch N: the stale `v<N>` from the failed attempt
+    *     is deleted before the rename (idempotent) and its fold source
+    *     `v<M>`, M < N, is still on disk.
     */
   def commitVersion(spark: SparkSession, stateDir: String, version: Long,
                     df: org.apache.spark.sql.DataFrame): Unit = {
@@ -63,8 +71,12 @@ object BatchState {
     if (f.exists(fin)) f.delete(fin, true)
     if (!f.rename(tmp, fin))
       sys.error(s"commitVersion: cannot promote $tmp to $fin")
-    versions(spark, stateDir).filter(_ < version)
-      .foreach(v => f.delete(new Path(root, s"v$v"), true))
+    val older = versions(spark, stateDir).filter(_ < version)
+    if (older.nonEmpty) {
+      val keep = older.max // batch `version`'s fold source — replay-readable
+      older.filter(_ != keep)
+        .foreach(v => f.delete(new Path(root, s"v$v"), true))
+    }
   }
 
   /** The newest committed version strictly below `beforeVersion` —

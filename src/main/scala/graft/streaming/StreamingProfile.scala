@@ -15,14 +15,17 @@ import graft.llm.CorpusProfile
   * the way `q_profile_fold` is driver-checked.
   *
   * Durability: the state dir is VERSIONED (`v<batchId>` subdirs,
-  * [[BatchState.commitVersion]]) — each batch folds the previous
-  * version and commits a new one; the previous version is pruned only
-  * after the new one is durably renamed in. The profile is the ONLY
-  * copy of everything ever ingested, so delete-then-rewrite in place
-  * would turn any mid-write crash into unrecoverable loss; versioning
+  * [[BatchState.commitVersion]]) — each batch folds the newest
+  * version below its own id and commits a new one; the version it
+  * folded FROM is retained until the NEXT batch commits (offsets for
+  * batch N become durable only after foreachBatch returns, so a crash
+  * in that gap replays batch N — the replay must still find its
+  * pre-batch state, ADVICE r12). The profile is the ONLY copy of
+  * everything ever ingested, so delete-then-rewrite in place would
+  * turn any mid-write crash into unrecoverable loss; versioning
   * leaves a complete fold on disk at every instant, and a replayed
   * batch folds from the version BELOW its own id, so at-least-once
-  * redelivery never double-counts.
+  * redelivery never double-counts AND never drops history.
   */
 object StreamingProfile {
 

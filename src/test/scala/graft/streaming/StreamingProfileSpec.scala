@@ -49,32 +49,45 @@ class StreamingProfileSpec extends AnyFunSuite {
       "maintained state must equal the one-shot profile of all batches")
 
     // the replay read-bound: a redelivered batch 1 folds from the
-    // version BELOW its id — exactly the batch-0-only profile — so
-    // at-least-once delivery cannot double-count. (v0 is pruned once
-    // v1 commits, so the bound resolves to None here; fold from the
-    // batch profile alone, which is what a fresh start would do, is
-    // the correct degenerate case. Assert the committed version is
-    // batch 1's and only one version remains.)
+    // version BELOW its id — exactly the batch-0-only profile. Batch
+    // 1's offsets commit only AFTER its foreachBatch returns, so a
+    // crash in that gap replays batch 1 — v0 (batch 1's fold source)
+    // must still be on disk, or the replay would fold from nothing
+    // and destroy batch 0's history (ADVICE r12).
     import graft.streaming.BatchState
-    assert(BatchState.versions(spark, state) == Seq(1L),
-      "old versions must be pruned after the new one is durable")
-    assert(StreamingProfile.loadState(spark, state, beforeBatch = 1L).isEmpty)
+    assert(BatchState.versions(spark, state).sorted == Seq(0L, 1L),
+      "batch 1's fold source v0 must survive until batch 2 commits")
+    val preBatch1 = CorpusProfile.report(
+        StreamingProfile.loadState(spark, state, beforeBatch = 1L).get,
+        "source").collect().map(_.toSeq).toSet
+    val batch0Only = CorpusProfile.report(
+        CorpusProfile.profile((0L until 40L).map(doc)
+          .toDF("doc_id", "source", "text"), "source", "doc_id", "text",
+          k = 8, kq = 4), "source")
+      .collect().map(_.toSeq).toSet
+    assert(preBatch1 == batch0Only,
+      "a replayed batch 1 must read exactly the pre-batch-1 state")
   }
 
-  test("commitVersion survives a stale same-version dir and prunes olds") {
+  test("commitVersion survives a stale same-version dir; keeps fold source") {
     val tmp = Files.createTempDirectory("profile_commit").toString
     val st = s"$tmp/state"
     val d0 = Seq(("a", 1L)).toDF("g", "n")
     val d1 = Seq(("a", 2L)).toDF("g", "n")
     graft.streaming.BatchState.commitVersion(spark, st, 0L, d0)
     // failed attempt of batch 1 left a committed v1; the replay must
-    // overwrite it, not error or append
+    // overwrite it, not error or append — and must still see v0
     graft.streaming.BatchState.commitVersion(spark, st, 1L, d0)
     graft.streaming.BatchState.commitVersion(spark, st, 1L, d1)
-    assert(graft.streaming.BatchState.versions(spark, st) == Seq(1L))
+    assert(graft.streaming.BatchState.versions(spark, st).sorted == Seq(0L, 1L))
     assert(StreamingProfile.loadState(spark, st).get
       .collect().map(_.getLong(1)).toSeq == Seq(2L))
-    assert(StreamingProfile.loadState(spark, st, beforeBatch = 1L).isEmpty,
-      "pruned pre-batch state reads as None, never as the stale attempt")
+    assert(StreamingProfile.loadState(spark, st, beforeBatch = 1L).get
+      .collect().map(_.getLong(1)).toSeq == Seq(1L),
+      "replayed batch 1 reads its pre-batch state, not the stale attempt")
+    // batch 2 commits → v0 (no longer any batch's fold source) freed
+    graft.streaming.BatchState.commitVersion(spark, st, 2L, d1)
+    assert(graft.streaming.BatchState.versions(spark, st).sorted == Seq(1L, 2L),
+      "the predecessor is freed once the NEXT batch commits")
   }
 }
