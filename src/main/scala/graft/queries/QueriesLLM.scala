@@ -777,6 +777,32 @@ object QueriesLLM {
       .select("doc_id", "main", "n_tokens", "n_dups")
   }
 
+  /** Incremental crawl intake ([[graft.streaming.StreamingCrawl]]'s
+    * `foreachBatch` unit, replayed as two batch calls — the driver row
+    * for the streaming intake chain): the duplicated corpus rendered
+    * as hostile pages splits into two "arrivals" (doc_id < 250, rest),
+    * batch 1 accepts against an empty index, batch 2 against batch 1's
+    * digest index. The union of both accepted sets must equal the
+    * ONE-SHOT chain over everything (the oracle): batch-1 ids all
+    * precede batch-2 ids, so the cross-batch digest screen + per-batch
+    * min-id dedup compose to exactly the global min-id-per-content
+    * rule. Exercises extraction, the token gate, the within-batch
+    * dedup, and — the part only this query checks driver-side — the
+    * digest-index screen BETWEEN batches.
+    */
+  def q_crawl_incremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StreamingCrawl
+    val corpus = dupCorpus(spark, dir)
+      .select(col("doc_id"), ccPage(col("text")).as("html"))
+    val empty = Seq.empty[String].toDF("content_hash")
+    val (a1, d1) = StreamingCrawl.acceptBatch(
+      corpus.filter(col("doc_id") < 250), "doc_id", "html", empty)
+    val (a2, _) = StreamingCrawl.acceptBatch(
+      corpus.filter(col("doc_id") >= 250), "doc_id", "html", d1)
+    a1.unionByName(a2).select("doc_id", "main", "n_tokens")
+  }
+
   /** WARC container roundtrip — the driver row the reader itself was
     * missing (r11 task 4): per document, BUILD a complete `.warc.gz`
     * file image in memory (two gzip members; member 1 = warcinfo +
@@ -1888,6 +1914,7 @@ object QueriesLLM {
     "q_url_normalize" -> (q_url_normalize _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
+    "q_crawl_incremental" -> (q_crawl_incremental _),
     "q_warc_roundtrip" -> (q_warc_roundtrip _),
     "q_unigram_seed" -> (q_unigram_seed _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
@@ -3260,6 +3287,21 @@ object QueriesLLM {
          |  FROM m
          |)
          |SELECT min(doc_id) AS doc_id, main, n_tokens, count(*)::BIGINT AS n_dups
+         |FROM t WHERE n_tokens >= 5 GROUP BY main, n_tokens""".stripMargin),
+    // the two-batch incremental intake must equal the one-shot chain:
+    // global min-id per accepted content (batch-1 ids precede batch-2
+    // ids, so the digest screen + per-batch min-id compose to this)
+    "q_crawl_incremental" ->
+      (dupCorpusSql +
+        s""", h AS (SELECT doc_id, $duckPage AS html FROM corpus
+         |), m AS (
+         |  SELECT doc_id, ${duckMain("html")} AS main FROM h
+         |), t AS (
+         |  SELECT doc_id, main,
+         |    len(list_filter(string_split(main, ' '), x -> length(x) > 0))::BIGINT AS n_tokens
+         |  FROM m
+         |)
+         |SELECT min(doc_id) AS doc_id, main, n_tokens
          |FROM t WHERE n_tokens >= 5 GROUP BY main, n_tokens""".stripMargin),
     "q_url_normalize" -> (urlChainSql +
       s"""

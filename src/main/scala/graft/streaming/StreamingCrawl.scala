@@ -19,24 +19,134 @@ import graft.llm.{Dedup, TextFunctions, Warc}
   * [[Dedup.digestIndex]]) — stream == batch agreement is by
   * construction, StreamingCrawlSpec pins it on a two-batch fixture.
   *
-  * Scale shape: the index the screen joins against is 16 bytes per
-  * distinct accepted document (digest-only — archive payloads are
-  * never re-read, the monthly-crawl property the batch incremental
-  * dedup already measures flat across 2×–20× archives); each batch
-  * adds a `batch_id` partition of its survivors' digests. Bucket the
-  * index by content_hash
-  * ([[graft.etd.Sources.writeBucketed]]) when batches grow past the
-  * broadcast threshold so the anti join co-locates without a shuffle
-  * of the index side.
+  * Two scale levers, each with both a small and a large mode:
+  *
+  *   - '''Archive bytes.''' [[ingestPaths]] is the production intake:
+  *     the stream carries file PATHS and each batch walks just the new
+  *     files via `binaryFiles` + [[Warc.parseWarcStream]] — a 1 GB
+  *     crawl segment streams record-by-record through an iterator and
+  *     never exists as one row value. [[parseWarcFiles]] (whole file
+  *     images as binary rows) remains for sources that genuinely
+  *     deliver bytes (a message bus carrying small segments); its
+  *     per-row footprint is the file size, so it does not scale to
+  *     standard ~1 GB segments.
+  *   - '''Index size.''' The index the screen joins against is 16
+  *     bytes per distinct accepted document (digest-only — archive
+  *     payloads are never re-read, the monthly-crawl property the
+  *     batch incremental dedup measures flat across 2×–20× archives).
+  *     [[DirIndex]] stores it as plain partitioned parquet — right
+  *     while the index broadcasts. Past the broadcast threshold,
+  *     [[BucketedIndex]] keeps it as an external table bucketed on
+  *     `content_hash`, so the per-batch anti join co-locates WITHOUT
+  *     exchanging the index side: only the micro-batch (small by
+  *     definition) shuffles to the bucket count, and the index —
+  *     the side that grows with the archive — is read in place
+  *     (StreamingCrawlSpec pins the plan shape).
   */
 object StreamingCrawl {
+
+  /** Where the cross-batch digest index lives. Implementations must be
+    * replay-exact: Structured Streaming commits source offsets only
+    * AFTER `foreachBatch` returns, so a crash inside the batch replays
+    * it — [[committed]] must expose exactly the pre-batch state
+    * (batches `< N` are immutable once batch N starts; batch N's own
+    * failed-attempt rows are excluded) and [[write]] must leave one
+    * copy of batch N's rows no matter how many attempts ran.
+    */
+  sealed trait IndexStore {
+    /** `content_hash` rows committed by batches OTHER than `batchId` —
+      * the screen a replayed batch decides acceptance against.
+      */
+    def committed(spark: SparkSession, batchId: Long): DataFrame
+
+    /** Persist batch `batchId`'s digest rows (`content_hash` column),
+      * replacing any rows a failed earlier attempt of the SAME batch
+      * left behind.
+      */
+    def write(digests: DataFrame, batchId: Long): Unit
+  }
+
+  /** Plain parquet index dir, one `batch_id=<N>` partition per batch,
+    * replay handled by DYNAMIC partition overwrite (a replayed batch
+    * REWRITES its own partition instead of appending next to a failed
+    * attempt's rows). The probe is Hadoop-FS ([[BatchState]]), so the
+    * dir can live on any Spark-visible storage — a driver-local probe
+    * would read a remote index as empty every batch and silently
+    * disable cross-batch dedup. Right while the index is small enough
+    * to broadcast into the anti join; past that, [[BucketedIndex]].
+    */
+  final case class DirIndex(dir: String) extends IndexStore {
+    def committed(spark: SparkSession, batchId: Long): DataFrame =
+      loadIndex(spark, dir)
+        .filter(col("batch_id") =!= lit(batchId))
+        .select("content_hash")
+
+    def write(digests: DataFrame, batchId: Long): Unit =
+      digests.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dir)
+  }
+
+  /** The past-broadcast-threshold index: an external table at `path`
+    * registered under `table`, partitioned by `batch_id` and BUCKETED
+    * (+ sorted) on `content_hash`. The per-batch anti join then reads
+    * the index side in place — its bucketing already satisfies the
+    * join's distribution requirement, so only the micro-batch side
+    * exchanges (to `buckets` partitions), however large the archive
+    * grows. Size `buckets` for the TARGET archive (digests are 16
+    * bytes/doc: 1 B docs / 512 buckets ≈ 31 MB a bucket) — the count
+    * is fixed at table creation like any bucketed table's.
+    *
+    * Each batch APPENDS its partition (bucket files accumulate per
+    * batch; bucket pruning/co-location is per-file, so reads stay
+    * exchange-free — at most the merge sort loses the single-file
+    * sortedness, costing a local Sort, never an Exchange). Replay: a
+    * failed attempt's partition DIRECTORY is deleted (+ `REFRESH
+    * TABLE` so the file listing cache drops the dead files) before the
+    * re-append — exactly one copy of batch N's rows survives any crash
+    * point, same contract as [[DirIndex]]'s dynamic overwrite.
+    */
+  final case class BucketedIndex(table: String, path: String, buckets: Int)
+      extends IndexStore {
+    private def quoted = s"`${table.replace("`", "``")}`"
+
+    def committed(spark: SparkSession, batchId: Long): DataFrame =
+      if (spark.catalog.tableExists(table))
+        spark.table(table)
+          // partition-column filter: batch N's failed-attempt partition
+          // (if any) is PRUNED at the scan, never read
+          .filter(col("batch_id") =!= lit(batchId))
+          .select("content_hash")
+      else {
+        import spark.implicits._
+        Seq.empty[String].toDF("content_hash")
+      }
+
+    def write(digests: DataFrame, batchId: Long): Unit = {
+      val spark = digests.sparkSession
+      if (spark.catalog.tableExists(table)) {
+        val (f, p) = BatchState.fs(spark, s"$path/batch_id=$batchId")
+        if (f.exists(p)) {
+          f.delete(p, true)
+          spark.sql(s"REFRESH TABLE $quoted")
+        }
+      }
+      digests.withColumn("batch_id", lit(batchId))
+        .write.mode("append").format("parquet").option("path", path)
+        .partitionBy("batch_id")
+        .bucketBy(buckets, "content_hash").sortBy("content_hash")
+        .saveAsTable(table)
+    }
+  }
 
   /** One micro-batch through the intake chain: extract main content
     * from `htmlCol`, gate on `minTokens` whitespace tokens, drop
     * everything whose digest is in `index` (plus within-batch min-id
     * dedup). Returns (accepted rows incl. `main`/`n_tokens`, their
     * digest rows to append to the index). Pure batch operators — also
-    * the replay path for backfills.
+    * the replay path for backfills and the `q_crawl_incremental`
+    * oracle's unit.
     */
   def acceptBatch(batch: DataFrame, idCol: String, htmlCol: String,
                   index: DataFrame, minTokens: Int = 5)
@@ -51,11 +161,8 @@ object StreamingCrawl {
     (accepted, Dedup.digestIndex(accepted, "main"))
   }
 
-  /** The archive index as stored — (content_hash, batch_id) rows;
-    * empty on first start. The probe is Hadoop-FS ([[BatchState]]), so
-    * the index dir can live on any Spark-visible storage — a
-    * driver-local probe would read a remote index as empty every batch
-    * and silently disable cross-batch dedup.
+  /** The [[DirIndex]] archive as stored — (content_hash, batch_id)
+    * rows; empty on first start.
     */
   def loadIndex(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
@@ -64,57 +171,100 @@ object StreamingCrawl {
   }
 
   /** Start the intake query over a STREAMING frame of (id, html) rows
-    * (e.g. parsed WARC responses — [[parseWarcFiles]] turns arriving
-    * `.warc.gz` bytes into that frame). Each batch writes survivors
-    * to `sinkDir` and their digests to `indexDir`; `checkpointDir`
-    * carries the source offsets.
-    *
-    * Restart safety: both writes land in a `batch_id=<N>` partition
-    * via DYNAMIC partition overwrite, so a replayed batch REWRITES its
-    * own partitions instead of appending next to a failed attempt's
-    * rows — the sink and index cannot accumulate duplicates however
-    * the batch dies between the two writes. The dedup screen excludes
-    * the current batch's own index rows, so the replay decides
-    * acceptance from exactly the committed pre-batch state (batches
-    * `< N` are immutable once batch N starts — Structured Streaming
-    * batch ids are monotone).
+    * (e.g. parsed WARC responses). Each batch writes survivors to
+    * `sinkDir` (a `batch_id=<N>` partition via dynamic overwrite — the
+    * sink cannot accumulate duplicates however the batch dies) and
+    * their digests to `index`; `checkpointDir` carries the source
+    * offsets. The dedup screen excludes the current batch's own index
+    * rows, so a replay decides acceptance from exactly the committed
+    * pre-batch state.
     */
   def ingest(stream: DataFrame, idCol: String, htmlCol: String,
-             sinkDir: String, indexDir: String, checkpointDir: String,
+             sinkDir: String, index: IndexStore, checkpointDir: String,
              minTokens: Int = 5): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val committed = loadIndex(spark, indexDir)
-          .filter(col("batch_id") =!= lit(batchId))
-          .select("content_hash")
-        val (accepted, _) =
-          acceptBatch(batch, idCol, htmlCol, committed, minTokens)
-        // accepted is consumed twice (sink + digests) in one batch:
-        // cut once so the chain runs once
-        val cut = accepted.withColumn("batch_id", lit(batchId))
-          .localCheckpoint(true)
-        def writePartition(df: DataFrame, dir: String): Unit =
-          df.write.partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite").parquet(dir)
-        writePartition(cut, sinkDir)
-        writePartition(
-          Dedup.digestIndex(cut.drop("batch_id"), "main")
-            .withColumn("batch_id", lit(batchId)),
-          indexDir)
-        graft.Checkpoints.free(cut)
-        ()
+        runBatch(batch, batchId, idCol, htmlCol, sinkDir, index, minTokens)
       }
       .start()
 
+  /** [[ingest]] with the index as a plain parquet dir ([[DirIndex]]). */
+  def ingest(stream: DataFrame, idCol: String, htmlCol: String,
+             sinkDir: String, indexDir: String, checkpointDir: String,
+             minTokens: Int): StreamingQuery =
+    ingest(stream, idCol, htmlCol, sinkDir, DirIndex(indexDir),
+      checkpointDir, minTokens)
+
+  /** Production intake over a STREAMING frame of file PATHS (column
+    * `pathCol`) — the form that scales to standard ~1 GB crawl
+    * segments: each batch hands just the newly-arrived paths to
+    * `binaryFiles`, whose [[Warc.parseWarcStream]] walk streams each
+    * archive record-by-record in constant memory; the file bytes never
+    * exist as a row value (contrast [[parseWarcFiles]]). `prepare`
+    * maps the parsed response frame ([[Warc.Record]] fields + `html`)
+    * to the (idCol, html) rows the chain screens — e.g. deriving a
+    * numeric id from `target_uri`; it defaults to using `target_uri`
+    * itself as the id. Paths are collected to the driver per batch
+    * (bounded: file NAMES of one batch of arriving segments — the same
+    * driver-side path list any `binaryFiles` read starts from); paths
+    * must not contain commas (the Hadoop multi-path separator).
+    */
+  def ingestPaths(pathStream: DataFrame, pathCol: String,
+                  sinkDir: String, index: IndexStore, checkpointDir: String,
+                  prepare: DataFrame => DataFrame = identity,
+                  idCol: String = "target_uri",
+                  minTokens: Int = 5): StreamingQuery =
+    pathStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val paths = batch.select(col(pathCol).cast("string"))
+          .distinct().as[String].collect()
+        if (paths.nonEmpty)
+          runBatch(prepare(parseWarcPaths(spark, paths.toSeq)), batchId,
+            idCol, "html", sinkDir, index, minTokens)
+      }
+      .start()
+
+  /** Parsed `response` rows (with `html` decoded UTF-8) for the WARC
+    * files at exactly `paths` — [[Warc.readWarc]]'s streaming
+    * file-at-a-time walk over an explicit file list, the per-batch
+    * read behind [[ingestPaths]].
+    */
+  def parseWarcPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
+    Warc.responses(Warc.readWarc(spark, paths.mkString(",")))
+
+  /** The shared `foreachBatch` body: screen against the committed
+    * index, write survivors and their digests replay-exactly.
+    */
+  private def runBatch(batch: DataFrame, batchId: Long, idCol: String,
+                       htmlCol: String, sinkDir: String, index: IndexStore,
+                       minTokens: Int): Unit = {
+    val spark = batch.sparkSession
+    val (accepted, _) = acceptBatch(batch, idCol, htmlCol,
+      index.committed(spark, batchId), minTokens)
+    // accepted is consumed twice (sink + digests) in one batch:
+    // cut once so the chain runs once
+    val cut = accepted.withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true)
+    cut.write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(sinkDir)
+    index.write(Dedup.digestIndex(cut.drop("batch_id"), "main"), batchId)
+    graft.Checkpoints.free(cut)
+  }
+
   /** Map a streaming frame of whole WARC file images (`fileCol`:
     * name, `bytesCol`: binary, gzipped iff the name ends `.gz`) to
-    * parsed `response` rows with the body decoded as UTF-8 html — the
-    * file-at-a-time unit the batch reader uses, applied per arriving
-    * file. Map-only (flatMap over rows), so it composes with any
-    * streaming source that delivers file images.
+    * parsed `response` rows with the body decoded as UTF-8 html.
+    * Map-only (flatMap over rows), so it composes with any streaming
+    * source that delivers file images — but each row's footprint is
+    * the whole file, so this is for SMALL segments (a message bus
+    * carrying pages or mini-batches); standard ~1 GB crawl segments
+    * take [[ingestPaths]], whose per-record iterator walk never holds
+    * a file in memory.
     */
   def parseWarcFiles(files: DataFrame, fileCol: String,
                      bytesCol: String): DataFrame = {

@@ -92,6 +92,136 @@ class StreamingCrawlSpec extends AnyFunSuite {
       "two-batch stream must equal the one-shot batch chain")
   }
 
+  test("path-based ingestion == image-based ingestion on the two-batch fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("crawl_paths").toString
+    val (warcDir, sink, idx, ckpt) =
+      (s"$tmp/warc", s"$tmp/sink", s"$tmp/index", s"$tmp/ckpt")
+    Files.createDirectory(java.nio.file.Paths.get(warcDir))
+    def writeSeg(id: Long, body: String): String = {
+      val (name, bytes) = warcFile(id, body)
+      val p = java.nio.file.Paths.get(warcDir, name)
+      Files.write(p, bytes)
+      p.toString
+    }
+
+    val input = MemoryStream[String]
+    val query = StreamingCrawl.ingestPaths(
+      input.toDF().toDF("path"), "path", sink,
+      StreamingCrawl.DirIndex(idx), ckpt,
+      prepare = df => df
+        .withColumn("id",
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long"))
+        .select("id", "html"),
+      idCol = "id", minTokens = 5)
+
+    input.addData(
+      writeSeg(1L, s"$prose one"),
+      writeSeg(2L, "thin"),
+      writeSeg(3L, s"$prose one"))
+    query.processAllAvailable()
+    input.addData(
+      writeSeg(4L, s"$prose one"),
+      writeSeg(5L, s"$prose two"))
+    query.processAllAvailable()
+    query.stop()
+
+    // identical accepted set and field values as the image-variant test:
+    // the one-shot batch chain over the union is the shared truth
+    val got = spark.read.parquet(sink)
+      .select("id", "main", "n_tokens").collect().map(_.toSeq).toSet
+    val union = Seq(
+      1L -> s"$prose one", 2L -> "thin", 3L -> s"$prose one",
+      4L -> s"$prose one", 5L -> s"$prose two")
+      .map { case (id, b) => (id, page(b)) }.toDF("id", "html")
+    val (batchAccepted, _) = StreamingCrawl.acceptBatch(union, "id", "html",
+      Seq.empty[String].toDF("content_hash"), minTokens = 5)
+    val expect = batchAccepted
+      .select("id", "main", "n_tokens").collect().map(_.toSeq).toSet
+    assert(got == expect,
+      "path-variant must equal the image-variant / one-shot batch chain")
+    assert(got.map(_.head) == Set[Any](1L, 5L))
+  }
+
+  test("bucketed index: same accepted set, replay-exact append, and the " +
+      "anti join reads the index side without an Exchange") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("crawl_bucketed").toString
+    val (sink, ckpt) = (s"$tmp/sink", s"$tmp/ckpt")
+    val store = StreamingCrawl.BucketedIndex(
+      "crawl_spec_idx", s"$tmp/index", buckets = 4)
+    try {
+      val input = MemoryStream[(String, Array[Byte])]
+      val parsed = StreamingCrawl.parseWarcFiles(
+        input.toDF().toDF("file", "bytes"), "file", "bytes")
+        .withColumn("id",
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long"))
+        .select("id", "html")
+      val query = StreamingCrawl.ingest(parsed, "id", "html",
+        sink, store, ckpt)
+      input.addData(
+        warcFile(1L, s"$prose one"),
+        warcFile(2L, "thin"),
+        warcFile(3L, s"$prose one"))
+      query.processAllAvailable()
+      input.addData(
+        warcFile(4L, s"$prose one"),
+        warcFile(5L, s"$prose two"))
+      query.processAllAvailable()
+      query.stop()
+
+      val got = spark.read.parquet(sink).select("id").as[Long].collect().toSet
+      assert(got == Set(1L, 5L),
+        s"bucketed-index stream must keep {1, 5}, got $got")
+      // the table IS the digest index of the accepted set
+      val idxRows = spark.table(store.table)
+        .select("content_hash").as[String].collect().toSorted
+      val expectIdx = spark.read.parquet(sink)
+        .select(md5(col("main"))).as[String].collect().toSorted
+      assert(idxRows == expectIdx)
+
+      // replay-exactness: re-writing batch 1's digests (a replayed
+      // attempt) leaves exactly one copy
+      val before = spark.table(store.table).count()
+      // a replay RECOMPUTES the digests from the batch (here: from the
+      // sink's batch-1 partition) — it never reads them off the index
+      val d1 = Dedup.digestIndex(
+        spark.read.parquet(sink).filter(col("batch_id") === 1L), "main")
+      store.write(d1, 1L)
+      assert(spark.table(store.table).count() == before,
+        "a replayed batch append must not duplicate index rows")
+
+      // plan shape: with broadcast off, the anti join exchanges ONLY the
+      // probe side — the bucketed index scan satisfies the join's
+      // distribution requirement in place (the 100 TB property: the side
+      // that grows with the archive never shuffles)
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.length
+        val probe = Seq("p1", "p2").toDF("h")
+        val bucketedAnti = probe.join(store.committed(spark, 99L),
+          md5(col("h")) === col("content_hash"), "left_anti")
+        assert(exchanges(bucketedAnti) == 1,
+          s"bucketed anti join must exchange only the probe side:\n" +
+            bucketedAnti.queryExecution.executedPlan)
+        val plainIdx = spark.read.parquet(store.path).select("content_hash")
+        val plainAnti = probe.join(plainIdx,
+          md5(col("h")) === col("content_hash"), "left_anti")
+        assert(exchanges(plainAnti) == 2,
+          "the unbucketed twin shuffles both sides")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${store.table}")
+  }
+
   test("restart replay is content-idempotent: replayed docs drop on the index") {
     val tmp = Files.createTempDirectory("crawl_replay").toString
     val idxDir = s"$tmp/index"
