@@ -1113,36 +1113,122 @@ object Dedup {
   }
 
   /** [[semDedupDistinct]] with the nlist ∝ N sizing rule applied for the
-    * caller: nlist = clamp(ceil(sqrt(corpus rows)), minNlist, maxNlist),
-    * centroids = the first nlist nonzero vectors by id (the same
-    * deterministic "collected like a trained codebook would be"
-    * convention the registry queries use). This exists because a FIXED
-    * nlist is the one semDedup parameter that silently goes quadratic as
-    * the corpus grows — measured at 100k distinct vectors: nlist 8 =
-    * 95 s, nlist 128 = 6.3 s (PERFNOTES r10). sqrt(N) keeps expected
-    * rows/cell = sqrt(N), i.e. cell-local pair work linear in N, the
-    * FAISS sizing convention.
+    * caller: nlist = max(minNlist, ceil(sqrt(corpus rows))), centroids =
+    * the first nlist nonzero vectors by id (the same deterministic
+    * "collected like a trained codebook would be" convention the
+    * registry queries use). This exists because a FIXED nlist is the one
+    * semDedup parameter that silently goes quadratic as the corpus
+    * grows — measured at 100k distinct vectors: nlist 8 = 95 s, nlist
+    * 128 = 6.3 s (PERFNOTES r10). sqrt(N) keeps expected rows/cell =
+    * sqrt(N), i.e. cell-local pair work linear in N, the FAISS sizing
+    * convention.
     *
-    * `maxNlist` defaults to 4096 because centroids ride the plan as a
-    * LITERAL array (nlist x dim floats) into the codegen'd assignment
-    * expression — fine to a few thousand cells; past that, train a
-    * coarse quantizer and pass it to [[semDedupDistinct]] directly.
-    * The exact-twin pre-collapse comes free via semDedupDistinct (a
-    * linear pass; provably identical kept set).
+    * `maxNlist` (default 4096) is the LITERAL-codebook threshold, not a
+    * cap on nlist: up to it, centroids ride the plan as a literal array
+    * (nlist × dim floats) into the codegen'd assignment expression — the
+    * fastest form, fine to a few thousand cells. Past it, the sqrt-N
+    * rule keeps going and the codebook switches to the broadcast-joined
+    * centroid TABLE ([[semDedupDistinctTable]]), whose plan stays O(1)
+    * size at any nlist — a 16 M-row corpus sizes to 4 k cells and stays
+    * literal; a 1 B-row corpus sizes to ~32 k cells and takes the table
+    * path instead of silently going quadratic at a clamped 4096. The
+    * kept set is identical either side of the threshold
+    * (SemDedupTableSpec pins both modes equal on the same nlist). The
+    * exact-twin pre-collapse comes free via either semDedupDistinct
+    * form (a linear pass; provably identical kept set).
     */
   def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nprobe: Int = 1,
                    minNlist: Int = 8, maxNlist: Int = 4096): DataFrame = {
     val n = df.count()
-    val nlist = math.min(maxNlist.toLong,
-      math.max(minNlist.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
-    val cents = df.filter(l2norm(col(vecCol)) > 0)
-      .orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val centsLit = array(cents.toIndexedSeq.map(v =>
-      array(v.toIndexedSeq.map(lit(_)): _*)): _*)
-    semDedupDistinct(df, idCol, vecCol, threshold, centsLit, nprobe)
+    val nlist = math.max(minNlist.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    val nonzero = df.filter(l2norm(col(vecCol)) > 0)
+    if (nlist <= maxNlist) {
+      val cents = nonzero
+        .orderBy(col(idCol)).limit(nlist)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val centsLit = array(cents.toIndexedSeq.map(v =>
+        array(v.toIndexedSeq.map(lit(_)): _*)): _*)
+      semDedupDistinct(df, idCol, vecCol, threshold, centsLit, nprobe)
+    } else {
+      // the nlist-row seed frame is tiny relative to the corpus that
+      // sized it past the literal threshold; the single-partition
+      // row_number window over it is nlist rows, not a corpus sort
+      val cents = nonzero.orderBy(col(idCol)).limit(nlist)
+        .select(row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
+          .cast("int").as("cell"), col(vecCol).as("cvec"))
+      semDedupDistinctTable(df, idCol, vecCol, threshold, cents, nprobe)
+    }
+  }
+
+  /** [[embeddingNearDupsBucketed]] with the codebook as a TABLE of
+    * (`cell`: 1-based int, `cvec`: float vector) rows — the
+    * past-the-literal-cap mode ([[Similarity.ivfAssignTable]]): a
+    * literal codebook is nlist×dim `lit` nodes in the plan, fine to a
+    * few thousand cells and plan-bloat beyond; the broadcast-joined
+    * table is O(1) plan size at any nlist. Pair semantics are
+    * IDENTICAL (SemDedupTableSpec pins pairs bit-for-bit, nprobe 1 and
+    * >1): same native cosine doubles, same first-max cell, same
+    * orientation normalization. The cell assignments join back to the
+    * payload by id — one extra bare-(id, cell) shuffle per side vs the
+    * literal's fused map, the price of escaping the literal.
+    */
+  def embeddingNearDupsBucketedTable(df: DataFrame, idCol: String,
+                                     vecCol: String, threshold: Double,
+                                     centroids: DataFrame,
+                                     nprobe: Int = 1): DataFrame = {
+    val aCells = (if (nprobe == 1)
+        Similarity.ivfAssignTable(df, idCol, vecCol, centroids)
+      else Similarity.ivfProbeCellsTable(df, idCol, vecCol, centroids, nprobe))
+      .withColumnRenamed(idCol, "id_a")
+    val bCells = Similarity.ivfAssignTable(df, idCol, vecCol, centroids)
+      .withColumnRenamed(idCol, "id_b")
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", l2norm(col("va")))
+      .join(aCells, Seq("id_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", l2norm(col("vb")))
+      .join(bCells, Seq("id_b"))
+    a.join(b, Seq("__cell")).filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos",
+        when(col("na") > 0 && col("nb") > 0,
+          dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+      .distinct()
+  }
+
+  /** [[semDedup]] over a centroid TABLE — identical kept set to the
+    * literal form at any nlist the literal could express, and the only
+    * form past the literal cap.
+    */
+  def semDedupTable(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, centroids: DataFrame,
+                    nprobe: Int = 1): DataFrame = {
+    val drops = embeddingNearDupsBucketedTable(df, idCol, vecCol, threshold,
+        centroids, nprobe)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** [[semDedupDistinct]] over a centroid TABLE: the same exact-twin
+    * pre-collapse (one linear hash-agg; provably identical kept set),
+    * with only DISTINCT vectors entering the cell-bounded quadratic.
+    */
+  def semDedupDistinctTable(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, centroids: DataFrame,
+                            nprobe: Int = 1): DataFrame = {
+    val nonzero = df.filter(l2norm(col(vecCol)) > 0)
+    val zero = df.filter(!(l2norm(col(vecCol)) > 0))
+    val reps = nonzero.groupBy(col(vecCol)).agg(min(col(idCol)).as(idCol))
+    val keptReps = semDedupTable(reps, idCol, vecCol, threshold, centroids,
+      nprobe)
+    nonzero.join(keptReps.select(col(idCol)), Seq(idCol), "left_semi")
+      .unionByName(zero)
   }
 
   // ------------------------------------------------------------------

@@ -66,6 +66,60 @@ object Similarity {
     org.apache.spark.sql.graft.VectorExpressions.cosineTopCells(
       vec, centroids, nprobe)
 
+  /** [[ivfAssign]] with the codebook as a broadcast-joined TABLE of
+    * (`cell`: 1-based int, `cvec`: float vector) rows instead of a plan
+    * literal — the past-a-few-thousand-cells mode: a literal codebook
+    * rides the plan as nlist×dim `lit` nodes, which bloats analysis
+    * and codegen (the reason [[graft.llm.Dedup.semDedupAuto]] caps the
+    * literal at 4096 cells); a table stays O(1) plan size at any
+    * nlist. Returns one (idCol, `__cell`) row per input row — absent
+    * for zero-norm vectors, exactly where the literal path assigns
+    * null. Cell choice is bit-identical (SemDedupTableSpec pins it):
+    * the per-cell cosine is the SAME native double arithmetic, and
+    * `max_by` over (cos, −cell) reproduces the first-max tie-break.
+    *
+    * Cost shape vs the literal path: the broadcast fan-out scores
+    * row×nlist pairs either way; here the argmax reduces through a
+    * map-side-combining hash agg keyed by id (one shuffle of bare
+    * (id, cell) rows) instead of fusing into the row — the price of
+    * escaping the literal, paid only above the cap.
+    */
+  def ivfAssignTable(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame): DataFrame =
+    scoreCells(df, idCol, vecCol, centroids)
+      .groupBy(col(idCol))
+      .agg(max_by(col("__c"),
+        struct(col("__cos"), (-col("__c")).as("__nc"))).as("__cell"))
+
+  /** [[ivfProbeCells]]'s table form: the `nprobe` nearest cells as
+    * (idCol, `__cell`) rows — (cos desc, cell asc) ranked per row, the
+    * same order [[ivfRanking]] pins; a zero-norm vector probes no
+    * cells. The rank runs as a window over the bare (id, cell, cos)
+    * projection, never the payload.
+    */
+  def ivfProbeCellsTable(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("__c"))
+    scoreCells(df, idCol, vecCol, centroids)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nprobe)
+      .select(col(idCol), col("__c").as("__cell"))
+  }
+
+  /** (id, cell, cosine) for every (row, centroid) pair with a defined
+    * cosine — the shared broadcast fan-out behind the table-mode
+    * assignment/probe. Only (id, vec) enter the fan-out.
+    */
+  private def scoreCells(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame): DataFrame =
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(centroids.select(
+        col("cell").cast("int").as("__c"), col("cvec").as("__cv"))))
+      .select(col(idCol), col("__c"),
+        cosine(col("__v"), col("__cv")).as("__cos"))
+      .filter(col("__cos").isNotNull)
+
   /** IVF top-k: corpus and queries are assigned to cells; each query
     * searches only its own cell (nprobe=1 — the scale path trades recall
     * for a 1/nlist scan). Returns (query_id, neighbor_id, rank, cos).

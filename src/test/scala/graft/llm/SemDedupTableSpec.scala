@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Table-mode IVF/SemDeDup (the past-the-literal-cap escape, VERDICT
+  * r12–r15): the broadcast-joined centroid TABLE must reproduce the
+  * literal codebook bit-for-bit — same cell per row (including the
+  * first-max tie-break and the zero-norm degenerate), same near-dup
+  * pairs (nprobe 1 and >1), same kept set — and [[Dedup.semDedupAuto]]
+  * must route past `maxNlist` through the table path to the SAME
+  * result the literal path gives at the same nlist.
+  */
+class SemDedupTableSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  // deterministic corpus: 4-dim vectors on a few rays (so cosine ties
+  // and near-dups are engineered, not accidental), exact twins
+  // (id, id+100), and a zero vector
+  private def vec(i: Long): Array[Float] = {
+    val m = (i % 6).toInt
+    m match {
+      case 0 => Array(1f, 0f, 0f, 0f)
+      case 1 => Array(0f, 1f, 0f, 0f)
+      case 2 => Array(1f, 1f, 0f, 0f)
+      case 3 => Array(1f, 1f, 0.1f, 0f) // near ray 2: cos ≈ 0.995
+      case 4 => Array(0f, 0f, 1f, 0f)
+      case 5 => Array(2f, 0f, 0f, 0f)   // same RAY as 0 (cos = 1, distinct vec)
+    }
+  }
+
+  private val corpus = {
+    val base = (1L to 36L).map(i => (i, vec(i)))
+    val twins = Seq(2L, 9L, 14L).map(i => (i + 100L, vec(i)))
+    (base ++ twins :+ (999L, Array(0f, 0f, 0f, 0f)))
+      .toDF("id", "v")
+  }
+
+  // first 6 vectors by id as the codebook; cells 5 = (2,0,0,0) and
+  // 6 = (1,0,0,0) are on the SAME ray — cosine-identical to any ray-0
+  // vector, so the first-max tie-break (cell 5) is load-bearing
+  private val k = 6
+  private def centArrays: Array[Array[Float]] =
+    (1L to k.toLong).map(vec).toArray
+  private def centLit = array(centArrays.map(a =>
+    array(a.toIndexedSeq.map(lit(_)): _*)).toIndexedSeq: _*)
+  private def centTable = centArrays.zipWithIndex
+    .map { case (a, i) => (i + 1, a) }.toSeq.toDF("cell", "cvec")
+
+  test("ivfAssignTable == literal ivfAssign per row (ties to the first " +
+      "max; zero-norm rows absent where the literal assigns null)") {
+    val literal = corpus
+      .select(col("id"), Similarity.ivfAssign(col("v"), centLit).as("cell"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val table = Similarity.ivfAssignTable(corpus, "id", "v", centTable)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    corpus.select("id").as[Long].collect().foreach { id =>
+      literal(id) match {
+        case Some(c) => assert(table.get(id).contains(c),
+          s"id $id: literal cell $c, table ${table.get(id)}")
+        case None => assert(!table.contains(id),
+          s"id $id: zero-norm must be absent in table mode")
+      }
+    }
+    // the engineered tie actually fired: ray-0 rows see cos=1 at cells
+    // 5 AND 6 and must take cell 5
+    assert(table(6L) == 5)
+  }
+
+  test("ivfProbeCellsTable == literal ivfProbeCells (order-insensitive " +
+      "set per row, nprobe = 3)") {
+    val nprobe = 3
+    val literal = corpus
+      .select(col("id"),
+        Similarity.ivfProbeCells(col("v"), centLit, nprobe).as("cells"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_ => r.getSeq[Int](1).toSet).getOrElse(Set.empty[Int]))
+      .toMap
+    val table = Similarity
+      .ivfProbeCellsTable(corpus, "id", "v", centTable, nprobe)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getInt(1)).toSet }
+    corpus.select("id").as[Long].collect().foreach { id =>
+      assert(table.getOrElse(id, Set.empty[Int]) == literal(id),
+        s"id $id probe sets differ")
+    }
+  }
+
+  test("table-mode near-dup pairs == literal pairs, exact doubles, " +
+      "nprobe 1 and 3") {
+    for (nprobe <- Seq(1, 3)) {
+      val literal = Dedup
+        .embeddingNearDupsBucketed(corpus, "id", "v", 0.99, centLit, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val table = Dedup
+        .embeddingNearDupsBucketedTable(corpus, "id", "v", 0.99, centTable,
+          nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(table == literal, s"nprobe=$nprobe pair sets differ")
+      assert(literal.nonEmpty, "fixture must generate near-dup pairs")
+    }
+  }
+
+  test("semDedupDistinctTable kept set == semDedupDistinct's") {
+    val literal = Dedup
+      .semDedupDistinct(corpus, "id", "v", 0.99, centLit)
+      .select("id").as[Long].collect().toSet
+    val table = Dedup
+      .semDedupDistinctTable(corpus, "id", "v", 0.99, centTable)
+      .select("id").as[Long].collect().toSet
+    assert(table == literal)
+    assert(literal.contains(999L), "zero vector always survives")
+    assert(Seq(102L, 109L, 114L).forall(!literal.contains(_)),
+      "exact twins collapse")
+  }
+
+  test("semDedupAuto routes past maxNlist through the table path to the " +
+      "same kept set the literal path gives at the same nlist") {
+    // 40 rows → nlist = ceil(sqrt(40)) = 7 either way; maxNlist = 4
+    // forces the TABLE path, maxNlist = 4096 keeps the literal path
+    val viaTable = Dedup
+      .semDedupAuto(corpus, "id", "v", 0.99, maxNlist = 4)
+      .select("id").as[Long].collect().toSet
+    val viaLiteral = Dedup
+      .semDedupAuto(corpus, "id", "v", 0.99, maxNlist = 4096)
+      .select("id").as[Long].collect().toSet
+    assert(viaTable == viaLiteral)
+  }
+}
