@@ -32,7 +32,7 @@ object PageRank {
     * clusterPairs contract).
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-               checkpointEvery: Int = 4, saltJoin: Int = 1): DataFrame =
+               checkpointEvery: Int = 4, saltJoin: Int = 0): DataFrame =
     run(edges, None, iterations, damping, checkpointEvery, exact = true,
       saltJoin = saltJoin)
 
@@ -53,9 +53,29 @@ object PageRank {
     * ranks use the exact tier).
     */
   def pageRankFast(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-                   checkpointEvery: Int = 4, saltJoin: Int = 1): DataFrame =
+                   checkpointEvery: Int = 4, saltJoin: Int = 0): DataFrame =
     run(edges, None, iterations, damping, checkpointEvery, exact = false,
       saltJoin = saltJoin)
+
+  /** The measured hub-skew regime rule (PERFNOTES r12, ScaleBench
+    * `prskew`) as a pure function — `saltJoin = 0` resolves through it
+    * from statistics the iteration already aggregates. A hot OUT-hub
+    * serializes its edge rows into one task of the per-round
+    * rank⋈edges join (AQE's skew split skips this chained-SMJ shape —
+    * measured), so: engage when the hub's out-degree is at least twice
+    * the per-task edge share, sized to spread the hub's edges back to
+    * per-task parity, capped at 16 (rank-row replication is the cost —
+    * salt=8 already over-replicated the measured 2-nodes-per-edge
+    * graph). Exact-tier results are bit-identical under ANY salt
+    * (decimal sums are order-free; spec-pinned), so auto-sizing is
+    * free of correctness risk.
+    */
+  def autoSaltJoin(maxOutDegree: Long, totalEdges: Long, tasks: Int): Int = {
+    val perTask = math.max(1L, totalEdges / math.max(1, tasks))
+    if (maxOutDegree >= 2 * perTask)
+      math.min(16L, (maxOutDegree + perTask - 1) / perTask).toInt
+    else 1
+  }
 
   /** WARM-START power iteration: resume from a previous rank table
     * (id, rank) after the edge list changed — the incremental-refresh
@@ -82,11 +102,14 @@ object PageRank {
     * the splitter skips — measured, ScaleBench `prskew`). Exact-tier
     * results are bit-identical under any salt (decimal sums are
     * order-free); fast-tier results move in the last ulps like any
-    * repartitioning would.
+    * repartitioning would. `saltJoin = 0` (the default) AUTO-sizes via
+    * [[autoSaltJoin]] from the max out-degree — one extra 1-row
+    * aggregation over the degree table the iteration builds anyway,
+    * amortized across every round.
     */
   private def run(edges: DataFrame, init: Option[DataFrame], iterations: Int,
                   damping: Double, checkpointEvery: Int,
-                  exact: Boolean, saltJoin: Int = 1): DataFrame = {
+                  exact: Boolean, saltJoin: Int = 0): DataFrame = {
     // the ONLY tier difference: how cross-edge/cross-node mass sums.
     // exact = order-free decimal; fast = native IEEE double agg.
     def massSum(c: org.apache.spark.sql.Column) =
@@ -101,6 +124,16 @@ object PageRank {
       val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val n = nodes.count()
       require(n > 0, "pageRank: empty graph")
+      val salt =
+        if (saltJoin > 0) saltJoin
+        else if (iterations == 0) 1
+        else {
+          val s = outdeg
+            .agg(max(col("deg")).as("mx"), sum(col("deg")).as("tot"))
+            .collect().head
+          autoSaltJoin(s.getLong(0), s.getLong(1),
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+        }
       val nD = lit(n.toDouble)
       val d = lit(damping)
       var ranks = (init match {
@@ -125,13 +158,13 @@ object PageRank {
           val withDeg = ranks.join(outdeg, ranks("id") === outdeg("src"), "left")
           val linked = withDeg.filter(col("deg").isNotNull)
           val joined =
-            if (saltJoin > 1)
+            if (salt > 1)
               // edges salted by dst content (deterministic), rank rows
-              // replicated saltJoin ways — the hub's edges fan over
-              // saltJoin tasks instead of one
+              // replicated salt ways — the hub's edges fan over
+              // salt tasks instead of one
               Skew.saltedJoin(eOut,
                 linked.select(col("id").as("__es"), col("rank"), col("deg")),
-                Seq("__es"), saltJoin, saltBy = Seq("__ed"))
+                Seq("__es"), salt, saltBy = Seq("__ed"))
             else linked.join(eOut, linked("id") === col("__es"))
           val contribs = joined
             .select(col("__ed").as("id"),

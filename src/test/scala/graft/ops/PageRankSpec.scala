@@ -132,4 +132,34 @@ class PageRankSpec extends AnyFunSuite {
       assert(salted == plain, s"salt=$salt moved exact-tier bits")
     }
   }
+
+  test("auto salt (saltJoin = 0): the regime rule sizes from the measured " +
+      "hub numbers; auto == manual bit-for-bit on the exact tier") {
+    // the PERFNOTES r12 hub graph: a 1.6 M-edge out-hub in a 4 M-edge
+    // graph on 16 tasks — the rule must engage at or past the
+    // measured-best salt 4
+    assert(PageRank.autoSaltJoin(1600000L, 4000000L, 16) >= 4)
+    // uniform graph: max out-degree ~ the mean → stays unsalted
+    assert(PageRank.autoSaltJoin(2L, 4000000L, 16) == 1)
+    // sub-2x-per-task hubs stay unsalted (hysteresis band)
+    assert(PageRank.autoSaltJoin(300000L, 4000000L, 16) == 1)
+    // replication is capped
+    assert(PageRank.autoSaltJoin(10000000L, 10000000L, 200) == 16)
+
+    // a hub fixture where the rule ENGAGES at the suite's partition
+    // count: the auto default must equal a manual salt bit-for-bit
+    // (exact tier is salt-order-free, so equality is exact)
+    val hub = edges ++ (1L to 400L).map(d => (7L, 1000L + d))
+    val auto = PageRank.pageRank(hub.toDF("src", "dst"), 3)
+      .as[(Long, Double)].collect().toMap
+    val manual = PageRank.pageRank(hub.toDF("src", "dst"), 3, saltJoin = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(auto == manual)
+    // and the fixture really is in the engaged regime
+    val tasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val es = hub.distinct
+    val maxDeg = es.groupBy(_._1).map(_._2.size).max.toLong
+    assert(PageRank.autoSaltJoin(maxDeg, es.size.toLong, tasks) > 1,
+      "fixture must trip the auto rule")
+  }
 }
