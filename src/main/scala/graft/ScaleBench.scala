@@ -286,6 +286,19 @@ object ScaleBench {
       time("hub", hub, 1)
       time("hub_salt4", hub, 4)
       time("hub_salt8", hub, 8)
+      // auto (saltJoin = 0, the r15 default): report the salt the
+      // regime rule resolves for the hub graph (the claim: >= 4, i.e.
+      // the straggler mitigation engages without the manual knob),
+      // then run with it
+      val st = hub.select(col("src"), col("dst")).distinct()
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .agg(max(col("deg")).as("mx"), sum(col("deg")).as("tot"))
+        .collect().head
+      val resolved = graft.ops.PageRank.autoSaltJoin(st.getLong(0),
+        st.getLong(1),
+        conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      println(s"""{"prskew":"hub_auto","resolved_salt":$resolved}""")
+      time("hub_auto", hub, 0)
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _))
     }
@@ -1099,6 +1112,27 @@ object ScaleBench {
         s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
         s""""max_task_peak_mem":${listener.maxPeakMem}}""")
     }
+    // TABLE-mode codebook at 16k cells (r13 task 5 / r15 task 4): a
+    // LITERAL codebook this size is nlist×dim ≈ 1 M lit nodes — plan
+    // blowup; the broadcast-joined centroid table must keep planning
+    // time flat (plan_sec is the claim) while the cell-bounded pair
+    // join stays cheap (over-sized nlist just thins the cells)
+    val bigNlist = math.min(16384L, nCorpus / 2).toInt
+    val cents = emb.filter(col("vec_id") < bigNlist)
+      .select((col("vec_id") + 1).cast("int").as("cell"),
+        col("embedding").as("cvec"))
+    listener.reset()
+    val t0 = System.nanoTime()
+    val out = Dedup.semDedupTable(emb, "vec_id", "embedding", 0.35, cents)
+    out.queryExecution.executedPlan // force analysis + planning
+    val planSec = (System.nanoTime() - t0) / 1e9
+    out.write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(300)
+    println(f"""{"semdedup_nlist":$bigNlist,"mode":"table","n_corpus":$nCorpus,""" +
+      f""""plan_sec":$planSec%.2f,"sec":$sec%.2f,""" +
+      s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+      s""""max_task_peak_mem":${listener.maxPeakMem}}""")
   }
 
   /** Dense-retrieval build/search split at 100k vectors — the BM25
