@@ -49,12 +49,25 @@ object Checkpoints {
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   /** Drop every persistent RDD (checkpoint blocks included) except
-    * `keep`, and clear the SQL table cache. Blocking, so the caller
-    * observes a clean block manager on return — the point is that the
-    * NEXT measurement starts from zero leaked state.
+    * `keep`, and — when nothing is kept — clear the SQL table cache.
+    * Blocking, so the caller observes a clean block manager on return —
+    * the point is that the NEXT measurement starts from zero leaked
+    * state.
+    *
+    * The `keep` guard on `clearCache()` is load-bearing: a
+    * Dataset-level `.persist()` registers in the SQL CacheManager, and
+    * `clearCache()` drops EVERY entry regardless of `keep` — so a
+    * keep-sweep that cleared the catalog would silently evict the very
+    * index it was told to spare, and every measurement after the first
+    * would re-pay the build inside the timed region (the
+    * `q_bm25_indexed` mixed-mode defect, PERFNOTES r15). With `keep`
+    * nonempty, non-kept SQL-cached data still frees through its
+    * persistent-RDD blocks below; its stale CacheManager entry is
+    * reclaimed by the next keep-free sweep (every bench query ends with
+    * one).
     */
   def sweep(spark: SparkSession, keep: Set[Int] = Set.empty): Unit = {
-    spark.catalog.clearCache()
+    if (keep.isEmpty) spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!keep.contains(id)) rdd.unpersist(blocking = true)
     }
