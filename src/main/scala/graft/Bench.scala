@@ -31,29 +31,57 @@ object Bench {
   /** Session-prepared BM25 postings index ([[prepareBm25Index]]) — the
     * "build once, query many" half of the Retrieval build/search split.
     * `q_bm25_topk` keeps timing the one-call rebuild form for comparison;
-    * this entry times what a serving deployment actually pays per batch.
+    * this entry times what a serving deployment actually pays per batch:
+    * a TERM-bucketed, term-sorted parquet index (the deployment
+    * `Retrieval.buildPostings`'s doc prescribes) searched with the query
+    * batch's terms pushed into the scan
+    * ([[graft.llm.Retrieval.searchPostingsPruned]]). The earlier
+    * in-memory `.persist()` stand-in measured a probe of the WHOLE
+    * cached index per batch — 2× the CPU of a full rebuild at sf0.1
+    * (PERFNOTES r15); the pruned bucketed form reads only the query
+    * terms' row groups, which is the shape that survives a 100 TB
+    * archive.
     */
-  private var bm25Index: Option[(org.apache.spark.sql.DataFrame,
-    org.apache.spark.sql.DataFrame)] = None
+  private var bm25Index: Option[org.apache.spark.sql.DataFrame] = None
+  private var bm25IndexDir: Option[java.nio.file.Path] = None
+  private val bm25Table = "bm25_bench_postings"
 
   private def prepareBm25Index(spark: SparkSession, dir: String): Unit = {
     val docs = SparkEntry.table(spark, dir, "documents")
     val (post, stats) =
       graft.llm.Retrieval.buildPostings(docs, "doc_id", "text")
-    val p = post.persist()
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_bench_idx")
+    graft.etd.Sources.writeBucketed(post, bm25Table,
+      tmp.resolve("postings").toString, buckets = 8,
+      bucketCols = Seq("term"), sortCols = Seq("term"))
     val s = stats.persist()
-    p.count(); s.count() // materialize: timed searches measure search only
-    bm25Index = Some((p, s))
+    s.count() // materialize: timed searches measure search only
+    bm25Index = Some(s)
+    bm25IndexDir = Some(tmp)
   }
 
   private def searchPreparedBm25(spark: SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame = {
-    val (post, stats) = bm25Index.getOrElse(
+    val stats = bm25Index.getOrElse(
       sys.error("q_bm25_indexed: prepareBm25Index was not run"))
     val docs = SparkEntry.table(spark, dir, "documents")
-    graft.llm.Retrieval.searchPostings(post, stats,
+    graft.llm.Retrieval.searchPostingsPruned(spark.table(bm25Table), stats,
       docs.filter(org.apache.spark.sql.functions.col("doc_id") < 3),
       "doc_id", "text", k = 5)
+  }
+
+  private def dropBm25Index(spark: SparkSession): Unit = {
+    if (bm25Index.isDefined)
+      spark.sql(s"DROP TABLE IF EXISTS $bm25Table")
+    bm25Index = None
+    bm25IndexDir.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    bm25IndexDir = None
   }
 
   /** Untimed per-query preparation; its persisted state survives the
@@ -205,6 +233,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // a serving query batch's term set is routinely > the default 10;
+      // past the threshold Spark degrades the parquet In pushdown to a
+      // min/max range, which skips nothing when terms span the alphabet
+      // — keep exact In filters so q_bm25_indexed's pruned scan
+      // actually dictionary-skips row groups
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SchemaCanary.warn(spark, sfDir)
@@ -285,7 +319,7 @@ object Bench {
               failed ::= name
               name -> -1.0
           } finally {
-            bm25Index = None
+            dropBm25Index(spark)
             Checkpoints.sweep(spark) // drop setup state too
           }
         case None =>

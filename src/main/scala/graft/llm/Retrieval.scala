@@ -219,6 +219,39 @@ object Retrieval {
         col("rank").cast("long").as("rank"), col("score"))
   }
 
+  /** [[searchPostings]] with the query batch's term set pushed into the
+    * index SCAN as a literal `IN` filter — the serving form for a
+    * PERSISTED index. The join on `term` already restricts scoring to
+    * query terms, so results are identical (RetrievalSpec pins it);
+    * what changes is WHERE the restriction runs: a join cannot prune
+    * the scan, so plain [[searchPostings]] reads every posting per
+    * batch (at sf0.1 the cached-index probe burns 2× the CPU of a full
+    * rebuild — PERFNOTES r15), while the literal list reaches parquet
+    * as `PushedFilters: In(term, ...)` and skips row groups by
+    * min/max + dictionary + Bloom. On a term-SORTED bucketed index
+    * (each bucket file's row groups hold disjoint term ranges) the
+    * per-batch read drops from the corpus's postings to roughly the
+    * query terms' postings — the difference between a serving batch
+    * costing O(index) and O(query). Set
+    * `spark.sql.parquet.pushdown.inFilterThreshold` above the batch's
+    * term count: past it Spark degrades the pushed `In` to a min/max
+    * RANGE, which skips nothing when terms span the alphabet.
+    *
+    * The term list is collected to the driver first: bounded by the
+    * QUERY batch (distinct terms of the k queries being served), never
+    * by the corpus — same contract as every trained-codebook collect.
+    */
+  def searchPostingsPruned(postIdx: DataFrame, stats: DataFrame,
+                           queries: DataFrame, queryIdCol: String,
+                           queryTextCol: String, k: Int,
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queries
+      .select(explode(tokens(col(queryTextCol))).as("term"))
+      .distinct().collect().map(_.getString(0))
+    searchPostings(postIdx.filter(col("term").isin(terms.toIndexedSeq: _*)),
+      stats, queries, queryIdCol, queryTextCol, k, k1, b)
+  }
+
   /** BM25 top-`k` documents per query, building the index inline —
     * [[buildPostings]] composed with [[searchPostings]]. `queries` is a
     * small frame of (query id, query text); its tokens are deduplicated

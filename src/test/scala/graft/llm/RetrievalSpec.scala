@@ -70,6 +70,28 @@ class RetrievalSpec extends AnyFunSuite {
 
     assert(persisted == oneCall)
     assert(oneCall.nonEmpty)
+
+    // the serving form: the query batch's terms pushed into the index
+    // scan — identical results (the join already restricts to query
+    // terms), and the literal list reaches the parquet scan as a
+    // pushed filter (the part a join cannot do), so row groups outside
+    // the query terms are skipped instead of read
+    val pruned = Retrieval.searchPostingsPruned(
+      spark.table("bm25_postings_spec"), spark.read.parquet(s"$dir/stats"),
+      queries, "qid", "qtext", k = 3)
+    assert(pruned.collect().toSet == oneCall)
+    // executedPlan is an AdaptiveSparkPlanExec whose stages collect()
+    // can't descend into; its treeString prints them, scan metadata
+    // (PushedFilters) included
+    val tree = pruned.queryExecution.executedPlan.treeString
+    assert(tree.contains("In(term"),
+      s"query terms must reach the scan as a pushed In filter:\n$tree")
+
+    // a query batch with no tokens at all still answers (empty)
+    val noTok = Seq((20L, "  ")).toDF("qid", "qtext")
+    assert(Retrieval.searchPostingsPruned(
+      spark.table("bm25_postings_spec"), spark.read.parquet(s"$dir/stats"),
+      noTok, "qid", "qtext", k = 3).count() == 0)
   }
 
   test("rrf: a document present in both runs outranks single-run ones") {
