@@ -143,7 +143,99 @@ object ScaleBench {
       pageRankSkew(spark, listener)
     if (args.contains("qsketch") || args.isEmpty)
       quantileSketchScale(spark, outDir, listener)
+    if (args.contains("crawlstream") || args.isEmpty)
+      crawlStream(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** Streaming crawl intake at archive scale (r15 task 1): per-batch
+    * wall vs that batch's archive bytes through
+    * [[graft.streaming.StreamingCrawl.ingestPaths]] — the path-based
+    * form whose per-record walk never holds a segment in memory. The
+    * scaled corpus is rendered once into `.warc` segment files, split
+    * into three arrivals: batch 1 = ¼ of segments, batch 2 = the SAME
+    * content re-crawled under new URIs (the monthly-crawl case — every
+    * doc must drop on the digest screen), batch 3 = the remaining ¾.
+    * Claims measured: (a) per-batch wall tracks the BATCH's bytes, not
+    * the accumulated archive (batch 3 ≈ 3× batch 1's work on a warm
+    * query, against a 2×-grown index); (b) the
+    * all-duplicate batch costs parse + screen only — its wall stays in
+    * batch-1's range while accepting 0 docs, i.e. the index screen is
+    * digest-only and never re-reads archive payloads.
+    */
+  private def crawlStream(spark: SparkSession, outDir: String,
+                          listener: TaskMetricsProbe): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingCrawl
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("crawlstream")
+    val crlf = "\r\n"
+    val texts = SparkEntry.table(spark, outDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val nFiles = 16
+    // segment f holds docs ≡ f (mod nFiles); `crawl` distinguishes the
+    // re-crawl's URIs (same BODY bytes → same digest → screened out)
+    def writeSeg(f: Int, crawl: Int): (String, Long) = {
+      val path = s"$tmp/crawl$crawl-seg$f.warc"
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(path))
+      var bytes = 0L
+      texts.filter { case (id, _) => id % nFiles == f }
+        .foreach { case (id, t) =>
+          val body = s"<html><head><script>var x=1;</script></head>" +
+            s"<body><h1>doc $id</h1><p>$t</p></body></html>"
+          val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html" +
+            s"$crlf$crlf$body").getBytes("UTF-8")
+          val head = (Seq("WARC/1.0", "WARC-Type: response",
+            s"WARC-Target-URI: http://example.com/c$crawl/$id",
+            "WARC-Date: 2024-01-02T03:04:05Z",
+            s"Content-Length: ${http.length}", "", "").mkString(crlf))
+            .getBytes("UTF-8")
+          out.write(head); out.write(http)
+          out.write((crlf + crlf).getBytes("UTF-8"))
+          bytes += head.length + http.length + 4
+        }
+      out.close()
+      (path, bytes)
+    }
+    val quarter = (0 until nFiles / 4).map(writeSeg(_, 1))
+    val recrawl = (0 until nFiles / 4).map(writeSeg(_, 2))
+    val rest = (nFiles / 4 until nFiles).map(writeSeg(_, 3))
+
+    val input = MemoryStream[String]
+    val query = StreamingCrawl.ingestPaths(
+      input.toDF().toDF("path"), "path", s"$tmp/sink",
+      StreamingCrawl.DirIndex(s"$tmp/index"), s"$tmp/ckpt",
+      prepare = df => df.withColumn("id",
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long"))
+        .select("id", "html"),
+      idCol = "id")
+    try {
+      var accepted0 = 0L
+      for ((label, segs) <- Seq(("quarter", quarter),
+        ("recrawl_all_dup", recrawl), ("threequarters", rest))) {
+        listener.reset()
+        val t0 = System.nanoTime()
+        input.addData(segs.map(_._1))
+        query.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        val mb = segs.map(_._2).sum / 1e6
+        val total = spark.read.parquet(s"$tmp/sink").count()
+        val batchAccepted = total - accepted0
+        accepted0 = total
+        println(f"""{"crawlstream":"$label","batch_mb":$mb%.1f,""" +
+          f""""sec":$sec%.2f,"mb_per_sec":${mb / sec}%.1f,""" +
+          s""""accepted":$batchAccepted,""" +
+          s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+          s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+      }
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
   }
 
   /** The mergeable quantile sketch at corpus scale (r11 task 7):
