@@ -382,12 +382,15 @@ object ScaleBench {
       // regime rule resolves for the hub graph (the claim: >= 4, i.e.
       // the straggler mitigation engages without the manual knob),
       // then run with it
-      val st = hub.select(col("src"), col("dst")).distinct()
+      val hubE = hub.select(col("src"), col("dst")).distinct()
+      val st = hubE
         .groupBy("src").agg(count(lit(1)).as("deg"))
         .agg(max(col("deg")).as("mx"), sum(col("deg")).as("tot"))
         .collect().head
+      val nNodes = hubE.select(col("src").as("id"))
+        .union(hubE.select(col("dst").as("id"))).distinct().count()
       val resolved = graft.ops.PageRank.autoSaltJoin(st.getLong(0),
-        st.getLong(1),
+        st.getLong(1), nNodes,
         conf.get("spark.sql.shuffle.partitions", "200").toInt)
       println(s"""{"prskew":"hub_auto","resolved_salt":$resolved}""")
       time("hub_auto", hub, 0)

@@ -57,24 +57,39 @@ object PageRank {
     run(edges, None, iterations, damping, checkpointEvery, exact = false,
       saltJoin = saltJoin)
 
-  /** The measured hub-skew regime rule (PERFNOTES r12, ScaleBench
+  /** The measured hub-skew regime rule (PERFNOTES r12 + r15, ScaleBench
     * `prskew`) as a pure function — `saltJoin = 0` resolves through it
     * from statistics the iteration already aggregates. A hot OUT-hub
     * serializes its edge rows into one task of the per-round
     * rank⋈edges join (AQE's skew split skips this chained-SMJ shape —
-    * measured), so: engage when the hub's out-degree is at least twice
-    * the per-task edge share, sized to spread the hub's edges back to
-    * per-task parity, capped at 16 (rank-row replication is the cost —
-    * salt=8 already over-replicated the measured 2-nodes-per-edge
-    * graph). Exact-tier results are bit-identical under ANY salt
-    * (decimal sums are order-free; spec-pinned), so auto-sizing is
-    * free of correctness risk.
+    * measured), so: ENGAGE when the hub's out-degree is at least twice
+    * the per-task edge share; SIZE as the smaller of two bounds, both
+    * measured:
+    *
+    *   - parity: ceil(hub / perTask) — past it, spreading buys nothing
+    *     (the hub's buckets are already at per-task share);
+    *   - replication: 2 × average out-degree — each salt step adds one
+    *     rank-row copy per node ≈ |E|/avgDeg join-side rows, so salt
+    *     above ~2·avgDeg doubles the join's input for a straggler that
+    *     salt already fixed. On the measured avgDeg-2 hub graph parity
+    *     says 13 (32 tasks) but 4 wins the wall (salt 8 = +13% — r12;
+    *     salt 13 = +10% vs salt 4 — r15 rerun); a degree-20 crawl
+    *     graph caps at 40 and takes parity instead.
+    *
+    * Cap 16 backstops both. Exact-tier results are bit-identical under
+    * ANY salt (decimal sums are order-free; spec-pinned), so
+    * auto-sizing is free of correctness risk.
     */
-  def autoSaltJoin(maxOutDegree: Long, totalEdges: Long, tasks: Int): Int = {
+  def autoSaltJoin(maxOutDegree: Long, totalEdges: Long, nodes: Long,
+                   tasks: Int): Int = {
     val perTask = math.max(1L, totalEdges / math.max(1, tasks))
-    if (maxOutDegree >= 2 * perTask)
-      math.min(16L, (maxOutDegree + perTask - 1) / perTask).toInt
-    else 1
+    if (maxOutDegree < 2 * perTask) 1
+    else {
+      val parity = (maxOutDegree + perTask - 1) / perTask
+      val repCap = math.max(2L,
+        math.ceil(2.0 * totalEdges / math.max(1L, nodes)).toLong)
+      math.min(16L, math.min(parity, repCap)).toInt
+    }
   }
 
   /** WARM-START power iteration: resume from a previous rank table
@@ -131,7 +146,7 @@ object PageRank {
           val s = outdeg
             .agg(max(col("deg")).as("mx"), sum(col("deg")).as("tot"))
             .collect().head
-          autoSaltJoin(s.getLong(0), s.getLong(1),
+          autoSaltJoin(s.getLong(0), s.getLong(1), n,
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
         }
       val nD = lit(n.toDouble)

@@ -135,16 +135,20 @@ class PageRankSpec extends AnyFunSuite {
 
   test("auto salt (saltJoin = 0): the regime rule sizes from the measured " +
       "hub numbers; auto == manual bit-for-bit on the exact tier") {
-    // the PERFNOTES r12 hub graph: a 1.6 M-edge out-hub in a 4 M-edge
-    // graph on 16 tasks — the rule must engage at or past the
-    // measured-best salt 4
-    assert(PageRank.autoSaltJoin(1600000L, 4000000L, 16) >= 4)
+    // the PERFNOTES r12 hub graph (2 M nodes, 4 M edges, 1.6 M-edge
+    // out-hub): the rule must resolve the measured-best salt 4 — the
+    // replication bound (2 × avgDeg = 4) binds below parity (7 at 16
+    // tasks, 13 at 32 — both measured slower than 4 on this graph)
+    assert(PageRank.autoSaltJoin(1600000L, 4000000L, 2000000L, 16) == 4)
+    assert(PageRank.autoSaltJoin(1600000L, 4000000L, 2000000L, 32) == 4)
+    // a degree-20 crawl-shaped graph is replication-cheap: parity binds
+    assert(PageRank.autoSaltJoin(1600000L, 4000000L, 200000L, 16) == 7)
     // uniform graph: max out-degree ~ the mean → stays unsalted
-    assert(PageRank.autoSaltJoin(2L, 4000000L, 16) == 1)
+    assert(PageRank.autoSaltJoin(2L, 4000000L, 2000000L, 16) == 1)
     // sub-2x-per-task hubs stay unsalted (hysteresis band)
-    assert(PageRank.autoSaltJoin(300000L, 4000000L, 16) == 1)
+    assert(PageRank.autoSaltJoin(300000L, 4000000L, 2000000L, 16) == 1)
     // replication is capped
-    assert(PageRank.autoSaltJoin(10000000L, 10000000L, 200) == 16)
+    assert(PageRank.autoSaltJoin(10000000L, 10000000L, 100L, 200) == 16)
 
     // a hub fixture where the rule ENGAGES at the suite's partition
     // count: the auto default must equal a manual salt bit-for-bit
@@ -159,7 +163,8 @@ class PageRankSpec extends AnyFunSuite {
     val tasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val es = hub.distinct
     val maxDeg = es.groupBy(_._1).map(_._2.size).max.toLong
-    assert(PageRank.autoSaltJoin(maxDeg, es.size.toLong, tasks) > 1,
+    val nNodes = es.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+    assert(PageRank.autoSaltJoin(maxDeg, es.size.toLong, nNodes, tasks) > 1,
       "fixture must trip the auto rule")
   }
 }
