@@ -1633,12 +1633,43 @@ object QueriesLLM {
       .select(col("vec_id"))
   }
 
+  /** [[q_semdedup]] through the TABLE-mode codebook
+    * ([[Dedup.semDedupTable]] — the past-the-literal-cap escape,
+    * r15): the same first-8 centroids as a broadcast-joined (cell,
+    * cvec) frame instead of a plan literal. Same oracle SQL — the kept
+    * set is contract-identical (SemDedupTableSpec pins it
+    * bit-for-bit); this row puts the table path itself under the
+    * driver's gate.
+    */
+  def q_semdedup_table(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1).cast("int").as("cell"),
+        col("embedding").as("cvec"))
+    Dedup.semDedupTable(emb, "vec_id", "embedding", 0.35, cents)
+      .select(col("vec_id"))
+  }
+
   /** BM25 retrieval: the first 3 documents as queries against the whole
     * corpus through the inverted-index join, top-5 per query.
     */
   def q_bm25_topk(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     Retrieval.bm25TopK(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
+  }
+
+  /** [[q_bm25_topk]] through the term-PRUNED search
+    * ([[Retrieval.searchPostingsPruned]], r15 — the serving form that
+    * pushes the query batch's term set into the index scan). Same
+    * oracle SQL: the join already restricts scoring to query terms, so
+    * pruning the scan changes which bytes are read, never the result;
+    * this row puts the pruned path itself under the driver's gate.
+    */
+  def q_bm25_pruned(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val (post, stats) = Retrieval.buildPostings(docs, "doc_id", "text")
+    Retrieval.searchPostingsPruned(post, stats,
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
   }
 
@@ -1878,7 +1909,9 @@ object QueriesLLM {
     "q_multimodal_pixels" -> (q_multimodal_pixels _),
     "q_image_neardup" -> (q_image_neardup _),
     "q_semdedup" -> (q_semdedup _),
+    "q_semdedup_table" -> (q_semdedup_table _),
     "q_bm25_topk" -> (q_bm25_topk _),
+    "q_bm25_pruned" -> (q_bm25_pruned _),
     "q_rerank" -> (q_rerank _),
     "q_bm25_indexed" -> (q_bm25_indexed _),
     "q_bm25_incremental" -> (q_bm25_incremental _),
@@ -3719,6 +3752,8 @@ object QueriesLLM {
     oracles0 +
       ("q_bm25_indexed" -> oracles0("q_bm25_topk")) +
       ("q_bm25_incremental" -> oracles0("q_bm25_topk")) +
+      ("q_bm25_pruned" -> oracles0("q_bm25_topk")) +
+      ("q_semdedup_table" -> oracles0("q_semdedup")) +
       ("q_contamination_bloom" -> oracles0("q_contamination")) +
       ("q_top_ngrams_sketch" -> oracles0("q_top_ngrams"))
 }
