@@ -1228,6 +1228,26 @@ object ScaleBench {
       f""""plan_sec":$planSec%.2f,"sec":$sec%.2f,""" +
       s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
       s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+    // TWO-LEVEL assignment at the same nlist (r15): the flat argmax above
+    // scores row×nlist cosines; coarse→refine scores m + nlist/m per row
+    // (m = sqrt(nlist)) — the claim is the assignment fan-out collapses
+    // while the cell-local pair join stays equivalent work
+    val m = math.max(1, math.ceil(math.sqrt(bigNlist.toDouble)).toInt)
+    listener.reset()
+    val t1 = System.nanoTime()
+    val (coarseLit, fine) = graft.llm.Similarity.twoLevelCodebook(
+      emb, "vec_id", "embedding", m, bigNlist)
+    val out2 = Dedup.semDedupTwoLevel(emb, "vec_id", "embedding", 0.35,
+      coarseLit, fine)
+    out2.queryExecution.executedPlan
+    val planSec2 = (System.nanoTime() - t1) / 1e9
+    out2.write.format("noop").mode("overwrite").save()
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    Thread.sleep(300)
+    println(f"""{"semdedup_nlist":$bigNlist,"mode":"twolevel","m":$m,""" +
+      f""""n_corpus":$nCorpus,"plan_sec":$planSec2%.2f,"sec":$sec2%.2f,""" +
+      s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+      s""""max_task_peak_mem":${listener.maxPeakMem}}""")
   }
 
   /** Dense-retrieval build/search split at 100k vectors — the BM25

@@ -120,6 +120,69 @@ object Similarity {
         cosine(col("__v"), col("__cv")).as("__cos"))
       .filter(col("__cos").isNotNull)
 
+  /** TWO-LEVEL (coarse → refine) cell assignment — the escape from the
+    * flat row×nlist argmax fan-out that [[ivfAssignTable]] still pays
+    * (measured: 100k rows × 16k cells = 1.6 B cosines = 37 s, ScaleBench
+    * `semdedup` / PERFNOTES r15). Each row first takes its nearest
+    * COARSE centroid through the fused literal expression
+    * ([[ivfAssign]], m cells), then argmaxes only over the fine cells
+    * OWNED by that coarse group — cost m + nlist/m per row ≈ 2·√nlist
+    * at m = √nlist, the standard inverted-multi-index shape (Babenko &
+    * Lempitsky 2012). This is a DIFFERENT (still deterministic,
+    * SQL-replayable) bucketing from the flat argmax — fine for
+    * SemDeDup-style cell-local work, where cells are a partitioning
+    * heuristic; it is NOT a drop-in for a flat index's cell ids. With
+    * m = 1 it degenerates to exactly [[ivfAssignTable]]
+    * (SemDedupTableSpec pins it).
+    *
+    * `fine` is (`coarse`: 1-based int — the owning coarse group,
+    * `cell`: 1-based int — the GLOBAL cell id, `cvec`) —
+    * [[twoLevelCodebook]] builds the pair from a corpus by the
+    * registry's first-k convention. Zero-norm rows get no cell (as
+    * everywhere); rows whose coarse group owns no fine cells also get
+    * none (they fall out of cell-local work — the conservative
+    * direction for dedup: an unassigned row is never dropped).
+    */
+  def ivfAssignTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                        coarse: Column, fine: DataFrame): DataFrame =
+    df.select(col(idCol), col(vecCol).as("__v"),
+        ivfAssign(col(vecCol), coarse).as("__coarse"))
+      .filter(col("__coarse").isNotNull)
+      .join(broadcast(fine.select(col("coarse").cast("int").as("__coarse"),
+        col("cell").cast("int").as("__c"), col("cvec").as("__cv"))),
+        Seq("__coarse"))
+      .select(col(idCol), col("__c"),
+        cosine(col("__v"), col("__cv")).as("__cos"))
+      .filter(col("__cos").isNotNull)
+      .groupBy(col(idCol))
+      .agg(max_by(col("__c"),
+        struct(col("__cos"), (-col("__c")).as("__nc"))).as("__cell"))
+
+  /** The registry-convention two-level codebook from a corpus: coarse =
+    * the first `m` nonzero vectors by id (as the literal the fused
+    * coarse assignment needs), fine = the first `nlist` nonzero vectors
+    * by id as a (coarse, cell, cvec) table, each fine centroid owned by
+    * ITS nearest coarse centroid (first-max tie-break — the same rule
+    * rows use, so the structure is self-consistent and the DuckDB
+    * oracle replays it with two nested argmaxes). Both collects are
+    * trained-codebook-sized, never corpus-sized; the nlist-row
+    * single-partition window numbers cells 1..nlist in id order.
+    */
+  def twoLevelCodebook(df: DataFrame, idCol: String, vecCol: String,
+                       m: Int, nlist: Int): (Column, DataFrame) = {
+    val nonzero = df.filter(Dedup.l2norm(col(vecCol)) > 0)
+    val coarseArrs = nonzero.orderBy(col(idCol)).limit(m)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    val coarseLit = array(coarseArrs.toIndexedSeq.map(v =>
+      array(v.toIndexedSeq.map(lit(_)): _*)): _*)
+    val fine = nonzero.orderBy(col(idCol)).limit(nlist)
+      .select(row_number().over(Window.orderBy(col(idCol)))
+          .cast("int").as("cell"),
+        col(vecCol).as("cvec"))
+      .withColumn("coarse", ivfAssign(col("cvec"), coarseLit))
+    (coarseLit, fine)
+  }
+
   /** IVF top-k: corpus and queries are assigned to cells; each query
     * searches only its own cell (nprobe=1 — the scale path trades recall
     * for a 1/nlist scan). Returns (query_id, neighbor_id, rank, cos).

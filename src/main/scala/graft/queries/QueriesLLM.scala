@@ -1650,6 +1650,24 @@ object QueriesLLM {
       .select(col("vec_id"))
   }
 
+  /** SemDeDup through the TWO-LEVEL (coarse → refine) assignment
+    * ([[Similarity.ivfAssignTwoLevel]], r15 — the very-large-nlist form
+    * whose per-row argmax costs m + nlist/m instead of nlist): coarse =
+    * first 2 vectors, fine = first 8 as a (coarse, cell, cvec) table
+    * each owned by ITS nearest coarse centroid. The cells are a
+    * different (deterministic) partitioning than flat argmax's, so this
+    * query has its OWN oracle: DuckDB replays both argmax stages —
+    * fine-centroid ownership, row coarse, row refine-within-group —
+    * with the same (cos DESC, id ASC) tie rule.
+    */
+  def q_semdedup_twolevel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val (coarse, fine) =
+      Similarity.twoLevelCodebook(emb, "vec_id", "embedding", m = 2, nlist = 8)
+    Dedup.semDedupTwoLevel(emb, "vec_id", "embedding", 0.35, coarse, fine)
+      .select(col("vec_id"))
+  }
+
   /** BM25 retrieval: the first 3 documents as queries against the whole
     * corpus through the inverted-index join, top-5 per query.
     */
@@ -1910,6 +1928,7 @@ object QueriesLLM {
     "q_image_neardup" -> (q_image_neardup _),
     "q_semdedup" -> (q_semdedup _),
     "q_semdedup_table" -> (q_semdedup_table _),
+    "q_semdedup_twolevel" -> (q_semdedup_twolevel _),
     "q_bm25_topk" -> (q_bm25_topk _),
     "q_bm25_pruned" -> (q_bm25_pruned _),
     "q_rerank" -> (q_rerank _),
@@ -2473,6 +2492,67 @@ object QueriesLLM {
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
         |      ORDER BY ccos DESC, cent_id) AS r
         |    FROM assigned) WHERE r = 1
+        |), drops AS (
+        |  SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+        |    >= 0.35
+        |)
+        |SELECT e.vec_id FROM embeddings e ANTI JOIN drops d ON e.vec_id = d.vec_id""".stripMargin,
+    // two-level (coarse -> refine) SemDeDup: both argmax stages replayed
+    // with the engine's (cos DESC, id ASC) first-max tie rule — fine
+    // centroids owned by their nearest coarse centroid, rows take their
+    // coarse group's best fine cell
+    "q_semdedup_twolevel" ->
+      """WITH coarse AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS coarse_id, embedding AS ccv
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
+        |        ORDER BY vec_id LIMIT 2)
+        |), fine AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS fcv
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
+        |        ORDER BY vec_id LIMIT 8)
+        |), fscore AS (
+        |  SELECT f.cell, f.fcv, c.coarse_id,
+        |    list_sum(list_transform(list_zip(f.fcv, c.ccv),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(f.fcv, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(c.ccv, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
+        |  FROM fine f CROSS JOIN coarse c
+        |), fown AS (
+        |  SELECT cell, fcv, coarse_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cell
+        |      ORDER BY ccos DESC, coarse_id) AS r
+        |    FROM fscore) WHERE r = 1
+        |), rscore AS (
+        |  SELECT e.vec_id, e.embedding, c.coarse_id,
+        |    list_sum(list_transform(list_zip(e.embedding, c.ccv),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(c.ccv, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
+        |  FROM embeddings e CROSS JOIN coarse c
+        |), rcoarse AS (
+        |  SELECT vec_id, embedding, coarse_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, coarse_id) AS r
+        |    FROM rscore) WHERE r = 1
+        |), cscore AS (
+        |  SELECT r.vec_id, r.embedding, f.cell,
+        |    list_sum(list_transform(list_zip(r.embedding, f.fcv),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(r.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(f.fcv, x -> x::DOUBLE * x::DOUBLE)))) AS fcos
+        |  FROM rcoarse r JOIN fown f ON r.coarse_id = f.coarse_id
+        |), cells AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY fcos DESC, cell) AS r
+        |    FROM cscore) WHERE r = 1
         |), drops AS (
         |  SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
         |    ON a.cell = b.cell AND a.vec_id < b.vec_id

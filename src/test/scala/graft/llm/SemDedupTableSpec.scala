@@ -130,4 +130,82 @@ class SemDedupTableSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(viaTable == viaLiteral)
   }
+
+  test("two-level with m = 1 degenerates to exactly the flat table mode " +
+      "(assignment, pairs, kept set)") {
+    // one coarse group owning ALL fine cells: the refine argmax sees the
+    // whole codebook, so cell choice must be bit-identical to the flat
+    // forms (first-max tie-break included)
+    val coarse1 = array(array(centArrays.head.toIndexedSeq.map(lit(_)): _*))
+    val fine1 = centTable.withColumn("coarse", lit(1))
+    val twoLevel = Similarity
+      .ivfAssignTwoLevel(corpus, "id", "v", coarse1, fine1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val flat = Similarity.ivfAssignTable(corpus, "id", "v", centTable)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(twoLevel == flat)
+    val pairs2 = Dedup
+      .embeddingNearDupsBucketedTwoLevel(corpus, "id", "v", 0.99, coarse1, fine1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pairsFlat = Dedup
+      .embeddingNearDupsBucketedTable(corpus, "id", "v", 0.99, centTable)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs2 == pairsFlat && pairs2.nonEmpty)
+    val kept2 = Dedup.semDedupTwoLevel(corpus, "id", "v", 0.99, coarse1, fine1)
+      .select("id").as[Long].collect().toSet
+    val keptFlat = Dedup.semDedupTable(corpus, "id", "v", 0.99, centTable)
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == keptFlat)
+  }
+
+  test("twoLevelCodebook + two-level assignment: self-consistent, " +
+      "deterministic, refine confined to the owning coarse group") {
+    val (coarseLit, fine) =
+      Similarity.twoLevelCodebook(corpus, "id", "v", m = 2, nlist = 6)
+    val fineRows = fine.collect()
+      .map(r => (r.getAs[Int]("cell"),
+        r.getAs[Number]("coarse").intValue())).toMap
+    assert(fineRows.keySet == (1 to 6).toSet)
+    assert(fineRows.values.toSet.subsetOf(Set(1, 2)))
+    // each fine CENTROID's own vector must assign to its owning group's
+    // cells — and to itself when it is its own nearest (self-consistency)
+    val cents = fine.select(col("cell").cast("long").as("id"),
+      col("cvec").as("v"))
+    val centAssign = Similarity
+      .ivfAssignTwoLevel(cents, "id", "v", coarseLit, fine)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // a centroid always scores cos = 1 against itself, so its assigned
+    // cell must also score cos = 1 (first-max may pick an EARLIER
+    // same-ray cell — cells 5/6 of the fixture engineer exactly that)
+    val vecByCell = fine.collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getSeq[Float](r.fieldIndex("cvec")).toArray).toMap
+    def cos1(u: Array[Float], v: Array[Float]): Boolean = {
+      val dot = u.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val nu = math.sqrt(u.map(x => x.toDouble * x.toDouble).sum)
+      val nv = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      dot / (nu * nv) >= 1.0 - 1e-12
+    }
+    centAssign.foreach { case (id, cell) =>
+      assert(cos1(vecByCell(cell.toInt), vecByCell(id.toInt)),
+        s"centroid $id refined to cell $cell that is not cosine-1 to it")
+      assert(cell <= id,
+        s"first-max must keep the earliest best cell: $id -> $cell")
+    }
+    // deterministic: a repartitioned corpus assigns identically
+    val a1 = Similarity.ivfAssignTwoLevel(corpus, "id", "v", coarseLit, fine)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Similarity
+      .ivfAssignTwoLevel(corpus.repartition(7), "id", "v", coarseLit, fine)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+    // zero-norm rows are absent; the zero vector survives the dedup
+    assert(!a1.contains(999L))
+    val kept = Dedup.semDedupTwoLevel(corpus, "id", "v", 0.99, coarseLit, fine)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(999L))
+    assert(Seq(102L, 109L, 114L).forall(!kept.contains(_)),
+      "exact twins share a cell (same vector → same coarse, same refine) " +
+        "and must collapse")
+  }
 }
