@@ -372,7 +372,18 @@ object Bench {
     }
     val loadOffset =
       if (offsets.isEmpty) "null" else num(median(offsets), 2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median","env":$env,"contended":$contended,"load_offset_estimate":$loadOffset,"cpu_wall_ratio":$ratios}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median","env":$env,"contended":$contended,"load_offset_estimate":$loadOffset,"cpu_wall_ratio":$ratios}"""
+    println(line)
+    // ALSO persist the full payload next to the repo: a harness that
+    // captures only a bounded stdout tail truncates half the per-query
+    // timings (BENCH_r14's 'parsed: null' — ADVICE r14); the file is the
+    // lossless copy a later reader can re-parse
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+      ()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -1136,6 +1136,13 @@ object Dedup {
     * (SemDedupTableSpec pins both modes equal on the same nlist). The
     * exact-twin pre-collapse comes free via either semDedupDistinct
     * form (a linear pass; provably identical kept set).
+    *
+    * Both routes keep the FLAT row×nlist assignment (so the kept set
+    * never depends on which side of the threshold a corpus lands on);
+    * past ~10k cells that argmax itself dominates (measured 31 s at
+    * 100k×16k, ScaleBench `semdedup`) — call [[semDedupTwoLevel]]
+    * explicitly there (2.8× faster assignment, a DIFFERENT
+    * deterministic bucketing with its own oracle).
     */
   def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nprobe: Int = 1,
