@@ -219,6 +219,13 @@ object Bench {
     "q_profile_fold",
     "q_warc_roundtrip",
     "q_wordpiece_tokens",
+    // r15-new: incremental crawl intake and the two-level codebook —
+    // pinned in BENCH_REFERENCE once three clean readings exist (the
+    // r12-tier precedent); the other r15 oracle rows (q_semdedup_table,
+    // q_bm25_pruned) time near-identical plans to existing headline rows
+    // and stay Verify-only
+    "q_crawl_incremental",
+    "q_semdedup_twolevel",
   )
 
   def main(args: Array[String]): Unit = {

@@ -204,36 +204,48 @@ object ScaleBench {
     val recrawl = (0 until nFiles / 4).map(writeSeg(_, 2))
     val rest = (nFiles / 4 until nFiles).map(writeSeg(_, 3))
 
-    val input = MemoryStream[String]
-    val query = StreamingCrawl.ingestPaths(
-      input.toDF().toDF("path"), "path", s"$tmp/sink",
-      StreamingCrawl.DirIndex(s"$tmp/index"), s"$tmp/ckpt",
-      prepare = df => df.withColumn("id",
-          regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long"))
-        .select("id", "html"),
-      idCol = "id")
+    // same three arrivals through BOTH index stores: DirIndex (the
+    // while-it-broadcasts form) and BucketedIndex (the past-broadcast
+    // form whose anti join reads the index side in place)
+    def runStore(tag: String, sink: String, ckpt: String,
+                 store: StreamingCrawl.IndexStore): Unit = {
+      val input = MemoryStream[String]
+      val query = StreamingCrawl.ingestPaths(
+        input.toDF().toDF("path"), "path", sink, store, ckpt,
+        prepare = df => df.withColumn("id",
+            regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long"))
+          .select("id", "html"),
+        idCol = "id")
+      try {
+        var accepted0 = 0L
+        for ((label, segs) <- Seq(("quarter", quarter),
+          ("recrawl_all_dup", recrawl), ("threequarters", rest))) {
+          listener.reset()
+          val t0 = System.nanoTime()
+          input.addData(segs.map(_._1))
+          query.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300)
+          val mb = segs.map(_._2).sum / 1e6
+          val total = spark.read.parquet(sink).count()
+          val batchAccepted = total - accepted0
+          accepted0 = total
+          println(f"""{"crawlstream":"$label$tag","batch_mb":$mb%.1f,""" +
+            f""""sec":$sec%.2f,"mb_per_sec":${mb / sec}%.1f,""" +
+            s""""accepted":$batchAccepted,""" +
+            s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+            s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+        }
+      } finally query.stop()
+    }
     try {
-      var accepted0 = 0L
-      for ((label, segs) <- Seq(("quarter", quarter),
-        ("recrawl_all_dup", recrawl), ("threequarters", rest))) {
-        listener.reset()
-        val t0 = System.nanoTime()
-        input.addData(segs.map(_._1))
-        query.processAllAvailable()
-        val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300)
-        val mb = segs.map(_._2).sum / 1e6
-        val total = spark.read.parquet(s"$tmp/sink").count()
-        val batchAccepted = total - accepted0
-        accepted0 = total
-        println(f"""{"crawlstream":"$label","batch_mb":$mb%.1f,""" +
-          f""""sec":$sec%.2f,"mb_per_sec":${mb / sec}%.1f,""" +
-          s""""accepted":$batchAccepted,""" +
-          s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
-          s""""max_task_peak_mem":${listener.maxPeakMem}}""")
-      }
+      runStore("", s"$tmp/sink", s"$tmp/ckpt",
+        StreamingCrawl.DirIndex(s"$tmp/index"))
+      runStore("_bucketed", s"$tmp/sink_b", s"$tmp/ckpt_b",
+        StreamingCrawl.BucketedIndex("crawlstream_scale_idx",
+          s"$tmp/index_b", buckets = 8))
     } finally {
-      query.stop()
+      spark.sql("DROP TABLE IF EXISTS crawlstream_scale_idx")
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }
