@@ -262,6 +262,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"postings must be map-only:\n$plan")
   }
 
+  test("pruned search == unpruned == one-call on random corpora (property)") {
+    val rnd = new scala.util.Random(29)
+    val words = Vector("ant", "bee", "cat", "dog", "eel", "fox", "gnu",
+      "hen", "ibis", "jay")
+    def doc(len: Int) = (0 until len)
+      .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    for (trial <- 1 to 3) {
+      val corpus = (0L until 50L).map(i => (i, doc(2 + rnd.nextInt(10))))
+        .toDF("doc_id", "text")
+      val queries = (100L to 103L).map(i => (i, doc(3))).toDF("qid", "qtext")
+      val (post, stats) = Retrieval.buildPostings(corpus, "doc_id", "text")
+      val plain = Retrieval.searchPostings(post, stats,
+        queries, "qid", "qtext", k = 5).collect().toSet
+      val prunedR = Retrieval.searchPostingsPruned(post, stats,
+        queries, "qid", "qtext", k = 5).collect().toSet
+      val oneCall = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 5).collect().toSet
+      assert(prunedR == plain && plain == oneCall, s"trial $trial diverged")
+      assert(oneCall.nonEmpty)
+    }
+  }
+
   test("normalized index: build+search == one-call; update == build-on-union") {
     val rnd = new scala.util.Random(11)
     val words = Vector("apple", "banana", "cherry", "date", "fig", "grape", "kiwi")
