@@ -1199,7 +1199,10 @@ object Dedup {
   /** The shared cell-local pair join behind the table-mode and
     * two-level near-dup forms: payloads join their (id, `__cell`)
     * assignments back by id, pairs meet on `__cell`, exact cosine
-    * filters, orientation normalizes.
+    * filters, orientation normalizes. The a-side and b-side assignment
+    * subtrees are plan-identical at nprobe 1, so Spark's exchange reuse
+    * collapses them at runtime (ReusedExchange in the executed plan —
+    * verified) — the expensive codebook fan-out runs once, not twice.
     */
   private def nearDupsFromCells(df: DataFrame, idCol: String,
                                 vecCol: String, threshold: Double,
