@@ -138,6 +138,58 @@ object StreamingCrawl {
         .bucketBy(buckets, "content_hash").sortBy("content_hash")
         .saveAsTable(table)
     }
+
+    /** Out-of-band compaction: fold every committed batch partition
+      * into ONE `batch_id = -1` partition with exactly one sorted file
+      * per bucket — per-batch appends otherwise accumulate a bucket-file
+      * set per batch, and at thousands of batches the file count (not
+      * the 16 bytes/doc data) becomes the scan's cost. One file per
+      * bucket because the rewrite repartitions by `content_hash` into
+      * `buckets` partitions — the same Murmur3 pmod the bucket function
+      * uses, so each task holds exactly one bucket's rows.
+      *
+      * Run it like [[StreamingRetrieval.compactIndex]]: OUT-OF-BAND,
+      * with the stream stopped or all folded batches durably committed
+      * — a batch that replays AFTER its rows were folded into -1 would
+      * re-append next to them (its own partition directory, the replay
+      * unit, no longer holds them). The swap is Hadoop-FS rename
+      * (promote-then-retire), and the table is re-registered with the
+      * same bucket DDL at the same path, so [[committed]] (the -1
+      * partition never equals a real batch id) and [[write]] (appends
+      * target untouched per-batch directories) keep their contracts.
+      */
+    def compact(spark: SparkSession): Unit =
+      if (spark.catalog.tableExists(table)) {
+        val scratch = s"${table}__compacting"
+        val scratchQ = s"`${scratch.replace("`", "``")}`"
+        val (f, live) = BatchState.fs(spark, path)
+        val tmp = new org.apache.hadoop.fs.Path(s"${path}_compacting")
+        val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+        spark.sql(s"DROP TABLE IF EXISTS $scratchQ")
+        if (f.exists(tmp)) f.delete(tmp, true)
+        spark.table(table).select(col("content_hash"))
+          .repartition(buckets, col("content_hash"))
+          .withColumn("batch_id", lit(-1L))
+          .write.format("parquet").option("path", tmp.toString)
+          .partitionBy("batch_id")
+          .bucketBy(buckets, "content_hash").sortBy("content_hash")
+          .saveAsTable(scratch)
+        spark.sql(s"DROP TABLE IF EXISTS $scratchQ") // registration only
+        spark.sql(s"DROP TABLE IF EXISTS $quoted")
+        if (f.exists(old)) f.delete(old, true)
+        if (!f.rename(live, old))
+          sys.error(s"BucketedIndex.compact: cannot retire $live")
+        if (!f.rename(tmp, live))
+          sys.error(s"BucketedIndex.compact: cannot promote $tmp")
+        f.delete(old, true)
+        spark.sql(
+          s"""CREATE TABLE $quoted (content_hash STRING, batch_id BIGINT)
+             |USING parquet PARTITIONED BY (batch_id)
+             |CLUSTERED BY (content_hash) SORTED BY (content_hash)
+             |INTO $buckets BUCKETS LOCATION '$path'""".stripMargin)
+        spark.sql(s"MSCK REPAIR TABLE $quoted")
+        ()
+      }
   }
 
   /** One micro-batch through the intake chain: extract main content

@@ -215,6 +215,42 @@ class StreamingCrawlSpec extends AnyFunSuite {
           md5(col("h")) === col("content_hash"), "left_anti")
         assert(exchanges(plainAnti) == 2,
           "the unbucketed twin shuffles both sides")
+
+        // compaction: same digest set, one batch_id=-1 partition with
+        // exactly one file per bucket, bucketing preserved through the
+        // DDL re-registration (the anti join still reads in place), and
+        // later batches still append replay-exactly
+        val beforeCompact = spark.table(store.table)
+          .select("content_hash").as[String].collect().toSorted
+        store.compact(spark)
+        assert(spark.table(store.table)
+            .select("content_hash").as[String].collect().toSorted
+          == beforeCompact, "compaction must not change the digest set")
+        val parts = spark.table(store.table)
+          .select("batch_id").distinct().as[Long].collect().toSet
+        assert(parts == Set(-1L), s"all batches fold into -1, got $parts")
+        // one file per NON-EMPTY bucket (empty buckets write nothing;
+        // the _NNNNN suffix before .c000 is the bucket id)
+        val bucketDir = new java.io.File(s"${store.path}/batch_id=-1")
+        val files = bucketDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        val bucketIds = files.map(_.getName
+          .replaceAll(""".*_(\d{5})\.c\d+.*""", "$1"))
+        assert(files.length <= store.buckets &&
+            bucketIds.distinct.length == files.length,
+          s"exactly one file per non-empty bucket, got " +
+            files.map(_.getName).mkString(", "))
+        val compactedAnti = probe.join(store.committed(spark, 99L),
+          md5(col("h")) === col("content_hash"), "left_anti")
+        assert(exchanges(compactedAnti) == 1,
+          "compaction must preserve the bucketed no-index-exchange shape")
+        // a post-compaction batch appends + replays without duplicating
+        val d2 = Dedup.digestIndex(
+          spark.read.parquet(sink).filter(col("batch_id") === 1L), "main")
+        store.write(d2, 7L)
+        val afterAppend = spark.table(store.table).count()
+        store.write(d2, 7L) // replay
+        assert(spark.table(store.table).count() == afterAppend,
+          "post-compaction replay must not duplicate")
       } finally {
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
