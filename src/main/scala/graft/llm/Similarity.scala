@@ -217,6 +217,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** [[ivfTopK]] through the TWO-LEVEL codebook ([[ivfAssignTwoLevel]])
+    * — IVF search for codebooks past the literal/flat-argmax regime:
+    * corpus and queries take their coarse→refine cell (m + nlist/m
+    * cosines per row instead of nlist), each query searches only its
+    * own fine cell. Same search arithmetic and (cos desc, id) tie rule
+    * as the flat form; with m = 1 results are bit-identical to
+    * [[ivfTopK]] over the same cells (SemDedupTableSpec pins the
+    * degeneracy). Recall behaves like any IVF at nprobe 1 — neighbors
+    * across a cell boundary are missed; the two-level split adds the
+    * coarse boundary as a second miss surface, the standard
+    * inverted-multi-index trade.
+    */
+  def ivfTopKTwoLevel(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, coarse: Column, fine: DataFrame,
+                      k: Int): DataFrame = {
+    val qCells = ivfAssignTwoLevel(queries, idCol, vecCol, coarse, fine)
+      .withColumnRenamed(idCol, "query_id")
+    val cCells = ivfAssignTwoLevel(corpus, idCol, vecCol, coarse, fine)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(qCells, Seq("query_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(cCells, Seq("neighbor_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Centroid indices (1-based) ordered by descending cosine to `vec`,
     * ties broken by index — element 1 is [[ivfAssign]]'s cell. A zero-norm
     * vector (every cosine null) ranks NO cells: the result is null, exactly
