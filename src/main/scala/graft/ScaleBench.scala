@@ -241,9 +241,29 @@ object ScaleBench {
     try {
       runStore("", s"$tmp/sink", s"$tmp/ckpt",
         StreamingCrawl.DirIndex(s"$tmp/index"))
-      runStore("_bucketed", s"$tmp/sink_b", s"$tmp/ckpt_b",
-        StreamingCrawl.BucketedIndex("crawlstream_scale_idx",
-          s"$tmp/index_b", buckets = 8))
+      val store = StreamingCrawl.BucketedIndex("crawlstream_scale_idx",
+        s"$tmp/index_b", buckets = 8)
+      runStore("_bucketed", s"$tmp/sink_b", s"$tmp/ckpt_b", store)
+      // out-of-band compaction (stream stopped): the per-batch bucket
+      // file sets fold to one file per bucket; the screen's row set is
+      // unchanged (count asserted) and the read loses only file count
+      def parquetFiles(dir: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) Option(f.listFiles()).fold(0)(_.map(walk).sum)
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(dir))
+      }
+      val filesBefore = parquetFiles(store.path)
+      val rowsBefore = spark.table(store.table).count()
+      val t0 = System.nanoTime()
+      store.compact(spark)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val filesAfter = parquetFiles(store.path)
+      require(spark.table(store.table).count() == rowsBefore,
+        "compaction changed the digest row count")
+      println(f"""{"crawlstream":"compact","sec":$sec%.2f,""" +
+        s""""rows":$rowsBefore,"files_before":$filesBefore,""" +
+        s""""files_after":$filesAfter}""")
     } finally {
       spark.sql("DROP TABLE IF EXISTS crawlstream_scale_idx")
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)

@@ -143,10 +143,11 @@ object StreamingCrawl {
       * into ONE `batch_id = -1` partition with exactly one sorted file
       * per bucket — per-batch appends otherwise accumulate a bucket-file
       * set per batch, and at thousands of batches the file count (not
-      * the 16 bytes/doc data) becomes the scan's cost. One file per
-      * bucket because the rewrite repartitions by `content_hash` into
-      * `buckets` partitions — the same Murmur3 pmod the bucket function
-      * uses, so each task holds exactly one bucket's rows.
+      * the 16 bytes/doc data) becomes the scan's cost. The rewrite is
+      * SHUFFLE-FREE: with auto-bucketed-scan pinned on for it (see the
+      * body comment), the source reads one partition per bucket (all
+      * batches' files of that bucket merged) and each task writes that
+      * bucket's single sorted file.
       *
       * Run it like [[StreamingRetrieval.compactIndex]]: OUT-OF-BAND,
       * with the stream stopped or all folded batches durably committed
@@ -167,13 +168,27 @@ object StreamingCrawl {
         val old = new org.apache.hadoop.fs.Path(s"${path}_old")
         spark.sql(s"DROP TABLE IF EXISTS $scratchQ")
         if (f.exists(tmp)) f.delete(tmp, true)
-        spark.table(table).select(col("content_hash"))
+        // keep the SOURCE scan bucketed for the rewrite: the optimizer
+        // removes the repartition as redundant against the bucketed
+        // table's partitioning, and with nothing left requiring that
+        // distribution the planner then DISABLES bucketed reading —
+        // leaving no exchange at all and one output file per *read
+        // split* instead of per bucket (measured: 29 files for 8
+        // buckets). Pinning auto-bucketed-scan off keeps one read
+        // partition per bucket, so the rewrite is SHUFFLE-FREE and
+        // writes exactly one sorted file per non-empty bucket.
+        val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val savedAutoScan = spark.conf.getOption(autoScanKey)
+        spark.conf.set(autoScanKey, "false")
+        try spark.table(table).select(col("content_hash"))
           .repartition(buckets, col("content_hash"))
           .withColumn("batch_id", lit(-1L))
           .write.format("parquet").option("path", tmp.toString)
           .partitionBy("batch_id")
           .bucketBy(buckets, "content_hash").sortBy("content_hash")
           .saveAsTable(scratch)
+        finally savedAutoScan.fold(spark.conf.unset(autoScanKey))(
+          spark.conf.set(autoScanKey, _))
         spark.sql(s"DROP TABLE IF EXISTS $scratchQ") // registration only
         spark.sql(s"DROP TABLE IF EXISTS $quoted")
         if (f.exists(old)) f.delete(old, true)

@@ -219,7 +219,15 @@ class StreamingCrawlSpec extends AnyFunSuite {
         // compaction: same digest set, one batch_id=-1 partition with
         // exactly one file per bucket, bucketing preserved through the
         // DDL re-registration (the anti join still reads in place), and
-        // later batches still append replay-exactly
+        // later batches still append replay-exactly. Two DENSE synthetic
+        // batches first, so every bucket holds many rows — a sparse
+        // fixture cannot distinguish one-file-per-bucket from
+        // one-file-per-write-task (the planner drops the bucketed scan
+        // for the rewrite unless compact() pins it — the 29-files-for-
+        // 8-buckets defect this guards)
+        for (b <- Seq(8L, 9L))
+          store.write((1 to 300).map(i => s"synthetic_${b}_$i")
+            .toDF("content_hash"), b)
         val beforeCompact = spark.table(store.table)
           .select("content_hash").as[String].collect().toSorted
         store.compact(spark)
@@ -229,15 +237,16 @@ class StreamingCrawlSpec extends AnyFunSuite {
         val parts = spark.table(store.table)
           .select("batch_id").distinct().as[Long].collect().toSet
         assert(parts == Set(-1L), s"all batches fold into -1, got $parts")
-        // one file per NON-EMPTY bucket (empty buckets write nothing;
-        // the _NNNNN suffix before .c000 is the bucket id)
+        // one file per bucket — the dense fixture fills all 4, so the
+        // count must be exactly `buckets`, one distinct bucket suffix
+        // each (the _NNNNN suffix before .c000 is the bucket id)
         val bucketDir = new java.io.File(s"${store.path}/batch_id=-1")
         val files = bucketDir.listFiles().filter(_.getName.endsWith(".parquet"))
         val bucketIds = files.map(_.getName
           .replaceAll(""".*_(\d{5})\.c\d+.*""", "$1"))
-        assert(files.length <= store.buckets &&
+        assert(files.length == store.buckets &&
             bucketIds.distinct.length == files.length,
-          s"exactly one file per non-empty bucket, got " +
+          s"exactly one file per bucket, got " +
             files.map(_.getName).mkString(", "))
         val compactedAnti = probe.join(store.committed(spark, 99L),
           md5(col("h")) === col("content_hash"), "left_anti")
