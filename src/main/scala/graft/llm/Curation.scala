@@ -63,4 +63,46 @@ object Curation {
         priority = if (keepBestQuality) Some(col("__q")) else None)
       .withColumnRenamed("__q", "quality")
   }
+
+  /** The DROP LEDGER for the same chain: one row per INPUT document with
+    * the stage that eliminated it — `stage` ∈ `kept` / `gate` (quality
+    * below `minQuality`) / `exact_dup` (an identical redacted text with
+    * a lower id exists) / `near_dup` (clustered under a lower-id
+    * near-duplicate) — plus its quality score. `kept` rows are exactly
+    * [[curate]]'s output ids (spec-pinned), so this is the audit twin,
+    * not a second semantics: at 100 TB the thing a curation run needs
+    * beyond the survivors is per-stage drop attribution (drop-rate by
+    * stage × source is the dashboard that catches a filter regression
+    * before a training run does), and a ledger the driver can
+    * hash-check is the difference between "the chain ran" and "the
+    * chain dropped each document for the stated reason".
+    *
+    * Cost over [[curate]]: the chain itself plus two id-only left joins
+    * (the exact-kept and final-kept id sets back onto the scored
+    * input) — id-width shuffles, nothing document-sized. Same lineage
+    * cut and caller-frees contract as [[curate]].
+    */
+  def curateAudit(docs: DataFrame, idCol: String, textCol: String,
+                  minQuality: Double = 0.25,
+                  jaccardThreshold: Double = 0.8,
+                  fast: Boolean = false,
+                  cutLineage: Boolean = true): DataFrame = {
+    val scored = docs
+      .withColumn("__q", TextFunctions.qualityScore(col(textCol)))
+    val gated = scored.filter(col("__q") >= minQuality)
+      .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+    val exact0 = Dedup.exactDedup(gated, idCol, textCol)
+    val exact = if (cutLineage) exact0.localCheckpoint(eager = false) else exact0
+    val kept = Dedup.nearDedup(exact, idCol, textCol, jaccardThreshold,
+      fast = fast)
+    scored.select(col(idCol), col("__q").as("quality"))
+      .join(exact.select(col(idCol), lit(1).as("__ex")), Seq(idCol), "left")
+      .join(kept.select(col(idCol), lit(1).as("__kp")), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("quality") < minQuality, "gate")
+          .when(col("__ex").isNull, "exact_dup")
+          .when(col("__kp").isNull, "near_dup")
+          .otherwise("kept").as("stage"),
+        col("quality"))
+  }
 }

@@ -1878,6 +1878,23 @@ object QueriesLLM {
         col("quality"))
   }
 
+  /** The curation DROP LEDGER ([[Curation.curateAudit]], r15): one row
+    * per input document with the stage that eliminated it (`kept` /
+    * `gate` / `exact_dup` / `near_dup`) and its quality score — the
+    * per-stage drop attribution a 100 TB curation run monitors. Same
+    * corpus and parameters as [[q_curation_e2e]], so the oracle shares
+    * that query's CTE chain and only the final projection changes (a
+    * disposition CASE over the gate, exact-keep, and near-dup-drop
+    * sets).
+    */
+  def q_curation_audit(spark: SparkSession, dir: String): DataFrame = {
+    val base = dupCorpus(spark, dir)
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com")))
+    Curation.curateAudit(base, "doc_id", "text",
+      minQuality = 0.25, jaccardThreshold = 0.2)
+  }
+
   /** DSIR importance log-weights against a deterministic target slice
     * (doc_id % 7 == 0 — the slice definition is the caller's business;
     * the operator only needs a boolean predicate).
@@ -1956,6 +1973,7 @@ object QueriesLLM {
     "q_rrf_hybrid" -> (q_rrf_hybrid _),
     "q_dsir_weights" -> (q_dsir_weights _),
     "q_curation_e2e" -> (q_curation_e2e _),
+    "q_curation_audit" -> (q_curation_audit _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_bpe_pairs" -> (q_bpe_pairs _),
@@ -2164,6 +2182,70 @@ object QueriesLLM {
         |)
         |SELECT ds.source, ds.n_docs, ds.distinct_texts, qs.p50, qs.p90, qs.p99
         |FROM ds JOIN qs USING (source)""".stripMargin
+
+  /** The shared DuckDB CTE chain for the curation oracles: augmented
+    * corpus -> quality (`qual`) -> gate+redact (`red`) -> exact keep ids
+    * (`keepx`) -> exact survivors (`corpus`) -> minhash/LSH bands ->
+    * verified pairs -> CC reach -> near-dup `drops`. Final projections
+    * differ per query (kept rows for q_curation_e2e, the disposition
+    * ledger for q_curation_audit).
+    */
+  private lazy val curationChainSql: String = {
+      val e = TextFunctions.emailRe
+      val i = TextFunctions.ipv4Re
+      val p = TextFunctions.phoneRe
+      s"""WITH RECURSIVE corpus0 AS (
+         |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com' AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id,
+         |    text || ' contact user' || (doc_id + 10000) || '@example.com' AS text
+         |  FROM documents WHERE doc_id < 50
+         |), qual AS (
+         |  SELECT doc_id, text,
+         |    round((least(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) / 50.0, 1.0)
+         |      + least((CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) > 0
+         |          THEN len(list_filter(list_filter(string_split(lower(text), ' '), t -> length(t) > 0),
+         |                t -> list_contains($enList, t)))::DOUBLE
+         |               / len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0))
+         |          ELSE 0.0 END) * 5.0, 1.0)) / 2.0, 6) AS quality
+         |  FROM corpus0
+         |), red AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS text,
+         |    quality
+         |  FROM qual WHERE quality >= 0.25
+         |), keepx AS (
+         |  SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(text)
+         |), corpus AS (
+         |  SELECT r.doc_id, r.text, r.quality FROM red r JOIN keepx k ON r.doc_id = k.doc_id
+         |)""".stripMargin + minhashSql +
+      """, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+         |), shd AS (
+         |  SELECT doc_id, list_distinct(hs) AS ds FROM hashes
+         |), verified AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN shd a ON p.id_a = a.doc_id JOIN shd b ON p.id_b = b.doc_id
+         |  WHERE (CASE WHEN len(list_distinct(a.ds || b.ds)) > 0
+         |    THEN len(list_intersect(a.ds, b.ds))::DOUBLE / len(list_distinct(a.ds || b.ds))
+         |    ELSE 0.0 END) >= 0.2
+         |), edges AS (
+         |  SELECT id_a, id_b FROM verified
+         |  UNION
+         |  SELECT id_b AS id_a, id_a AS id_b FROM verified
+         |), reach AS (
+         |  SELECT id_a AS id, id_a AS label FROM edges
+         |  UNION
+         |  SELECT e.id_a AS id, r.label FROM edges e JOIN reach r ON e.id_b = r.id
+         |), drops AS (
+         |  SELECT id AS doc_id FROM reach GROUP BY id HAVING min(label) <> id
+         |)
+""".stripMargin
+  }
 
   private val oracles0: Map[String, String] = Map(
     "q_dedup_exact" -> (dupCorpusSql +
@@ -2695,63 +2777,26 @@ object QueriesLLM {
         |)
         |SELECT query_id, doc_id, rank::BIGINT AS rank, rrf
         |FROM rr WHERE rank <= 5""".stripMargin,
-    "q_curation_e2e" -> {
-      val e = TextFunctions.emailRe
-      val i = TextFunctions.ipv4Re
-      val p = TextFunctions.phoneRe
-      s"""WITH RECURSIVE corpus0 AS (
-         |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com' AS text
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id,
-         |    text || ' contact user' || (doc_id + 10000) || '@example.com' AS text
-         |  FROM documents WHERE doc_id < 50
-         |), qual AS (
-         |  SELECT doc_id, text,
-         |    round((least(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) / 50.0, 1.0)
-         |      + least((CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) > 0
-         |          THEN len(list_filter(list_filter(string_split(lower(text), ' '), t -> length(t) > 0),
-         |                t -> list_contains($enList, t)))::DOUBLE
-         |               / len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0))
-         |          ELSE 0.0 END) * 5.0, 1.0)) / 2.0, 6) AS quality
-         |  FROM corpus0
-         |), red AS (
-         |  SELECT doc_id,
-         |    regexp_replace(regexp_replace(regexp_replace(text,
-         |      '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS text,
-         |    quality
-         |  FROM qual WHERE quality >= 0.25
-         |), keepx AS (
-         |  SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(text)
-         |), corpus AS (
-         |  SELECT r.doc_id, r.text, r.quality FROM red r JOIN keepx k ON r.doc_id = k.doc_id
-         |)""".stripMargin + minhashSql +
-      """, pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-         |), shd AS (
-         |  SELECT doc_id, list_distinct(hs) AS ds FROM hashes
-         |), verified AS (
-         |  SELECT p.id_a, p.id_b
-         |  FROM pairs p JOIN shd a ON p.id_a = a.doc_id JOIN shd b ON p.id_b = b.doc_id
-         |  WHERE (CASE WHEN len(list_distinct(a.ds || b.ds)) > 0
-         |    THEN len(list_intersect(a.ds, b.ds))::DOUBLE / len(list_distinct(a.ds || b.ds))
-         |    ELSE 0.0 END) >= 0.2
-         |), edges AS (
-         |  SELECT id_a, id_b FROM verified
-         |  UNION
-         |  SELECT id_b AS id_a, id_a AS id_b FROM verified
-         |), reach AS (
-         |  SELECT id_a AS id, id_a AS label FROM edges
-         |  UNION
-         |  SELECT e.id_a AS id, r.label FROM edges e JOIN reach r ON e.id_b = r.id
-         |), drops AS (
-         |  SELECT id AS doc_id FROM reach GROUP BY id HAVING min(label) <> id
-         |)
+    "q_curation_e2e" ->
+      (curationChainSql +
+        """
          |SELECT c.doc_id, md5(c.text) AS content_hash, c.quality
-         |FROM corpus c ANTI JOIN drops d ON c.doc_id = d.doc_id""".stripMargin
-    },
+         |FROM corpus c ANTI JOIN drops d ON c.doc_id = d.doc_id""".stripMargin),
+    // the drop ledger: same chain, final projection = disposition CASE
+    // over the gate (quality), exact-keep (keepx), and near-dup-drop
+    // (drops) sets
+    "q_curation_audit" ->
+      (curationChainSql +
+        """
+         |SELECT q.doc_id,
+         |  CASE WHEN q.quality < 0.25 THEN 'gate'
+         |       WHEN k.doc_id IS NULL THEN 'exact_dup'
+         |       WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'kept' END AS stage,
+         |  q.quality
+         |FROM qual q
+         |LEFT JOIN keepx k ON q.doc_id = k.doc_id
+         |LEFT JOIN drops d ON q.doc_id = d.doc_id""".stripMargin),
     "q_dsir_weights" ->
       """WITH cg AS (
         |  SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS h FROM (

@@ -181,6 +181,14 @@ class RetrievalSpec extends AnyFunSuite {
     val r = kept.head
     assert(r.getString(1).contains("<EMAIL>") && !r.getString(1).contains("a@b.com"))
     assert(r.getDouble(2) > 0.2)
+
+    // the drop ledger is the audit TWIN: one row per input doc, stage
+    // named per elimination, 'kept' rows exactly curate's output ids
+    val audit = Curation.curateAudit(docs, "doc_id", "text",
+        minQuality = 0.2, jaccardThreshold = 0.2)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(audit == Map(1L -> "kept", 2L -> "exact_dup",
+      3L -> "gate", 4L -> "near_dup"))
   }
 
   test("nearDedupKeepBy keeps the highest-priority cluster member") {
