@@ -64,6 +64,18 @@ object StreamingCrawl {
       * left behind.
       */
     def write(digests: DataFrame, batchId: Long): Unit
+
+    /** True iff batch `batchId`'s rows were FOLDED into a compacted
+      * partition, so its own replay unit (its partition directory) no
+      * longer holds them. A folded batch is — by [[BucketedIndex
+      * .compact]]'s precondition — durably committed, so the only
+      * correct replay of it is a NO-OP: re-running would both
+      * duplicate the index (its digests live under `batch_id = -1`
+      * now) and empty its sink partition (the screen would reject the
+      * batch's own documents against their already-archived digests).
+      * Stores that never fold (e.g. [[DirIndex]]) always answer false.
+      */
+    def folded(spark: SparkSession, batchId: Long): Boolean = false
   }
 
   /** Plain parquet index dir, one `batch_id=<N>` partition per batch,
@@ -110,6 +122,9 @@ object StreamingCrawl {
   final case class BucketedIndex(table: String, path: String, buckets: Int)
       extends IndexStore {
     private def quoted = s"`${table.replace("`", "``")}`"
+    // underscore-prefixed: Spark's partition discovery skips it as a
+    // hidden file, so the ledger can live inside the table location
+    private val LedgerName = "_folded_batches"
 
     def committed(spark: SparkSession, batchId: Long): DataFrame =
       if (spark.catalog.tableExists(table))
@@ -125,6 +140,11 @@ object StreamingCrawl {
 
     def write(digests: DataFrame, batchId: Long): Unit = {
       val spark = digests.sparkSession
+      // replay-after-fold guard: once compact() moved this batch's rows
+      // under batch_id = -1, deleting/re-appending its own partition
+      // would leave a SECOND copy next to the folded one — the ledger
+      // makes the hazard the scaladoc used to merely document a no-op
+      if (folded(spark, batchId)) return
       if (spark.catalog.tableExists(table)) {
         val (f, p) = BatchState.fs(spark, s"$path/batch_id=$batchId")
         if (f.exists(p)) {
@@ -139,6 +159,27 @@ object StreamingCrawl {
         .saveAsTable(table)
     }
 
+    /** The batch ids whose rows live under `batch_id = -1` — every id
+      * [[compact]] has ever folded, read from the `_folded_batches`
+      * ledger the compaction swap carries (underscore-prefixed, so
+      * Spark's file listing never treats it as data). Empty before the
+      * first compaction.
+      */
+    def foldedBatches(spark: SparkSession): Set[Long] = {
+      val (f, live) = BatchState.fs(spark, path)
+      val p = new org.apache.hadoop.fs.Path(live, LedgerName)
+      if (!f.exists(p)) Set.empty
+      else {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(_.toLong).toSet
+        finally in.close()
+      }
+    }
+
+    override def folded(spark: SparkSession, batchId: Long): Boolean =
+      foldedBatches(spark).contains(batchId)
+
     /** Out-of-band compaction: fold every committed batch partition
       * into ONE `batch_id = -1` partition with exactly one sorted file
       * per bucket — per-batch appends otherwise accumulate a bucket-file
@@ -150,14 +191,20 @@ object StreamingCrawl {
       * bucket's single sorted file.
       *
       * Run it like [[StreamingRetrieval.compactIndex]]: OUT-OF-BAND,
-      * with the stream stopped or all folded batches durably committed
-      * — a batch that replays AFTER its rows were folded into -1 would
-      * re-append next to them (its own partition directory, the replay
-      * unit, no longer holds them). The swap is Hadoop-FS rename
-      * (promote-then-retire), and the table is re-registered with the
-      * same bucket DDL at the same path, so [[committed]] (the -1
-      * partition never equals a real batch id) and [[write]] (appends
-      * target untouched per-batch directories) keep their contracts.
+      * with the stream stopped or all folded batches durably committed.
+      * The folded batch ids are RECORDED in a `_folded_batches` ledger
+      * the swap carries, so the contract is enforced, not just
+      * documented: a batch that replays AFTER its rows were folded into
+      * -1 (its own partition directory, the replay unit, no longer
+      * holds them) is detected by [[folded]] and [[write]]/[[runBatch]]
+      * make the replay the no-op it must be — a folded batch is by this
+      * method's precondition durably committed, so re-running it could
+      * only duplicate index rows and empty its sink partition. The swap
+      * is Hadoop-FS rename (promote-then-retire), and the table is
+      * re-registered with the same bucket DDL at the same path, so
+      * [[committed]] (the -1 partition never equals a real batch id)
+      * and [[write]] (appends target untouched per-batch directories)
+      * keep their contracts.
       */
     def compact(spark: SparkSession): Unit =
       if (spark.catalog.tableExists(table)) {
@@ -166,6 +213,15 @@ object StreamingCrawl {
         val (f, live) = BatchState.fs(spark, path)
         val tmp = new org.apache.hadoop.fs.Path(s"${path}_compacting")
         val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+        // every id being folded this pass: the live per-batch partition
+        // dirs, plus everything an earlier pass already folded (the -1
+        // partition carries no ids of its own)
+        val foldedNow = foldedBatches(spark) ++
+          f.listStatus(live).toSeq.filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .filter(_.startsWith("batch_id="))
+            .map(_.stripPrefix("batch_id=").toLong)
+            .filter(_ != -1L)
         spark.sql(s"DROP TABLE IF EXISTS $scratchQ")
         if (f.exists(tmp)) f.delete(tmp, true)
         // keep the SOURCE scan bucketed for the rewrite: the optimizer
@@ -189,6 +245,14 @@ object StreamingCrawl {
           .saveAsTable(scratch)
         finally savedAutoScan.fold(spark.conf.unset(autoScanKey))(
           spark.conf.set(autoScanKey, _))
+        // the ledger rides the swap: written into the candidate dir
+        // BEFORE the promote, so a crash between the renames never
+        // leaves a live index whose ledger is missing its folds
+        val out = f.create(
+          new org.apache.hadoop.fs.Path(tmp, LedgerName), true)
+        try out.write(foldedNow.toSeq.sorted.mkString("\n")
+          .getBytes("UTF-8"))
+        finally out.close()
         spark.sql(s"DROP TABLE IF EXISTS $scratchQ") // registration only
         spark.sql(s"DROP TABLE IF EXISTS $quoted")
         if (f.exists(old)) f.delete(old, true)
@@ -310,6 +374,13 @@ object StreamingCrawl {
                        htmlCol: String, sinkDir: String, index: IndexStore,
                        minTokens: Int): Unit = {
     val spark = batch.sparkSession
+    // a batch whose rows were already FOLDED by an out-of-band
+    // compaction is durably committed by compaction's precondition —
+    // if it replays anyway (checkpoint loss), re-running would screen
+    // the batch's documents against their own archived digests and
+    // dynamic-overwrite its sink partition with the empty remainder;
+    // the only replay that keeps both stores exact is the no-op
+    if (index.folded(spark, batchId)) return
     val (accepted, _) = acceptBatch(batch, idCol, htmlCol,
       index.committed(spark, batchId), minTokens)
     // accepted is consumed twice (sink + digests) in one batch:

@@ -260,6 +260,34 @@ class StreamingCrawlSpec extends AnyFunSuite {
         store.write(d2, 7L) // replay
         assert(spark.table(store.table).count() == afterAppend,
           "post-compaction replay must not duplicate")
+
+        // folded-batch ledger: the compaction recorded exactly the ids
+        // it folded (the stream's two micro-batches + the two synthetic
+        // ones), and a batch replaying AFTER its rows went into -1 —
+        // the hazard the compact scaladoc used to merely document — is
+        // detected and skipped instead of re-appending a second copy
+        assert(store.foldedBatches(spark) == Set(0L, 1L, 8L, 9L),
+          s"ledger must hold the folded ids, got ${store.foldedBatches(spark)}")
+        assert(store.folded(spark, 8L) && !store.folded(spark, 7L),
+          "folded() answers per batch: 8 was folded, 7 appended after")
+        store.write((1 to 50).map(i => s"replayed_8_$i")
+          .toDF("content_hash"), 8L) // replay-after-fold
+        assert(spark.table(store.table).count() == afterAppend,
+          "a replay-after-fold write must be a no-op")
+        assert(!spark.table(store.table).select("batch_id").distinct()
+            .as[Long].collect().contains(8L),
+          "the folded batch's partition must not reappear")
+
+        // a second compaction folds the post-compaction batch too and
+        // UNIONS the ledger — ids folded by pass one stay recorded
+        val beforeSecond = spark.table(store.table)
+          .select("content_hash").as[String].collect().toSorted
+        store.compact(spark)
+        assert(spark.table(store.table)
+            .select("content_hash").as[String].collect().toSorted
+          == beforeSecond, "second compaction must not change the set")
+        assert(store.foldedBatches(spark) == Set(0L, 1L, 7L, 8L, 9L),
+          "second compaction unions the ledger")
       } finally {
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
