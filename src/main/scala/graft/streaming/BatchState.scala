@@ -79,6 +79,62 @@ object BatchState {
     }
   }
 
+  /** Batch ids recorded in the `_folded_batches` ledger under `dir` —
+    * batches whose log rows an out-of-band compaction folded into the
+    * `batch_id = -1` generation, so their own partition directories
+    * (the at-least-once replay unit) no longer hold them. A ledgered
+    * batch is durably committed by every compactor's precondition, so
+    * the only exact replay of it is a NO-OP append. Underscore-prefixed
+    * name: Spark's file listing treats it as hidden, so the ledger can
+    * sit inside or next to data directories. Empty before the first
+    * compaction.
+    */
+  def readFolded(spark: SparkSession, dir: String): Set[Long] = {
+    val (f, root) = fs(spark, dir)
+    val p = new Path(root, FoldedLedger)
+    if (!f.exists(p)) Set.empty
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  /** Overwrite `dir`'s folded-batches ledger with `ids` (compactors
+    * pass the union with [[readFolded]] — folds accumulate, they never
+    * un-fold).
+    */
+  def writeFolded(spark: SparkSession, dir: String, ids: Set[Long]): Unit = {
+    val (f, root) = fs(spark, dir)
+    val out = f.create(new Path(root, FoldedLedger), true)
+    try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  val FoldedLedger = "_folded_batches"
+
+  /** Atomically replace the directory at `liveDir` with whatever
+    * `write` produces at the tmp path it is handed: write beside,
+    * promote-then-retire via Hadoop-FS renames (never `java.io.File` —
+    * see the object scaladoc). Crash windows leave either the old
+    * generation live (before the first rename) or both dirs present
+    * (`_old` is cleaned on the next pass), never a half-written live
+    * dir.
+    */
+  def swapIn(spark: SparkSession, liveDir: String)(write: String => Unit): Unit = {
+    val (f, live) = fs(spark, liveDir)
+    val tmp = new Path(s"${liveDir}_compacting")
+    val old = new Path(s"${liveDir}_old")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    write(tmp.toString)
+    if (f.exists(old)) f.delete(old, true)
+    if (!f.rename(live, old)) sys.error(s"swapIn: cannot retire $live")
+    if (!f.rename(tmp, live)) sys.error(s"swapIn: cannot promote $tmp")
+    f.delete(old, true)
+    ()
+  }
+
   /** The newest committed version strictly below `beforeVersion` —
     * the read side of [[commitVersion]]. Bounding by the current batch
     * id makes a REPLAYED batch ignore its own failed attempt and fold

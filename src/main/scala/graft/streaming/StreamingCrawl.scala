@@ -122,9 +122,6 @@ object StreamingCrawl {
   final case class BucketedIndex(table: String, path: String, buckets: Int)
       extends IndexStore {
     private def quoted = s"`${table.replace("`", "``")}`"
-    // underscore-prefixed: Spark's partition discovery skips it as a
-    // hidden file, so the ledger can live inside the table location
-    private val LedgerName = "_folded_batches"
 
     def committed(spark: SparkSession, batchId: Long): DataFrame =
       if (spark.catalog.tableExists(table))
@@ -165,17 +162,8 @@ object StreamingCrawl {
       * Spark's file listing never treats it as data). Empty before the
       * first compaction.
       */
-    def foldedBatches(spark: SparkSession): Set[Long] = {
-      val (f, live) = BatchState.fs(spark, path)
-      val p = new org.apache.hadoop.fs.Path(live, LedgerName)
-      if (!f.exists(p)) Set.empty
-      else {
-        val in = f.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).map(_.toLong).toSet
-        finally in.close()
-      }
-    }
+    def foldedBatches(spark: SparkSession): Set[Long] =
+      BatchState.readFolded(spark, path)
 
     override def folded(spark: SparkSession, batchId: Long): Boolean =
       foldedBatches(spark).contains(batchId)
@@ -248,11 +236,7 @@ object StreamingCrawl {
         // the ledger rides the swap: written into the candidate dir
         // BEFORE the promote, so a crash between the renames never
         // leaves a live index whose ledger is missing its folds
-        val out = f.create(
-          new org.apache.hadoop.fs.Path(tmp, LedgerName), true)
-        try out.write(foldedNow.toSeq.sorted.mkString("\n")
-          .getBytes("UTF-8"))
-        finally out.close()
+        BatchState.writeFolded(spark, tmp.toString, foldedNow)
         spark.sql(s"DROP TABLE IF EXISTS $scratchQ") // registration only
         spark.sql(s"DROP TABLE IF EXISTS $quoted")
         if (f.exists(old)) f.delete(old, true)

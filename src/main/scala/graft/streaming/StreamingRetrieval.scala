@@ -19,8 +19,13 @@ import graft.llm.Retrieval
   * aggregations), and [[compactIndex]] collapses the logs when a
   * maintenance window allows. This is the same append-only contract
   * [[graft.llm.Retrieval.updatePostingsNorm]] gives batch updates,
-  * made safe for `foreachBatch` (a retried batch can be detected by
-  * its `batch_id` column before double-appending).
+  * made replay-exact for `foreachBatch` by construction: each batch
+  * writes its own `batch_id=<N>` partition via dynamic overwrite (an
+  * at-least-once retry REWRITES its failed attempt instead of
+  * appending next to it), and a batch whose deltas a compaction
+  * already folded — detectable via the [[BatchState.readFolded]]
+  * ledger — is skipped outright, the [[StreamingCrawl.BucketedIndex]]
+  * contract.
   *
   * Search parity: `loadIndex` composed with
   * [[graft.llm.Retrieval.searchPostingsNorm]] returns EXACTLY
@@ -30,21 +35,28 @@ import graft.llm.Retrieval
 object StreamingRetrieval {
 
   /** `foreachBatch` hook: append one micro-batch of NEW documents to
-    * the index logs at `indexDir`. The batch id rides along on every
-    * appended row so an at-least-once retry is detectable (idempotent
-    * replay = filter the id out at load, or skip the append when the
-    * id is already present — the caller owns that policy).
+    * the index logs at `indexDir`, replay-exactly — each log write
+    * targets the batch's own `batch_id=<N>` partition under dynamic
+    * overwrite, so however many at-least-once attempts run, exactly
+    * one copy of the batch's rows survives. A batch the ledger marks
+    * FOLDED (a compaction moved its deltas into `batch_id = -1`; its
+    * own partitions, the replay unit, no longer hold them) is durably
+    * committed by [[compactIndex]]'s precondition, so its replay is
+    * the no-op — re-appending would double its df/stats contribution.
     */
   def appendBatch(indexDir: String, idCol: String, textCol: String)
                  (batch: DataFrame, batchId: Long): Unit = {
+    if (BatchState.readFolded(batch.sparkSession, indexDir)
+        .contains(batchId)) return
     val (post, termDf, stats) = Retrieval.buildPostingsNorm(batch, idCol, textCol)
-    post.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(s"$indexDir/postings")
-    termDf.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(s"$indexDir/termdf")
-    stats.select(col("n_docs"), col("total_len"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(s"$indexDir/stats")
+    def append(df: DataFrame, sub: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$indexDir/$sub")
+    append(post, "postings")
+    append(termDf, "termdf")
+    append(stats.select(col("n_docs"), col("total_len")), "stats")
   }
 
   /** The streaming sink: one call wires `docs.writeStream` through
@@ -75,32 +87,44 @@ object StreamingRetrieval {
     (post, termDf, stats)
   }
 
-  /** Collapse the df/stats logs to one generation (maintenance window
-    * operation — the hot path never rewrites). Writes compacted logs
-    * beside the live ones, then swaps directories; the postings log
-    * needs no compaction (it is already the final table).
+  /** Collapse the logs to one `batch_id = -1` generation (maintenance
+    * window operation — the hot path never rewrites): df deltas sum per
+    * term, stats deltas sum to one row, and the postings log — already
+    * the final rows — is refolded term-clustered (repartition + sort by
+    * term), which bounds the file count at O(shuffle partitions)
+    * however many batches ran AND gives the term-pruned serving read
+    * ([[graft.llm.Retrieval.searchPostingsPruned]]) row-group min/max
+    * locality to prune on.
+    *
+    * Precondition: run OUT-OF-BAND with the folded batches durably
+    * committed. That contract is enforced, not just documented — the
+    * folded ids are recorded in the [[BatchState.writeFolded]] ledger
+    * BEFORE any directory swap (a batch id is only ever in the logs
+    * because its `foreachBatch` completed, so ledgering it early is
+    * safe whichever swap a crash interrupts), and [[appendBatch]]
+    * makes a ledgered batch's replay a no-op.
     */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
-    // Hadoop-FS renames, not java.io.File: the index lives wherever the
-    // stream writes it (hdfs://, s3a://), and a driver-local renameTo
-    // would fail every compaction off the driver's own disk
-    def swapIn(sub: String)(compacted: DataFrame): Unit = {
-      val (f, _) = BatchState.fs(spark, indexDir)
-      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${sub}_compacting")
-      val old = new org.apache.hadoop.fs.Path(s"$indexDir/${sub}_old")
-      compacted.write.mode("overwrite").parquet(tmp.toString)
-      if (f.exists(old)) f.delete(old, true)
-      if (!f.rename(live, old)) sys.error(s"compactIndex: cannot retire $live")
-      if (!f.rename(tmp, live)) sys.error(s"compactIndex: cannot promote $tmp")
-      f.delete(old, true)
-      ()
-    }
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$indexDir/termdf")
+      .select(col("batch_id").cast("long")).distinct()
+      .as[Long].collect().toSet.filter(_ != -1L) ++
+      BatchState.readFolded(spark, indexDir)
+    BatchState.writeFolded(spark, indexDir, ids)
+    // Hadoop-FS renames via BatchState.swapIn, not java.io.File: the
+    // index lives wherever the stream writes it (hdfs://, s3a://)
+    def swapIn(sub: String)(compacted: DataFrame): Unit =
+      BatchState.swapIn(spark, s"$indexDir/$sub") { tmp =>
+        compacted.withColumn("batch_id", lit(-1L))
+          .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+      }
+    swapIn("postings")(spark.read.parquet(s"$indexDir/postings")
+      .drop("batch_id")
+      .repartition(col("term")).sortWithinPartitions("term"))
     swapIn("termdf")(spark.read.parquet(s"$indexDir/termdf")
-      .groupBy("term").agg(sum(col("df")).as("df"))
-      .withColumn("batch_id", lit(-1L)))
+      .groupBy("term").agg(sum(col("df")).as("df")))
     swapIn("stats")(spark.read.parquet(s"$indexDir/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
-      .withColumn("batch_id", lit(-1L)))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len")))
   }
 }

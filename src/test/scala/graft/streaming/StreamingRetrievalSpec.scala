@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SharedSpark
@@ -48,18 +49,48 @@ class StreamingRetrievalSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$indexDir/stats").count() == 3)
     StreamingRetrieval.compactIndex(spark, indexDir)
     assert(spark.read.parquet(s"$indexDir/stats").count() == 1)
+    // the postings log folds too: one term-clustered -1 generation
+    assert(spark.read.parquet(s"$indexDir/postings")
+        .select(col("batch_id").cast("long")).distinct()
+        .as[Long].collect().toSet == Set(-1L))
     val (p2, t2, s2) = StreamingRetrieval.loadIndex(spark, indexDir)
     val gotCompacted = Retrieval.searchPostingsNorm(p2, t2, s2,
       queries, "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
     assert(gotCompacted == expected)
+
+    // appends keep working after a compaction, and the union keeps
+    // equaling the one-call batch build
+    val late = (60L until 70L).map(i => (i, doc(3 + rnd.nextInt(8))))
+    StreamingRetrieval.appendBatch(indexDir, "doc_id", "text")(
+      late.toDF("doc_id", "text"), 3L)
+    val allLate = (batches.flatten ++ late).toDF("doc_id", "text")
+    val expectedLate = Retrieval.bm25TopK(allLate, "doc_id", "text",
+      queries, "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
+    val (p3, t3, s3) = StreamingRetrieval.loadIndex(spark, indexDir)
+    assert(Retrieval.searchPostingsNorm(p3, t3, s3, queries, "doc_id", "text",
+      k = 5).orderBy("query_id", "rank").collect().toSeq == expectedLate)
   }
 
-  test("appendBatch stamps batch ids for retry detection") {
+  test("appendBatch is replay-exact; a folded batch's replay is a no-op") {
     val indexDir = java.nio.file.Files.createTempDirectory("bm25append").toString
+    def postIds() = spark.read.parquet(s"$indexDir/postings")
+      .select(col("batch_id").cast("long")).distinct()
+      .as[Long].collect().toSet
     val b0 = Seq((1L, "apple banana")).toDF("doc_id", "text")
     StreamingRetrieval.appendBatch(indexDir, "doc_id", "text")(b0, 7L)
-    val ids = spark.read.parquet(s"$indexDir/postings")
-      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(ids == Set(7L))
+    StreamingRetrieval.appendBatch(indexDir, "doc_id", "text")(b0, 7L) // retry
+    assert(postIds() == Set(7L))
+    assert(spark.read.parquet(s"$indexDir/postings").count() == 2,
+      "a retried batch rewrites its partition, never appends next to it")
+    assert(spark.read.parquet(s"$indexDir/stats").count() == 1)
+
+    StreamingRetrieval.compactIndex(spark, indexDir)
+    assert(BatchState.readFolded(spark, indexDir) == Set(7L))
+    // replay-after-fold: batch 7's rows live under -1 now; the ledger
+    // makes the replay a no-op instead of a double-append
+    StreamingRetrieval.appendBatch(indexDir, "doc_id", "text")(b0, 7L)
+    assert(postIds() == Set(-1L))
+    assert(spark.read.parquet(s"$indexDir/postings").count() == 2)
+    assert(spark.read.parquet(s"$indexDir/stats").count() == 1)
   }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SharedSpark
@@ -55,10 +56,36 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     assert(got == expected)
     assert(expected.nonEmpty)
 
-    // batch ids stamped on every appended row
-    val ids = spark.read.parquet(s"$indexDir/coded")
-      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(ids == Set(0L, 1L, 2L))
+    // batch ids stamped on every appended row (as the partition — the
+    // replay unit a retry dynamic-overwrites)
+    def batchIds() = spark.read.parquet(s"$indexDir/coded")
+      .select(col("batch_id").cast("long")).distinct()
+      .as[Long].collect().toSet
+    assert(batchIds() == Set(0L, 1L, 2L))
+
+    // compaction folds the log into one cell-clustered batch_id = -1
+    // generation: search results identical, ledger holds the folded
+    // ids, and a batch replaying after its fold is a no-op
+    StreamingSimilarity.compactIndex(spark, indexDir)
+    assert(search(StreamingSimilarity.loadIndex(spark, indexDir)) == expected,
+      "compaction must not change search results")
+    assert(batchIds() == Set(-1L), "all batches fold into -1")
+    assert(BatchState.readFolded(spark, indexDir) == Set(0L, 1L, 2L))
+    val before = spark.read.parquet(s"$indexDir/coded").count()
+    StreamingSimilarity.appendBatch(indexDir, "vec_id", "embedding",
+      coarse, pq)(batches(1).toDF("vec_id", "embedding"), 1L)
+    assert(spark.read.parquet(s"$indexDir/coded").count() == before,
+      "a replay-after-fold append must be a no-op")
+
+    // a NEW batch still appends, and its own retry rewrites, never
+    // duplicates
+    val nb = Seq(500L -> vec()).toDF("vec_id", "embedding")
+    StreamingSimilarity.appendBatch(indexDir, "vec_id", "embedding",
+      coarse, pq)(nb, 3L)
+    StreamingSimilarity.appendBatch(indexDir, "vec_id", "embedding",
+      coarse, pq)(nb, 3L) // at-least-once retry
+    assert(spark.read.parquet(s"$indexDir/coded").count() == before + 1)
+    assert(batchIds() == Set(-1L, 3L))
   }
 
   test("incremental PCA: merged snapshot moments == union-trained model (fp tolerance)") {
