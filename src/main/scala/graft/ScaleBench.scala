@@ -145,7 +145,116 @@ object ScaleBench {
       quantileSketchScale(spark, outDir, listener)
     if (args.contains("crawlstream") || args.isEmpty)
       crawlStream(spark, outDir, listener)
+    if (args.contains("servelog") || args.isEmpty)
+      serveLog(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** Serving-log compaction at stream scale (r15 serving-forms
+    * follow-on): both serving maintainers append one `batch_id=<N>`
+    * partition per micro-batch, so a long-running stream's log holds
+    * O(batches × write tasks) parquet files — after enough batches the
+    * FILE COUNT, not the data, is what the per-search scan pays.
+    * [[graft.streaming.StreamingRetrieval.compactIndex]] and
+    * [[graft.streaming.StreamingSimilarity.compactIndex]] fold each
+    * log into one probe-clustered `batch_id = -1` generation. Claims
+    * measured on a 48-batch log over the scaled corpus: (a) file count
+    * collapses to O(shuffle partitions with data); (b) search results
+    * are IDENTICAL through the fold (require'd, both engines); (c) the
+    * post-fold search does not regress — the probe column (term /
+    * cell) lands row-group contiguous, so the serving read prunes
+    * instead of opening every batch's files.
+    */
+  private def serveLog(spark: SparkSession, outDir: String,
+                       listener: TaskMetricsProbe): Unit = {
+    import graft.llm.{Retrieval, Similarity}
+    import graft.streaming.{StreamingRetrieval, StreamingSimilarity}
+    val tmp = java.nio.file.Files.createTempDirectory("servelog")
+    val nBatches = 48
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).fold(0)(_.map(walk).sum)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    def timed[A](label: String, extra: => String = "")(body: => A): A = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"servelog":"$label","sec":$sec%.2f,""" +
+        s""""input_bytes":${listener.totInput},""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}$extra}""")
+      r
+    }
+    try {
+      // ---- lexical log: 48 micro-batch appends of the 100k-doc corpus
+      val docs = SparkEntry.table(spark, outDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val staged = s"$tmp/staged_docs"
+      docs.withColumn("b", pmod(col("doc_id"), lit(nBatches)))
+        .write.partitionBy("b").mode("overwrite").parquet(staged)
+      val bmDir = s"$tmp/bm25"
+      timed("bm25_append_48", s""","batches":$nBatches""") {
+        for (b <- 0 until nBatches)
+          StreamingRetrieval.appendBatch(bmDir, "doc_id", "text")(
+            spark.read.parquet(staged).filter(col("b") === b).drop("b"),
+            b.toLong)
+      }
+      val queries = docs.filter(col("doc_id") < 8)
+      def bmSearch(): Seq[org.apache.spark.sql.Row] = {
+        val (p, t, s) = StreamingRetrieval.loadIndex(spark, bmDir)
+        Retrieval.searchPostingsNorm(p, t, s, queries, "doc_id", "text",
+          k = 10).orderBy("query_id", "rank").collect().toSeq
+      }
+      val bmFiles0 = parquetFiles(bmDir)
+      val bmPre = timed("bm25_search_precompact",
+        s""","log_files":$bmFiles0""")(bmSearch())
+      timed("bm25_compact")(StreamingRetrieval.compactIndex(spark, bmDir))
+      val bmFiles1 = parquetFiles(bmDir)
+      val bmPost = timed("bm25_search_postcompact",
+        s""","log_files":$bmFiles1""")(bmSearch())
+      require(bmPre == bmPost, "bm25 fold changed search results")
+
+      // ---- coded ANN log: same arrival pattern over the embeddings
+      val emb = SparkEntry.table(spark, outDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val coarse = graft.queries.QueriesLLM.firstKCodebook(emb)
+      val dim = coarse.head.length
+      val m = 4
+      val sub = dim / m
+      val pqCb = Array.tabulate(m, coarse.length)((j, i) =>
+        coarse(i).slice(j * sub, (j + 1) * sub))
+      val stagedE = s"$tmp/staged_emb"
+      emb.withColumn("b", pmod(col("vec_id"), lit(nBatches)))
+        .write.partitionBy("b").mode("overwrite").parquet(stagedE)
+      val annDir = s"$tmp/ann"
+      timed("ann_append_48", s""","batches":$nBatches""") {
+        for (b <- 0 until nBatches)
+          StreamingSimilarity.appendBatch(annDir, "vec_id", "embedding",
+            coarse, pqCb)(
+            spark.read.parquet(stagedE).filter(col("b") === b).drop("b"),
+            b.toLong)
+      }
+      val ranking = Similarity.probeRanking(coarse)
+      val qVecs = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+      def annSearch(): Seq[org.apache.spark.sql.Row] =
+        Similarity.ivfPqTopKCoded(
+          StreamingSimilarity.loadIndex(spark, annDir), "id", "codes",
+          "cell", q => ranking(q).take(2), pqCb, qVecs, k = 10)
+          .orderBy("query_id", "rank").collect().toSeq
+      val annFiles0 = parquetFiles(s"$annDir/coded")
+      val annPre = timed("ann_search_precompact",
+        s""","log_files":$annFiles0""")(annSearch())
+      timed("ann_compact")(StreamingSimilarity.compactIndex(spark, annDir))
+      val annFiles1 = parquetFiles(s"$annDir/coded")
+      val annPost = timed("ann_search_postcompact",
+        s""","log_files":$annFiles1""")(annSearch())
+      require(annPre == annPost, "ann fold changed search results")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
   /** Streaming crawl intake at archive scale (r15 task 1): per-batch
