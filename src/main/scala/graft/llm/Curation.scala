@@ -105,4 +105,52 @@ object Curation {
           .otherwise("kept").as("stage"),
         col("quality"))
   }
+
+  /** Per-group quality reputation under m-estimate smoothing (Cestnik,
+    * ECAI 1990) — the domain/source-level curation prior: a group seen
+    * only a handful of times should sit near the corpus mean, not swing
+    * to "great" or "garbage" on its few samples;
+    * `smoothed = (sum_g + m·prior) / (n_g + m)` with `prior` the corpus
+    * mean and `m` the pseudo-count weight converges to the group mean
+    * as n_g grows. One row per group: `n_group`, `group_mean`, `prior`,
+    * `smoothed_quality` — [[withGroupQualityPrior]] broadcasts it back
+    * per document for gates that mix a document's own score with its
+    * group's reputation.
+    *
+    * Arithmetic is the engine-portable contract ([[graft.etd
+    * .Aggregates.exactMean]]'s): `qualityCol` is a rounded-at-
+    * definition artifact, so the DECIMAL sums are exact and order-
+    * independent; the exact sums cast to double (identical everywhere)
+    * before double division; every output floor-rounds at 1e-6.
+    *
+    * Scale shape: one hash-agg on the group key (map-side combined —
+    * the group table is domain-cardinality, tiny next to the corpus)
+    * plus a 1-row corpus aggregate broadcast into it; the documents
+    * themselves shuffle zero times, here and in the join-back.
+    */
+  def groupQualityPrior(docs: DataFrame, groupCol: String,
+                        qualityCol: String, m: Double): DataFrame = {
+    val r6 = TextFunctions.round6 _
+    val q = col(qualityCol).cast("decimal(28,12)")
+    val corpus = docs.agg(sum(q).as("__sum_all"), count(lit(1)).as("__n_all"))
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_group"), sum(q).as("__sum_g"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("prior", r6(col("__sum_all").cast("double") / col("__n_all")))
+      .withColumn("group_mean",
+        r6(col("__sum_g").cast("double") / col("n_group")))
+      .withColumn("smoothed_quality",
+        r6((col("__sum_g").cast("double") + lit(m) * col("prior")) /
+          (col("n_group") + lit(m))))
+      .select(groupCol, "n_group", "group_mean", "prior", "smoothed_quality")
+  }
+
+  /** [[groupQualityPrior]] joined back onto `docs` (broadcast — the
+    * group table is domain-cardinality): every row gains its group's
+    * `n_group`/`group_mean`/`prior`/`smoothed_quality`.
+    */
+  def withGroupQualityPrior(docs: DataFrame, groupCol: String,
+                            qualityCol: String, m: Double): DataFrame =
+    docs.join(broadcast(groupQualityPrior(docs, groupCol, qualityCol, m)),
+      Seq(groupCol))
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for large-scale training-data pipelines:
@@ -161,6 +161,46 @@ object TextFunctions {
       transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
       .otherwise(array())
+  }
+
+  /** Collocation mining by PMI lift — the corpus-analysis pass that
+    * surfaces multi-word expressions ("new york", "et al") for
+    * tokenizer seeding and n-gram vocabulary curation (Church & Hanks,
+    * CL 1990). Log-free on purpose: PMI = ln(lift) is MONOTONE in
+    * `lift = c_ab·N / (c_a·c_b)`, so ranking by lift gives the PMI
+    * order with no libm call — lift is a single IEEE division of two
+    * exact integer products, identical in every engine (the same
+    * replayability rule that keeps ln out of the n-gram LM oracles),
+    * floor-rounded at 1e-6. `minCount` drops hapax pairs, PMI's
+    * classic failure mode (two singletons co-occurring once score the
+    * corpus maximum).
+    *
+    * One row per surviving bigram: `gram`, `n_pair`, `n_left`,
+    * `n_right`, `lift`. Scale shape: two hash-aggs (bigram and unigram
+    * counts, both map-side combined); the unigram table is
+    * vocabulary-sized, so both resolution joins broadcast — the corpus
+    * is scanned twice and shuffled never (only count rows move).
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Int = 5): DataFrame = {
+    val uni = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_total"))
+    val pairs = docs
+      .select(explode(wordShingles(col(textCol), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val w = split(col("gram"), " ")
+    pairs
+      .withColumn("__w1", w.getItem(0)).withColumn("__w2", w.getItem(1))
+      .join(broadcast(uni.select(col("tok").as("__w1"), col("c").as("n_left"))),
+        Seq("__w1"))
+      .join(broadcast(uni.select(col("tok").as("__w2"), col("c").as("n_right"))),
+        Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift", round6(
+        (col("n_pair") * col("n_total")) / (col("n_left") * col("n_right"))))
+      .select("gram", "n_pair", "n_left", "n_right", "lift")
   }
 
   /** Character n-grams of a string. */

@@ -1093,6 +1093,28 @@ object QueriesLLM {
       .agg(graft.etd.Aggregates.exactMean(col("x").cast("double")).as("c"))
   }
 
+  /** PMI-lift collocations (minCount 5, top 30) —
+    * [[TextFunctions.collocations]]. The (lift desc, gram) order is
+    * total per gram, so the limit cut is deterministic; lift itself is
+    * log-free (monotone in PMI) so the oracle replays it as one IEEE
+    * division of exact integer products.
+    */
+  def q_collocations(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.collocations(table(spark, dir, "documents"), "text",
+        minCount = 5)
+      .orderBy(col("lift").desc, col("gram")).limit(30)
+
+  /** Source-level quality reputation under m-estimate smoothing
+    * (m = 20) — [[Curation.groupQualityPrior]] over the per-document
+    * [[TextFunctions.qualityScore]]; one row per source, decimal-exact
+    * sums, floor-rounded outputs.
+    */
+  def q_source_prior(spark: SparkSession, dir: String): DataFrame =
+    Curation.groupQualityPrior(
+      table(spark, dir, "documents")
+        .withColumn("score", TextFunctions.qualityScore(col("text"))),
+      "source", "score", m = 20.0)
+
   /** Upper-triangle population covariance of the embedding corpus in
     * the engine-portable arithmetic contract (products floor-rounded at
     * 1e-6 at definition, decimal exact-means, entries at 1e-9) — the
@@ -1996,6 +2018,8 @@ object QueriesLLM {
     "q_top_ngrams_sketch" -> (q_top_ngrams_sketch _),
     "q_token_histogram" -> (q_token_histogram _),
     "q_kmeans_step" -> (q_kmeans_step _),
+    "q_collocations" -> (q_collocations _),
+    "q_source_prior" -> (q_source_prior _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_dedup_paragraph" -> (q_dedup_paragraph _),
     "q_dedup_spans" -> (q_dedup_spans _),
@@ -3693,6 +3717,57 @@ object QueriesLLM {
         |SELECT cell, dim,
         |  floor((sum(x::DECIMAL(28,12))::DOUBLE / count(x)) * 1000000 + 0.5) / 1000000 AS c
         |FROM comps GROUP BY 1, 2""".stripMargin,
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM documents
+        |), ucnt AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(c) AS n_total FROM ucnt
+        |), gcnt AS (
+        |  SELECT gram, count(*) AS n_pair FROM (
+        |    SELECT unnest(CASE WHEN len(w) >= 2
+        |      THEN list_transform(generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1])
+        |      ELSE [] END) AS gram
+        |    FROM toks
+        |  ) GROUP BY 1 HAVING count(*) >= 5
+        |)
+        |SELECT g.gram, g.n_pair, a.c AS n_left, b.c AS n_right,
+        |  floor((g.n_pair * t.n_total) / (a.c * b.c) * 1e6 + 0.5) / 1e6 AS lift
+        |FROM gcnt g
+        |CROSS JOIN tot t
+        |JOIN ucnt a ON a.tok = string_split(g.gram, ' ')[1]
+        |JOIN ucnt b ON b.tok = string_split(g.gram, ' ')[2]
+        |ORDER BY lift DESC, gram LIMIT 30""".stripMargin,
+    "q_source_prior" ->
+      s"""WITH toks AS (
+        |  SELECT source,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w,
+        |    list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS wl
+        |  FROM documents
+        |), sc AS (
+        |  SELECT source,
+        |    round((least(len(w)/50.0, 1.0) +
+        |      least((CASE WHEN len(wl) > 0
+        |        THEN len(list_filter(wl, t -> list_contains($enList, t)))::DOUBLE / len(wl)
+        |        ELSE 0.0 END) * 5.0, 1.0)) / 2.0, 6) AS score
+        |  FROM toks
+        |), g AS (
+        |  SELECT source, count(*) AS n_group,
+        |    sum(CAST(score AS DECIMAL(28,12))) AS sum_g
+        |  FROM sc GROUP BY 1
+        |), p AS (
+        |  SELECT floor(sum(sum_g)::DOUBLE / sum(n_group) * 1e6 + 0.5) / 1e6 AS prior
+        |  FROM g
+        |)
+        |SELECT g.source, g.n_group,
+        |  floor(g.sum_g::DOUBLE / g.n_group * 1e6 + 0.5) / 1e6 AS group_mean,
+        |  p.prior,
+        |  floor((g.sum_g::DOUBLE + 20.0 * p.prior) / (g.n_group + 20.0) * 1e6 + 0.5) / 1e6
+        |    AS smoothed_quality
+        |FROM g CROSS JOIN p""".stripMargin,
     "q_corpus_overlap" ->
       """WITH toks AS (
         |  SELECT source, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
