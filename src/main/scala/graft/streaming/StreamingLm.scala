@@ -25,15 +25,25 @@ import graft.llm.NgramLm
 object StreamingLm {
 
   /** `foreachBatch` hook: append one micro-batch's trigram counts to
-    * the log at `countsDir`. The batch id rides along on every row so
-    * an at-least-once retry is detectable (filter it at load, or skip
-    * the append when the id is already present — caller's policy).
+    * the log at `countsDir`, replay-exactly — the write targets the
+    * batch's own `batch_id=<N>` partition under dynamic overwrite (an
+    * at-least-once retry rewrites its failed attempt; a plain append
+    * would DOUBLE the batch's counts, which unlike a duplicated
+    * posting row silently corrupts every probability downstream), and
+    * a batch the [[BatchState.readFolded]] ledger marks folded (its
+    * counts live in the `batch_id = -1` generation) replays as a
+    * no-op — the [[StreamingRetrieval.appendBatch]] contract.
     */
   def appendBatch(countsDir: String, idCol: String, textCol: String)
-                 (batch: DataFrame, batchId: Long): Unit =
+                 (batch: DataFrame, batchId: Long): Unit = {
+    if (BatchState.readFolded(batch.sparkSession, countsDir)
+        .contains(batchId)) return
     NgramLm.trigramCounts(batch, idCol, textCol)
       .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(countsDir)
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(countsDir)
+  }
 
   /** The streaming sink: wires `docs.writeStream` through
     * [[appendBatch]]. Caller starts/awaits the returned query.
@@ -57,18 +67,24 @@ object StreamingLm {
       .agg(sum(col("c")).as("c"))
 
   /** Collapse the log to one generation (maintenance window — the hot
-    * append path never rewrites). Same swap protocol as
-    * [[StreamingRetrieval.compactIndex]].
+    * append path never rewrites). Same protocol as
+    * [[StreamingRetrieval.compactIndex]]: folded batch ids go into the
+    * [[BatchState.writeFolded]] ledger BEFORE the swap (ids are only
+    * ever in the log because their `foreachBatch` completed, so early
+    * ledgering is safe at any crash point) and the swap itself is
+    * [[BatchState.swapIn]]'s Hadoop-FS promote-then-retire — never
+    * `java.io.File`, which would fail off the driver's own disk.
     */
   def compactCounts(spark: SparkSession, countsDir: String): Unit = {
-    val live = new java.io.File(countsDir)
-    val tmp = new java.io.File(s"${countsDir}_compacting")
-    val old = new java.io.File(s"${countsDir}_old")
-    loadCounts(spark, countsDir).withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").parquet(tmp.getPath)
-    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-    if (!live.renameTo(old)) sys.error(s"compactCounts: cannot retire $live")
-    if (!tmp.renameTo(live)) sys.error(s"compactCounts: cannot promote $tmp")
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    import spark.implicits._
+    val ids = spark.read.parquet(countsDir)
+      .select(col("batch_id").cast("long")).distinct()
+      .as[Long].collect().toSet.filter(_ != -1L) ++
+      BatchState.readFolded(spark, countsDir)
+    BatchState.writeFolded(spark, countsDir, ids)
+    BatchState.swapIn(spark, countsDir) { tmp =>
+      loadCounts(spark, countsDir).withColumn("batch_id", lit(-1L))
+        .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+    }
   }
 }
