@@ -123,6 +123,13 @@ object Curation {
     * independent; the exact sums cast to double (identical everywhere)
     * before double division; every output floor-rounds at 1e-6.
     *
+    * Null contract (ADVICE r15): rows with a NULL `qualityCol` are
+    * EXCLUDED from the statistic entirely — `n_group`/`__n_all` count
+    * with `count(qualityCol)`, matching the null-skipping `sum`, so an
+    * unscored row neither deflates its group's mean (as a phantom 0)
+    * nor adds pseudo-count mass. A group whose every row is unscored
+    * keeps its row (n_group = 0, group_mean null, smoothed = prior).
+    *
     * Scale shape: one hash-agg on the group key (map-side combined —
     * the group table is domain-cardinality, tiny next to the corpus)
     * plus a 1-row corpus aggregate broadcast into it; the documents
@@ -132,15 +139,16 @@ object Curation {
                         qualityCol: String, m: Double): DataFrame = {
     val r6 = TextFunctions.round6 _
     val q = col(qualityCol).cast("decimal(28,12)")
-    val corpus = docs.agg(sum(q).as("__sum_all"), count(lit(1)).as("__n_all"))
+    val corpus = docs.agg(sum(q).as("__sum_all"), count(q).as("__n_all"))
     docs.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_group"), sum(q).as("__sum_g"))
+      .agg(count(q).as("n_group"), sum(q).as("__sum_g"))
       .crossJoin(broadcast(corpus))
       .withColumn("prior", r6(col("__sum_all").cast("double") / col("__n_all")))
       .withColumn("group_mean",
         r6(col("__sum_g").cast("double") / col("n_group")))
       .withColumn("smoothed_quality",
-        r6((col("__sum_g").cast("double") + lit(m) * col("prior")) /
+        r6((coalesce(col("__sum_g"), lit(0)).cast("double") +
+            lit(m) * col("prior")) /
           (col("n_group") + lit(m))))
       .select(groupCol, "n_group", "group_mean", "prior", "smoothed_quality")
   }

@@ -168,10 +168,16 @@ object TextFunctions {
     * tokenizer seeding and n-gram vocabulary curation (Church & Hanks,
     * CL 1990). Log-free on purpose: PMI = ln(lift) is MONOTONE in
     * `lift = c_ab·N / (c_a·c_b)`, so ranking by lift gives the PMI
-    * order with no libm call — lift is a single IEEE division of two
-    * exact integer products, identical in every engine (the same
-    * replayability rule that keeps ln out of the n-gram LM oracles),
-    * floor-rounded at 1e-6. `minCount` drops hapax pairs, PMI's
+    * order with no libm call. Evaluated as
+    * `(c_ab / c_a) · (N / c_b)` — two IEEE divisions then one
+    * multiply, the SAME operation sequence in every engine (the
+    * replayability rule that keeps ln out of the n-gram LM oracles)
+    * and exact while every count is below 2^53. The naive integer
+    * products `c_ab·N` / `c_a·c_b` are NOT scale-safe: at the
+    * trillion-token corpora this engine targets (N ≈ 1e12, frequent
+    * bigrams ≈ 1e9) both products overflow Long — ANSI mode fails the
+    * job, non-ANSI silently wraps to wrong lifts (ADVICE r15).
+    * Floor-rounded at 1e-6. `minCount` drops hapax pairs, PMI's
     * classic failure mode (two singletons co-occurring once score the
     * corpus maximum).
     *
@@ -199,7 +205,8 @@ object TextFunctions {
         Seq("__w2"))
       .crossJoin(broadcast(total))
       .withColumn("lift", round6(
-        (col("n_pair") * col("n_total")) / (col("n_left") * col("n_right"))))
+        (col("n_pair").cast("double") / col("n_left")) *
+          (col("n_total").cast("double") / col("n_right"))))
       .select("gram", "n_pair", "n_left", "n_right", "lift")
   }
 

@@ -1096,8 +1096,10 @@ object QueriesLLM {
   /** PMI-lift collocations (minCount 5, top 30) —
     * [[TextFunctions.collocations]]. The (lift desc, gram) order is
     * total per gram, so the limit cut is deterministic; lift itself is
-    * log-free (monotone in PMI) so the oracle replays it as one IEEE
-    * division of exact integer products.
+    * log-free (monotone in PMI) and evaluated overflow-safe as
+    * (n_pair/n_left)·(n_total/n_right) — the same two-division IEEE
+    * sequence in both engines (integer products overflow Long at
+    * trillion-token scale).
     */
   def q_collocations(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.collocations(table(spark, dir, "documents"), "text",
@@ -3735,7 +3737,7 @@ object QueriesLLM {
         |  ) GROUP BY 1 HAVING count(*) >= 5
         |)
         |SELECT g.gram, g.n_pair, a.c AS n_left, b.c AS n_right,
-        |  floor((g.n_pair * t.n_total) / (a.c * b.c) * 1e6 + 0.5) / 1e6 AS lift
+        |  floor((g.n_pair::DOUBLE / a.c) * (t.n_total::DOUBLE / b.c) * 1e6 + 0.5) / 1e6 AS lift
         |FROM gcnt g
         |CROSS JOIN tot t
         |JOIN ucnt a ON a.tok = string_split(g.gram, ' ')[1]

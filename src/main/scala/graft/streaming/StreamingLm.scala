@@ -67,13 +67,24 @@ object StreamingLm {
       .agg(sum(col("c")).as("c"))
 
   /** Collapse the log to one generation (maintenance window — the hot
-    * append path never rewrites). Same protocol as
-    * [[StreamingRetrieval.compactIndex]]: folded batch ids go into the
-    * [[BatchState.writeFolded]] ledger BEFORE the swap (ids are only
-    * ever in the log because their `foreachBatch` completed, so early
-    * ledgering is safe at any crash point) and the swap itself is
+    * append path never rewrites). The swap itself is
     * [[BatchState.swapIn]]'s Hadoop-FS promote-then-retire — never
     * `java.io.File`, which would fail off the driver's own disk.
+    *
+    * Unlike [[StreamingRetrieval.compactIndex]] — whose swaps replace
+    * SUBDIRECTORIES next to which the ledger lives — the swap target
+    * here IS `countsDir`, so the `_folded_batches` ledger must be
+    * written INTO the candidate dir and ride the promote (the
+    * [[StreamingCrawl.BucketedIndex.compact]] pattern). A ledger
+    * written into the live dir before the swap would be retired and
+    * deleted WITH it, after which every previously-folded batch looks
+    * unfolded: a replay would re-write its `batch_id=<N>` partition
+    * next to the `-1` fold and silently DOUBLE that batch's trigram
+    * counts — the probability-corrupting hazard [[appendBatch]] exists
+    * to prevent. Crash windows: before the promote the live dir still
+    * holds every per-batch partition (replays dynamic-overwrite their
+    * own partitions — exact); after the promote the fold and its
+    * ledger are visible atomically together.
     */
   def compactCounts(spark: SparkSession, countsDir: String): Unit = {
     import spark.implicits._
@@ -81,10 +92,10 @@ object StreamingLm {
       .select(col("batch_id").cast("long")).distinct()
       .as[Long].collect().toSet.filter(_ != -1L) ++
       BatchState.readFolded(spark, countsDir)
-    BatchState.writeFolded(spark, countsDir, ids)
     BatchState.swapIn(spark, countsDir) { tmp =>
       loadCounts(spark, countsDir).withColumn("batch_id", lit(-1L))
         .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+      BatchState.writeFolded(spark, tmp, ids)
     }
   }
 }

@@ -97,34 +97,53 @@ object StreamingRetrieval {
     * locality to prune on.
     *
     * Precondition: run OUT-OF-BAND with the folded batches durably
-    * committed. That contract is enforced, not just documented — the
-    * folded ids are recorded in the [[BatchState.writeFolded]] ledger
-    * BEFORE any directory swap (a batch id is only ever in the logs
-    * because its `foreachBatch` completed, so ledgering it early is
-    * safe whichever swap a crash interrupts), and [[appendBatch]]
-    * makes a ledgered batch's replay a no-op.
+    * committed. That contract is enforced, not just documented — and
+    * because [[appendBatch]] performs THREE sequential non-atomic
+    * writes (postings, then termdf, then stats), "durably committed"
+    * is judged per batch id as presence in ALL THREE logs (ADVICE
+    * r15). A crash mid-append leaves the id in a strict prefix of the
+    * logs; folding such a partial batch would be wrong both ways:
+    * ledgering it skips the repairing replay (its missing stats delta
+    * is lost forever, skewing avgdl and every BM25 score), while
+    * folding its prefix un-ledgered lets the replay re-append next to
+    * the fold, doubling its tf/df contributions. So the fold (a) only
+    * ledgers and folds COMPLETE ids, ledger written before any swap
+    * (complete ⇒ its `foreachBatch` writes all finished, so early
+    * ledgering is safe whichever swap a crash interrupts), and (b)
+    * carries each log's incomplete partitions across the swap
+    * UNTOUCHED under their own `batch_id=<N>`, so the at-least-once
+    * replay's dynamic overwrite repairs them in place and the NEXT
+    * compaction folds them.
     */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
     import spark.implicits._
-    val ids = spark.read.parquet(s"$indexDir/termdf")
-      .select(col("batch_id").cast("long")).distinct()
-      .as[Long].collect().toSet.filter(_ != -1L) ++
-      BatchState.readFolded(spark, indexDir)
-    BatchState.writeFolded(spark, indexDir, ids)
+    def idsIn(sub: String): Set[Long] =
+      spark.read.parquet(s"$indexDir/$sub")
+        .select(col("batch_id").cast("long")).distinct()
+        .as[Long].collect().toSet.filter(_ != -1L)
+    val complete = idsIn("postings") & idsIn("termdf") & idsIn("stats")
+    if (complete.isEmpty) return // nothing newly committed to fold
+    BatchState.writeFolded(spark, indexDir,
+      complete ++ BatchState.readFolded(spark, indexDir))
     // Hadoop-FS renames via BatchState.swapIn, not java.io.File: the
     // index lives wherever the stream writes it (hdfs://, s3a://)
-    def swapIn(sub: String)(compacted: DataFrame): Unit =
+    def swapIn(sub: String)(fold: DataFrame => DataFrame): Unit = {
+      val incomplete = (idsIn(sub) -- complete).toSeq
       BatchState.swapIn(spark, s"$indexDir/$sub") { tmp =>
-        compacted.withColumn("batch_id", lit(-1L))
+        val log = spark.read.parquet(s"$indexDir/$sub")
+        fold(log.filter(!col("batch_id").isin(incomplete: _*))
+            .drop("batch_id"))
+          .withColumn("batch_id", lit(-1L))
           .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+        if (incomplete.nonEmpty)
+          log.filter(col("batch_id").isin(incomplete: _*))
+            .write.partitionBy("batch_id").mode("append").parquet(tmp)
       }
-    swapIn("postings")(spark.read.parquet(s"$indexDir/postings")
-      .drop("batch_id")
-      .repartition(col("term")).sortWithinPartitions("term"))
-    swapIn("termdf")(spark.read.parquet(s"$indexDir/termdf")
-      .groupBy("term").agg(sum(col("df")).as("df")))
-    swapIn("stats")(spark.read.parquet(s"$indexDir/stats")
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("total_len")).as("total_len")))
+    }
+    swapIn("postings")(
+      _.repartition(col("term")).sortWithinPartitions("term"))
+    swapIn("termdf")(_.groupBy("term").agg(sum(col("df")).as("df")))
+    swapIn("stats")(_.agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("total_len")).as("total_len")))
   }
 }

@@ -63,6 +63,27 @@ class CollocationPriorSpec extends AnyFunSuite {
         .toSeq == Seq(0.4))
   }
 
+  test("groupQualityPrior: null-quality rows carry no statistical mass (ADVICE r15)") {
+    // group a: two scored 1.0 + one UNSCORED row. The null row must not
+    // read as a phantom 0 (deflating the mean) nor add pseudo-count
+    // mass; group b is all-null — kept, mean-less, smoothed == prior.
+    val docs = Seq(
+      (1L, "a", Some(1.0)), (2L, "a", Some(1.0)), (3L, "a", None),
+      (4L, "b", None),
+      (5L, "c", Some(0.5))).toDF("id", "source", "q")
+    val got = Curation.groupQualityPrior(docs, "source", "q", 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), r.getDouble(3), r.get(4))).toMap
+    // corpus: 3 scored rows, prior = 2.5/3 = 0.833333 (round6)
+    assert(got("a")._1 == 2L && got("a")._2 == Some(1.0))
+    assert(got("a")._3 == 0.833333)
+    // a: (2 + 2·0.833333)/(2+2) = 0.916667 — not (2+…)/(3+2)
+    assert(got("a")._4 == 0.916667)
+    assert(got("b")._1 == 0L && got("b")._2.isEmpty,
+      "an all-null group keeps its row with no mean")
+    assert(got("b")._4 == 0.833333, "all-null group smooths to the prior")
+  }
+
   test("groupQualityPrior is partitioning-independent (decimal-exact sums)") {
     val docs = (1 to 997).map(i =>
       (i.toLong, s"s${i % 7}", math.round(i / 997.0 * 1e6) / 1e6))

@@ -48,5 +48,25 @@ class StreamingLmSpec extends AnyFunSuite {
     assert(spark.read.parquet(countsDir)
       .select("batch_id").distinct().count() == 1)
     assert(modelRows(StreamingLm.loadCounts(spark, countsDir)) == expected)
+
+    // the ledger rode the swap: every folded id is readable from the
+    // LIVE dir after compaction (ADVICE r15: a ledger written into the
+    // pre-swap dir is destroyed by swapIn's retire)
+    assert(BatchState.readFolded(spark, countsDir) == Set(0L, 1L, 2L))
+
+    // replay-after-fold is a no-op: a checkpoint-loss replay of batch 1
+    // must NOT re-write its batch_id=1 partition next to the -1 fold
+    // (that would double the batch's trigram counts — every KN
+    // probability downstream would silently corrupt)
+    StreamingLm.appendBatch(countsDir, "doc_id", "text")(
+      batches(1).toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(countsDir)
+      .select("batch_id").distinct().count() == 1)
+    assert(modelRows(StreamingLm.loadCounts(spark, countsDir)) == expected)
+
+    // a second compaction after the fold keeps the ledger monotone
+    StreamingLm.compactCounts(spark, countsDir)
+    assert(BatchState.readFolded(spark, countsDir) == Set(0L, 1L, 2L))
+    assert(modelRows(StreamingLm.loadCounts(spark, countsDir)) == expected)
   }
 }

@@ -93,4 +93,50 @@ class StreamingRetrievalSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$indexDir/postings").count() == 2)
     assert(spark.read.parquet(s"$indexDir/stats").count() == 1)
   }
+
+  test("compaction never folds a partially-appended batch (ADVICE r15)") {
+    import org.apache.spark.sql.functions.lit
+    val indexDir = java.nio.file.Files.createTempDirectory("bm25partial").toString
+    def ids(sub: String) = spark.read.parquet(s"$indexDir/$sub")
+      .select(col("batch_id").cast("long")).distinct()
+      .as[Long].collect().toSet
+
+    val b0 = Seq((1L, "apple banana"), (2L, "banana fig")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "cherry fig date")).toDF("doc_id", "text")
+    StreamingRetrieval.appendBatch(indexDir, "doc_id", "text")(b0, 0L)
+
+    // simulate a crash between the termdf and stats writes of batch 1:
+    // its id reaches postings and termdf but never stats
+    val (post1, termDf1, _) = Retrieval.buildPostingsNorm(b1, "doc_id", "text")
+    Seq(("postings", post1), ("termdf", termDf1)).foreach { case (sub, df) =>
+      df.withColumn("batch_id", lit(1L))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$indexDir/$sub")
+    }
+
+    StreamingRetrieval.compactIndex(spark, indexDir)
+    // batch 0 folded; batch 1 neither ledgered (its repairing replay
+    // must still run) nor folded (its prefix rows stay under their own
+    // partition, the replay unit)
+    assert(BatchState.readFolded(spark, indexDir) == Set(0L))
+    assert(ids("postings") == Set(-1L, 1L))
+    assert(ids("termdf") == Set(-1L, 1L))
+    assert(ids("stats") == Set(-1L))
+
+    // the replay repairs batch 1 in place, the next compaction folds
+    // it, and search equals the one-call batch build over everything
+    StreamingRetrieval.appendBatch(indexDir, "doc_id", "text")(b1, 1L)
+    StreamingRetrieval.compactIndex(spark, indexDir)
+    assert(BatchState.readFolded(spark, indexDir) == Set(0L, 1L))
+    assert(Seq("postings", "termdf", "stats").forall(ids(_) == Set(-1L)))
+    val all = Seq((1L, "apple banana"), (2L, "banana fig"),
+      (3L, "cherry fig date")).toDF("doc_id", "text")
+    val queries = all.filter($"doc_id" === 1L)
+    val expected = Retrieval.bm25TopK(all, "doc_id", "text",
+      queries, "doc_id", "text", k = 3).orderBy("query_id", "rank").collect().toSeq
+    val (p, t, s) = StreamingRetrieval.loadIndex(spark, indexDir)
+    assert(Retrieval.searchPostingsNorm(p, t, s, queries, "doc_id", "text",
+      k = 3).orderBy("query_id", "rank").collect().toSeq == expected)
+  }
 }
