@@ -106,19 +106,52 @@ object Bench {
       finally s.close()
     }.toOption
 
+  private lazy val clkTck: Double =
+    scala.util.Try(sys.process.Process("getconf CLK_TCK").!!.trim.toDouble)
+      .getOrElse(100.0)
+
+  /** `/proc/stat` aggregate-line jiffy fields (user nice system idle
+    * iowait irq softirq steal …); None off-Linux.
+    */
+  private def procStatFields: Option[Array[Long]] =
+    scala.util.Try {
+      val s = scala.io.Source.fromFile("/proc/stat")
+      try s.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      finally s.close()
+    }.toOption
+
   /** Whole-box busy CPU time in seconds since boot (user+nice+system+
     * irq+softirq+steal from /proc/stat's aggregate line); None off-Linux.
     */
   private def boxBusySec: Option[Double] =
+    procStatFields.map { f =>
+      (f(0) + f(1) + f(2) + f.lift(5).getOrElse(0L) +
+        f.lift(6).getOrElse(0L) + f.lift(7).getOrElse(0L)).toDouble / clkTck
+    }
+
+  /** Whole-box iowait seconds since boot (/proc/stat aggregate col 5).
+    * The r15 gap: a box can pass the external-CPU test cold while every
+    * read stalls on a saturated disk / evicted page cache — BENCH_r15
+    * burned 658 s of wall where the judge's identical-binary rerun took
+    * 255 s, with cpu/wall ratios collapsed and external CPU at 0.13
+    * cores (VERDICT r15 #1). Iowait is the direct signal for that third
+    * contention mode.
+    */
+  private def boxIowaitSec: Option[Double] =
+    procStatFields.flatMap(_.lift(4)).map(_.toDouble / clkTck)
+
+  /** This JVM's cumulative major page faults (/proc/self/stat field 12
+    * — parsed after the last ')' so an exotic thread name can't shift
+    * the split). Major faults mean OUR reads went to disk: a page-cache
+    * squeeze by a foreign workload shows up here even when iowait is
+    * attributed to the other process.
+    */
+  private def procMajorFaults: Option[Long] =
     scala.util.Try {
-      val s = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val f = s.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        // fields: user nice system idle iowait irq softirq steal ...
-        val busy = f(0) + f(1) + f(2) + f.lift(5).getOrElse(0L) +
-          f.lift(6).getOrElse(0L) + f.lift(7).getOrElse(0L)
-        busy.toDouble / sys.process.Process("getconf CLK_TCK").!!.trim.toDouble
-      } finally s.close()
+      val s = scala.io.Source.fromFile("/proc/self/stat")
+      val text = try s.mkString finally s.close()
+      // fields after the comm ')': state(3) ppid(4) ... majflt(12)
+      text.substring(text.lastIndexOf(')') + 2).split(" ")(9).toLong
     }.toOption
 
   /** This JVM's cumulative process CPU seconds. */
@@ -280,6 +313,8 @@ object Bench {
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val loadBefore = loadavg
     val boxBusy0 = boxBusySec
+    val iowait0 = boxIowaitSec
+    val majFaults0 = procMajorFaults
     val procCpu0 = procCpuSec
     val wall0 = System.nanoTime()
     var cpuRatios = List.empty[(String, Double)]
@@ -352,24 +387,12 @@ object Bench {
     val externalCores = boxBusySec.flatMap(b1 => boxBusy0.map(b0 =>
       ((b1 - b0) - procCpu) / wallSec))
     val nCpus = Runtime.getRuntime.availableProcessors()
-    // contended: a foreign workload held >= 1/8 of the box during the
-    // run, or the box was already loaded >= 1/4 before it started.
-    // Thresholds are deliberately coarse — the flag marks "do not read
-    // this round-over-round", it does not grade severity.
-    val contended =
-      externalCores.exists(_ > nCpus / 8.0) ||
-        loadBefore.exists(_.head > nCpus / 4.0)
-    val env = List(
-      "\"loadavg_before\":" + jsonArr(loadBefore),
-      "\"loadavg_after\":" + jsonArr(loadavg),
-      "\"cpus\":" + nCpus,
-      "\"wall_sec\":" + num(wallSec, 1),
-      "\"proc_cpu_sec\":" + num(procCpu, 1),
-      "\"external_cpu_cores\":" + externalCores.fold("null")(num(_))
-    ).mkString("{", ",", "}")
-    val ratios = cpuRatios.reverse
-      .map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+    // I/O-starvation deltas over the run (VERDICT r15 #1): whole-box
+    // iowait seconds and this JVM's major page faults. A disk- or
+    // page-cache-starved run passes the external-CPU test (the thief
+    // burns no cores) but cannot hide from these.
+    val iowaitDelta = boxIowaitSec.flatMap(i1 => iowait0.map(i1 - _))
+    val majFaultDelta = procMajorFaults.flatMap(m1 => majFaults0.map(m1 - _))
     // uniform-environment offset: median measured/reference over the
     // pinned rows that ran (see BENCH_REFERENCE.md "Reading
     // load_offset_estimate"); robust to a few real regressions
@@ -377,8 +400,36 @@ object Bench {
       case (name, sec) if sec >= 0 && referenceMedians.contains(name) =>
         sec / referenceMedians(name)
     }
-    val loadOffset =
-      if (offsets.isEmpty) "null" else num(median(offsets), 2)
+    val loadOffsetNum = if (offsets.isEmpty) None else Some(median(offsets))
+    val loadOffset = loadOffsetNum.fold("null")(num(_, 2))
+    // contended: a foreign workload held >= 1/8 of the box during the
+    // run, or the box was already loaded >= 1/4 before it started, or
+    // the run spent >= one core-equivalent stalled on I/O, or — the
+    // hard rule VERDICT r15 added after BENCH_r15's CPU-clean 2.5x
+    // poisoning — the run landed > 1.5x the pinned medians overall.
+    // A >1.5x UNIFORM landing on a 47-query set is an environment, not
+    // 47 simultaneous regressions; whichever contention mode caused it
+    // (CPU, disk, page cache), the run must not be read
+    // round-over-round. Thresholds are deliberately coarse — the flag
+    // marks "do not read this", it does not grade severity.
+    val contended =
+      externalCores.exists(_ > nCpus / 8.0) ||
+        loadBefore.exists(_.head > nCpus / 4.0) ||
+        iowaitDelta.exists(_ > wallSec) ||
+        loadOffsetNum.exists(_ > 1.5)
+    val env = List(
+      "\"loadavg_before\":" + jsonArr(loadBefore),
+      "\"loadavg_after\":" + jsonArr(loadavg),
+      "\"cpus\":" + nCpus,
+      "\"wall_sec\":" + num(wallSec, 1),
+      "\"proc_cpu_sec\":" + num(procCpu, 1),
+      "\"external_cpu_cores\":" + externalCores.fold("null")(num(_)),
+      "\"iowait_sec\":" + iowaitDelta.fold("null")(num(_, 1)),
+      "\"major_faults\":" + majFaultDelta.fold("null")(_.toString)
+    ).mkString("{", ",", "}")
+    val ratios = cpuRatios.reverse
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median","env":$env,"contended":$contended,"load_offset_estimate":$loadOffset,"cpu_wall_ratio":$ratios}"""
     println(line)
     // ALSO persist the full payload next to the repo: a harness that
