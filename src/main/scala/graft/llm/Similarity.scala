@@ -250,6 +250,81 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** TWO-LEVEL multi-probe cell lists — the recall lever
+    * [[ivfTopKProbed]] gives the flat index, for codebooks past the
+    * literal regime (VERDICT r15 #5: the two-level tier previously
+    * degenerated to nprobe=1 semantics with no rescue): each row ranks
+    * its `coarseProbe` nearest coarse groups (one native loop over the
+    * m-cell literal), then cosine-ranks the fine cells OWNED by those
+    * groups and keeps the `fineProbe` best — (id, `__cell`) rows under
+    * the (cos desc, cell asc) tie rule everything else pins. Cost per
+    * row is m + coarseProbe·(nlist/m) cosines (vs nlist for flat
+    * multi-probe), so probing stays sub-linear in nlist while
+    * recovering BOTH miss surfaces of the single-probe two-level form:
+    * a neighbor across a FINE boundary (fineProbe > 1 — the flat
+    * lever) and one across a COARSE boundary, which no amount of fine
+    * probing can see because the home coarse group doesn't own the
+    * neighbor's cell (coarseProbe > 1 is the only rescue — the
+    * inverted-multi-index trade, Babenko & Lempitsky 2012).
+    * Degeneracies (TwoLevelProbeSpec): coarseProbe = fineProbe = 1
+    * reproduces [[ivfAssignTwoLevel]]'s cells; m = 1 with
+    * fineProbe = nprobe equals the flat [[ivfProbeCellsTable]]; probing
+    * everything (coarseProbe = m, fineProbe = nlist) ranks every
+    * defined cell.
+    */
+  def ivfProbeCellsTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                            coarse: Column, fine: DataFrame,
+                            coarseProbe: Int, fineProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("__c"))
+    df.select(col(idCol), col(vecCol).as("__v"),
+        explode(ivfProbeCells(col(vecCol), coarse, coarseProbe)).as("__coarse"))
+      .join(broadcast(fine.select(col("coarse").cast("int").as("__coarse"),
+        col("cell").cast("int").as("__c"), col("cvec").as("__cv"))),
+        Seq("__coarse"))
+      .select(col(idCol), col("__c"),
+        cosine(col("__v"), col("__cv")).as("__cos"))
+      .filter(col("__cos").isNotNull)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= fineProbe)
+      .select(col(idCol), col("__c").as("__cell"))
+  }
+
+  /** [[ivfTopKTwoLevel]] with coarse × fine multi-probe on the QUERY
+    * side ([[ivfProbeCellsTwoLevel]]) — the corpus keeps its one home
+    * cell (index structure unchanged; probing is a search-time knob,
+    * exactly as in [[ivfTopKProbed]]). Each query meets a candidate at
+    * most once (its probe list is distinct cells; a corpus row lives in
+    * one cell), so no dedup pass is needed before the rank. Recall is
+    * monotone in both probes — a query's candidate set under
+    * (cp, fp) ⊇ under (1, 1) — and at coarseProbe = m,
+    * fineProbe = nlist every assigned candidate is scored, so results
+    * match flat multi-probe at nprobe = nlist over the same cell
+    * structure (both spec-pinned).
+    */
+  def ivfTopKTwoLevelProbed(queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String,
+                            coarse: Column, fine: DataFrame, k: Int,
+                            coarseProbe: Int, fineProbe: Int): DataFrame = {
+    val qCells = ivfProbeCellsTwoLevel(queries, idCol, vecCol, coarse, fine,
+        coarseProbe, fineProbe)
+      .withColumnRenamed(idCol, "query_id")
+    val cCells = ivfAssignTwoLevel(corpus, idCol, vecCol, coarse, fine)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(qCells, Seq("query_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(cCells, Seq("neighbor_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Centroid indices (1-based) ordered by descending cosine to `vec`,
     * ties broken by index — element 1 is [[ivfAssign]]'s cell. A zero-norm
     * vector (every cosine null) ranks NO cells: the result is null, exactly
