@@ -163,7 +163,10 @@ object ScaleBench {
     * are IDENTICAL through the fold (require'd, both engines); (c) the
     * post-fold search does not regress — the probe column (term /
     * cell) lands row-group contiguous, so the serving read prunes
-    * instead of opening every batch's files.
+    * instead of opening every batch's files; (d) — r16 — the same
+    * stream with `autoCompactEvery` set keeps its file count bounded
+    * with NO manual compact call, results still identical (the
+    * VERDICT r15 #6 acceptance).
     */
   private def serveLog(spark: SparkSession, outDir: String,
                        listener: TaskMetricsProbe): Unit = {
@@ -254,6 +257,27 @@ object ScaleBench {
       val annPost = timed("ann_search_postcompact",
         s""","log_files":$annFiles1""")(annSearch())
       require(annPre == annPost, "ann fold changed search results")
+
+      // ---- auto-fold (r16): the same 48-batch lexical stream with the
+      // in-band trigger and NO manual compact call — the file count must
+      // stay bounded by the trigger window, results identical
+      val bmAutoDir = s"$tmp/bm25_auto"
+      timed("bm25_append_48_autofold", s""","batches":$nBatches""") {
+        for (b <- 0 until nBatches)
+          StreamingRetrieval.appendBatch(bmAutoDir, "doc_id", "text",
+            autoCompactEvery = 12)(
+            spark.read.parquet(staged).filter(col("b") === b).drop("b"),
+            b.toLong)
+      }
+      val bmAutoFiles = parquetFiles(bmAutoDir)
+      val bmAuto = timed("bm25_search_autofold",
+        s""","log_files":$bmAutoFiles""")(
+        {
+          val (p, t, s) = StreamingRetrieval.loadIndex(spark, bmAutoDir)
+          Retrieval.searchPostingsNorm(p, t, s, queries, "doc_id", "text",
+            k = 10).orderBy("query_id", "rank").collect().toSeq
+        })
+      require(bmAuto == bmPost, "auto-fold changed search results")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 

@@ -114,6 +114,23 @@ object BatchState {
 
   val FoldedLedger = "_folded_batches"
 
+  /** Number of UNFOLDED per-batch partition directories
+    * (`batch_id=<N>`, N ≠ -1) directly under `dir` — the fold-trigger
+    * signal: each unfolded batch contributes its own file set to every
+    * read, so this count (not data bytes) is what degrades a serving
+    * log left uncompacted (measured: 1632 files → 4.85 s/search vs 25
+    * files → 1.80 s, PERFNOTES r15). One driver-side `listStatus`,
+    * O(batches) names.
+    */
+  def unfoldedBatches(spark: SparkSession, dir: String): Int = {
+    val (f, p) = fs(spark, dir)
+    if (!f.exists(p)) 0
+    else f.listStatus(p).count { s =>
+      val n = s.getPath.getName
+      s.isDirectory && n.startsWith("batch_id=") && n != "batch_id=-1"
+    }
+  }
+
   /** Atomically replace the directory at `liveDir` with whatever
     * `write` produces at the tmp path it is handed: write beside,
     * promote-then-retire via Hadoop-FS renames (never `java.io.File` —

@@ -34,7 +34,8 @@ object StreamingLm {
     * counts live in the `batch_id = -1` generation) replays as a
     * no-op — the [[StreamingRetrieval.appendBatch]] contract.
     */
-  def appendBatch(countsDir: String, idCol: String, textCol: String)
+  def appendBatch(countsDir: String, idCol: String, textCol: String,
+                  autoCompactEvery: Int = 0)
                  (batch: DataFrame, batchId: Long): Unit = {
     if (BatchState.readFolded(batch.sparkSession, countsDir)
         .contains(batchId)) return
@@ -43,18 +44,27 @@ object StreamingLm {
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(countsDir)
+    // in-band fold trigger (VERDICT r15 #6) — safe for the same reason
+    // as StreamingRetrieval.appendBatch's: the fold runs only after
+    // this batch's append completed, and a post-fold replay is a
+    // ledgered no-op with the counts already in the -1 generation
+    if (autoCompactEvery > 0 &&
+        BatchState.unfoldedBatches(batch.sparkSession, countsDir)
+          >= autoCompactEvery)
+      compactCounts(batch.sparkSession, countsDir)
   }
 
   /** The streaming sink: wires `docs.writeStream` through
     * [[appendBatch]]. Caller starts/awaits the returned query.
     */
   def maintainCounts(docs: DataFrame, idCol: String, textCol: String,
-                     countsDir: String, checkpointDir: String)
+                     countsDir: String, checkpointDir: String,
+                     autoCompactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendBatch(countsDir, idCol, textCol)(batch, id)
+        appendBatch(countsDir, idCol, textCol, autoCompactEvery)(batch, id)
       }
 
   /** Fold the count log into the (u, v, w, c) table
