@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization and host extraction — the crawl-side dedup
@@ -29,9 +29,11 @@ object UrlFunctions {
     * last three when the second-to-last label is a common second-level
     * registry label (`co`, `com`, `net`, `org`, `ac`, `gov`, `edu`)
     * AND the TLD is 2 characters (`bbc.co.uk` → `bbc.co.uk`,
-    * `a.b.example.com` → `example.com`). A production deployment swaps
-    * this for a broadcast public-suffix table; the approximation is
-    * deterministic and covers the bulk of the crawl.
+    * `a.b.example.com` → `example.com`). Kept as the zero-join column
+    * form for row-local pipelines; [[registeredDomainPsl]] is the
+    * production form — the full public-suffix ALGORITHM against a
+    * broadcast rule table (pass the complete publicsuffix.org list;
+    * [[defaultPslRules]] ships a snapshot subset).
     */
   def registeredDomain(host: Column): Column = {
     val labels = split(host, "\\.")
@@ -44,6 +46,162 @@ object UrlFunctions {
       .when(take3, concat_ws(".",
         element_at(labels, -3), sld, tld))
       .otherwise(concat_ws(".", sld, tld))
+  }
+
+  /** A snapshot SUBSET of the publicsuffix.org rule list (same syntax:
+    * plain suffixes, `*.` wildcard rules, `!` exception rules) covering
+    * the high-traffic ccTLD second levels — enough that `.co.uk` /
+    * `.com.au`-class hosts, the constant crawl case the 2-3-label
+    * approximation mishandles beyond its hardcoded labels, resolve
+    * correctly, plus the `*.ck` / `!www.ck` pair so the wildcard and
+    * exception arms of the algorithm are exercised by real rules. A
+    * production deployment passes the COMPLETE downloaded list to
+    * [[pslRulesTable]] instead — the algorithm is rule-set-agnostic
+    * and the join broadcasts at any realistic list size (~10k rows).
+    */
+  val defaultPslRules: Seq[String] = Seq(
+    // gTLD-style single labels are handled by the implicit `*` default;
+    // listing common ones anyway keeps parity with the real list
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co",
+    // United Kingdom
+    "uk", "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "me.uk",
+    "ltd.uk", "plc.uk", "sch.uk", "nhs.uk",
+    // Australia
+    "au", "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au",
+    "id.au",
+    // Japan
+    "jp", "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    // Brazil
+    "br", "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    // New Zealand
+    "nz", "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+    // South Africa
+    "za", "co.za", "org.za", "net.za", "ac.za", "gov.za", "web.za",
+    // China
+    "cn", "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    // India
+    "in", "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+    // South Korea
+    "kr", "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "mil.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr",
+    // Mexico, Argentina, Turkey
+    "mx", "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "ar", "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "tr", "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr",
+    "web.tr",
+    // Singapore, Hong Kong, Taiwan, Malaysia, Indonesia, Thailand
+    "sg", "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "hk", "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "tw", "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "my", "com.my", "net.my", "org.my", "gov.my", "edu.my", "name.my",
+    "id", "co.id", "or.id", "net.id", "web.id", "ac.id", "sch.id",
+    "go.id", "mil.id", "biz.id", "my.id",
+    "th", "co.th", "or.th", "net.th", "ac.th", "go.th", "in.th",
+    "mi.th",
+    // Vietnam, Philippines, Pakistan, Bangladesh, Nigeria, Egypt,
+    // Saudi Arabia, Israel, Russia, Ukraine, Poland
+    "vn", "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "ph", "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "pk", "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "bd", "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd",
+    "ng", "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "name.ng",
+    "eg", "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "sa", "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "il", "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "k12.il",
+    "ru", "com.ru", "org.ru", "net.ru", "msk.ru", "spb.ru",
+    "ua", "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "pl", "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    // Cook Islands: the real list's canonical wildcard + exception pair
+    "ck", "*.ck", "!www.ck")
+
+  /** Parse PSL-syntax rules into the (suffix, is_wildcard,
+    * is_exception, n_labels) table [[registeredDomainPsl]] joins — one
+    * row per rule, broadcast-sized. `*.ck` parses to suffix `ck`
+    * (wildcard rules match any candidate whose PARENT is the suffix);
+    * `!www.ck` to suffix `www.ck` flagged exception. Comment (`//`)
+    * and blank lines are dropped, so the downloaded
+    * `public_suffix_list.dat` lines can be passed verbatim.
+    */
+  def pslRulesTable(spark: SparkSession,
+                    rules: Seq[String] = defaultPslRules): DataFrame = {
+    import spark.implicits._
+    rules.iterator
+      .map(_.trim).filter(r => r.nonEmpty && !r.startsWith("//"))
+      .map { r =>
+        val ex = r.startsWith("!")
+        val wc = r.startsWith("*.")
+        val suffix = if (ex) r.substring(1) else if (wc) r.substring(2) else r
+        (suffix, wc, ex, suffix.count(_ == '.') + 1)
+      }.toSeq.toDF("suffix", "is_wildcard", "is_exception", "n_labels")
+  }
+
+  /** PRODUCTION registered-domain extraction: the full public-suffix
+    * algorithm (publicsuffix.org) over a broadcast rule table — adds
+    * `outCol` to `df`. Per the spec: among all rules matching a suffix
+    * of the host, an exception rule wins outright (the registered
+    * domain IS the exception's labels); otherwise the longest match is
+    * the public suffix and the registered domain is it plus one more
+    * label; a host with no matching rule falls to the implicit `*`
+    * rule (TLD = public suffix). A host that IS a public suffix
+    * (`co.uk` itself) gets null. Wildcard `*.x` rules match candidates
+    * one label longer than `x`; hosts are matched lowercase.
+    *
+    * Scale shape: the mapping is computed on DISTINCT hosts (the only
+    * exploded side — ≤ label-count candidates per host, joined against
+    * the broadcast rule table, one hash-agg back to host grain), then
+    * joined onto `df` by host. The payload never explodes; the one
+    * payload shuffle is the host join — in a crawl pipeline the next
+    * operator (domain cap, per-domain stats) groups by this very key,
+    * so the exchange is reused, not extra.
+    */
+  def registeredDomainPsl(df: DataFrame, hostCol: String, outCol: String,
+                          rules: DataFrame): DataFrame = {
+    val hosts = df.select(lower(col(hostCol)).as("__host")).distinct()
+    val lbl = split(col("__host"), "\\.")
+    // candidate suffixes: for k = 1..n the last k labels, plus the
+    // PARENT string wildcard rules match against
+    val cands = hosts
+      .select(col("__host"), size(lbl).as("__n"),
+        explode(transform(sequence(lit(1), size(lbl)), k => struct(
+          k.as("k"),
+          concat_ws(".", slice(lbl, size(lbl) - k + 1, k)).as("s"))))
+          .as("__c"))
+      .select(col("__host"), col("__n"),
+        col("__c.k").as("__k"), col("__c.s").as("__s"))
+      .withColumn("__parent",
+        when(col("__k") > 1, regexp_replace(col("__s"), "^[^.]+\\.", "")))
+    val r = rules.select(col("suffix"), col("is_wildcard"),
+      col("is_exception"))
+    val normal = broadcast(r.filter(!col("is_wildcard") && !col("is_exception"))
+      .select(col("suffix").as("__s"), lit(true).as("__normal")))
+    val wild = broadcast(r.filter(col("is_wildcard"))
+      .select(col("suffix").as("__parent"), lit(true).as("__wild")))
+    val exc = broadcast(r.filter(col("is_exception"))
+      .select(col("suffix").as("__s"), lit(true).as("__exc")))
+    val matched = cands
+      .join(normal, Seq("__s"), "left")
+      .join(wild, Seq("__parent"), "left")
+      .join(exc, Seq("__s"), "left")
+      .groupBy(col("__host"), col("__n"))
+      .agg(
+        // longest exception match: the registered domain directly
+        max(when(col("__exc"), col("__s"))).as("__exc_dom"),
+        // longest public-suffix match; the implicit `*` default is k=1
+        coalesce(max(when(col("__normal") || col("__wild"), col("__k"))),
+          lit(1)).as("__pub_k"))
+    val lblH = split(col("__host"), "\\.")
+    val mapping = matched.select(col("__host"),
+      coalesce(col("__exc_dom"),
+        when(col("__n") >= col("__pub_k") + 1,
+          concat_ws(".",
+            slice(lblH, col("__n") - col("__pub_k"), col("__pub_k") + 1))))
+        .as(outCol))
+    df.withColumn("__host", lower(col(hostCol)))
+      .join(mapping, Seq("__host"), "left")
+      .drop("__host")
   }
 
   /** Canonical URL: lowercase scheme and host, strip userinfo is NOT

@@ -740,6 +740,35 @@ object QueriesLLM {
         UrlFunctions.registeredDomain(UrlFunctions.urlHost(norm)).as("domain"))
   }
 
+  /** PSL-backed registered-domain extraction
+    * ([[UrlFunctions.registeredDomainPsl]], VERDICT r15 #7): the full
+    * public-suffix algorithm — longest rule wins, wildcard `*.ck`
+    * rules, the `!www.ck` exception, the implicit `*` default, and the
+    * host-IS-a-suffix null — against the broadcast
+    * [[UrlFunctions.defaultPslRules]] table. Hosts synthesized to hit
+    * every arm, including the `.co.uk`/`.com.au` second levels the
+    * 2-3-label approximation only covers for its hardcoded labels
+    * (`school.nz` here is one it MISSES — the PSL form must not).
+    * Oracle replays the algorithm per row with the same rule lists
+    * inlined.
+    */
+  private def synthHost: Column =
+    when(col("doc_id") % 8 === 0, lit("Sub.Shop.Example.CO.UK"))
+      .when(col("doc_id") % 8 === 1, lit("news.example.com.au"))
+      .when(col("doc_id") % 8 === 2, lit("a.b.example.com"))
+      .when(col("doc_id") % 8 === 3, lit("example.com"))
+      .when(col("doc_id") % 8 === 4, lit("www.ck"))
+      .when(col("doc_id") % 8 === 5, lit("foo.bar.ck"))
+      .when(col("doc_id") % 8 === 6, lit("deep.host.example.school.nz"))
+      .otherwise(lit("co.uk")) // a public suffix itself: domain = null
+
+  def q_registered_domain(spark: SparkSession, dir: String): DataFrame =
+    UrlFunctions.registeredDomainPsl(
+      table(spark, dir, "documents")
+        .select(col("doc_id"), lower(synthHost).as("host")),
+      "host", "domain", UrlFunctions.pslRulesTable(spark))
+      .select("doc_id", "host", "domain")
+
   /** FineWeb-style per-domain cap: at most 50 documents per registered
     * domain, selected in deterministic content-hash order (the
     * `sampleExactPerGroup` rule) — the crawl-side dominance guard that
@@ -2006,6 +2035,7 @@ object QueriesLLM {
     "q_html_extract" -> (q_html_extract _),
     "q_html_main" -> (q_html_main _),
     "q_url_normalize" -> (q_url_normalize _),
+    "q_registered_domain" -> (q_registered_domain _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -3500,6 +3530,53 @@ object QueriesLLM {
         |  FROM dom
         |)
         |SELECT doc_id, domain FROM capped WHERE rn <= 50""".stripMargin),
+    // full PSL algorithm per row, rule lists inlined from
+    // UrlFunctions.defaultPslRules (exception > longest normal/wildcard
+    // > implicit `*`; registered = public suffix + 1 label, null when
+    // the host IS a public suffix)
+    "q_registered_domain" -> {
+      def lst(xs: Seq[String]) = xs.map(r => s"'$r'").mkString("[", ", ", "]")
+      val rules = graft.llm.UrlFunctions.defaultPslRules
+      val normals = lst(rules.filter(r => !r.startsWith("*.") && !r.startsWith("!")))
+      val wilds = lst(rules.filter(_.startsWith("*.")).map(_.substring(2)))
+      val excs = lst(rules.filter(_.startsWith("!")).map(_.substring(1)))
+      s"""WITH hosts AS (
+        |  SELECT doc_id, lower(CASE doc_id % 8
+        |    WHEN 0 THEN 'Sub.Shop.Example.CO.UK'
+        |    WHEN 1 THEN 'news.example.com.au'
+        |    WHEN 2 THEN 'a.b.example.com'
+        |    WHEN 3 THEN 'example.com'
+        |    WHEN 4 THEN 'www.ck'
+        |    WHEN 5 THEN 'foo.bar.ck'
+        |    WHEN 6 THEN 'deep.host.example.school.nz'
+        |    ELSE 'co.uk' END) AS host
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, host, string_split(host, '.') AS parts,
+        |    len(string_split(host, '.')) AS n
+        |  FROM hosts
+        |), scored AS (
+        |  SELECT doc_id, host, parts, n,
+        |    list_aggregate(list_transform(generate_series(1, n), k ->
+        |      CASE WHEN list_contains($excs,
+        |        array_to_string(list_slice(parts, n-k+1, n), '.')) THEN k END),
+        |      'max') AS exc_k,
+        |    coalesce(list_aggregate(list_transform(generate_series(1, n), k ->
+        |      CASE WHEN list_contains($normals,
+        |          array_to_string(list_slice(parts, n-k+1, n), '.'))
+        |        OR (k > 1 AND list_contains($wilds,
+        |          array_to_string(list_slice(parts, n-k+2, n), '.')))
+        |      THEN k END), 'max'), 1) AS pub_k
+        |  FROM base
+        |)
+        |SELECT doc_id, host,
+        |  CASE WHEN exc_k IS NOT NULL
+        |    THEN array_to_string(list_slice(parts, n-exc_k+1, n), '.')
+        |    WHEN n >= pub_k + 1
+        |    THEN array_to_string(list_slice(parts, n-pub_k, n), '.')
+        |  END AS domain
+        |FROM scored""".stripMargin
+    },
 
     "q_quality_lr" ->
       """WITH toks AS (

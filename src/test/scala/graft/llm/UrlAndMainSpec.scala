@@ -51,6 +51,42 @@ class UrlAndMainSpec extends AnyFunSuite {
       ("localhost", "localhost")))
   }
 
+  test("registeredDomainPsl: full PSL algorithm — longest rule, wildcard, " +
+      "exception, implicit *, host-is-suffix null (VERDICT r15 #7)") {
+    val psl = UrlFunctions.pslRulesTable(spark)
+    val hosts = Seq(
+      "Sub.Shop.Example.CO.UK", // longest-rule .co.uk
+      "news.example.com.au",    // .com.au second level
+      "example.school.nz",      // school.nz — approximation misses this
+      "a.b.example.com",        // plain gTLD
+      "example.com",
+      "www.ck",                 // !www.ck exception: registered = www.ck
+      "foo.bar.ck",             // *.ck wildcard: bar.ck is a public suffix
+      "bar.ck",                 // IS a public suffix (wildcard) -> null
+      "co.uk",                  // IS a public suffix -> null
+      "host.unknowntld",        // implicit * rule: last 2 labels
+      "localhost"               // single label, no rule -> null
+    ).toDF("host")
+    val got = UrlFunctions.registeredDomainPsl(hosts, "host", "domain", psl)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("Sub.Shop.Example.CO.UK") == Some("example.co.uk"))
+    assert(got("news.example.com.au") == Some("example.com.au"))
+    assert(got("example.school.nz") == Some("example.school.nz"))
+    assert(got("a.b.example.com") == Some("example.com"))
+    assert(got("example.com") == Some("example.com"))
+    assert(got("www.ck") == Some("www.ck"))
+    assert(got("foo.bar.ck") == Some("foo.bar.ck"))
+    assert(got("bar.ck") == None)
+    assert(got("co.uk") == None)
+    assert(got("host.unknowntld") == Some("host.unknowntld"))
+    assert(got("localhost") == None)
+    // the documented gap the PSL form closes: the approximation returns
+    // school.nz (a public suffix!) as the registered domain
+    val approx = Seq("example.school.nz").toDF("h")
+      .select(UrlFunctions.registeredDomain(col("h"))).as[String].collect()
+    assert(approx.head == "school.nz")
+  }
+
   test("htmlMainText: density boundary, anchor-free blocks, stub drop") {
     val prose = "This paragraph carries enough prose to clear the gate."
     val html =
