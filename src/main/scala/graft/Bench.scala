@@ -259,6 +259,10 @@ object Bench {
     // and stay Verify-only
     "q_crawl_incremental",
     "q_semdedup_twolevel",
+    // r16-new: the training-data flagship chain (intake → curation
+    // ledger → mixture → packing, one hash-checked composition) — pin
+    // once three clean readings exist, the r12-tier process
+    "q_training_data_e2e",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1948,6 +1948,93 @@ object QueriesLLM {
       minQuality = 0.25, jaccardThreshold = 0.2)
   }
 
+  /** The TRAINING-DATA FLAGSHIP (VERDICT r15 #4): the full composition
+    * a pretraining-data run executes, hash-checked as ONE chain the way
+    * `q_pipeline_e2e` checks the ETD DAG —
+    *
+    *   crawl page → main-content extraction → token gate →
+    *   quality gate → PII redaction → exact dedup → near dedup →
+    *   DROP LEDGER → mixture plan (per-source epochs, collected at
+    *   plan grain — ~sources rows, the one sanctioned driver value) →
+    *   epoch expansion → sequence packing.
+    *
+    * One output table at two self-describing grains: a row per INPUT
+    * document with its disposition (`token_gate` / `gate` / `exact_dup`
+    * / `near_dup` / `kept`) and quality, plus a `packed` row per
+    * (kept document × epoch) instance with its shard/sequence
+    * coordinates. Every stage reuses the oracle-pinned splice of its
+    * standalone query (`q_cc_pipeline`, `q_curation_audit`,
+    * `q_mixture_expand`, `q_pack_sequences`), so a hash mismatch
+    * localizes to the COMPOSITION, not a re-derivation.
+    *
+    * Scale shape: the intake and ledger are the curation chain's
+    * (lineage-cut once — the extraction regexes are what grow with
+    * corpus bytes); the plan is a source-grain agg; expansion is
+    * map-side posexplode; packing is per-shard windows. Nothing new
+    * materializes beyond the stages' own audited shapes.
+    */
+  def q_training_data_e2e(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus0 = d.unionByName(
+        d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("source"),
+            col("text")))
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com")))
+    val gated = corpus0
+      .withColumn("main", TextFunctions.htmlMainText(ccPage(col("text"))))
+      .withColumn("n_tokens",
+        size(TextFunctions.tokens(col("main"))).cast("long"))
+    // lazy cut: the extraction chain is consumed by the ledger AND the
+    // kept-side join below (Checkpoints.sweep frees it post-action)
+    val intake = gated.filter(col("n_tokens") >= 5)
+      .select(col("doc_id"), col("source"), col("main").as("text"))
+      .localCheckpoint(eager = false)
+    val ledger = Curation.curateAudit(intake.select("doc_id", "text"),
+        "doc_id", "text", minQuality = 0.25, jaccardThreshold = 0.2)
+      .localCheckpoint(eager = false)
+    val ledgerAll = ledger.unionByName(
+      gated.filter(col("n_tokens") < 5)
+        .select(col("doc_id"), lit("token_gate").as("stage"),
+          lit(null).cast("double").as("quality")))
+    val keptDocs = intake
+      .join(ledger.filter(col("stage") === "kept").select("doc_id"),
+        Seq("doc_id"))
+      .withColumn("text", TextFunctions.redactPii(col("text")))
+      .withColumn("n_tok",
+        TextFunctions.regexTokenCount(col("text")).cast("long"))
+      .select("doc_id", "source", "n_tok")
+    val plan = Mixing.mixturePlan(keptDocs, "source", "n_tok",
+      Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+      budget = 50000.0, maxEpochs = 2.5)
+    // plan-grain collect (rows = sources): the per-source epoch map is
+    // a trained artifact, exactly like a codebook
+    val epochs = plan.select("source", "epochs").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val packed = Packing.packSequences(
+        Mixing.mixtureExpand(keptDocs, "doc_id", "source", epochs)
+          // unique pack key per (doc, epoch) instance: epochs <= 2.5
+          // means at most 3 copies, so *4 never collides
+          .withColumn("inst_id",
+            col("doc_id") * 4 + col("epoch").cast("long")),
+        "inst_id", "n_tok", budget = 2048L, shards = 4)
+      .select(col("doc_id"), lit("packed").as("stage"),
+        lit(null).cast("double").as("quality"),
+        col("epoch").cast("long").as("epoch"), col("n_tok"),
+        col("shard").cast("long").as("shard"),
+        col("seq_id").cast("long").as("seq_id"),
+        col("seq_offset").cast("long").as("seq_offset"))
+    ledgerAll
+      .select(col("doc_id"), col("stage"), col("quality"),
+        lit(null).cast("long").as("epoch"),
+        lit(null).cast("long").as("n_tok"),
+        lit(null).cast("long").as("shard"),
+        lit(null).cast("long").as("seq_id"),
+        lit(null).cast("long").as("seq_offset"))
+      .unionByName(packed)
+  }
+
   /** DSIR importance log-weights against a deterministic target slice
     * (doc_id % 7 == 0 — the slice definition is the caller's business;
     * the operator only needs a boolean predicate).
@@ -2027,6 +2114,7 @@ object QueriesLLM {
     "q_dsir_weights" -> (q_dsir_weights _),
     "q_curation_e2e" -> (q_curation_e2e _),
     "q_curation_audit" -> (q_curation_audit _),
+    "q_training_data_e2e" -> (q_training_data_e2e _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_bpe_pairs" -> (q_bpe_pairs _),
@@ -2303,7 +2391,145 @@ object QueriesLLM {
 """.stripMargin
   }
 
+  /** DuckDB replay of the full training-data chain
+    * ([[q_training_data_e2e]]): the cc-pipeline intake splice feeding
+    * the curation-chain splice (same CTE names, so `minhashSql` plugs
+    * in unchanged), then the ledger union, the mixture plan/expand
+    * arithmetic of `q_mixture_plan`/`q_mixture_expand`, and
+    * `q_pack_sequences`' running-sum packing keyed by the
+    * (doc_id·4 + epoch) instance id.
+    */
+  private lazy val trainingDataSql: String = {
+    val e = TextFunctions.emailRe
+    val i = TextFunctions.ipv4Re
+    val p = TextFunctions.phoneRe
+    s"""WITH RECURSIVE corpus00 AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, source, text
+       |  FROM documents WHERE doc_id < 50
+       |), rawd AS (
+       |  SELECT doc_id, source,
+       |    text || ' contact user' || doc_id || '@example.com' AS text
+       |  FROM corpus00
+       |), h AS (
+       |  SELECT doc_id, source, $duckPage AS html FROM rawd
+       |), m AS (
+       |  SELECT doc_id, source, ${duckMain("html")} AS main FROM h
+       |), gated AS (
+       |  SELECT doc_id, source, main,
+       |    len(list_filter(string_split(main, ' '), x -> length(x) > 0))::BIGINT AS n_tokens
+       |  FROM m
+       |), intake AS (
+       |  SELECT doc_id, source, main AS text FROM gated WHERE n_tokens >= 5
+       |), qual AS (
+       |  SELECT doc_id, text,
+       |    round((least(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) / 50.0, 1.0)
+       |      + least((CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) > 0
+       |          THEN len(list_filter(list_filter(string_split(lower(text), ' '), t -> length(t) > 0),
+       |                t -> list_contains($enList, t)))::DOUBLE
+       |               / len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0))
+       |          ELSE 0.0 END) * 5.0, 1.0)) / 2.0, 6) AS quality
+       |  FROM intake
+       |), red AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS text,
+       |    quality
+       |  FROM qual WHERE quality >= 0.25
+       |), keepx AS (
+       |  SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(text)
+       |), corpus AS (
+       |  SELECT r.doc_id, r.text, r.quality FROM red r JOIN keepx k ON r.doc_id = k.doc_id
+       |)""".stripMargin + minhashSql +
+    """, pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |), shd AS (
+       |  SELECT doc_id, list_distinct(hs) AS ds FROM hashes
+       |), verified AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM pairs p JOIN shd a ON p.id_a = a.doc_id JOIN shd b ON p.id_b = b.doc_id
+       |  WHERE (CASE WHEN len(list_distinct(a.ds || b.ds)) > 0
+       |    THEN len(list_intersect(a.ds, b.ds))::DOUBLE / len(list_distinct(a.ds || b.ds))
+       |    ELSE 0.0 END) >= 0.2
+       |), edges AS (
+       |  SELECT id_a, id_b FROM verified
+       |  UNION
+       |  SELECT id_b AS id_a, id_a AS id_b FROM verified
+       |), reach AS (
+       |  SELECT id_a AS id, id_a AS label FROM edges
+       |  UNION
+       |  SELECT e.id_a AS id, r.label FROM edges e JOIN reach r ON e.id_b = r.id
+       |), drops AS (
+       |  SELECT id AS doc_id FROM reach GROUP BY id HAVING min(label) <> id
+       |), ledger AS (
+       |  SELECT q.doc_id,
+       |    CASE WHEN q.quality < 0.25 THEN 'gate'
+       |         WHEN k.doc_id IS NULL THEN 'exact_dup'
+       |         WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+       |         ELSE 'kept' END AS stage,
+       |    q.quality
+       |  FROM qual q
+       |  LEFT JOIN keepx k ON q.doc_id = k.doc_id
+       |  LEFT JOIN drops d ON q.doc_id = d.doc_id
+       |  UNION ALL
+       |  SELECT doc_id, 'token_gate' AS stage, NULL AS quality
+       |  FROM gated WHERE n_tokens < 5
+       |), keptd AS (
+       |  SELECT c.doc_id, i.source,
+       |    len(regexp_extract_all(c.text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tok
+       |  FROM corpus c
+       |  ANTI JOIN drops d ON c.doc_id = d.doc_id
+       |  JOIN intake i ON c.doc_id = i.doc_id
+       |), agg AS (
+       |  SELECT source, sum(n_tok::DECIMAL(28,0))::DOUBLE AS total_tokens
+       |  FROM keptd GROUP BY 1
+       |), eps AS (
+       |  SELECT source,
+       |    floor(least(2.5, CASE WHEN total_tokens > 0
+       |      THEN (floor((floor(CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+       |          WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END::DOUBLE
+       |          / 1.0 * 1000000 + 0.5) / 1000000) * 50000 * 1000000 + 0.5) / 1000000)
+       |        / total_tokens
+       |      ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS epochs
+       |  FROM agg
+       |), micro AS (
+       |  SELECT k.doc_id, k.n_tok,
+       |    CAST(floor(e.epochs * 1000000 + 0.5) AS BIGINT) AS mm
+       |  FROM keptd k JOIN eps e USING (source)
+       |), copies AS (
+       |  SELECT doc_id, n_tok, mm // 1000000 +
+       |    CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR||'mix'),1,15))::BIGINT % 1000000 < mm % 1000000
+       |      THEN 1 ELSE 0 END AS c
+       |  FROM micro
+       |), expanded AS (
+       |  SELECT doc_id, n_tok, unnest(generate_series(0, c - 1)) AS epoch
+       |  FROM copies WHERE c > 0
+       |), inst AS (
+       |  SELECT doc_id, epoch, n_tok, doc_id * 4 + epoch AS inst_id,
+       |    ('0x'||substr(md5((doc_id * 4 + epoch)::VARCHAR),1,15))::BIGINT % 4 AS shard
+       |  FROM expanded
+       |), packedc AS (
+       |  SELECT doc_id, epoch, n_tok, shard,
+       |    (sum(n_tok) OVER (PARTITION BY shard ORDER BY inst_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n_tok AS bef
+       |  FROM inst
+       |)
+       |SELECT doc_id, stage, quality,
+       |  NULL::BIGINT AS epoch, NULL::BIGINT AS n_tok, NULL::BIGINT AS shard,
+       |  NULL::BIGINT AS seq_id, NULL::BIGINT AS seq_offset
+       |FROM ledger
+       |UNION ALL
+       |SELECT doc_id, 'packed' AS stage, NULL::DOUBLE AS quality,
+       |  epoch::BIGINT AS epoch, n_tok, shard,
+       |  (bef // 2048)::BIGINT AS seq_id, (bef % 2048)::BIGINT AS seq_offset
+       |FROM packedc""".stripMargin
+  }
+
   private val oracles0: Map[String, String] = Map(
+    "q_training_data_e2e" -> trainingDataSql,
     "q_dedup_exact" -> (dupCorpusSql +
       """ SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_dups
