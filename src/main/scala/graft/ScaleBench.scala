@@ -599,9 +599,13 @@ object ScaleBench {
       // same vocab would warm JIT/shuffle dirs/page cache and break
       // first-touch comparability with earlier rounds.
       val counted = graft.ops.FuzzyJoin.countFilterCandidates(vocab, "s", 1)
+      // r16: the positional band's own lever — gram-join OUTPUT rows,
+      // vs the unbanded single-gram bill above
+      val joinRows = graft.ops.FuzzyJoin.gramJoinRows(vocab, "s", 1)
       Thread.sleep(300)
       println(f"""{"fuzzy":"ed1_join","n":$nDistinct,"sec":$sec%.2f,""" +
         s""""pairs_found":$found,"gram_candidates":$candBill,""" +
+        s""""gram_join_rows":$joinRows,""" +
         s""""count_filter_verified":$counted,""" +
         s""""quadratic_cells":${nDistinct * (nDistinct - 1) / 2},""" +
         s""""shuffle_write_bytes":${listener.totShuffleWrite}}""")

@@ -24,18 +24,34 @@ import graft.llm.TextFunctions
   *    BOTH sides are short (the bucket owns them), so the union needs
   *    no candidate-level distinct.
   *
-  * The COUNT filter (the upgrade r11's first pass documented and
-  * deferred): instead of verifying every pair that shares ANY gram,
-  * gram-join rows carry an occurrence index (the i-th copy of a gram
-  * joins only the i-th copy on the other side, so join rows per pair =
-  * Σ_g min(cnt_a(g), cnt_b(g)) — the multiset intersection), the join
-  * groups by pair, and only pairs meeting the count bound reach the
-  * verifier. Measured (ScaleBench `fuzzy`, 20k seeded-random vocab):
-  * 24.0M gram-join rows collapse to 14,281 surviving pairs of which
-  * 13,590 are true hits — 95% verify precision — and wall drops
-  * 26.1 s → 9.7 s vs the single-gram form (PERFNOTES r11). The
-  * groupBy replaces the candidate `distinct()` the single-gram form
-  * needed anyway, so the filter is free of extra exchanges.
+  * The POSITIONAL count filter (Gravano et al.'s Q3 — the cut
+  * PERFNOTES r11 named as next, landed r16): gram-join rows carry the
+  * gram's POSITION in the padded string, the join demands
+  * |pos_a − pos_b| ≤ k on top of gram equality (an edit shifts a
+  * surviving gram by at most 1 position per operation, so true pairs
+  * always meet inside the band), the join groups by pair, and only
+  * pairs meeting the count bound reach the verifier. Completeness: a
+  * pair within distance k has ≥ max(len)+q−1−k·q SURVIVING gram
+  * copies, each a banded join row, so its row count meets the bound.
+  * The band replaces the r11 occurrence-index equi-key — (g, occ)
+  * equality composed with the band would be INCOMPLETE (an edit that
+  * destroys the first copy of a repeated gram shifts every later
+  * copy's occurrence index, so the surviving copy pairs under
+  * occ-equality can sit outside the band); position-only is complete
+  * and cuts where the cost actually lives — the JOIN VOLUME: same
+  * grams at distant positions, the dominant hit source in natural
+  * vocabulary, no longer join at all. On repeat-heavy grams the row
+  * count can exceed the true matching (cnt_a×cnt_b banded pairs vs
+  * min — it only loosens the filter, never drops a true pair; the
+  * verifier owns precision). Measured (ScaleBench `fuzzy`, 20k
+  * seeded-random vocab): gram-join output rows drop to 6.66M against
+  * the 24.0M unbanded single-gram bill (3.6×), wall 9.7 s (r11 occ
+  * form) → 8.6 s, the surviving verify set stays at the occ form's
+  * level (14,313 vs 14,281; 13,590 true hits — the count bound was
+  * already near-saturated at q=2, k=1), and the candidate stage no
+  * longer pays the O(L²) per-row occurrence numbering. The groupBy
+  * replaces the candidate `distinct()` the single-gram form needed
+  * anyway, so the filter is free of extra exchanges.
   *
   * Every surviving candidate is VERIFIED with exact `levenshtein` —
   * both Spark and DuckDB implement the identical unit-cost Levenshtein,
@@ -51,20 +67,19 @@ import graft.llm.TextFunctions
   */
 object FuzzyJoin {
 
-  /** Padded q-gram hashes of `s` with multiset occurrence indexes:
-    * array&lt;struct&lt;g: long, occ: int&gt;&gt; where `occ` numbers
-    * repeated grams 1..cnt in position order. Computed inside the row
-    * (nested higher-order functions, O(L²) per string — strings here
-    * are vocabulary entries, not documents) so the occurrence numbering
-    * costs no window exchange.
+  /** Padded q-gram hashes of `s` with their positions:
+    * array&lt;struct&lt;g: long, pos: int&gt;&gt;, `pos` 1-based in the
+    * padded string — one linear transform per row (the r11
+    * occurrence-index form paid an O(L²) nested filter per string for
+    * its multiset numbering; positions come free with the transform
+    * index).
     */
-  private def occGrams(s: org.apache.spark.sql.Column, q: Int) = {
+  private def posGrams(s: org.apache.spark.sql.Column, q: Int) = {
     val pad = "".toString * (q - 1)
     val arr = TextFunctions.charShingleHashes(
       concat(lit(pad), s, lit(pad)), q)
     transform(arr, (g, i) =>
-      struct(g.as("g"),
-        size(filter(slice(arr, lit(1), i + lit(1)), x => x === g)).as("occ")))
+      struct(g.as("g"), (i + lit(1)).as("pos")))
   }
 
   /** The shared candidate pipeline (ADVICE r11: written ONCE so the
@@ -81,11 +96,16 @@ object FuzzyJoin {
       .withColumn("len", length(col("s")))
     val shortLen = q * maxDist // count bound can reach 0 at or below this
     val grams = s.select(col("s"), col("len"),
-        explode(occGrams(col("s"), q)).as("go"))
+        explode(posGrams(col("s"), q)).as("go"))
       .select(col("s"), col("len"),
-        col("go.g").as("g"), col("go.occ").as("occ"))
+        col("go.g").as("g"), col("go.pos").as("pos"))
     val gramPairs = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
+        col("a.g") === col("b.g") &&
+          // positional band (Gravano Q3): a surviving gram shifts by at
+          // most one position per edit, so true pairs meet inside ±k;
+          // distant same-gram hits — the dominant false-candidate
+          // source — no longer join at all
+          abs(col("a.pos") - col("b.pos")) <= maxDist &&
           col("a.s") < col("b.s") &&
           abs(col("a.len") - col("b.len")) <= maxDist &&
           // short×short pairs belong to the all-pairs bucket below;
@@ -127,5 +147,29 @@ object FuzzyJoin {
                             q: Int = 2): Long = {
     val (gramPairs, shortPairs) = candidates(df, strCol, maxDist, q)
     gramPairs.count() + shortPairs.count()
+  }
+
+  /** Gram-join OUTPUT rows (pre-aggregation) — the stage whose volume
+    * the positional band cuts relative to the unbanded Σ df(g)² bill;
+    * ScaleBench `fuzzy` reports it next to the single-gram bill and the
+    * surviving verify set. Rebuilt from the same projections
+    * [[candidates]] uses.
+    */
+  def gramJoinRows(df: DataFrame, strCol: String, maxDist: Int,
+                   q: Int = 2): Long = {
+    val s = df.select(col(strCol).as("s")).distinct()
+      .withColumn("len", length(col("s")))
+    val shortLen = q * maxDist
+    val grams = s.select(col("s"), col("len"),
+        explode(posGrams(col("s"), q)).as("go"))
+      .select(col("s"), col("len"),
+        col("go.g").as("g"), col("go.pos").as("pos"))
+    grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") &&
+          abs(col("a.pos") - col("b.pos")) <= maxDist &&
+          col("a.s") < col("b.s") &&
+          abs(col("a.len") - col("b.len")) <= maxDist &&
+          greatest(col("a.len"), col("b.len")) > shortLen)
+      .count()
   }
 }

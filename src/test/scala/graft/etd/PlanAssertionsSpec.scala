@@ -247,8 +247,9 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"extraction must fold into the dedup exchange, got $exchanges:\n$p")
   }
 
-  test("fuzzy join: gram path is an equi-join on (gram, occ) feeding the " +
-      "count-filter aggregate; only the bounded short bucket may nested-loop") {
+  test("fuzzy join: gram path is an equi-join on the gram hash with the " +
+      "positional band in the condition, feeding the count-filter " +
+      "aggregate; only the bounded short bucket may nested-loop") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang").as("s"))
     val p = plan(graft.ops.FuzzyJoin.editDistancePairs(docs, "s", 1))
@@ -262,15 +263,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
         p.contains("BroadcastHashJoin"),
       s"gram join must be an equi-join:\n$p")
-    // occurrence index is part of the EQUI-JOIN KEYS alongside the gram
-    // hash (the multiset join) — a bare substring check would survive
-    // the index being dropped from the keys (ADVICE r11), so match the
-    // key lists themselves
+    // the gram hash is THE equi key and the positional band rides the
+    // join CONDITION (r16, Gravano Q3) — match the key lists + the band
+    // predicate so dropping either from the join surfaces here
     assert(
       ("""(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) """ +
-        """\[g#\d+L?, occ#\d+\], \[g#\d+L?, occ#\d+\]""").r
+        """\[g#\d+L?\], \[g#\d+L?\]""").r
         .findFirstIn(p).isDefined,
-      s"(gram, occ) equi-join keys missing from plan:\n$p")
+      s"gram equi-join key missing from plan:\n$p")
+    assert("""abs\(\(pos#\d+ - pos#\d+\)\) <= 1""".r.findFirstIn(p).isDefined,
+      s"positional band missing from the join condition:\n$p")
     assert(p.contains("__shared"), s"count-filter aggregate missing:\n$p")
     assert(p.contains("levenshtein"), s"bounded verify missing:\n$p")
   }
