@@ -294,6 +294,24 @@ object Bench {
     // timed query measures the operator, not initialization.
     try materialize(SparkEntry.table(spark, sfDir, "events").limit(1000))
     catch { case _: Throwable => () }
+    // Cascade JIT warm-up (VERDICT r15 #2, attributed r16): the impute
+    // cascade triggers ~47 CPU-seconds of C2/janino compilation on a
+    // cold JVM, decaying over ~3 executions (measured: cold-JVM
+    // q_i7 runs 12.3 → 5.3 → 3.3 → 3.0 s, cpu/wall 4.6 → 3.3, gc and
+    // major faults negligible) — enough that its 3-run MEDIAN was
+    // bimodal across clean sessions, landing wherever the preceding
+    // queries had left the compilation state. Running the same code
+    // shape here on a 2-house slice (untimed, trivial data) compiles
+    // the shared window/cascade paths so the timed reading is
+    // position-independent.
+    try {
+      import org.apache.spark.sql.functions.col
+      materialize(graft.etd.Impute.imputeColumn(
+        graft.queries.QueriesEtd.withAverages(
+          graft.queries.QueriesEtd.readings(spark, sfDir)
+            .filter(col("user_id") < 2)),
+        "Meter", keepGapCols = true))
+    } catch { case _: Throwable => () }
 
     // Each query runs `runs` times and reports the MEDIAN: single runs on
     // this box drift +/-30% between rounds on identical binaries (VERDICT
