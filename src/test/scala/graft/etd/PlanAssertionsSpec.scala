@@ -277,6 +277,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("levenshtein"), s"bounded verify missing:\n$p")
   }
 
+  test("training-data flagship: no cartesian anywhere; packing windows " +
+      "partition by shard (never a global sort)") {
+    val p = plan(graft.queries.QueriesLLM.q_training_data_e2e(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"the composed chain must never plan a cartesian:\n$p")
+    // the pack's running sum must be a per-shard window — a global
+    // (unpartitioned) window would serialize the corpus through one task
+    assert(!p.contains("Window [") ||
+        !"""Window \[[^\n]*\], \[\]""".r.findFirstIn(p).isDefined,
+      s"unpartitioned window in the packed side:\n$p")
+    assert(p.contains("Union"), s"ledger ∪ packed union missing:\n$p")
+  }
+
   test("expectations: rule count does not change the plan shape (one scan)") {
     import graft.ops.Expectations.Rule
     val docs = spark.read.parquet(s"$dir/documents.parquet")
