@@ -1245,6 +1245,28 @@ object Dedup {
     nearDupsFromCells(df, idCol, vecCol, threshold, aCells, bCells)
   }
 
+  /** [[embeddingNearDupsBucketedTwoLevel]] with coarse×fine MULTI-PROBE
+    * on the a-side ([[Similarity.ivfProbeCellsTwoLevel]], r16): a pair
+    * is found when one side's probe list reaches the other's home cell
+    * — the same asymmetric probing the flat table form uses, now with
+    * the two-level index's second miss surface (a neighbor whose home
+    * COARSE group differs) recoverable via coarseProbe > 1. Pair set is
+    * monotone in both probes; (1, 1) equals the single-probe two-level
+    * form and m = 1 equals the flat table form at the same nprobe
+    * (TwoLevelProbeSpec).
+    */
+  def embeddingNearDupsBucketedTwoLevelProbed(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      coarse: org.apache.spark.sql.Column, fine: DataFrame,
+      coarseProbe: Int, fineProbe: Int): DataFrame = {
+    val aCells = Similarity.ivfProbeCellsTwoLevel(df, idCol, vecCol,
+        coarse, fine, coarseProbe, fineProbe)
+      .withColumnRenamed(idCol, "id_a")
+    val bCells = Similarity.ivfAssignTwoLevel(df, idCol, vecCol, coarse, fine)
+      .withColumnRenamed(idCol, "id_b")
+    nearDupsFromCells(df, idCol, vecCol, threshold, aCells, bCells)
+  }
+
   /** [[semDedup]] over a two-level codebook — keep the lowest id of
     * each cell-local near-dup set, cells from the coarse→refine
     * assignment. Unassigned rows (zero-norm, or a coarse group owning

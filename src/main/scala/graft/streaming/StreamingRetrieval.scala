@@ -53,6 +53,12 @@ object StreamingRetrieval {
     * writes completed, and if the batch replays anyway the ledger
     * makes the replay a no-op — correct, because its rows already
     * live in the `-1` generation. Default 0 keeps folds out-of-band.
+    * Note for serving deployments: a fold swaps directories
+    * (promote-then-retire), so a CONCURRENT search's file listing can
+    * transiently miss between the two renames — the same window
+    * manual compaction always had, but in-band it recurs every
+    * `autoCompactEvery` batches; serving reads should retry on a
+    * listing failure, or keep folds manual where reads cannot.
     */
   def appendBatch(indexDir: String, idCol: String, textCol: String,
                   autoCompactEvery: Int = 0)

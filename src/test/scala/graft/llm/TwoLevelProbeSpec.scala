@@ -111,6 +111,33 @@ class TwoLevelProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("probed two-level near-dup pairs: (1,1) == single-probe form, " +
+      "m = 1 == flat table form, monotone in the probes") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (coarseLit, fine) =
+      Similarity.twoLevelCodebook(corpus, "id", "v", m = 2, nlist = 6)
+    val single = pairs(Dedup.embeddingNearDupsBucketedTwoLevel(
+      corpus, "id", "v", 0.99, coarseLit, fine))
+    val p11 = pairs(Dedup.embeddingNearDupsBucketedTwoLevelProbed(
+      corpus, "id", "v", 0.99, coarseLit, fine, 1, 1))
+    assert(p11 == single)
+    val wide = pairs(Dedup.embeddingNearDupsBucketedTwoLevelProbed(
+      corpus, "id", "v", 0.99, coarseLit, fine, 2, 4))
+    assert(single.subsetOf(wide), "wider probing must never lose a pair")
+    // m = 1: one coarse group owning all fine cells == flat table mode
+    val coarse1 = array(array(centArrays.head.toIndexedSeq.map(lit(_)): _*))
+    val fine1 = centTable.withColumn("coarse", lit(1))
+    for (np <- Seq(1, 3)) {
+      val twoLevel = pairs(Dedup.embeddingNearDupsBucketedTwoLevelProbed(
+        corpus, "id", "v", 0.99, coarse1, fine1, 1, np))
+      val flat = pairs(Dedup.embeddingNearDupsBucketedTable(
+        corpus, "id", "v", 0.99, centTable, np))
+      assert(twoLevel == flat, s"nprobe=$np pair sets differ")
+      assert(flat.nonEmpty)
+    }
+  }
+
   test("probing everything (coarseProbe = m, fineProbe = nlist) is exact " +
       "brute force over the assigned rows") {
     val (coarseLit, fine) =
