@@ -201,7 +201,9 @@ object Bench {
     "q_image_neardup_e2e" -> 1.90, "q_cc_pipeline" -> 1.02,
     "q_asof_join" -> 0.33, "q_pagerank" -> 3.53,
     "q_fuzzy_join" -> 0.50, "q_profile_fold" -> 0.31,
-    "q_warc_roundtrip" -> 0.52, "q_wordpiece_tokens" -> 0.66)
+    "q_warc_roundtrip" -> 0.52, "q_wordpiece_tokens" -> 0.66,
+    // r15-tier rows, pinned r16 from three clean readings
+    "q_crawl_incremental" -> 3.72, "q_semdedup_twolevel" -> 0.82)
 
   /** Representative heavy queries, one per operator family. */
   val headline: Seq[String] = Seq(
