@@ -1417,6 +1417,55 @@ object ScaleBench {
       f""""n_corpus":$nCorpus,"plan_sec":$planSec2%.2f,"sec":$sec2%.2f,""" +
       s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
       s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+
+    // ---- probe-lever RECALL (r16): how many TRUE near-dup pairs does
+    // the two-level tier surface, single-probe vs coarse×fine probing?
+    // Ground truth = exact cosine ≥ t for a ~500-row query slice
+    // against the full corpus (bounded: 5e7 cosines via one broadcast
+    // cross join — never all-pairs). Recall is the fraction of those
+    // pairs each bucketed form finds; the claim is that probing buys
+    // recall at a bounded join-volume multiplier, and that the COARSE
+    // probe recovers pairs no amount of fine probing can see.
+    for (t <- Seq(0.35, 0.8)) {
+      import graft.llm.Dedup
+      val slice = emb.filter(pmod(col("vec_id"), lit(200L)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val gt = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .crossJoin(broadcast(slice))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("__cos", Dedup.dot(col("qv"), col("nv")) /
+          (Dedup.l2norm(col("qv")) * Dedup.l2norm(col("nv"))))
+        .filter(col("__cos") >= t)
+        .select(least(col("qid"), col("nid")).as("id_a"),
+          greatest(col("qid"), col("nid")).as("id_b"))
+        .distinct().persist()
+      val gtN = gt.count()
+      def recallOf(label: String)(pairs: => org.apache.spark.sql.DataFrame): Unit = {
+        listener.reset()
+        val t0 = System.nanoTime()
+        // restrict to pairs touching the slice (ground truth's domain)
+        val found = pairs.select("id_a", "id_b")
+          .join(gt, Seq("id_a", "id_b"), "left_semi").count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        val r = if (gtN == 0) 0.0 else found.toDouble / gtN
+        println(f"""{"semdedup_recall":"$label","threshold":$t%.2f,""" +
+          f""""true_pairs":$gtN,"found":$found,"recall":$r%.4f,""" +
+          f""""sec":$sec%.2f,""" +
+          s""""shuffle_write_bytes":${listener.totShuffleWrite}}""")
+      }
+      recallOf("twolevel_single")(
+        Dedup.embeddingNearDupsBucketedTwoLevel(
+          emb, "vec_id", "embedding", t, coarseLit, fine))
+      recallOf("twolevel_cp1_fp2")(
+        Dedup.embeddingNearDupsBucketedTwoLevelProbed(
+          emb, "vec_id", "embedding", t, coarseLit, fine, 1, 2))
+      recallOf("twolevel_cp2_fp2")(
+        Dedup.embeddingNearDupsBucketedTwoLevelProbed(
+          emb, "vec_id", "embedding", t, coarseLit, fine, 2, 2))
+      gt.unpersist(blocking = true)
+      ()
+    }
   }
 
   /** Dense-retrieval build/search split at 100k vectors — the BM25
