@@ -769,6 +769,23 @@ object QueriesLLM {
       "host", "domain", UrlFunctions.pslRulesTable(spark))
       .select("doc_id", "host", "domain")
 
+  /** The per-domain dominance cap COMPOSED with PSL domains
+    * ([[q_domain_cap]]'s FineWeb-style rule, but the grouping key comes
+    * from the full public-suffix algorithm): where the 2-3-label
+    * approximation would cap `school.nz` — a public suffix — as if it
+    * were one site, the PSL form caps each registrant. Null domains
+    * (hosts that ARE public suffixes) form their own capped group, the
+    * conservative read.
+    */
+  def q_domain_cap_psl(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.sampleExactPerGroup(
+      UrlFunctions.registeredDomainPsl(
+        table(spark, dir, "documents")
+          .select(col("doc_id"), lower(synthHost).as("host")),
+        "host", "domain", UrlFunctions.pslRulesTable(spark)),
+      "doc_id", "domain", n = 50)
+      .select("doc_id", "domain")
+
   /** FineWeb-style per-domain cap: at most 50 documents per registered
     * domain, selected in deterministic content-hash order (the
     * `sampleExactPerGroup` rule) — the crawl-side dominance guard that
@@ -2124,6 +2141,7 @@ object QueriesLLM {
     "q_html_main" -> (q_html_main _),
     "q_url_normalize" -> (q_url_normalize _),
     "q_registered_domain" -> (q_registered_domain _),
+    "q_domain_cap_psl" -> (q_domain_cap_psl _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -2526,6 +2544,58 @@ object QueriesLLM {
        |  epoch::BIGINT AS epoch, n_tok, shard,
        |  (bef // 2048)::BIGINT AS seq_id, (bef % 2048)::BIGINT AS seq_offset
        |FROM packedc""".stripMargin
+  }
+
+  /** Shared DuckDB CTE chain for the PSL oracles: synthesized hosts →
+    * per-row public-suffix algorithm (rule lists inlined from
+    * [[graft.llm.UrlFunctions.defaultPslRules]]; exception > longest
+    * normal/wildcard > implicit `*`; registered = public suffix + one
+    * label, null when the host IS a public suffix) → `dom`
+    * (doc_id, host, domain).
+    */
+  private lazy val pslChainSql: String = {
+    def lst(xs: Seq[String]) = xs.map(r => s"'$r'").mkString("[", ", ", "]")
+    val rules = graft.llm.UrlFunctions.defaultPslRules
+    val normals = lst(rules.filter(r => !r.startsWith("*.") && !r.startsWith("!")))
+    val wilds = lst(rules.filter(_.startsWith("*.")).map(_.substring(2)))
+    val excs = lst(rules.filter(_.startsWith("!")).map(_.substring(1)))
+    s"""WITH hosts AS (
+      |  SELECT doc_id, lower(CASE doc_id % 8
+      |    WHEN 0 THEN 'Sub.Shop.Example.CO.UK'
+      |    WHEN 1 THEN 'news.example.com.au'
+      |    WHEN 2 THEN 'a.b.example.com'
+      |    WHEN 3 THEN 'example.com'
+      |    WHEN 4 THEN 'www.ck'
+      |    WHEN 5 THEN 'foo.bar.ck'
+      |    WHEN 6 THEN 'deep.host.example.school.nz'
+      |    ELSE 'co.uk' END) AS host
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id, host, string_split(host, '.') AS parts,
+      |    len(string_split(host, '.')) AS n
+      |  FROM hosts
+      |), pslscored AS (
+      |  SELECT doc_id, host, parts, n,
+      |    list_aggregate(list_transform(generate_series(1, n), k ->
+      |      CASE WHEN list_contains($excs,
+      |        array_to_string(list_slice(parts, n-k+1, n), '.')) THEN k END),
+      |      'max') AS exc_k,
+      |    coalesce(list_aggregate(list_transform(generate_series(1, n), k ->
+      |      CASE WHEN list_contains($normals,
+      |          array_to_string(list_slice(parts, n-k+1, n), '.'))
+      |        OR (k > 1 AND list_contains($wilds,
+      |          array_to_string(list_slice(parts, n-k+2, n), '.')))
+      |      THEN k END), 'max'), 1) AS pub_k
+      |  FROM base
+      |), dom AS (
+      |  SELECT doc_id, host,
+      |    CASE WHEN exc_k IS NOT NULL
+      |      THEN array_to_string(list_slice(parts, n-exc_k+1, n), '.')
+      |      WHEN n >= pub_k + 1
+      |      THEN array_to_string(list_slice(parts, n-pub_k, n), '.')
+      |    END AS domain
+      |  FROM pslscored
+      |)""".stripMargin
   }
 
   private val oracles0: Map[String, String] = Map(
@@ -3760,49 +3830,16 @@ object QueriesLLM {
     // UrlFunctions.defaultPslRules (exception > longest normal/wildcard
     // > implicit `*`; registered = public suffix + 1 label, null when
     // the host IS a public suffix)
-    "q_registered_domain" -> {
-      def lst(xs: Seq[String]) = xs.map(r => s"'$r'").mkString("[", ", ", "]")
-      val rules = graft.llm.UrlFunctions.defaultPslRules
-      val normals = lst(rules.filter(r => !r.startsWith("*.") && !r.startsWith("!")))
-      val wilds = lst(rules.filter(_.startsWith("*.")).map(_.substring(2)))
-      val excs = lst(rules.filter(_.startsWith("!")).map(_.substring(1)))
-      s"""WITH hosts AS (
-        |  SELECT doc_id, lower(CASE doc_id % 8
-        |    WHEN 0 THEN 'Sub.Shop.Example.CO.UK'
-        |    WHEN 1 THEN 'news.example.com.au'
-        |    WHEN 2 THEN 'a.b.example.com'
-        |    WHEN 3 THEN 'example.com'
-        |    WHEN 4 THEN 'www.ck'
-        |    WHEN 5 THEN 'foo.bar.ck'
-        |    WHEN 6 THEN 'deep.host.example.school.nz'
-        |    ELSE 'co.uk' END) AS host
-        |  FROM documents
-        |), base AS (
-        |  SELECT doc_id, host, string_split(host, '.') AS parts,
-        |    len(string_split(host, '.')) AS n
-        |  FROM hosts
-        |), scored AS (
-        |  SELECT doc_id, host, parts, n,
-        |    list_aggregate(list_transform(generate_series(1, n), k ->
-        |      CASE WHEN list_contains($excs,
-        |        array_to_string(list_slice(parts, n-k+1, n), '.')) THEN k END),
-        |      'max') AS exc_k,
-        |    coalesce(list_aggregate(list_transform(generate_series(1, n), k ->
-        |      CASE WHEN list_contains($normals,
-        |          array_to_string(list_slice(parts, n-k+1, n), '.'))
-        |        OR (k > 1 AND list_contains($wilds,
-        |          array_to_string(list_slice(parts, n-k+2, n), '.')))
-        |      THEN k END), 'max'), 1) AS pub_k
-        |  FROM base
-        |)
-        |SELECT doc_id, host,
-        |  CASE WHEN exc_k IS NOT NULL
-        |    THEN array_to_string(list_slice(parts, n-exc_k+1, n), '.')
-        |    WHEN n >= pub_k + 1
-        |    THEN array_to_string(list_slice(parts, n-pub_k, n), '.')
-        |  END AS domain
-        |FROM scored""".stripMargin
-    },
+    "q_registered_domain" ->
+      (pslChainSql + "\nSELECT doc_id, host, domain FROM dom"),
+    "q_domain_cap_psl" ->
+      (pslChainSql +
+        """, capped AS (
+          |  SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+          |    ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id) AS rn
+          |  FROM dom
+          |)
+          |SELECT doc_id, domain FROM capped WHERE rn <= 50""".stripMargin),
 
     "q_quality_lr" ->
       """WITH toks AS (
