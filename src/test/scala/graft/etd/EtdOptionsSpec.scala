@@ -54,4 +54,20 @@ class EtdOptionsSpec extends AnyFunSuite {
     assert(o.aggregateTable(spark, "Project", "5min").count() == 1,
       "safe-name must route display names to the same file")
   }
+
+  test("weatherDataTable runs the full weather chain off the option folder") {
+    val dir = java.nio.file.Files.createTempDirectory("etdopts_knmi").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "uurgeg_260.txt"))
+    w.println("# KNMI hourly data")
+    w.println("# STN,YYYYMMDD,HH,T,FH,U")
+    (1 to 24).foreach(h => w.println(s"260,20230101,$h,${-10 - h},30,90"))
+    w.close()
+    val o = EtdOptions(weatherDataFolderPath = Some(dir.getAbsolutePath))
+    val wt = o.weatherDataTable(spark)
+    assert(wt.count() == 24)
+    // the chain actually ran: derived measures + rolling/weekly columns
+    Seq("Temperatuur", "TemperatuurRA", "Koudste2WkTemperatuur",
+      "TemperatuurISOWk").foreach(c =>
+      assert(wt.columns.contains(c), s"missing weather column $c"))
+  }
 }
