@@ -1999,15 +1999,18 @@ object QueriesLLM {
             col("text")))
       .withColumn("text", concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com")))
+    // lazy cut at the EXTRACTION output: both gate branches (intake ≥ 5,
+    // token_gate < 5), the ledger, and the kept-side join all read these
+    // blocks — without the cut each consumer re-runs the page-render +
+    // boilerplate-removal regexes, the chain's dominant map cost
+    // (Checkpoints.sweep frees the blocks post-action)
     val gated = corpus0
       .withColumn("main", TextFunctions.htmlMainText(ccPage(col("text"))))
       .withColumn("n_tokens",
         size(TextFunctions.tokens(col("main"))).cast("long"))
-    // lazy cut: the extraction chain is consumed by the ledger AND the
-    // kept-side join below (Checkpoints.sweep frees it post-action)
+      .localCheckpoint(eager = false)
     val intake = gated.filter(col("n_tokens") >= 5)
       .select(col("doc_id"), col("source"), col("main").as("text"))
-      .localCheckpoint(eager = false)
     val ledger = Curation.curateAudit(intake.select("doc_id", "text"),
         "doc_id", "text", minQuality = 0.25, jaccardThreshold = 0.2)
       .localCheckpoint(eager = false)
