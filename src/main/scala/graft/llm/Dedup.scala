@@ -236,6 +236,56 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws("_", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))))
 
+  /** Exact LSH S-curve: the probability two documents at Jaccard `s`
+    * share at least one band key under independent minhashes —
+    * 1 − (1 − s^rows)^bands (Leskovec/Rajaraman/Ullman, MMDS ch. 3).
+    * The planning arithmetic behind [[lshPlan]], exposed so recall
+    * budgets can be stated in numbers, not folklore.
+    */
+  def lshCandidateProbability(s: Double, bands: Int,
+                              rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** LSH band PLAN: the (bands, rowsPerBand) with bands·rows ≤
+    * `numHashes` whose S-curve crossover (1/bands)^(1/rows) sits
+    * closest to `threshold` WITHOUT exceeding it. Below-threshold
+    * crossover errs toward EXTRA candidates — false positives the
+    * exact Jaccard verify stage already removes — never toward missed
+    * true pairs, the unrecoverable direction (banding misses are the
+    * one error the verify can't repair). When even (numHashes, 1)
+    * crosses above the threshold (very low thresholds), that
+    * highest-recall plan is returned. The module's 16/4 default is
+    * exactly `lshPlan(0.8, 16)` — right for near-dup thresholds,
+    * needlessly recall-lossy at e.g. 0.2, which plans to (16, 1).
+    */
+  def lshPlan(threshold: Double, numHashes: Int = 16): (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"lshPlan: threshold must be in (0, 1): $threshold")
+    require(numHashes >= 1, s"lshPlan: numHashes must be >= 1: $numHashes")
+    val plans = (1 to numHashes).map { r =>
+      val b = numHashes / r
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }.filter(_._1 >= 1)
+    val safe = plans.filter(_._3 <= threshold)
+    val pick =
+      if (safe.nonEmpty) safe.maxBy(p => (p._3, p._1)) // closest under t
+      else plans.minBy(_._3)                           // highest recall
+    (pick._1, pick._2)
+  }
+
+  /** [[nearDedup]] with the banding DERIVED from the threshold via
+    * [[lshPlan]] — the parameter a user actually has. Signature length
+    * becomes bands·rows (≤ numHashes; the remainder buys nothing).
+    */
+  def nearDedupPlanned(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, numHashes: Int = 16,
+                       shingleSize: Int = 3, fast: Boolean = false)
+      : DataFrame = {
+    val (b, r) = lshPlan(threshold, numHashes)
+    nearDedup(df, idCol, textCol, jaccardThreshold = threshold,
+      numHashes = b * r, bands = b, shingleSize = shingleSize, fast = fast)
+  }
+
   /** Candidate pairs from LSH banding: documents sharing any band key.
     * The only shuffle is the groupBy on (band index, band key); pairs are
     * generated within buckets and deduplicated. `maxBucket` caps
