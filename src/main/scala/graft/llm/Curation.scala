@@ -42,6 +42,16 @@ object Curation {
     * lowest-id to highest-quality-score (id tie-break) — each cluster
     * keeps its best-written member. The default stays lowest-id, the
     * deterministic rule `q_curation_e2e` pins.
+    *
+    * Banding recall note (r16): the chain uses [[Dedup.nearDedup]]'s
+    * fixed 16-hash/4-band signature — exactly the `lshPlan(0.8, 16)`
+    * S-curve, pinned so the DuckDB oracles replay it. At LOW
+    * `jaccardThreshold` that banding under-generates candidates (a
+    * true pair at s = 0.2 is found with p ≈ 0.006 vs 0.97 under the
+    * planned (16, 1) — [[Dedup.lshCandidateProbability]]); production
+    * runs targeting loose thresholds should dedup through
+    * [[Dedup.nearDedupPlanned]] instead, accepting that its kept set
+    * is banding-dependent and not replayed by the fixed-band oracles.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.25,
