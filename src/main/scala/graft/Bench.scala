@@ -203,7 +203,9 @@ object Bench {
     "q_fuzzy_join" -> 0.50, "q_profile_fold" -> 0.31,
     "q_warc_roundtrip" -> 0.52, "q_wordpiece_tokens" -> 0.66,
     // r15-tier rows, pinned r16 from three clean readings
-    "q_crawl_incremental" -> 3.72, "q_semdedup_twolevel" -> 0.82)
+    "q_crawl_incremental" -> 3.72, "q_semdedup_twolevel" -> 0.82,
+    // r16-new flagship, pinned from three clean r16 readings
+    "q_training_data_e2e" -> 6.52)
 
   /** Representative heavy queries, one per operator family. */
   val headline: Seq[String] = Seq(
