@@ -310,11 +310,17 @@ object Bench {
     // position-independent.
     try {
       import org.apache.spark.sql.functions.col
-      materialize(graft.etd.Impute.imputeColumn(
+      val tiny = graft.etd.Impute.imputeColumn(
         graft.queries.QueriesEtd.withAverages(
           graft.queries.QueriesEtd.readings(spark, sfDir)
             .filter(col("user_id") < 2)),
-        "Meter", keepGapCols = true))
+        "Meter", keepGapCols = true)
+      materialize(tiny)
+      // ...and the summaries shape on the same slice: q_i10 showed the
+      // same (gentler) cold-JVM decay — 5.1 → 4.5 → 4.7 → 4.3 → 3.0 s
+      // in isolation — through the gap-stats + householdSummary aggs
+      materialize(graft.etd.ImputeSummaries.householdSummary(
+        graft.etd.ImputeSummaries.gapStats(tiny, "Meter"), tiny))
     } catch { case _: Throwable => () }
 
     // Each query runs `runs` times and reports the MEDIAN: single runs on
