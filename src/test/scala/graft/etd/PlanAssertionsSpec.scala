@@ -290,6 +290,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("Union"), s"ledger ∪ packed union missing:\n$p")
   }
 
+  test("PSL registered domains: every rule join broadcasts; no cartesian; " +
+      "the candidate explode runs on distinct hosts only") {
+    val p = plan(graft.queries.QueriesLLM.q_registered_domain(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    // normal + wildcard + exception rule tables all ride broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"rule joins must broadcast:\n$p")
+    // one distinct (aggregate) on the host grain BEFORE the explode —
+    // payload rows never fan out by label count
+    assert(p.contains("Generate explode"), s"candidate explode missing:\n$p")
+    assert("HashAggregate".r.findAllIn(p).nonEmpty,
+      s"distinct-hosts aggregate missing:\n$p")
+  }
+
   test("expectations: rule count does not change the plan shape (one scan)") {
     import graft.ops.Expectations.Rule
     val docs = spark.read.parquet(s"$dir/documents.parquet")
