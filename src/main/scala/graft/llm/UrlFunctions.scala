@@ -158,8 +158,35 @@ object UrlFunctions {
     * so the exchange is reused, not extra.
     */
   def registeredDomainPsl(df: DataFrame, hostCol: String, outCol: String,
-                          rules: DataFrame): DataFrame = {
-    val hosts = df.select(lower(col(hostCol)).as("__host")).distinct()
+                          rules: DataFrame): DataFrame =
+    df.withColumn("__host", canonHost(col(hostCol)))
+      .join(
+        registeredDomainTable(df, hostCol, rules)
+          .select(col("host").as("__host"), col("domain").as(outCol)),
+        Seq("__host"), "left")
+      .drop("__host")
+
+  /** Hosts as the PSL matcher sees them: lowercase, FQDN trailing
+    * dot(s) stripped — `example.com.` is the same authority as
+    * `example.com` (RFC 1034 root label) and crawls carry both; the
+    * unstripped form would split to a trailing empty label and
+    * "register" garbage like `com.`.
+    */
+  private def canonHost(host: Column): Column =
+    regexp_replace(lower(host), "\\.+$", "")
+
+  /** The (host, domain) MAPPING behind [[registeredDomainPsl]],
+    * exposed so a pipeline that touches the same hosts repeatedly
+    * (crawl frontier, per-domain dashboards) can compute it once,
+    * persist it like any dimension, and join it wherever needed —
+    * hosts are the only exploded side (≤ label-count candidates per
+    * DISTINCT host, joined against the broadcast rule table, one
+    * hash-agg back to host grain). `host` in the output is the
+    * canonical (lowercase, trailing-dot-stripped) form.
+    */
+  def registeredDomainTable(df: DataFrame, hostCol: String,
+                            rules: DataFrame): DataFrame = {
+    val hosts = df.select(canonHost(col(hostCol)).as("__host")).distinct()
     val lbl = split(col("__host"), "\\.")
     // candidate suffixes: for k = 1..n the last k labels, plus the
     // PARENT string wildcard rules match against
@@ -193,15 +220,12 @@ object UrlFunctions {
         coalesce(max(when(col("__normal") || col("__wild"), col("__k"))),
           lit(1)).as("__pub_k"))
     val lblH = split(col("__host"), "\\.")
-    val mapping = matched.select(col("__host"),
+    matched.select(col("__host").as("host"),
       coalesce(col("__exc_dom"),
         when(col("__n") >= col("__pub_k") + 1,
           concat_ws(".",
             slice(lblH, col("__n") - col("__pub_k"), col("__pub_k") + 1))))
-        .as(outCol))
-    df.withColumn("__host", lower(col(hostCol)))
-      .join(mapping, Seq("__host"), "left")
-      .drop("__host")
+        .as("domain"))
   }
 
   /** Canonical URL: lowercase scheme and host, strip userinfo is NOT

@@ -65,7 +65,9 @@ class UrlAndMainSpec extends AnyFunSuite {
       "bar.ck",                 // IS a public suffix (wildcard) -> null
       "co.uk",                  // IS a public suffix -> null
       "host.unknowntld",        // implicit * rule: last 2 labels
-      "localhost"               // single label, no rule -> null
+      "localhost",              // single label, no rule -> null
+      "News.Example.COM.AU.",   // FQDN trailing dot + case: canonical form
+      "trail.example.co.uk.."   // pathological multi-dot tail
     ).toDF("host")
     val got = UrlFunctions.registeredDomainPsl(hosts, "host", "domain", psl)
       .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
@@ -80,6 +82,11 @@ class UrlAndMainSpec extends AnyFunSuite {
     assert(got("co.uk") == None)
     assert(got("host.unknowntld") == Some("host.unknowntld"))
     assert(got("localhost") == None)
+    // RFC 1034 root label: a trailing dot is the same authority — the
+    // unstripped form would split a trailing empty label and register
+    // garbage like `com.au.`
+    assert(got("News.Example.COM.AU.") == Some("example.com.au"))
+    assert(got("trail.example.co.uk..") == Some("example.co.uk"))
     // the documented gap the PSL form closes: the approximation returns
     // school.nz (a public suffix!) as the registered domain
     val approx = Seq("example.school.nz").toDF("h")
