@@ -211,4 +211,47 @@ object Packing {
         least(arrSize(col("__toks")) - col("__start"), lit(size)).cast("long"))
       .drop("__toks", "__start", textCol)
   }
+
+  /** Per-(document × sequence) OCCUPANCY manifest over
+    * [[packSequences]]' layout — what a trainer actually consumes when
+    * documents straddle sequence boundaries (loss masks, attention
+    * resets, "which docs does sequence s contain"): one row per
+    * sequence a document occupies, with the in-sequence start offset
+    * and the token count landing there. A document at global shard
+    * position `bef` with `n` tokens occupies sequences
+    * `bef div B .. (bef+n−1) div B`; in sequence `s` it starts at
+    * `max(bef, s·B) − s·B` and carries
+    * `min(bef+n, (s+1)·B) − max(bef, s·B)` tokens. Zero-token
+    * documents occupy no sequence (they have a [[packSequences]]
+    * coordinate but no mass — emitting a zero-count row would corrupt
+    * mask construction). Map-side from the pack assignment (bef is
+    * recomputed as seq_id·B + seq_offset; the straddle explode emits
+    * ≤ ⌈n/B⌉+1 rows per doc) — no extra shuffle beyond
+    * [[packSequences]]' own window.
+    *
+    * Output: idCol, `shard`, `seq_id`, `seq_start` (offset of the
+    * doc's first token IN this sequence), `n_in_seq`.
+    */
+  def sequenceManifest(df: DataFrame, idCol: String, tokenCol: String,
+                       budget: Long, shards: Int): DataFrame = {
+    val packed = packSequences(df, idCol, tokenCol, budget, shards)
+    val n = col(tokenCol).cast("long")
+    val bef = col("seq_id") * budget + col("seq_offset")
+    val firstSeq = col("seq_id")
+    // integer division (Column `/` is double): exact below 2^53 — the
+    // same contract packSequences' `div` expression carries
+    val lastSeq = floor((bef + n - 1) / budget).cast("long")
+    packed
+      .filter(n > 0)
+      .select(col(idCol), col("shard"), n.as("__n"), bef.as("__bef"),
+        explode(sequence(firstSeq, lastSeq)).as("seq_id"))
+      .withColumn("__seqbase", col("seq_id") * budget)
+      .withColumn("seq_start",
+        greatest(col("__bef"), col("__seqbase")) - col("__seqbase"))
+      .withColumn("n_in_seq",
+        least(col("__bef") + col("__n"), col("__seqbase") + budget) -
+          greatest(col("__bef"), col("__seqbase")))
+      .select(col(idCol), col("shard"), col("seq_id"),
+        col("seq_start"), col("n_in_seq"))
+  }
 }

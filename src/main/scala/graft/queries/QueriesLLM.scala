@@ -523,6 +523,21 @@ object QueriesLLM {
         "doc_id", "n_tok", budget = 2048L, shards = 4)
       .select("doc_id", "shard", "seq_id", "seq_offset")
 
+  /** Per-(document × sequence) occupancy manifest over the packed
+    * layout ([[Packing.sequenceManifest]]): the loss-mask / attention-
+    * reset view a trainer consumes — straddling documents emit one row
+    * per sequence they occupy with the in-sequence start and token
+    * count. Same corpus and parameters as [[q_pack_sequences]]; the
+    * oracle extends that query's running-sum CTE with the straddle
+    * expansion.
+    */
+  def q_pack_manifest(spark: SparkSession, dir: String): DataFrame =
+    Packing.sequenceManifest(
+      table(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.regexTokenCount(col("text")).cast("long").as("n_tok")),
+      "doc_id", "n_tok", budget = 2048L, shards = 4)
+
   /** Cross-document duplicate 5-gram spans over the duplicated corpus
     * (doc pairs (d, d+10000) share their full text, so whole documents
     * surface as single spans; natural cross-document repetition adds
@@ -2095,6 +2110,7 @@ object QueriesLLM {
     "q_contamination_bloom" -> (q_contamination_bloom _),
     "q_sample_hash" -> (q_sample_hash _),
     "q_pack_sequences" -> (q_pack_sequences _),
+    "q_pack_manifest" -> (q_pack_manifest _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
     "q_multimodal_decode" -> (q_multimodal_decode _),
     "q_multimodal_audio" -> (q_multimodal_audio _),
@@ -3375,6 +3391,29 @@ object QueriesLLM {
         |SELECT doc_id, shard, (bef // 2048)::BIGINT AS seq_id,
         |  (bef % 2048)::BIGINT AS seq_offset
         |FROM c""".stripMargin,
+    // the straddle expansion over the same running-sum layout: one row
+    // per sequence a document occupies (zero-token docs occupy none)
+    "q_pack_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n,
+        |    ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 4 AS shard
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, shard, n,
+        |    (sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n AS bef
+        |  FROM t
+        |), occ AS (
+        |  SELECT doc_id, shard, n, bef,
+        |    unnest(generate_series(bef // 2048, (bef + n - 1) // 2048)) AS seq_id
+        |  FROM c WHERE n > 0
+        |)
+        |SELECT doc_id, shard, seq_id::BIGINT AS seq_id,
+        |  (greatest(bef, seq_id * 2048) - seq_id * 2048)::BIGINT AS seq_start,
+        |  (least(bef + n, (seq_id + 1) * 2048)
+        |    - greatest(bef, seq_id * 2048))::BIGINT AS n_in_seq
+        |FROM occ""".stripMargin,
     // the arithmetic shortcut for the PNG-header round-trip: dims derive
     // from (doc_id, k), patch cost = ceil(w/14)*ceil(h/14) + 2 boundary
     // tokens per image, doc_id % 3 images per doc
