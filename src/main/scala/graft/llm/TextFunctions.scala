@@ -474,6 +474,38 @@ object TextFunctions {
     pmod(hash64(concat(key, lit(salt))), lit(1000000L)) < rateExpr
   }
 
+  /** Deterministic SPLIT assignment (train/validation/test — every
+    * training-data pipeline's final fork): each document's label is the
+    * first split whose cumulative micro-fraction exceeds its
+    * content-hash bucket. Same hash domain and guarantees as
+    * [[hashSamplePredicate]]: stable under corpus growth (a document
+    * never changes split when new data arrives — the leakage-safety
+    * property an RNG split lacks), engine-portable, order declared by
+    * the caller (`splits` is a Seq, not a Map — boundaries depend on
+    * it). Fractions must sum to 1 in micro-units (an implicit remainder
+    * split would silently absorb rounding). Different salts give
+    * independent partitions (cross-validation folds). One literal CASE
+    * chain — map-side, no join, no RNG.
+    */
+  def splitAssign(key: Column, splits: Seq[(String, Double)],
+                  salt: String = "split"): Column = {
+    require(splits.nonEmpty, "splitAssign: splits must be non-empty")
+    splits.foreach { case (n, f) =>
+      require(f >= 0 && f <= 1, s"splitAssign: fraction out of [0,1]: $n=$f") }
+    val micro = splits.map { case (n, f) => (n, math.round(f * 1000000)) }
+    require(micro.map(_._2).sum == 1000000L,
+      s"splitAssign: fractions must sum to 1 (micro-units), got " +
+        s"${micro.map(_._2).sum}")
+    val bucket = pmod(hash64(concat(key, lit(salt))), lit(1000000L))
+    val cum = micro.scanLeft(0L)(_ + _._2).tail
+    // CASE bucket < cum_1 → s_1 WHEN bucket < cum_2 → s_2 … — the final
+    // otherwise(null) is unreachable (bucket < 1e6 = the last cum)
+    micro.zip(cum).reverse.foldLeft(lit(null).cast("string")) {
+      case (elseExpr, ((name, _), hi)) =>
+        when(bucket < hi, lit(name)).otherwise(elseExpr)
+    }
+  }
+
   /** PER-ROW weighted (Poisson) sampling predicate — the continuous
     * extension of [[stratifiedSamplePredicate]]: each row keeps with
     * ITS OWN probability (a quality score, an importance weight, a

@@ -2070,6 +2070,20 @@ object QueriesLLM {
       .unionByName(packed)
   }
 
+  /** Deterministic train/validation/test assignment
+    * ([[TextFunctions.splitAssign]], 90/5/5): per-document label from
+    * the content-hash bucket against cumulative micro-fractions —
+    * stable under corpus growth (no document changes split when data
+    * arrives), no RNG. Output at document grain so the hash compare
+    * pins every single assignment, not just the counts.
+    */
+  def q_split_assign(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.splitAssign(col("doc_id").cast("string"),
+          Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05))
+          .as("split"))
+
   /** DSIR importance log-weights against a deterministic target slice
     * (doc_id % 7 == 0 — the slice definition is the caller's business;
     * the operator only needs a boolean predicate).
@@ -2151,6 +2165,7 @@ object QueriesLLM {
     "q_curation_e2e" -> (q_curation_e2e _),
     "q_curation_audit" -> (q_curation_audit _),
     "q_training_data_e2e" -> (q_training_data_e2e _),
+    "q_split_assign" -> (q_split_assign _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_bpe_pairs" -> (q_bpe_pairs _),
@@ -2619,6 +2634,12 @@ object QueriesLLM {
 
   private val oracles0: Map[String, String] = Map(
     "q_training_data_e2e" -> trainingDataSql,
+    "q_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR||'split'),1,15))::BIGINT % 1000000 < 900000 THEN 'train'
+        |       WHEN ('0x'||substr(md5(doc_id::VARCHAR||'split'),1,15))::BIGINT % 1000000 < 950000 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "q_dedup_exact" -> (dupCorpusSql +
       """ SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_dups

@@ -49,6 +49,36 @@ class LshPlanSpec extends AnyFunSuite {
     assert(Dedup.lshCandidateProbability(0.2, 4, 4) < 0.01)
   }
 
+  test("splitAssign: exhaustive, disjoint, growth-stable, salt-independent") {
+    import org.apache.spark.sql.functions._
+    val splits = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+    val ids = (1L to 2000L).toDF("id")
+    val got = ids.select(col("id"),
+      TextFunctions.splitAssign(col("id").cast("string"), splits).as("s"))
+    val counts = got.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exhaustive and disjoint: every row labeled, labels only from splits
+    assert(counts.keySet.subsetOf(splits.map(_._1).toSet))
+    assert(counts.values.sum == 2000L)
+    // proportions near fractions (hash-uniform; 2000 rows, ±4 sd)
+    assert(math.abs(counts("train") - 1600L) < 120)
+    // growth stability: adding rows never relabels an existing one
+    val before = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = (1L to 4000L).toDF("id")
+      .select(col("id"), TextFunctions.splitAssign(
+        col("id").cast("string"), splits).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before.forall { case (k, v) => after(k) == v })
+    // independent partitions under different salts
+    val other = ids.select(TextFunctions.splitAssign(
+        col("id").cast("string"), splits, salt = "fold2").as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(other.values.sum == 2000L)
+    // fractions must sum to 1 exactly
+    assertThrows[IllegalArgumentException](
+      TextFunctions.splitAssign(col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
   test("nearDedupPlanned == nearDedup with the plan's explicit params") {
     val docs = (1L to 40L).map { i =>
       val base = s"alpha beta gamma delta epsilon zeta eta theta word$i"
