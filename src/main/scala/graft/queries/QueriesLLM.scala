@@ -2084,6 +2084,27 @@ object QueriesLLM {
           Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05))
           .as("split"))
 
+  /** LEAKAGE-SAFE splits: assignment keyed by the near-dup CLUSTER id
+    * (LSH pairs → connected components; singletons key on their own
+    * doc_id), so every member of a duplicate cluster lands in the SAME
+    * split — the document-keyed form leaks near-identical text across
+    * train/test, the classic eval-inflation failure
+    * ([[q_split_assign]] composed with [[q_dedup_cluster]]'s
+    * machinery). Assignments hash-exact per document.
+    */
+  def q_split_leakage_safe(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val clusters = Dedup.clusterPairs(
+        Dedup.lshCandidatePairs(corpus, "doc_id", "text"))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    corpus.join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("split_key"),
+        TextFunctions.splitAssign(col("split_key").cast("string"),
+          Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05),
+          salt = "cluster-split").as("split"))
+  }
+
   /** DSIR importance log-weights against a deterministic target slice
     * (doc_id % 7 == 0 — the slice definition is the caller's business;
     * the operator only needs a boolean predicate).
@@ -2166,6 +2187,7 @@ object QueriesLLM {
     "q_curation_audit" -> (q_curation_audit _),
     "q_training_data_e2e" -> (q_training_data_e2e _),
     "q_split_assign" -> (q_split_assign _),
+    "q_split_leakage_safe" -> (q_split_leakage_safe _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_bpe_pairs" -> (q_bpe_pairs _),
@@ -2640,6 +2662,18 @@ object QueriesLLM {
         |       WHEN ('0x'||substr(md5(doc_id::VARCHAR||'split'),1,15))::BIGINT % 1000000 < 950000 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "q_split_leakage_safe" -> (
+      dupCorpusSql.replaceFirst("WITH corpus", "WITH RECURSIVE corpus") +
+      minhashSql + ccClustersSql +
+      """, keyed AS (
+        |  SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id)::BIGINT AS split_key
+        |  FROM corpus c LEFT JOIN clusters cl ON c.doc_id = cl.id
+        |)
+        |SELECT doc_id, split_key,
+        |  CASE WHEN ('0x'||substr(md5(split_key::VARCHAR||'cluster-split'),1,15))::BIGINT % 1000000 < 900000 THEN 'train'
+        |       WHEN ('0x'||substr(md5(split_key::VARCHAR||'cluster-split'),1,15))::BIGINT % 1000000 < 950000 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM keyed""".stripMargin),
     "q_dedup_exact" -> (dupCorpusSql +
       """ SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_dups

@@ -79,6 +79,19 @@ class LshPlanSpec extends AnyFunSuite {
       TextFunctions.splitAssign(col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("leakage-safe splits: every near-dup cluster lands in ONE split") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.QueriesLLM
+      .q_split_leakage_safe(spark, "/root/testdata/sf0.001")
+    val perKey = df.groupBy("split_key")
+      .agg(countDistinct(col("split")).as("n_splits"),
+        count(lit(1)).as("members"))
+    assert(perKey.filter(col("n_splits") =!= 1).count() == 0,
+      "a cluster must never straddle splits")
+    assert(perKey.filter(col("members") > 1).count() > 0,
+      "the duplicated fixture must actually produce multi-member clusters")
+  }
+
   test("nearDedupPlanned == nearDedup with the plan's explicit params") {
     val docs = (1L to 40L).map { i =>
       val base = s"alpha beta gamma delta epsilon zeta eta theta word$i"
