@@ -18,8 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   * val opts = EtdOptions(
-  *   mappedFolderPath = "s3a://bucket/mapped",
-  *   aggregateFolderPath = "s3a://bucket/aggregate")
+  *   mappedFolderPath = "hdfs:///warehouse/mapped",
+  *   aggregateFolderPath = "hdfs:///warehouse/aggregate")
   * val hh = opts.householdTables(spark)        // get_household_tables
   * val pr = opts.projectTables(spark)          // get_project_tables
   * val ix = opts.indexTable(spark)             // read index.parquet
