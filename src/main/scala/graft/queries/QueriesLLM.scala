@@ -2090,7 +2090,10 @@ object QueriesLLM {
     * split — the document-keyed form leaks near-identical text across
     * train/test, the classic eval-inflation failure
     * ([[q_split_assign]] composed with [[q_dedup_cluster]]'s
-    * machinery). Assignments hash-exact per document.
+    * machinery). Clustering the CANDIDATE pairs (no Jaccard verify) is
+    * deliberate: candidates ⊇ verified near-dups, so over-grouping can
+    * only make splits MORE leak-proof — the conservative direction for
+    * a safety property. Assignments hash-exact per document.
     */
   def q_split_leakage_safe(spark: SparkSession, dir: String): DataFrame = {
     val corpus = dupCorpus(spark, dir)
