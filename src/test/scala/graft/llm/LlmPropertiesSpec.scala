@@ -98,6 +98,64 @@ class LlmPropertiesSpec extends AnyFunSuite {
     }, n = 15)
   }
 
+  test("property: sequenceManifest conserves tokens and never overfills " +
+      "a sequence, for random sizes and budgets") {
+    val docsGen = Gen.choose(3, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 40L)))
+    check(Prop.forAll(docsGen, Gen.choose(5L, 16L)) { (sizes, budget) =>
+      val docs = sizes.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+      val rows = Packing.sequenceManifest(docs, "id", "n", budget, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val byDoc = rows.groupBy(_._1)
+      val conserve = sizes.zipWithIndex.forall { case (n, i) =>
+        byDoc.get(i.toLong).map(_.map(_._5).sum).getOrElse(0L) == n }
+      val capacity = rows.groupBy(r => (r._2, r._3))
+        .forall { case (_, rs) =>
+          val tot = rs.map(_._5).sum
+          tot <= budget &&
+            // rows inside one sequence tile it without overlap
+            rs.sortBy(_._4).foldLeft((true, 0L)) { case ((ok, pos), r) =>
+              (ok && r._4 >= pos, r._4 + r._5) }._1
+        }
+      val positive = rows.forall(r => r._5 >= 1 && r._4 >= 0 && r._4 < budget)
+      conserve && capacity && positive
+    })
+  }
+
+  test("property: splitAssign is exhaustive and respects cumulative " +
+      "boundaries for random fraction vectors") {
+    // random 3-way micro-fraction split summing to exactly 1e6
+    val fracGen = for {
+      a <- Gen.choose(1L, 999998L)
+      b <- Gen.choose(1L, 999999L - a)
+    } yield Seq("s0" -> a / 1e6, "s1" -> b / 1e6,
+      "s2" -> (1000000L - a - b) / 1e6)
+    check(Prop.forAll(fracGen, Gen.choose(50, 300)) { (splits, nDocs) =>
+      val ids = (1L to nDocs.toLong).toDF("id")
+      val got = ids.select(col("id"),
+          TextFunctions.splitAssign(col("id").cast("string"), splits).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      // exhaustive (no nulls) and labels only from the declared splits
+      got.forall(_._2 != null) &&
+        got.map(_._2).toSet.subsetOf(splits.map(_._1).toSet) &&
+        // replays the exact boundary arithmetic
+        got.forall { case (id, s) =>
+          val bucket = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest((id.toString + "split").getBytes("UTF-8"))
+            val hex = md.take(8).map("%02x".format(_)).mkString.take(15)
+            java.lang.Long.parseLong(hex, 16) % 1000000L
+          }
+          val micro = splits.map(p => math.round(p._2 * 1000000))
+          val cum = micro.scanLeft(0L)(_ + _).tail
+          val want = splits(cum.indexWhere(bucket < _))._1
+          s == want
+        }
+    })
+  }
+
   test("property: PqAdcScore equals the direct lookup sum") {
     val mGen = Gen.choose(1, 4)
     check(Prop.forAll(mGen, Gen.choose(2, 4)) { (m, k) =>
