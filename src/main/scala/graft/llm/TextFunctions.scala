@@ -485,7 +485,10 @@ object TextFunctions {
     * it). Fractions must sum to 1 in micro-units (an implicit remainder
     * split would silently absorb rounding). Different salts give
     * independent partitions (cross-validation folds). One literal CASE
-    * chain — map-side, no join, no RNG.
+    * chain — map-side, no join, no RNG. A NULL key gets a NULL label
+    * (null-keyed rows have no stable identity to keep split-stable;
+    * assigning them anywhere would be an invisible leak surface — the
+    * caller filters or keys them explicitly).
     */
   def splitAssign(key: Column, splits: Seq[(String, Double)],
                   salt: String = "split"): Column = {
