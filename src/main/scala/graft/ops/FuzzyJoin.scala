@@ -82,6 +82,43 @@ object FuzzyJoin {
       struct(g.as("g"), (i + lit(1)).as("pos")))
   }
 
+  /** Distinct strings with their lengths — the vocabulary-scale table
+    * every stage below runs on.
+    */
+  private def distinctStrings(df: DataFrame, strCol: String): DataFrame =
+    df.select(col(strCol).as("s")).distinct()
+      .withColumn("len", length(col("s")))
+
+  /** The pre-aggregation gram join — the positional band, length band,
+    * ordering, and short-pair exclusion written ONCE (ADVICE r16:
+    * [[gramJoinRows]] previously re-implemented this 4-clause predicate,
+    * so a band tweak in [[candidates]] could silently diverge the
+    * benchmark metric from the operator it claims to measure). Output:
+    * one row per surviving banded gram co-occurrence,
+    * (s_a, s_b, __la, __lb).
+    */
+  private def gramJoinRaw(s: DataFrame, maxDist: Int, q: Int): DataFrame = {
+    val shortLen = q * maxDist // count bound can reach 0 at or below this
+    val grams = s.select(col("s"), col("len"),
+        explode(posGrams(col("s"), q)).as("go"))
+      .select(col("s"), col("len"),
+        col("go.g").as("g"), col("go.pos").as("pos"))
+    grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") &&
+          // positional band (Gravano Q3): a surviving gram shifts by at
+          // most one position per edit, so true pairs meet inside ±k;
+          // distant same-gram hits — the dominant false-candidate
+          // source — no longer join at all
+          abs(col("a.pos") - col("b.pos")) <= maxDist &&
+          col("a.s") < col("b.s") &&
+          abs(col("a.len") - col("b.len")) <= maxDist &&
+          // short×short pairs belong to the all-pairs bucket;
+          // excluding them here makes the union disjoint (no distinct)
+          greatest(col("a.len"), col("b.len")) > shortLen)
+      .select(col("a.s").as("s_a"), col("b.s").as("s_b"),
+        col("a.len").as("__la"), col("b.len").as("__lb"))
+  }
+
   /** The shared candidate pipeline (ADVICE r11: written ONCE so the
     * benchmark's "verify set" number measures the exact pipeline the
     * operator runs): (gram-join pairs surviving the count bound,
@@ -92,27 +129,10 @@ object FuzzyJoin {
                          q: Int): (DataFrame, DataFrame) = {
     require(maxDist >= 1, "editDistancePairs: maxDist must be >= 1")
     require(q >= 2, "editDistancePairs: q must be >= 2")
-    val s = df.select(col(strCol).as("s")).distinct()
-      .withColumn("len", length(col("s")))
+    val s = distinctStrings(df, strCol)
     val shortLen = q * maxDist // count bound can reach 0 at or below this
-    val grams = s.select(col("s"), col("len"),
-        explode(posGrams(col("s"), q)).as("go"))
-      .select(col("s"), col("len"),
-        col("go.g").as("g"), col("go.pos").as("pos"))
-    val gramPairs = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") &&
-          // positional band (Gravano Q3): a surviving gram shifts by at
-          // most one position per edit, so true pairs meet inside ±k;
-          // distant same-gram hits — the dominant false-candidate
-          // source — no longer join at all
-          abs(col("a.pos") - col("b.pos")) <= maxDist &&
-          col("a.s") < col("b.s") &&
-          abs(col("a.len") - col("b.len")) <= maxDist &&
-          // short×short pairs belong to the all-pairs bucket below;
-          // excluding them here makes the union disjoint (no distinct)
-          greatest(col("a.len"), col("b.len")) > shortLen)
-      .groupBy(col("a.s").as("s_a"), col("b.s").as("s_b"),
-        col("a.len").as("__la"), col("b.len").as("__lb"))
+    val gramPairs = gramJoinRaw(s, maxDist, q)
+      .groupBy(col("s_a"), col("s_b"), col("__la"), col("__lb"))
       .agg(count(lit(1)).as("__shared"))
       // Gravano count filter: ed ≤ k ⇒ multiset-shared ≥ max(len)+q−1−k·q
       .filter(col("__shared") >=
@@ -152,24 +172,11 @@ object FuzzyJoin {
   /** Gram-join OUTPUT rows (pre-aggregation) — the stage whose volume
     * the positional band cuts relative to the unbanded Σ df(g)² bill;
     * ScaleBench `fuzzy` reports it next to the single-gram bill and the
-    * surviving verify set. Rebuilt from the same projections
-    * [[candidates]] uses.
+    * surviving verify set. Counts the SAME [[gramJoinRaw]] frame
+    * [[candidates]] aggregates, so the metric can never diverge from
+    * the operator.
     */
   def gramJoinRows(df: DataFrame, strCol: String, maxDist: Int,
-                   q: Int = 2): Long = {
-    val s = df.select(col(strCol).as("s")).distinct()
-      .withColumn("len", length(col("s")))
-    val shortLen = q * maxDist
-    val grams = s.select(col("s"), col("len"),
-        explode(posGrams(col("s"), q)).as("go"))
-      .select(col("s"), col("len"),
-        col("go.g").as("g"), col("go.pos").as("pos"))
-    grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") &&
-          abs(col("a.pos") - col("b.pos")) <= maxDist &&
-          col("a.s") < col("b.s") &&
-          abs(col("a.len") - col("b.len")) <= maxDist &&
-          greatest(col("a.len"), col("b.len")) > shortLen)
-      .count()
-  }
+                   q: Int = 2): Long =
+    gramJoinRaw(distinctStrings(df, strCol), maxDist, q).count()
 }

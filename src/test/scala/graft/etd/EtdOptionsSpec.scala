@@ -55,6 +55,61 @@ class EtdOptionsSpec extends AnyFunSuite {
       "safe-name must route display names to the same file")
   }
 
+  test("projectWeatherStationTable + joinWeather resolve both dimensions from options (knmi.py:9-27)") {
+    // unset option fails loudly
+    assertThrows[RuntimeException](EtdOptions().projectWeatherStationTable(spark))
+
+    // xlsx fixture: ProjectWeatherStation sheet with ProjectIdBSV /
+    // Weerstation / Nummer, names lowercase on purpose (the facade must
+    // upper-case them like the reference)
+    val xf = java.nio.file.Files.createTempFile("stations", ".xlsx").toFile
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(xf))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?>
+        |<sst><si><t>ProjectIdBSV</t></si><si><t>Weerstation</t></si>
+        |<si><t>Nummer</t></si><si><t>de bilt</t></si></sst>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2"><v>7</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>260</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+
+    val wdir = java.nio.file.Files.createTempDirectory("etdopts_knmi2").toFile
+    val w = new java.io.PrintWriter(new java.io.File(wdir, "uurgeg_260.txt"))
+    w.println("# STN,YYYYMMDD,HH,T,FH,U")
+    (1 to 24).foreach(h => w.println(s"260,20230101,$h,${-50 + h},30,90"))
+    w.close()
+
+    val o = EtdOptions(
+      weatherDataFolderPath = Some(wdir.getAbsolutePath),
+      weatherStationsSummaryFile = Some(xf.getAbsolutePath))
+
+    val m = o.projectWeatherStationTable(spark)
+    val mr = m.collect()
+    assert(mr.length == 1)
+    assert(mr.head.getAs[String]("Weerstation") == "DE BILT")
+    assert(mr.head.getAs[Long]("STN") == 260L)
+
+    // the options-resolved join path: station stamp + 3-key weather join
+    val rd = Seq((1L, 7L, java.sql.Timestamp.valueOf("2023-01-01 09:00:00")))
+      .toDF("HuisIdBSV", "ProjectIdBSV", "ReadingDate")
+    val joined = o.joinWeather(spark, rd).collect()
+    assert(joined.length == 1)
+    val row = joined.head
+    assert(row.getAs[String]("Weerstation") == "DE BILT")
+    assert(row.getAs[Long]("STN") == 260L)
+    // HH = hour + 1 key derivation found the 10th hour's row: T = -40 -> -4.0
+    assert(math.abs(row.getAs[Double]("Temperatuur") - (-4.0)) < 1e-9)
+  }
+
   test("weatherDataTable runs the full weather chain off the option folder") {
     val dir = java.nio.file.Files.createTempDirectory("etdopts_knmi").toFile
     val w = new java.io.PrintWriter(new java.io.File(dir, "uurgeg_260.txt"))
