@@ -207,6 +207,68 @@ object Bench {
     // r16-new flagship, pinned from three clean r16 readings
     "q_training_data_e2e" -> 6.52)
 
+  /** Per-query pinned process-CPU/wall ratios — mean of two clean
+    * same-binary sessions (the r16 judge protocol run at offset 1.15
+    * and the r17 builder run at offset 1.03). The WITHIN-RUN contention
+    * signal VERDICT r16 #1 demanded: a scheduler/I-O-starved query's
+    * cpu/wall COLLAPSES relative to this table (BENCH_r16's poisoned
+    * q_simhash read 1.16 against a 1.9-2.6 clean history) while its
+    * wall inflates — a combination no real plan regression produces
+    * (regressions keep the cores busy). Clean sessions sit within
+    * ~0.8-1.2x of these pins; the alert threshold is 0.7x AND 1.5x
+    * wall, so both gates must trip together.
+    */
+  val referenceCpuWall: Map[String, Double] = Map(
+    "q_agg_pricing" -> 3.57, "q_pipeline_e2e" -> 3.65,
+    "q_pipeline_full13" -> 10.87, "q_i7_impute_cascade" -> 3.49,
+    "q_i1_avg_diff" -> 2.47, "q_i10_summary_house" -> 3.67,
+    "q_i11_cumsum_rebuild" -> 1.96, "q_i13_energy_balance" -> 1.83,
+    "q_a8_resample" -> 2.38, "q_a6a7_project_agg" -> 1.72,
+    "q_w1_rolling" -> 1.73, "q_w12_mark_coldest" -> 2.30,
+    "q_weather_table" -> 2.79, "q_j3_weather_join" -> 2.56,
+    "q_dedup_exact" -> 2.95, "q_dedup_spans" -> 2.63,
+    "q_minhash_sig" -> 1.89, "q_minhash_fast" -> 4.16,
+    "q_lsh_pairs" -> 1.47, "q_near_dup_jaccard" -> 2.57,
+    "q_jaccard_join" -> 2.55, "q_simhash" -> 1.90,
+    "q_embed_cosine_dup" -> 1.28, "q_embed_dup_ivf" -> 2.65,
+    "q_ann_topk" -> 1.93, "q_ann_pq" -> 1.74, "q_ann_ivfpq" -> 2.09,
+    "q_bpe_pairs" -> 2.27, "q_text_quality" -> 1.62,
+    "q_text_fingerprint" -> 1.45, "q_text_bigram_lm" -> 1.90,
+    "q_kn_score" -> 3.41, "q_bm25_topk" -> 2.03,
+    "q_bm25_indexed" -> 3.24, "q_bm25_incremental" -> 3.03,
+    "q_contamination_bloom" -> 1.89, "q_curation_e2e" -> 2.03,
+    "q_image_neardup_e2e" -> 2.17, "q_cc_pipeline" -> 2.12,
+    "q_asof_join" -> 2.30, "q_pagerank" -> 3.70,
+    "q_fuzzy_join" -> 3.62, "q_profile_fold" -> 3.05,
+    "q_warc_roundtrip" -> 1.56, "q_wordpiece_tokens" -> 1.67,
+    "q_crawl_incremental" -> 1.60, "q_semdedup_twolevel" -> 2.38,
+    "q_training_data_e2e" -> 1.71)
+
+  /** The per-query within-run alert decision (VERDICT r16 #1), pure so
+    * the poisoned-artifact histories pin it in BenchDetectorSpec:
+    *  - `dispersion`: the query's own runs disagree >2x median/min
+    *    (BENCH_r15's poisoned rows were bimodal inside one run);
+    *  - `cpu_wall_collapse`: measured cpu/wall < 0.7x the pinned ratio
+    *    WHILE median wall > 1.5x the pinned median — stolen cores, not
+    *    a plan regression (regressions keep the cores busy);
+    *  - `slow_vs_pin`: median > 2.5x the pinned median (r16's poisoned
+    *    q_simhash read 20x; the JIT-warm-up families max out ~1.6x).
+    * Any reason ⇒ the caller re-runs the whole block once and keeps the
+    * cleaner block.
+    */
+  def alertReasons(name: String, medianSec: Double, dispersion: Double,
+                   cpuWall: Double): List[String] = {
+    val pinSec = referenceMedians.get(name)
+    val pinCw = referenceCpuWall.get(name)
+    List(
+      if (dispersion > 2.0) Some("dispersion") else None,
+      if (cpuWall > 0 && pinCw.exists(cpuWall < 0.7 * _) &&
+          pinSec.exists(medianSec > 1.5 * _)) Some("cpu_wall_collapse")
+      else None,
+      if (pinSec.exists(medianSec > 2.5 * _)) Some("slow_vs_pin")
+      else None).flatten
+  }
+
   /** Representative heavy queries, one per operator family. */
   val headline: Seq[String] = Seq(
     "q_agg_pricing",
@@ -291,6 +353,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     SchemaCanary.warn(spark, sfDir)
 
+    // ---- pre-flight gate (VERDICT r16 #1): two consecutive driver
+    // rounds started onto an already-loaded box (r16's loadavg was 4.0
+    // at run start) and produced non-comparable artifacts. Delay the
+    // timed section while the 1-minute loadavg exceeds nCpus/8, bounded
+    // so a busy-forever box still benches (flagged) rather than hangs.
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    val preflightThreshold = nCpus / 8.0
+    val preflightMaxWaitSec = sys.env.getOrElse(
+      "SPARK_GRAFT_PREFLIGHT_MAX_WAIT", "90").toInt
+    var preflightWaited = 0
+    while (loadavg.exists(_.head > preflightThreshold) &&
+           preflightWaited < preflightMaxWaitSec) {
+      System.err.println(f"[bench] preflight: loadavg ${loadavg.fold(0.0)(_.head)}%.2f" +
+        f" > ${preflightThreshold}%.1f — waiting (${preflightWaited}s)")
+      Thread.sleep(5000)
+      preflightWaited += 5
+    }
+
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -350,6 +430,9 @@ object Bench {
     val procCpu0 = procCpuSec
     val wall0 = System.nanoTime()
     var cpuRatios = List.empty[(String, Double)]
+    var dispersions = List.empty[(String, Double)]
+    // (name, reasons, first median, rerun median) per alerted query
+    var alerts = List.empty[(String, List[String], Double, Double)]
     val results = selected.map { name =>
       registry.get(name) match {
         case Some(fn) =>
@@ -365,28 +448,66 @@ object Bench {
             // (lazy-checkpoint cuts, stray caches) is freed so run r+1
             // measures the query, not run r's residue (VERDICT r10 #1)
             val keep = Checkpoints.persistentIds(spark)
-            val timed = (1 to runs).map { r =>
-              val g0 = gcMillis
-              val c0 = procCpuSec
-              val t0 = System.nanoTime()
-              materialize(fn(spark, sfDir))
-              val sec = (System.nanoTime() - t0) / 1e9
-              // process-CPU/wall per run: on a quiet local[32] box a
-              // CPU-bound query's ratio is stable round-over-round; a
-              // collapsed ratio on unchanged code means the host stole
-              // the cores, not that the plan regressed (VERDICT r12 #1)
-              val ratio = if (c0 < 0) -1.0 else (procCpuSec - c0) / sec
-              // per-run detail to stderr: medians hide run-over-run
-              // drift (state accumulation, JIT, GC) — this line is how
-              // a 2x median discrepancy gets attributed (VERDICT r8 #1)
-              System.err.println(
-                f"[bench] $name run $r: $sec%.2fs gc=${gcMillis - g0}ms " +
-                  f"cpu/wall=$ratio%.1f")
-              Checkpoints.sweep(spark, keep) // after the clock stops
-              (sec, ratio)
+            def timedBlock(tag: String): Seq[(Double, Double)] =
+              (1 to runs).map { r =>
+                val g0 = gcMillis
+                val c0 = procCpuSec
+                val t0 = System.nanoTime()
+                materialize(fn(spark, sfDir))
+                val sec = (System.nanoTime() - t0) / 1e9
+                // process-CPU/wall per run: on a quiet local[32] box a
+                // CPU-bound query's ratio is stable round-over-round; a
+                // collapsed ratio on unchanged code means the host stole
+                // the cores, not that the plan regressed (VERDICT r12 #1)
+                val ratio = if (c0 < 0) -1.0 else (procCpuSec - c0) / sec
+                // per-run detail to stderr: medians hide run-over-run
+                // drift (state accumulation, JIT, GC) — this line is how
+                // a 2x median discrepancy gets attributed (VERDICT r8 #1)
+                System.err.println(
+                  f"[bench] $name $tag $r: $sec%.2fs gc=${gcMillis - g0}ms " +
+                    f"cpu/wall=$ratio%.1f")
+                Checkpoints.sweep(spark, keep) // after the clock stops
+                (sec, ratio)
+              }
+            // ---- within-run contention signals (VERDICT r16 #1: the
+            // whole-run offset detector was evaded twice; a poisoned
+            // QUERY self-identifies inside one run):
+            //  dispersion   — the runs of one query disagree >2x
+            //                 median/min (a 20x-inflated reading never
+            //                 inflates all runs equally);
+            //  cpu_wall_collapse — measured cpu/wall < 0.7x its pinned
+            //                 ratio WHILE wall > 1.5x its pinned median
+            //                 (cores were stolen; a real plan regression
+            //                 keeps them busy);
+            //  slow_vs_pin  — median > 2.5x the pinned median.
+            // Any alert => re-run the whole block ONCE and report the
+            // cleaner (smaller-median) block, so one transiently-stolen
+            // scheduling window can no longer poison the round artifact.
+            // A REAL regression reproduces in the rerun and stays slow.
+            def stats(b: Seq[(Double, Double)]): (Double, Double, Double) = {
+              val walls = b.map(_._1)
+              (median(walls),
+                median(walls) / math.max(walls.min, 1e-3),
+                median(b.map(_._2)))
             }
-            cpuRatios ::= (name, median(timed.map(_._2)))
-            name -> median(timed.map(_._1))
+            val first = timedBlock("run")
+            val (med1, disp1, cpu1) = stats(first)
+            val reasons = alertReasons(name, med1, disp1, cpu1)
+            val chosen =
+              if (reasons.isEmpty) first
+              else {
+                System.err.println(s"[bench] $name ALERT " +
+                  s"(${reasons.mkString("+")}): median ${num(med1)}s " +
+                  s"disp ${num(disp1)} cpu/wall ${num(cpu1)} — auto-rerun")
+                val second = timedBlock("rerun")
+                val med2 = stats(second)._1
+                alerts ::= (name, reasons, med1, med2)
+                if (med2 < med1) second else first
+              }
+            val (medF, dispF, cpuF) = stats(chosen)
+            cpuRatios ::= (name, cpuF)
+            dispersions ::= (name, dispF)
+            name -> medF
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -418,7 +539,6 @@ object Bench {
     // is a foreign workload)
     val externalCores = boxBusySec.flatMap(b1 => boxBusy0.map(b0 =>
       ((b1 - b0) - procCpu) / wallSec))
-    val nCpus = Runtime.getRuntime.availableProcessors()
     // I/O-starvation deltas over the run (VERDICT r15 #1): whole-box
     // iowait seconds and this JVM's major page faults. A disk- or
     // page-cache-starved run passes the external-CPU test (the thief
@@ -444,11 +564,18 @@ object Bench {
     // (CPU, disk, page cache), the run must not be read
     // round-over-round. Thresholds are deliberately coarse — the flag
     // marks "do not read this", it does not grade severity.
+    // queries whose FINAL (post-rerun) median still exceeds 2.5x pin:
+    // one or two of these is a plausible real regression; four or more
+    // simultaneously is an environment the reruns could not outrun
+    val unresolved = results.count { case (name, sec) =>
+      sec >= 0 && referenceMedians.get(name).exists(sec > 2.5 * _)
+    }
     val contended =
       externalCores.exists(_ > nCpus / 8.0) ||
         loadBefore.exists(_.head > nCpus / 4.0) ||
         iowaitDelta.exists(_ > wallSec) ||
-        loadOffsetNum.exists(_ > 1.5)
+        loadOffsetNum.exists(_ > 1.5) ||
+        unresolved >= 4
     val env = List(
       "\"loadavg_before\":" + jsonArr(loadBefore),
       "\"loadavg_after\":" + jsonArr(loadavg),
@@ -457,21 +584,51 @@ object Bench {
       "\"proc_cpu_sec\":" + num(procCpu, 1),
       "\"external_cpu_cores\":" + externalCores.fold("null")(num(_)),
       "\"iowait_sec\":" + iowaitDelta.fold("null")(num(_, 1)),
-      "\"major_faults\":" + majFaultDelta.fold("null")(_.toString)
+      "\"major_faults\":" + majFaultDelta.fold("null")(_.toString),
+      "\"preflight_wait_sec\":" + preflightWaited
     ).mkString("{", ",", "}")
     val ratios = cpuRatios.reverse
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median","env":$env,"contended":$contended,"load_offset_estimate":$loadOffset,"cpu_wall_ratio":$ratios}"""
-    println(line)
-    // ALSO persist the full payload next to the repo: a harness that
-    // captures only a bounded stdout tail truncates half the per-query
-    // timings (BENCH_r14's 'parsed: null' — ADVICE r14); the file is the
-    // lossless copy a later reader can re-parse
+    val dispJson = dispersions.reverse
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val alertsFullJson = alerts.reverse
+      .map { case (k, rs, _, _) => "\"" + k + "\":\"" + rs.mkString("+") + "\"" }
+      .mkString("{", ",", "}")
+    // compact alert map for stdout; full detail in the payload file. A
+    // massively-poisoned run (dozens of alerts) would overflow the
+    // driver's 2000-char tail window — collapse to a count there (the
+    // run is contended anyway; bench_last.json has every entry)
+    val alertsCompactJson =
+      if (alerts.size <= 6) alertsFullJson
+      else s"""{"_alert_count":"${alerts.size}"}"""
+    val alertDetail = alerts.reverse.map { case (k, rs, m1, m2) =>
+      s"""{"query":"$k","reasons":${rs.map("\"" + _ + "\"").mkString("[", ",", "]")},"first_median":${num(m1, 3)},"rerun_median":${num(m2, 3)}}"""
+    }.mkString("[", ",", "]")
+    val shared = s""""unit":"sec","failed":$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median","env":$env,"contended":$contended,"load_offset_estimate":$loadOffset"""
+    // STDOUT line is the driver artifact and the driver keeps only a
+    // 2000-char stdout tail (BENCH_r16.json: 'parsed: null' with the
+    // line's head cut off). Keep it COMPACT — 3-decimal query seconds
+    // (ms precision; pins carry 2), no per-query ratio maps — so the
+    // whole line + sbt's trailing [success] fit the window. The
+    // lossless full-precision payload goes to bench_last.json.
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
+      .mkString("{", ",", "}")
+    val stdoutLine =
+      s"""{"metric":"total","value":${num(total, 3)},"queries":$qsCompact,$shared,"alerts":$alertsCompactJson}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"queries":$qs,$shared,"alerts":$alertsFullJson,"cpu_wall_ratio":$ratios,"dispersion":$dispJson,"alert_detail":$alertDetail}"""
+    println(stdoutLine)
+    if (stdoutLine.length > 1900)
+      System.err.println(s"[bench] WARNING stdout line ${stdoutLine.length}" +
+        " chars — may overflow the driver's 2000-char tail window")
+    // the full payload next to the repo: the lossless copy a later
+    // reader can re-parse (ADVICE r14; BENCH_r14/r16 truncation)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
       ()
     } catch { case _: Throwable => () }
     spark.stop()

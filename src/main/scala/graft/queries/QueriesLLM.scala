@@ -759,23 +759,35 @@ object QueriesLLM {
     * ([[UrlFunctions.registeredDomainPsl]], VERDICT r15 #7): the full
     * public-suffix algorithm — longest rule wins, wildcard `*.ck`
     * rules, the `!www.ck` exception, the implicit `*` default, and the
-    * host-IS-a-suffix null — against the broadcast
-    * [[UrlFunctions.defaultPslRules]] table. Hosts synthesized to hit
-    * every arm, including the `.co.uk`/`.com.au` second levels the
-    * 2-3-label approximation only covers for its hardcoded labels
-    * (`school.nz` here is one it MISSES — the PSL form must not).
-    * Oracle replays the algorithm per row with the same rule lists
-    * inlined.
+    * host-IS-a-suffix null — against the broadcast COMPLETE
+    * publicsuffix.org list ([[UrlFunctions.fullPslRules]], the r17
+    * default). Hosts synthesized to hit every arm, including the
+    * `.co.uk`/`.com.au` second levels the 2-3-label approximation only
+    * covers for its hardcoded labels (`school.nz` here is one it
+    * MISSES — the PSL form must not), plus four hosts only the full
+    * list resolves: a private-section rule (`blogspot.com`), a 4-label
+    * rule (`pvt.k12.ma.us`), an IDN rule matched in punycode
+    * (`公司.cn` → `xn--55qx5d.cn`), and the real `*.kawasaki.jp` /
+    * `!city.kawasaki.jp` wildcard+exception pair. Oracle replays the
+    * algorithm per row with the same parsed rule lists inlined.
     */
   private def synthHost: Column =
-    when(col("doc_id") % 8 === 0, lit("Sub.Shop.Example.CO.UK"))
-      .when(col("doc_id") % 8 === 1, lit("news.example.com.au"))
-      .when(col("doc_id") % 8 === 2, lit("a.b.example.com"))
-      .when(col("doc_id") % 8 === 3, lit("example.com"))
-      .when(col("doc_id") % 8 === 4, lit("www.ck"))
-      .when(col("doc_id") % 8 === 5, lit("foo.bar.ck"))
-      .when(col("doc_id") % 8 === 6, lit("deep.host.example.school.nz"))
-      .otherwise(lit("co.uk")) // a public suffix itself: domain = null
+    when(col("doc_id") % 14 === 0, lit("Sub.Shop.Example.CO.UK"))
+      .when(col("doc_id") % 14 === 1, lit("news.example.com.au"))
+      .when(col("doc_id") % 14 === 2, lit("a.b.example.com"))
+      .when(col("doc_id") % 14 === 3, lit("example.com"))
+      .when(col("doc_id") % 14 === 4, lit("www.ck"))
+      .when(col("doc_id") % 14 === 5, lit("foo.bar.ck"))
+      .when(col("doc_id") % 14 === 6, lit("deep.host.example.school.nz"))
+      .when(col("doc_id") % 14 === 7, lit("co.uk")) // public suffix: null
+      // r17 arms: rules OUTSIDE the old snapshot subset — only the
+      // bundled complete list resolves these
+      .when(col("doc_id") % 14 === 8, lit("myblog.blogspot.com")) // private-section rule
+      .when(col("doc_id") % 14 === 9, lit("sub.site.pvt.k12.ma.us")) // 4-label rule
+      .when(col("doc_id") % 14 === 10, lit("shop.example.xn--55qx5d.cn")) // IDN rule 公司.cn, punycode host
+      .when(col("doc_id") % 14 === 11, lit("a.b.kawasaki.jp")) // *.kawasaki.jp wildcard
+      .when(col("doc_id") % 14 === 12, lit("www.city.kawasaki.jp")) // !city.kawasaki.jp exception
+      .otherwise(lit("host.unknowntld")) // implicit * rule
 
   def q_registered_domain(spark: SparkSession, dir: String): DataFrame =
     UrlFunctions.registeredDomainPsl(
@@ -2606,20 +2618,23 @@ object QueriesLLM {
   }
 
   /** Shared DuckDB CTE chain for the PSL oracles: synthesized hosts →
-    * per-row public-suffix algorithm (rule lists inlined from
-    * [[graft.llm.UrlFunctions.defaultPslRules]]; exception > longest
-    * normal/wildcard > implicit `*`; registered = public suffix + one
-    * label, null when the host IS a public suffix) → `dom`
+    * per-row public-suffix algorithm (rule lists inlined from the SAME
+    * parsed + punycode-normalized form the engine joins —
+    * [[graft.llm.UrlFunctions.parsePslRules]] over the bundled COMPLETE
+    * [[graft.llm.UrlFunctions.fullPslRules]], ~9.5k rules; exception >
+    * longest normal/wildcard > implicit `*`; registered = public suffix
+    * + one label, null when the host IS a public suffix) → `dom`
     * (doc_id, host, domain).
     */
   private lazy val pslChainSql: String = {
     def lst(xs: Seq[String]) = xs.map(r => s"'$r'").mkString("[", ", ", "]")
-    val rules = graft.llm.UrlFunctions.defaultPslRules
-    val normals = lst(rules.filter(r => !r.startsWith("*.") && !r.startsWith("!")))
-    val wilds = lst(rules.filter(_.startsWith("*.")).map(_.substring(2)))
-    val excs = lst(rules.filter(_.startsWith("!")).map(_.substring(1)))
+    val parsed = graft.llm.UrlFunctions.parsePslRules(
+      graft.llm.UrlFunctions.fullPslRules)
+    val normals = lst(parsed.collect { case (s, false, false) => s })
+    val wilds = lst(parsed.collect { case (s, true, _) => s })
+    val excs = lst(parsed.collect { case (s, _, true) => s })
     s"""WITH hosts AS (
-      |  SELECT doc_id, lower(CASE doc_id % 8
+      |  SELECT doc_id, lower(CASE doc_id % 14
       |    WHEN 0 THEN 'Sub.Shop.Example.CO.UK'
       |    WHEN 1 THEN 'news.example.com.au'
       |    WHEN 2 THEN 'a.b.example.com'
@@ -2627,7 +2642,13 @@ object QueriesLLM {
       |    WHEN 4 THEN 'www.ck'
       |    WHEN 5 THEN 'foo.bar.ck'
       |    WHEN 6 THEN 'deep.host.example.school.nz'
-      |    ELSE 'co.uk' END) AS host
+      |    WHEN 7 THEN 'co.uk'
+      |    WHEN 8 THEN 'myblog.blogspot.com'
+      |    WHEN 9 THEN 'sub.site.pvt.k12.ma.us'
+      |    WHEN 10 THEN 'shop.example.xn--55qx5d.cn'
+      |    WHEN 11 THEN 'a.b.kawasaki.jp'
+      |    WHEN 12 THEN 'www.city.kawasaki.jp'
+      |    ELSE 'host.unknowntld' END) AS host
       |  FROM documents
       |), base AS (
       |  SELECT doc_id, host, string_split(host, '.') AS parts,
@@ -3926,10 +3947,10 @@ object QueriesLLM {
         |  FROM dom
         |)
         |SELECT doc_id, domain FROM capped WHERE rn <= 50""".stripMargin),
-    // full PSL algorithm per row, rule lists inlined from
-    // UrlFunctions.defaultPslRules (exception > longest normal/wildcard
-    // > implicit `*`; registered = public suffix + 1 label, null when
-    // the host IS a public suffix)
+    // full PSL algorithm per row, rule lists inlined from the parsed +
+    // punycode-normalized COMPLETE bundled list (exception > longest
+    // normal/wildcard > implicit `*`; registered = public suffix + 1
+    // label, null when the host IS a public suffix)
     "q_registered_domain" ->
       (pslChainSql + "\nSELECT doc_id, host, domain FROM dom"),
     "q_domain_cap_psl" ->

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the within-run bench-contention detector (VERDICT r16 #1)
+  * against the REAL poisoned and clean readings from the r15/r16
+  * artifacts — the two driver rounds whose environment poisoning evaded
+  * the whole-run offset rule. The decision function is pure; these are
+  * the exact numbers it must separate.
+  */
+class BenchDetectorSpec extends AnyFunSuite {
+
+  test("r16 poisoned readings alert: q_simhash 7.17s at cpu/wall 1.16 (20x pin)") {
+    // BENCH_r16 (driver, poisoned): q_simhash 7.17 s, cpu/wall 1.16
+    // vs pins 0.35 s / 1.90 — both the collapse and the slow gate trip
+    val rs = Bench.alertReasons("q_simhash", 7.17, 1.0, 1.16)
+    assert(rs.contains("cpu_wall_collapse"))
+    assert(rs.contains("slow_vs_pin"))
+  }
+
+  test("r16 poisoned q_minhash_fast 18.15s alerts even with unknown dispersion") {
+    val rs = Bench.alertReasons("q_minhash_fast", 18.15, 1.0, 1.5)
+    assert(rs.contains("slow_vs_pin"))
+    assert(rs.contains("cpu_wall_collapse"))
+  }
+
+  test("clean readings do NOT alert (r16 judge + r17 builder sessions)") {
+    // q_simhash isolated judge rerun: 0.43 s at healthy ratio
+    assert(Bench.alertReasons("q_simhash", 0.43, 1.2, 1.83).isEmpty)
+    // r17 builder clean protocol values
+    assert(Bench.alertReasons("q_simhash", 0.439, 1.3, 1.97).isEmpty)
+    assert(Bench.alertReasons("q_minhash_fast", 1.18, 1.4, 4.43).isEmpty)
+    assert(Bench.alertReasons("q_jaccard_join", 1.22, 1.5, 2.52).isEmpty)
+  }
+
+  test("JIT-warm-up family residuals stay under the alert band (attributed, not poisoned)") {
+    // q_i7 judge reading 2.49 vs pin 1.63 (1.53x) at healthy cpu/wall;
+    // q_kn_score judge 2.97 vs 1.89 (1.57x) — the documented warm-up
+    // families must not trigger spurious reruns
+    assert(Bench.alertReasons("q_i7_impute_cascade", 2.49, 1.8, 3.45).isEmpty)
+    assert(Bench.alertReasons("q_kn_score", 2.97, 1.6, 3.24).isEmpty)
+  }
+
+  test("dispersion alone alerts, pinned or not") {
+    assert(Bench.alertReasons("q_simhash", 0.43, 2.3, 1.9) == List("dispersion"))
+    // a query without pins (new this round) still gets dispersion cover
+    assert(Bench.alertReasons("q_not_pinned_yet", 9.9, 2.6, 0.4) ==
+      List("dispersion"))
+    assert(Bench.alertReasons("q_not_pinned_yet", 9.9, 1.4, 0.4).isEmpty)
+  }
+
+  test("collapse requires BOTH stolen cores and inflated wall") {
+    // collapsed ratio at NORMAL wall (e.g. a genuinely I/O-light query
+    // variant) must not alert...
+    assert(Bench.alertReasons("q_simhash", 0.36, 1.1, 0.9).isEmpty)
+    // ...and slow wall at HEALTHY ratio under 2.5x (a plausible real
+    // regression inside the alert-free band) must not mark either
+    assert(Bench.alertReasons("q_simhash", 0.80, 1.1, 2.0).isEmpty)
+  }
+
+  test("every headline query with a median pin also carries a cpu/wall pin") {
+    val missing = Bench.headline.filter(q =>
+      Bench.referenceMedians.contains(q) && !Bench.referenceCpuWall.contains(q))
+    assert(missing.isEmpty, s"cpu/wall pins missing for: $missing")
+  }
+}

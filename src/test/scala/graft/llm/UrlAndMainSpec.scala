@@ -94,6 +94,49 @@ class UrlAndMainSpec extends AnyFunSuite {
     assert(approx.head == "school.nz")
   }
 
+  test("fullPslRules: bundled complete list loads; parse drops comments/blanks " +
+      "and punycode-normalizes IDN rules (VERDICT r16 #2 + ADVICE r16)") {
+    val raw = UrlFunctions.fullPslRules
+    assert(raw.exists(_.startsWith("//")), "comment header expected in the raw file")
+    assert(raw.exists(_.trim.isEmpty), "blank separator lines expected in the raw file")
+    val parsed = UrlFunctions.parsePslRules(raw)
+    assert(parsed.size > 9000, s"complete list expected, got ${parsed.size} rules")
+    // three tricky rules, one per arm: plain, wildcard, exception
+    assert(parsed.contains(("co.uk", false, false)))
+    assert(parsed.contains(("kawasaki.jp", true, false)), "*.kawasaki.jp wildcard")
+    assert(parsed.contains(("city.kawasaki.jp", false, true)), "!city.kawasaki.jp exception")
+    // beyond the old snapshot subset: private section + 4-label rule
+    assert(parsed.contains(("blogspot.com", false, false)))
+    assert(parsed.contains(("pvt.k12.ma.us", false, false)))
+    // IDN rules arrive punycode-normalized (公司.cn -> xn--55qx5d.cn), so
+    // they match real (punycode) crawl hosts; nothing non-ASCII survives
+    assert(parsed.contains(("xn--55qx5d.cn", false, false)))
+    assert(parsed.forall(_._1.forall(_ < 128)), "every parsed suffix must be ASCII")
+    assert(parsed.forall(t => t._1.nonEmpty && !t._1.contains("/")),
+      "no comment or blank line survived the parse")
+  }
+
+  test("registeredDomainPsl over the bundled full list resolves suffixes the " +
+      "snapshot subset fell through to the implicit * rule") {
+    val psl = UrlFunctions.pslRulesTable(spark) // full bundled list is the default
+    val hosts = Seq(
+      "myblog.blogspot.com",        // private-section rule
+      "sub.site.pvt.k12.ma.us",     // 4-label rule
+      "shop.example.xn--55qx5d.cn", // IDN rule matched in punycode
+      "a.b.kawasaki.jp",            // *.kawasaki.jp wildcard
+      "www.city.kawasaki.jp",       // !city.kawasaki.jp exception
+      "example.com.br"              // ccTLD second level
+    ).toDF("host")
+    val got = UrlFunctions.registeredDomainPsl(hosts, "host", "domain", psl)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("myblog.blogspot.com") == Some("myblog.blogspot.com"))
+    assert(got("sub.site.pvt.k12.ma.us") == Some("site.pvt.k12.ma.us"))
+    assert(got("shop.example.xn--55qx5d.cn") == Some("example.xn--55qx5d.cn"))
+    assert(got("a.b.kawasaki.jp") == Some("a.b.kawasaki.jp"))
+    assert(got("www.city.kawasaki.jp") == Some("city.kawasaki.jp"))
+    assert(got("example.com.br") == Some("example.com.br"))
+  }
+
   test("htmlMainText: density boundary, anchor-free blocks, stub drop") {
     val prose = "This paragraph carries enough prose to clear the gate."
     val html =
