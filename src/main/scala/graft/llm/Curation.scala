@@ -116,6 +116,61 @@ object Curation {
         col("quality"))
   }
 
+  /** [[curateAudit]] plus the SPLIT KEY each document's train/val/test
+    * assignment must ride (r17, VERDICT r16 next #3): output gains
+    * `split_key` — for `kept` rows, the connected-component label of
+    * the document's LSH CANDIDATE cluster (its own id when no
+    * candidate pairs it); null for dropped rows. Keying splits on the
+    * CANDIDATE clusters rather than the verified ones is deliberate
+    * twice over ([[graft.queries.QueriesLLM.q_split_leakage_safe]]'s
+    * argument): candidates ⊇ verified, so over-grouping only makes
+    * splits MORE leak-proof; and after near-dedup every kept document
+    * is its verified cluster's own minimum — verified-keyed splits
+    * would degenerate to document-keyed exactly where leakage-safety
+    * matters (two kept docs that are near-ish duplicates below the
+    * dedup threshold must still land in one split).
+    *
+    * `stage`/`quality` are bit-identical to [[curateAudit]] (the keep
+    * semantics come from the same verified-pair clustering); the
+    * additions are one lazy cut on the candidate frame (three
+    * consumers: verify, split clusters, nothing else re-runs the
+    * banding) and one id-grain CC over the candidates.
+    */
+  def curateAuditKeyed(docs: DataFrame, idCol: String, textCol: String,
+                       minQuality: Double = 0.25,
+                       jaccardThreshold: Double = 0.8,
+                       fast: Boolean = false,
+                       cutLineage: Boolean = true): DataFrame = {
+    val scored = docs
+      .withColumn("__q", TextFunctions.qualityScore(col(textCol)))
+    val gated = scored.filter(col("__q") >= minQuality)
+      .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+    val exact0 = Dedup.exactDedup(gated, idCol, textCol)
+    val exact = if (cutLineage) exact0.localCheckpoint(eager = false) else exact0
+    val cands0 = Dedup.lshCandidatePairs(exact, idCol, textCol, fast = fast)
+    val cands = if (cutLineage) cands0.localCheckpoint(eager = false) else cands0
+    val verified = Dedup.verifyCandidates(exact, idCol, textCol, cands,
+      jaccardThreshold, fast = fast)
+    // near-dup drop set: the same CC + min-id rule nearDedupKeep applies
+    val drops = Dedup.clusterPairs(verified)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol), lit(1).as("__nd"))
+    val splitClusters = Dedup.clusterPairs(cands)
+      .select(col("id").as(idCol), col("cluster_id").as("__ck"))
+    scored.select(col(idCol), col("__q").as("quality"))
+      .join(exact.select(col(idCol), lit(1).as("__ex")), Seq(idCol), "left")
+      .join(drops, Seq(idCol), "left")
+      .join(splitClusters, Seq(idCol), "left")
+      .withColumn("stage",
+        when(col("quality") < minQuality, "gate")
+          .when(col("__ex").isNull, "exact_dup")
+          .when(col("__nd").isNotNull, "near_dup")
+          .otherwise("kept"))
+      .select(col(idCol), col("stage"), col("quality"),
+        when(col("stage") === "kept",
+          coalesce(col("__ck"), col(idCol))).as("split_key"))
+  }
+
   /** Per-group quality reputation under m-estimate smoothing (Cestnik,
     * ECAI 1990) — the domain/source-level curation prior: a group seen
     * only a handful of times should sit near the corpus mean, not swing

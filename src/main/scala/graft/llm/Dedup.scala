@@ -486,13 +486,16 @@ object Dedup {
     * is cheaper at scale than shuffling every document's full shingle
     * array through the banding join.
     */
-  def nearDedup(df: DataFrame, idCol: String, textCol: String,
-                jaccardThreshold: Double = 0.8,
-                numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
-                maxBucket: Int = 1000, fast: Boolean = false,
-                priority: Option[Column] = None): DataFrame = {
-    val candidates = lshCandidatePairs(df, idCol, textCol, numHashes, bands,
-      shingleSize, maxBucket, fast)
+  /** Exact shingle-set Jaccard verification of a CANDIDATE pair set —
+    * [[nearDedup]]'s verify stage written once, exposed (r17) so
+    * compositions that need both the candidates and the verified pairs
+    * (cluster-keyed split assignment riding an audit ledger) reuse one
+    * candidate frame instead of re-running the banding. Semi-join
+    * restricts the shingle-set build to documents that appear in pairs.
+    */
+  def verifyCandidates(df: DataFrame, idCol: String, textCol: String,
+                       candidates: DataFrame, jaccardThreshold: Double,
+                       shingleSize: Int = 3, fast: Boolean = false): DataFrame = {
     val inPairs = candidates.select(col("id_a").as(idCol))
       .unionByName(candidates.select(col("id_b").as(idCol)))
       .distinct()
@@ -500,11 +503,22 @@ object Dedup {
              else shingleHashes(col(textCol), shingleSize)
     val sets = df.join(inPairs, Seq(idCol), "left_semi")
       .select(col(idCol), array_distinct(sh).as("__set"))
-    val verified = candidates
+    candidates
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), Seq("id_b"))
       .filter(jaccardBySets(col("__sa"), col("__sb")) >= jaccardThreshold)
       .select("id_a", "id_b")
+  }
+
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+                jaccardThreshold: Double = 0.8,
+                numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+                maxBucket: Int = 1000, fast: Boolean = false,
+                priority: Option[Column] = None): DataFrame = {
+    val candidates = lshCandidatePairs(df, idCol, textCol, numHashes, bands,
+      shingleSize, maxBucket, fast)
+    val verified = verifyCandidates(df, idCol, textCol, candidates,
+      jaccardThreshold, shingleSize, fast)
     // keep rule: lowest id by default; highest caller-supplied priority
     // (e.g. a quality score) when given — the production keep rule
     priority.fold(nearDedupKeep(df, idCol, verified))(

@@ -233,25 +233,41 @@ object Packing {
     * doc's first token IN this sequence), `n_in_seq`.
     */
   def sequenceManifest(df: DataFrame, idCol: String, tokenCol: String,
-                       budget: Long, shards: Int): DataFrame = {
-    val packed = packSequences(df, idCol, tokenCol, budget, shards)
+                       budget: Long, shards: Int): DataFrame =
+    manifestFromPacked(
+        packSequences(df, idCol, tokenCol, budget, shards), tokenCol, budget)
+      .select(col(idCol), col("shard"), col("seq_id"),
+        col("seq_start"), col("n_in_seq"))
+
+  /** [[sequenceManifest]]'s straddle decomposition over an EXISTING
+    * [[packSequences]] output (r17): a composition that already holds
+    * the packed frame (the training-data flagship cuts it once and
+    * derives both the packed rows and the manifest) must not re-run the
+    * pack windows. Input requires (`shard`, `seq_id`, `seq_offset`,
+    * `tokenCol`); output keeps every OTHER input column and replaces
+    * (`seq_id`, `seq_offset`, `tokenCol`) with the per-sequence
+    * (`seq_id`, `seq_start`, `n_in_seq`) rows. Map-side only.
+    */
+  def manifestFromPacked(packed: DataFrame, tokenCol: String,
+                         budget: Long): DataFrame = {
     val n = col(tokenCol).cast("long")
     val bef = col("seq_id") * budget + col("seq_offset")
     val firstSeq = col("seq_id")
     // integer division (Column `/` is double): exact below 2^53 — the
     // same contract packSequences' `div` expression carries
     val lastSeq = floor((bef + n - 1) / budget).cast("long")
+    val carried = packed.columns
+      .filterNot(Set("seq_id", "seq_offset", tokenCol)).map(col)
     packed
       .filter(n > 0)
-      .select(col(idCol), col("shard"), n.as("__n"), bef.as("__bef"),
-        explode(sequence(firstSeq, lastSeq)).as("seq_id"))
+      .select(carried ++ Seq(n.as("__n"), bef.as("__bef"),
+        explode(sequence(firstSeq, lastSeq)).as("seq_id")): _*)
       .withColumn("__seqbase", col("seq_id") * budget)
       .withColumn("seq_start",
         greatest(col("__bef"), col("__seqbase")) - col("__seqbase"))
       .withColumn("n_in_seq",
         least(col("__bef") + col("__n"), col("__seqbase") + budget) -
           greatest(col("__bef"), col("__seqbase")))
-      .select(col(idCol), col("shard"), col("seq_id"),
-        col("seq_start"), col("n_in_seq"))
+      .drop("__n", "__bef", "__seqbase")
   }
 }

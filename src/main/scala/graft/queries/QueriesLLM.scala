@@ -1011,16 +1011,16 @@ object QueriesLLM {
       BpeTrain.wordCounts(table(spark, dir, "documents"), "text"),
       seedSize = 256)
 
-  /** Trained unigram-LM tokenization of the corpus. NOT in the driver
+  /** TRAINED unigram-LM tokenization of the corpus. NOT in the driver
     * registry (r11 verdict: every registry entry must carry an oracle;
-    * EM training and Viterbi scoring run through libm exp/log, whose
-    * last-ulp behavior no SQL replay can pin) — UnigramLmSpec is the
-    * verification surface: trainer vs brute-force enumeration,
-    * cross-partitioning bit-equality, and pieces re-concatenating to
-    * each document's letter-words. The driver-checked unigram surface
-    * is [[q_unigram_seed]] (count-exact seed vocabulary).
+    * EM training runs through libm exp/log, whose last-ulp behavior no
+    * SQL replay can pin) — UnigramLmSpec is the verification surface:
+    * trainer vs brute-force enumeration, cross-partitioning
+    * bit-equality, and pieces re-concatenating to each document's
+    * letter-words. The VITERBI TOKENIZER itself returned to the oracle
+    * set in r17 as [[q_unigram_tokens]] (exact-grid model).
     */
-  def q_unigram_tokens(spark: SparkSession, dir: String): DataFrame = {
+  def q_unigram_tokens_trained(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val model = UnigramLm.train(
       BpeTrain.wordCounts(docs, "text"), vocabSize = 512, seedSize = 1024)
@@ -1030,6 +1030,43 @@ object QueriesLLM {
             w => w.rlike("^[a-z]+$"))).as("letters")),
         "doc_id", "letters", model)
       .select(col("doc_id"), col("pieces"),
+        size(col("pieces")).cast("long").as("n_pieces"))
+  }
+
+  /** Unigram-LM VITERBI tokenization restored to the oracle set (r17,
+    * VERDICT r16 missing #3) via the q_wordpiece_tokens playbook: the
+    * exact [[UnigramLm.tokenize]]/[[UnigramLm.viterbi]] machinery the
+    * trained path runs, under an EXACT-GRID model instead of EM-fitted
+    * probabilities — logp(piece) = freq(piece) − 10⁹ over the
+    * count-exact [[UnigramLm.seedVocab]] table ([[q_unigram_seed]]'s
+    * oracle-proven arithmetic). Every logp is an integer-valued double,
+    * Viterbi sums ≤ 8 of them (words cap at maxPieceLen·pieces), so
+    * path scores are EXACT and the argmax + tie-break (equal score →
+    * longest final piece, recursively toward the front — i ascends
+    * under strict `>` at every DP state) replays in SQL: the oracle
+    * enumerates all 2^(n−1) cut masks per DISTINCT word (the corpus
+    * vocabulary is bounded: 31 letter-words, max 8 chars — 529 masks
+    * total), scores the vocab-valid ones, and ranks by
+    * (score DESC, reversed piece-length list DESC). The −10⁹ grid
+    * makes Viterbi minimize piece count first and prefer frequent
+    * pieces second — the unigram-LM decision shape with EM's libm
+    * removed. Output flattened (driver comparator cannot sort arrays).
+    */
+  def q_unigram_tokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val seed = UnigramLm.seedVocab(
+        BpeTrain.wordCounts(docs, "text"), seedSize = 256)
+      .collect() // vocab-sized (≤ 256 + singles): the codebook contract
+    val model = UnigramLm.Model(
+      seed.map(r => r.getString(0) -> (r.getLong(1).toDouble - 1e9)).toMap,
+      maxPieceLen = 4)
+    UnigramLm.tokenize(
+        docs.select(col("doc_id"),
+          concat_ws(" ", filter(TextFunctions.tokens(col("text")),
+            w => w.rlike("^[a-z]+$"))).as("letters")),
+        "doc_id", "letters", model)
+      .select(col("doc_id"),
+        concat_ws(" ", col("pieces")).as("pieces_joined"),
         size(col("pieces")).cast("long").as("n_pieces"))
   }
 
@@ -1998,18 +2035,25 @@ object QueriesLLM {
     *
     *   crawl page → main-content extraction → token gate →
     *   quality gate → PII redaction → exact dedup → near dedup →
-    *   DROP LEDGER → mixture plan (per-source epochs, collected at
-    *   plan grain — ~sources rows, the one sanctioned driver value) →
-    *   epoch expansion → sequence packing.
+    *   DROP LEDGER → leakage-safe train/val/test split (r17:
+    *   candidate-cluster-keyed, the q_split_leakage_safe machinery) →
+    *   mixture plan (per-source epochs, collected at plan grain —
+    *   ~sources rows, the one sanctioned driver value) →
+    *   epoch expansion → sequence packing → occupancy manifest (r17).
     *
-    * One output table at two self-describing grains: a row per INPUT
-    * document with its disposition (`token_gate` / `gate` / `exact_dup`
-    * / `near_dup` / `kept`) and quality, plus a `packed` row per
-    * (kept document × epoch) instance with its shard/sequence
-    * coordinates. Every stage reuses the oracle-pinned splice of its
-    * standalone query (`q_cc_pipeline`, `q_curation_audit`,
-    * `q_mixture_expand`, `q_pack_sequences`), so a hash mismatch
-    * localizes to the COMPOSITION, not a re-derivation.
+    * One output table at three self-describing grains — the actual
+    * trainer handoff: a row per INPUT document with its disposition
+    * (`token_gate` / `gate` / `exact_dup` / `near_dup` / `kept`),
+    * quality, and (kept rows) its cluster split key + split label; a
+    * `packed` row per (kept document × epoch) instance with its
+    * shard/sequence coordinates and inherited split; and a `manifest`
+    * row per (instance × occupied sequence) with the in-sequence start
+    * offset (`seq_offset`) and token count (`n_tok`) — the loss-mask /
+    * attention-reset view. Every stage reuses the oracle-pinned splice
+    * of its standalone query (`q_cc_pipeline`, `q_curation_audit`,
+    * `q_split_leakage_safe`, `q_mixture_expand`, `q_pack_sequences`,
+    * `q_pack_manifest`), so a hash mismatch localizes to the
+    * COMPOSITION, not a re-derivation.
     *
     * Scale shape: the intake and ledger are the curation chain's
     * (lineage-cut once — the extraction regexes are what grow with
@@ -2038,20 +2082,34 @@ object QueriesLLM {
       .localCheckpoint(eager = false)
     val intake = gated.filter(col("n_tokens") >= 5)
       .select(col("doc_id"), col("source"), col("main").as("text"))
-    val ledger = Curation.curateAudit(intake.select("doc_id", "text"),
+    // r17: the audit ledger carries each kept document's CANDIDATE-
+    // cluster split key ([[Curation.curateAuditKeyed]]) and the
+    // leakage-safe train/val/test label rides it — the
+    // q_split_leakage_safe machinery composed INTO the flagship, so
+    // the trainer handoff is (sequences + manifest + split) in one
+    // hash-checked table
+    val ledger = Curation.curateAuditKeyed(intake.select("doc_id", "text"),
         "doc_id", "text", minQuality = 0.25, jaccardThreshold = 0.2)
+      .withColumn("split",
+        when(col("stage") === "kept",
+          TextFunctions.splitAssign(col("split_key").cast("string"),
+            Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05),
+            salt = "cluster-split")))
       .localCheckpoint(eager = false)
     val ledgerAll = ledger.unionByName(
       gated.filter(col("n_tokens") < 5)
         .select(col("doc_id"), lit("token_gate").as("stage"),
-          lit(null).cast("double").as("quality")))
+          lit(null).cast("double").as("quality"),
+          lit(null).cast("long").as("split_key"),
+          lit(null).cast("string").as("split")))
     val keptDocs = intake
-      .join(ledger.filter(col("stage") === "kept").select("doc_id"),
+      .join(ledger.filter(col("stage") === "kept")
+          .select("doc_id", "split"),
         Seq("doc_id"))
       .withColumn("text", TextFunctions.redactPii(col("text")))
       .withColumn("n_tok",
         TextFunctions.regexTokenCount(col("text")).cast("long"))
-      .select("doc_id", "source", "n_tok")
+      .select("doc_id", "source", "n_tok", "split")
     val plan = Mixing.mixturePlan(keptDocs, "source", "n_tok",
       Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
       budget = 50000.0, maxEpochs = 2.5)
@@ -2059,27 +2117,50 @@ object QueriesLLM {
     // a trained artifact, exactly like a codebook
     val epochs = plan.select("source", "epochs").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val packed = Packing.packSequences(
+    // lazy cut on the pack assignment: two consumers below (the packed
+    // rows and the manifest decomposition) — without it the per-shard
+    // window would run once per consumer
+    val packedRaw = Packing.packSequences(
         Mixing.mixtureExpand(keptDocs, "doc_id", "source", epochs)
           // unique pack key per (doc, epoch) instance: epochs <= 2.5
           // means at most 3 copies, so *4 never collides
           .withColumn("inst_id",
             col("doc_id") * 4 + col("epoch").cast("long")),
         "inst_id", "n_tok", budget = 2048L, shards = 4)
+      .localCheckpoint(eager = false)
+    val packed = packedRaw
       .select(col("doc_id"), lit("packed").as("stage"),
         lit(null).cast("double").as("quality"),
+        lit(null).cast("long").as("split_key"), col("split"),
         col("epoch").cast("long").as("epoch"), col("n_tok"),
         col("shard").cast("long").as("shard"),
         col("seq_id").cast("long").as("seq_id"),
         col("seq_offset").cast("long").as("seq_offset"))
+    // r17: the OCCUPANCY manifest rows — the loss-mask/attention-reset
+    // view a trainer consumes when instances straddle sequence
+    // boundaries ([[Packing.manifestFromPacked]], map-side from the cut
+    // pack frame). Column reuse is semantic, not a shoehorn: on a
+    // manifest row n_tok IS the instance's token count IN this sequence
+    // and seq_offset IS its start offset IN this sequence.
+    val manifest = Packing.manifestFromPacked(packedRaw, "n_tok", 2048L)
+      .select(col("doc_id"), lit("manifest").as("stage"),
+        lit(null).cast("double").as("quality"),
+        lit(null).cast("long").as("split_key"), col("split"),
+        col("epoch").cast("long").as("epoch"),
+        col("n_in_seq").as("n_tok"),
+        col("shard").cast("long").as("shard"),
+        col("seq_id").cast("long").as("seq_id"),
+        col("seq_start").as("seq_offset"))
     ledgerAll
       .select(col("doc_id"), col("stage"), col("quality"),
+        col("split_key"), col("split"),
         lit(null).cast("long").as("epoch"),
         lit(null).cast("long").as("n_tok"),
         lit(null).cast("long").as("shard"),
         lit(null).cast("long").as("seq_id"),
         lit(null).cast("long").as("seq_offset"))
       .unionByName(packed)
+      .unionByName(manifest)
   }
 
   /** Deterministic train/validation/test assignment
@@ -2218,6 +2299,7 @@ object QueriesLLM {
     "q_crawl_incremental" -> (q_crawl_incremental _),
     "q_warc_roundtrip" -> (q_warc_roundtrip _),
     "q_unigram_seed" -> (q_unigram_seed _),
+    "q_unigram_tokens" -> (q_unigram_tokens _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_quality_lr" -> (q_quality_lr _),
     "q_corpus_stats" -> (q_corpus_stats _),
@@ -2553,25 +2635,49 @@ object QueriesLLM {
        |  SELECT e.id_a AS id, r.label FROM edges e JOIN reach r ON e.id_b = r.id
        |), drops AS (
        |  SELECT id AS doc_id FROM reach GROUP BY id HAVING min(label) <> id
-       |), ledger AS (
+       |), cedges AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION
+       |  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+       |), creach AS (
+       |  SELECT id_a AS id, id_a AS label FROM cedges
+       |  UNION
+       |  SELECT e.id_a AS id, r.label FROM cedges e JOIN creach r ON e.id_b = r.id
+       |), cclust AS (
+       |  SELECT id AS doc_id, min(label) AS cluster_id FROM creach GROUP BY id
+       |), ledger0 AS (
        |  SELECT q.doc_id,
        |    CASE WHEN q.quality < 0.25 THEN 'gate'
        |         WHEN k.doc_id IS NULL THEN 'exact_dup'
        |         WHEN d.doc_id IS NOT NULL THEN 'near_dup'
        |         ELSE 'kept' END AS stage,
-       |    q.quality
+       |    q.quality,
+       |    CASE WHEN q.quality >= 0.25 AND k.doc_id IS NOT NULL
+       |           AND d.doc_id IS NULL
+       |      THEN coalesce(cc.cluster_id, q.doc_id) END AS split_key
        |  FROM qual q
        |  LEFT JOIN keepx k ON q.doc_id = k.doc_id
        |  LEFT JOIN drops d ON q.doc_id = d.doc_id
+       |  LEFT JOIN cclust cc ON q.doc_id = cc.doc_id
        |  UNION ALL
-       |  SELECT doc_id, 'token_gate' AS stage, NULL AS quality
+       |  SELECT doc_id, 'token_gate' AS stage, NULL AS quality,
+       |    NULL::BIGINT AS split_key
        |  FROM gated WHERE n_tokens < 5
+       |), ledger AS (
+       |  SELECT doc_id, stage, quality, split_key,
+       |    CASE WHEN stage = 'kept' THEN
+       |      CASE WHEN ('0x'||substr(md5(split_key::VARCHAR||'cluster-split'),1,15))::BIGINT % 1000000 < 900000 THEN 'train'
+       |           WHEN ('0x'||substr(md5(split_key::VARCHAR||'cluster-split'),1,15))::BIGINT % 1000000 < 950000 THEN 'validation'
+       |           ELSE 'test' END
+       |    END AS split
+       |  FROM ledger0
        |), keptd AS (
-       |  SELECT c.doc_id, i.source,
+       |  SELECT c.doc_id, i.source, l.split,
        |    len(regexp_extract_all(c.text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tok
        |  FROM corpus c
        |  ANTI JOIN drops d ON c.doc_id = d.doc_id
        |  JOIN intake i ON c.doc_id = i.doc_id
+       |  JOIN ledger l ON c.doc_id = l.doc_id AND l.stage = 'kept'
        |), agg AS (
        |  SELECT source, sum(n_tok::DECIMAL(28,0))::DOUBLE AS total_tokens
        |  FROM keptd GROUP BY 1
@@ -2585,36 +2691,49 @@ object QueriesLLM {
        |      ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS epochs
        |  FROM agg
        |), micro AS (
-       |  SELECT k.doc_id, k.n_tok,
+       |  SELECT k.doc_id, k.n_tok, k.split,
        |    CAST(floor(e.epochs * 1000000 + 0.5) AS BIGINT) AS mm
        |  FROM keptd k JOIN eps e USING (source)
        |), copies AS (
-       |  SELECT doc_id, n_tok, mm // 1000000 +
+       |  SELECT doc_id, n_tok, split, mm // 1000000 +
        |    CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR||'mix'),1,15))::BIGINT % 1000000 < mm % 1000000
        |      THEN 1 ELSE 0 END AS c
        |  FROM micro
        |), expanded AS (
-       |  SELECT doc_id, n_tok, unnest(generate_series(0, c - 1)) AS epoch
+       |  SELECT doc_id, n_tok, split, unnest(generate_series(0, c - 1)) AS epoch
        |  FROM copies WHERE c > 0
        |), inst AS (
-       |  SELECT doc_id, epoch, n_tok, doc_id * 4 + epoch AS inst_id,
+       |  SELECT doc_id, epoch, n_tok, split, doc_id * 4 + epoch AS inst_id,
        |    ('0x'||substr(md5((doc_id * 4 + epoch)::VARCHAR),1,15))::BIGINT % 4 AS shard
        |  FROM expanded
        |), packedc AS (
-       |  SELECT doc_id, epoch, n_tok, shard,
+       |  SELECT doc_id, epoch, n_tok, split, shard,
        |    (sum(n_tok) OVER (PARTITION BY shard ORDER BY inst_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n_tok AS bef
        |  FROM inst
+       |), manifestc AS (
+       |  SELECT doc_id, epoch, n_tok, split, shard, bef,
+       |    unnest(generate_series(bef // 2048, (bef + n_tok - 1) // 2048)) AS s
+       |  FROM packedc WHERE n_tok > 0
        |)
-       |SELECT doc_id, stage, quality,
+       |SELECT doc_id, stage, quality, split_key, split,
        |  NULL::BIGINT AS epoch, NULL::BIGINT AS n_tok, NULL::BIGINT AS shard,
        |  NULL::BIGINT AS seq_id, NULL::BIGINT AS seq_offset
        |FROM ledger
        |UNION ALL
        |SELECT doc_id, 'packed' AS stage, NULL::DOUBLE AS quality,
+       |  NULL::BIGINT AS split_key, split,
        |  epoch::BIGINT AS epoch, n_tok, shard,
        |  (bef // 2048)::BIGINT AS seq_id, (bef % 2048)::BIGINT AS seq_offset
-       |FROM packedc""".stripMargin
+       |FROM packedc
+       |UNION ALL
+       |SELECT doc_id, 'manifest' AS stage, NULL::DOUBLE AS quality,
+       |  NULL::BIGINT AS split_key, split,
+       |  epoch::BIGINT AS epoch,
+       |  (least(bef + n_tok, (s + 1) * 2048) - greatest(bef, s * 2048))::BIGINT AS n_tok,
+       |  shard, s::BIGINT AS seq_id,
+       |  (greatest(bef, s * 2048) - s * 2048)::BIGINT AS seq_offset
+       |FROM manifestc""".stripMargin
   }
 
   /** Shared DuckDB CTE chain for the PSL oracles: synthesized hosts →
@@ -3844,6 +3963,80 @@ object QueriesLLM {
         |FROM vocab a JOIN vocab b
         |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
         |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
+    // Viterbi over the exact-grid model (logp = freq − 1e9, integer-
+    // valued: path scores exact, ties = longest-final-piece recursively
+    // = reversed piece-length list DESC): enumerate every cut mask per
+    // DISTINCT word, keep vocab-valid segmentations, rank
+    "q_unigram_tokens" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word
+        |  FROM documents
+        |), wf AS (
+        |  SELECT word, count(*) AS cnt FROM words
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1
+        |), piecesall AS (
+        |  SELECT substr(word, i, l) AS piece, sum(cnt)::BIGINT AS freq
+        |  FROM wf,
+        |    unnest(generate_series(1, length(word))) t(i),
+        |    unnest(generate_series(1, 4)) u(l)
+        |  WHERE i + l - 1 <= length(word)
+        |  GROUP BY 1
+        |), vocab AS (
+        |  SELECT piece, freq FROM piecesall WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, freq FROM (
+        |    SELECT piece, freq FROM piecesall WHERE length(piece) > 1
+        |    ORDER BY freq DESC, piece LIMIT 256)
+        |), dwords AS (
+        |  SELECT DISTINCT word FROM wf
+        |), segs AS (
+        |  SELECT word, m,
+        |    list_concat(list_concat([0],
+        |      list_filter(generate_series(1, length(word) - 1),
+        |        i -> ((m >> (i - 1)::INT) & 1) = 1)),
+        |      [length(word)::BIGINT]) AS bnds
+        |  FROM dwords,
+        |    unnest(generate_series(0, (1::BIGINT << (length(word) - 1)) - 1)) t(m)
+        |), segp AS (
+        |  SELECT word, m,
+        |    list_transform(generate_series(1, len(bnds) - 1),
+        |      k -> substr(word, (bnds[k] + 1)::INT, (bnds[k+1] - bnds[k])::INT)) AS ps
+        |  FROM segs
+        |), valid AS (
+        |  SELECT word, m, ps, list_transform(ps, p -> length(p)) AS lens
+        |  FROM segp
+        |  WHERE list_aggregate(list_transform(ps, p -> length(p)), 'max') <= 4
+        |), exploded AS (
+        |  SELECT word, m, unnest(ps) AS p FROM valid
+        |), scoredw AS (
+        |  SELECT e.word, e.m,
+        |    sum(v.freq)::BIGINT - count(*) * 1000000000 AS score
+        |  FROM exploded e LEFT JOIN vocab v ON e.p = v.piece
+        |  GROUP BY e.word, e.m
+        |  HAVING count(*) = count(v.freq)
+        |), best AS (
+        |  SELECT v.word, v.ps
+        |  FROM scoredw s JOIN valid v ON s.word = v.word AND s.m = v.m
+        |  QUALIFY row_number() OVER (PARTITION BY v.word
+        |    ORDER BY s.score DESC, list_reverse(v.lens) DESC) = 1
+        |), docs2 AS (
+        |  SELECT doc_id, list_filter(
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0),
+        |    w -> regexp_matches(w, '^[a-z]+$')) AS lws
+        |  FROM documents
+        |), docw AS (
+        |  SELECT doc_id, i AS widx, lws[i] AS word
+        |  FROM docs2, unnest(generate_series(1, len(lws))) t(i)
+        |), perdoc AS (
+        |  SELECT d.doc_id,
+        |    string_agg(array_to_string(b.ps, ' '), ' ' ORDER BY d.widx) AS joined,
+        |    sum(len(b.ps))::BIGINT AS n
+        |  FROM docw d JOIN best b ON d.word = b.word
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(p.joined, '') AS pieces_joined,
+        |  coalesce(p.n, 0)::BIGINT AS n_pieces
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin,
     "q_bpe_pairs" ->
       """WITH words AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word

@@ -131,18 +131,49 @@ object BatchState {
     }
   }
 
+  /** Finish an interrupted [[swapIn]] (r17): the one non-atomic window
+    * is between the retire and the promote — a crash there leaves NO
+    * live dir, a COMPLETE `_compacting` candidate (the retire runs
+    * strictly after `write` returned), and the previous generation
+    * under `_old`. Recovery promotes the candidate; a stray `_old`
+    * next to a healthy live dir (crash after promote, before cleanup)
+    * is deleted. MUST run before any append or read of a swapped dir:
+    * an append onto the missing-live window would re-create the live
+    * dir with one batch's rows, after which the candidate (holding the
+    * whole folded history) looks stale and the next swap deletes it —
+    * silent total loss. Returns true when it repaired the missing-live
+    * window. Idempotent, one existence probe on the happy path.
+    */
+  def recoverSwap(spark: SparkSession, liveDir: String): Boolean = {
+    val (f, live) = fs(spark, liveDir)
+    val tmp = new Path(s"${liveDir}_compacting")
+    val old = new Path(s"${liveDir}_old")
+    val repaired =
+      if (!f.exists(live) && f.exists(tmp)) {
+        if (!f.rename(tmp, live))
+          sys.error(s"recoverSwap: cannot promote $tmp to $live")
+        true
+      } else false
+    if (f.exists(live) && f.exists(old)) f.delete(old, true)
+    repaired
+  }
+
   /** Atomically replace the directory at `liveDir` with whatever
     * `write` produces at the tmp path it is handed: write beside,
     * promote-then-retire via Hadoop-FS renames (never `java.io.File` —
-    * see the object scaladoc). Crash windows leave either the old
-    * generation live (before the first rename) or both dirs present
-    * (`_old` is cleaned on the next pass), never a half-written live
-    * dir.
+    * see the object scaladoc). Crash windows: before the retire the
+    * old generation stays live (a stale partial candidate is deleted
+    * on the next pass); between retire and promote, [[recoverSwap]] —
+    * run here on entry and by every maintainer's append/load path —
+    * promotes the complete candidate; after the promote, a leftover
+    * `_old` is cleaned on the next pass. Never a half-written live dir.
     */
   def swapIn(spark: SparkSession, liveDir: String)(write: String => Unit): Unit = {
     val (f, live) = fs(spark, liveDir)
     val tmp = new Path(s"${liveDir}_compacting")
     val old = new Path(s"${liveDir}_old")
+    recoverSwap(spark, liveDir) // promote-before-delete: a missing-live
+    // window's candidate holds the only copy of the folded history
     if (f.exists(tmp)) f.delete(tmp, true)
     write(tmp.toString)
     if (f.exists(old)) f.delete(old, true)

@@ -135,7 +135,34 @@ object StreamingCrawl {
       extends IndexStore {
     private def quoted = s"`${table.replace("`", "``")}`"
 
-    def committed(spark: SparkSession, batchId: Long): DataFrame =
+    /** Finish a [[compact]] that crashed mid-swap (r17): promote a
+      * complete `_compacting` candidate when the live dir is missing
+      * ([[BatchState.recoverSwap]] — the retire runs strictly after the
+      * candidate write, so a missing live dir implies a complete
+      * candidate), and re-register the table DDL when the data survived
+      * but the catalog entry did not (compact drops it just before the
+      * renames). Without this, [[committed]] reads an existing archive
+      * as EMPTY — every digest ever ingested re-enters the corpus as
+      * "new" — and the next [[write]]'s saveAsTable orphans the
+      * candidate holding the folded history. Idempotent; two driver-side
+      * probes on the happy path.
+      */
+    private def recover(spark: SparkSession): Unit = {
+      BatchState.recoverSwap(spark, path)
+      if (!spark.catalog.tableExists(table) &&
+          BatchState.hasData(spark, path)) {
+        spark.sql(
+          s"""CREATE TABLE $quoted (content_hash STRING, batch_id BIGINT)
+             |USING parquet PARTITIONED BY (batch_id)
+             |CLUSTERED BY (content_hash) SORTED BY (content_hash)
+             |INTO $buckets BUCKETS LOCATION '$path'""".stripMargin)
+        spark.sql(s"MSCK REPAIR TABLE $quoted")
+        ()
+      }
+    }
+
+    def committed(spark: SparkSession, batchId: Long): DataFrame = {
+      recover(spark)
       if (spark.catalog.tableExists(table))
         spark.table(table)
           // partition-column filter: batch N's failed-attempt partition
@@ -146,9 +173,11 @@ object StreamingCrawl {
         import spark.implicits._
         Seq.empty[String].toDF("content_hash")
       }
+    }
 
     def write(digests: DataFrame, batchId: Long): Unit = {
       val spark = digests.sparkSession
+      recover(spark)
       // replay-after-fold guard: once compact() moved this batch's rows
       // under batch_id = -1, deleting/re-appending its own partition
       // would leave a SECOND copy next to the folded one — the ledger
@@ -206,7 +235,8 @@ object StreamingCrawl {
       * and [[write]] (appends target untouched per-batch directories)
       * keep their contracts.
       */
-    def compact(spark: SparkSession): Unit =
+    def compact(spark: SparkSession): Unit = {
+      recover(spark)
       if (spark.catalog.tableExists(table)) {
         val scratch = s"${table}__compacting"
         val scratchQ = s"`${scratch.replace("`", "``")}`"
@@ -265,6 +295,7 @@ object StreamingCrawl {
         spark.sql(s"MSCK REPAIR TABLE $quoted")
         ()
       }
+    }
 
     override def autoCompact(spark: SparkSession, everyBatches: Int): Unit =
       if (everyBatches > 0 &&

@@ -37,6 +37,10 @@ object StreamingLm {
   def appendBatch(countsDir: String, idCol: String, textCol: String,
                   autoCompactEvery: Int = 0)
                  (batch: DataFrame, batchId: Long): Unit = {
+    // finish a compaction that crashed between retire and promote —
+    // BEFORE the ledger read (it rides the candidate) and the write
+    // (an append onto the missing-live window would orphan the history)
+    BatchState.recoverSwap(batch.sparkSession, countsDir)
     if (BatchState.readFolded(batch.sparkSession, countsDir)
         .contains(batchId)) return
     NgramLm.trigramCounts(batch, idCol, textCol)
@@ -71,10 +75,12 @@ object StreamingLm {
     * [[graft.llm.NgramLm.trainFromCounts]] consumes — one model-scale
     * aggregation, O(batches)·model rows in, model rows out.
     */
-  def loadCounts(spark: SparkSession, countsDir: String): DataFrame =
+  def loadCounts(spark: SparkSession, countsDir: String): DataFrame = {
+    BatchState.recoverSwap(spark, countsDir) // crashed-compaction window
     spark.read.parquet(countsDir).drop("batch_id")
       .groupBy(col("u"), col("v"), col("w"))
       .agg(sum(col("c")).as("c"))
+  }
 
   /** Collapse the log to one generation (maintenance window — the hot
     * append path never rewrites). The swap itself is

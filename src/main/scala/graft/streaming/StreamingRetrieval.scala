@@ -63,6 +63,11 @@ object StreamingRetrieval {
   def appendBatch(indexDir: String, idCol: String, textCol: String,
                   autoCompactEvery: Int = 0)
                  (batch: DataFrame, batchId: Long): Unit = {
+    // finish a compaction that crashed between a log's retire and
+    // promote — before any write re-creates a missing live dir and
+    // orphans the candidate holding the folded history (r17)
+    Seq("postings", "termdf", "stats").foreach(sub =>
+      BatchState.recoverSwap(batch.sparkSession, s"$indexDir/$sub"))
     if (BatchState.readFolded(batch.sparkSession, indexDir)
         .contains(batchId)) return
     val (post, termDf, stats) = Retrieval.buildPostingsNorm(batch, idCol, textCol)
@@ -100,6 +105,8 @@ object StreamingRetrieval {
     */
   def loadIndex(spark: SparkSession, indexDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    Seq("postings", "termdf", "stats").foreach(sub =>
+      BatchState.recoverSwap(spark, s"$indexDir/$sub")) // crash window
     val post = spark.read.parquet(s"$indexDir/postings").drop("batch_id")
     val termDf = spark.read.parquet(s"$indexDir/termdf")
       .groupBy("term").agg(sum(col("df")).as("df"))

@@ -39,6 +39,9 @@ object StreamingSimilarity {
                   codebooks: Array[Array[Array[Float]]],
                   autoCompactEvery: Int = 0)
                  (batch: DataFrame, batchId: Long): Unit = {
+    // crashed-compaction window: promote before any write re-creates a
+    // missing live dir and orphans the folded history (r17)
+    BatchState.recoverSwap(batch.sparkSession, s"$indexDir/coded")
     if (BatchState.readFolded(batch.sparkSession, indexDir)
         .contains(batchId)) return
     Similarity.buildIvfPqIndex(batch, idCol, vecCol, coarse, codebooks)
@@ -73,8 +76,10 @@ object StreamingSimilarity {
       }
 
   /** The searchable index — the log IS the table. */
-  def loadIndex(spark: SparkSession, indexDir: String): DataFrame =
+  def loadIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    BatchState.recoverSwap(spark, s"$indexDir/coded") // crash window
     spark.read.parquet(s"$indexDir/coded").drop("batch_id")
+  }
 
   /** Fold the coded log into one `batch_id = -1` generation, CELL-
     * clustered (repartition + sort by `cell`) — maintenance-window

@@ -278,7 +278,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("training-data flagship: no cartesian anywhere; packing windows " +
-      "partition by shard (never a global sort)") {
+      "partition by shard (never a global sort); split + manifest ride " +
+      "the existing cuts (r17)") {
     val p = plan(graft.queries.QueriesLLM.q_training_data_e2e(spark, dir))
     assert(!p.contains("CartesianProduct"),
       s"the composed chain must never plan a cartesian:\n$p")
@@ -287,7 +288,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Window [") ||
         !"""Window \[[^\n]*\], \[\]""".r.findFirstIn(p).isDefined,
       s"unpartitioned window in the packed side:\n$p")
-    assert(p.contains("Union"), s"ledger ∪ packed union missing:\n$p")
+    assert(p.contains("Union"), s"ledger ∪ packed ∪ manifest union missing:\n$p")
+    // r17: the trainer-handoff additions (leakage-safe split + occupancy
+    // manifest) ride the EXISTING cuts — the final plan is projections +
+    // one map-side straddle explode over the checkpointed ledger/pack
+    // frames, with ZERO exchanges added (the split is computed inside
+    // the ledger cut; the manifest decomposes the pack cut in place)
+    assert("Generate explode\\(sequence\\(".r.findFirstIn(p).isDefined,
+      s"manifest straddle explode missing:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the split/manifest additions must not introduce a post-cut " +
+        s"exchange:\n$p")
   }
 
   test("PSL registered domains: every rule join broadcasts; no cartesian; " +

@@ -191,6 +191,49 @@ class RetrievalSpec extends AnyFunSuite {
       3L -> "gate", 4L -> "near_dup"))
   }
 
+  test("curateAuditKeyed: stages bit-identical to curateAudit; kept rows " +
+      "carry the CANDIDATE-cluster split key (r17)") {
+    val base = "the cat and the dog is on a mat in the house with a hat"
+    val docs = Seq(
+      (1L, base + " contact a@b.com"),
+      (2L, base + " contact c@d.com"), // exact twin post-redaction
+      (3L, "zzz"),                     // fails the quality gate
+      (4L, base + " extra"),           // near-dup of 1 (dropped)
+      (7L, "completely unrelated prose about weather and ships at sea"))
+      .toDF("doc_id", "text")
+    val keyed = Curation.curateAuditKeyed(docs, "doc_id", "text",
+        minQuality = 0.2, jaccardThreshold = 0.2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    // stage semantics identical to curateAudit
+    assert(keyed.view.mapValues(_._1).toMap == Map(1L -> "kept",
+      2L -> "exact_dup", 3L -> "gate", 4L -> "near_dup", 7L -> "kept"))
+    // split keys only on kept rows; doc 1 keys on its CANDIDATE cluster
+    // label (min id of {1, 4} = 1 here), the loner keys on itself
+    assert(keyed(1L)._2 == Some(1L))
+    assert(keyed(7L)._2 == Some(7L))
+    assert(keyed(2L)._2.isEmpty && keyed(3L)._2.isEmpty && keyed(4L)._2.isEmpty)
+
+    // the leakage-safety property the key exists FOR: had the cluster
+    // min been a DROPPED doc, the kept doc still keys on it — force it
+    // with ids swapped (4 keeps, 11 drops as the near-dup... min id 4
+    // keeps; pair partner 11 drops; both key on 4)
+    val docs2 = Seq(
+      (4L, base + " extra"),
+      (11L, base + " contact a@b.com"))
+      .toDF("doc_id", "text")
+    val keyed2 = Curation.curateAuditKeyed(docs2, "doc_id", "text",
+        minQuality = 0.2, jaccardThreshold = 0.2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(keyed2(4L)._1 == "kept" && keyed2(4L)._2 == Some(4L))
+    assert(keyed2(11L)._1 == "near_dup" && keyed2(11L)._2.isEmpty)
+  }
+
   test("nearDedupKeepBy keeps the highest-priority cluster member") {
     import org.apache.spark.sql.functions.length
     val docs = Seq(

@@ -116,11 +116,13 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(rows(2L).isEmpty)
   }
 
-  test("corpus query (spec-only since r12): pieces re-concatenate; deterministic") {
-    // deregistered from the driver registry (EM/Viterbi run through
-    // libm — no SQL oracle can exist), so THIS is its whole-corpus pin
+  test("trained corpus query (spec-only): pieces re-concatenate; deterministic") {
+    // the TRAINED path stays out of the driver registry (EM runs
+    // through libm — no SQL oracle can exist), so THIS is its
+    // whole-corpus pin; the Viterbi tokenizer itself is driver-checked
+    // since r17 via q_unigram_tokens' exact-grid model
     val dir = "/root/testdata/sf0.001"
-    val out = graft.queries.QueriesLLM.q_unigram_tokens(SharedSpark.spark, dir)
+    val out = graft.queries.QueriesLLM.q_unigram_tokens_trained(SharedSpark.spark, dir)
       .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
     assert(out.nonEmpty)
     val letters = SharedSpark.spark.read.parquet(s"$dir/documents.parquet")
@@ -133,7 +135,7 @@ class UnigramLmSpec extends AnyFunSuite {
       assert(pieces.mkString == letters(id).replace(" ", ""),
         s"doc $id pieces do not re-concatenate")
     }
-    val again = graft.queries.QueriesLLM.q_unigram_tokens(SharedSpark.spark, dir)
+    val again = graft.queries.QueriesLLM.q_unigram_tokens_trained(SharedSpark.spark, dir)
       .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
     assert(out.toSeq == again.toSeq)
   }

@@ -295,6 +295,44 @@ class StreamingCrawlSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${store.table}")
   }
 
+  test("bucketed index: a compact crash between retire and promote recovers " +
+      "on the next read/write — the archive never reads as empty (r17)") {
+    val tmp = Files.createTempDirectory("crawl_crash").toString
+    val store = StreamingCrawl.BucketedIndex(
+      "crawl_crash_idx", s"$tmp/index", buckets = 2)
+    try {
+      val d0 = Dedup.digestIndex(Seq("alpha text", "beta text").toDF("main"), "main")
+      val d1 = Dedup.digestIndex(Seq("gamma text").toDF("main"), "main")
+      store.write(d0, 0L)
+      store.write(d1, 1L)
+      store.compact(spark)
+      val expected = store.committed(spark, 99L)
+        .as[String].collect().toSorted
+      assert(expected.length == 3)
+
+      // manufacture the crash window exactly as compact() would leave
+      // it: catalog entry dropped, live dir retired, the COMPLETE
+      // candidate (fold + ledger) sitting at _compacting, promote never
+      // ran — without recovery committed() would return EMPTY and every
+      // archived digest would re-enter the corpus as "new"
+      spark.sql(s"DROP TABLE IF EXISTS ${store.table}")
+      val (f, live) = BatchState.fs(spark, store.path)
+      assert(f.rename(live,
+        new org.apache.hadoop.fs.Path(s"${store.path}_compacting")))
+      assert(!f.exists(live))
+
+      val got = store.committed(spark, 99L).as[String].collect().toSorted
+      assert(got == expected, "recovery must restore the archive")
+      assert(f.exists(live), "candidate promoted to live")
+      assert(store.foldedBatches(spark) == Set(0L, 1L),
+        "the ledger rode the recovered candidate")
+      // a replay of a folded batch after recovery stays a no-op
+      val before = spark.table(store.table).count()
+      store.write(d1, 1L)
+      assert(spark.table(store.table).count() == before)
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${store.table}")
+  }
+
   test("restart replay is content-idempotent: replayed docs drop on the index") {
     val tmp = Files.createTempDirectory("crawl_replay").toString
     val idxDir = s"$tmp/index"

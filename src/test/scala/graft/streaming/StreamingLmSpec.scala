@@ -69,4 +69,42 @@ class StreamingLmSpec extends AnyFunSuite {
     assert(BatchState.readFolded(spark, countsDir) == Set(0L, 1L, 2L))
     assert(modelRows(StreamingLm.loadCounts(spark, countsDir)) == expected)
   }
+
+  test("compaction crash between retire and promote recovers on the next " +
+      "append/load; the candidate's history is never orphaned (r17)") {
+    val countsDir = java.nio.file.Files.createTempDirectory("lmcrash").toString + "/log"
+    val b0 = Seq((0L, "the cat sat"), (1L, "the cat ate")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "a dog sat the cat")).toDF("doc_id", "text")
+    StreamingLm.appendBatch(countsDir, "doc_id", "text")(b0, 0L)
+    StreamingLm.appendBatch(countsDir, "doc_id", "text")(b1, 1L)
+    val expected = modelRows(StreamingLm.loadCounts(spark, countsDir))
+
+    // simulate compactCounts crashing in swapIn's one non-atomic window:
+    // candidate fully written (fold + ledger), live dir RETIRED, promote
+    // never ran — the state recoverSwap exists for
+    val (f, live) = BatchState.fs(spark, countsDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"${countsDir}_compacting")
+    StreamingLm.loadCounts(spark, countsDir)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(-1L))
+      .write.partitionBy("batch_id").mode("overwrite").parquet(tmp.toString)
+    BatchState.writeFolded(spark, tmp.toString, Set(0L, 1L))
+    assert(f.rename(live, new org.apache.hadoop.fs.Path(s"${countsDir}_old")))
+    assert(!f.exists(live) && f.exists(tmp), "crash window established")
+
+    // the at-least-once replay of batch 1 hits the window first: it must
+    // promote the candidate, read the ledger FROM it, and no-op — an
+    // unrecovered append would re-create the live dir with batch 1 alone
+    // and the next compaction would delete the candidate (total loss)
+    StreamingLm.appendBatch(countsDir, "doc_id", "text")(b1, 1L)
+    assert(f.exists(live) && !f.exists(tmp), "candidate promoted")
+    assert(BatchState.readFolded(spark, countsDir) == Set(0L, 1L))
+    assert(spark.read.parquet(countsDir)
+      .select("batch_id").distinct().count() == 1) // only the -1 fold
+    assert(modelRows(StreamingLm.loadCounts(spark, countsDir)) == expected)
+
+    // and the interrupted maintenance window can simply re-run
+    StreamingLm.compactCounts(spark, countsDir)
+    assert(modelRows(StreamingLm.loadCounts(spark, countsDir)) == expected)
+    assert(BatchState.readFolded(spark, countsDir) == Set(0L, 1L))
+  }
 }
