@@ -147,6 +147,8 @@ object ScaleBench {
       crawlStream(spark, outDir, listener)
     if (args.contains("servelog") || args.isEmpty)
       serveLog(spark, outDir, listener)
+    if (args.contains("flagships") || args.isEmpty)
+      flagshipSoak(spark, srcDir, outDir, listener)
     spark.stop()
   }
 
@@ -1654,6 +1656,57 @@ object ScaleBench {
   }
 
   /** Key-offset copies; content perturbed so copies are not duplicates. */
+  /** r17 soak (VERDICT r16 #7): the three composed flagships —
+    * training-data chain, curation chain, incremental crawl — once at
+    * sf0.1 and once at the 20x-documents corpus in one session, with
+    * wall + shuffle/input bytes from the task listener. The claim under
+    * test is "nothing superlinear": the scaled/base WALL ratio should
+    * sit within ~1.3x of the scaled/base INPUT ratio (the linear
+    * extrapolation), and shuffle bytes should scale with input, at a
+    * tier the per-round bench never touches. One run each — this is a
+    * soak (does the composition survive and scale), not a median
+    * benchmark; Checkpoints.sweep between runs frees each flagship's
+    * lineage-cut blocks so run 2 doesn't measure run 1's memory.
+    */
+  private def flagshipSoak(spark: SparkSession, srcDir: String,
+                           outDir: String, listener: TaskMetricsProbe): Unit = {
+    val names = Seq("q_training_data_e2e", "q_curation_e2e",
+      "q_crawl_incremental")
+    val registry = SparkEntry.queries ++ Bench.benchOnly
+    for (name <- names) {
+      val rows = for (dir <- Seq(srcDir, outDir)) yield {
+        listener.reset()
+        val t0 = System.nanoTime()
+        val outcome =
+          try {
+            registry(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            "ok"
+          } catch { case e: Throwable => s"failed: ${e.getMessage}" }
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener events post asynchronously
+        Checkpoints.sweep(spark)
+        (dir, sec, listener.totInput, listener.totShuffleWrite,
+          listener.maxShuffleRead, listener.maxPeakMem, outcome)
+      }
+      val (base, scaled) = (rows.head, rows.last)
+      val wallRatio = scaled._2 / base._2
+      val inputRatio =
+        if (base._3 > 0) scaled._3.toDouble / base._3 else -1.0
+      val shuffleRatio =
+        if (base._4 > 0) scaled._4.toDouble / base._4 else -1.0
+      rows.foreach { case (dir, sec, in, sw, msr, mpm, st) =>
+        println(f"""{"soak":"$name","dir":"$dir","sec":$sec%.2f,""" +
+          s""""input_bytes":$in,"shuffle_write_bytes":$sw,""" +
+          s""""max_task_shuffle_read":$msr,"max_task_peak_mem":$mpm,""" +
+          s""""status":"$st"}""")
+      }
+      println(f"""{"soak":"$name","wall_ratio":$wallRatio%.2f,""" +
+        f""""input_ratio":$inputRatio%.2f,"shuffle_ratio":$shuffleRatio%.2f,""" +
+        f""""linear_headroom":${wallRatio / math.max(inputRatio, 1e-9)}%.2f}""")
+    }
+  }
+
   private def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     def copies(df: DataFrame, n: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(i => f(df, i)).reduce(_ unionByName _)
