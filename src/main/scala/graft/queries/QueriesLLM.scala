@@ -981,6 +981,38 @@ object QueriesLLM {
         size(col("pieces")).cast("long").as("n_pieces"))
   }
 
+  /** BPE tokenization ([[BpeTrain.bpeTokensPartitions]] — the
+    * PRODUCTION rank-greedy path) under a SQL-recomputable merge
+    * table: the top-12 pairs of the INITIAL pair-count grain
+    * ([[q_bpe_pairs]]) by (n DESC, a, b). On an initial-grain list
+    * every `a`/`b` is a single character or `</w>`, so no merge output
+    * can re-enable another rule and rank-greedy ≡ learned-order replay
+    * ≡ a fixed 12-pass fold — which is what the DuckDB oracle runs
+    * (recursive CTE over the DISTINCT-word table, one leftmost-first
+    * merge pass per step via `list_reduce`). The merge-LOOP-trained
+    * list stays BpeSpec's jurisdiction (iterative argmax ≠ one SQL
+    * query, the [[q_wordpiece_tokens]] division of labor); the
+    * APPLICATION path — the half that runs corpus-scale in production
+    * — is pinned here. Output flattened (`concat_ws`) because the
+    * driver comparator cannot sort array columns.
+    */
+  def q_bpe_tokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val wc = BpeTrain.wordCounts(docs, "text")
+    val merges = BpeTrain.pairCounts(
+        wc.select(BpeTrain.initSymbols(col("word")).as("syms"), col("cnt")))
+      .orderBy(col("n").desc, col("a"), col("b")).limit(12)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    BpeTrain.bpeTokensPartitions(
+        docs.select(col("doc_id"),
+          concat_ws(" ", filter(TextFunctions.tokens(col("text")),
+            w => w.rlike("^[a-z]+$"))).as("letters")),
+        "doc_id", "letters", merges)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tokens")).as("tokens_joined"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+  }
+
   /** Fuzzy (edit-distance ≤ 1) vocabulary join
     * ([[graft.ops.FuzzyJoin.editDistancePairs]]): the corpus word
     * table plus a deterministic typo per 4+-char word (second char
@@ -2287,6 +2319,7 @@ object QueriesLLM {
     "q_ann_pq" -> (q_ann_pq _),
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_bpe_pairs" -> (q_bpe_pairs _),
+    "q_bpe_tokens" -> (q_bpe_tokens _),
     "q_wordpiece_scores" -> (q_wordpiece_scores _),
     "q_wordpiece_tokens" -> (q_wordpiece_tokens _),
     "q_html_extract" -> (q_html_extract _),
@@ -4287,6 +4320,64 @@ object QueriesLLM {
         |SELECT d.doc_id, coalesce(p.joined, '') AS pieces_joined,
         |  coalesce(p.n, 0)::BIGINT AS n_pieces
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin,
+    // independent BPE-apply replay: rebuild the top-12 initial-grain
+    // merge list, then run 12 leftmost-first merge PASSES per distinct
+    // word via a recursive CTE. list_reduce folds list<list<varchar>>
+    // (each symbol wrapped as a singleton so the accumulator seed —
+    // DuckDB reduce has no init value — is already list-typed); a pass
+    // merges adjacent (a,b) exactly like the engine's per-word scan:
+    // after a merge the new symbol becomes the accumulator tail, so an
+    // overlapping second occurrence ("aaa" under (a,a)) is NOT re-merged
+    // — leftmost-first on both sides.
+    "q_bpe_tokens" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word
+        |  FROM documents
+        |), wf AS (
+        |  SELECT word, count(*) AS cnt FROM words
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1
+        |), syms AS (
+        |  SELECT list_append(string_split(word, ''), '</w>') AS s, cnt FROM wf
+        |), pc AS (
+        |  SELECT a, b, sum(cnt)::BIGINT AS n FROM (
+        |    SELECT s[i] AS a, s[i+1] AS b, cnt
+        |    FROM syms, unnest(range(1, len(s))) AS t(i)
+        |  ) GROUP BY 1, 2
+        |), merges AS (
+        |  SELECT a, b, row_number() OVER (ORDER BY n DESC, a, b) - 1 AS rk
+        |  FROM pc QUALIFY rk < 12
+        |), rec AS (
+        |  SELECT word,
+        |    list_transform(list_append(string_split(word, ''), '</w>'), s -> [s]) AS ss,
+        |    0 AS step
+        |  FROM (SELECT DISTINCT word FROM wf)
+        |  UNION ALL
+        |  SELECT r.word,
+        |    list_transform(
+        |      list_reduce(r.ss, (x, y) ->
+        |        CASE WHEN x[-1] = m.a AND y[1] = m.b
+        |          THEN list_append(array_pop_back(x), m.a || m.b)
+        |          ELSE list_concat(x, y) END),
+        |      s -> [s]) AS ss,
+        |    r.step + 1
+        |  FROM rec r JOIN merges m ON m.rk = r.step
+        |), toks AS (
+        |  SELECT word, list_transform(ss, x -> x[1]) AS tok
+        |  FROM rec WHERE step = 12
+        |), docw AS (
+        |  SELECT d.doc_id, t.i, d.l[t.i] AS word
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |          w -> length(w) > 0 AND regexp_matches(w, '^[a-z]+$')) AS l
+        |        FROM documents) d,
+        |       unnest(range(1, len(d.l) + 1)) AS t(i)
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(array_to_string(tk.tok, ' '), ' ' ORDER BY w.i), '') AS tokens_joined,
+        |  coalesce(sum(len(tk.tok)), 0)::BIGINT AS n_tokens
+        |FROM documents d
+        |LEFT JOIN docw w ON w.doc_id = d.doc_id
+        |LEFT JOIN toks tk ON tk.word = w.word
+        |GROUP BY 1""".stripMargin,
     "q_pca_semdedup" ->
       (s"""WITH proj AS (
          |  SELECT vec_id, $pcaPvecSql AS pvec FROM embeddings

@@ -114,6 +114,38 @@ class BpeSpec extends AnyFunSuite {
       s"mixed-whitespace divergence: ${greedy.find(kv => replay(kv._1) != kv._2)}")
   }
 
+  test("q_bpe_tokens: initial-grain merges — greedy == replay, tokens reconstruct") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val wc = BpeTrain.wordCounts(docs, "text")
+    val merges = BpeTrain.pairCounts(
+        wc.select(BpeTrain.initSymbols(col("word")).as("syms"), col("cnt")))
+      .orderBy(col("n").desc, col("a"), col("b")).limit(12)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // the query's equivalence precondition: initial-grain rules are
+    // (char, char|</w>) — a merge OUTPUT (2+ chars, or *</w> with a
+    // leading char) can never re-enable another rule
+    merges.foreach { case (a, b) =>
+      assert(a.length == 1 && (b.length == 1 || b == "</w>"), (a, b))
+    }
+    val letters = docs.select(col("doc_id"),
+      concat_ws(" ", filter(TextFunctions.tokens(col("text")),
+        w => w.rlike("^[a-z]+$"))).as("letters"))
+    val greedy = BpeTrain.bpeTokensPartitions(letters, "doc_id", "letters", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val replay = letters
+      .select(col("doc_id"), BpeTrain.bpeSplit(col("letters"), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(greedy == replay,
+      s"greedy/replay divergence: ${greedy.find(kv => replay(kv._1) != kv._2)}")
+    // lossless: stripping </w> markers reconstructs the letter stream
+    val src = letters.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    greedy.foreach { case (id, toks) =>
+      val rebuilt = toks.mkString("").replace("</w>", " ").trim
+      assert(rebuilt == src(id), s"doc $id does not reconstruct")
+    }
+  }
+
   test("wordCounts + pairCounts: one corpus pass, portable word filter") {
     val docs = Seq((1L, "low low lower"), (2L, "Newest ab")).toDF("doc_id", "text")
     val wc = BpeTrain.wordCounts(docs, "text")
