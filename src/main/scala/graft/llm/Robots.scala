@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** RFC 9309 (Robots Exclusion Protocol) parsing and allow/deny
+  * decisions — the crawl-politeness gate every ingest pipeline runs
+  * BEFORE fetching, sitting alongside the URL canonicalization /
+  * frontier machinery ([[UrlFunctions]], [[graft.streaming.StreamingCrawl]]).
+  *
+  * Scale shape: one robots.txt per HOST, so the parsed rule table is
+  * host-cardinality — orders of magnitude smaller than the URL corpus
+  * it gates. [[parseRobots]] is a single `posexplode` plus two
+  * host-keyed windows (robots bodies are KiB-scale, the explode is
+  * bounded); [[robotsAllowed]] joins URLs to rules on host, so each
+  * URL meets only its own host's handful of rules — never a cross-host
+  * product — and the per-host exact-agent probe is a broadcast.
+  *
+  * Conventions (documented so the SQL oracle can replay them exactly):
+  * consecutive `User-agent` lines — after dropping comments, blanks,
+  * and non-robots keys like `Sitemap`/`Crawl-delay` — share one group
+  * (RFC 9309 §2.1 group grammar); an empty-value `Disallow:` imposes
+  * nothing and is dropped at parse; group selection is exact
+  * agent-token match with `*` fallback (the RFC's longest-UA-prefix
+  * refinement collapses to this for exact product tokens); decision is
+  * longest-pattern wins with `allow` beating `disallow` on ties
+  * (§2.2.2), no match → allowed.
+  */
+object Robots {
+
+  /** URL path component (`/` when absent) — what robots rules match. */
+  def urlPath(u: Column): Column = {
+    val p = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** RFC 9309 path pattern → anchored Java/RE2 regex: `*` is a
+    * wildcard, a TRAILING `$` anchors the end, every other character
+    * is literal (metacharacters escaped; an INNER `$` is literal).
+    */
+  def patternRegex(pattern: Column): Column = {
+    val hasEnd = pattern.endsWith("$")
+    val core = when(hasEnd, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val escaped = regexp_replace(core,
+      "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    val wild = regexp_replace(escaped, "\\*", ".*")
+    concat(lit("^"), wild, when(hasEnd, lit("$")).otherwise(lit("")))
+  }
+
+  /** Parse robots.txt bodies into a per-(host, agent) rule table:
+    * `(host, agent, group_id, rule_no, directive, pattern)`. Groups
+    * with no rules (allow-everything groups — legal and load-bearing:
+    * `User-agent: bot` at EOF exempts `bot` from a `*` disallow) keep
+    * one row with null rule columns, so [[robotsAllowed]]'s group
+    * selection still sees them.
+    */
+  def parseRobots(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("line_no", "raw")))
+      .select(col("host"), col("line_no"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+      .filter(col("line").contains(":"))
+      .select(col("host"), col("line_no"),
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("k"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("v"))
+      .filter(col("k").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy("host").orderBy("line_no")
+    val grouped = lines
+      .withColumn("is_ua", (col("k") === "user-agent").cast("int"))
+      .withColumn("new_group",
+        when(col("is_ua") === 1 &&
+          coalesce(lag(col("is_ua"), 1).over(w), lit(0)) === 0, 1)
+          .otherwise(0))
+      .withColumn("group_id", sum(col("new_group")).over(w))
+    val agents = grouped.filter(col("k") === "user-agent")
+      .select(col("host"), col("group_id"), lower(col("v")).as("agent"))
+    val rules = grouped
+      .filter(col("k") =!= "user-agent" && col("v") =!= "")
+      .select(col("host"), col("group_id"),
+        col("line_no").cast("long").as("rule_no"),
+        col("k").as("directive"), col("v").as("pattern"))
+    agents.join(rules, Seq("host", "group_id"), "left")
+      .select(col("host"), col("agent"), col("group_id").cast("long").as("group_id"),
+        col("rule_no"), col("directive"), col("pattern"))
+  }
+
+  /** Allow/deny per URL for `agent` against a [[parseRobots]] table:
+    * adds `host`, `path`, `allowed`, `matched_directive`,
+    * `matched_pattern`. Group selection: the host's exact-`agent`
+    * groups when any exist, else its `*` groups, else no rules (hosts
+    * with no robots.txt allow everything). Decision: among matching
+    * selected rules, longest pattern wins; `allow` beats `disallow`
+    * on equal length; first-written rule breaks exact ties; no match
+    * → allowed.
+    */
+  def robotsAllowed(urls: DataFrame, rules: DataFrame, agent: String,
+                    idCol: String, urlCol: String = "url"): DataFrame = {
+    val ag = agent.toLowerCase(java.util.Locale.ROOT)
+    val u = urls
+      .withColumn("host", UrlFunctions.urlHost(col(urlCol)))
+      .withColumn("path", urlPath(col(urlCol)))
+    val hostHasExact = rules.filter(col("agent") === ag)
+      .select("host").distinct().withColumn("has_exact", lit(true))
+    val selected = rules
+      .join(broadcast(hostHasExact), Seq("host"), "left")
+      .filter(when(coalesce(col("has_exact"), lit(false)), col("agent") === ag)
+        .otherwise(col("agent") === "*"))
+      .filter(col("pattern").isNotNull)
+      .select(col("host").as("r_host"), col("rule_no"),
+        col("directive"), col("pattern"),
+        patternRegex(col("pattern")).as("rx"))
+      .distinct() // same rule reachable via two UA aliases in one group
+    val cand = u.join(broadcast(selected),
+      col("host") === col("r_host") && regexp_like(col("path"), col("rx")),
+      "left")
+    val pick = Window.partitionBy(col(idCol)).orderBy(
+      length(col("pattern")).desc, col("directive"), col("rule_no"))
+    cand
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .withColumn("allowed", col("pattern").isNull || col("directive") === "allow")
+      .withColumn("matched_directive", coalesce(col("directive"), lit("none")))
+      .withColumn("matched_pattern", coalesce(col("pattern"), lit("")))
+      .drop("r_host", "rule_no", "directive", "pattern", "rx", "__rn")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.table
-import graft.llm.{BpeTrain, Curation, Dedup, Mixing, Multimodal, NgramLm, Packing, QualityClassifier, Retrieval, Similarity, TextFunctions, UnigramLm, UrlFunctions, Warc, WordPiece}
+import graft.llm.{BpeTrain, Curation, Dedup, Mixing, Multimodal, NgramLm, Packing, QualityClassifier, Retrieval, Robots, Similarity, TextFunctions, UnigramLm, UrlFunctions, Warc, WordPiece}
 
 /** LLM-training-data pipeline coverage queries over the driver's
   * `documents` and `embeddings` tables, with DuckDB oracles.
@@ -826,6 +826,74 @@ object QueriesLLM {
         table(spark, dir, "documents").withColumn("domain", domain),
         "doc_id", "domain", n = 50)
       .select("doc_id", "domain")
+  }
+
+  /** Shared robots.txt fixture (query + oracle interpolate the SAME
+    * strings): three hosts covering the RFC 9309 arms — comment
+    * stripping, ignored keys (`Crawl-delay`, `Sitemap`), empty
+    * `Disallow:` dropped at parse, a multi-`User-agent` group, an
+    * exact-agent group shadowing `*`, longest-match with allow-wins
+    * ties (`/p/12` over `/p/1`), `$` end anchors, `*` wildcards, and
+    * a rule-less exact group at EOF that EXEMPTS the agent from the
+    * host's `Disallow: /`. A fourth host has no robots.txt at all.
+    */
+  private[queries] val robotsBodies: Seq[(String, String)] = Seq(
+    "a.example.com" ->
+      """# politeness file
+        |User-agent: *
+        |Disallow: /private/
+        |Allow: /private/ok/
+        |Disallow: /tmp$
+        |Disallow: /star/*/x$
+        |Disallow:
+        |Crawl-delay: 10
+        |Sitemap: http://a.example.com/map.xml""".stripMargin,
+    "b.example.org" ->
+      """User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /p/1
+        |Allow: /p/12
+        |
+        |User-agent: *
+        |Disallow: /""".stripMargin,
+    "c.example.net" ->
+      """User-agent: *
+        |Disallow: /
+        |User-agent: graftbot""".stripMargin)
+
+  /** The fixture as a SQL VALUES list — newlines embed verbatim in the
+    * literals (no quotes to escape), so oracle and query parse
+    * byte-identical bodies.
+    */
+  private def robotsValuesSql: String =
+    robotsBodies.map { case (h, t) => s"('$h', '$t')" }.mkString(",\n")
+
+  /** RFC 9309 crawl-politeness gate ([[Robots.parseRobots]] +
+    * [[Robots.robotsAllowed]]): parse the fixture robots.txt bodies
+    * into the host-grain rule table, then decide every synthesized URL
+    * for agent `GraftBot` — group selection (exact over `*` over
+    * nothing), longest-pattern-wins with allow on ties, wildcard and
+    * end-anchor patterns. The oracle replays parse AND decision from
+    * the same body strings: line explode → comment strip → key filter
+    * → UA-run grouping (window cumsum) → group selection → regex
+    * translation → longest-match ranking.
+    */
+  def q_robots_filter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val robots = robotsBodies.toDF("host", "robots_txt")
+    val rules = Robots.parseRobots(robots, "host", "robots_txt")
+    val host = element_at(array(lit("a.example.com"), lit("b.example.org"),
+      lit("c.example.net"), lit("d.example.io")),
+      (expr("(doc_id div 8) % 4") + 1).cast("int"))
+    val path = element_at(array(lit("/private/file"), lit("/private/ok/file"),
+      lit("/tmp"), lit("/tmpextra"), lit("/star/deep/x"), lit("/p/1page"),
+      lit("/p/12page"), lit("/other")), (col("doc_id") % 8 + 1).cast("int"))
+    val urls = table(spark, dir, "documents")
+      .select(col("doc_id"), concat(lit("http://"), host, path,
+        lit("?id="), col("doc_id")).as("url"))
+    Robots.robotsAllowed(urls, rules, "GraftBot", "doc_id")
+      .select(col("doc_id"), col("url"), col("host"), col("path"),
+        col("allowed"), col("matched_directive"), col("matched_pattern"))
   }
 
   /** The crawl-pipeline flagship, fully oracled end-to-end over the
@@ -2327,6 +2395,7 @@ object QueriesLLM {
     "q_url_normalize" -> (q_url_normalize _),
     "q_registered_domain" -> (q_registered_domain _),
     "q_domain_cap_psl" -> (q_domain_cap_psl _),
+    "q_robots_filter" -> (q_robots_filter _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -4187,6 +4256,76 @@ object QueriesLLM {
           |  FROM dom
           |)
           |SELECT doc_id, domain FROM capped WHERE rn <= 50""".stripMargin),
+
+    // independent RFC 9309 replay from the SAME robots body strings:
+    // line explode -> comment strip -> key filter -> UA-run grouping
+    // (lag marks a group start, cumsum numbers it — split into two CTEs
+    // because DuckDB rejects nested window calls) -> exact-over-star
+    // group selection -> pattern-to-regex translation -> longest-match
+    // ranking with allow beating disallow on ties
+    "q_robots_filter" ->
+      (s"""WITH robots(host, txt) AS (VALUES $robotsValuesSql),
+         |lins AS (
+         |  SELECT host, t.i AS line_no, trim(regexp_replace(r.l[t.i], '#.*', '')) AS line
+         |  FROM (SELECT host, string_split(txt, chr(10)) AS l FROM robots) r,
+         |       unnest(range(1, len(r.l) + 1)) AS t(i)
+         |), kv AS (
+         |  SELECT host, line_no,
+         |    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS k,
+         |    trim(regexp_extract(line, '^[^:]+:(.*)$$', 1)) AS v
+         |  FROM lins WHERE contains(line, ':')
+         |), kept AS (
+         |  SELECT * FROM kv WHERE k IN ('user-agent', 'allow', 'disallow')
+         |), marked AS (
+         |  SELECT *, CASE WHEN k = 'user-agent' AND
+         |      coalesce(lag(k) OVER (PARTITION BY host ORDER BY line_no), 'x') <> 'user-agent'
+         |    THEN 1 ELSE 0 END AS new_group
+         |  FROM kept
+         |), grp AS (
+         |  SELECT *, sum(new_group) OVER (PARTITION BY host ORDER BY line_no) AS group_id
+         |  FROM marked
+         |), agents AS (
+         |  SELECT host, group_id, lower(v) AS agent FROM grp WHERE k = 'user-agent'
+         |), rul AS (
+         |  SELECT host, group_id, line_no AS rule_no, k AS directive, v AS pattern
+         |  FROM grp WHERE k <> 'user-agent' AND v <> ''
+         |), exact AS (
+         |  SELECT DISTINCT host FROM agents WHERE agent = 'graftbot'
+         |), sel AS (
+         |  SELECT DISTINCT a.host, a.group_id
+         |  FROM agents a LEFT JOIN exact e ON a.host = e.host
+         |  WHERE (e.host IS NOT NULL AND a.agent = 'graftbot')
+         |     OR (e.host IS NULL AND a.agent = '*')
+         |), selr AS (
+         |  SELECT DISTINCT r.host, r.rule_no, r.directive, r.pattern,
+         |    '^' || replace(regexp_replace(
+         |        CASE WHEN r.pattern LIKE '%$$' THEN substr(r.pattern, 1, length(r.pattern) - 1)
+         |             ELSE r.pattern END,
+         |        '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*')
+         |      || CASE WHEN r.pattern LIKE '%$$' THEN '$$' ELSE '' END AS rx
+         |  FROM rul r JOIN sel s ON r.host = s.host AND r.group_id = s.group_id
+         |), urls AS (
+         |  SELECT doc_id,
+         |    (['a.example.com', 'b.example.org', 'c.example.net', 'd.example.io'])[((doc_id // 8) % 4 + 1)::INT] AS host,
+         |    (['/private/file', '/private/ok/file', '/tmp', '/tmpextra', '/star/deep/x',
+         |      '/p/1page', '/p/12page', '/other'])[(doc_id % 8 + 1)::INT] AS path
+         |  FROM documents
+         |), cand AS (
+         |  SELECT u.doc_id, u.host, u.path, r.rule_no, r.directive, r.pattern
+         |  FROM urls u LEFT JOIN selr r
+         |    ON u.host = r.host AND regexp_matches(u.path, r.rx)
+         |), win AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY length(pattern) DESC, directive, rule_no) AS rn
+         |  FROM cand
+         |)
+         |SELECT doc_id,
+         |  'http://' || host || path || '?id=' || doc_id AS url,
+         |  host, path,
+         |  (pattern IS NULL OR directive = 'allow') AS allowed,
+         |  coalesce(directive, 'none') AS matched_directive,
+         |  coalesce(pattern, '') AS matched_pattern
+         |FROM win WHERE rn = 1""".stripMargin),
 
     "q_quality_lr" ->
       """WITH toks AS (

@@ -315,6 +315,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"distinct-hosts aggregate missing:\n$p")
   }
 
+  test("robots gate: rule table broadcasts to the URL corpus; no cartesian") {
+    val p = plan(graft.queries.QueriesLLM.q_robots_filter(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"robots decision must stay an equi-join on host:\n$p")
+    // the host-grain rule table (and the exact-agent probe) broadcast —
+    // the corpus-side URLs never shuffle for the join
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"rules must broadcast:\n$p")
+  }
+
   test("expectations: rule count does not change the plan shape (one scan)") {
     import graft.ops.Expectations.Rule
     val docs = spark.read.parquet(s"$dir/documents.parquet")

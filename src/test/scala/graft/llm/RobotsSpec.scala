@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Pins RFC 9309 parse and decision semantics on hand-derivable
+  * fixtures: group grammar (consecutive UA lines share a group,
+  * non-group keys ignored), empty-Disallow drop, rule-less groups
+  * surviving to selection, exact-agent-over-`*` selection, and
+  * longest-match/allow-ties/anchor/wildcard decisions.
+  */
+class RobotsSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val body =
+    """# header comment
+      |User-Agent: GraftBot
+      |User-agent: otherbot
+      |Disallow: /a/   # trailing comment
+      |Allow: /a/b/
+      |Crawl-delay: 3
+      |Disallow:
+      |
+      |User-agent: *
+      |Disallow: /
+      |User-agent: lonely""".stripMargin
+
+  private def rules = Robots.parseRobots(
+    Seq(("h.example", body)).toDF("host", "robots_txt"), "host", "robots_txt")
+
+  test("parseRobots: group grammar, key normalization, empty-Disallow drop") {
+    val rows = rules.collect()
+      .map(r => (r.getString(1), Option(r.getString(4)), Option(r.getString(5))))
+      .toSet
+    // group 1 = {graftbot, otherbot} x {disallow /a/, allow /a/b/};
+    // Crawl-delay ignored; "Disallow:" dropped; group 2 = * with /;
+    // group 3 = lonely with NO rules -> null rule row kept
+    assert(rows == Set(
+      ("graftbot", Some("disallow"), Some("/a/")),
+      ("graftbot", Some("allow"), Some("/a/b/")),
+      ("otherbot", Some("disallow"), Some("/a/")),
+      ("otherbot", Some("allow"), Some("/a/b/")),
+      ("*", Some("disallow"), Some("/")),
+      ("lonely", None, None)))
+    // the two UA aliases share ONE group; * and lonely are separate
+    assert(rules.select("group_id").distinct().count() == 3)
+  }
+
+  test("patternRegex: wildcard, trailing anchor, inner $ and metachars literal") {
+    val pats = Seq("/a/*/c$", "/p$q", "/d.x(1)$").toDF("p")
+      .select(Robots.patternRegex(col("p"))).as[String].collect()
+    assert(pats(0) == "^/a/.*/c$")
+    assert(pats(1) == "^/p\\$q")         // inner $ is literal
+    assert(pats(2) == "^/d\\.x\\(1\\)$") // metachars escaped, trailing $ anchors
+  }
+
+  test("robotsAllowed: selection and longest-match decisions") {
+    val urls = Seq(
+      (1L, "http://h.example/a/file"),    // graftbot group: disallow /a/
+      (2L, "http://h.example/a/b/file"),  // allow /a/b/ beats /a/ (longer)
+      (3L, "http://h.example/other"),     // no graftbot rule matches -> allowed
+      (4L, "http://nowhere.example/x")    // host without robots -> allowed
+    ).toDF("id", "url")
+    val out = Robots.robotsAllowed(urls, rules, "GraftBot", "id")
+      .select("id", "allowed", "matched_directive", "matched_pattern")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2), r.getString(3)))).toMap
+    assert(out(1L) == ((false, "disallow", "/a/")))
+    assert(out(2L) == ((true, "allow", "/a/b/")))
+    assert(out(3L) == ((true, "none", "")))
+    assert(out(4L) == ((true, "none", "")))
+    // the rule-less 'lonely' group exempts that agent from * entirely
+    val lonely = Robots.robotsAllowed(urls.filter(col("id") === 1), rules,
+      "lonely", "id").select("allowed").as[Boolean].head()
+    assert(lonely)
+    // an agent with no group of its own falls back to * (disallow /)
+    val anon = Robots.robotsAllowed(urls.filter(col("id") === 3), rules,
+      "strangerbot", "id")
+      .select("allowed", "matched_pattern").collect().head
+    assert(!anon.getBoolean(0) && anon.getString(1) == "/")
+  }
+
+  test("allow wins length ties; first-written rule breaks exact ties") {
+    val r = Robots.parseRobots(Seq(("t.example",
+      "User-agent: *\nDisallow: /dup\nAllow: /dup")).toDF("host", "txt"),
+      "host", "txt")
+    val out = Robots.robotsAllowed(
+      Seq((1L, "http://t.example/dupx")).toDF("id", "url"), r, "anybot", "id")
+      .select("allowed", "matched_directive").collect().head
+    assert(out.getBoolean(0) && out.getString(1) == "allow")
+  }
+}
