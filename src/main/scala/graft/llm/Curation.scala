@@ -226,4 +226,38 @@ object Curation {
                             qualityCol: String, m: Double): DataFrame =
     docs.join(broadcast(groupQualityPrior(docs, groupCol, qualityCol, m)),
       Seq(groupCol))
+
+  /** Token-exact blocklist gate (the UT1/"bad words" filter every
+    * curation stack runs ahead of model-based quality): per document,
+    * the number of token occurrences that hit `terms` plus the sorted
+    * distinct hit list, and `keep = n_blocked <= maxHits`.
+    *
+    * Shape: explode tokens → inner-join the term table → one doc-grain
+    * agg → id-only join back onto the corpus. RELATIONAL ON PURPOSE —
+    * a regex alternation over N terms rebuilds the automaton per row
+    * and stops scaling past a few hundred terms, while a join takes a
+    * million-term list (UT1 URL lists) unchanged: Spark broadcasts it
+    * while it fits and falls back to a shuffle join when it doesn't,
+    * and only MATCHING (doc, term) pairs ever reach the aggregation,
+    * so the join-back is id-width. Matching is exact on whitespace
+    * tokens, lowercased; substring/normalized variants belong to the
+    * fuzzy-join machinery ([[graft.ops.FuzzyJoin]]).
+    */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+                    terms: DataFrame, termCol: String,
+                    maxHits: Long = 0L): DataFrame = {
+    val t = terms.select(lower(col(termCol)).as("__term")).distinct()
+    val hits = docs
+      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol))))
+        .as("__tok"))
+      .join(t, col("__tok") === col("__term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocked"),
+        array_sort(collect_set(col("__term"))).as("blocked_terms"))
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("n_blocked", coalesce(col("n_blocked"), lit(0L)))
+      .withColumn("blocked_terms",
+        coalesce(col("blocked_terms"), array().cast("array<string>")))
+      .withColumn("keep", col("n_blocked") <= maxHits)
+  }
 }

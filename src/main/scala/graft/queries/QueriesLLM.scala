@@ -2129,6 +2129,23 @@ object QueriesLLM {
       minQuality = 0.25, jaccardThreshold = 0.2)
   }
 
+  /** Token-exact blocklist gate ([[Curation.blocklistGate]]): three
+    * unwanted terms against every document — occurrence count, sorted
+    * distinct hit list (flattened for the comparator), and the
+    * keep/drop decision at `maxHits = 2`. The oracle replays the
+    * explode → term join → doc agg chain; the threshold sits strictly
+    * inside the observed count range so BOTH decisions occur.
+    */
+  def q_blocklist_filter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("slow", "dup", "big").toDF("term")
+    Curation.blocklistGate(table(spark, dir, "documents"),
+        "doc_id", "text", terms, "term", maxHits = 2L)
+      .select(col("doc_id"), col("n_blocked"),
+        concat_ws(" ", col("blocked_terms")).as("blocked_joined"),
+        col("keep"))
+  }
+
   /** The TRAINING-DATA FLAGSHIP (VERDICT r15 #4): the full composition
     * a pretraining-data run executes, hash-checked as ONE chain the way
     * `q_pipeline_e2e` checks the ETD DAG —
@@ -2381,6 +2398,7 @@ object QueriesLLM {
     "q_dsir_weights" -> (q_dsir_weights _),
     "q_curation_e2e" -> (q_curation_e2e _),
     "q_curation_audit" -> (q_curation_audit _),
+    "q_blocklist_filter" -> (q_blocklist_filter _),
     "q_training_data_e2e" -> (q_training_data_e2e _),
     "q_split_assign" -> (q_split_assign _),
     "q_split_leakage_safe" -> (q_split_leakage_safe _),
@@ -3468,6 +3486,24 @@ object QueriesLLM {
          |FROM qual q
          |LEFT JOIN keepx k ON q.doc_id = k.doc_id
          |LEFT JOIN drops d ON q.doc_id = d.doc_id""".stripMargin),
+
+    "q_blocklist_filter" ->
+      """WITH terms(term) AS (VALUES ('slow'), ('dup'), ('big')),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> length(t) > 0)) AS tok
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_blocked,
+        |    array_to_string(list_sort(list_distinct(list(tok))), ' ') AS blocked_joined
+        |  FROM toks JOIN terms ON tok = term
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(h.n_blocked, 0)::BIGINT AS n_blocked,
+        |  coalesce(h.blocked_joined, '') AS blocked_joined,
+        |  (coalesce(h.n_blocked, 0) <= 2) AS keep
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
     "q_dsir_weights" ->
       """WITH cg AS (
         |  SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS h FROM (
