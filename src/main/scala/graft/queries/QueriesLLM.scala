@@ -868,6 +868,69 @@ object QueriesLLM {
   private def robotsValuesSql: String =
     robotsBodies.map { case (h, t) => s"('$h', '$t')" }.mkString(",\n")
 
+  /** The shared RFC 9309 oracle chain (parse + decision through the
+    * `win` CTE) — `q_robots_filter` adds the projection,
+    * `q_crawl_frontier` composes scheduling on top. Written ONCE (the
+    * gramJoinRows lesson, ADVICE r11/r16): a tweak to the grammar or
+    * the ranking diverges every consumer together or not at all.
+    */
+  private lazy val robotsChainSql: String =
+    s"""WITH RECURSIVE robots(host, txt) AS (VALUES $robotsValuesSql),
+       |lins AS (
+       |  SELECT host, t.i AS line_no, trim(regexp_replace(r.l[t.i], '#.*', '')) AS line
+       |  FROM (SELECT host, string_split(txt, chr(10)) AS l FROM robots) r,
+       |       unnest(range(1, len(r.l) + 1)) AS t(i)
+       |), kv AS (
+       |  SELECT host, line_no,
+       |    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS k,
+       |    trim(regexp_extract(line, '^[^:]+:(.*)$$', 1)) AS v
+       |  FROM lins WHERE contains(line, ':')
+       |), kept AS (
+       |  SELECT * FROM kv WHERE k IN ('user-agent', 'allow', 'disallow')
+       |), marked AS (
+       |  SELECT *, CASE WHEN k = 'user-agent' AND
+       |      coalesce(lag(k) OVER (PARTITION BY host ORDER BY line_no), 'x') <> 'user-agent'
+       |    THEN 1 ELSE 0 END AS new_group
+       |  FROM kept
+       |), grp AS (
+       |  SELECT *, sum(new_group) OVER (PARTITION BY host ORDER BY line_no) AS group_id
+       |  FROM marked
+       |), agents AS (
+       |  SELECT host, group_id, lower(v) AS agent FROM grp WHERE k = 'user-agent'
+       |), rul AS (
+       |  SELECT host, group_id, line_no AS rule_no, k AS directive, v AS pattern
+       |  FROM grp WHERE k <> 'user-agent' AND v <> ''
+       |), exact AS (
+       |  SELECT DISTINCT host FROM agents WHERE agent = 'graftbot'
+       |), sel AS (
+       |  SELECT DISTINCT a.host, a.group_id
+       |  FROM agents a LEFT JOIN exact e ON a.host = e.host
+       |  WHERE (e.host IS NOT NULL AND a.agent = 'graftbot')
+       |     OR (e.host IS NULL AND a.agent = '*')
+       |), selr AS (
+       |  SELECT DISTINCT r.host, r.rule_no, r.directive, r.pattern,
+       |    '^' || replace(regexp_replace(
+       |        CASE WHEN r.pattern LIKE '%$$' THEN substr(r.pattern, 1, length(r.pattern) - 1)
+       |             ELSE r.pattern END,
+       |        '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*')
+       |      || CASE WHEN r.pattern LIKE '%$$' THEN '$$' ELSE '' END AS rx
+       |  FROM rul r JOIN sel s ON r.host = s.host AND r.group_id = s.group_id
+       |), urls AS (
+       |  SELECT doc_id,
+       |    (['a.example.com', 'b.example.org', 'c.example.net', 'd.example.io'])[((doc_id // 8) % 4 + 1)::INT] AS host,
+       |    (['/private/file', '/private/ok/file', '/tmp', '/tmpextra', '/star/deep/x',
+       |      '/p/1page', '/p/12page', '/other'])[(doc_id % 8 + 1)::INT] AS path
+       |  FROM documents
+       |), cand AS (
+       |  SELECT u.doc_id, u.host, u.path, r.rule_no, r.directive, r.pattern
+       |  FROM urls u LEFT JOIN selr r
+       |    ON u.host = r.host AND regexp_matches(u.path, r.rx)
+       |), win AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY length(pattern) DESC, directive, rule_no) AS rn
+       |  FROM cand
+       |)""".stripMargin
+
   /** RFC 9309 crawl-politeness gate ([[Robots.parseRobots]] +
     * [[Robots.robotsAllowed]]): parse the fixture robots.txt bodies
     * into the host-grain rule table, then decide every synthesized URL
@@ -878,22 +941,83 @@ object QueriesLLM {
     * → UA-run grouping (window cumsum) → group selection → regex
     * translation → longest-match ranking.
     */
-  def q_robots_filter(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val robots = robotsBodies.toDF("host", "robots_txt")
-    val rules = Robots.parseRobots(robots, "host", "robots_txt")
+  /** The fixture URL corpus both robots queries gate: host varies per
+    * 8-document block, path per document, so all 32 host×path arms
+    * occur (decoupled indices — `doc_id div 8` vs `doc_id mod 8`).
+    */
+  private def robotsFixtureUrls(spark: SparkSession, dir: String): DataFrame = {
     val host = element_at(array(lit("a.example.com"), lit("b.example.org"),
       lit("c.example.net"), lit("d.example.io")),
       (expr("(doc_id div 8) % 4") + 1).cast("int"))
     val path = element_at(array(lit("/private/file"), lit("/private/ok/file"),
       lit("/tmp"), lit("/tmpextra"), lit("/star/deep/x"), lit("/p/1page"),
       lit("/p/12page"), lit("/other")), (col("doc_id") % 8 + 1).cast("int"))
-    val urls = table(spark, dir, "documents")
+    table(spark, dir, "documents")
       .select(col("doc_id"), concat(lit("http://"), host, path,
         lit("?id="), col("doc_id")).as("url"))
-    Robots.robotsAllowed(urls, rules, "GraftBot", "doc_id")
+  }
+
+  private def robotsRules(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Robots.parseRobots(robotsBodies.toDF("host", "robots_txt"),
+      "host", "robots_txt")
+  }
+
+  def q_robots_filter(spark: SparkSession, dir: String): DataFrame =
+    Robots.robotsAllowed(robotsFixtureUrls(spark, dir), robotsRules(spark),
+        "GraftBot", "doc_id")
       .select(col("doc_id"), col("url"), col("host"), col("path"),
         col("allowed"), col("matched_directive"), col("matched_pattern"))
+
+  /** Host link graph for the frontier fixture — a cycle, a shortcut, a
+    * back-edge, and an authority-free source, all deterministic
+    * literals shared with the generated oracle CTE. The edge set is
+    * chosen so no 3-iteration rank sits near a half-step of the 1e-6
+    * rounding grid (min distance 0.094 grid steps, exact-rational
+    * check): the two engines' DECIMAL→DOUBLE casts can disagree by an
+    * ulp (~1e-10 grid steps), and a rank EXACTLY on a boundary — which
+    * tiny dyadic graphs readily produce, e.g. 0.3721875 without the
+    * back-edge — flips the floor between them.
+    */
+  private val frontierEdges: Seq[(String, String)] = Seq(
+    "a.example.com" -> "b.example.org",
+    "b.example.org" -> "c.example.net",
+    "c.example.net" -> "a.example.com",
+    "a.example.com" -> "c.example.net",
+    "d.example.io" -> "a.example.com",
+    "b.example.org" -> "a.example.com")
+
+  private def frontierEdgesCte: String =
+    frontierEdges.map { case (s, d) => s"('$s', '$d')" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(src, dst)")
+
+  /** CRAWL SCHEDULING composed end-to-end — the frontier a polite,
+    * authority-aware crawler fetches next: candidate URLs pass the
+    * RFC 9309 gate ([[Robots.robotsAllowed]]), join host authority
+    * (3-iteration exact-tier [[graft.ops.PageRank]] over the host link
+    * graph — host-cardinality, so the rank table broadcasts), and gain
+    * a per-host politeness `slot` (the fetch sequence within a host;
+    * the scheduler interleaves by slot so no host is flooded). The
+    * fetch order is DEFINED by the (slot, host_rank DESC) sort keys,
+    * not materialized as a global row number — a total order over a
+    * 100 TB frontier would funnel through one partition, and the
+    * per-host window is the politeness queue a real frontier bounds
+    * anyway. Oracle: the shared robots chain + the generated PageRank
+    * SQL as an isolated subquery + the same window.
+    */
+  def q_crawl_frontier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val allowed = Robots.robotsAllowed(robotsFixtureUrls(spark, dir),
+        robotsRules(spark), "GraftBot", "doc_id")
+      .filter(col("allowed"))
+    val ranks = graft.ops.PageRank.pageRank(
+        frontierEdges.toDF("src", "dst"), iterations = 3)
+      .select(col("id").as("host"),
+        (floor(col("rank") * 1e6 + 0.5) / 1e6).as("host_rank"))
+    val slotW = Window.partitionBy("host").orderBy("doc_id")
+    allowed.join(broadcast(ranks), Seq("host"))
+      .withColumn("slot", row_number().over(slotW).cast("long"))
+      .select("doc_id", "url", "host", "host_rank", "slot")
   }
 
   /** The crawl-pipeline flagship, fully oracled end-to-end over the
@@ -2414,6 +2538,7 @@ object QueriesLLM {
     "q_registered_domain" -> (q_registered_domain _),
     "q_domain_cap_psl" -> (q_domain_cap_psl _),
     "q_robots_filter" -> (q_robots_filter _),
+    "q_crawl_frontier" -> (q_crawl_frontier _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -4300,68 +4425,37 @@ object QueriesLLM {
     // group selection -> pattern-to-regex translation -> longest-match
     // ranking with allow beating disallow on ties
     "q_robots_filter" ->
-      (s"""WITH robots(host, txt) AS (VALUES $robotsValuesSql),
-         |lins AS (
-         |  SELECT host, t.i AS line_no, trim(regexp_replace(r.l[t.i], '#.*', '')) AS line
-         |  FROM (SELECT host, string_split(txt, chr(10)) AS l FROM robots) r,
-         |       unnest(range(1, len(r.l) + 1)) AS t(i)
-         |), kv AS (
-         |  SELECT host, line_no,
-         |    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS k,
-         |    trim(regexp_extract(line, '^[^:]+:(.*)$$', 1)) AS v
-         |  FROM lins WHERE contains(line, ':')
-         |), kept AS (
-         |  SELECT * FROM kv WHERE k IN ('user-agent', 'allow', 'disallow')
-         |), marked AS (
-         |  SELECT *, CASE WHEN k = 'user-agent' AND
-         |      coalesce(lag(k) OVER (PARTITION BY host ORDER BY line_no), 'x') <> 'user-agent'
-         |    THEN 1 ELSE 0 END AS new_group
-         |  FROM kept
-         |), grp AS (
-         |  SELECT *, sum(new_group) OVER (PARTITION BY host ORDER BY line_no) AS group_id
-         |  FROM marked
-         |), agents AS (
-         |  SELECT host, group_id, lower(v) AS agent FROM grp WHERE k = 'user-agent'
-         |), rul AS (
-         |  SELECT host, group_id, line_no AS rule_no, k AS directive, v AS pattern
-         |  FROM grp WHERE k <> 'user-agent' AND v <> ''
-         |), exact AS (
-         |  SELECT DISTINCT host FROM agents WHERE agent = 'graftbot'
-         |), sel AS (
-         |  SELECT DISTINCT a.host, a.group_id
-         |  FROM agents a LEFT JOIN exact e ON a.host = e.host
-         |  WHERE (e.host IS NOT NULL AND a.agent = 'graftbot')
-         |     OR (e.host IS NULL AND a.agent = '*')
-         |), selr AS (
-         |  SELECT DISTINCT r.host, r.rule_no, r.directive, r.pattern,
-         |    '^' || replace(regexp_replace(
-         |        CASE WHEN r.pattern LIKE '%$$' THEN substr(r.pattern, 1, length(r.pattern) - 1)
-         |             ELSE r.pattern END,
-         |        '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*')
-         |      || CASE WHEN r.pattern LIKE '%$$' THEN '$$' ELSE '' END AS rx
-         |  FROM rul r JOIN sel s ON r.host = s.host AND r.group_id = s.group_id
-         |), urls AS (
-         |  SELECT doc_id,
-         |    (['a.example.com', 'b.example.org', 'c.example.net', 'd.example.io'])[((doc_id // 8) % 4 + 1)::INT] AS host,
-         |    (['/private/file', '/private/ok/file', '/tmp', '/tmpextra', '/star/deep/x',
-         |      '/p/1page', '/p/12page', '/other'])[(doc_id % 8 + 1)::INT] AS path
-         |  FROM documents
-         |), cand AS (
-         |  SELECT u.doc_id, u.host, u.path, r.rule_no, r.directive, r.pattern
-         |  FROM urls u LEFT JOIN selr r
-         |    ON u.host = r.host AND regexp_matches(u.path, r.rx)
-         |), win AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id
-         |    ORDER BY length(pattern) DESC, directive, rule_no) AS rn
-         |  FROM cand
-         |)
-         |SELECT doc_id,
-         |  'http://' || host || path || '?id=' || doc_id AS url,
-         |  host, path,
-         |  (pattern IS NULL OR directive = 'allow') AS allowed,
-         |  coalesce(directive, 'none') AS matched_directive,
-         |  coalesce(pattern, '') AS matched_pattern
-         |FROM win WHERE rn = 1""".stripMargin),
+      (robotsChainSql +
+        """
+          |SELECT doc_id,
+          |  'http://' || host || path || '?id=' || doc_id AS url,
+          |  host, path,
+          |  (pattern IS NULL OR directive = 'allow') AS allowed,
+          |  coalesce(directive, 'none') AS matched_directive,
+          |  coalesce(pattern, '') AS matched_pattern
+          |FROM win WHERE rn = 1""".stripMargin),
+
+    // the scheduler composition: the robots chain's allowed URLs join
+    // host authority (the generated 3-iteration PageRank oracle rides
+    // as a parenthesized subquery — its WITH scope is isolated) and
+    // gain a per-host politeness slot
+    "q_crawl_frontier" ->
+      (robotsChainSql +
+        s""", decided AS (
+           |  SELECT doc_id, host, path,
+           |    (pattern IS NULL OR directive = 'allow') AS allowed
+           |  FROM win WHERE rn = 1
+           |), pr AS (
+           |  SELECT * FROM (${graft.ops.PageRank.oracleSql(
+                 frontierEdgesCte, iterations = 3)}) t
+           |)
+           |SELECT d.doc_id,
+           |  'http://' || d.host || d.path || '?id=' || d.doc_id AS url,
+           |  d.host,
+           |  p.rank AS host_rank,
+           |  row_number() OVER (PARTITION BY d.host ORDER BY d.doc_id)::BIGINT AS slot
+           |FROM decided d JOIN pr p ON d.host = p.id
+           |WHERE d.allowed""".stripMargin),
 
     "q_quality_lr" ->
       """WITH toks AS (

@@ -83,6 +83,27 @@ class RobotsSpec extends AnyFunSuite {
     assert(!anon.getBoolean(0) && anon.getString(1) == "/")
   }
 
+  test("q_crawl_frontier: only allowed URLs, hand-computed authority, " +
+      "contiguous per-host slots") {
+    val out = graft.queries.QueriesLLM.q_crawl_frontier(spark,
+      "/root/testdata/sf0.001").collect()
+    // every decided-disallowed arm is absent (e.g. a.example.com/private/file)
+    assert(!out.exists(r => r.getString(2) == "a.example.com" &&
+      r.getString(1).contains("/private/file")))
+    // 3-iteration ranks over the 6-edge host graph, hand-derived
+    // (exact rational, then the shared 1e-6 floor)
+    val ranks = out.map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(ranks == Map(
+      "a.example.com" -> 0.477309, "b.example.org" -> 0.183262,
+      "c.example.net" -> 0.30193, "d.example.io" -> 0.0375))
+    // slots are the politeness queue: contiguous 1..k within each host
+    out.groupBy(_.getString(2)).foreach { case (h, rows) =>
+      val slots = rows.map(_.getLong(4)).sorted
+      assert(slots.head == 1L && slots.last == slots.length.toLong &&
+        slots.distinct.length == slots.length, s"slots broken for $h")
+    }
+  }
+
   test("allow wins length ties; first-written rule breaks exact ties") {
     val r = Robots.parseRobots(Seq(("t.example",
       "User-agent: *\nDisallow: /dup\nAllow: /dup")).toDF("host", "txt"),
