@@ -87,6 +87,52 @@ object Robots {
         col("rule_no"), col("directive"), col("pattern"))
   }
 
+  /** `Sitemap:` references declared in robots.txt — per RFC 9309 /
+    * sitemaps.org the directive is GROUP-INDEPENDENT (it may appear
+    * anywhere, including before any `User-agent` line), which is why
+    * [[parseRobots]] drops it and this reads the raw lines instead.
+    * Returns `(host, sitemap_url)`, URL case preserved.
+    */
+  def sitemapRefs(robots: DataFrame, hostCol: String, txtCol: String): DataFrame =
+    robots
+      .select(col(hostCol).as("host"),
+        explode(split(col(txtCol), "\n")).as("raw"))
+      .select(col("host"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+      .filter(lower(col("line")).rlike("^sitemap\\s*:"))
+      .select(col("host"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+
+  /** sitemaps.org `<urlset>` parsing: one row per `<url>` entry with
+    * `loc` (required; entries without one are dropped), `lastmod`, and
+    * `priority` (optional, null when absent). A fixed regex chain —
+    * per-file map work, codegen-friendly, no shuffle; a 50k-URL
+    * sitemap (the protocol's own cap) is a ~5 MB string, well inside
+    * row limits. `<sitemapindex>` files are just `<sitemap><loc>`
+    * blocks — [[sitemapRefs]]-style recursion belongs to the fetch
+    * loop, not the parser.
+    */
+  def sitemapEntries(xml: DataFrame, hostCol: String, xmlCol: String): DataFrame =
+    xml
+      .select(col(hostCol).as("host"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<url>(.*?)</url>"), lit(1))).as("entry"))
+      .select(col("host"),
+        regexp_extract(col("entry"), "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)
+          .as("loc"),
+        regexp_extract(col("entry"), "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)
+          .as("lastmod"),
+        regexp_extract(col("entry"), "(?s)<priority>\\s*(.*?)\\s*</priority>", 1)
+          .as("priority"))
+      .filter(col("loc") =!= "")
+      .withColumn("lastmod",
+        when(col("lastmod") === "", lit(null).cast("string"))
+          .otherwise(col("lastmod")))
+      .withColumn("priority",
+        when(col("priority") === "", lit(null).cast("string"))
+          .otherwise(col("priority")))
+
   /** Allow/deny per URL for `agent` against a [[parseRobots]] table:
     * adds `host`, `path`, `allowed`, `matched_directive`,
     * `matched_pattern`. Group selection: the host's exact-`agent`

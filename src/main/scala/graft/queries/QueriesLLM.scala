@@ -868,6 +868,17 @@ object QueriesLLM {
   private def robotsValuesSql: String =
     robotsBodies.map { case (h, t) => s"('$h', '$t')" }.mkString(",\n")
 
+  /** The fixture URL synthesis as an oracle SELECT body — shared by the
+    * robots chain and the sitemap round-trip (written once; must stay
+    * the SQL twin of [[robotsFixtureUrls]]).
+    */
+  private val robotsUrlsSelectSql: String =
+    """  SELECT doc_id,
+      |    (['a.example.com', 'b.example.org', 'c.example.net', 'd.example.io'])[((doc_id // 8) % 4 + 1)::INT] AS host,
+      |    (['/private/file', '/private/ok/file', '/tmp', '/tmpextra', '/star/deep/x',
+      |      '/p/1page', '/p/12page', '/other'])[(doc_id % 8 + 1)::INT] AS path
+      |  FROM documents""".stripMargin
+
   /** The shared RFC 9309 oracle chain (parse + decision through the
     * `win` CTE) — `q_robots_filter` adds the projection,
     * `q_crawl_frontier` composes scheduling on top. Written ONCE (the
@@ -916,11 +927,7 @@ object QueriesLLM {
        |      || CASE WHEN r.pattern LIKE '%$$' THEN '$$' ELSE '' END AS rx
        |  FROM rul r JOIN sel s ON r.host = s.host AND r.group_id = s.group_id
        |), urls AS (
-       |  SELECT doc_id,
-       |    (['a.example.com', 'b.example.org', 'c.example.net', 'd.example.io'])[((doc_id // 8) % 4 + 1)::INT] AS host,
-       |    (['/private/file', '/private/ok/file', '/tmp', '/tmpextra', '/star/deep/x',
-       |      '/p/1page', '/p/12page', '/other'])[(doc_id % 8 + 1)::INT] AS path
-       |  FROM documents
+       |$robotsUrlsSelectSql
        |), cand AS (
        |  SELECT u.doc_id, u.host, u.path, r.rule_no, r.directive, r.pattern
        |  FROM urls u LEFT JOIN selr r
@@ -990,6 +997,38 @@ object QueriesLLM {
   private def frontierEdgesCte: String =
     frontierEdges.map { case (s, d) => s"('$s', '$d')" }
       .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(src, dst)")
+
+  /** Sitemap ROUND-TRIP at corpus scale ([[Robots.sitemapEntries]]):
+    * every document contributes a `<url>` block (loc always; lastmod
+    * on even ids; priority on ids divisible by 3 — so all four
+    * presence combinations occur) to its host's `<urlset>`, assembled
+    * with ONE host-grain aggregation, and the parser explodes it back
+    * to doc-grain rows. Optional-field absence comes back as `''`
+    * (both engines' regexp_extract convention), kept that way for the
+    * comparator. `Sitemap:` discovery from robots.txt
+    * ([[Robots.sitemapRefs]]) is fixture-grain and spec-pinned.
+    */
+  def q_sitemap_entries(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = robotsFixtureUrls(spark, dir)
+      .withColumn("host", UrlFunctions.urlHost(col("url")))
+      .select(col("host"), concat(
+        lit("<url><loc>"), col("url"), lit("</loc>"),
+        when(col("doc_id") % 2 === 0, concat(lit("<lastmod>2026-"),
+          lpad((col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+          lit("-15</lastmod>"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, concat(lit("<priority>0."),
+          (col("doc_id") % 10).cast("string"),
+          lit("</priority>"))).otherwise(lit("")),
+        lit("</url>")).as("block"))
+    val xml = blocks.groupBy("host")
+      .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        concat_ws("", collect_list(col("block"))),
+        lit("</urlset>")).as("xml"))
+    Robots.sitemapEntries(xml, "host", "xml")
+      .select(col("host"), col("loc"),
+        coalesce(col("lastmod"), lit("")).as("lastmod"),
+        coalesce(col("priority"), lit("")).as("priority"))
+  }
 
   /** CRAWL SCHEDULING composed end-to-end — the frontier a polite,
     * authority-aware crawler fetches next: candidate URLs pass the
@@ -2539,6 +2578,7 @@ object QueriesLLM {
     "q_domain_cap_psl" -> (q_domain_cap_psl _),
     "q_robots_filter" -> (q_robots_filter _),
     "q_crawl_frontier" -> (q_crawl_frontier _),
+    "q_sitemap_entries" -> (q_sitemap_entries _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -4456,6 +4496,38 @@ object QueriesLLM {
            |  row_number() OVER (PARTITION BY d.host ORDER BY d.doc_id)::BIGINT AS slot
            |FROM decided d JOIN pr p ON d.host = p.id
            |WHERE d.allowed""".stripMargin),
+
+    // sitemap round-trip: rebuild the same per-host <urlset> strings
+    // (member order is irrelevant — parsing explodes back to a row SET)
+    // and re-extract loc/lastmod/priority; '' marks an absent optional
+    // field in both engines' regexp_extract convention
+    "q_sitemap_entries" ->
+      (s"""WITH urls0 AS (
+          |$robotsUrlsSelectSql
+          |), blocks AS (
+          |  SELECT host,
+          |    '<url><loc>http://' || host || path || '?id=' || doc_id || '</loc>' ||
+          |    CASE WHEN doc_id % 2 = 0 THEN '<lastmod>2026-' ||
+          |      lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-15</lastmod>'
+          |      ELSE '' END ||
+          |    CASE WHEN doc_id % 3 = 0 THEN '<priority>0.' ||
+          |      (doc_id % 10)::VARCHAR || '</priority>' ELSE '' END ||
+          |    '</url>' AS block
+          |  FROM urls0
+          |), xmls AS (
+          |  SELECT host, '<?xml version="1.0"?><urlset>' ||
+          |    string_agg(block, '') || '</urlset>' AS xml
+          |  FROM blocks GROUP BY 1
+          |), entries AS (
+          |  SELECT host, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS entry
+          |  FROM xmls
+          |)
+          |SELECT host,
+          |  regexp_extract(entry, '<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+          |  regexp_extract(entry, '<lastmod>\\s*(.*?)\\s*</lastmod>', 1) AS lastmod,
+          |  regexp_extract(entry, '<priority>\\s*(.*?)\\s*</priority>', 1) AS priority
+          |FROM entries
+          |WHERE regexp_extract(entry, '<loc>\\s*(.*?)\\s*</loc>', 1) <> ''""".stripMargin),
 
     "q_quality_lr" ->
       """WITH toks AS (

@@ -104,6 +104,33 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("sitemapRefs: group-independent discovery, comments stripped, URL case kept") {
+    val refs = Robots.sitemapRefs(Seq(
+      ("h1", "Sitemap: http://h1/Map.xml\nUser-agent: *\nDisallow: /"),
+      ("h2", "User-agent: *\nsitemap: http://h2/a.xml # weekly\nSitemap:"),
+      ("h3", "Disallow: /x")).toDF("host", "txt"), "host", "txt")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // before any group; lowercase key; trailing comment; empty value dropped
+    assert(refs == Set(("h1", "http://h1/Map.xml"), ("h2", "http://h2/a.xml")))
+  }
+
+  test("sitemapEntries: loc required, optional fields null, whitespace trimmed") {
+    val xml = """<?xml version="1.0"?><urlset>
+      |<url><loc> http://h/a </loc><lastmod>2026-01-15</lastmod></url>
+      |<url><loc>http://h/b</loc><priority>0.8</priority></url>
+      |<url><lastmod>2026-02-15</lastmod></url>
+      |<url><loc>http://h/c</loc></url>
+      |</urlset>""".stripMargin
+    val out = Robots.sitemapEntries(Seq(("h", xml)).toDF("host", "xml"),
+        "host", "xml")
+      .collect().map(r => (r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3)))).toSet
+    assert(out == Set(
+      ("http://h/a", Some("2026-01-15"), None),
+      ("http://h/b", None, Some("0.8")),
+      ("http://h/c", None, None))) // loc-less entry dropped
+  }
+
   test("allow wins length ties; first-written rule breaks exact ties") {
     val r = Robots.parseRobots(Seq(("t.example",
       "User-agent: *\nDisallow: /dup\nAllow: /dup")).toDF("host", "txt"),
