@@ -149,7 +149,72 @@ object ScaleBench {
       serveLog(spark, outDir, listener)
     if (args.contains("flagships") || args.isEmpty)
       flagshipSoak(spark, srcDir, outDir, listener)
+    if (args.contains("gates") || args.isEmpty)
+      gateScale(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** Crawl/curation gate shapes at the 20x corpus (r17). Claims:
+    * (a) [[graft.llm.Curation.blocklistGate]]'s cost tracks MATCHES,
+    * not term-list size — a 50k-term list (overwhelmingly non-matching,
+    * the UT1 regime) costs ≈ the 3-term list, which is the whole point
+    * of the join shape over a regex alternation; (b) robots parsing at
+    * 10k-host cardinality is one narrow explode pass, and
+    * [[graft.llm.Robots.robotsAllowed]] over the corpus keeps the URL
+    * side shuffle-free (rules broadcast — watch shuffle_write_bytes
+    * stay rule-table-sized, not corpus-sized).
+    */
+  private def gateScale(spark: SparkSession, outDir: String,
+                        listener: TaskMetricsProbe): Unit = {
+    import spark.implicits._
+    import graft.llm.{Curation, Robots}
+    val docs = SparkEntry.table(spark, outDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    def time(label: String, extra: String = "")(body: => Long): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"gate":"$label","sec":$sec%.2f,"rows":$rows,""" +
+        f""""docs":$nDocs,$extra""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+    }
+    val small = Seq("slow", "dup", "big").toDF("term")
+    val large = spark.range(50000)
+      .select(concat(lit("blk_"), col("id")).as("term"))
+      .unionByName(small)
+    time("blocklist_3_terms", """"terms":3,""") {
+      Curation.blocklistGate(docs, "doc_id", "text", small, "term").count()
+    }
+    time("blocklist_50k_terms", """"terms":50003,""") {
+      Curation.blocklistGate(docs, "doc_id", "text", large, "term").count()
+    }
+    // 10k hosts, each with a realistic 4-rule robots body; URLs at
+    // corpus grain spread over those hosts
+    val bodies = spark.range(10000).select(
+      concat(lit("h"), col("id"), lit(".example.com")).as("host"),
+      lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n" +
+        "Disallow: /tmp$\nDisallow: /star/*/x$").as("txt"))
+    var rules: DataFrame = null
+    time("robots_parse_10k_hosts", """"hosts":10000,""") {
+      rules = Robots.parseRobots(bodies, "host", "txt").localCheckpoint()
+      rules.count()
+    }
+    try {
+      val paths = array(lit("/private/file"), lit("/private/ok/file"),
+        lit("/tmp"), lit("/tmpextra"), lit("/star/deep/x"), lit("/p/1page"),
+        lit("/p/12page"), lit("/other"))
+      val urls = docs.select(col("doc_id"), concat(lit("http://h"),
+        col("doc_id") % 10000, lit(".example.com"),
+        element_at(paths, (col("doc_id") % 8 + 1).cast("int"))).as("url"))
+      time("robots_decide_corpus", """"hosts":10000,""") {
+        Robots.robotsAllowed(urls, rules, "graftbot", "doc_id")
+          .filter(col("allowed")).count()
+      }
+    } finally graft.Checkpoints.free(rules)
   }
 
   /** Serving-log compaction at stream scale (r15 serving-forms

@@ -315,14 +315,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"distinct-hosts aggregate missing:\n$p")
   }
 
-  test("robots gate: rule table broadcasts to the URL corpus; no cartesian") {
+  test("robots gate: packed rules broadcast, winner resolves map-side " +
+      "(no window, no corpus shuffle)") {
     val p = plan(graft.queries.QueriesLLM.q_robots_filter(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"robots decision must stay an equi-join on host:\n$p")
-    // the host-grain rule table (and the exact-agent probe) broadcast —
-    // the corpus-side URLs never shuffle for the join
+    // the host-grain packed rule table (and the exact-agent probe)
+    // broadcast — the corpus-side URLs never shuffle for the join
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
       s"rules must broadcast:\n$p")
+    // the winner is an array_max over the packed rules, NOT a
+    // window-by-URL (which would shuffle the whole corpus — the r17
+    // session-2 rework; ScaleBench `gates` measures the delta). The
+    // only windows left are parseRobots' host-keyed line grouping —
+    // rule-table-grain, never the corpus.
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      s"no per-URL window allowed in the decision:\n$p")
+    assert(p.contains("array_max"), s"map-side winner pick missing:\n$p")
   }
 
   test("expectations: rule count does not change the plan shape (one scan)") {
