@@ -87,6 +87,23 @@ object Robots {
         col("rule_no"), col("directive"), col("pattern"))
   }
 
+  /** Politeness pre-screen for intake chains: keep only rows whose
+    * `urlCol` the rules allow for `agent`, dropping the decision
+    * columns again (columns the batch already carried are left alone).
+    * Compose AHEAD of [[graft.streaming.StreamingCrawl.acceptBatch]] —
+    * or, in a real crawler, ahead of the fetch itself — so disallowed
+    * URLs never reach extraction. Inherits [[robotsAllowed]]'s
+    * zero-corpus-shuffle shape, so it adds only map work per batch.
+    */
+  def politeFilter(batch: DataFrame, rules: DataFrame, agent: String,
+                   idCol: String, urlCol: String = "url"): DataFrame = {
+    val added = Seq("host", "path", "allowed", "matched_directive",
+      "matched_pattern").filterNot(batch.columns.contains)
+    robotsAllowed(batch, rules, agent, idCol, urlCol)
+      .filter(col("allowed"))
+      .drop(added: _*)
+  }
+
   /** `Sitemap:` references declared in robots.txt — per RFC 9309 /
     * sitemaps.org the directive is GROUP-INDEPENDENT (it may appear
     * anywhere, including before any `User-agent` line), which is why

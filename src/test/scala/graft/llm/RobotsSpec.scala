@@ -106,12 +106,12 @@ class RobotsSpec extends AnyFunSuite {
 
   test("sitemapRefs: group-independent discovery, comments stripped, URL case kept") {
     val refs = Robots.sitemapRefs(Seq(
-      ("h1", "Sitemap: http://h1/Map.xml\nUser-agent: *\nDisallow: /"),
-      ("h2", "User-agent: *\nsitemap: http://h2/a.xml # weekly\nSitemap:"),
+      ("h1", "Sitemap: http://h1.example/Map.xml\nUser-agent: *\nDisallow: /"),
+      ("h2", "User-agent: *\nsitemap: http://h2.example/a.xml # weekly\nSitemap:"),
       ("h3", "Disallow: /x")).toDF("host", "txt"), "host", "txt")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     // before any group; lowercase key; trailing comment; empty value dropped
-    assert(refs == Set(("h1", "http://h1/Map.xml"), ("h2", "http://h2/a.xml")))
+    assert(refs == Set(("h1", "http://h1.example/Map.xml"), ("h2", "http://h2.example/a.xml")))
   }
 
   test("sitemapEntries: loc required, optional fields null, whitespace trimmed") {

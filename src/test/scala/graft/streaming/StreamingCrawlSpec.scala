@@ -92,6 +92,27 @@ class StreamingCrawlSpec extends AnyFunSuite {
       "two-batch stream must equal the one-shot batch chain")
   }
 
+  test("politeFilter composes ahead of acceptBatch: disallowed URIs never " +
+      "reach extraction") {
+    import graft.llm.Robots
+    val rules = Robots.parseRobots(Seq(
+      ("ex.com", "User-agent: *\nDisallow: /private/")).toDF("host", "txt"),
+      "host", "txt")
+    val batch = Seq(
+      (1L, s"http://ex.com/1", page(s"$prose one")),
+      (2L, s"http://ex.com/private/2", page(s"$prose two")), // disallowed
+      (3L, s"http://other.example/3", page(s"$prose three")))    // no robots
+      .toDF("id", "target_uri", "html")
+    val polite = Robots.politeFilter(batch, rules, "graftbot",
+      "id", urlCol = "target_uri")
+    // decision columns dropped again; original schema back
+    assert(polite.columns.toSeq == batch.columns.toSeq)
+    val (accepted, _) = StreamingCrawl.acceptBatch(polite, "id", "html",
+      Seq.empty[String].toDF("content_hash"), minTokens = 5)
+    val ids = accepted.select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"politeness must drop id 2, got $ids")
+  }
+
   test("path-based ingestion == image-based ingestion on the two-batch fixture") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("crawl_paths").toString

@@ -43,7 +43,9 @@ ALLOWED_IMPORT = re.compile(
 IMPORT = re.compile(r"^\s*import\s+(com|org|net|io|ai|dev|cloud|edu)\.")
 URL = re.compile(r"https?://([A-Za-z0-9.-]+)")
 SAFE_HOSTS = re.compile(
-    r"^(localhost|127\.0\.0\.1|u|ex\.com|[ab]\.example|"
+    # single-letter hosts are concat()-fixture fragments ("http://h" +
+    # col); bare *.example is the RFC 2606 reserved TLD (RobotsSpec)
+    r"^(localhost|127\.0\.0\.1|[a-z]|ex\.com|[a-z0-9-]+\.example|"
     r"example\.(com|org|net)|([a-z0-9.-]+\.)?example\.[a-z.]+|"
     r"bbc\.co\.uk|x\.org|"
     r"publicsuffix\.org|www\.w3\.org|doi\.org|arxiv\.org|aclanthology\.org|"
