@@ -131,6 +131,59 @@ class RobotsSpec extends AnyFunSuite {
       ("http://h/c", None, None))) // loc-less entry dropped
   }
 
+  test("property: patternRegex == a direct RFC 9309 matcher on random " +
+      "patterns and paths") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // direct interpreter: prefix walk with '*' wildcard and optional
+    // trailing '$' anchor; every other char (incl. regex metachars and
+    // inner '$') literal — an independent second implementation
+    def refMatch(pattern: String, path: String): Boolean = {
+      val (body, anchored) =
+        if (pattern.endsWith("$")) (pattern.dropRight(1), true)
+        else (pattern, false)
+      val parts = body.split("\\*", -1)
+      def walk(pos: Int, i: Int): Boolean =
+        if (i == parts.length) !anchored || pos == path.length
+        else if (i == parts.length - 1 && anchored)
+          // the first part must also START at 0: no-wildcard anchored
+          // patterns require path == pattern body
+          (if (i == 0) path == parts(i)
+           else path.endsWith(parts(i)) &&
+             path.length - parts(i).length >= pos)
+        else {
+          val from = path.indexOf(parts(i), pos)
+          if (from < 0 || (i == 0 && from != 0)) false
+          else walk(from + parts(i).length, i + 1)
+        }
+      walk(0, 0)
+    }
+    val seg = Gen.oneOf("a", "b", "ab", ".", "(x)", "$", "[c]", "+", "x")
+    val patGen = for {
+      n <- Gen.choose(1, 4)
+      segs <- Gen.listOfN(n, Gen.oneOf(seg, Gen.const("*")))
+      anchor <- Gen.oneOf("", "$")
+    } yield "/" + segs.mkString + anchor
+    val pathGen = for {
+      n <- Gen.choose(0, 5)
+      segs <- Gen.listOfN(n, seg)
+    } yield "/" + segs.mkString
+    val prop = Prop.forAll(Gen.listOfN(30, Gen.zip(patGen, pathGen))) { cases =>
+      val df = cases.toDF("p", "path")
+        .select(col("p"), col("path"),
+          regexp_like(col("path"), Robots.patternRegex(col("p"))).as("got"))
+      df.collect().forall { r =>
+        val want = refMatch(r.getString(0), r.getString(1))
+        val ok = r.getBoolean(2) == want
+        if (!ok) println(s"MISMATCH pattern=${r.getString(0)} " +
+          s"path=${r.getString(1)} regex=${want} got=${r.getBoolean(2)}")
+        ok
+      }
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("allow wins length ties; first-written rule breaks exact ties") {
     val r = Robots.parseRobots(Seq(("t.example",
       "User-agent: *\nDisallow: /dup\nAllow: /dup")).toDF("host", "txt"),
