@@ -56,7 +56,15 @@ object Robots {
     * one row with null rule columns, so [[robotsAllowed]]'s group
     * selection still sees them.
     */
-  def parseRobots(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+  /** Shared line parse + UA-run grouping over the given key set: comment
+    * strip → `key: value` split → keep `keys` → group id = cumsum of
+    * UA-run starts. Keys OUTSIDE the set are invisible to grouping —
+    * which key set a view passes therefore defines its run-merge
+    * convention (see [[crawlDelays]]).
+    */
+  private def groupedDirectives(robots: DataFrame, hostCol: String,
+                                txtCol: String,
+                                keys: Seq[String]): DataFrame = {
     val lines = robots
       .select(col(hostCol).as("host"),
         posexplode(split(col(txtCol), "\n")).as(Seq("line_no", "raw")))
@@ -66,15 +74,20 @@ object Robots {
       .select(col("host"), col("line_no"),
         lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("k"),
         trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("v"))
-      .filter(col("k").isin("user-agent", "allow", "disallow"))
+      .filter(col("k").isin(keys: _*))
     val w = Window.partitionBy("host").orderBy("line_no")
-    val grouped = lines
+    lines
       .withColumn("is_ua", (col("k") === "user-agent").cast("int"))
       .withColumn("new_group",
         when(col("is_ua") === 1 &&
           coalesce(lag(col("is_ua"), 1).over(w), lit(0)) === 0, 1)
           .otherwise(0))
       .withColumn("group_id", sum(col("new_group")).over(w))
+  }
+
+  def parseRobots(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val grouped = groupedDirectives(robots, hostCol, txtCol,
+      Seq("user-agent", "allow", "disallow"))
     val agents = grouped.filter(col("k") === "user-agent")
       .select(col("host"), col("group_id"), lower(col("v")).as("agent"))
     val rules = grouped
@@ -85,6 +98,41 @@ object Robots {
     agents.join(rules, Seq("host", "group_id"), "left")
       .select(col("host"), col("agent"), col("group_id").cast("long").as("group_id"),
         col("rule_no"), col("directive"), col("pattern"))
+  }
+
+  /** Per-host `Crawl-delay` for `agent` — the de-facto pacing extension
+    * most crawlers honor. Delays ride the group grammar with the same
+    * exact-over-`*` selection as rules; the per-host value is the MAX
+    * across selected groups (conservative under duplicates), non-numeric
+    * values dropped. Grouping here includes delay lines as run members
+    * (the strict RFC grammar: any non-UA line ends a UA run), while
+    * [[parseRobots]]' rule view ignores unknown keys between UA lines —
+    * the two agree on every body whose delay lines sit inside the
+    * group's block, the universal real-world layout. Returns
+    * `(host, crawl_delay)` — host-grain, broadcast-sized, the
+    * `fetch_after` input for frontier pacing.
+    */
+  def crawlDelays(robots: DataFrame, hostCol: String, txtCol: String,
+                  agent: String): DataFrame = {
+    val ag = agent.toLowerCase(java.util.Locale.ROOT)
+    val grouped = groupedDirectives(robots, hostCol, txtCol,
+      Seq("user-agent", "allow", "disallow", "crawl-delay"))
+    val agents = grouped.filter(col("k") === "user-agent")
+      .select(col("host"), col("group_id"), lower(col("v")).as("agent"))
+    val delays = grouped.filter(col("k") === "crawl-delay")
+      .select(col("host"), col("group_id"),
+        expr("try_cast(v AS double)").as("crawl_delay"))
+      .filter(col("crawl_delay").isNotNull)
+    val hostHasExact = agents.filter(col("agent") === ag)
+      .select("host").distinct().withColumn("has_exact", lit(true))
+    val selected = agents
+      .join(broadcast(hostHasExact), Seq("host"), "left")
+      .filter(when(coalesce(col("has_exact"), lit(false)), col("agent") === ag)
+        .otherwise(col("agent") === "*"))
+      .select("host", "group_id").distinct()
+    delays.join(selected, Seq("host", "group_id"))
+      .groupBy(col("host"))
+      .agg(max(col("crawl_delay")).as("crawl_delay"))
   }
 
   /** Politeness pre-screen for intake chains: keep only rows whose

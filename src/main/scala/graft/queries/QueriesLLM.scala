@@ -853,6 +853,7 @@ object QueriesLLM {
         |User-agent: otherbot
         |Disallow: /p/1
         |Allow: /p/12
+        |Crawl-delay: 2
         |
         |User-agent: *
         |Disallow: /""".stripMargin,
@@ -1053,10 +1054,16 @@ object QueriesLLM {
         frontierEdges.toDF("src", "dst"), iterations = 3)
       .select(col("id").as("host"),
         (floor(col("rank") * 1e6 + 0.5) / 1e6).as("host_rank"))
+    val delays = Robots.crawlDelays(robotsBodies.toDF("host", "robots_txt"),
+      "host", "robots_txt", "GraftBot")
     val slotW = Window.partitionBy("host").orderBy("doc_id")
     allowed.join(broadcast(ranks), Seq("host"))
+      .join(broadcast(delays), Seq("host"), "left")
       .withColumn("slot", row_number().over(slotW).cast("long"))
-      .select("doc_id", "url", "host", "host_rank", "slot")
+      .withColumn("fetch_after",
+        (col("slot") - 1).cast("double") *
+          coalesce(col("crawl_delay"), lit(0.0)))
+      .select("doc_id", "url", "host", "host_rank", "slot", "fetch_after")
   }
 
   /** The crawl-pipeline flagship, fully oracled end-to-end over the
@@ -4488,14 +4495,45 @@ object QueriesLLM {
            |), pr AS (
            |  SELECT * FROM (${graft.ops.PageRank.oracleSql(
                  frontierEdgesCte, iterations = 3)}) t
+           |), kept3 AS (
+           |  SELECT * FROM kv
+           |  WHERE k IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+           |), marked3 AS (
+           |  SELECT *, CASE WHEN k = 'user-agent' AND
+           |      coalesce(lag(k) OVER (PARTITION BY host ORDER BY line_no), 'x') <> 'user-agent'
+           |    THEN 1 ELSE 0 END AS new_group
+           |  FROM kept3
+           |), grp3 AS (
+           |  SELECT *, sum(new_group) OVER (PARTITION BY host ORDER BY line_no) AS group_id
+           |  FROM marked3
+           |), agents3 AS (
+           |  SELECT host, group_id, lower(v) AS agent FROM grp3 WHERE k = 'user-agent'
+           |), del3 AS (
+           |  SELECT host, group_id, TRY_CAST(v AS DOUBLE) AS cd
+           |  FROM grp3 WHERE k = 'crawl-delay' AND TRY_CAST(v AS DOUBLE) IS NOT NULL
+           |), exact3 AS (
+           |  SELECT DISTINCT host FROM agents3 WHERE agent = 'graftbot'
+           |), sel3 AS (
+           |  SELECT DISTINCT a.host, a.group_id
+           |  FROM agents3 a LEFT JOIN exact3 e ON a.host = e.host
+           |  WHERE (e.host IS NOT NULL AND a.agent = 'graftbot')
+           |     OR (e.host IS NULL AND a.agent = '*')
+           |), hostdelay AS (
+           |  SELECT d.host, max(d.cd) AS crawl_delay
+           |  FROM del3 d JOIN sel3 s ON d.host = s.host AND d.group_id = s.group_id
+           |  GROUP BY 1
+           |), fr AS (
+           |  SELECT d.doc_id,
+           |    'http://' || d.host || d.path || '?id=' || d.doc_id AS url,
+           |    d.host,
+           |    p.rank AS host_rank,
+           |    row_number() OVER (PARTITION BY d.host ORDER BY d.doc_id)::BIGINT AS slot
+           |  FROM decided d JOIN pr p ON d.host = p.id
+           |  WHERE d.allowed
            |)
-           |SELECT d.doc_id,
-           |  'http://' || d.host || d.path || '?id=' || d.doc_id AS url,
-           |  d.host,
-           |  p.rank AS host_rank,
-           |  row_number() OVER (PARTITION BY d.host ORDER BY d.doc_id)::BIGINT AS slot
-           |FROM decided d JOIN pr p ON d.host = p.id
-           |WHERE d.allowed""".stripMargin),
+           |SELECT fr.*,
+           |  (fr.slot - 1)::DOUBLE * coalesce(hd.crawl_delay, 0.0::DOUBLE) AS fetch_after
+           |FROM fr LEFT JOIN hostdelay hd ON fr.host = hd.host""".stripMargin),
 
     // sitemap round-trip: rebuild the same per-host <urlset> strings
     // (member order is irrelevant — parsing explodes back to a row SET)

@@ -104,6 +104,23 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("crawlDelays: group-scoped, exact-over-star, max of duplicates, " +
+      "non-numeric dropped") {
+    val robots = Seq(
+      // exact group delay 2 shadows the star group's 9
+      ("e1.example", "User-agent: graftbot\nCrawl-delay: 2\n" +
+        "User-agent: *\nCrawl-delay: 9"),
+      // no exact group -> star's; two values -> max; junk dropped
+      ("e2.example", "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7\n" +
+        "Crawl-delay: fast"),
+      // delay outside any group: ignored
+      ("e3.example", "Crawl-delay: 4\nUser-agent: *\nDisallow: /")
+    ).toDF("host", "txt")
+    val got = Robots.crawlDelays(robots, "host", "txt", "GraftBot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("e1.example" -> 2.0, "e2.example" -> 7.0))
+  }
+
   test("sitemapRefs: group-independent discovery, comments stripped, URL case kept") {
     val refs = Robots.sitemapRefs(Seq(
       ("h1", "Sitemap: http://h1.example/Map.xml\nUser-agent: *\nDisallow: /"),
