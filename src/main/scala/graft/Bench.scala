@@ -205,7 +205,11 @@ object Bench {
     // r15-tier rows, pinned r16 from three clean readings
     "q_crawl_incremental" -> 3.72, "q_semdedup_twolevel" -> 0.82,
     // r16-new flagship, pinned from three clean r16 readings
-    "q_training_data_e2e" -> 6.52)
+    "q_training_data_e2e" -> 6.52,
+    // r17-new crawl-gate rows, pinned from three clean r17 full-protocol
+    // readings at offsets 1.12-1.28 (0.52/0.41/0.46 and 0.22/0.23/0.28,
+    // offset-adjusted medians)
+    "q_blocklist_filter" -> 0.40, "q_sitemap_entries" -> 0.20)
 
   /** Per-query pinned process-CPU/wall ratios — mean of two clean
     * same-binary sessions (the r16 judge protocol run at offset 1.15
@@ -242,7 +246,10 @@ object Bench {
     "q_fuzzy_join" -> 3.62, "q_profile_fold" -> 3.05,
     "q_warc_roundtrip" -> 1.56, "q_wordpiece_tokens" -> 1.67,
     "q_crawl_incremental" -> 1.60, "q_semdedup_twolevel" -> 2.38,
-    "q_training_data_e2e" -> 1.71)
+    "q_training_data_e2e" -> 1.71,
+    // r17 rows: mean of warm isolation runs (SPARK_GRAFT_BENCH_ONLY,
+    // runs 2-5, quiet box)
+    "q_blocklist_filter" -> 2.2, "q_sitemap_entries" -> 2.7)
 
   /** The per-query within-run alert decision (VERDICT r16 #1), pure so
     * the poisoned-artifact histories pin it in BenchDetectorSpec:
@@ -329,6 +336,11 @@ object Bench {
     // ledger → mixture → packing, one hash-checked composition) — pin
     // once three clean readings exist, the r12-tier process
     "q_training_data_e2e",
+    // r17-new corpus-scale crawl-gate rows (the fixture-grain robots/
+    // frontier queries stay Verify-only) — pin once three clean
+    // readings exist, the r12-tier process
+    "q_blocklist_filter",
+    "q_sitemap_entries",
   )
 
   def main(args: Array[String]): Unit = {
