@@ -999,6 +999,36 @@ object QueriesLLM {
     frontierEdges.map { case (s, d) => s"('$s', '$d')" }
       .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(src, dst)")
 
+  /** Incremental frontier scheduling
+    * ([[graft.streaming.StreamingFrontier.frontierBatch]], replayed as
+    * two batch calls — the driver row for the streaming scheduler):
+    * candidate URLs WITHOUT the id suffix, so every (host, path) arm
+    * collapses to one URL and the dedup machinery is load-bearing —
+    * within-batch min-id keep, then the cross-batch seen-index anti
+    * join. Batch 1 = doc_id < 250, batch 2 = the rest, batch 2 screened
+    * against batch 1's digests with its slot base continuing from batch
+    * 1's per-host counts. The union must equal the ONE-SHOT schedule
+    * over everything (the oracle): distinct-URL min-id keep → robots
+    * gate → authority join → per-host slot window.
+    */
+  def q_frontier_incremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StreamingFrontier
+    val candidates = robotsFixtureUrls(spark, dir)
+      .withColumn("url", regexp_replace(col("url"), "\\?id=.*$", ""))
+    val rules = robotsRules(spark)
+    val auth = frontierAuthority(spark)
+    val seen0 = Seq.empty[(String, String)].toDF("url_hash", "host")
+    val (f1, d1) = StreamingFrontier.frontierBatch(
+      candidates.filter(col("doc_id") < 250), "doc_id", "url",
+      rules, "GraftBot", auth, seen0)
+    val (f2, _) = StreamingFrontier.frontierBatch(
+      candidates.filter(col("doc_id") >= 250), "doc_id", "url",
+      rules, "GraftBot", auth, d1)
+    f1.unionByName(f2)
+      .select("doc_id", "url", "host", "host_rank", "slot")
+  }
+
   /** Sitemap ROUND-TRIP at corpus scale ([[Robots.sitemapEntries]]):
     * every document contributes a `<url>` block (loc always; lastmod
     * on even ids; priority on ids divisible by 3 — so all four
@@ -1045,15 +1075,23 @@ object QueriesLLM {
     * anyway. Oracle: the shared robots chain + the generated PageRank
     * SQL as an isolated subquery + the same window.
     */
+  /** Host authority for the frontier queries: 3-iteration exact-tier
+    * PageRank over [[frontierEdges]], rounded on the shared grid.
+    */
+  private def frontierAuthority(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.ops.PageRank.pageRank(
+        frontierEdges.toDF("src", "dst"), iterations = 3)
+      .select(col("id").as("host"),
+        (floor(col("rank") * 1e6 + 0.5) / 1e6).as("host_rank"))
+  }
+
   def q_crawl_frontier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val allowed = Robots.robotsAllowed(robotsFixtureUrls(spark, dir),
         robotsRules(spark), "GraftBot", "doc_id")
       .filter(col("allowed"))
-    val ranks = graft.ops.PageRank.pageRank(
-        frontierEdges.toDF("src", "dst"), iterations = 3)
-      .select(col("id").as("host"),
-        (floor(col("rank") * 1e6 + 0.5) / 1e6).as("host_rank"))
+    val ranks = frontierAuthority(spark)
     val delays = Robots.crawlDelays(robotsBodies.toDF("host", "robots_txt"),
       "host", "robots_txt", "GraftBot")
     val slotW = Window.partitionBy("host").orderBy("doc_id")
@@ -2586,6 +2624,7 @@ object QueriesLLM {
     "q_robots_filter" -> (q_robots_filter _),
     "q_crawl_frontier" -> (q_crawl_frontier _),
     "q_sitemap_entries" -> (q_sitemap_entries _),
+    "q_frontier_incremental" -> (q_frontier_incremental _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -4534,6 +4573,33 @@ object QueriesLLM {
            |SELECT fr.*,
            |  (fr.slot - 1)::DOUBLE * coalesce(hd.crawl_delay, 0.0::DOUBLE) AS fetch_after
            |FROM fr LEFT JOIN hostdelay hd ON fr.host = hd.host""".stripMargin),
+
+    // one-shot schedule over ALL discoveries: bare URLs dedup to min
+    // doc_id, robots-allowed rows get authority + per-host slots — the
+    // two-batch streaming replay must reproduce this exactly (batch-1
+    // ids precede batch-2 ids, so continuing slot bases + the seen-index
+    // anti join compose to the global window)
+    "q_frontier_incremental" ->
+      (robotsChainSql +
+        s""", decided AS (
+           |  SELECT doc_id, host, path,
+           |    (pattern IS NULL OR directive = 'allow') AS allowed
+           |  FROM win WHERE rn = 1
+           |), pr AS (
+           |  SELECT * FROM (${graft.ops.PageRank.oracleSql(
+                 frontierEdgesCte, iterations = 3)}) t
+           |), dedup AS (
+           |  SELECT doc_id, 'http://' || host || path AS url, host
+           |  FROM decided WHERE allowed
+           |  QUALIFY row_number() OVER (
+           |    PARTITION BY 'http://' || host || path ORDER BY doc_id) = 1
+           |), sched AS (
+           |  SELECT doc_id, url, host,
+           |    row_number() OVER (PARTITION BY host ORDER BY doc_id)::BIGINT AS slot
+           |  FROM dedup
+           |)
+           |SELECT s.doc_id, s.url, s.host, p.rank AS host_rank, s.slot
+           |FROM sched s JOIN pr p ON s.host = p.id""".stripMargin),
 
     // sitemap round-trip: rebuild the same per-host <urlset> strings
     // (member order is irrelevant — parsing explodes back to a row SET)
