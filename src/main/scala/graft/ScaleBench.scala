@@ -214,6 +214,28 @@ object ScaleBench {
         Robots.robotsAllowed(urls, rules, "graftbot", "doc_id")
           .filter(col("allowed")).count()
       }
+      // the full scheduler batch at corpus grain: dedup + anti join an
+      // already-seen half + gate + authority + continuing slots. The
+      // slot window keys on host (10k hosts ≈ 10 allowed URLs each);
+      // a frontier is politeness-BOUNDED per host by design, so the
+      // window partition never degenerates to one giant task.
+      val auth = spark.range(10000).select(
+        concat(lit("h"), col("id"), lit(".example.com")).as("host"),
+        (col("id") % 100 / 100.0).as("host_rank"))
+      val half = docs.filter(col("doc_id") % 2 === 0)
+        .select(md5(concat(lit("http://h"), col("doc_id") % 10000,
+          lit(".example.com"), element_at(paths,
+            (col("doc_id") % 8 + 1).cast("int")))).as("url_hash"),
+          concat(lit("h"), col("doc_id") % 10000,
+            lit(".example.com")).as("host"))
+        .localCheckpoint()
+      try {
+        time("frontier_batch_corpus", """"hosts":10000,""") {
+          graft.streaming.StreamingFrontier.frontierBatch(
+            urls, "doc_id", "url", rules, "graftbot", auth, half)
+            ._1.count()
+        }
+      } finally graft.Checkpoints.free(half)
     } finally graft.Checkpoints.free(rules)
   }
 
