@@ -301,4 +301,46 @@ object UrlFunctions {
     when(scheme === "", u) // not an absolute URL: leave untouched
       .otherwise(concat(scheme, lit("://"), hostNoPort, path, queryOut))
   }
+
+  /** `href` values of anchor tags — both quote styles, fragment-only
+    * refs dropped (they never leave the page). A fixed regex pass, the
+    * discovery step between extraction and the frontier.
+    */
+  def extractHrefs(html: Column): Column =
+    concat(
+      regexp_extract_all(html,
+        lit("(?i)<a\\b[^>]*\\bhref\\s*=\\s*\"([^\"#][^\"]*)\""), lit(1)),
+      regexp_extract_all(html,
+        lit("(?i)<a\\b[^>]*\\bhref\\s*=\\s*'([^'#][^']*)'"), lit(1)))
+
+  /** RFC 3986 reference resolution, the crawl subset: absolute refs
+    * pass through, `//host/...` takes the base scheme, `/path` the base
+    * origin, bare relatives the base DIRECTORY (greedy up to the last
+    * path `/`; origin + `/` when the base path has none). Non-authority
+    * schemes (`mailto:`, `javascript:`, `data:`) resolve to null —
+    * filter after. Dot-segment collapsing (`../`) is NOT performed
+    * (crawl frontiers treat those as distinct keys until fetch, like
+    * [[normalizeUrl]] does).
+    */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val dir = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)", 1)
+    when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), ref)
+      .when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null).cast("string"))
+      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+      .when(ref.startsWith("/"), concat(origin, ref))
+      .otherwise(concat(
+        coalesce(nullif(dir, lit("")), concat(origin, lit("/"))), ref))
+  }
+
+  /** All out-links of a page as absolute URLs: [[extractHrefs]] →
+    * [[resolveUrl]] against the page URL, unresolvable refs dropped.
+    * Map-side array work — the link-graph edge source (`explode` +
+    * `urlHost` on both ends gives the host-graph PageRank feeds) and
+    * the discovery feed for [[graft.streaming.StreamingFrontier]].
+    */
+  def extractLinks(pageUrl: Column, html: Column): Column =
+    filter(transform(extractHrefs(html), h => resolveUrl(pageUrl, h)),
+      l => l.isNotNull)
 }

@@ -1029,6 +1029,36 @@ object QueriesLLM {
       .select("doc_id", "url", "host", "host_rank", "slot")
   }
 
+  /** Link extraction + RFC 3986 resolution
+    * ([[UrlFunctions.extractLinks]]): every document rendered as a page
+    * whose anchors cover the resolution arms — absolute (kept
+    * verbatim), root-relative (base origin), bare relative (base
+    * directory; exercised against bases WITH and WITHOUT a path
+    * directory), protocol-relative (base scheme), `mailto:` (dropped),
+    * fragment-only (never extracted). Output keeps document order
+    * flattened, so the oracle replays extract → per-ref CASE resolution
+    * with the same `list_transform`/`list_filter` shape.
+    */
+  def q_link_graph(spark: SparkSession, dir: String): DataFrame = {
+    val base = robotsFixtureUrls(spark, dir)
+      .withColumn("url", regexp_replace(col("url"), "\\?id=.*$", ""))
+    val html = concat(
+      lit("<html><body><a href=\"http://x.example.net/abs"),
+      col("doc_id") % 5,
+      lit("\">a</a><p>text</p><a class=\"x\" href=\"/root"),
+      col("doc_id") % 3,
+      lit("\">r</a><a href=\"rel"), col("doc_id") % 2,
+      lit(".html\">l</a><a href=\"//cdn.example.org/c\">p</a>"),
+      lit("<a href=\"mailto:u@example.com\">m</a>"),
+      lit("<a href=\"#top\">f</a></body></html>"))
+    base
+      .select(col("doc_id"), col("url"),
+        UrlFunctions.extractLinks(col("url"), html).as("links"))
+      .select(col("doc_id"), col("url"),
+        concat_ws(" ", col("links")).as("links_joined"),
+        size(col("links")).cast("long").as("n_links"))
+  }
+
   /** Sitemap ROUND-TRIP at corpus scale ([[Robots.sitemapEntries]]):
     * every document contributes a `<url>` block (loc always; lastmod
     * on even ids; priority on ids divisible by 3 — so all four
@@ -2625,6 +2655,7 @@ object QueriesLLM {
     "q_crawl_frontier" -> (q_crawl_frontier _),
     "q_sitemap_entries" -> (q_sitemap_entries _),
     "q_frontier_incremental" -> (q_frontier_incremental _),
+    "q_link_graph" -> (q_link_graph _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -4600,6 +4631,45 @@ object QueriesLLM {
            |)
            |SELECT s.doc_id, s.url, s.host, p.rank AS host_rank, s.slot
            |FROM sched s JOIN pr p ON s.host = p.id""".stripMargin),
+
+    // link extraction replay: same double-quote href regex (the
+    // operator also takes single quotes; the fixture uses one style so
+    // both engines see identical matches in document order), then the
+    // per-ref resolution CASE inside list_transform — same shape as the
+    // engine's transform+filter, so ordering needs no window
+    "q_link_graph" ->
+      (s"""WITH urls0 AS (
+          |$robotsUrlsSelectSql
+          |), pages AS (
+          |  SELECT doc_id, 'http://' || host || path AS url,
+          |    '<html><body><a href="http://x.example.net/abs' || (doc_id % 5) ||
+          |    '">a</a><p>text</p><a class="x" href="/root' || (doc_id % 3) ||
+          |    '">r</a><a href="rel' || (doc_id % 2) ||
+          |    '.html">l</a><a href="//cdn.example.org/c">p</a>' ||
+          |    '<a href="mailto:u@example.com">m</a>' ||
+          |    '<a href="#top">f</a></body></html>' AS html
+          |  FROM urls0
+          |), resolved AS (
+          |  SELECT doc_id, url,
+          |    list_filter(list_transform(
+          |      regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*"([^"#][^"]*)"', 1),
+          |      r -> CASE
+          |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN r
+          |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+          |        WHEN r LIKE '//%' THEN
+          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || ':' || r
+          |        WHEN r LIKE '/%' THEN
+          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || r
+          |        ELSE coalesce(
+          |          nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)', 1), ''),
+          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || '/') || r
+          |      END), x -> x IS NOT NULL) AS links
+          |  FROM pages
+          |)
+          |SELECT doc_id, url,
+          |  array_to_string(links, ' ') AS links_joined,
+          |  len(links)::BIGINT AS n_links
+          |FROM resolved""".stripMargin),
 
     // sitemap round-trip: rebuild the same per-host <urlset> strings
     // (member order is irrelevant — parsing explodes back to a row SET)

@@ -137,6 +137,32 @@ class UrlAndMainSpec extends AnyFunSuite {
     assert(got("example.com.br") == Some("example.com.br"))
   }
 
+  test("extractLinks: quote styles, resolution arms, scheme drops, " +
+      "pathless base") {
+    val html = """<a href="/abs">a</a><A HREF='single'>s</A>""" +
+      """<a class="z" href="//p.example/q">p</a>""" +
+      """<a href="javascript:void(0)">j</a><a href="#frag">f</a>""" +
+      """<a href="https://x.example/full?k=1">x</a>"""
+    def links(base: String): Seq[String] =
+      Seq((base, html)).toDF("u", "h")
+        .select(UrlFunctions.extractLinks(col("u"), col("h")))
+        .as[Seq[String]].collect().head
+    // base with a path directory: relative lands beside the page.
+    // NOTE ordering: both double-quote matches precede the single-quote
+    // match (the two regex passes concatenate)
+    assert(links("http://h.example/dir/page") == Seq(
+      "http://h.example/abs",
+      "http://p.example/q",
+      "https://x.example/full?k=1",
+      "http://h.example/dir/single"))
+    // pathless base: relative resolves against origin + '/'
+    assert(links("https://h.example") == Seq(
+      "https://h.example/abs",
+      "https://p.example/q",
+      "https://x.example/full?k=1",
+      "https://h.example/single"))
+  }
+
   test("htmlMainText: density boundary, anchor-free blocks, stub drop") {
     val prose = "This paragraph carries enough prose to clear the gate."
     val html =
