@@ -1059,6 +1059,26 @@ object QueriesLLM {
         size(col("links")).cast("long").as("n_links"))
   }
 
+  /** The link-graph EDGE grain [[q_link_graph]] feeds PageRank from:
+    * explode the resolved out-links, host both ends, drop self-loops,
+    * one count aggregation — `(src_host, dst_host, n)`. At 100 TB this
+    * is THE host-graph construction (corpus-pass map work + one
+    * edge-grain shuffle); [[q_crawl_frontier]]'s literal edge fixture
+    * stands in for exactly this output.
+    */
+  def q_host_graph(spark: SparkSession, dir: String): DataFrame = {
+    val links = q_link_graph(spark, dir)
+      .select(col("doc_id"), col("url"),
+        explode(split(col("links_joined"), " ")).as("link"))
+      .filter(col("link") =!= "")
+    links
+      .select(UrlFunctions.urlHost(col("url")).as("src_host"),
+        UrlFunctions.urlHost(col("link")).as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Sitemap ROUND-TRIP at corpus scale ([[Robots.sitemapEntries]]):
     * every document contributes a `<url>` block (loc always; lastmod
     * on even ids; priority on ids divisible by 3 — so all four
@@ -2656,6 +2676,7 @@ object QueriesLLM {
     "q_sitemap_entries" -> (q_sitemap_entries _),
     "q_frontier_incremental" -> (q_frontier_incremental _),
     "q_link_graph" -> (q_link_graph _),
+    "q_host_graph" -> (q_host_graph _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -4670,6 +4691,46 @@ object QueriesLLM {
           |  array_to_string(links, ' ') AS links_joined,
           |  len(links)::BIGINT AS n_links
           |FROM resolved""".stripMargin),
+
+    // edge grain: same chain, then explode + host both ends + count
+    "q_host_graph" ->
+      (s"""WITH urls0 AS (
+          |$robotsUrlsSelectSql
+          |), pages AS (
+          |  SELECT doc_id, 'http://' || host || path AS url,
+          |    '<html><body><a href="http://x.example.net/abs' || (doc_id % 5) ||
+          |    '">a</a><p>text</p><a class="x" href="/root' || (doc_id % 3) ||
+          |    '">r</a><a href="rel' || (doc_id % 2) ||
+          |    '.html">l</a><a href="//cdn.example.org/c">p</a>' ||
+          |    '<a href="mailto:u@example.com">m</a>' ||
+          |    '<a href="#top">f</a></body></html>' AS html
+          |  FROM urls0
+          |), resolved AS (
+          |  SELECT doc_id, url,
+          |    list_filter(list_transform(
+          |      regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*"([^"#][^"]*)"', 1),
+          |      r -> CASE
+          |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN r
+          |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+          |        WHEN r LIKE '//%' THEN
+          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || ':' || r
+          |        WHEN r LIKE '/%' THEN
+          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || r
+          |        ELSE coalesce(
+          |          nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)', 1), ''),
+          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || '/') || r
+          |      END), x -> x IS NOT NULL) AS links
+          |  FROM pages
+          |), edges AS (
+          |  SELECT lower(regexp_extract(url,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS src_host,
+          |    lower(regexp_extract(unnest(links),
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS dst_host
+          |  FROM resolved
+          |)
+          |SELECT src_host, dst_host, count(*)::BIGINT AS n
+          |FROM edges WHERE src_host <> dst_host
+          |GROUP BY 1, 2""".stripMargin),
 
     // sitemap round-trip: rebuild the same per-host <urlset> strings
     // (member order is irrelevant — parsing explodes back to a row SET)
