@@ -148,6 +148,21 @@ class RobotsSpec extends AnyFunSuite {
       ("http://h/c", None, None))) // loc-less entry dropped
   }
 
+  test("robotsAllowed: broadcastRules = false is decision-identical " +
+      "(the past-broadcast-scale arm)") {
+    val urls = Seq(
+      (1L, "http://h.example/a/file"),
+      (2L, "http://h.example/a/b/file"),
+      (3L, "http://h.example/other"),
+      (4L, "http://nowhere.example/x")).toDF("id", "url")
+    def decide(bc: Boolean) =
+      Robots.robotsAllowed(urls, rules, "GraftBot", "id",
+          broadcastRules = bc)
+        .select("id", "allowed", "matched_directive", "matched_pattern")
+        .collect().map(_.toSeq).toSet
+    assert(decide(true) == decide(false))
+  }
+
   test("property: patternRegex == a direct RFC 9309 matcher on random " +
       "patterns and paths") {
     import org.scalacheck.{Gen, Prop, Test => ScTest}
