@@ -1039,25 +1039,27 @@ object QueriesLLM {
     * flattened, so the oracle replays extract → per-ref CASE resolution
     * with the same `list_transform`/`list_filter` shape.
     */
-  def q_link_graph(spark: SparkSession, dir: String): DataFrame = {
-    val base = robotsFixtureUrls(spark, dir)
+  /** The link fixture page (shared by both link queries — written
+    * once): anchors covering every resolution arm.
+    */
+  private def linkFixturePage: Column = concat(
+    lit("<html><body><a href=\"http://x.example.net/abs"),
+    col("doc_id") % 5,
+    lit("\">a</a><p>text</p><a class=\"x\" href=\"/root"),
+    col("doc_id") % 3,
+    lit("\">r</a><a href=\"rel"), col("doc_id") % 2,
+    lit(".html\">l</a><a href=\"//cdn.example.org/c\">p</a>"),
+    lit("<a href=\"mailto:u@example.com\">m</a>"),
+    lit("<a href=\"#top\">f</a></body></html>"))
+
+  def q_link_graph(spark: SparkSession, dir: String): DataFrame =
+    robotsFixtureUrls(spark, dir)
       .withColumn("url", regexp_replace(col("url"), "\\?id=.*$", ""))
-    val html = concat(
-      lit("<html><body><a href=\"http://x.example.net/abs"),
-      col("doc_id") % 5,
-      lit("\">a</a><p>text</p><a class=\"x\" href=\"/root"),
-      col("doc_id") % 3,
-      lit("\">r</a><a href=\"rel"), col("doc_id") % 2,
-      lit(".html\">l</a><a href=\"//cdn.example.org/c\">p</a>"),
-      lit("<a href=\"mailto:u@example.com\">m</a>"),
-      lit("<a href=\"#top\">f</a></body></html>"))
-    base
       .select(col("doc_id"), col("url"),
-        UrlFunctions.extractLinks(col("url"), html).as("links"))
+        UrlFunctions.extractLinks(col("url"), linkFixturePage).as("links"))
       .select(col("doc_id"), col("url"),
         concat_ws(" ", col("links")).as("links_joined"),
         size(col("links")).cast("long").as("n_links"))
-  }
 
   /** The link-graph EDGE grain [[q_link_graph]] feeds PageRank from:
     * explode the resolved out-links, host both ends, drop self-loops,
@@ -1066,18 +1068,17 @@ object QueriesLLM {
     * edge-grain shuffle); [[q_crawl_frontier]]'s literal edge fixture
     * stands in for exactly this output.
     */
-  def q_host_graph(spark: SparkSession, dir: String): DataFrame = {
-    val links = q_link_graph(spark, dir)
-      .select(col("doc_id"), col("url"),
-        explode(split(col("links_joined"), " ")).as("link"))
-      .filter(col("link") =!= "")
-    links
+  def q_host_graph(spark: SparkSession, dir: String): DataFrame =
+    robotsFixtureUrls(spark, dir)
+      .withColumn("url", regexp_replace(col("url"), "\\?id=.*$", ""))
+      .select(col("url"),
+        explode(UrlFunctions.extractLinks(col("url"), linkFixturePage))
+          .as("link"))
       .select(UrlFunctions.urlHost(col("url")).as("src_host"),
         UrlFunctions.urlHost(col("link")).as("dst_host"))
       .filter(col("src_host") =!= col("dst_host"))
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n"))
-  }
 
   /** Sitemap ROUND-TRIP at corpus scale ([[Robots.sitemapEntries]]):
     * every document contributes a `<url>` block (loc always; lastmod

@@ -334,6 +334,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("array_max"), s"map-side winner pick missing:\n$p")
   }
 
+  test("host-graph construction: pure map + one aggregation — no joins at all") {
+    val p = plan(graft.queries.QueriesLLM.q_host_graph(spark, dir))
+    assert(!p.contains("Join"),
+      s"edge construction must be corpus-pass map work + one agg:\n$p")
+    assert(p.contains("Generate explode"), s"link explode missing:\n$p")
+    assert("HashAggregate".r.findAllIn(p).nonEmpty,
+      s"edge-grain count agg missing:\n$p")
+  }
+
   test("expectations: rule count does not change the plan shape (one scan)") {
     import graft.ops.Expectations.Rule
     val docs = spark.read.parquet(s"$dir/documents.parquet")
