@@ -29,10 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** URL path component (`/` when absent) — what robots rules match. */
+  /** The robots match target: path PLUS query (`/` when both absent,
+    * leading `/` restored for query-only URLs), fragment excluded —
+    * RFC 9309 §2.2.2 matches rules against the path-with-query (its
+    * own example is `/foo/bar?baz=quux`), so a path-only target would
+    * let query-targeting rules (`Disallow: /a?sessionid=` and the
+    * wildcard-prefixed form) silently pass.
+    */
   def urlPath(u: Column): Column = {
-    val p = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    when(p === "", lit("/")).otherwise(p)
+    val p = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    when(p === "", lit("/"))
+      .when(p.startsWith("/"), p)
+      .otherwise(concat(lit("/"), p))
   }
 
   /** RFC 9309 path pattern → anchored Java/RE2 regex: `*` is a
@@ -137,19 +145,27 @@ object Robots {
 
   /** Politeness pre-screen for intake chains: keep only rows whose
     * `urlCol` the rules allow for `agent`, dropping the decision
-    * columns again (columns the batch already carried are left alone).
-    * Compose AHEAD of [[graft.streaming.StreamingCrawl.acceptBatch]] —
-    * or, in a real crawler, ahead of the fetch itself — so disallowed
-    * URLs never reach extraction. Inherits [[robotsAllowed]]'s
-    * zero-corpus-shuffle shape, so it adds only map work per batch.
+    * columns again so the batch schema comes back unchanged. Compose
+    * AHEAD of [[graft.streaming.StreamingCrawl.acceptBatch]] — or, in a
+    * real crawler, ahead of the fetch itself — so disallowed URLs never
+    * reach extraction. Inherits [[robotsAllowed]]'s zero-corpus-shuffle
+    * shape, so it adds only map work per batch. Batches that already
+    * carry a decision-column name are REJECTED loudly:
+    * [[robotsAllowed]]'s `withColumn` would silently overwrite such a
+    * column with URL-derived contents and this filter would then hand
+    * the corrupted value back under the original name.
     */
   def politeFilter(batch: DataFrame, rules: DataFrame, agent: String,
                    idCol: String, urlCol: String = "url"): DataFrame = {
-    val added = Seq("host", "path", "allowed", "matched_directive",
-      "matched_pattern").filterNot(batch.columns.contains)
+    val decision = Seq("host", "path", "allowed", "matched_directive",
+      "matched_pattern")
+    val clash = decision.filter(batch.columns.contains)
+    require(clash.isEmpty,
+      s"politeFilter: batch columns ${clash.mkString(", ")} collide with " +
+        "the robots decision columns — rename them before the screen")
     robotsAllowed(batch, rules, agent, idCol, urlCol)
       .filter(col("allowed"))
-      .drop(added: _*)
+      .drop(decision: _*)
   }
 
   /** `Sitemap:` references declared in robots.txt — per RFC 9309 /

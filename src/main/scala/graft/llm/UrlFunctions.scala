@@ -304,14 +304,18 @@ object UrlFunctions {
 
   /** `href` values of anchor tags — both quote styles, fragment-only
     * refs dropped (they never leave the page). A fixed regex pass, the
-    * discovery step between extraction and the frontier.
+    * discovery step between extraction and the frontier. The attribute
+    * name requires a preceding whitespace (`\shref`), not a word
+    * boundary: `\bhref` matches after the `-` of `data-href`, which
+    * extracts a tracker URL and (because `[^>]*` consumed the real
+    * attribute) DROPS the genuine link.
     */
   def extractHrefs(html: Column): Column =
     concat(
       regexp_extract_all(html,
-        lit("(?i)<a\\b[^>]*\\bhref\\s*=\\s*\"([^\"#][^\"]*)\""), lit(1)),
+        lit("(?i)<a\\b[^>]*\\shref\\s*=\\s*\"([^\"#][^\"]*)\""), lit(1)),
       regexp_extract_all(html,
-        lit("(?i)<a\\b[^>]*\\bhref\\s*=\\s*'([^'#][^']*)'"), lit(1)))
+        lit("(?i)<a\\b[^>]*\\shref\\s*=\\s*'([^'#][^']*)'"), lit(1)))
 
   /** RFC 3986 reference resolution, the crawl subset: absolute refs
     * pass through, `//host/...` takes the base scheme, `/path` the base

@@ -845,6 +845,7 @@ object QueriesLLM {
         |Allow: /private/ok/
         |Disallow: /tmp$
         |Disallow: /star/*/x$
+        |Disallow: /tmpextra?sid=
         |Disallow:
         |Crawl-delay: 10
         |Sitemap: http://a.example.com/map.xml""".stripMargin,
@@ -875,10 +876,47 @@ object QueriesLLM {
     */
   private val robotsUrlsSelectSql: String =
     """  SELECT doc_id,
-      |    (['a.example.com', 'b.example.org', 'c.example.net', 'd.example.io'])[((doc_id // 8) % 4 + 1)::INT] AS host,
+      |    (['a.example.com', 'b.example.org', 'c.example.net', 'd.example.io'])[((doc_id // 10) % 4 + 1)::INT] AS host,
       |    (['/private/file', '/private/ok/file', '/tmp', '/tmpextra', '/star/deep/x',
-      |      '/p/1page', '/p/12page', '/other'])[(doc_id % 8 + 1)::INT] AS path
+      |      '/p/1page', '/p/12page', '/other', '/tmpextra?sid=9',
+      |      '/p/1page?ref=x'])[(doc_id % 10 + 1)::INT] AS path
       |  FROM documents""".stripMargin
+
+  /** The shared link-resolution oracle chain (pages + `resolved` CTE) —
+    * `q_link_graph` projects it, `q_host_graph` aggregates it. Written
+    * once like [[robotsChainSql]]. The href regex requires `\shref`,
+    * not `\bhref` — the engine-side [[UrlFunctions.extractHrefs]] fix
+    * for `data-href` false matches, mirrored here.
+    */
+  private lazy val linkResolveSql: String =
+    s"""WITH urls0 AS (
+       |$robotsUrlsSelectSql
+       |), pages AS (
+       |  SELECT doc_id, 'http://' || host || path AS url,
+       |    '<html><body><a href="http://x.example.net/abs' || (doc_id % 5) ||
+       |    '">a</a><p>text</p><a class="x" href="/root' || (doc_id % 3) ||
+       |    '">r</a><a href="rel' || (doc_id % 2) ||
+       |    '.html">l</a><a href="//cdn.example.org/c">p</a>' ||
+       |    '<a href="mailto:u@example.com">m</a>' ||
+       |    '<a href="#top">f</a></body></html>' AS html
+       |  FROM urls0
+       |), resolved AS (
+       |  SELECT doc_id, url,
+       |    list_filter(list_transform(
+       |      regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"', 1),
+       |      r -> CASE
+       |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN r
+       |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+       |        WHEN r LIKE '//%' THEN
+       |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || ':' || r
+       |        WHEN r LIKE '/%' THEN
+       |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || r
+       |        ELSE coalesce(
+       |          nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)', 1), ''),
+       |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || '/') || r
+       |      END), x -> x IS NOT NULL) AS links
+       |  FROM pages
+       |)""".stripMargin
 
   /** The shared RFC 9309 oracle chain (parse + decision through the
     * `win` CTE) — `q_robots_filter` adds the projection,
@@ -950,19 +988,25 @@ object QueriesLLM {
     * translation → longest-match ranking.
     */
   /** The fixture URL corpus both robots queries gate: host varies per
-    * 8-document block, path per document, so all 32 host×path arms
-    * occur (decoupled indices — `doc_id div 8` vs `doc_id mod 8`).
+    * 10-document block, path per document, so all 40 host×path arms
+    * occur (decoupled indices — `doc_id div 10` vs `doc_id mod 10`).
+    * Two arms carry a QUERY: RFC 9309 matches rules against
+    * path-plus-query, so `/tmpextra?sid=9` must hit host a's
+    * `Disallow: /tmpextra?sid=` while plain `/tmpextra` does not, and
+    * `/p/1page?ref=x` must hit b's plain-prefix `/p/1`. URLs repeat
+    * across documents (one per host×path arm) — the frontier queries
+    * rely on that for their dedup machinery.
     */
   private def robotsFixtureUrls(spark: SparkSession, dir: String): DataFrame = {
     val host = element_at(array(lit("a.example.com"), lit("b.example.org"),
       lit("c.example.net"), lit("d.example.io")),
-      (expr("(doc_id div 8) % 4") + 1).cast("int"))
+      (expr("(doc_id div 10) % 4") + 1).cast("int"))
     val path = element_at(array(lit("/private/file"), lit("/private/ok/file"),
       lit("/tmp"), lit("/tmpextra"), lit("/star/deep/x"), lit("/p/1page"),
-      lit("/p/12page"), lit("/other")), (col("doc_id") % 8 + 1).cast("int"))
+      lit("/p/12page"), lit("/other"), lit("/tmpextra?sid=9"),
+      lit("/p/1page?ref=x")), (col("doc_id") % 10 + 1).cast("int"))
     table(spark, dir, "documents")
-      .select(col("doc_id"), concat(lit("http://"), host, path,
-        lit("?id="), col("doc_id")).as("url"))
+      .select(col("doc_id"), concat(lit("http://"), host, path).as("url"))
   }
 
   private def robotsRules(spark: SparkSession): DataFrame = {
@@ -1002,10 +1046,9 @@ object QueriesLLM {
   /** Incremental frontier scheduling
     * ([[graft.streaming.StreamingFrontier.frontierBatch]], replayed as
     * two batch calls — the driver row for the streaming scheduler):
-    * candidate URLs WITHOUT the id suffix, so every (host, path) arm
-    * collapses to one URL and the dedup machinery is load-bearing —
-    * within-batch min-id keep, then the cross-batch seen-index anti
-    * join. Batch 1 = doc_id < 250, batch 2 = the rest, batch 2 screened
+    * the fixture URLs repeat across documents (one per host×path arm),
+    * so the dedup machinery is load-bearing — within-batch min-id keep,
+    * then the cross-batch seen-index anti join. Batch 1 = doc_id < 250, batch 2 = the rest, batch 2 screened
     * against batch 1's digests with its slot base continuing from batch
     * 1's per-host counts. The union must equal the ONE-SHOT schedule
     * over everything (the oracle): distinct-URL min-id keep → robots
@@ -1015,7 +1058,6 @@ object QueriesLLM {
     import spark.implicits._
     import graft.streaming.StreamingFrontier
     val candidates = robotsFixtureUrls(spark, dir)
-      .withColumn("url", regexp_replace(col("url"), "\\?id=.*$", ""))
     val rules = robotsRules(spark)
     val auth = frontierAuthority(spark)
     val seen0 = Seq.empty[(String, String)].toDF("url_hash", "host")
@@ -1054,7 +1096,6 @@ object QueriesLLM {
 
   def q_link_graph(spark: SparkSession, dir: String): DataFrame =
     robotsFixtureUrls(spark, dir)
-      .withColumn("url", regexp_replace(col("url"), "\\?id=.*$", ""))
       .select(col("doc_id"), col("url"),
         UrlFunctions.extractLinks(col("url"), linkFixturePage).as("links"))
       .select(col("doc_id"), col("url"),
@@ -1070,7 +1111,6 @@ object QueriesLLM {
     */
   def q_host_graph(spark: SparkSession, dir: String): DataFrame =
     robotsFixtureUrls(spark, dir)
-      .withColumn("url", regexp_replace(col("url"), "\\?id=.*$", ""))
       .select(col("url"),
         explode(UrlFunctions.extractLinks(col("url"), linkFixturePage))
           .as("link"))
@@ -1146,7 +1186,10 @@ object QueriesLLM {
     val delays = Robots.crawlDelays(robotsBodies.toDF("host", "robots_txt"),
       "host", "robots_txt", "GraftBot")
     val slotW = Window.partitionBy("host").orderBy("doc_id")
-    allowed.join(broadcast(ranks), Seq("host"))
+    // LEFT: a host with no PageRank row yet (new discovery) stays
+    // schedulable with null authority — StreamingFrontier.frontierBatch
+    // semantics, mirrored by the oracle's LEFT JOIN
+    allowed.join(broadcast(ranks), Seq("host"), "left")
       .join(broadcast(delays), Seq("host"), "left")
       .withColumn("slot", row_number().over(slotW).cast("long"))
       .withColumn("fetch_after",
@@ -4567,7 +4610,7 @@ object QueriesLLM {
       (robotsChainSql +
         """
           |SELECT doc_id,
-          |  'http://' || host || path || '?id=' || doc_id AS url,
+          |  'http://' || host || path AS url,
           |  host, path,
           |  (pattern IS NULL OR directive = 'allow') AS allowed,
           |  coalesce(directive, 'none') AS matched_directive,
@@ -4616,11 +4659,11 @@ object QueriesLLM {
            |  GROUP BY 1
            |), fr AS (
            |  SELECT d.doc_id,
-           |    'http://' || d.host || d.path || '?id=' || d.doc_id AS url,
+           |    'http://' || d.host || d.path AS url,
            |    d.host,
            |    p.rank AS host_rank,
            |    row_number() OVER (PARTITION BY d.host ORDER BY d.doc_id)::BIGINT AS slot
-           |  FROM decided d JOIN pr p ON d.host = p.id
+           |  FROM decided d LEFT JOIN pr p ON d.host = p.id
            |  WHERE d.allowed
            |)
            |SELECT fr.*,
@@ -4652,42 +4695,18 @@ object QueriesLLM {
            |  FROM dedup
            |)
            |SELECT s.doc_id, s.url, s.host, p.rank AS host_rank, s.slot
-           |FROM sched s JOIN pr p ON s.host = p.id""".stripMargin),
+           |FROM sched s LEFT JOIN pr p ON s.host = p.id""".stripMargin),
 
     // link extraction replay: same double-quote href regex (the
     // operator also takes single quotes; the fixture uses one style so
     // both engines see identical matches in document order), then the
     // per-ref resolution CASE inside list_transform — same shape as the
-    // engine's transform+filter, so ordering needs no window
+    // engine's transform+filter, so ordering needs no window. Shared
+    // prefix (written once — the robotsChainSql rule): both link
+    // oracles consume linkResolveSql's `resolved` CTE.
     "q_link_graph" ->
-      (s"""WITH urls0 AS (
-          |$robotsUrlsSelectSql
-          |), pages AS (
-          |  SELECT doc_id, 'http://' || host || path AS url,
-          |    '<html><body><a href="http://x.example.net/abs' || (doc_id % 5) ||
-          |    '">a</a><p>text</p><a class="x" href="/root' || (doc_id % 3) ||
-          |    '">r</a><a href="rel' || (doc_id % 2) ||
-          |    '.html">l</a><a href="//cdn.example.org/c">p</a>' ||
-          |    '<a href="mailto:u@example.com">m</a>' ||
-          |    '<a href="#top">f</a></body></html>' AS html
-          |  FROM urls0
-          |), resolved AS (
-          |  SELECT doc_id, url,
-          |    list_filter(list_transform(
-          |      regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*"([^"#][^"]*)"', 1),
-          |      r -> CASE
-          |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN r
-          |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
-          |        WHEN r LIKE '//%' THEN
-          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || ':' || r
-          |        WHEN r LIKE '/%' THEN
-          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || r
-          |        ELSE coalesce(
-          |          nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)', 1), ''),
-          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || '/') || r
-          |      END), x -> x IS NOT NULL) AS links
-          |  FROM pages
-          |)
+      (linkResolveSql +
+        """
           |SELECT doc_id, url,
           |  array_to_string(links, ' ') AS links_joined,
           |  len(links)::BIGINT AS n_links
@@ -4695,34 +4714,8 @@ object QueriesLLM {
 
     // edge grain: same chain, then explode + host both ends + count
     "q_host_graph" ->
-      (s"""WITH urls0 AS (
-          |$robotsUrlsSelectSql
-          |), pages AS (
-          |  SELECT doc_id, 'http://' || host || path AS url,
-          |    '<html><body><a href="http://x.example.net/abs' || (doc_id % 5) ||
-          |    '">a</a><p>text</p><a class="x" href="/root' || (doc_id % 3) ||
-          |    '">r</a><a href="rel' || (doc_id % 2) ||
-          |    '.html">l</a><a href="//cdn.example.org/c">p</a>' ||
-          |    '<a href="mailto:u@example.com">m</a>' ||
-          |    '<a href="#top">f</a></body></html>' AS html
-          |  FROM urls0
-          |), resolved AS (
-          |  SELECT doc_id, url,
-          |    list_filter(list_transform(
-          |      regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*"([^"#][^"]*)"', 1),
-          |      r -> CASE
-          |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN r
-          |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
-          |        WHEN r LIKE '//%' THEN
-          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || ':' || r
-          |        WHEN r LIKE '/%' THEN
-          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || r
-          |        ELSE coalesce(
-          |          nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)', 1), ''),
-          |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || '/') || r
-          |      END), x -> x IS NOT NULL) AS links
-          |  FROM pages
-          |), edges AS (
+      (linkResolveSql +
+        """, edges AS (
           |  SELECT lower(regexp_extract(url,
           |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS src_host,
           |    lower(regexp_extract(unnest(links),
@@ -4742,7 +4735,7 @@ object QueriesLLM {
           |$robotsUrlsSelectSql
           |), blocks AS (
           |  SELECT host,
-          |    '<url><loc>http://' || host || path || '?id=' || doc_id || '</loc>' ||
+          |    '<url><loc>http://' || host || path || '</loc>' ||
           |    CASE WHEN doc_id % 2 = 0 THEN '<lastmod>2026-' ||
           |      lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-15</lastmod>'
           |      ELSE '' END ||

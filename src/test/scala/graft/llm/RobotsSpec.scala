@@ -148,6 +148,32 @@ class RobotsSpec extends AnyFunSuite {
       ("http://h/c", None, None))) // loc-less entry dropped
   }
 
+  test("urlPath includes the query (RFC 9309 match target); query rules fire") {
+    val paths = Seq("http://h.example/p?x=1#f", "http://h.example?x=1",
+      "http://h.example/p", "http://h.example")
+      .toDF("u").select(Robots.urlPath(col("u"))).as[String].collect()
+    assert(paths.toSeq == Seq("/p?x=1", "/?x=1", "/p", "/"))
+    val r = Robots.parseRobots(Seq(("q.example",
+      "User-agent: *\nDisallow: /a?sid=")).toDF("host", "txt"),
+      "host", "txt")
+    val out = Robots.robotsAllowed(Seq(
+        (1L, "http://q.example/a?sid=7"),   // query rule fires
+        (2L, "http://q.example/a")          // no query: no match
+      ).toDF("id", "url"), r, "anybot", "id")
+      .select("id", "allowed").collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true))
+  }
+
+  test("extractHrefs: data-href is not an href (the \\shref requirement)") {
+    val html = """<a href="/real" data-href="/track">x</a>""" +
+      """<a data-href="/t2" href="/real2">y</a><a data-href="/only">z</a>"""
+    val got = Seq(("http://h.example", html)).toDF("u", "h")
+      .select(UrlFunctions.extractLinks(col("u"), col("h")))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("http://h.example/real", "http://h.example/real2"))
+  }
+
   test("robotsAllowed: broadcastRules = false is decision-identical " +
       "(the past-broadcast-scale arm)") {
     val urls = Seq(
