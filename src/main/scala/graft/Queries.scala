@@ -273,6 +273,27 @@ object Queries {
     """SELECT o_custkey::BIGINT AS src, l_suppkey::BIGINT + 1000000 AS dst
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
+  /** HITS hubs/authorities over the SAME customer→supplier graph as
+    * [[q_pagerank]] (3 L1-normalized rounds). The graph is bipartite —
+    * exactly where HITS outranks PageRank: customers score as hubs,
+    * suppliers as authorities, two separated signals PageRank's single
+    * score conflates. Oracle GENERATED per iteration count by
+    * [[graft.ops.Hits.oracleSql]] — an iterative float algorithm that
+    * hash-matches cross-engine (decimal sums, broadcast-scalar
+    * normalizers, fixed expression trees).
+    */
+  def q_hits(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+    graft.ops.Hits.hits(edges, iterations = 3)
+      .select(col("id"),
+        (floor(col("hub") * 1e6 + 0.5) / 1e6).as("hub"),
+        (floor(col("auth") * 1e6 + 0.5) / 1e6).as("auth"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -284,6 +305,7 @@ object Queries {
     "q_sessionize" -> (q_sessionize _),
     "q_funnel" -> (q_funnel _),
     "q_pagerank" -> (q_pagerank _),
+    "q_hits" -> (q_hits _),
     "q_pivot" -> (q_pivot _),
     "q_unpivot" -> (q_unpivot _),
     "q_json_extract" -> (q_json_extract _),
@@ -324,6 +346,8 @@ object Queries {
         |FROM events JOIN b ON value >= lo AND value <= hi""".stripMargin,
     "q_pagerank" ->
       graft.ops.PageRank.oracleSql(pagerankEdgesCte, iterations = 3),
+    "q_hits" ->
+      graft.ops.Hits.oracleSql(pagerankEdgesCte, iterations = 3),
     "q_json_extract" ->
       """SELECT json_extract(props, '$.k')::BIGINT % 10 AS k_bucket,
         |  count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
