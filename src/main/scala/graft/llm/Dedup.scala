@@ -597,6 +597,113 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("__jx"), 6).as("jac"))
   }
 
+  /** EXACT threshold CONTAINMENT join: all ORDERED pairs (a, b), a ≠ b,
+    * with |A ∩ B| / |A| >= `threshold` — the asymmetric near-dup the
+    * symmetric [[jaccardJoin]] structurally misses: a document quoted
+    * or truncated inside a much larger one has containment ≈ 1 while
+    * its Jaccard collapses toward |A|/|B|. Training corpora are full of
+    * exactly this shape (snippet pages, quote aggregators, partial
+    * mirrors), and a Jaccard-only dedup keeps both copies.
+    *
+    * Same SSJoin machinery as [[jaccardJoin]], with the asymmetric
+    * bounds: required overlap o = ceil(t·|A|) depends on the CONTAINED
+    * side only, so A contributes its pigeonhole prefix
+    * (|A| − o + 1 shingles — the SAME length formula as Jaccard's) but
+    * the container side has no derivable length bound and is indexed
+    * in FULL ([[orderedFull]]). The size filter keeps only
+    * |B| >= t·|A|; the positional prune is [[candidatePairsBounded]]'s
+    * least(na − ia, nb − ib) >= o under the shared (df, hash) global
+    * order. Verification is one native [[containmentBySets]] kernel
+    * per candidate (intersect cardinality / |A|), filtered on the
+    * UNROUNDED value (the jaccardJoin near-threshold discipline).
+    *
+    * Scale shape: the contained side explodes prefixes only; the
+    * container side's full index is the same (shingle → id) inverted
+    * index the corpus needs for any exact screen, df-ascending so
+    * boilerplate shingles sit LAST in every list and enter prefixes
+    * only for documents that are all-boilerplate. Emitting ordered
+    * pairs means a doc contained in k others emits k rows — cluster
+    * consumers collapse them with the usual min-per-id rule.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleSize: Int = 3): DataFrame =
+    containmentPairsSized(
+        jaccardSets(df, idCol, textCol, shingleSize).localCheckpoint(false),
+        threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("__cx"), 6).as("containment"))
+
+  /** [[containmentJoin]]'s full-fidelity core over a pre-built
+    * [[jaccardSets]] frame: qualifying ordered pairs with the UNROUNDED
+    * containment and both set cardinalities — [[containmentDedup]]'s
+    * keep rule needs the sizes, the public join only the rounded score.
+    */
+  private[graft] def containmentPairsSized(sets: DataFrame,
+                                           threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentJoin: threshold must be in (0, 1], got $threshold")
+    val dfT = jaccardDf(sets)
+    val pa = jaccardPrefixesWithOrder(sets, dfT, threshold)
+      .select(col("__id").as("id_a"), col("__n").as("__na"),
+        posexplode(col("__prefix")).as(Seq("__pa", "__h")))
+    val pb = orderedFull(sets, dfT)
+      .select(col("__id").as("id_b"), col("__n").as("__nb"),
+        posexplode(col("__full")).as(Seq("__pb", "__h")))
+    val candidates = candidatePairsBounded(pa, pb,
+      pairCond = col("id_a") =!= col("id_b"),
+      sizeOk = col("__nb") >= lit(threshold) * col("__na") - lit(1e-9),
+      overlapBound = ceil(lit(threshold) * col("__na") - lit(1e-9)))
+    candidates
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("__sa")),
+        Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("__sb")),
+        Seq("id_b"))
+      .withColumn("__cx", containmentBySets(col("__sa"), col("__sb")))
+      .filter(col("__cx") >= threshold)
+      .select(col("id_a"), col("id_b"), col("__cx"),
+        size(col("__sa")).cast("long").as("__na"),
+        size(col("__sb")).cast("long").as("__nb"))
+  }
+
+  /** CONTAINMENT dedup — the keep rule over [[containmentJoin]] pairs:
+    * drop every document contained (≥ `threshold`) in a LARGER one
+    * (strictly more distinct shingles; equal sizes keep the smaller
+    * id). The quote/truncation/partial-mirror cleanup: stubs collapse
+    * into their sources while the sources — never contained in
+    * anything bigger — survive. Greedy, not transitive: a document is
+    * dropped if ANY larger document contains it, kept or not
+    * (containment does not compose along chains, so transitive-closure
+    * keeping would re-admit stubs whose source was itself absorbed).
+    * Returns `df`'s kept rows; the drop set never touches the payload
+    * (id-only anti join, the [[exactDedup]] discipline).
+    */
+  def containmentDedup(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleSize: Int = 3): DataFrame = {
+    val pairs = containmentPairsSized(
+      jaccardSets(df, idCol, textCol, shingleSize).localCheckpoint(false),
+      threshold)
+    val drops = pairs
+      .filter(col("__nb") > col("__na") ||
+        (col("__nb") === col("__na") && col("id_b") < col("id_a")))
+      .select(col("id_a")).distinct()
+    df.join(drops, df(idCol) === drops("id_a"), "left_anti")
+  }
+
+  /** Containment |sa ∩ sb| / |sa| over two pre-computed [[shingleSet]]
+    * columns — one native intersect-cardinality kernel per pair, one
+    * double division. Empty or null `sa` scores 0.0 (an empty set is
+    * contained in everything vacuously, but a zero-signal document
+    * must never reach a dedup threshold — the [[jaccardBySets]]
+    * empty-set contract).
+    */
+  def containmentBySets(sa: Column, sb: Column): Column =
+    coalesce(
+      when(size(sa) > 0,
+        org.apache.spark.sql.graft.TextHashExpressions
+          .longSetIntersectCard(sa, sb).cast("double") /
+          size(sa).cast("double")),
+      lit(0.0))
+
   /** Prefix-join candidate pairs with the size filter and PPJoin's
     * POSITIONAL filter (Xiao et al., WWW'08). Inputs are posexploded
     * prefix frames (id, n, 0-based position, hash). J >= t forces
@@ -615,10 +722,29 @@ object Dedup {
     */
   private[graft] def candidatePairsPositional(pa: DataFrame, pb: DataFrame,
                                               threshold: Double,
-                                              pairCond: Column): DataFrame = {
-    val sizeOk =
-      col("__nb") >= lit(threshold) * col("__na") - lit(1e-9) &&
-        col("__na") >= lit(threshold) * col("__nb") - lit(1e-9)
+                                              pairCond: Column): DataFrame =
+    candidatePairsBounded(pa, pb, pairCond,
+      sizeOk =
+        col("__nb") >= lit(threshold) * col("__na") - lit(1e-9) &&
+          col("__na") >= lit(threshold) * col("__nb") - lit(1e-9),
+      overlapBound =
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (col("__na") + col("__nb")) - lit(1e-9)))
+
+  /** The shared positional-filter candidate core ([[jaccardJoin]] and
+    * [[containmentJoin]] differ ONLY in their size filter and required-
+    * overlap bound, so the join/groupBy/positional-prune machinery is
+    * written once): `sizeOk` prunes on (__na, __nb) before the pair
+    * agg; `overlapBound` is the minimum |A∩B| a qualifying pair needs,
+    * as an expression over __na/__nb. The positional prune
+    * least(na - ia, nb - ib) >= bound is valid for EITHER predicate
+    * because min position over the pair's shared prefix tokens is
+    * attained at the first shared element on both sides (one global
+    * order — see [[candidatePairsPositional]]'s derivation).
+    */
+  private[graft] def candidatePairsBounded(pa: DataFrame, pb: DataFrame,
+                                           pairCond: Column, sizeOk: Column,
+                                           overlapBound: Column): DataFrame = {
     val idA = pa.columns.head
     val idB = pb.columns.head
     pa.join(pb, Seq("__h"))
@@ -628,8 +754,7 @@ object Dedup {
         min("__pa").as("__ia"), min("__pb").as("__ib"))
       .filter(
         least(col("__na") - col("__ia"), col("__nb") - col("__ib")) >=
-          ceil(lit(threshold / (1.0 + threshold)) *
-            (col("__na") + col("__nb")) - lit(1e-9)))
+          overlapBound)
       .select(col(idA), col(idB))
   }
 
@@ -685,19 +810,32 @@ object Dedup {
                                threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccardPrefixesWithOrder: threshold must be in (0, 1], got $threshold")
+    val prefixLen =
+      (col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
+        .cast("int")
+    orderedFull(sets, dfTable).select(col("__id"), col("__n"),
+      slice(col("__full"), lit(1), prefixLen).as("__prefix"))
+  }
+
+  /** The FULL ordered shingle list under the (df, hash) global order —
+    * [[jaccardPrefixesWithOrder]] is this frame sliced to the prefix
+    * bound. [[containmentJoin]] indexes the container side with it: a
+    * contained set's required overlap gives NO length bound on the
+    * container, so the container contributes every shingle (the
+    * contained side still contributes only its prefix — that side's
+    * pigeonhole is what keeps the join sub-quadratic).
+    */
+  private[graft] def orderedFull(sets: DataFrame,
+                                 dfTable: DataFrame): DataFrame = {
     val tok = sets.select(col("__id"), explode(col("__set")).as("__h"))
-    val ordered = tok.join(dfTable, Seq("__h"), "left")
+    tok.join(dfTable, Seq("__h"), "left")
       .select(col("__id"), col("__h"), coalesce(col("__df"), lit(0L)).as("__df"))
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__h"))))
           .as("__ord"),
         count(lit(1)).as("__n"))
-    val prefixLen =
-      (col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
-        .cast("int")
-    ordered.select(col("__id"), col("__n"),
-      slice(transform(col("__ord"), s => s("__h")), lit(1), prefixLen)
-        .as("__prefix"))
+      .select(col("__id"), col("__n"),
+        transform(col("__ord"), s => s("__h")).as("__full"))
   }
 
   /** Prefix frame under HASH-ascending order — the cross-corpus form

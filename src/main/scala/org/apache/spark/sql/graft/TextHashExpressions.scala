@@ -327,6 +327,18 @@ object LongSetUtil {
     val na = a.numElements()
     val nb = b.numElements()
     if (na + nb == 0) return 0.0
+    val inter = intersectCard(a, b)
+    inter.toDouble / (na + nb - inter)
+  }
+
+  /** |a ∩ b| of two DISTINCT long arrays — the same one-table probe
+    * [[jaccard]] uses, exposed for the asymmetric (containment) verify
+    * kernel where the denominator is ONE side's cardinality.
+    */
+  def intersectCard(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
     val (small, big, ns, nbg) =
       if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
     var cap = 8
@@ -352,7 +364,7 @@ object LongSetUtil {
       if (used(slot)) inter += 1
       i += 1
     }
-    inter.toDouble / (na + nb - inter)
+    inter.toLong
   }
 }
 
@@ -382,6 +394,34 @@ case class LongSetJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "long_set_jaccard"
+}
+
+/** Native |a ∩ b| over two pre-distinct long-hash sets — the asymmetric
+  * (containment) verify kernel ([[graft.llm.Dedup.containmentBySets]]):
+  * the denominator is one side's own cardinality, so the division lives
+  * in the caller and this expression stays an integer count.
+  */
+case class LongSetIntersectCard(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LongSetUtil.intersectCard(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.LongSetUtil.intersectCard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongSetIntersectCard =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "long_set_intersect_card"
 }
 
 /** Row-local term-frequency computation for the postings build. */
@@ -505,5 +545,10 @@ object TextHashExpressions {
   /** Native exact Jaccard over two pre-distinct long-hash sets. */
   def longSetJaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(LongSetJaccard(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Native |a ∩ b| over two pre-distinct long-hash sets. */
+  def longSetIntersectCard(a: Column, b: Column): Column =
+    ExpressionUtils.column(LongSetIntersectCard(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
