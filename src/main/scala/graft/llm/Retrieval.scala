@@ -269,6 +269,142 @@ object Retrieval {
     searchPostings(post, stats, queries, queryIdCol, queryTextCol, k, k1, b)
   }
 
+  // ------------------------------------------------------------------
+  // Positional index: phrase and proximity search
+  // ------------------------------------------------------------------
+
+  /** POSITIONAL postings: one row per token OCCURRENCE — (doc_id, term,
+    * pos) with `pos` the 0-based token index under the single-space
+    * token convention. The index phrase and proximity queries need and
+    * the (doc, term)-grain [[postings]] cannot answer: tf counts how
+    * often, positions say WHERE. Map-only build (one posexplode per
+    * document row, no exchange); persist bucketed by `term`
+    * (`Sources.writeBucketed`) and a phrase query's scan prunes to
+    * exactly its terms' rows.
+    */
+  def positionalPostings(corpus: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+
+  /** Exact PHRASE occurrences over a [[positionalPostings]] frame: one
+    * row per (doc_id, start) where the phrase's tokens appear
+    * consecutively starting at 0-based token index `start`.
+    *
+    * Shape: leg i = the index filtered to phrase term i with its
+    * positions rebased by −i; a phrase occurrence is a (doc_id, start)
+    * key present in EVERY leg, so the k-term phrase is a (k−1)-fold
+    * equi-join on (doc_id, start) — set intersection, no windows, no
+    * per-document arrays. At scale each leg reads ONE term's postings
+    * (partition-pruned on a term-bucketed index), the intersection is
+    * bounded by the rarest term's occurrence count, and AQE broadcasts
+    * legs that turn out tiny; document text is never re-read. Repeated
+    * phrase terms are legal (each leg filters independently).
+    */
+  def phraseMatches(post: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatches: empty phrase")
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    // occurrence rows are unique per (doc, pos), so every leg is a set
+    // and the joins cannot multiply matches; leg 0's start = pos >= 0
+    // keeps rebased negatives out of the intersection automatically
+    legs.reduce(_.join(_, Seq("doc_id", "start")))
+  }
+
+  /** PROXIMITY co-occurrences over a [[positionalPostings]] frame: one
+    * row per (doc_id, pos_a, pos_b) with `termA` at pos_a, `termB` at
+    * pos_b, and |pos_a − pos_b| <= `window` — the "terms near each
+    * other" retrieval predicate (and the raw material for positional
+    * collocation scoring). Terms must differ (equal terms would emit
+    * each unordered pair twice).
+    *
+    * Shape: two term-pruned index reads joined on doc_id with the band
+    * predicate — the per-document position lists are bounded by
+    * document length, so the within-doc pair fan-out is bounded by
+    * (tf_A × tf_B) per doc, not by the corpus.
+    */
+  def proximityPairs(post: DataFrame, termA: String, termB: String,
+                     window: Int): DataFrame = {
+    require(termA != termB, "proximityPairs: terms must differ")
+    require(window >= 1, "proximityPairs: window must be >= 1")
+    val a = post.filter(col("term") === termA)
+      .select(col("doc_id"), col("pos").as("pos_a"))
+    val b = post.filter(col("term") === termB)
+      .select(col("doc_id"), col("pos").as("pos_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pos_a") - col("pos_b")) <= window)
+  }
+
+  // ------------------------------------------------------------------
+  // Vector-space (tf-idf cosine) scoring
+  // ------------------------------------------------------------------
+
+  /** Classical vector-space retrieval (Salton's tf-idf cosine): top-`k`
+    * documents per query by the cosine of tf·idf-weighted term vectors,
+    * idf = ln(N/df) over the CORPUS statistics (query terms outside the
+    * corpus vocabulary carry zero weight — they cannot contribute to
+    * any dot product and a df-less idf is undefined). The length-
+    * normalized complement to [[bm25TopK]]'s saturation scoring: cosine
+    * is insensitive to document repetition-padding, BM25 to document
+    * length extremes; serving both from the one postings build is two
+    * scoring trees over the same index.
+    *
+    * Engine-portable by the house discipline: idf rounds at 1e-9 at
+    * definition (ONE transcendental), per-doc norms are
+    * sqrt-of-decimal-summed squares (sqrt is IEEE-correctly-rounded in
+    * both engines), dot products are decimal sums of single-rounded
+    * products, and the final cosine rounds at 1e-6 — `q_tfidf_cosine`
+    * hash-matches DuckDB replaying the same trees.
+    *
+    * Scale shape: one corpus postings build (the [[buildPostings]]
+    * exchange), one vocabulary-sized query⋈term join, the dot-product
+    * agg keyed (query, doc) touches only postings of query terms, and
+    * norms ride the doc-grain agg the index build already shuffled on.
+    */
+  def tfidfCosineTopK(corpus: DataFrame, idCol: String, textCol: String,
+                      queries: DataFrame, queryIdCol: String,
+                      queryTextCol: String, k: Int): DataFrame = {
+    val (post, stats) = buildPostings(corpus, idCol, textCol)
+    val n = broadcast(stats.select(col("n_docs")))
+    def weigh(p: DataFrame): DataFrame = p.crossJoin(n)
+      .withColumn("__w", col("tf").cast("double") *
+        TextFunctions.round9(log(col("n_docs") / col("df").cast("double"))))
+    def norm(w: DataFrame, idc: String): DataFrame = w.groupBy(idc)
+      .agg(sqrt(sum((col("__w") * col("__w")).cast("decimal(38,18)"))
+        .cast("double")).as("__nrm"))
+    val dw = weigh(post).select(col("doc_id"), col("term"), col("__w"))
+    val dn = norm(dw, "doc_id")
+    // query vectors over the corpus vocabulary: tf from the query text,
+    // df from the corpus term table (inner join drops OOV terms)
+    val termDf = post.select(col("term"), col("df")).distinct()
+    val qw = postings(queries, queryIdCol, queryTextCol)
+      .select(col("doc_id").as("query_id"), col("term"), col("tf"))
+      .join(termDf, Seq("term"))
+      .transform(weigh)
+      .select(col("query_id"), col("term"), col("__w").as("__qw"))
+    val qn = norm(qw.withColumnRenamed("__qw", "__w"), "query_id")
+      .withColumnRenamed("__nrm", "__qnrm")
+    val dots = qw.join(dw, Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum((col("__qw") * col("__w")).cast("decimal(38,18)"))
+        .cast("double").as("__dot"))
+    val scored = dots
+      .join(dn, Seq("doc_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("__dot") / (col("__qnrm") * col("__nrm")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("cos"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009): merge ranked runs —
     * typically BM25 and a dense ANN run — into one ranking per query by
     *   rrf(d) = Σ_runs 1 / (k0 + rank_run(d)).

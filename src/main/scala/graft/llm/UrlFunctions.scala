@@ -347,4 +347,57 @@ object UrlFunctions {
   def extractLinks(pageUrl: Column, html: Column): Column =
     filter(transform(extractHrefs(html), h => resolveUrl(pageUrl, h)),
       l => l.isNotNull)
+
+  /** Path component of an absolute URL (between authority and the
+    * first `?`/`#`); empty string when the URL has none.
+    */
+  def urlPath(u: Column): Column =
+    regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+
+  /** Raw query string (after `?`, fragment stripped); empty string
+    * when the URL has none.
+    */
+  def urlQuery(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    when(noFrag.contains("?"),
+      regexp_replace(noFrag, "^[^?]*\\?", "")).otherwise(lit(""))
+  }
+
+  /** Parameter names that mint a fresh URL per visitor — the classic
+    * infinite-URL-space signature.
+    */
+  private val sessionParamRx =
+    "(?i)^(phpsessid|sid|sessionid|jsessionid|session_id)="
+
+  /** CRAWL-TRAP detection: per-URL structural features + verdict, the
+    * pre-fetch gate between [[extractLinks]] discovery and the
+    * frontier ([[graft.streaming.StreamingFrontier]]) that keeps a
+    * crawler out of infinite URL spaces — calendar loops, session-id
+    * mints, faceted-search parameter explosions, recursion-deep paths.
+    * Pure map-side column algebra (no join, no state): at 100 TB of
+    * discoveries this runs where the links already are, upstream of
+    * the frontier's dedup shuffle, and every URL it drops never costs
+    * that shuffle a row. Appends to `df`:
+    *   - `depth`: non-empty path segments;
+    *   - `seg_repeats`: depth − distinct segments (loop traps revisit
+    *     the same segment names; 3+ repeats ≈ a full repeated cycle);
+    *   - `n_params`: query parameters;
+    *   - `has_session`: a session-id-style parameter name;
+    *   - `is_trap`: any rule fires (depth > 10, seg_repeats >= 3,
+    *     n_params > 8, has_session).
+    * Thresholds follow common crawler practice (Heritrix's path-depth
+    * and pathological-repetition rules); tune per deployment.
+    */
+  def trapReport(df: DataFrame, urlCol: String): DataFrame = {
+    val segs = filter(split(urlPath(col(urlCol)), "/"), s => length(s) > 0)
+    val params = filter(split(urlQuery(col(urlCol)), "&"), p => length(p) > 0)
+    df.withColumn("depth", size(segs).cast("long"))
+      .withColumn("seg_repeats",
+        (size(segs) - size(array_distinct(segs))).cast("long"))
+      .withColumn("n_params", size(params).cast("long"))
+      .withColumn("has_session", exists(params, p => p.rlike(sessionParamRx)))
+      .withColumn("is_trap",
+        col("depth") > 10 || col("seg_repeats") >= 3 ||
+          col("n_params") > 8 || col("has_session"))
+  }
 }
