@@ -341,6 +341,16 @@ object Bench {
     // readings exist, the r12-tier process
     "q_blocklist_filter",
     "q_sitemap_entries",
+    // r17 session-3: HITS (second graph iteration), the asymmetric
+    // containment join (prefix+full-index SSJoin variant), vector-space
+    // cosine over the postings build, and phrase search over the
+    // positional index (q_proximity_search and q_url_traps are
+    // map-side/fixture-grain — Verify-only, the r17 precedent) — pin
+    // once three clean readings exist, the r12-tier process
+    "q_hits",
+    "q_containment_join",
+    "q_tfidf_cosine",
+    "q_phrase_search",
   )
 
   def main(args: Array[String]): Unit = {

@@ -48,6 +48,33 @@ object QueriesLLM {
       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
       |)""".stripMargin
 
+  /** The documents corpus with deterministic injected TRUNCATIONS:
+    * every doc_id < 50 reappears at doc_id + 20000 cut to its first 15
+    * tokens — the stub's shingles are ~all contained in its source
+    * (containment ≈ 1) while its Jaccard against the source is only
+    * ~13/|full| ≈ 0.2 (far below any dedup threshold). The asymmetric
+    * ground truth [[q_containment_join]] must recover and a symmetric
+    * Jaccard join structurally cannot.
+    */
+  def contCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat_ws(" ",
+            slice(TextFunctions.tokens(col("text")), 1, 15)).as("text")))
+  }
+
+  private val contCorpusSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000 AS doc_id,
+      |    array_to_string(list_filter(string_split(text, ' '),
+      |      t -> length(t) > 0)[1:15], ' ') AS text
+      |  FROM documents WHERE doc_id < 50
+      |)""".stripMargin
+
   /** Shared shingle/minhash/band CTEs over `corpus` (mirrors
     * Dedup.minhashSignature/lshBandKeys semantics exactly: word 3-gram
     * shingles, 16 universal hashes h_i(x) = (a_i x + b_i) mod p over the
@@ -221,6 +248,32 @@ object QueriesLLM {
   def q_jaccard_join(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardJoin(dupCorpus(spark, dir), "doc_id", "text",
       threshold = 0.5)
+
+  /** EXACT threshold CONTAINMENT join over the truncation corpus
+    * ([[graft.llm.Dedup.containmentJoin]]): ALL ordered pairs with
+    * |A∩B|/|A| >= 0.8 — the quote/truncation/partial-mirror duplicates
+    * symmetric Jaccard structurally misses (the injected 15-token
+    * stubs score containment ≈ 1 in their sources at Jaccard ≈ 0.2).
+    * The oracle computes ground truth by brute inverted index + exact
+    * containment, so the hash compare proves the asymmetric prefix
+    * pruning (contained-side pigeonhole prefix vs full container
+    * index) lost nothing.
+    */
+  def q_containment_join(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoin(contCorpus(spark, dir), "doc_id", "text",
+      threshold = 0.8)
+
+  /** CONTAINMENT dedup over the truncation corpus
+    * ([[graft.llm.Dedup.containmentDedup]]): documents contained
+    * (≥ 0.8) in a strictly larger document drop — the injected
+    * 15-token stubs collapse into their sources; the sources survive.
+    * Oracle replays the pair generation brute-force plus the
+    * larger-wins/smaller-id keep rule and anti-joins the corpus.
+    */
+  def q_dedup_containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentDedup(contCorpus(spark, dir), "doc_id", "text",
+      threshold = 0.8)
+      .select("doc_id")
 
   /** One-pass ingest expectations over the documents table
     * ([[graft.ops.Expectations]] — the Deequ idea, VLDB'18): five
@@ -788,6 +841,42 @@ object QueriesLLM {
       .when(col("doc_id") % 14 === 11, lit("a.b.kawasaki.jp")) // *.kawasaki.jp wildcard
       .when(col("doc_id") % 14 === 12, lit("www.city.kawasaki.jp")) // !city.kawasaki.jp exception
       .otherwise(lit("host.unknowntld")) // implicit * rule
+
+  /** Crawl-trap URL fixture, five arms per doc_id % 5: benign shallow
+    * path / calendar-loop repetition / session-id parameter / faceted
+    * parameter explosion / depth 10-13 (so the depth rule fires on
+    * PART of one arm — the verdict is per-URL, not per-arm).
+    */
+  private def trapUrl: Column =
+    when(col("doc_id") % 5 === 0,
+      concat(lit("http://site"), col("doc_id") % 7,
+        lit(".example/a/b/page"), col("doc_id")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("http://cal.example/"),
+          expr("repeat('2026/01/05/', CAST(2 + doc_id % 3 AS INT))"),
+          lit("item")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("http://s.example/p?phpsessid=tok"), col("doc_id"),
+          lit("&x=1")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("http://f.example/q?a0=1&a1=1&a2=1&a3=1&a4=1&a5=1" +
+          "&a6=1&a7=1&a8=1&a9=1&b="), col("doc_id")))
+      .otherwise(
+        concat(lit("http://d.example/"),
+          expr("repeat('p/', CAST(9 + doc_id % 4 AS INT))"), lit("leaf")))
+
+  /** Crawl-trap detection ([[UrlFunctions.trapReport]]): structural
+    * features + verdict over the five-arm trap fixture — calendar
+    * loops, session mints, parameter explosions, and a depth arm whose
+    * verdict varies WITHIN the arm. Map-side only; the oracle replays
+    * every feature and rule from the same URL strings.
+    */
+  def q_url_traps(spark: SparkSession, dir: String): DataFrame =
+    UrlFunctions.trapReport(
+      table(spark, dir, "documents").select(col("doc_id"),
+        trapUrl.as("url")), "url")
+      .select("doc_id", "url", "depth", "seg_repeats", "n_params",
+        "has_session", "is_trap")
 
   def q_registered_domain(spark: SparkSession, dir: String): DataFrame =
     UrlFunctions.registeredDomainPsl(
@@ -2213,6 +2302,51 @@ object QueriesLLM {
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
   }
 
+  /** Exact PHRASE search over the positional index
+    * ([[Retrieval.positionalPostings]] + [[Retrieval.phraseMatches]]):
+    * all documents containing the 3-token phrase "big order scan"
+    * consecutively, with occurrence count and first position — the
+    * (k−1)-fold (doc, start) set intersection, each leg one term's
+    * pruned postings read. The oracle slides a window over the token
+    * lists directly, so the hash compare proves the rebased-position
+    * intersection finds exactly the consecutive runs.
+    */
+  def q_phrase_search(spark: SparkSession, dir: String): DataFrame = {
+    val post = Retrieval.positionalPostings(
+      table(spark, dir, "documents"), "doc_id", "text")
+    Retrieval.phraseMatches(post, Seq("big", "order", "scan"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_matches"),
+        min("start").as("first_pos"))
+  }
+
+  /** PROXIMITY search over the positional index
+    * ([[Retrieval.proximityPairs]]): documents where "table" and
+    * "value" co-occur within 3 token positions, with pair count and
+    * the tightest gap — the near-operator retrieval predicate.
+    */
+  def q_proximity_search(spark: SparkSession, dir: String): DataFrame = {
+    val post = Retrieval.positionalPostings(
+      table(spark, dir, "documents"), "doc_id", "text")
+    Retrieval.proximityPairs(post, "table", "value", window = 3)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        min(abs(col("pos_a") - col("pos_b"))).as("min_gap"))
+  }
+
+  /** Vector-space retrieval ([[Retrieval.tfidfCosineTopK]]): tf-idf
+    * cosine top-5 for the first 3 documents as queries — the length-
+    * normalized classical scorer next to [[q_bm25_topk]]'s saturation
+    * form, served from the same postings build. Hash-exact through the
+    * round9(ln) idf, decimal-summed norms/dots, and the 1e-6 cosine
+    * grid.
+    */
+  def q_tfidf_cosine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    Retrieval.tfidfCosineTopK(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
+  }
+
   /** [[q_bm25_topk]] through the term-PRUNED search
     * ([[Retrieval.searchPostingsPruned]], r15 — the serving form that
     * pushes the query batch's term set into the index scan). Same
@@ -2673,6 +2807,9 @@ object QueriesLLM {
     "q_semdedup_table" -> (q_semdedup_table _),
     "q_semdedup_twolevel" -> (q_semdedup_twolevel _),
     "q_bm25_topk" -> (q_bm25_topk _),
+    "q_phrase_search" -> (q_phrase_search _),
+    "q_proximity_search" -> (q_proximity_search _),
+    "q_tfidf_cosine" -> (q_tfidf_cosine _),
     "q_bm25_pruned" -> (q_bm25_pruned _),
     "q_rerank" -> (q_rerank _),
     "q_bm25_indexed" -> (q_bm25_indexed _),
@@ -2686,6 +2823,8 @@ object QueriesLLM {
     "q_pack_bins" -> (q_pack_bins _),
     "q_pack_multimodal" -> (q_pack_multimodal _),
     "q_jaccard_join" -> (q_jaccard_join _),
+    "q_containment_join" -> (q_containment_join _),
+    "q_dedup_containment" -> (q_dedup_containment _),
     "q_jaccard_incremental" -> (q_jaccard_incremental _),
     "q_dedup_complete" -> (q_dedup_complete _),
     "q_expectations" -> (q_expectations _),
@@ -2714,6 +2853,7 @@ object QueriesLLM {
     "q_html_main" -> (q_html_main _),
     "q_url_normalize" -> (q_url_normalize _),
     "q_registered_domain" -> (q_registered_domain _),
+    "q_url_traps" -> (q_url_traps _),
     "q_domain_cap_psl" -> (q_domain_cap_psl _),
     "q_robots_filter" -> (q_robots_filter _),
     "q_crawl_frontier" -> (q_crawl_frontier _),
@@ -3301,6 +3441,52 @@ object QueriesLLM {
         |  JOIN shd b ON c.id_b = b.doc_id
         |)
         |SELECT id_a, id_b, round(jx, 6) AS jac FROM jac WHERE jx >= 0.5""".stripMargin),
+    // brute inverted-index ground truth for the ASYMMETRIC join:
+    // ordered pairs, denominator = the contained side's own set size
+    "q_containment_join" -> (contCorpusSql + minhashSql +
+      """, shd AS (
+        |  SELECT doc_id, list_distinct(hs) AS ds FROM hashes
+        |), inv AS (
+        |  SELECT doc_id, unnest(ds) AS h FROM shd
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id <> b.doc_id
+        |), cont AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CASE WHEN len(a.ds) > 0
+        |      THEN len(list_intersect(a.ds, b.ds))::DOUBLE / len(a.ds)
+        |      ELSE 0.0 END AS cx
+        |  FROM cand c
+        |  JOIN shd a ON c.id_a = a.doc_id
+        |  JOIN shd b ON c.id_b = b.doc_id
+        |)
+        |SELECT id_a, id_b, round(cx, 6) AS containment
+        |FROM cont WHERE cx >= 0.8""".stripMargin),
+    // the keep rule on the same brute ground truth: drop a document
+    // contained (>= t) in a strictly larger one (equal sizes keep the
+    // smaller id), then anti-join the corpus
+    "q_dedup_containment" -> (contCorpusSql + minhashSql +
+      """, shd AS (
+        |  SELECT doc_id, list_distinct(hs) AS ds FROM hashes
+        |), inv AS (
+        |  SELECT doc_id, unnest(ds) AS h FROM shd
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id <> b.doc_id
+        |), cont AS (
+        |  SELECT c.id_a, c.id_b, len(a.ds) AS na, len(b.ds) AS nb,
+        |    CASE WHEN len(a.ds) > 0
+        |      THEN len(list_intersect(a.ds, b.ds))::DOUBLE / len(a.ds)
+        |      ELSE 0.0 END AS cx
+        |  FROM cand c
+        |  JOIN shd a ON c.id_a = a.doc_id
+        |  JOIN shd b ON c.id_b = b.doc_id
+        |), drops AS (
+        |  SELECT DISTINCT id_a FROM cont
+        |  WHERE cx >= 0.8 AND (nb > na OR (nb = na AND id_b < id_a))
+        |)
+        |SELECT c.doc_id FROM corpus c
+        |ANTI JOIN drops d ON c.doc_id = d.id_a""".stripMargin),
     // quality score -> 0.8x keep probability in millionths -> integer
     // hash compare; the whole decision is exact arithmetic
     "q_sample_weighted" ->
@@ -3641,6 +3827,71 @@ object QueriesLLM {
         |    >= 0.35
         |)
         |SELECT e.vec_id FROM embeddings e ANTI JOIN drops d ON e.vec_id = d.vec_id""".stripMargin,
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, unnest(list_filter(generate_series(1, len(w) - 2),
+        |    i -> w[i] = 'big' AND w[i+1] = 'order' AND w[i+2] = 'scan')) AS i
+        |  FROM toks
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_matches,
+        |  (min(i) - 1)::BIGINT AS first_pos
+        |FROM hits GROUP BY 1""".stripMargin,
+    "q_proximity_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, unnest(list_filter(generate_series(1, len(w)),
+        |    i -> w[i] = 'table')) AS pa
+        |  FROM toks
+        |), b AS (
+        |  SELECT doc_id, unnest(list_filter(generate_series(1, len(w)),
+        |    i -> w[i] = 'value')) AS pb
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT a.doc_id, abs(pa - pb) AS gap
+        |  FROM a JOIN b ON a.doc_id = b.doc_id
+        |  WHERE abs(pa - pb) <= 3
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_pairs, min(gap)::BIGINT AS min_gap
+        |FROM pairs GROUP BY 1""".stripMargin,
+    "q_tfidf_cosine" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), w AS (
+        |  SELECT doc_id, term,
+        |    tf::DOUBLE * (floor(ln(s.n_docs / df::DOUBLE) * 1000000000 + 0.5) / 1000000000) AS w
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+        |), nrm AS (
+        |  SELECT doc_id, sqrt(sum((w * w)::DECIMAL(38,18))::DOUBLE) AS nrm
+        |  FROM w GROUP BY 1
+        |), q AS (
+        |  SELECT doc_id AS query_id, term, w AS qw FROM w WHERE doc_id < 3
+        |), qn AS (
+        |  SELECT doc_id AS query_id, nrm AS qnrm FROM nrm WHERE doc_id < 3
+        |), dots AS (
+        |  SELECT q.query_id, w.doc_id, sum((q.qw * w.w)::DECIMAL(38,18))::DOUBLE AS dot
+        |  FROM q JOIN w USING (term) GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT query_id, doc_id, round(dot / (qnrm * nrm), 6) AS cos
+        |  FROM dots JOIN nrm USING (doc_id) JOIN qn USING (query_id)
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, doc_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, doc_id, rank::BIGINT AS rank, cos
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_bm25_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
@@ -4591,6 +4842,46 @@ object QueriesLLM {
     // label, null when the host IS a public suffix)
     "q_registered_domain" ->
       (pslChainSql + "\nSELECT doc_id, host, domain FROM dom"),
+    "q_url_traps" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 5 = 0 THEN 'http://site' || (doc_id % 7)::VARCHAR
+        |        || '.example/a/b/page' || doc_id::VARCHAR
+        |      WHEN doc_id % 5 = 1 THEN 'http://cal.example/'
+        |        || repeat('2026/01/05/', (2 + doc_id % 3)::INT) || 'item'
+        |      WHEN doc_id % 5 = 2 THEN 'http://s.example/p?phpsessid=tok'
+        |        || doc_id::VARCHAR || '&x=1'
+        |      WHEN doc_id % 5 = 3 THEN 'http://f.example/q?a0=1&a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1&a9=1&b='
+        |        || doc_id::VARCHAR
+        |      ELSE 'http://d.example/' || repeat('p/', (9 + doc_id % 4)::INT) || 'leaf'
+        |    END AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+        |    CASE WHEN contains(regexp_replace(url, '#.*$', ''), '?')
+        |      THEN regexp_replace(regexp_replace(url, '#.*$', ''), '^[^?]*\?', '')
+        |      ELSE '' END AS query
+        |  FROM u
+        |), feats AS (
+        |  SELECT doc_id, url,
+        |    list_filter(string_split(path, '/'), s -> length(s) > 0) AS segs,
+        |    list_filter(string_split(query, '&'), p -> length(p) > 0) AS params
+        |  FROM parts
+        |), scored AS (
+        |  SELECT doc_id, url,
+        |    len(segs)::BIGINT AS depth,
+        |    (len(segs) - len(list_distinct(segs)))::BIGINT AS seg_repeats,
+        |    len(params)::BIGINT AS n_params,
+        |    len(list_filter(params, p ->
+        |      regexp_matches(p, '(?i)^(phpsessid|sid|sessionid|jsessionid|session_id)='))) > 0
+        |      AS has_session
+        |  FROM feats
+        |)
+        |SELECT doc_id, url, depth, seg_repeats, n_params, has_session,
+        |  (depth > 10 OR seg_repeats >= 3 OR n_params > 8 OR has_session) AS is_trap
+        |FROM scored""".stripMargin,
     "q_domain_cap_psl" ->
       (pslChainSql +
         """, capped AS (

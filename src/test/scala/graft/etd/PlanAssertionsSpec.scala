@@ -343,6 +343,73 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"edge-grain count agg missing:\n$p")
   }
 
+  test("containment join: no cartesian; asymmetric positional filter " +
+      "rides the candidate aggregation like the Jaccard form") {
+    val p = plan(graft.queries.QueriesLLM.q_containment_join(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"exact containment must never go all-pairs:\n$p")
+    assert(p.contains("HashAggregate(keys=[id_a") && p.contains("CEIL"),
+      s"positional filter must ride the candidate aggregation:\n$p")
+  }
+
+  test("phrase search: equi-joins on (doc, start) only — no range or " +
+      "nested-loop plan; every leg filters to its own term") {
+    val post = graft.llm.Retrieval.positionalPostings(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val p = plan(graft.llm.Retrieval.phraseMatches(
+      post, Seq("big", "order", "scan")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"phrase intersection must stay equi-join:\n$p")
+    Seq("big", "order", "scan").foreach(t =>
+      assert(p.contains(s"$t)"), s"missing term-filter leg for '$t':\n$p"))
+  }
+
+  test("tf-idf cosine: no cartesian beyond the one-row stats broadcast; " +
+      "dot products are an equi-join on term") {
+    val p = plan(graft.queries.QueriesLLM.q_tfidf_cosine(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"vector-space scoring must never plan a true cartesian:\n$p")
+    // the only nested-loop shapes allowed are the broadcast one-row
+    // n_docs/corpus-stats cross joins
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val aggStats = "HashAggregate".r.findAllIn(p).length
+    assert(bnlj <= 4 && aggStats >= 2,
+      s"unexpected join structure (bnlj=$bnlj):\n$p")
+  }
+
+  test("url trap report: pure map-side column algebra — no join, no exchange") {
+    val p = plan(graft.llm.UrlFunctions.trapReport(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id", "concat('http://h.example/a/b?x=', doc_id) AS url"),
+      "url"))
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"trap gate must run where the links are:\n$p")
+  }
+
+  test("HITS round: score updates are hash joins keyed on id — " +
+      "no cartesian beyond the one-row mass broadcasts") {
+    import spark.implicits._
+    // the returned frame is localCheckpoint-truncated, so pin the loop
+    // body itself (Hits.oneRound) on the same inputs run() builds
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst").distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val scores = nodes.withColumn("hub", lit(0.25))
+      .withColumn("auth", lit(0.25))
+    val p = plan(graft.ops.Hits.oneRound(nodes, e, scores, saltJoin = 1))
+    assert(!p.contains("CartesianProduct"),
+      s"HITS must never plan a true cartesian:\n$p")
+    // the hub-mass broadcast appears once per consumer of the hubbed
+    // subtree (the auth contribution join AND the final assembly), the
+    // auth-mass once — operator nodes replicate per use while the
+    // underlying BroadcastExchange is reused; all are one-row builds
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 4, s"only the one-row mass broadcasts may " +
+      s"nested-loop (got $bnlj):\n$p")
+    assert(p.contains("Join"), s"expected id-keyed score joins in:\n$p")
+  }
+
   test("expectations: rule count does not change the plan shape (one scan)") {
     import graft.ops.Expectations.Rule
     val docs = spark.read.parquet(s"$dir/documents.parquet")
