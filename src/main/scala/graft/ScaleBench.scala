@@ -151,7 +151,71 @@ object ScaleBench {
       flagshipSoak(spark, srcDir, outDir, listener)
     if (args.contains("gates") || args.isEmpty)
       gateScale(spark, outDir, listener)
+    if (args.contains("serving") || args.isEmpty)
+      servingScale(spark, outDir, listener)
     spark.stop()
+  }
+
+  /** r17 s3 retrieval-serving + asymmetric-dedup shapes at the 20x
+    * corpus (100k docs). Claims measured, not argued:
+    * (a) phrase search over a term-bucketed PERSISTED positional index
+    *     reads only its terms' rows (`input_bytes` vs the full-index
+    *     scan of the inline form, which must re-tokenize the corpus);
+    * (b) the exact containment join's asymmetric candidate generation
+    *     (contained-side prefix × full container index) completes at
+    *     100k docs without an all-pairs blowup — pair count, shuffle
+    *     bytes, and peak task memory reported;
+    * (c) tf-idf cosine serving from the postings build scores only
+    *     query-term postings (wall ≈ the BM25 serving shape, not the
+    *     corpus).
+    */
+  private def servingScale(spark: SparkSession, outDir: String,
+                           listener: TaskMetricsProbe): Unit = {
+    import graft.llm.{Dedup, Retrieval}
+    val docs = SparkEntry.table(spark, outDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    def time(label: String, extra: String = "")(body: => Long): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"serving":"$label","sec":$sec%.2f,"rows":$rows,""" +
+        f""""docs":$nDocs,$extra""" +
+        s""""input_bytes":${listener.totInput},""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+    }
+    val phrase = Seq("table", "value")
+    val idxPath = s"$outDir/__posidx"
+    time("positional_index_build") {
+      val post = Retrieval.positionalPostings(docs, "doc_id", "text")
+      graft.etd.Sources.writeBucketed(post, "graft_posidx", idxPath, 32,
+        Seq("term"), Seq("term"))
+      spark.table("graft_posidx").count()
+    }
+    time("phrase_indexed") {
+      Retrieval.phraseMatches(spark.table("graft_posidx"), phrase).count()
+    }
+    time("phrase_inline") {
+      Retrieval.phraseMatches(
+        Retrieval.positionalPostings(docs, "doc_id", "text"), phrase).count()
+    }
+    time("proximity_indexed") {
+      Retrieval.proximityPairs(spark.table("graft_posidx"),
+        "table", "value", 3).count()
+    }
+    time("containment_join_t08") {
+      Dedup.containmentJoin(docs, "doc_id", "text", 0.8).count()
+    }
+    time("containment_dedup_t08") {
+      Dedup.containmentDedup(docs, "doc_id", "text", 0.8).count()
+    }
+    time("tfidf_cosine_3q") {
+      Retrieval.tfidfCosineTopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 3), "doc_id", "text", 5).count()
+    }
   }
 
   /** Crawl/curation gate shapes at the 20x corpus (r17). Claims:
