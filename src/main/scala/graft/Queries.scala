@@ -273,6 +273,33 @@ object Queries {
     """SELECT o_custkey::BIGINT AS src, l_suppkey::BIGINT + 1000000 AS dst
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
+  /** WEIGHTED PageRank over the order graph with quantity edge weights
+    * ([[graft.ops.PageRank.pageRankWeighted]]): a customer ordering
+    * 1000 units from a supplier passes proportionally more authority
+    * than a 1-unit order — the crawl-host form where the edge grain
+    * already carries link counts. Parallel (cust, supp) edges SUM
+    * their quantities decimal-exactly at the collapse step. Oracle
+    * GENERATED per iteration count; uniform weights degenerate to
+    * [[q_pagerank]]'s answer within fp ulps (PageRankSpec — the
+    * weighted contribution carries one extra IEEE rounding).
+    */
+  def q_pagerank_weighted(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val ord = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"),
+        col("l_quantity").as("weight"))
+    graft.ops.PageRank.pageRankWeighted(edges, iterations = 3)
+      .select(col("id"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+  }
+
+  private val pagerankWeightedEdgesCte =
+    """SELECT o_custkey::BIGINT AS src, l_suppkey::BIGINT + 1000000 AS dst,
+      |  l_quantity AS weight
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
   /** HITS hubs/authorities over the SAME customer→supplier graph as
     * [[q_pagerank]] (3 L1-normalized rounds). The graph is bipartite —
     * exactly where HITS outranks PageRank: customers score as hubs,
@@ -306,6 +333,7 @@ object Queries {
     "q_funnel" -> (q_funnel _),
     "q_pagerank" -> (q_pagerank _),
     "q_hits" -> (q_hits _),
+    "q_pagerank_weighted" -> (q_pagerank_weighted _),
     "q_pivot" -> (q_pivot _),
     "q_unpivot" -> (q_unpivot _),
     "q_json_extract" -> (q_json_extract _),
@@ -348,6 +376,9 @@ object Queries {
       graft.ops.PageRank.oracleSql(pagerankEdgesCte, iterations = 3),
     "q_hits" ->
       graft.ops.Hits.oracleSql(pagerankEdgesCte, iterations = 3),
+    "q_pagerank_weighted" ->
+      graft.ops.PageRank.oracleSqlWeighted(pagerankWeightedEdgesCte,
+        iterations = 3),
     "q_json_extract" ->
       """SELECT json_extract(props, '$.k')::BIGINT % 10 AS k_bucket,
         |  count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value

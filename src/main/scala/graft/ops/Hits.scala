@@ -55,7 +55,25 @@ object Hits {
     * cadence.
     */
   def hits(edges: DataFrame, iterations: Int, checkpointEvery: Int = 1,
-           saltJoin: Int = 1): DataFrame = {
+           saltJoin: Int = 1): DataFrame =
+    runHits(edges, None, iterations, checkpointEvery, saltJoin)
+
+  /** WARM-START HITS: resume from a previous (id, hub, auth) table
+    * after the edge list changed — the incremental-refresh story
+    * [[PageRank.pageRankFrom]] gives ranks, applied to both score
+    * vectors. Nodes absent from `initScores` (new pages) start at 1/N;
+    * each carried vector is then decimal-renormalized to L1 mass 1
+    * (departed nodes' mass must not leak, or the iteration converges
+    * to a scaled fixpoint). Warm-from-uniform == cold bit-for-bit
+    * (HitsSpec pins it).
+    */
+  def hitsFrom(edges: DataFrame, initScores: DataFrame, iterations: Int,
+               checkpointEvery: Int = 1, saltJoin: Int = 1): DataFrame =
+    runHits(edges, Some(initScores), iterations, checkpointEvery, saltJoin)
+
+  private def runHits(edges: DataFrame, init: Option[DataFrame],
+                      iterations: Int, checkpointEvery: Int,
+                      saltJoin: Int): DataFrame = {
     require(iterations >= 0, "hits: iterations must be >= 0")
     def massSum(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,18)")).cast("double")
@@ -68,9 +86,23 @@ object Hits {
       require(n > 0, "hits: empty graph")
       // normalized uniform start: both scores begin at 1/N, so round 1
       // is already on the same grid as every later round
-      var scores = nodes
-        .withColumn("hub", lit(1.0) / lit(n.toDouble))
-        .withColumn("auth", lit(1.0) / lit(n.toDouble))
+      var scores = (init match {
+        case None => nodes
+          .withColumn("hub", lit(1.0) / lit(n.toDouble))
+          .withColumn("auth", lit(1.0) / lit(n.toDouble))
+        case Some(prev) =>
+          val carried = nodes
+            .join(prev.select(col("id"), col("hub").as("__ph"),
+              col("auth").as("__pa")), Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("__ph"), lit(1.0) / lit(n.toDouble)).as("hub"),
+              coalesce(col("__pa"), lit(1.0) / lit(n.toDouble)).as("auth"))
+          val mass = carried.agg(
+            massSum(col("hub")).as("__hm"), massSum(col("auth")).as("__am"))
+          carried.crossJoin(broadcast(mass))
+            .select(col("id"), (col("hub") / col("__hm")).as("hub"),
+              (col("auth") / col("__am")).as("auth"))
+      })
         .localCheckpoint()
       var cut = scores
       var i = 0

@@ -208,6 +208,123 @@ object PageRank {
     } finally graft.Checkpoints.free(e)
   }
 
+  /** WEIGHTED damped PageRank: edge (u, v, w) contributes
+    * rank(u) · (w / W(u)) per round, W(u) = u's total out-weight — the
+    * crawl-graph form where the host edge grain already carries link
+    * counts ([[graft.queries.QueriesLLM.q_host_graph]]'s `n`), so a
+    * host linking another 1000× passes proportionally more authority
+    * than a single footer link. Parallel edges SUM their weights
+    * (decimal-exact) at the collapse step where the unweighted form
+    * dedups; non-positive weights are dropped there too (a zero-weight
+    * edge passes no mass but would wrongly mark its target non-dangling).
+    * Same portability discipline as [[pageRank]]: weight totals and
+    * cross-edge sums are DECIMAL(38,18), the per-edge contribution is
+    * the fixed tree rank · (w / W), dangling mass rides one broadcast
+    * scalar — [[oracleSqlWeighted]] GENERATES the DuckDB replay and
+    * `q_pagerank_weighted` hash-compares 3 full iterations. Uniform
+    * weights degenerate to [[pageRank]] within fp ulps (spec-pinned;
+    * the weighted contribution rank·fl(w/W) carries one more IEEE
+    * rounding than the unweighted fl(rank/deg)).
+    * Hot-hub skew: the per-round join is the same shape as the
+    * unweighted one, so [[Skew.saltedJoin]] composes identically;
+    * auto-sizing is not wired here (weighted crawl graphs pick salt
+    * from the SAME degree statistics — pass the unweighted form's
+    * measured value if a hub emerges).
+    */
+  def pageRankWeighted(edges: DataFrame, iterations: Int,
+                       damping: Double = 0.85,
+                       checkpointEvery: Int = 4): DataFrame = {
+    def massSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    require(iterations >= 0, "pageRankWeighted: iterations must be >= 0")
+    val e = edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("w"))
+      .filter(col("w") > 0.0)
+      .groupBy(col("src"), col("dst")).agg(massSum(col("w")).as("w"))
+      .localCheckpoint()
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val outW = e.groupBy(col("src")).agg(massSum(col("w")).as("sw"))
+      val n = nodes.count()
+      require(n > 0, "pageRankWeighted: empty graph")
+      val nD = lit(n.toDouble)
+      val d = lit(damping)
+      var ranks = nodes.withColumn("rank", lit(1.0) / nD).localCheckpoint()
+      var cut = ranks
+      var i = 0
+      try {
+        while (i < iterations) {
+          val eOut = e.select(col("src").as("__es"), col("dst").as("__ed"),
+            col("w").as("__w"))
+          val withW = ranks.join(outW, ranks("id") === outW("src"), "left")
+          val linked = withW.filter(col("sw").isNotNull)
+          val contribs = linked
+            .join(eOut, linked("id") === col("__es"))
+            .select(col("__ed").as("id"),
+              (col("rank") * (col("__w") / col("sw"))).as("c"))
+          val sums = contribs.groupBy(col("id")).agg(massSum(col("c")).as("s"))
+          val dangling = withW.filter(col("sw").isNull)
+            .agg(coalesce(massSum(col("rank")), lit(0.0)).as("m"))
+          ranks = nodes
+            .join(sums, Seq("id"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("id"),
+              ((lit(1.0) - d) / nD +
+                d * (coalesce(col("s"), lit(0.0)) + col("m") / nD))
+                .as("rank"))
+          if ((i + 1) % checkpointEvery == 0 || i + 1 == iterations) {
+            ranks = ranks.localCheckpoint()
+            graft.Checkpoints.free(cut)
+            cut = ranks
+          }
+          i += 1
+        }
+        ranks
+      } finally if (cut ne ranks) graft.Checkpoints.free(cut)
+    } finally graft.Checkpoints.free(e)
+  }
+
+  /** The DuckDB oracle for [[pageRankWeighted]], generated for
+    * `iterations` rounds over an `edges` CTE the caller supplies
+    * (columns src, dst, weight). MATERIALIZED per-round CTEs — the
+    * [[Hits.oracleSql]] lesson: inlined CTEs re-evaluate the whole
+    * chain multiplicatively.
+    */
+  def oracleSqlWeighted(edgesCte: String, iterations: Int,
+                        damping: Double = 0.85): String = {
+    val d = damping.toString
+    val head =
+      s"""WITH edges0 AS ($edgesCte),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, sum((weight::DOUBLE)::DECIMAL(38,18))::DOUBLE AS w
+         |  FROM edges0 WHERE weight::DOUBLE > 0 GROUP BY 1, 2
+         |),
+         |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+         |ow AS MATERIALIZED (SELECT src, sum(w::DECIMAL(38,18))::DOUBLE AS sw FROM e GROUP BY 1),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      val p = s"r${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS id, r.rank * (e.w / ow.sw) AS c
+         |  FROM $p r JOIN ow ON r.id = ow.src JOIN e ON e.src = r.id
+         |), s$k AS MATERIALIZED (
+         |  SELECT id, sum(c::DECIMAL(38,18))::DOUBLE AS s FROM c$k GROUP BY 1
+         |), m$k AS (
+         |  SELECT coalesce(sum(r.rank::DECIMAL(38,18))::DOUBLE, 0.0::DOUBLE) AS m
+         |  FROM $p r LEFT JOIN ow ON r.id = ow.src WHERE ow.src IS NULL
+         |), r$k AS MATERIALIZED (
+         |  SELECT n.id,
+         |    (1.0::DOUBLE - $d) / (SELECT n FROM nn) +
+         |    $d * (coalesce(s.s, 0.0::DOUBLE) + (SELECT m FROM m$k) / (SELECT n FROM nn)) AS rank
+         |  FROM nodes n LEFT JOIN s$k s ON n.id = s.id
+         |)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT id, floor(rank * 1000000 + 0.5) / 1000000 AS rank FROM r$iterations"
+  }
+
   /** The DuckDB oracle for [[pageRank]], generated for `iterations`
     * rounds over an `edges` CTE the caller supplies (must define
     * columns src, dst). Replays the exact expression trees.

@@ -1209,6 +1209,22 @@ object QueriesLLM {
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n"))
 
+  /** Connected components of the UNDIRECTED host graph
+    * ([[graft.llm.Dedup.clusterPairs]] — the pointer-doubling CC the
+    * near-dedup clustering already runs, O(log diameter) rounds,
+    * convergence-checked — applied to [[q_host_graph]]'s edge grain):
+    * component = the lexicographic minimum host label. The crawl-side
+    * use: seed-list planning and dead-zone detection (a component
+    * unreachable from any seed never gets crawled no matter the
+    * frontier policy). Oracle: recursive label closure over the same
+    * edge fixture.
+    */
+  def q_host_components(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusterPairs(
+        q_host_graph(spark, dir)
+          .select(col("src_host").as("id_a"), col("dst_host").as("id_b")))
+      .select(col("id").as("host"), col("cluster_id").as("component"))
+
   /** Sitemap ROUND-TRIP at corpus scale ([[Robots.sitemapEntries]]):
     * every document contributes a `<url>` block (loc always; lastmod
     * on even ids; priority on ids divisible by 3 — so all four
@@ -2861,6 +2877,7 @@ object QueriesLLM {
     "q_frontier_incremental" -> (q_frontier_incremental _),
     "q_link_graph" -> (q_link_graph _),
     "q_host_graph" -> (q_host_graph _),
+    "q_host_components" -> (q_host_components _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -5016,6 +5033,27 @@ object QueriesLLM {
           |SELECT src_host, dst_host, count(*)::BIGINT AS n
           |FROM edges WHERE src_host <> dst_host
           |GROUP BY 1, 2""".stripMargin),
+    // undirected label closure over the same edge fixture: component =
+    // min reachable host label (string min both engines)
+    "q_host_components" ->
+      (linkResolveSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, hedges0 AS (
+          |  SELECT lower(regexp_extract(url,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS a,
+          |    lower(regexp_extract(unnest(links),
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS b
+          |  FROM resolved
+          |), hedges1 AS (
+          |  SELECT DISTINCT a, b FROM hedges0 WHERE a <> b
+          |), hedges AS (
+          |  SELECT a, b FROM hedges1 UNION SELECT b AS a, a AS b FROM hedges1
+          |), reach AS (
+          |  SELECT a AS id, a AS label FROM hedges
+          |  UNION
+          |  SELECT e.a AS id, r.label FROM hedges e JOIN reach r ON e.b = r.id
+          |)
+          |SELECT id AS host, min(label) AS component
+          |FROM reach GROUP BY 1""".stripMargin),
 
     // sitemap round-trip: rebuild the same per-host <urlset> strings
     // (member order is irrelevant — parsing explodes back to a row SET)

@@ -114,6 +114,36 @@ class HitsSpec extends AnyFunSuite {
     assert(got(1L)._1 > 0.0 && got(3L)._2 > 0.0)
   }
 
+  test("warm start: warm-from-uniform tracks cold to fp ulps; new nodes enter at 1/N") {
+    val df = edges.toDF("src", "dst")
+    val cold = Hits.hits(df, 3).as[(Long, Double, Double)].collect()
+      .map { case (id, h, a) => id -> (h, a) }.toMap
+    // seeding with the uniform start differs from cold ONLY by the
+    // renormalization /m, where m sums n copies of fl(1/n) — ulps
+    // (the PageRank warm-from-uniform contract)
+    val n = (edges.map(_._1) ++ edges.map(_._2)).distinct.size.toDouble
+    val uniform = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      .map(v => (v, 1.0 / n, 1.0 / n)).toDF("id", "hub", "auth")
+    val warm = Hits.hitsFrom(df, uniform, 3)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, h, a) => id -> (h, a) }.toMap
+    assert(warm.keySet == cold.keySet)
+    warm.foreach { case (id, (h, a)) =>
+      assert(math.abs(h - cold(id)._1) < 1e-15, s"hub $id")
+      assert(math.abs(a - cold(id)._2) < 1e-15, s"auth $id")
+    }
+    // resuming from converged scores on a GROWN graph: every node
+    // still scored, masses renormalized to 1
+    val grown = (edges ++ Seq((100L, 101L), (101L, 100L))).toDF("src", "dst")
+    val prev = Hits.hits(df, 4)
+    val resumed = Hits.hitsFrom(grown, prev, 2)
+      .as[(Long, Double, Double)].collect()
+    assert(resumed.map(_._1).toSet ==
+      (edges.flatMap(e => Seq(e._1, e._2)) ++ Seq(100L, 101L)).toSet)
+    assert(math.abs(resumed.map(_._2).sum - 1.0) < 1e-9)
+    assert(math.abs(resumed.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("multi-edges collapse") {
     val once = Hits.hits(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), 2)
       .as[(Long, Double, Double)].collect().toSet

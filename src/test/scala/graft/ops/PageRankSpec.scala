@@ -167,4 +167,63 @@ class PageRankSpec extends AnyFunSuite {
     assert(PageRank.autoSaltJoin(maxDeg, es.size.toLong, nNodes, tasks) > 1,
       "fixture must trip the auto rule")
   }
+
+  /** Brute-force WEIGHTED PageRank replaying pageRankWeighted's trees:
+    * parallel-edge weights sum decimal-exactly, contribution is
+    * rank · (w / W(u)), cross-edge sums decimal.
+    */
+  private def bruteWeighted(edges: Seq[(Long, Long, Double)], iters: Int,
+                            d: Double): Map[Long, Double] = {
+    val es = edges.filter(_._3 > 0.0)
+      .groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(e => dec(e._3)).sum.toDouble).toMap.toSeq
+      .map { case ((s, t), w) => (s, t, w) }
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outW = es.groupBy(_._1).view
+      .mapValues(_.map(e => dec(e._3)).sum.toDouble).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val sums = es.map { case (s, t, w) => t -> dec(rank(s) * (w / outW(s))) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+      val m = nodes.filter(v => !outW.contains(v))
+        .map(v => dec(rank(v))).sum.toDouble
+      rank = nodes.map(v => v ->
+        ((1.0 - d) / n + d * (sums.getOrElse(v, 0.0) + m / n))).toMap
+    }
+    rank
+  }
+
+  test("weighted: == BigDecimal brute force; uniform weights == unweighted; " +
+      "parallel edges sum; non-positive weights drop") {
+    val wrnd = new scala.util.Random(67)
+    val wedges = edges.map { case (s, t) => (s, t, 1.0 + wrnd.nextInt(9)) } ++
+      Seq((1L, 2L, 3.5), (1L, 2L, 1.5),   // parallel pair: sums to 5.0
+        (3L, 4L, 0.0), (5L, 6L, -2.0))    // dropped arms
+    for (iters <- Seq(0, 1, 3)) {
+      val got = PageRank.pageRankWeighted(
+          wedges.toDF("src", "dst", "weight"), iters, checkpointEvery = 2)
+        .as[(Long, Double)].collect().toMap
+      val expect = bruteWeighted(wedges, iters, 0.85)
+      assert(got.keySet == expect.keySet)
+      got.foreach { case (id, r) =>
+        assert(r == expect(id), s"weighted iters=$iters node $id")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+    // all-equal weights degenerate to the unweighted form within fp
+    // ulps: w/W(u) rounds to 1/deg(u) exactly, but the contribution is
+    // then rank · fl(1/deg) — one more rounding than the unweighted
+    // fl(rank/deg) — so per-node drift is a few ulps, never more (both
+    // forms' cross-edge sums are decimal-exact over those per-edge
+    // values)
+    val uni = edges.map { case (s, t) => (s, t, 2.0) }
+    val w3 = PageRank.pageRankWeighted(uni.toDF("src", "dst", "weight"), 3)
+      .as[(Long, Double)].collect().toMap
+    val u3 = PageRank.pageRank(edges.toDF("src", "dst"), 3)
+      .as[(Long, Double)].collect().toMap
+    w3.foreach { case (id, r) =>
+      assert(math.abs(r - u3(id)) < 1e-14, s"uniform node $id: $r vs ${u3(id)}")
+    }
+  }
 }
