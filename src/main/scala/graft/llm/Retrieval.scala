@@ -368,41 +368,93 @@ object Retrieval {
   def tfidfCosineTopK(corpus: DataFrame, idCol: String, textCol: String,
                       queries: DataFrame, queryIdCol: String,
                       queryTextCol: String, k: Int): DataFrame = {
+    val (w, nrm, termDf, stats) = buildTfidf(corpus, idCol, textCol)
+    searchTfidf(w, nrm, termDf, stats, queries, queryIdCol, queryTextCol, k)
+  }
+
+  /** Build-once tf-idf index — the [[buildPostings]]/[[searchPostings]]
+    * split applied to the vector-space scorer: per-posting weights
+    * (doc_id, term, w), per-doc norms (doc_id, nrm), the term-df table,
+    * and the one-row stats. The expensive halves — the postings build
+    * AND the corpus-wide norm aggregation — run ONCE at build; serving
+    * touches only query-term weight rows plus two doc-keyed /
+    * query-keyed norm joins. Persist `weights` term-bucketed
+    * (`Sources.writeBucketed(w, name, path, n, Seq("term"),
+    * Seq("term"))`) and `norms` doc-bucketed, and a query batch's read
+    * is its terms' row groups, not the corpus.
+    */
+  def buildTfidf(corpus: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (post, stats) = buildPostings(corpus, idCol, textCol)
-    val n = broadcast(stats.select(col("n_docs")))
-    def weigh(p: DataFrame): DataFrame = p.crossJoin(n)
+    val dw = tfidfWeigh(post, stats).select(col("doc_id"), col("term"),
+      col("__w").as("w"))
+    val dn = tfidfNorm(dw.withColumnRenamed("w", "__w"), "doc_id")
+      .withColumnRenamed("__nrm", "nrm")
+    val termDf = post.select(col("term"), col("df")).distinct()
+    (dw, dn, termDf, stats)
+  }
+
+  /** tf·idf over a (…, tf, df) frame: w = tf · round9(ln(N/df)). */
+  private def tfidfWeigh(p: DataFrame, stats: DataFrame): DataFrame =
+    p.crossJoin(broadcast(stats.select(col("n_docs"))))
       .withColumn("__w", col("tf").cast("double") *
         TextFunctions.round9(log(col("n_docs") / col("df").cast("double"))))
-    def norm(w: DataFrame, idc: String): DataFrame = w.groupBy(idc)
+
+  /** sqrt of the decimal-exact sum of squared weights per key. */
+  private def tfidfNorm(w: DataFrame, idc: String): DataFrame =
+    w.groupBy(idc)
       .agg(sqrt(sum((col("__w") * col("__w")).cast("decimal(38,18)"))
         .cast("double")).as("__nrm"))
-    val dw = weigh(post).select(col("doc_id"), col("term"), col("__w"))
-    val dn = norm(dw, "doc_id")
-    // query vectors over the corpus vocabulary: tf from the query text,
-    // df from the corpus term table (inner join drops OOV terms)
-    val termDf = post.select(col("term"), col("df")).distinct()
-    val qw = postings(queries, queryIdCol, queryTextCol)
-      .select(col("doc_id").as("query_id"), col("term"), col("tf"))
-      .join(termDf, Seq("term"))
-      .transform(weigh)
+
+  /** Serve tf-idf cosine top-`k` from a [[buildTfidf]] index. Query
+    * vectors are weighted over the CORPUS vocabulary (tf from the
+    * query text, df from the term table — the inner join drops OOV
+    * terms, which cannot contribute to any dot product).
+    */
+  def searchTfidf(weights: DataFrame, norms: DataFrame, termDf: DataFrame,
+                  stats: DataFrame, queries: DataFrame, queryIdCol: String,
+                  queryTextCol: String, k: Int): DataFrame = {
+    val qw = tfidfWeigh(
+        postings(queries, queryIdCol, queryTextCol)
+          .select(col("doc_id").as("query_id"), col("term"), col("tf"))
+          .join(termDf, Seq("term")),
+        stats)
       .select(col("query_id"), col("term"), col("__w").as("__qw"))
-    val qn = norm(qw.withColumnRenamed("__qw", "__w"), "query_id")
+    val qn = tfidfNorm(qw.withColumnRenamed("__qw", "__w"), "query_id")
       .withColumnRenamed("__nrm", "__qnrm")
-    val dots = qw.join(dw, Seq("term"))
+    val dots = qw.join(weights, Seq("term"))
       .groupBy("query_id", "doc_id")
-      .agg(sum((col("__qw") * col("__w")).cast("decimal(38,18)"))
+      .agg(sum((col("__qw") * col("w")).cast("decimal(38,18)"))
         .cast("double").as("__dot"))
     val scored = dots
-      .join(dn, Seq("doc_id"))
+      .join(norms, Seq("doc_id"))
       .join(broadcast(qn), Seq("query_id"))
       .select(col("query_id"), col("doc_id"),
-        round(col("__dot") / (col("__qnrm") * col("__nrm")), 6).as("cos"))
+        round(col("__dot") / (col("__qnrm") * col("nrm")), 6).as("cos"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("rank"), col("cos"))
+  }
+
+  /** [[searchTfidf]] with the query batch's term set pushed into the
+    * weights scan as a literal `In` — the [[searchPostingsPruned]]
+    * serving form: on a term-bucketed persisted index the per-batch
+    * read is the query terms' row groups, never the corpus. The join
+    * already restricts SCORING to query terms, so pruning changes
+    * which bytes are read, never the result.
+    */
+  def searchTfidfPruned(weights: DataFrame, norms: DataFrame,
+                        termDf: DataFrame, stats: DataFrame,
+                        queries: DataFrame, queryIdCol: String,
+                        queryTextCol: String, k: Int): DataFrame = {
+    val terms = queries
+      .select(explode(tokens(col(queryTextCol))).as("term"))
+      .distinct().collect().map(_.getString(0))
+    searchTfidf(weights.filter(col("term").isin(terms.toIndexedSeq: _*)),
+      norms, termDf, stats, queries, queryIdCol, queryTextCol, k)
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009): merge ranked runs —

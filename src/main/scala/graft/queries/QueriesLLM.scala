@@ -48,6 +48,45 @@ object QueriesLLM {
       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
       |)""".stripMargin
 
+  /** tf-idf cosine replay — shared by `q_tfidf_cosine` (one-call) and
+    * `q_tfidf_indexed` (build/search split + term-pruned scan): both
+    * paths compute the same trees by construction.
+    */
+  private val tfidfOracleSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), w AS (
+      |  SELECT doc_id, term,
+      |    tf::DOUBLE * (floor(ln(s.n_docs / df::DOUBLE) * 1000000000 + 0.5) / 1000000000) AS w
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+      |), nrm AS (
+      |  SELECT doc_id, sqrt(sum((w * w)::DECIMAL(38,18))::DOUBLE) AS nrm
+      |  FROM w GROUP BY 1
+      |), q AS (
+      |  SELECT doc_id AS query_id, term, w AS qw FROM w WHERE doc_id < 3
+      |), qn AS (
+      |  SELECT doc_id AS query_id, nrm AS qnrm FROM nrm WHERE doc_id < 3
+      |), dots AS (
+      |  SELECT q.query_id, w.doc_id, sum((q.qw * w.w)::DECIMAL(38,18))::DOUBLE AS dot
+      |  FROM q JOIN w USING (term) GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT query_id, doc_id, round(dot / (qnrm * nrm), 6) AS cos
+      |  FROM dots JOIN nrm USING (doc_id) JOIN qn USING (query_id)
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, doc_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, doc_id, rank::BIGINT AS rank, cos
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
   /** The documents corpus with deterministic injected TRUNCATIONS:
     * every doc_id < 50 reappears at doc_id + 20000 cut to its first 15
     * tokens — the stub's shingles are ~all contained in its source
@@ -2363,6 +2402,21 @@ object QueriesLLM {
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
   }
 
+  /** [[q_tfidf_cosine]] through the build/search split with the query
+    * batch's terms PUSHED into the weights scan
+    * ([[Retrieval.buildTfidf]] + [[Retrieval.searchTfidfPruned]] — the
+    * `q_bm25_pruned` serving precedent applied to the vector-space
+    * scorer). Same oracle SQL: the join already restricts scoring to
+    * query terms, so pruning changes which bytes are read, never the
+    * result; this row puts the split + pruned path under the gate.
+    */
+  def q_tfidf_indexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val (w, nrm, termDf, stats) = Retrieval.buildTfidf(docs, "doc_id", "text")
+    Retrieval.searchTfidfPruned(w, nrm, termDf, stats,
+      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
+  }
+
   /** [[q_bm25_topk]] through the term-PRUNED search
     * ([[Retrieval.searchPostingsPruned]], r15 — the serving form that
     * pushes the query batch's term set into the index scan). Same
@@ -2826,6 +2880,7 @@ object QueriesLLM {
     "q_phrase_search" -> (q_phrase_search _),
     "q_proximity_search" -> (q_proximity_search _),
     "q_tfidf_cosine" -> (q_tfidf_cosine _),
+    "q_tfidf_indexed" -> (q_tfidf_indexed _),
     "q_bm25_pruned" -> (q_bm25_pruned _),
     "q_rerank" -> (q_rerank _),
     "q_bm25_indexed" -> (q_bm25_indexed _),
@@ -3875,40 +3930,10 @@ object QueriesLLM {
         |)
         |SELECT doc_id, count(*)::BIGINT AS n_pairs, min(gap)::BIGINT AS min_gap
         |FROM pairs GROUP BY 1""".stripMargin,
-    "q_tfidf_cosine" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
-        |), stats AS (
-        |  SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf
-        |), dfreq AS (
-        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |), w AS (
-        |  SELECT doc_id, term,
-        |    tf::DOUBLE * (floor(ln(s.n_docs / df::DOUBLE) * 1000000000 + 0.5) / 1000000000) AS w
-        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
-        |), nrm AS (
-        |  SELECT doc_id, sqrt(sum((w * w)::DECIMAL(38,18))::DOUBLE) AS nrm
-        |  FROM w GROUP BY 1
-        |), q AS (
-        |  SELECT doc_id AS query_id, term, w AS qw FROM w WHERE doc_id < 3
-        |), qn AS (
-        |  SELECT doc_id AS query_id, nrm AS qnrm FROM nrm WHERE doc_id < 3
-        |), dots AS (
-        |  SELECT q.query_id, w.doc_id, sum((q.qw * w.w)::DECIMAL(38,18))::DOUBLE AS dot
-        |  FROM q JOIN w USING (term) GROUP BY 1, 2
-        |), scored AS (
-        |  SELECT query_id, doc_id, round(dot / (qnrm * nrm), 6) AS cos
-        |  FROM dots JOIN nrm USING (doc_id) JOIN qn USING (query_id)
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos DESC, doc_id) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, doc_id, rank::BIGINT AS rank, cos
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_tfidf_cosine" -> tfidfOracleSql,
+    // build/search split + term-pruned scan: same result by
+    // construction (the q_bm25_pruned precedent)
+    "q_tfidf_indexed" -> tfidfOracleSql,
     "q_bm25_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term

@@ -121,6 +121,35 @@ class ServingSpec extends AnyFunSuite {
     assert(got2.head._4 > 0.0)
   }
 
+  test("tfidf build/search split: pruned == unpruned == one-call; " +
+      "the In-filter reaches a persisted weights scan") {
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha"),
+      (1L, "alpha beta delta"),
+      (2L, "gamma gamma epsilon"),
+      (3L, "zeta eta theta"),
+      (4L, "alpha beta gamma alpha zeta")).toDF("doc_id", "text")
+    val q = docs.filter(col("doc_id") === 0L)
+    val oneCall = Retrieval.tfidfCosineTopK(docs, "doc_id", "text",
+      q, "doc_id", "text", k = 5).collect().toSeq
+    val (w, nrm, termDf, stats) = Retrieval.buildTfidf(docs, "doc_id", "text")
+    assert(Retrieval.searchTfidf(w, nrm, termDf, stats,
+      q, "doc_id", "text", k = 5).collect().toSeq.sortBy(_.getLong(2)) ==
+      oneCall.sortBy(_.getLong(2)))
+    assert(Retrieval.searchTfidfPruned(w, nrm, termDf, stats,
+      q, "doc_id", "text", k = 5).collect().toSeq.sortBy(_.getLong(2)) ==
+      oneCall.sortBy(_.getLong(2)))
+    // persisted index: the term In-filter must reach the parquet scan
+    val dir = java.nio.file.Files.createTempDirectory("tfidfw").toString
+    w.write.mode("overwrite").parquet(dir)
+    val wDisk = SharedSpark.spark.read.parquet(dir)
+    val plan = Retrieval.searchTfidfPruned(wDisk, nrm, termDf, stats,
+        q, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term pruning must push into the weights scan:\n$plan")
+  }
+
   test("trapReport: each fixture arm fires exactly its rule") {
     import graft.llm.{UrlFunctions => U}
     val urls = Seq(
