@@ -209,7 +209,12 @@ object Bench {
     // r17-new crawl-gate rows, pinned from three clean r17 full-protocol
     // readings at offsets 1.12-1.28 (0.52/0.41/0.46 and 0.22/0.23/0.28,
     // offset-adjusted medians)
-    "q_blocklist_filter" -> 0.40, "q_sitemap_entries" -> 0.20)
+    "q_blocklist_filter" -> 0.40, "q_sitemap_entries" -> 0.20,
+    // r17 session-3 serving/dedup/graph rows, pinned from three clean
+    // full-protocol readings at offsets 0.93-0.95 (q_hits from the two
+    // post-checkpointEvery-fix protocol readings + warm isolation)
+    "q_hits" -> 6.10, "q_containment_join" -> 1.15,
+    "q_tfidf_cosine" -> 1.03, "q_phrase_search" -> 0.42)
 
   /** Per-query pinned process-CPU/wall ratios — mean of two clean
     * same-binary sessions (the r16 judge protocol run at offset 1.15
@@ -249,7 +254,10 @@ object Bench {
     "q_training_data_e2e" -> 1.71,
     // r17 rows: mean of warm isolation runs (SPARK_GRAFT_BENCH_ONLY,
     // runs 2-5, quiet box)
-    "q_blocklist_filter" -> 2.2, "q_sitemap_entries" -> 2.7)
+    "q_blocklist_filter" -> 2.2, "q_sitemap_entries" -> 2.7,
+    // r17 session-3 rows: medians of the post-fix per-run readings
+    "q_hits" -> 7.0, "q_containment_join" -> 2.1,
+    "q_tfidf_cosine" -> 2.6, "q_phrase_search" -> 1.9)
 
   /** The per-query within-run alert decision (VERDICT r16 #1), pure so
     * the poisoned-artifact histories pin it in BenchDetectorSpec:

@@ -457,6 +457,68 @@ object Retrieval {
       norms, termDf, stats, queries, queryIdCol, queryTextCol, k)
   }
 
+  // ------------------------------------------------------------------
+  // Rank evaluation
+  // ------------------------------------------------------------------
+
+  /** Rank-quality metrics of a retrieval run against graded relevance
+    * labels — the eval harness that closes the retrieval loop (a
+    * serving stack without NDCG is a stack nobody can tune): per
+    * query, NDCG@k, recall@k, and MRR@k. `run` carries
+    * (query_id, doc_id, rank); `qrels` carries (query_id, doc_id, rel)
+    * with rel >= 0 (graded). Queries in the run with no relevant
+    * labels score 0 across the board.
+    *
+    * The DCG discount is the ln-form Σ rel / ln(rank+1) (identical
+    * ORDERING to the log2 classic — log2 x = ln x / ln 2 rescales
+    * numerator and denominator of NDCG by the same constant, which
+    * cancels), chosen because one round9(ln) per rank is the engine's
+    * portable-transcendental discipline. Per-rank gains round at 1e-9,
+    * cross-rank sums are decimal-exact, the final ratios round at
+    * 1e-6 — `q_rank_eval` hash-matches DuckDB replaying the trees.
+    *
+    * Scale shape: two (query, doc)-keyed joins and per-query
+    * aggregations; qrels joins by key, never broadcast-assumed (eval
+    * sets can be large); the ideal-DCG window partitions by query.
+    */
+  def rankEval(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "rankEval: k must be >= 1")
+    val r9 = TextFunctions.round9 _
+    def decSum(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
+    val r = run.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"))
+    val q = qrels.select(col("query_id"), col("doc_id"),
+      col("rel").cast("double").as("rel"))
+    val scored = r.join(q, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0.0)))
+    val runAgg = scored.groupBy("query_id").agg(
+      decSum(r9(col("rel") / r9(log(col("rank").cast("double") + 1.0))))
+        .as("__dcg"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("__hits"),
+      min(when(col("rel") > 0, col("rank"))).as("__frank"))
+    // ideal DCG: the top-k labels by (rel desc, doc_id) under the same
+    // gain tree; total relevant count is NOT capped at k (recall's
+    // denominator)
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+    val rel = q.filter(col("rel") > 0)
+    val idealAgg = rel
+      .withColumn("__ir", row_number().over(iw).cast("long"))
+      .groupBy("query_id").agg(
+        decSum(when(col("__ir") <= k,
+          r9(col("rel") / r9(log(col("__ir").cast("double") + 1.0))))
+          .otherwise(lit(0.0))).as("__idcg"),
+        count(lit(1)).as("__nrel"))
+    runAgg.join(idealAgg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(when(col("__idcg") > 0.0, col("__dcg") / col("__idcg"))
+          .otherwise(lit(0.0)), 6).as("ndcg"),
+        round(when(col("__nrel") > 0, col("__hits").cast("double") /
+          col("__nrel").cast("double")).otherwise(lit(0.0)), 6).as("recall"),
+        round(coalesce(r9(lit(1.0) / col("__frank").cast("double")),
+          lit(0.0)), 6).as("mrr"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009): merge ranked runs —
     * typically BM25 and a dense ANN run — into one ranking per query by
     *   rrf(d) = Σ_runs 1 / (k0 + rank_run(d)).

@@ -348,6 +348,32 @@ object UrlFunctions {
     filter(transform(extractHrefs(html), h => resolveUrl(pageUrl, h)),
       l => l.isNotNull)
 
+  /** (link, anchor) pairs of anchor tags whose inner text is tag-free:
+    * `<a … href="…">text</a>` → struct(link = href resolved against the
+    * page URL, anchor = the inner text). The anchor TEXT other pages
+    * use to describe a target is a first-class retrieval signal for
+    * that target (it votes on what the page is about before its own
+    * content is fetched) — aggregate per target host/URL and feed the
+    * postings build. Same discipline as [[extractHrefs]]: both quote
+    * styles, fragment-only refs excluded, `\shref` (not `\bhref`),
+    * unresolvable refs dropped; the two `regexp_extract_all` passes per
+    * quote style share ONE regex, so href\[i\] and text\[i\] align by
+    * construction. Nested markup inside the anchor is NOT parsed
+    * (`[^<]*` — the fixed-regex-chain extraction contract;
+    * `<a href=x><b>t</b></a>` contributes no pair).
+    */
+  def extractAnchorPairs(pageUrl: Column, html: Column): Column = {
+    def pairs(rx: String): Column = zip_with(
+      regexp_extract_all(html, lit(rx), lit(1)),
+      regexp_extract_all(html, lit(rx), lit(2)),
+      (h, t) => struct(resolveUrl(pageUrl, h).as("link"), t.as("anchor")))
+    filter(
+      concat(
+        pairs("(?i)<a\\b[^>]*\\shref\\s*=\\s*\"([^\"#][^\"]*)\"[^>]*>([^<]*)</a>"),
+        pairs("(?i)<a\\b[^>]*\\shref\\s*=\\s*'([^'#][^']*)'[^>]*>([^<]*)</a>")),
+      p => p("link").isNotNull)
+  }
+
   /** Path component of an absolute URL (between authority and the
     * first `?`/`#`); empty string when the URL has none.
     */

@@ -48,6 +48,40 @@ object QueriesLLM {
       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
       |)""".stripMargin
 
+  /** BM25 replay up to the `ranked` CTE — shared by `q_bm25_topk`
+    * (and its indexed/pruned/incremental aliases) and `q_rank_eval`'s
+    * metric chain (written once).
+    */
+  private val bm25ChainSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1
+      |), stats AS (
+      |  SELECT count(*)::DOUBLE AS n_docs, sum(dl) / count(*)::DOUBLE AS avgdl FROM dl
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), q AS (
+      |  SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3
+      |), contrib AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    floor((floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1000000000 + 0.5) / 1000000000)
+      |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+      |      * 1000000 + 0.5) / 1000000 AS c
+      |  FROM q JOIN tf USING (term) JOIN dfreq d USING (term)
+      |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+      |), scored AS (
+      |  SELECT query_id, doc_id, sum(c::DECIMAL(28,12))::DOUBLE AS score
+      |  FROM contrib GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored
+      |)""".stripMargin
+
   /** tf-idf cosine replay — shared by `q_tfidf_cosine` (one-call) and
     * `q_tfidf_indexed` (build/search split + term-pruned scan): both
     * paths compute the same trees by construction.
@@ -313,6 +347,45 @@ object QueriesLLM {
     Dedup.containmentDedup(contCorpus(spark, dir), "doc_id", "text",
       threshold = 0.8)
       .select("doc_id")
+
+  /** CORPUS VERSION DIFF ([[graft.llm.Snapshots.corpusDiff]]): old =
+    * the documents table; new = a deterministic re-crawl stand-in
+    * (ids < 25 removed, 25..49 re-extracted to their first 15 tokens =
+    * changed, ids + 30000 added for ids < 20, everything else
+    * unchanged) — every status arm populated. The diff is digest-grain
+    * (16 B/doc md5 at the scan; payloads never join), full-outer on
+    * id; the oracle replays digests and the status CASE.
+    */
+  def q_corpus_diff(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val oldC = d.select(col("doc_id"), col("text"))
+    val newC = d.filter(col("doc_id") >= 25)
+      .select(col("doc_id"),
+        when(col("doc_id") < 50,
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 15)))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+    graft.llm.Snapshots.corpusDiff(oldC, newC, "doc_id", "text")
+  }
+
+  /** Retrieval RANK EVALUATION ([[Retrieval.rankEval]]): NDCG@5,
+    * recall@5, MRR@5 of the BM25 run (`q_bm25_topk`'s exact trees)
+    * against a deterministic graded qrels fixture — the eval harness
+    * that closes the retrieval loop, hash-exact end to end (round9
+    * ln-form DCG gains, decimal sums, 1e-6 ratios).
+    */
+  def q_rank_eval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val run = Retrieval.bm25TopK(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
+    val qrels = docs.filter(col("doc_id") < 300).select(col("doc_id"))
+      .crossJoin(spark.range(3).select(col("id").as("query_id")))
+      .withColumn("rel",
+        when((col("doc_id") + col("query_id") * 7) % 5 === 0,
+          (col("doc_id") % 3 + 1).cast("double")).otherwise(lit(0.0)))
+    Retrieval.rankEval(run, qrels, k = 5)
+  }
 
   /** One-pass ingest expectations over the documents table
     * ([[graft.ops.Expectations]] — the Deequ idea, VLDB'18): five
@@ -888,7 +961,7 @@ object QueriesLLM {
     */
   private def trapUrl: Column =
     when(col("doc_id") % 5 === 0,
-      concat(lit("http://site"), col("doc_id") % 7,
+      concat(lit("http://s"), col("doc_id") % 7,
         lit(".example/a/b/page"), col("doc_id")))
       .when(col("doc_id") % 5 === 1,
         concat(lit("http://cal.example/"),
@@ -1016,6 +1089,23 @@ object QueriesLLM {
     * not `\bhref` — the engine-side [[UrlFunctions.extractHrefs]] fix
     * for `data-href` false matches, mirrored here.
     */
+  /** [[UrlFunctions.resolveUrl]]'s CASE as SQL over (`ref`, `base`)
+    * expressions — shared by the `resolved` links CTE and the
+    * anchor-pairs oracle (written once, the robotsChainSql rule).
+    */
+  private def resolveCaseSql(ref: String, base: String): String =
+    s"""CASE
+       |        WHEN regexp_matches($ref, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN $ref
+       |        WHEN regexp_matches($ref, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+       |        WHEN $ref LIKE '//%' THEN
+       |          regexp_extract($base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || ':' || $ref
+       |        WHEN $ref LIKE '/%' THEN
+       |          regexp_extract($base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || $ref
+       |        ELSE coalesce(
+       |          nullif(regexp_extract($base, '^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)', 1), ''),
+       |          regexp_extract($base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || '/') || $ref
+       |      END""".stripMargin
+
   private lazy val linkResolveSql: String =
     s"""WITH urls0 AS (
        |$robotsUrlsSelectSql
@@ -1032,17 +1122,7 @@ object QueriesLLM {
        |  SELECT doc_id, url,
        |    list_filter(list_transform(
        |      regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"', 1),
-       |      r -> CASE
-       |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN r
-       |        WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
-       |        WHEN r LIKE '//%' THEN
-       |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || ':' || r
-       |        WHEN r LIKE '/%' THEN
-       |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || r
-       |        ELSE coalesce(
-       |          nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)', 1), ''),
-       |          regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || '/') || r
-       |      END), x -> x IS NOT NULL) AS links
+       |      r -> ${resolveCaseSql("r", "url")}), x -> x IS NOT NULL) AS links
        |  FROM pages
        |)""".stripMargin
 
@@ -1263,6 +1343,24 @@ object QueriesLLM {
         q_host_graph(spark, dir)
           .select(col("src_host").as("id_a"), col("dst_host").as("id_b")))
       .select(col("id").as("host"), col("cluster_id").as("component"))
+
+  /** ANCHOR-TEXT aggregation over the link fixture
+    * ([[UrlFunctions.extractAnchorPairs]]): per (target host, anchor
+    * term) vote counts — the retrieval signal OTHER pages supply about
+    * a target before its own content is fetched (feed these rows into
+    * the postings build as target-document terms). Map-side extraction
+    * + one edge-grain aggregation, the host-graph shape with a text
+    * payload.
+    */
+  def q_anchor_text(spark: SparkSession, dir: String): DataFrame =
+    robotsFixtureUrls(spark, dir)
+      .select(col("url"),
+        explode(UrlFunctions.extractAnchorPairs(col("url"), linkFixturePage))
+          .as("a"))
+      .select(UrlFunctions.urlHost(col("a.link")).as("dst_host"),
+        explode(TextFunctions.tokens(col("a.anchor"))).as("term"))
+      .groupBy("dst_host", "term")
+      .agg(count(lit(1)).as("n"))
 
   /** Sitemap ROUND-TRIP at corpus scale ([[Robots.sitemapEntries]]):
     * every document contributes a `<url>` block (loc always; lastmod
@@ -2933,6 +3031,9 @@ object QueriesLLM {
     "q_link_graph" -> (q_link_graph _),
     "q_host_graph" -> (q_host_graph _),
     "q_host_components" -> (q_host_components _),
+    "q_anchor_text" -> (q_anchor_text _),
+    "q_corpus_diff" -> (q_corpus_diff _),
+    "q_rank_eval" -> (q_rank_eval _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -3935,36 +4036,52 @@ object QueriesLLM {
     // construction (the q_bm25_pruned precedent)
     "q_tfidf_indexed" -> tfidfOracleSql,
     "q_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
-        |), dl AS (
-        |  SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1
-        |), stats AS (
-        |  SELECT count(*)::DOUBLE AS n_docs, sum(dl) / count(*)::DOUBLE AS avgdl FROM dl
-        |), dfreq AS (
-        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |), q AS (
-        |  SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3
-        |), contrib AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |    floor((floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1000000000 + 0.5) / 1000000000)
-        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
-        |      * 1000000 + 0.5) / 1000000 AS c
-        |  FROM q JOIN tf USING (term) JOIN dfreq d USING (term)
-        |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
-        |), scored AS (
-        |  SELECT query_id, doc_id, sum(c::DECIMAL(28,12))::DOUBLE AS score
-        |  FROM contrib GROUP BY 1, 2
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, doc_id, rank::BIGINT AS rank, score
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+      (bm25ChainSql +
+        "\nSELECT query_id, doc_id, rank::BIGINT AS rank, score" +
+        "\nFROM ranked WHERE rank <= 5"),
+    // the BM25 run piped into the rank-eval metric trees: graded qrels
+    // fixture, ln-form round9 DCG gains, decimal sums, 1e-6 ratios
+    "q_rank_eval" ->
+      (bm25ChainSql +
+        """, topk AS (
+          |  SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 5
+          |), qr AS (
+          |  SELECT d.doc_id, qq.query_id,
+          |    CASE WHEN (d.doc_id + qq.query_id * 7) % 5 = 0
+          |      THEN (d.doc_id % 3 + 1)::DOUBLE ELSE 0.0 END AS rel
+          |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+          |  CROSS JOIN (SELECT unnest([0, 1, 2])::BIGINT AS query_id) qq
+          |), rscored AS (
+          |  SELECT t.query_id, t.doc_id, t.rank, coalesce(qr.rel, 0.0) AS rel
+          |  FROM topk t LEFT JOIN qr
+          |    ON t.query_id = qr.query_id AND t.doc_id = qr.doc_id
+          |), runagg AS (
+          |  SELECT query_id,
+          |    sum((floor(rel / (floor(ln(rank + 1.0) * 1000000000 + 0.5) / 1000000000)
+          |      * 1000000000 + 0.5) / 1000000000)::DECIMAL(38,18))::DOUBLE AS dcg,
+          |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+          |    min(CASE WHEN rel > 0 THEN rank END) AS frank
+          |  FROM rscored GROUP BY 1
+          |), ideal AS (
+          |  SELECT query_id, rel, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY rel DESC, doc_id) AS ir
+          |  FROM qr WHERE rel > 0
+          |), idealagg AS (
+          |  SELECT query_id,
+          |    sum((CASE WHEN ir <= 5
+          |      THEN floor(rel / (floor(ln(ir + 1.0) * 1000000000 + 0.5) / 1000000000)
+          |        * 1000000000 + 0.5) / 1000000000
+          |      ELSE 0.0 END)::DECIMAL(38,18))::DOUBLE AS idcg,
+          |    count(*) AS nrel
+          |  FROM ideal GROUP BY 1
+          |)
+          |SELECT r.query_id,
+          |  round(CASE WHEN i.idcg > 0 THEN r.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg,
+          |  round(CASE WHEN i.nrel > 0 THEN r.hits::DOUBLE / i.nrel::DOUBLE
+          |    ELSE 0.0 END, 6) AS recall,
+          |  round(coalesce(floor(1.0 / frank::DOUBLE * 1000000000 + 0.5) / 1000000000,
+          |    0.0), 6) AS mrr
+          |FROM runagg r LEFT JOIN idealagg i USING (query_id)""".stripMargin),
     "q_rerank" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
@@ -4888,7 +5005,7 @@ object QueriesLLM {
       """WITH u AS (
         |  SELECT doc_id,
         |    CASE
-        |      WHEN doc_id % 5 = 0 THEN 'http://site' || (doc_id % 7)::VARCHAR
+        |      WHEN doc_id % 5 = 0 THEN 'http://s' || (doc_id % 7)::VARCHAR
         |        || '.example/a/b/page' || doc_id::VARCHAR
         |      WHEN doc_id % 5 = 1 THEN 'http://cal.example/'
         |        || repeat('2026/01/05/', (2 + doc_id % 3)::INT) || 'item'
@@ -5058,6 +5175,51 @@ object QueriesLLM {
           |SELECT src_host, dst_host, count(*)::BIGINT AS n
           |FROM edges WHERE src_host <> dst_host
           |GROUP BY 1, 2""".stripMargin),
+    // anchor texts: href[i]/text[i] extracted by the SAME regex align
+    // by construction; hrefs resolve through the shared resolve CASE
+    "q_anchor_text" ->
+      (linkResolveSql + s""", atags AS (
+          |  SELECT url,
+          |    regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"[^>]*>([^<]*)</a>', 1) AS hrefs,
+          |    regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"[^>]*>([^<]*)</a>', 2) AS texts
+          |  FROM pages
+          |), apairs AS (
+          |  SELECT url, unnest(list_zip(hrefs, texts)) AS pr FROM atags
+          |), aresolved AS (
+          |  SELECT ${resolveCaseSql("pr[1]", "url")} AS link, pr[2] AS anchor
+          |  FROM apairs
+          |), aterms AS (
+          |  SELECT lower(regexp_extract(link,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS dst_host,
+          |    unnest(list_filter(string_split(anchor, ' '), t -> length(t) > 0)) AS term
+          |  FROM aresolved WHERE link IS NOT NULL
+          |)
+          |SELECT dst_host, term, count(*)::BIGINT AS n
+          |FROM aterms GROUP BY 1, 2""".stripMargin),
+    // digest-grain full-outer diff; every status arm populated by the
+    // synthetic re-crawl (removed < 25, changed 25..49, added +30000)
+    "q_corpus_diff" ->
+      """WITH oldc AS (
+        |  SELECT doc_id, text FROM documents
+        |), newc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 50 THEN array_to_string(
+        |      list_filter(string_split(text, ' '), t -> length(t) > 0)[1:15], ' ')
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id >= 25
+        |  UNION ALL
+        |  SELECT doc_id + 30000 AS doc_id, text FROM documents WHERE doc_id < 20
+        |), od AS (
+        |  SELECT doc_id AS id, coalesce(md5(text), '__NULL_TEXT__') AS d FROM oldc
+        |), nd AS (
+        |  SELECT doc_id AS id, coalesce(md5(text), '__NULL_TEXT__') AS d FROM newc
+        |)
+        |SELECT coalesce(od.id, nd.id) AS id,
+        |  CASE WHEN od.d IS NULL THEN 'added'
+        |    WHEN nd.d IS NULL THEN 'removed'
+        |    WHEN od.d = nd.d THEN 'unchanged'
+        |    ELSE 'changed' END AS status
+        |FROM od FULL OUTER JOIN nd ON od.id = nd.id""".stripMargin,
     // undirected label closure over the same edge fixture: component =
     // min reachable host label (string min both engines)
     "q_host_components" ->
