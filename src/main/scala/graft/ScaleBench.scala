@@ -153,7 +153,62 @@ object ScaleBench {
       gateScale(spark, outDir, listener)
     if (args.contains("serving") || args.isEmpty)
       servingScale(spark, outDir, listener)
+    if (args.contains("graphscale") || args.isEmpty)
+      graphScale(spark, srcDir, outDir, listener)
     spark.stop()
+  }
+
+  /** Graph-signal iteration cost at 1× vs a 10× edge set (r17 s3):
+    * PageRank, weighted PageRank, and HITS over the customer→supplier
+    * order graph, then over 10 node-offset copies of it (10× nodes AND
+    * 10× edges — the scaled lineitem can't feed this join because its
+    * offset orderkeys don't hit the unscaled orders dim, so the graph
+    * is scaled at the EDGE grain where the iteration cost actually
+    * lives). The claim: per-round cost tracks the edge count (the
+    * join+agg exchanges), wall grows ~linearly with the 10×, and HITS
+    * stays ~2× PageRank (two edge joins per round vs one) at both
+    * tiers — no superlinear term from the decimal sums or the
+    * per-round lineage cuts.
+    */
+  private def graphScale(spark: SparkSession, srcDir: String, outDir: String,
+                         listener: TaskMetricsProbe): Unit = {
+    def time(label: String, tier: String)(body: => Long): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"graph":"$label","tier":"$tier","sec":$sec%.2f,"rows":$rows,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+    }
+    val li = SparkEntry.table(spark, srcDir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val ord = SparkEntry.table(spark, srcDir, "orders")
+      .select("o_orderkey", "o_custkey")
+    val base = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"),
+        col("l_quantity").as("weight"))
+      .localCheckpoint()
+    try {
+      val tenX = (0 until 10).map(i =>
+          base.select((col("src") + lit(i.toLong * 10000000L)).as("src"),
+            (col("dst") + lit(i.toLong * 10000000L)).as("dst"),
+            col("weight")))
+        .reduce(_ unionByName _)
+      for ((tier, e) <- Seq(("1x", base), ("10x", tenX))) {
+        time("pagerank_3r", tier) {
+          graft.ops.PageRank.pageRank(e, 3).count()
+        }
+        time("pagerank_weighted_3r", tier) {
+          graft.ops.PageRank.pageRankWeighted(e, 3).count()
+        }
+        time("hits_3r", tier) {
+          graft.ops.Hits.hits(e, 3).count()
+        }
+      }
+    } finally graft.Checkpoints.free(base)
   }
 
   /** r17 s3 retrieval-serving + asymmetric-dedup shapes at the 20x

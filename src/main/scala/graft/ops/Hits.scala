@@ -105,19 +105,32 @@ object Hits {
       })
         .localCheckpoint()
       var cut = scores
+      // node-grain per-round aggregates (hubRaw/authRaw) materialized
+      // inside oneRound; they are freed only once a DOWNSTREAM scores
+      // checkpoint exists (intermediate rounds' lazy frames reference
+      // them), so they accumulate between cuts — at most
+      // 2·checkpointEvery node-grain tables
+      var pending = List.empty[DataFrame]
       var i = 0
       try {
         while (i < iterations) {
-          scores = oneRound(nodes, e, scores, saltJoin)
+          val (next, tmps) = oneRoundCut(nodes, e, scores, saltJoin)
+          scores = next
+          pending = tmps ::: pending
           if ((i + 1) % checkpointEvery == 0 || i + 1 == iterations) {
             scores = scores.localCheckpoint()
             graft.Checkpoints.free(cut)
             cut = scores
+            pending.foreach(graft.Checkpoints.free(_))
+            pending = Nil
           }
           i += 1
         }
         scores
-      } finally if (cut ne scores) graft.Checkpoints.free(cut)
+      } finally {
+        pending.foreach(graft.Checkpoints.free(_))
+        if (cut ne scores) graft.Checkpoints.free(cut)
+      }
     } finally graft.Checkpoints.free(e)
   }
 
@@ -132,13 +145,44 @@ object Hits {
     * side): the first formulation routed it through the node-grain
     * `nodes ⟕ hubRaw` frame, which re-ran the round's expensive
     * edge-join-plus-aggregation subtree once per consumer — measured
-    * 15.0 s → 7.5 s on the bench graph (500k edges, 3 rounds). The
+    * 15.0 → 13.9 s on the bench graph (500k edges, 3 rounds, cadence
+    * 4; the per-round lineage cut then takes it to 6.7 s — see
+    * [[hits]]). The
     * full node-grain hub (with the coalesce-0 arm for out-edge-less
     * nodes) is assembled ONCE, in the final select — the identical
     * expression tree the oracle replays.
     */
   private[graft] def oneRound(nodes: DataFrame, e: DataFrame,
-                              scores: DataFrame, saltJoin: Int): DataFrame = {
+                              scores: DataFrame, saltJoin: Int): DataFrame =
+    oneRoundImpl(nodes, e, scores, saltJoin, identity)._1
+
+  /** [[oneRound]] with the two per-round aggregates MATERIALIZED
+    * (eager localCheckpoint): hubRaw feeds three consumers and authRaw
+    * two, and without the cut each consumer re-executes the round's
+    * edge-join-plus-aggregation subtree — measured at the 10× soak
+    * (5M edges, 3 rounds): shuffle 1.07 GB → 622 MB (the ~2.5×-of-
+    * PageRank floor two edge joins imply), and the bench graph's
+    * cpu/wall ratio drops 7.0 → 3.5 at unchanged wall (the redundant
+    * parallel work was hiding in spare cores — on a BUSY cluster it
+    * is real capacity back). Returns the materialized frames for the
+    * caller to free once a downstream checkpoint supersedes them.
+    */
+  private def oneRoundCut(nodes: DataFrame, e: DataFrame,
+                          scores: DataFrame, saltJoin: Int)
+      : (DataFrame, List[DataFrame]) = {
+    var tmps = List.empty[DataFrame]
+    val out = oneRoundImpl(nodes, e, scores, saltJoin, { df =>
+      val c = df.localCheckpoint()
+      tmps ::= c
+      c
+    })
+    (out._1, out._2 ::: tmps)
+  }
+
+  private def oneRoundImpl(nodes: DataFrame, e: DataFrame,
+                           scores: DataFrame, saltJoin: Int,
+                           mat: DataFrame => DataFrame)
+      : (DataFrame, List[DataFrame]) = {
     def massSum(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,18)")).cast("double")
     // fresh attribute ids per round: scores descends from e, so
@@ -155,7 +199,8 @@ object Hits {
          eh.join(scores.select(col("id").as("__hd"), col("auth")),
            Seq("__hd")))
         .select(col("__hs").as("id"), col("auth").as("c"))
-    val hubRaw = hubContribs.groupBy("id").agg(massSum(col("c")).as("__hr"))
+    val hubRaw = mat(
+      hubContribs.groupBy("id").agg(massSum(col("c")).as("__hr")))
     val hubMass = hubRaw.agg(
       coalesce(massSum(col("__hr")), lit(0.0)).as("__ht"))
     // auth update: sum the JUST-NORMALIZED hub of each in-neighbor;
@@ -170,17 +215,19 @@ object Hits {
            saltBy = Seq("__ad"))
        else ea.join(hubOfSrc, Seq("__as")))
         .select(col("__ad").as("id"), col("hub").as("c"))
-    val authRaw = authContribs.groupBy("id").agg(massSum(col("c")).as("__ar"))
+    val authRaw = mat(
+      authContribs.groupBy("id").agg(massSum(col("c")).as("__ar")))
     val authMass = authRaw.agg(
       coalesce(massSum(col("__ar")), lit(0.0)).as("__at"))
-    nodes
+    (nodes
       .join(hubRaw, Seq("id"), "left")
       .join(authRaw, Seq("id"), "left")
       .crossJoin(broadcast(hubMass))
       .crossJoin(broadcast(authMass))
       .select(col("id"),
         (coalesce(col("__hr"), lit(0.0)) / col("__ht")).as("hub"),
-        (coalesce(col("__ar"), lit(0.0)) / col("__at")).as("auth"))
+        (coalesce(col("__ar"), lit(0.0)) / col("__at")).as("auth")),
+      List.empty[DataFrame])
   }
 
   /** The DuckDB oracle for [[hits]], generated for `iterations` rounds
