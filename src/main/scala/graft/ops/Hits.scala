@@ -75,6 +75,7 @@ object Hits {
                       iterations: Int, checkpointEvery: Int,
                       saltJoin: Int): DataFrame = {
     require(iterations >= 0, "hits: iterations must be >= 0")
+    require(checkpointEvery >= 1, "hits: checkpointEvery must be >= 1")
     def massSum(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,18)")).cast("double")
     val e = edges.select(col("src"), col("dst")).distinct()

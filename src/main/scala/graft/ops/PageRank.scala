@@ -131,6 +131,7 @@ object PageRank {
       if (exact) sum(c.cast("decimal(38,18)")).cast("double")
       else sum(c)
     require(iterations >= 0, "pageRank: iterations must be >= 0")
+    require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint()
     try {
@@ -225,18 +226,22 @@ object PageRank {
     * weights degenerate to [[pageRank]] within fp ulps (spec-pinned;
     * the weighted contribution rank·fl(w/W) carries one more IEEE
     * rounding than the unweighted fl(rank/deg)).
-    * Hot-hub skew: the per-round join is the same shape as the
-    * unweighted one, so [[Skew.saltedJoin]] composes identically;
-    * auto-sizing is not wired here (weighted crawl graphs pick salt
-    * from the SAME degree statistics — pass the unweighted form's
-    * measured value if a hub emerges).
+    * Hot-hub skew: `saltJoin` > 1 spreads a node's edge rows over salt
+    * buckets via [[Skew.saltedJoin]], exactly the unweighted lever
+    * (decimal sums make any salt bit-identical); auto-sizing is not
+    * wired here — weighted crawl graphs pick salt from the SAME degree
+    * statistics, so pass the unweighted form's measured value if a hub
+    * emerges.
     */
   def pageRankWeighted(edges: DataFrame, iterations: Int,
                        damping: Double = 0.85,
-                       checkpointEvery: Int = 4): DataFrame = {
+                       checkpointEvery: Int = 4,
+                       saltJoin: Int = 1): DataFrame = {
     def massSum(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,18)")).cast("double")
     require(iterations >= 0, "pageRankWeighted: iterations must be >= 0")
+    require(checkpointEvery >= 1,
+      "pageRankWeighted: checkpointEvery must be >= 1")
     val e = edges.select(col("src"), col("dst"),
         col("weight").cast("double").as("w"))
       .filter(col("w") > 0.0)
@@ -259,8 +264,13 @@ object PageRank {
             col("w").as("__w"))
           val withW = ranks.join(outW, ranks("id") === outW("src"), "left")
           val linked = withW.filter(col("sw").isNotNull)
-          val contribs = linked
-            .join(eOut, linked("id") === col("__es"))
+          val joined =
+            if (saltJoin > 1)
+              Skew.saltedJoin(eOut,
+                linked.select(col("id").as("__es"), col("rank"), col("sw")),
+                Seq("__es"), saltJoin, saltBy = Seq("__ed"))
+            else linked.join(eOut, linked("id") === col("__es"))
+          val contribs = joined
             .select(col("__ed").as("id"),
               (col("rank") * (col("__w") / col("sw"))).as("c"))
           val sums = contribs.groupBy(col("id")).agg(massSum(col("c")).as("s"))

@@ -361,7 +361,11 @@ object QueriesLLM {
     val oldC = d.select(col("doc_id"), col("text"))
     val newC = d.filter(col("doc_id") >= 25)
       .select(col("doc_id"),
-        when(col("doc_id") < 50,
+        // null guard (review finding r17): concat_ws over a null-text
+        // tokenization yields '' in Spark but NULL in the oracle's
+        // array_to_string — only re-extract rows that HAVE text, so a
+        // hypothetical null-text fixture row stays 'unchanged' in both
+        when(col("doc_id") < 50 && col("text").isNotNull,
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 15)))
           .otherwise(col("text")).as("text"))
       .unionByName(d.filter(col("doc_id") < 20)
@@ -974,8 +978,14 @@ object QueriesLLM {
         concat(lit("http://f.example/q?a0=1&a1=1&a2=1&a3=1&a4=1&a5=1" +
           "&a6=1&a7=1&a8=1&a9=1&b="), col("doc_id")))
       .otherwise(
+        // DISTINCT segment names so seg_repeats stays 0 and the
+        // is_trap verdict flips on the depth>10 boundary alone:
+        // depth 10 (id%4=0, benign) .. 13 (trap) — review finding r17
         concat(lit("http://d.example/"),
-          expr("repeat('p/', CAST(9 + doc_id % 4 AS INT))"), lit("leaf")))
+          concat_ws("/", slice(split(
+            lit("s1,s2,s3,s4,s5,s6,s7,s8,s9,s10,s11,s12"), ","),
+            lit(1), (lit(9) + col("doc_id") % 4).cast("int"))),
+          lit("/leaf")))
 
   /** Crawl-trap detection ([[UrlFunctions.trapReport]]): structural
     * features + verdict over the five-arm trap fixture — calendar
@@ -5013,7 +5023,8 @@ object QueriesLLM {
         |        || doc_id::VARCHAR || '&x=1'
         |      WHEN doc_id % 5 = 3 THEN 'http://f.example/q?a0=1&a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1&a9=1&b='
         |        || doc_id::VARCHAR
-        |      ELSE 'http://d.example/' || repeat('p/', (9 + doc_id % 4)::INT) || 'leaf'
+        |      ELSE 'http://d.example/' || array_to_string(
+        |        string_split('s1,s2,s3,s4,s5,s6,s7,s8,s9,s10,s11,s12', ',')[1:(9 + doc_id % 4)::INT], '/') || '/leaf'
         |    END AS url
         |  FROM documents
         |), parts AS (
@@ -5203,7 +5214,7 @@ object QueriesLLM {
         |  SELECT doc_id, text FROM documents
         |), newc AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id < 50 THEN array_to_string(
+        |    CASE WHEN doc_id < 50 AND text IS NOT NULL THEN array_to_string(
         |      list_filter(string_split(text, ' '), t -> length(t) > 0)[1:15], ' ')
         |    ELSE text END AS text
         |  FROM documents WHERE doc_id >= 25

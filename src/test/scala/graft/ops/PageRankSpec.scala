@@ -211,6 +211,15 @@ class PageRankSpec extends AnyFunSuite {
       }
       assert(math.abs(got.values.sum - 1.0) < 1e-9)
     }
+    // salted join is bit-identical (decimal sums are order-free) —
+    // the hot-hub lever must not perturb the exact tier
+    val plainW = PageRank.pageRankWeighted(
+        wedges.toDF("src", "dst", "weight"), 3)
+      .as[(Long, Double)].collect().toSet
+    val saltedW = PageRank.pageRankWeighted(
+        wedges.toDF("src", "dst", "weight"), 3, saltJoin = 4)
+      .as[(Long, Double)].collect().toSet
+    assert(plainW == saltedW)
     // all-equal weights degenerate to the unweighted form within fp
     // ulps: w/W(u) rounds to 1/deg(u) exactly, but the contribution is
     // then rank · fl(1/deg) — one more rounding than the unweighted
