@@ -1372,6 +1372,33 @@ object QueriesLLM {
       .groupBy("dst_host", "term")
       .agg(count(lit(1)).as("n"))
 
+  /** CRAWL BUDGET apportionment ([[graft.ops.Apportion]]): a global
+    * fetch budget of 1000 split across hosts proportionally to their
+    * PageRank authority by largest-remainder quotas — integer-exact
+    * (weights = the rank grid numerators), quotas sum to exactly the
+    * budget, no host off its real share by more than one. The
+    * scheduler arithmetic between [[q_crawl_frontier]]'s ordering and
+    * an actual fetch allowance.
+    */
+  def q_crawl_budget(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Apportion.largestRemainder(
+        frontierAuthority(spark).withColumn("w",
+          floor(col("host_rank") * 1e6 + 0.5).cast("long")),
+        "host", "w", budget = 1000L)
+      .select(col("key").as("host"), col("weight"), col("quota"))
+
+  /** [[graft.ops.Apportion.largestRemainder]] over a CORPUS-derived
+    * weight table: a 10k-document sampling budget split across sources
+    * by total character mass — the stratified-sampling quota form of
+    * the same arithmetic (many keys, natural ties).
+    */
+  def q_budget_sources(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Apportion.largestRemainder(
+        table(spark, dir, "documents").groupBy("source")
+          .agg(sum("n_chars").as("w")),
+        "source", "w", budget = 10000L)
+      .select(col("key").as("source"), col("weight"), col("quota"))
+
   /** Sitemap ROUND-TRIP at corpus scale ([[Robots.sitemapEntries]]):
     * every document contributes a `<url>` block (loc always; lastmod
     * on even ids; priority on ids divisible by 3 — so all four
@@ -3042,6 +3069,8 @@ object QueriesLLM {
     "q_host_graph" -> (q_host_graph _),
     "q_host_components" -> (q_host_components _),
     "q_anchor_text" -> (q_anchor_text _),
+    "q_crawl_budget" -> (q_crawl_budget _),
+    "q_budget_sources" -> (q_budget_sources _),
     "q_corpus_diff" -> (q_corpus_diff _),
     "q_rank_eval" -> (q_rank_eval _),
     "q_domain_cap" -> (q_domain_cap _),
@@ -5186,6 +5215,49 @@ object QueriesLLM {
           |SELECT src_host, dst_host, count(*)::BIGINT AS n
           |FROM edges WHERE src_host <> dst_host
           |GROUP BY 1, 2""".stripMargin),
+    // largest-remainder quota arithmetic, pure integers: q = (w·B)//W,
+    // the B−Σq largest remainders (ties by key) get one more
+    "q_crawl_budget" ->
+      (s"""WITH pr AS (
+          |  SELECT * FROM (${graft.ops.PageRank.oracleSql(
+                frontierEdgesCte, iterations = 3)}) t
+          |), wsrc AS (
+          |  SELECT id AS key, floor(rank * 1000000 + 0.5)::BIGINT AS weight
+          |  FROM pr WHERE floor(rank * 1000000 + 0.5) > 0
+          |), tot AS (
+          |  SELECT sum(weight)::BIGINT AS W FROM wsrc
+          |), sc AS (
+          |  SELECT key, weight, (weight * 1000) // W AS q,
+          |    (weight * 1000) % W AS rem
+          |  FROM wsrc, tot
+          |), asum AS (
+          |  SELECT sum(q)::BIGINT AS a FROM sc
+          |), rankedq AS (
+          |  SELECT *, row_number() OVER (ORDER BY rem DESC, key) AS rn FROM sc
+          |)
+          |SELECT key AS host, weight,
+          |  (q + CASE WHEN rn <= (1000 - (SELECT a FROM asum))
+          |    THEN 1 ELSE 0 END)::BIGINT AS quota
+          |FROM rankedq""".stripMargin),
+    "q_budget_sources" ->
+      """WITH wsrc AS (
+        |  SELECT source AS key, sum(n_chars)::BIGINT AS weight
+        |  FROM documents GROUP BY 1 HAVING sum(n_chars) > 0
+        |), tot AS (
+        |  SELECT sum(weight)::BIGINT AS W FROM wsrc
+        |), sc AS (
+        |  SELECT key, weight, (weight * 10000) // W AS q,
+        |    (weight * 10000) % W AS rem
+        |  FROM wsrc, tot
+        |), asum AS (
+        |  SELECT sum(q)::BIGINT AS a FROM sc
+        |), rankedq AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, key) AS rn FROM sc
+        |)
+        |SELECT key AS source, weight,
+        |  (q + CASE WHEN rn <= (10000 - (SELECT a FROM asum))
+        |    THEN 1 ELSE 0 END)::BIGINT AS quota
+        |FROM rankedq""".stripMargin,
     // anchor texts: href[i]/text[i] extracted by the SAME regex align
     // by construction; hrefs resolve through the shared resolve CASE
     "q_anchor_text" ->
