@@ -190,9 +190,9 @@ object Robots {
     * `priority` (optional, null when absent). A fixed regex chain —
     * per-file map work, codegen-friendly, no shuffle; a 50k-URL
     * sitemap (the protocol's own cap) is a ~5 MB string, well inside
-    * row limits. `<sitemapindex>` files are just `<sitemap><loc>`
-    * blocks — [[sitemapRefs]]-style recursion belongs to the fetch
-    * loop, not the parser.
+    * row limits. `<sitemapindex>` files parse with
+    * [[sitemapIndexEntries]]; the FETCH of the children it names
+    * belongs to the crawl loop, not the parser.
     */
   def sitemapEntries(xml: DataFrame, hostCol: String, xmlCol: String): DataFrame =
     xml
@@ -213,6 +213,31 @@ object Robots {
       .withColumn("priority",
         when(col("priority") === "", lit(null).cast("string"))
           .otherwise(col("priority")))
+
+  /** sitemaps.org `<sitemapindex>` parsing: one row per `<sitemap>`
+    * block with the CHILD sitemap `loc` (required; blocks without one
+    * drop) and optional `lastmod` — the one nesting level the protocol
+    * allows (index files may not reference index files), so the fetch
+    * loop's recursion is exactly: robots `Sitemap:` refs
+    * ([[sitemapRefs]]) → this parser when the payload is an index →
+    * [[sitemapEntries]] on the children. Same fixed-regex-chain,
+    * map-only discipline as the urlset parser.
+    */
+  def sitemapIndexEntries(xml: DataFrame, hostCol: String,
+                          xmlCol: String): DataFrame =
+    xml
+      .select(col(hostCol).as("host"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as("entry"))
+      .select(col("host"),
+        regexp_extract(col("entry"), "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)
+          .as("loc"),
+        regexp_extract(col("entry"), "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)
+          .as("lastmod"))
+      .filter(col("loc") =!= "")
+      .withColumn("lastmod",
+        when(col("lastmod") === "", lit(null).cast("string"))
+          .otherwise(col("lastmod")))
 
   /** Allow/deny per URL for `agent` against a [[parseRobots]] table:
     * adds `host`, `path`, `allowed`, `matched_directive`,

@@ -391,6 +391,29 @@ object QueriesLLM {
     Retrieval.rankEval(run, qrels, k = 5)
   }
 
+  /** DATASET CARD: the one-row release summary a corpus ships with —
+    * document/source/language counts, token mass and per-doc
+    * statistics, the exact distinct-text rate (1 − this = the exact-dup
+    * rate), and the language mix headline — ONE aggregation pass over
+    * the corpus (count-distincts ride the same Expand, the Expectations
+    * one-scan discipline). At 100 TB this is the cheapest honest
+    * answer to "what is in this dataset".
+    */
+  def q_dataset_card(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(TextFunctions.tokens(col("text"))).cast("long")
+    table(spark, dir, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(toks).as("total_tokens"),
+      round(avg(toks), 6).as("avg_doc_tokens"),
+      max(toks).as("max_doc_tokens"),
+      round(countDistinct(md5(col("text"))).cast("double") /
+        count(lit(1)), 6).as("distinct_text_rate"),
+      round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6)
+        .as("frac_en"))
+  }
+
   /** One-pass ingest expectations over the documents table
     * ([[graft.ops.Expectations]] — the Deequ idea, VLDB'18): five
     * declarative rules (null checks, format regex, cross-column
@@ -1429,6 +1452,34 @@ object QueriesLLM {
       .select(col("host"), col("loc"),
         coalesce(col("lastmod"), lit("")).as("lastmod"),
         coalesce(col("priority"), lit("")).as("priority"))
+  }
+
+  /** Sitemap INDEX round-trip ([[Robots.sitemapIndexEntries]]): every
+    * host's documents bucket into child sitemaps of 10 (`doc_id / 10`),
+    * the host's `<sitemapindex>` names each child (lastmod on even
+    * buckets — both presence arms), and the parser explodes it back to
+    * child-sitemap grain. The one nesting level the protocol allows;
+    * [[q_sitemap_entries]] covers the leaf urlset level.
+    */
+  def q_sitemap_index(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = robotsFixtureUrls(spark, dir)
+      .withColumn("host", UrlFunctions.urlHost(col("url")))
+      .select(col("host"), (col("doc_id") / 10).cast("long").as("bucket"))
+      .distinct()
+      .select(col("host"), col("bucket"), concat(
+        lit("<sitemap><loc>http://"), col("host"), lit("/sitemap-"),
+        col("bucket"), lit(".xml</loc>"),
+        when(col("bucket") % 2 === 0, concat(lit("<lastmod>2026-0"),
+          (col("bucket") % 9 + 1).cast("string"), lit("-01</lastmod>")))
+          .otherwise(lit("")),
+        lit("</sitemap>")).as("block"))
+    val xml = buckets.groupBy("host")
+      .agg(concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+        concat_ws("", sort_array(collect_list(col("block")))),
+        lit("</sitemapindex>")).as("xml"))
+    Robots.sitemapIndexEntries(xml, "host", "xml")
+      .select(col("host"), col("loc"),
+        coalesce(col("lastmod"), lit("")).as("lastmod"))
   }
 
   /** CRAWL SCHEDULING composed end-to-end — the frontier a polite,
@@ -3064,6 +3115,8 @@ object QueriesLLM {
     "q_robots_filter" -> (q_robots_filter _),
     "q_crawl_frontier" -> (q_crawl_frontier _),
     "q_sitemap_entries" -> (q_sitemap_entries _),
+    "q_sitemap_index" -> (q_sitemap_index _),
+    "q_dataset_card" -> (q_dataset_card _),
     "q_frontier_incremental" -> (q_frontier_incremental _),
     "q_link_graph" -> (q_link_graph _),
     "q_host_graph" -> (q_host_graph _),
@@ -5215,6 +5268,52 @@ object QueriesLLM {
           |SELECT src_host, dst_host, count(*)::BIGINT AS n
           |FROM edges WHERE src_host <> dst_host
           |GROUP BY 1, 2""".stripMargin),
+    // sitemapindex round-trip: rebuild each host's index (blocks sorted
+    // like the Spark side) and re-extract loc/lastmod at child grain
+    "q_sitemap_index" ->
+      (s"""WITH urls0 AS (
+          |$robotsUrlsSelectSql
+          |), bkts AS (
+          |  SELECT DISTINCT host, (doc_id // 10)::BIGINT AS bucket FROM urls0
+          |), blocks AS (
+          |  SELECT host,
+          |    '<sitemap><loc>http://' || host || '/sitemap-' || bucket::VARCHAR
+          |    || '.xml</loc>' ||
+          |    CASE WHEN bucket % 2 = 0 THEN '<lastmod>2026-0' ||
+          |      (bucket % 9 + 1)::VARCHAR || '-01</lastmod>' ELSE '' END ||
+          |    '</sitemap>' AS block
+          |  FROM bkts
+          |), xmls AS (
+          |  SELECT host, '<?xml version="1.0"?><sitemapindex>' ||
+          |    string_agg(block, '' ORDER BY block) || '</sitemapindex>' AS xml
+          |  FROM blocks GROUP BY 1
+          |), entries AS (
+          |  SELECT host, unnest(regexp_extract_all(xml,
+          |    '<sitemap>(.*?)</sitemap>', 1)) AS entry
+          |  FROM xmls
+          |)
+          |SELECT host,
+          |  regexp_extract(entry, '<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+          |  regexp_extract(entry, '<lastmod>\\s*(.*?)\\s*</lastmod>', 1) AS lastmod
+          |FROM entries
+          |WHERE regexp_extract(entry, '<loc>\\s*(.*?)\\s*</loc>', 1) <> ''""".stripMargin),
+    // one-pass release summary; distinct-text rate via md5 like the
+    // exact-dedup digests
+    "q_dataset_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang, text,
+        |    len(list_filter(string_split(text, ' '), x -> length(x) > 0))::BIGINT AS toks
+        |  FROM documents
+        |)
+        |SELECT count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT source)::BIGINT AS n_sources,
+        |  count(DISTINCT lang)::BIGINT AS n_langs,
+        |  sum(toks)::BIGINT AS total_tokens,
+        |  round(avg(toks), 6) AS avg_doc_tokens,
+        |  max(toks)::BIGINT AS max_doc_tokens,
+        |  round(count(DISTINCT md5(text))::DOUBLE / count(*), 6) AS distinct_text_rate,
+        |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS frac_en
+        |FROM t""".stripMargin,
     // largest-remainder quota arithmetic, pure integers: q = (w·B)//W,
     // the B−Σq largest remainders (ties by key) get one more
     "q_crawl_budget" ->

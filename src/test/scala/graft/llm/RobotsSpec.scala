@@ -148,6 +148,25 @@ class RobotsSpec extends AnyFunSuite {
       ("http://h/c", None, None))) // loc-less entry dropped
   }
 
+  test("sitemapIndexEntries: child locs extracted, lastmod optional, " +
+      "loc-less blocks dropped, urlset entries ignored") {
+    val xml = """<?xml version="1.0"?><sitemapindex>
+      |<sitemap><loc> http://h/sitemap-0.xml </loc><lastmod>2026-01-01</lastmod></sitemap>
+      |<sitemap><loc>http://h/sitemap-1.xml</loc></sitemap>
+      |<sitemap><lastmod>2026-03-01</lastmod></sitemap>
+      |</sitemapindex>""".stripMargin
+    val out = Robots.sitemapIndexEntries(Seq(("h", xml)).toDF("host", "xml"),
+        "host", "xml")
+      .collect().map(r => (r.getString(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      ("http://h/sitemap-0.xml", Some("2026-01-01")),
+      ("http://h/sitemap-1.xml", None)))
+    // a leaf urlset has no <sitemap> blocks: the index parser sees none
+    assert(Robots.sitemapIndexEntries(
+      Seq(("h", "<urlset><url><loc>http://h/a</loc></url></urlset>"))
+        .toDF("host", "xml"), "host", "xml").count() == 0)
+  }
+
   test("urlPath includes the query (RFC 9309 match target); query rules fire") {
     val paths = Seq("http://h.example/p?x=1#f", "http://h.example?x=1",
       "http://h.example/p", "http://h.example")
