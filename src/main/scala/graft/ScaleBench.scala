@@ -154,7 +154,7 @@ object ScaleBench {
     if (args.contains("serving") || args.isEmpty)
       servingScale(spark, outDir, listener)
     if (args.contains("graphscale") || args.isEmpty)
-      graphScale(spark, srcDir, outDir, listener)
+      graphScale(spark, srcDir, listener)
     spark.stop()
   }
 
@@ -170,7 +170,7 @@ object ScaleBench {
     * tiers — no superlinear term from the decimal sums or the
     * per-round lineage cuts.
     */
-  private def graphScale(spark: SparkSession, srcDir: String, outDir: String,
+  private def graphScale(spark: SparkSession, srcDir: String,
                          listener: TaskMetricsProbe): Unit = {
     def time(label: String, tier: String)(body: => Long): Unit = {
       listener.reset()

@@ -32,21 +32,34 @@ import org.apache.spark.sql.functions._
   */
 object Apportion {
 
-  /** (key, weight, quota) per input key with positive weight; quotas
-    * sum to exactly `budget` (when any positive weight exists).
+  /** (key, weight, quota) per input key with positive weight and a
+    * NON-NULL key (a null stratum is meaningless as a quota target,
+    * and null keys would silently lose their bump through the equi-
+    * rejoin — dropped like non-positive weights); quotas sum to
+    * exactly `budget` (when any qualifying key exists). The result
+    * rides a lazy checkpoint of the scored frame (the input lineage —
+    * often a full rank computation — must not re-execute for the bump
+    * pass); the CALLER frees it via `graft.Checkpoints.free` once the
+    * result is consumed — the jaccardJoin ownership contract.
     */
   def largestRemainder(df: DataFrame, keyCol: String, weightCol: String,
                        budget: Long): DataFrame = {
     require(budget >= 0, s"largestRemainder: budget must be >= 0, got $budget")
     val w = df.select(col(keyCol).as("key"),
         col(weightCol).cast("long").as("weight"))
-      .filter(col("weight") > 0)
-    val stats = w.agg(coalesce(sum(col("weight")), lit(0L)),
+      .filter(col("key").isNotNull && col("weight") > 0)
+    // Σweight through DECIMAL: a long sum can wrap PAST zero back to a
+    // plausible positive, which the intended loud failure must catch
+    val stats = w.agg(sum(col("weight").cast("decimal(38,0)")),
       coalesce(max(col("weight")), lit(0L))).collect().head
-    val totalW = stats.getLong(0)
+    val totalWDec =
+      if (stats.isNullAt(0)) java.math.BigDecimal.ZERO else stats.getDecimal(0)
     val maxW = stats.getLong(1)
-    require(totalW >= 0, "largestRemainder: Σweight overflowed Long — " +
-      "rescale weights to a coarser grid")
+    require(totalWDec.compareTo(
+        java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
+      "largestRemainder: Σweight overflows Long — rescale weights to a " +
+        "coarser grid")
+    val totalW = totalWDec.longValueExact()
     require(budget == 0 || maxW <= Long.MaxValue / budget,
       s"largestRemainder: budget·max(weight) overflows Long " +
         s"($budget · $maxW) — rescale weights to a coarser grid")

@@ -163,7 +163,7 @@ object Hits {
     * edge-join-plus-aggregation subtree — measured at the 10× soak
     * (5M edges, 3 rounds): shuffle 1.07 GB → 622 MB (the ~2.5×-of-
     * PageRank floor two edge joins imply), and the bench graph's
-    * cpu/wall ratio drops 7.0 → 3.5 at unchanged wall (the redundant
+    * cpu/wall ratio drops 7.0 → 3.8 at unchanged wall (the redundant
     * parallel work was hiding in spare cores — on a BUSY cluster it
     * is real capacity back). Returns the materialized frames for the
     * caller to free once a downstream checkpoint supersedes them.

@@ -1473,9 +1473,11 @@ object QueriesLLM {
           (col("bucket") % 9 + 1).cast("string"), lit("-01</lastmod>")))
           .otherwise(lit("")),
         lit("</sitemap>")).as("block"))
+    // member order is irrelevant — parsing explodes back to a row SET
+    // (the q_sitemap_entries precedent), so no sort on either side
     val xml = buckets.groupBy("host")
       .agg(concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
-        concat_ws("", sort_array(collect_list(col("block")))),
+        concat_ws("", collect_list(col("block"))),
         lit("</sitemapindex>")).as("xml"))
     Robots.sitemapIndexEntries(xml, "host", "xml")
       .select(col("host"), col("loc"),
@@ -5285,7 +5287,7 @@ object QueriesLLM {
           |  FROM bkts
           |), xmls AS (
           |  SELECT host, '<?xml version="1.0"?><sitemapindex>' ||
-          |    string_agg(block, '' ORDER BY block) || '</sitemapindex>' AS xml
+          |    string_agg(block, '') || '</sitemapindex>' AS xml
           |  FROM blocks GROUP BY 1
           |), entries AS (
           |  SELECT host, unnest(regexp_extract_all(xml,
@@ -5341,7 +5343,8 @@ object QueriesLLM {
     "q_budget_sources" ->
       """WITH wsrc AS (
         |  SELECT source AS key, sum(n_chars)::BIGINT AS weight
-        |  FROM documents GROUP BY 1 HAVING sum(n_chars) > 0
+        |  FROM documents WHERE source IS NOT NULL
+        |  GROUP BY 1 HAVING sum(n_chars) > 0
         |), tot AS (
         |  SELECT sum(weight)::BIGINT AS W FROM wsrc
         |), sc AS (

@@ -116,6 +116,10 @@ object StreamingAuthority {
     */
   def compactEdges(spark: SparkSession, graphDir: String): Unit = {
     import spark.implicits._
+    // finish a compaction that crashed between retire and promote
+    // BEFORE reading the log — an out-of-band fold must self-repair
+    // like the append/load paths do (review finding r17)
+    BatchState.recoverSwap(spark, s"$graphDir/edges")
     val ids = spark.read.parquet(s"$graphDir/edges")
       .select(col("batch_id").cast("long")).distinct()
       .as[Long].collect().toSet.filter(_ != -1L)

@@ -61,6 +61,21 @@ class ApportionSpec extends AnyFunSuite {
     assert(got == Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("null keys drop; quotas still sum to the budget (review finding r17)") {
+    val got = run(Seq(("a", 3L), (null.asInstanceOf[String], 5L),
+      ("b", 1L)), 4L)
+    assert(got == Map("a" -> 3L, "b" -> 1L))
+    assert(got.values.sum == 4L)
+  }
+
+  test("Σweight overflow fails loud even when the long sum wraps past zero") {
+    // four keys at 2^62 wrap a long sum to exactly 0; the decimal path
+    // must reject instead of silently assigning nothing
+    val huge = (0 until 4).map(i => (s"k$i", Long.MaxValue / 2 + 1))
+    val ex = intercept[IllegalArgumentException] { run(huge, 10L) }
+    assert(ex.getMessage.contains("overflows Long"))
+  }
+
   test("degenerate arms: zero budget, all-zero weights") {
     assert(run(Seq(("a", 3L), ("b", 1L)), 0L).values.forall(_ == 0L))
     assert(run(Seq(("a", 0L)), 10L).isEmpty)
