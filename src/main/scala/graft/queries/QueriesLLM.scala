@@ -48,6 +48,53 @@ object QueriesLLM {
       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
       |)""".stripMargin
 
+  /** The rank-eval metric chain over a scorer's `ranked` CTE
+    * (query_id, doc_id, rank) against the shared graded-qrels fixture
+    * — written ONCE and composed after any scorer's chain
+    * (`q_rank_eval` = BM25, `q_rank_eval_tfidf` = vector-space), so a
+    * metric tweak can never diverge the scorers' eval contracts.
+    */
+  private def rankEvalMetricSql(k: Int): String =
+    s""", topk AS (
+       |  SELECT query_id, doc_id, rank FROM ranked WHERE rank <= $k
+       |), qr AS (
+       |  SELECT d.doc_id, qq.query_id,
+       |    CASE WHEN (d.doc_id + qq.query_id * 7) % 5 = 0
+       |      THEN (d.doc_id % 3 + 1)::DOUBLE ELSE 0.0 END AS rel
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+       |  CROSS JOIN (SELECT unnest([0, 1, 2])::BIGINT AS query_id) qq
+       |), rscored AS (
+       |  SELECT t.query_id, t.doc_id, t.rank, coalesce(qr.rel, 0.0) AS rel
+       |  FROM topk t LEFT JOIN qr
+       |    ON t.query_id = qr.query_id AND t.doc_id = qr.doc_id
+       |), runagg AS (
+       |  SELECT query_id,
+       |    sum((floor(rel / (floor(ln(rank + 1.0) * 1000000000 + 0.5) / 1000000000)
+       |      * 1000000000 + 0.5) / 1000000000)::DECIMAL(38,18))::DOUBLE AS dcg,
+       |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+       |    min(CASE WHEN rel > 0 THEN rank END) AS frank
+       |  FROM rscored GROUP BY 1
+       |), ideal AS (
+       |  SELECT query_id, rel, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, doc_id) AS ir
+       |  FROM qr WHERE rel > 0
+       |), idealagg AS (
+       |  SELECT query_id,
+       |    sum((CASE WHEN ir <= $k
+       |      THEN floor(rel / (floor(ln(ir + 1.0) * 1000000000 + 0.5) / 1000000000)
+       |        * 1000000000 + 0.5) / 1000000000
+       |      ELSE 0.0 END)::DECIMAL(38,18))::DOUBLE AS idcg,
+       |    count(*) AS nrel
+       |  FROM ideal GROUP BY 1
+       |)
+       |SELECT r.query_id,
+       |  round(CASE WHEN i.idcg > 0 THEN r.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg,
+       |  round(CASE WHEN i.nrel > 0 THEN r.hits::DOUBLE / i.nrel::DOUBLE
+       |    ELSE 0.0 END, 6) AS recall,
+       |  round(coalesce(floor(1.0 / frank::DOUBLE * 1000000000 + 0.5) / 1000000000,
+       |    0.0), 6) AS mrr
+       |FROM runagg r LEFT JOIN idealagg i USING (query_id)""".stripMargin
+
   /** BM25 replay up to the `ranked` CTE — shared by `q_bm25_topk`
     * (and its indexed/pruned/incremental aliases) and `q_rank_eval`'s
     * metric chain (written once).
@@ -84,9 +131,11 @@ object QueriesLLM {
 
   /** tf-idf cosine replay — shared by `q_tfidf_cosine` (one-call) and
     * `q_tfidf_indexed` (build/search split + term-pruned scan): both
-    * paths compute the same trees by construction.
+    * paths compute the same trees by construction. Split as chain +
+    * final select so `q_rank_eval_tfidf` can pipe the `ranked` CTE
+    * into the metric chain (the bm25ChainSql pattern).
     */
-  private val tfidfOracleSql =
+  private val tfidfChainSql =
     """WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
       |  FROM documents
@@ -117,9 +166,11 @@ object QueriesLLM {
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY cos DESC, doc_id) AS rank
       |  FROM scored
-      |)
-      |SELECT query_id, doc_id, rank::BIGINT AS rank, cos
-      |FROM ranked WHERE rank <= 5""".stripMargin
+      |)""".stripMargin
+
+  private val tfidfOracleSql = tfidfChainSql +
+    "\nSELECT query_id, doc_id, rank::BIGINT AS rank, cos" +
+    "\nFROM ranked WHERE rank <= 5"
 
   /** The documents corpus with deterministic injected TRUNCATIONS:
     * every doc_id < 50 reappears at doc_id + 20000 cut to its first 15
@@ -379,16 +430,34 @@ object QueriesLLM {
     * that closes the retrieval loop, hash-exact end to end (round9
     * ln-form DCG gains, decimal sums, 1e-6 ratios).
     */
-  def q_rank_eval(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-    val run = Retrieval.bm25TopK(docs, "doc_id", "text",
-      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
-    val qrels = docs.filter(col("doc_id") < 300).select(col("doc_id"))
+  /** The shared graded-qrels fixture both eval queries score against
+    * (written once — the rankEvalMetricSql twin).
+    */
+  private def evalQrels(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"))
       .crossJoin(spark.range(3).select(col("id").as("query_id")))
       .withColumn("rel",
         when((col("doc_id") + col("query_id") * 7) % 5 === 0,
           (col("doc_id") % 3 + 1).cast("double")).otherwise(lit(0.0)))
-    Retrieval.rankEval(run, qrels, k = 5)
+
+  def q_rank_eval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val run = Retrieval.bm25TopK(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
+    Retrieval.rankEval(run, evalQrels(spark, dir), k = 5)
+  }
+
+  /** [[q_rank_eval]]'s metric chain over the VECTOR-SPACE scorer —
+    * same qrels, same trees: the two eval rows together say which
+    * scorer fits this corpus, which is the whole point of carrying an
+    * eval harness.
+    */
+  def q_rank_eval_tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val run = Retrieval.tfidfCosineTopK(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
+    Retrieval.rankEval(run, evalQrels(spark, dir), k = 5)
   }
 
   /** DATASET CARD: the one-row release summary a corpus ships with —
@@ -3128,6 +3197,7 @@ object QueriesLLM {
     "q_budget_sources" -> (q_budget_sources _),
     "q_corpus_diff" -> (q_corpus_diff _),
     "q_rank_eval" -> (q_rank_eval _),
+    "q_rank_eval_tfidf" -> (q_rank_eval_tfidf _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -4133,49 +4203,12 @@ object QueriesLLM {
       (bm25ChainSql +
         "\nSELECT query_id, doc_id, rank::BIGINT AS rank, score" +
         "\nFROM ranked WHERE rank <= 5"),
-    // the BM25 run piped into the rank-eval metric trees: graded qrels
-    // fixture, ln-form round9 DCG gains, decimal sums, 1e-6 ratios
-    "q_rank_eval" ->
-      (bm25ChainSql +
-        """, topk AS (
-          |  SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 5
-          |), qr AS (
-          |  SELECT d.doc_id, qq.query_id,
-          |    CASE WHEN (d.doc_id + qq.query_id * 7) % 5 = 0
-          |      THEN (d.doc_id % 3 + 1)::DOUBLE ELSE 0.0 END AS rel
-          |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
-          |  CROSS JOIN (SELECT unnest([0, 1, 2])::BIGINT AS query_id) qq
-          |), rscored AS (
-          |  SELECT t.query_id, t.doc_id, t.rank, coalesce(qr.rel, 0.0) AS rel
-          |  FROM topk t LEFT JOIN qr
-          |    ON t.query_id = qr.query_id AND t.doc_id = qr.doc_id
-          |), runagg AS (
-          |  SELECT query_id,
-          |    sum((floor(rel / (floor(ln(rank + 1.0) * 1000000000 + 0.5) / 1000000000)
-          |      * 1000000000 + 0.5) / 1000000000)::DECIMAL(38,18))::DOUBLE AS dcg,
-          |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
-          |    min(CASE WHEN rel > 0 THEN rank END) AS frank
-          |  FROM rscored GROUP BY 1
-          |), ideal AS (
-          |  SELECT query_id, rel, row_number() OVER (PARTITION BY query_id
-          |    ORDER BY rel DESC, doc_id) AS ir
-          |  FROM qr WHERE rel > 0
-          |), idealagg AS (
-          |  SELECT query_id,
-          |    sum((CASE WHEN ir <= 5
-          |      THEN floor(rel / (floor(ln(ir + 1.0) * 1000000000 + 0.5) / 1000000000)
-          |        * 1000000000 + 0.5) / 1000000000
-          |      ELSE 0.0 END)::DECIMAL(38,18))::DOUBLE AS idcg,
-          |    count(*) AS nrel
-          |  FROM ideal GROUP BY 1
-          |)
-          |SELECT r.query_id,
-          |  round(CASE WHEN i.idcg > 0 THEN r.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg,
-          |  round(CASE WHEN i.nrel > 0 THEN r.hits::DOUBLE / i.nrel::DOUBLE
-          |    ELSE 0.0 END, 6) AS recall,
-          |  round(coalesce(floor(1.0 / frank::DOUBLE * 1000000000 + 0.5) / 1000000000,
-          |    0.0), 6) AS mrr
-          |FROM runagg r LEFT JOIN idealagg i USING (query_id)""".stripMargin),
+    // a run's `ranked` CTE piped into the rank-eval metric trees:
+    // graded qrels fixture, ln-form round9 DCG gains, decimal sums,
+    // 1e-6 ratios — the metric chain is GENERATED once
+    // (rankEvalMetricSql) so every scorer's eval oracle shares it
+    "q_rank_eval" -> (bm25ChainSql + rankEvalMetricSql(5)),
+    "q_rank_eval_tfidf" -> (tfidfChainSql + rankEvalMetricSql(5)),
     "q_rerank" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term

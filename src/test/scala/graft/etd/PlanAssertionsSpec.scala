@@ -410,6 +410,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"expected id-keyed score joins in:\n$p")
   }
 
+  test("apportionment: the bump set plans TakeOrdered — never a " +
+      "range-partitioned global sort") {
+    val df = spark.range(1000).selectExpr("CAST(id AS STRING) AS k",
+      "id % 97 + 1 AS w")
+    val p = plan(graft.ops.Apportion.largestRemainder(df, "k", "w", 500L))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-r selection must be per-partition heaps + driver merge:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort exchange would funnel the key set:\n$p")
+  }
+
   test("expectations: rule count does not change the plan shape (one scan)") {
     import graft.ops.Expectations.Rule
     val docs = spark.read.parquet(s"$dir/documents.parquet")
