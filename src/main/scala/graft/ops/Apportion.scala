@@ -36,7 +36,10 @@ object Apportion {
     * NON-NULL key (a null stratum is meaningless as a quota target,
     * and null keys would silently lose their bump through the equi-
     * rejoin — dropped like non-positive weights); quotas sum to
-    * exactly `budget` (when any qualifying key exists). The result
+    * exactly `budget` (when any qualifying key exists). Keys must be
+    * UNIQUE among qualifying rows (guarded loud from the same one-row
+    * aggregate): duplicates would fan out the bump rejoin and void the
+    * sum-to-budget invariant — aggregate weights per key first. The result
     * rides a lazy checkpoint of the scored frame (the input lineage —
     * often a full rank computation — must not re-execute for the bump
     * pass); the CALLER frees it via `graft.Checkpoints.free` once the
@@ -49,12 +52,20 @@ object Apportion {
         col(weightCol).cast("long").as("weight"))
       .filter(col("key").isNotNull && col("weight") > 0)
     // Σweight through DECIMAL: a long sum can wrap PAST zero back to a
-    // plausible positive, which the intended loud failure must catch
+    // plausible positive, which the intended loud failure must catch.
+    // count vs countDistinct rides the same one-row aggregate: a
+    // duplicate key would fan out the bump equi-rejoin and break the
+    // quotas-sum-to-budget invariant silently — fail loud instead
     val stats = w.agg(sum(col("weight").cast("decimal(38,0)")),
-      coalesce(max(col("weight")), lit(0L))).collect().head
+      coalesce(max(col("weight")), lit(0L)),
+      count(lit(1)), countDistinct(col("key"))).collect().head
     val totalWDec =
       if (stats.isNullAt(0)) java.math.BigDecimal.ZERO else stats.getDecimal(0)
     val maxW = stats.getLong(1)
+    require(stats.getLong(2) == stats.getLong(3),
+      s"largestRemainder: duplicate keys in '$keyCol' " +
+        s"(${stats.getLong(2)} rows, ${stats.getLong(3)} distinct) — " +
+        "aggregate weights per key before apportioning")
     require(totalWDec.compareTo(
         java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
       "largestRemainder: Σweight overflows Long — rescale weights to a " +

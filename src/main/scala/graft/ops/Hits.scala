@@ -98,11 +98,23 @@ object Hits {
             .select(col("id"),
               coalesce(col("__ph"), lit(1.0) / lit(n.toDouble)).as("hub"),
               coalesce(col("__pa"), lit(1.0) / lit(n.toDouble)).as("auth"))
-          val mass = carried.agg(
-            massSum(col("hub")).as("__hm"), massSum(col("auth")).as("__am"))
-          carried.crossJoin(broadcast(mass))
-            .select(col("id"), (col("hub") / col("__hm")).as("hub"),
-              (col("auth") / col("__am")).as("auth"))
+          // loud-failure guard (ADVICE r17): a degenerate initScores
+          // (all-zero or net-negative hub/auth over the current node
+          // set) has zero L1 mass, and the renormalizing division would
+          // mint NaNs that ride silently through every iteration — the
+          // same discipline as Apportion's overflow guards. The mass is
+          // a one-row aggregate either way; resolving it on the driver
+          // costs nothing extra and the lit() divisor is the identical
+          // double the broadcast column carried.
+          val massRow = carried.agg(
+            massSum(col("hub")), massSum(col("auth"))).collect().head
+          val (hm, am) = (massRow.getDouble(0), massRow.getDouble(1))
+          require(hm > 0.0 && am > 0.0,
+            s"hitsFrom: carried L1 mass must be > 0 after renormalization " +
+              s"(hub mass $hm, auth mass $am) — initScores is degenerate " +
+              "over the current node set")
+          carried.select(col("id"), (col("hub") / lit(hm)).as("hub"),
+            (col("auth") / lit(am)).as("auth"))
       })
         .localCheckpoint()
       var cut = scores

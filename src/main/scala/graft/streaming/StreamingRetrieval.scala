@@ -247,6 +247,11 @@ object StreamingRetrieval {
     */
   def compactPositional(spark: SparkSession, indexDir: String): Unit = {
     import spark.implicits._
+    // a prior compaction may have crashed between retire and promote;
+    // promote the complete _compacting candidate before reading (the
+    // same self-repair compactEdges runs — a standalone compaction must
+    // not require an append/load to have healed the log first)
+    BatchState.recoverSwap(spark, s"$indexDir/positions")
     val ids = spark.read.parquet(s"$indexDir/positions")
       .select(col("batch_id").cast("long")).distinct()
       .as[Long].collect().toSet.filter(_ != -1L)

@@ -80,4 +80,19 @@ class ApportionSpec extends AnyFunSuite {
     assert(run(Seq(("a", 3L), ("b", 1L)), 0L).values.forall(_ == 0L))
     assert(run(Seq(("a", 0L)), 10L).isEmpty)
   }
+
+  test("duplicate keys fail loud instead of silently breaking " +
+      "sum-to-budget (ADVICE r17)") {
+    // a duplicated key fans out the bump equi-rejoin; the guard rides
+    // the existing one-row aggregate and rejects before any arithmetic
+    val ex = intercept[IllegalArgumentException] {
+      run(Seq(("a", 3L), ("a", 2L), ("b", 1L)), 10L)
+    }
+    assert(ex.getMessage.contains("duplicate keys"))
+    // duplicates among DROPPED rows (non-positive weight, null key)
+    // never reach the guard — they are out of the quota population
+    assert(run(Seq(("a", 3L), ("b", 0L), ("b", -1L)), 3L) == Map("a" -> 3L))
+    assert(run(Seq(("a", 3L), (null.asInstanceOf[String], 1L),
+      (null.asInstanceOf[String], 2L)), 3L) == Map("a" -> 3L))
+  }
 }

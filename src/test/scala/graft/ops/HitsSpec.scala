@@ -152,4 +152,24 @@ class HitsSpec extends AnyFunSuite {
       .as[(Long, Double, Double)].collect().toSet
     assert(once == dup)
   }
+
+  test("degenerate initScores (zero/negative carried mass) fails loud, " +
+      "never NaN (ADVICE r17)") {
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    // all-zero carried vectors: L1 mass 0, the renormalizing division
+    // would mint NaNs that ride silently through every iteration
+    val zeros = Seq((1L, 0.0, 0.0), (2L, 0.0, 0.0), (3L, 0.0, 0.0))
+      .toDF("id", "hub", "auth")
+    val ex = intercept[IllegalArgumentException] {
+      Hits.hitsFrom(df, zeros, 2)
+    }
+    assert(ex.getMessage.contains("mass"))
+    // net-negative mass on one vector is just as degenerate
+    val neg = Seq((1L, 0.5, -1.0), (2L, 0.5, 0.2), (3L, 0.0, 0.2))
+      .toDF("id", "hub", "auth")
+    val ex2 = intercept[IllegalArgumentException] {
+      Hits.hitsFrom(df, neg, 2)
+    }
+    assert(ex2.getMessage.contains("mass"))
+  }
 }

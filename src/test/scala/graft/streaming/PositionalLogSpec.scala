@@ -91,6 +91,39 @@ class PositionalLogSpec extends AnyFunSuite {
       == phraseSet(Retrieval.positionalPostings(allLate, "doc_id", "text")))
   }
 
+  test("standalone compactPositional self-repairs a crashed swap " +
+      "(retire-to-promote window, ADVICE r17)") {
+    val indexDir = java.nio.file.Files.createTempDirectory("posrecover").toString
+    val rnd = new scala.util.Random(17)
+    val batches = (0 until 3).map(b =>
+      (b * 10L until b * 10L + 10L).map(i => (i, doc(rnd, 6 + rnd.nextInt(8)))))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingRetrieval.appendPositional(indexDir, "doc_id", "text")(
+        b.toDF("doc_id", "text"), i.toLong)
+    }
+    val all = batches.flatten.toDF("doc_id", "text")
+    val expected = phraseSet(
+      Retrieval.positionalPostings(all, "doc_id", "text"))
+    // simulate a compaction crash in the one non-atomic window: the
+    // candidate is complete under _compacting, the live dir retired to
+    // _old, and NO live dir exists
+    val livePath = s"$indexDir/positions"
+    val (f, live) = BatchState.fs(spark, livePath)
+    val tmp = new org.apache.hadoop.fs.Path(s"${livePath}_compacting")
+    assert(f.rename(live, tmp), "fixture: retire live to candidate")
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"${livePath}_old"))
+    // a STANDALONE compaction (no append/load healed the log first)
+    // must promote the candidate instead of failing path-not-found
+    StreamingRetrieval.compactPositional(spark, indexDir)
+    assert(spark.read.parquet(livePath)
+      .select(col("batch_id").cast("long")).distinct()
+      .as[Long].collect().toSet == Set(-1L))
+    assert(phraseSet(StreamingRetrieval.loadPositional(spark, indexDir))
+      == expected)
+    assert(!f.exists(tmp) &&
+      !f.exists(new org.apache.hadoop.fs.Path(s"${livePath}_old")))
+  }
+
   test("autoCompactEvery folds in-band; results identical") {
     val indexDir = java.nio.file.Files.createTempDirectory("posauto").toString
     val rnd = new scala.util.Random(13)
