@@ -1033,21 +1033,27 @@ object QueriesLLM {
     * algorithm per row with the same parsed rule lists inlined.
     */
   private def synthHost: Column =
-    when(col("doc_id") % 14 === 0, lit("Sub.Shop.Example.CO.UK"))
-      .when(col("doc_id") % 14 === 1, lit("news.example.com.au"))
-      .when(col("doc_id") % 14 === 2, lit("a.b.example.com"))
-      .when(col("doc_id") % 14 === 3, lit("example.com"))
-      .when(col("doc_id") % 14 === 4, lit("www.ck"))
-      .when(col("doc_id") % 14 === 5, lit("foo.bar.ck"))
-      .when(col("doc_id") % 14 === 6, lit("deep.host.example.school.nz"))
-      .when(col("doc_id") % 14 === 7, lit("co.uk")) // public suffix: null
+    when(col("doc_id") % 16 === 0, lit("Sub.Shop.Example.CO.UK"))
+      .when(col("doc_id") % 16 === 1, lit("news.example.com.au"))
+      .when(col("doc_id") % 16 === 2, lit("a.b.example.com"))
+      .when(col("doc_id") % 16 === 3, lit("example.com"))
+      .when(col("doc_id") % 16 === 4, lit("www.ck"))
+      .when(col("doc_id") % 16 === 5, lit("foo.bar.ck"))
+      .when(col("doc_id") % 16 === 6, lit("deep.host.example.school.nz"))
+      .when(col("doc_id") % 16 === 7, lit("co.uk")) // public suffix: null
       // r17 arms: rules OUTSIDE the old snapshot subset — only the
       // bundled complete list resolves these
-      .when(col("doc_id") % 14 === 8, lit("myblog.blogspot.com")) // private-section rule
-      .when(col("doc_id") % 14 === 9, lit("sub.site.pvt.k12.ma.us")) // 4-label rule
-      .when(col("doc_id") % 14 === 10, lit("shop.example.xn--55qx5d.cn")) // IDN rule 公司.cn, punycode host
-      .when(col("doc_id") % 14 === 11, lit("a.b.kawasaki.jp")) // *.kawasaki.jp wildcard
-      .when(col("doc_id") % 14 === 12, lit("www.city.kawasaki.jp")) // !city.kawasaki.jp exception
+      .when(col("doc_id") % 16 === 8, lit("myblog.blogspot.com")) // private-section rule
+      .when(col("doc_id") % 16 === 9, lit("sub.site.pvt.k12.ma.us")) // 4-label rule
+      .when(col("doc_id") % 16 === 10, lit("shop.example.xn--55qx5d.cn")) // IDN rule 公司.cn, punycode host
+      .when(col("doc_id") % 16 === 11, lit("a.b.kawasaki.jp")) // *.kawasaki.jp wildcard
+      .when(col("doc_id") % 16 === 12, lit("www.city.kawasaki.jp")) // !city.kawasaki.jp exception
+      // r18 arms (VERDICT r17 #1): MULTI-LABEL fully-IDN suffixes —
+      // both suffix labels arrive punycode on real crawls while the
+      // list carries them Unicode; unnormalized they'd silently fall
+      // to the implicit `*` rule
+      .when(col("doc_id") % 16 === 13, lit("a.shop.xn--55qx5d.xn--j6w193g")) // 公司.香港
+      .when(col("doc_id") % 16 === 14, lit("xn--fiq228c.xn--fiqs8s")) // IDN registrant under IDN TLD 中国
       .otherwise(lit("host.unknowntld")) // implicit * rule
 
   /** Crawl-trap URL fixture, five arms per doc_id % 5: benign shallow
@@ -3657,7 +3663,7 @@ object QueriesLLM {
     val wilds = lst(parsed.collect { case (s, true, _) => s })
     val excs = lst(parsed.collect { case (s, _, true) => s })
     s"""WITH hosts AS (
-      |  SELECT doc_id, lower(CASE doc_id % 14
+      |  SELECT doc_id, lower(CASE doc_id % 16
       |    WHEN 0 THEN 'Sub.Shop.Example.CO.UK'
       |    WHEN 1 THEN 'news.example.com.au'
       |    WHEN 2 THEN 'a.b.example.com'
@@ -3671,6 +3677,8 @@ object QueriesLLM {
       |    WHEN 10 THEN 'shop.example.xn--55qx5d.cn'
       |    WHEN 11 THEN 'a.b.kawasaki.jp'
       |    WHEN 12 THEN 'www.city.kawasaki.jp'
+      |    WHEN 13 THEN 'a.shop.xn--55qx5d.xn--j6w193g'
+      |    WHEN 14 THEN 'xn--fiq228c.xn--fiqs8s'
       |    ELSE 'host.unknowntld' END) AS host
       |  FROM documents
       |), base AS (

@@ -137,6 +137,46 @@ class UrlAndMainSpec extends AnyFunSuite {
     assert(got("example.com.br") == Some("example.com.br"))
   }
 
+  test("IDN edge arms (VERDICT r17 #1): multi-label fully-IDN suffixes from " +
+      "the real list, plus synthetic wildcard-IDN and exception-IDN rules") {
+    // REAL list: 公司.香港 parses to the 2-label all-punycode suffix
+    val parsed = UrlFunctions.parsePslRules(UrlFunctions.fullPslRules)
+    assert(parsed.contains(("xn--55qx5d.xn--j6w193g", false, false)),
+      "公司.香港 must punycode-normalize label-by-label")
+    assert(parsed.contains(("xn--fiqs8s", false, false)), "中国 IDN TLD")
+    val psl = UrlFunctions.pslRulesTable(spark)
+    val hosts = Seq(
+      "a.shop.xn--55qx5d.xn--j6w193g", // registrant under 公司.香港
+      "xn--55qx5d.xn--j6w193g",        // IS the suffix: null
+      "xn--fiq228c.xn--fiqs8s"         // IDN registrant under IDN TLD
+    ).toDF("host")
+    val got = UrlFunctions.registeredDomainPsl(hosts, "host", "domain", psl)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("a.shop.xn--55qx5d.xn--j6w193g")
+      == Some("shop.xn--55qx5d.xn--j6w193g"))
+    assert(got("xn--55qx5d.xn--j6w193g") == None)
+    assert(got("xn--fiq228c.xn--fiqs8s") == Some("xn--fiq228c.xn--fiqs8s"))
+
+    // SYNTHETIC wildcard-IDN + exception-IDN (the real list carries
+    // none today — verified by scan — but the matcher must be ready):
+    // *.例子.cn with !www.例子.cn, both written Unicode like the list
+    val synth = UrlFunctions.pslRulesTable(spark,
+      Seq("cn", "*.例子.cn", "!www.例子.cn"))
+    val puny = "xn--fsqu00a" // 例子
+    val sHosts = Seq(
+      s"a.b.$puny.cn",   // wildcard: b.例子.cn is the public suffix
+      s"www.$puny.cn",   // exception: registers as www.例子.cn itself
+      s"x.www.$puny.cn", // under the exception domain
+      s"b.$puny.cn"      // IS a wildcard-made suffix: null
+    ).toDF("host")
+    val sGot = UrlFunctions.registeredDomainPsl(sHosts, "host", "domain", synth)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(sGot(s"a.b.$puny.cn") == Some(s"a.b.$puny.cn"))
+    assert(sGot(s"www.$puny.cn") == Some(s"www.$puny.cn"))
+    assert(sGot(s"x.www.$puny.cn") == Some(s"www.$puny.cn"))
+    assert(sGot(s"b.$puny.cn") == None)
+  }
+
   test("extractLinks: quote styles, resolution arms, scheme drops, " +
       "pathless base") {
     val html = """<a href="/abs">a</a><A HREF='single'>s</A>""" +
