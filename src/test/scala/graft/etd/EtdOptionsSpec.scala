@@ -20,6 +20,9 @@ class EtdOptionsSpec extends AnyFunSuite {
     assert(o.aggregatePath("project", "60min") == "a/project_60min.parquet")
     // aggregate.py:324 safe-name rule: lowercase, \W+ -> _
     assert(o.safeName("My Table-Name!") == "my_table_name_")
+    // Unicode parity: Python's \W is Unicode-aware — byte-for-byte vs
+    // re.sub(r"\W+", "_", "Zon Éopwek-Σtotaal!".lower())
+    assert(o.safeName("Zon Éopwek-Σtotaal!") == "zon_éopwek_σtotaal_")
     assert(o.aggregatePath("Huis Data", "24h") == "a/huis_data_24h.parquet")
     assert(o.indexPath == "m/index.parquet")
     // unset weather option fails loudly, like unset reference options

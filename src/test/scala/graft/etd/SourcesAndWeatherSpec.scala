@@ -122,6 +122,10 @@ class SourcesAndWeatherSpec extends AnyFunSuite {
   test("writeStage sanitizes stage names (re.sub \\W+ parity)") {
     assert(Sources.safeName("Zon-opwekTotaal") == "zon_opwektotaal")
     assert(Sources.safeName("household_5min") == "household_5min")
+    // Unicode parity (VERDICT r17 #3): Python's \W is Unicode-aware, so
+    // é and Σ are WORD chars — byte-for-byte vs
+    // re.sub(r"\W+", "_", "Zon Éopwek-Σtotaal!".lower())
+    assert(Sources.safeName("Zon Éopwek-Σtotaal!") == "zon_éopwek_σtotaal_")
     val dir = Files.createTempDirectory("safename").toFile.getAbsolutePath
     Sources.writeStage(Seq((1L, 1.0)).toDF("k", "v"), dir, "Zon-opwekTotaal")
     assert(new java.io.File(s"$dir/zon_opwektotaal.parquet").exists())
