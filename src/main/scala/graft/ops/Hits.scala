@@ -71,9 +71,39 @@ object Hits {
                checkpointEvery: Int = 1, saltJoin: Int = 1): DataFrame =
     runHits(edges, Some(initScores), iterations, checkpointEvery, saltJoin)
 
+  /** CONVERGENCE-STOPPED HITS (VERDICT r17 #5, the [[PageRank
+    * .pageRankUntil]] contract on both score vectors): iterate until
+    * the decimal-exact L1 delta of successive (hub, auth) vectors —
+    * Σ(|hub_k − hub_{k−1}| + |auth_k − auth_{k−1}|), each term IEEE,
+    * the sum order-free through DECIMAL(38,18) — is ≤ `epsilon`, or
+    * `maxIterations` rounds have run. Returns (scores, roundsRun);
+    * `roundsRun < maxIterations` reads "converged". Stop round is
+    * deterministic under any partitioning and any `saltJoin`
+    * (spec-pinned). Every round already localCheckpoints (HITS cadence
+    * 1 — see [[hits]]), so the delta is one node-grain join + one-row
+    * aggregate on frames the loop materializes anyway.
+    */
+  def hitsUntil(edges: DataFrame, epsilon: Double, maxIterations: Int = 100,
+                saltJoin: Int = 1): (DataFrame, Int) = {
+    require(epsilon >= 0.0, "hitsUntil: epsilon must be >= 0")
+    runHitsCounted(edges, None, maxIterations, 1, saltJoin,
+      epsilon = Some(epsilon))
+  }
+
   private def runHits(edges: DataFrame, init: Option[DataFrame],
                       iterations: Int, checkpointEvery: Int,
-                      saltJoin: Int): DataFrame = {
+                      saltJoin: Int): DataFrame =
+    runHitsCounted(edges, init, iterations, checkpointEvery, saltJoin,
+      epsilon = None)._1
+
+  /** The shared loop. `epsilon = None` is the fixed-iteration path,
+    * byte-identical to the pre-r18 `runHits`; `Some(eps)` checkpoints
+    * every round (forced cadence 1) and stops on the L1 delta.
+    */
+  private def runHitsCounted(edges: DataFrame, init: Option[DataFrame],
+                             iterations: Int, checkpointEvery: Int,
+                             saltJoin: Int,
+                             epsilon: Option[Double]): (DataFrame, Int) = {
     require(iterations >= 0, "hits: iterations must be >= 0")
     require(checkpointEvery >= 1, "hits: checkpointEvery must be >= 1")
     def massSum(c: org.apache.spark.sql.Column) =
@@ -126,20 +156,49 @@ object Hits {
       var pending = List.empty[DataFrame]
       var i = 0
       try {
-        while (i < iterations) {
-          val (next, tmps) = oneRoundCut(nodes, e, scores, saltJoin)
-          scores = next
-          pending = tmps ::: pending
-          if ((i + 1) % checkpointEvery == 0 || i + 1 == iterations) {
-            scores = scores.localCheckpoint()
-            graft.Checkpoints.free(cut)
-            cut = scores
-            pending.foreach(graft.Checkpoints.free(_))
-            pending = Nil
-          }
-          i += 1
+        epsilon match {
+          case None =>
+            while (i < iterations) {
+              val (next, tmps) = oneRoundCut(nodes, e, scores, saltJoin)
+              scores = next
+              pending = tmps ::: pending
+              if ((i + 1) % checkpointEvery == 0 || i + 1 == iterations) {
+                scores = scores.localCheckpoint()
+                graft.Checkpoints.free(cut)
+                cut = scores
+                pending.foreach(graft.Checkpoints.free(_))
+                pending = Nil
+              }
+              i += 1
+            }
+            (scores, i)
+          case Some(eps) =>
+            var converged = false
+            while (i < iterations && !converged) {
+              val (nextRaw, tmps) = oneRoundCut(nodes, e, scores, saltJoin)
+              val next = nextRaw.localCheckpoint()
+              // decimal-exact L1 delta over BOTH vectors: per-node
+              // terms are fixed IEEE ops, the cross-node sum order-
+              // free — the stop decision cannot depend on partitioning
+              val delta = scores.select(col("id"),
+                  col("hub").as("__oh"), col("auth").as("__oa"))
+                .join(next.select(col("id"),
+                  col("hub").as("__nh"), col("auth").as("__na")), Seq("id"))
+                .agg(coalesce(
+                  sum((abs(col("__nh") - col("__oh")) +
+                    abs(col("__na") - col("__oa")))
+                    .cast("decimal(38,18)")).cast("double"),
+                  lit(0.0)))
+                .collect().head.getDouble(0)
+              graft.Checkpoints.free(cut)
+              tmps.foreach(graft.Checkpoints.free(_))
+              scores = next
+              cut = next
+              converged = delta <= eps
+              i += 1
+            }
+            (scores, i)
         }
-        scores
       } finally {
         pending.foreach(graft.Checkpoints.free(_))
         if (cut ne scores) graft.Checkpoints.free(cut)

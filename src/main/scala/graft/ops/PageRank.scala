@@ -108,6 +108,29 @@ object PageRank {
     run(edges, Some(initRanks), iterations, damping, checkpointEvery,
       exact = true)
 
+  /** CONVERGENCE-STOPPED power iteration (VERDICT r17 #5): iterate
+    * until the DECIMAL-EXACT L1 delta of successive rank vectors —
+    * Σ|rank_k − rank_{k−1}|, each term one IEEE subtraction, the sum
+    * order-free through DECIMAL(38,18) — is ≤ `epsilon`, or
+    * `maxIterations` rounds have run. Returns (ranks, roundsRun); the
+    * caller reads `roundsRun < maxIterations` as "converged". The stop
+    * round is DETERMINISTIC under any partitioning (decimal sums are
+    * order-free and every per-node update is a fixed expression tree —
+    * spec-pinned), which is why this variant exists only on the exact
+    * tier: IEEE-double partial sums would make the delta, and with it
+    * the ROUND COUNT, partitioning-dependent. Each round is
+    * materialized (the delta is an action on the successive pair), so
+    * `checkpointEvery` does not apply — production authority runs
+    * iterate to tolerance instead of guessing a fixed count.
+    */
+  def pageRankUntil(edges: DataFrame, epsilon: Double,
+                    maxIterations: Int = 100, damping: Double = 0.85,
+                    saltJoin: Int = 0): (DataFrame, Int) = {
+    require(epsilon >= 0.0, "pageRankUntil: epsilon must be >= 0")
+    runCounted(edges, None, maxIterations, damping, 1, exact = true,
+      saltJoin = saltJoin, epsilon = Some(epsilon))
+  }
+
   /** `saltJoin` > 1 spreads each node's EDGE rows over that many salt
     * buckets in the per-round rank⋈edges join (the rank row replicates
     * per bucket — [[Skew.saltedJoin]]): the hot-OUT-hub mitigation for
@@ -124,7 +147,22 @@ object PageRank {
     */
   private def run(edges: DataFrame, init: Option[DataFrame], iterations: Int,
                   damping: Double, checkpointEvery: Int,
-                  exact: Boolean, saltJoin: Int = 0): DataFrame = {
+                  exact: Boolean, saltJoin: Int = 0): DataFrame =
+    runCounted(edges, init, iterations, damping, checkpointEvery, exact,
+      saltJoin, epsilon = None)._1
+
+  /** The shared loop. `epsilon = None` is the fixed-iteration path,
+    * byte-identical to the pre-r18 `run` (the round body is one shared
+    * local def, so the two modes cannot diverge); `Some(eps)` is the
+    * [[pageRankUntil]] path — every round localCheckpoints and the L1
+    * delta between the successive (materialized, node-grain) vectors
+    * is one extra join + one-row decimal aggregate per round.
+    */
+  private def runCounted(edges: DataFrame, init: Option[DataFrame],
+                         iterations: Int, damping: Double,
+                         checkpointEvery: Int, exact: Boolean,
+                         saltJoin: Int,
+                         epsilon: Option[Double]): (DataFrame, Int) = {
     // the ONLY tier difference: how cross-edge/cross-node mass sums.
     // exact = order-free decimal; fast = native IEEE double agg.
     def massSum(c: org.apache.spark.sql.Column) =
@@ -164,47 +202,77 @@ object PageRank {
           carried.crossJoin(broadcast(mass))
             .select(col("id"), (col("rank") / col("m")).as("rank"))
       }).localCheckpoint()
+      // one power-iteration round — the SINGLE definition both the
+      // fixed-iteration and the epsilon-stopped loops execute
+      def oneRound(prev: DataFrame): DataFrame = {
+        // fresh attribute ids for the edge side: ranks/nodes descend
+        // from e, so joining e directly is an ambiguous self-join
+        val eOut = e.select(col("src").as("__es"), col("dst").as("__ed"))
+        val withDeg = prev.join(outdeg, prev("id") === outdeg("src"), "left")
+        val linked = withDeg.filter(col("deg").isNotNull)
+        val joined =
+          if (salt > 1)
+            // edges salted by dst content (deterministic), rank rows
+            // replicated salt ways — the hub's edges fan over
+            // salt tasks instead of one
+            Skew.saltedJoin(eOut,
+              linked.select(col("id").as("__es"), col("rank"), col("deg")),
+              Seq("__es"), salt, saltBy = Seq("__ed"))
+          else linked.join(eOut, linked("id") === col("__es"))
+        val contribs = joined
+          .select(col("__ed").as("id"),
+            (col("rank") / col("deg").cast("double")).as("c"))
+        val sums = contribs
+          .groupBy(col("id"))
+          .agg(massSum(col("c")).as("s"))
+        val dangling = withDeg.filter(col("deg").isNull)
+          .agg(coalesce(massSum(col("rank")), lit(0.0)).as("m"))
+        nodes
+          .join(sums, Seq("id"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"),
+            ((lit(1.0) - d) / nD +
+              d * (coalesce(col("s"), lit(0.0)) + col("m") / nD))
+              .as("rank"))
+      }
       var cut = ranks
       var i = 0
       try {
-        while (i < iterations) {
-          // fresh attribute ids for the edge side: ranks/nodes descend
-          // from e, so joining e directly is an ambiguous self-join
-          val eOut = e.select(col("src").as("__es"), col("dst").as("__ed"))
-          val withDeg = ranks.join(outdeg, ranks("id") === outdeg("src"), "left")
-          val linked = withDeg.filter(col("deg").isNotNull)
-          val joined =
-            if (salt > 1)
-              // edges salted by dst content (deterministic), rank rows
-              // replicated salt ways — the hub's edges fan over
-              // salt tasks instead of one
-              Skew.saltedJoin(eOut,
-                linked.select(col("id").as("__es"), col("rank"), col("deg")),
-                Seq("__es"), salt, saltBy = Seq("__ed"))
-            else linked.join(eOut, linked("id") === col("__es"))
-          val contribs = joined
-            .select(col("__ed").as("id"),
-              (col("rank") / col("deg").cast("double")).as("c"))
-          val sums = contribs
-            .groupBy(col("id"))
-            .agg(massSum(col("c")).as("s"))
-          val dangling = withDeg.filter(col("deg").isNull)
-            .agg(coalesce(massSum(col("rank")), lit(0.0)).as("m"))
-          ranks = nodes
-            .join(sums, Seq("id"), "left")
-            .crossJoin(broadcast(dangling))
-            .select(col("id"),
-              ((lit(1.0) - d) / nD +
-                d * (coalesce(col("s"), lit(0.0)) + col("m") / nD))
-                .as("rank"))
-          if ((i + 1) % checkpointEvery == 0 || i + 1 == iterations) {
-            ranks = ranks.localCheckpoint()
-            graft.Checkpoints.free(cut)
-            cut = ranks
-          }
-          i += 1
+        epsilon match {
+          case None =>
+            while (i < iterations) {
+              ranks = oneRound(ranks)
+              if ((i + 1) % checkpointEvery == 0 || i + 1 == iterations) {
+                ranks = ranks.localCheckpoint()
+                graft.Checkpoints.free(cut)
+                cut = ranks
+              }
+              i += 1
+            }
+            (ranks, i)
+          case Some(eps) =>
+            var converged = false
+            while (i < iterations && !converged) {
+              val next = oneRound(ranks).localCheckpoint()
+              // decimal-exact L1 delta: |Δ| per node is one IEEE
+              // subtraction, the cross-node sum order-free — so the
+              // stop decision cannot depend on partitioning
+              val delta = ranks.select(col("id"), col("rank").as("__old"))
+                .join(next.select(col("id"), col("rank").as("__new")),
+                  Seq("id"))
+                .agg(coalesce(
+                  sum(abs(col("__new") - col("__old"))
+                    .cast("decimal(38,18)")).cast("double"),
+                  lit(0.0)))
+                .collect().head.getDouble(0)
+              graft.Checkpoints.free(cut)
+              ranks = next
+              cut = next
+              converged = delta <= eps
+              i += 1
+            }
+            (ranks, i)
         }
-        ranks
       } finally if (cut ne ranks) graft.Checkpoints.free(cut)
     } finally graft.Checkpoints.free(e)
   }
@@ -333,6 +401,64 @@ object PageRank {
     }
     (head +: iters).mkString(",\n") +
       s"\nSELECT id, floor(rank * 1000000 + 0.5) / 1000000 AS rank FROM r$iterations"
+  }
+
+  /** The DuckDB oracle for [[pageRankUntil]], generated for a cap of
+    * `maxIterations` rounds: unrolls every round (MATERIALIZED — the
+    * [[Hits.oracleSql]] lesson), computes each round's decimal-exact
+    * L1 delta with the identical expression tree the Scala loop uses
+    * (per-node |Δ| in IEEE double, cross-node sum through
+    * DECIMAL(38,18)), resolves the stop round as the least k with
+    * delta ≤ epsilon (else the cap), and emits that round's ranks
+    * with the stop round — so the convergence MACHINERY itself, not
+    * just a fixed-round result, is hash-checked cross-engine.
+    */
+  def oracleSqlConverged(edgesCte: String, epsilon: Double,
+                         maxIterations: Int,
+                         damping: Double = 0.85): String = {
+    val d = damping.toString
+    val head =
+      s"""WITH edges0 AS ($edgesCte),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges0),
+         |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+         |od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    val iters = (1 to maxIterations).map { k =>
+      val p = s"r${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS id, r.rank / od.deg::DOUBLE AS c
+         |  FROM $p r JOIN od ON r.id = od.src JOIN e ON e.src = r.id
+         |), s$k AS MATERIALIZED (
+         |  SELECT id, sum(c::DECIMAL(38,18))::DOUBLE AS s FROM c$k GROUP BY 1
+         |), m$k AS (
+         |  SELECT coalesce(sum(r.rank::DECIMAL(38,18))::DOUBLE, 0.0::DOUBLE) AS m
+         |  FROM $p r LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL
+         |), r$k AS MATERIALIZED (
+         |  SELECT n.id,
+         |    (1.0::DOUBLE - $d) / (SELECT n FROM nn) +
+         |    $d * (coalesce(s.s, 0.0::DOUBLE) + (SELECT m FROM m$k) / (SELECT n FROM nn)) AS rank
+         |  FROM nodes n LEFT JOIN s$k s ON n.id = s.id
+         |), d$k AS MATERIALIZED (
+         |  SELECT $k::BIGINT AS k,
+         |    sum(abs(a.rank - b.rank)::DECIMAL(38,18))::DOUBLE AS delta
+         |  FROM r$k a JOIN r${k - 1} b ON a.id = b.id
+         |)""".stripMargin
+    }
+    val deltasUnion = (1 to maxIterations)
+      .map(k => s"SELECT k, delta FROM d$k").mkString(" UNION ALL ")
+    val ranksUnion = (1 to maxIterations)
+      .map(k => s"SELECT $k::BIGINT AS k, id, rank FROM r$k")
+      .mkString(" UNION ALL ")
+    val tail =
+      s"""stop AS (
+         |  SELECT coalesce(min(k), $maxIterations::BIGINT) AS k
+         |  FROM ($deltasUnion) WHERE delta <= $epsilon
+         |)
+         |SELECT id, floor(rank * 1000000 + 0.5) / 1000000 AS rank,
+         |  (SELECT k FROM stop) AS stop_round
+         |FROM ($ranksUnion) WHERE k = (SELECT k FROM stop)""".stripMargin
+    (head +: iters).mkString(",\n") + ",\n" + tail
   }
 
   /** The DuckDB oracle for [[pageRank]], generated for `iterations`

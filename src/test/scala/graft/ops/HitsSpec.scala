@@ -172,4 +172,24 @@ class HitsSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("mass"))
   }
+
+  test("hitsUntil: stop round deterministic under partitioning and salt; " +
+      "result == fixed-iteration run at the stop round (VERDICT r17 #5)") {
+    val df = edges.toDF("src", "dst")
+    val (r1, n1) = Hits.hitsUntil(df.repartition(3), 1e-4,
+      maxIterations = 60)
+    val (r2, n2) = Hits.hitsUntil(df.repartition(11), 1e-4,
+      maxIterations = 60, saltJoin = 4)
+    assert(n1 == n2, "stop round must not depend on partitioning or salt")
+    assert(n1 > 1 && n1 < 60, s"fixture must converge mid-range, got $n1")
+    val m1 = r1.as[(Long, Double, Double)].collect().toSet
+    val m2 = r2.as[(Long, Double, Double)].collect().toSet
+    assert(m1 == m2, "converged scores must be bit-identical")
+    val fixed = Hits.hits(df, n1).as[(Long, Double, Double)].collect().toSet
+    assert(m1 == fixed, "epsilon path must be bit-identical to the fixed path")
+    val (_, n0) = Hits.hitsUntil(df, 1e9, maxIterations = 60)
+    assert(n0 == 1)
+    val (_, nCap) = Hits.hitsUntil(df, 0.0, maxIterations = 2)
+    assert(nCap == 2)
+  }
 }

@@ -235,4 +235,30 @@ class PageRankSpec extends AnyFunSuite {
       assert(math.abs(r - u3(id)) < 1e-14, s"uniform node $id: $r vs ${u3(id)}")
     }
   }
+
+  test("pageRankUntil: stop round deterministic under partitioning; " +
+      "result == fixed-iteration run at the stop round (VERDICT r17 #5)") {
+    val df = edges.toDF("src", "dst")
+    val (r1, n1) = PageRank.pageRankUntil(df.repartition(3), 1e-4,
+      maxIterations = 60)
+    val (r2, n2) = PageRank.pageRankUntil(df.repartition(11), 1e-4,
+      maxIterations = 60)
+    assert(n1 == n2, "stop round must not depend on partitioning")
+    assert(n1 > 1 && n1 < 60, s"fixture must converge mid-range, got $n1")
+    val m1 = r1.as[(Long, Double)].collect().toMap
+    val m2 = r2.as[(Long, Double)].collect().toMap
+    assert(m1 == m2, "converged ranks must be bit-identical across partitionings")
+    // the epsilon loop runs the SAME round body: its output at the stop
+    // round is byte-equal to the fixed-iteration API at that count
+    val fixed = PageRank.pageRank(df, n1).as[(Long, Double)].collect().toMap
+    assert(m1 == fixed, "epsilon path must be bit-identical to the fixed path")
+    // tighter epsilon can only iterate further; a huge one stops at 1
+    val (_, n3) = PageRank.pageRankUntil(df, 1e-9, maxIterations = 100)
+    assert(n3 >= n1)
+    val (_, n0) = PageRank.pageRankUntil(df, 1e9, maxIterations = 60)
+    assert(n0 == 1)
+    // the cap wins when epsilon is unreachable
+    val (_, nCap) = PageRank.pageRankUntil(df, 0.0, maxIterations = 2)
+    assert(nCap == 2)
+  }
 }
