@@ -214,7 +214,13 @@ object Bench {
     // full-protocol readings at offsets 0.93-0.95 (q_hits from the two
     // post-checkpointEvery-fix protocol readings + warm isolation)
     "q_hits" -> 6.10, "q_containment_join" -> 1.15,
-    "q_tfidf_cosine" -> 1.03, "q_phrase_search" -> 0.42)
+    "q_tfidf_cosine" -> 1.03, "q_phrase_search" -> 0.42,
+    // r18-new crawl-loop flagship, pinned from the first clean 5-run
+    // block (median 7.84) and a 3-run block (median 7.38), quiet box;
+    // the wall is ~40 small scheduler jobs (pageRank rounds, apportion
+    // collects, broadcasts) over fixture-grain data — orchestration
+    // floor, not data work
+    "q_crawl_loop_e2e" -> 7.40)
 
   /** Per-query pinned process-CPU/wall ratios — mean of two clean
     * same-binary sessions (the r16 judge protocol run at offset 1.15
@@ -255,6 +261,9 @@ object Bench {
     // r17 rows: mean of warm isolation runs (SPARK_GRAFT_BENCH_ONLY,
     // runs 2-5, quiet box)
     "q_blocklist_filter" -> 2.2, "q_sitemap_entries" -> 2.7,
+    // r18 crawl-loop flagship: median of the first clean block's
+    // per-run readings (4.0/3.0/2.6)
+    "q_crawl_loop_e2e" -> 3.0,
     // r17 session-3 rows: medians of the post-fix per-run readings
     // (q_hits re-pinned after the per-round materialization cut its
     // redundant parallel work: 7.0 -> 3.8 at unchanged wall)
@@ -361,6 +370,11 @@ object Bench {
     "q_containment_join",
     "q_tfidf_cosine",
     "q_phrase_search",
+    // r18-new: the pre-fetch crawl-loop flagship (sitemap two-level
+    // round-trip → trap gate → robots → slot schedule → budget quotas
+    // → anchor votes, one hash-checked composition) — pin once three
+    // clean readings exist, the r12-tier process
+    "q_crawl_loop_e2e",
   )
 
   def main(args: Array[String]): Unit = {

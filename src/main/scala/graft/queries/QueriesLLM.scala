@@ -1214,17 +1214,25 @@ object QueriesLLM {
        |          regexp_extract($base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || '/') || $ref
        |      END""".stripMargin
 
+  /** The link-fixture page as a SQL expression over a `doc_id` column
+    * — the SQL twin of [[linkFixturePage]], written once (shared by
+    * the link-graph oracles and the crawl-loop flagship's anchor
+    * stage).
+    */
+  private val pageHtmlSql: String =
+    """'<html><body><a href="http://x.example.net/abs' || (doc_id % 5) ||
+      |    '">a</a><p>text</p><a class="x" href="/root' || (doc_id % 3) ||
+      |    '">r</a><a href="rel' || (doc_id % 2) ||
+      |    '.html">l</a><a href="//cdn.example.org/c">p</a>' ||
+      |    '<a href="mailto:u@example.com">m</a>' ||
+      |    '<a href="#top">f</a></body></html>'""".stripMargin
+
   private lazy val linkResolveSql: String =
     s"""WITH urls0 AS (
        |$robotsUrlsSelectSql
        |), pages AS (
        |  SELECT doc_id, 'http://' || host || path AS url,
-       |    '<html><body><a href="http://x.example.net/abs' || (doc_id % 5) ||
-       |    '">a</a><p>text</p><a class="x" href="/root' || (doc_id % 3) ||
-       |    '">r</a><a href="rel' || (doc_id % 2) ||
-       |    '.html">l</a><a href="//cdn.example.org/c">p</a>' ||
-       |    '<a href="mailto:u@example.com">m</a>' ||
-       |    '<a href="#top">f</a></body></html>' AS html
+       |    $pageHtmlSql AS html
        |  FROM urls0
        |), resolved AS (
        |  SELECT doc_id, url,
@@ -1233,6 +1241,41 @@ object QueriesLLM {
        |      r -> ${resolveCaseSql("r", "url")}), x -> x IS NOT NULL) AS links
        |  FROM pages
        |)""".stripMargin
+
+  /** The crawl-delay resolution CTE block (kept3 … hostdelay) over
+    * [[robotsChainSql]]'s `kv` — written once, shared by the
+    * `q_crawl_frontier` oracle and the crawl-loop flagship (the
+    * robotsChainSql rule). Callers splice it between two CTEs.
+    */
+  private lazy val crawlDelayChainSql: String =
+    """kept3 AS (
+      |  SELECT * FROM kv
+      |  WHERE k IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+      |), marked3 AS (
+      |  SELECT *, CASE WHEN k = 'user-agent' AND
+      |      coalesce(lag(k) OVER (PARTITION BY host ORDER BY line_no), 'x') <> 'user-agent'
+      |    THEN 1 ELSE 0 END AS new_group
+      |  FROM kept3
+      |), grp3 AS (
+      |  SELECT *, sum(new_group) OVER (PARTITION BY host ORDER BY line_no) AS group_id
+      |  FROM marked3
+      |), agents3 AS (
+      |  SELECT host, group_id, lower(v) AS agent FROM grp3 WHERE k = 'user-agent'
+      |), del3 AS (
+      |  SELECT host, group_id, TRY_CAST(v AS DOUBLE) AS cd
+      |  FROM grp3 WHERE k = 'crawl-delay' AND TRY_CAST(v AS DOUBLE) IS NOT NULL
+      |), exact3 AS (
+      |  SELECT DISTINCT host FROM agents3 WHERE agent = 'graftbot'
+      |), sel3 AS (
+      |  SELECT DISTINCT a.host, a.group_id
+      |  FROM agents3 a LEFT JOIN exact3 e ON a.host = e.host
+      |  WHERE (e.host IS NOT NULL AND a.agent = 'graftbot')
+      |     OR (e.host IS NULL AND a.agent = '*')
+      |), hostdelay AS (
+      |  SELECT d.host, max(d.cd) AS crawl_delay
+      |  FROM del3 d JOIN sel3 s ON d.host = s.host AND d.group_id = s.group_id
+      |  GROUP BY 1
+      |)""".stripMargin
 
   /** The shared RFC 9309 oracle chain (parse + decision through the
     * `win` CTE) — `q_robots_filter` adds the projection,
@@ -1496,6 +1539,151 @@ object QueriesLLM {
           .agg(sum("n_chars").as("w")),
         "source", "w", budget = 10000L)
       .select(col("key").as("source"), col("weight"), col("quota"))
+
+  /** The PRE-FETCH CRAWL LOOP composed end-to-end (VERDICT r17 #6 —
+    * the crawl analogue of `q_training_data_e2e`, splicing six
+    * standalone-oracled stages into ONE hash-checked composition):
+    *
+    *   1. sitemap DISCOVERY, both protocol levels: each host's
+    *      `<sitemapindex>` names its child sitemaps (bucket = doc/10),
+    *      the crawler joins the index entries to the child `<urlset>`
+    *      payloads it names, and the leaf parse yields candidate URLs
+    *      — [[Robots.sitemapIndexEntries]] ∘ [[Robots.sitemapEntries]];
+    *   2. candidate dedup to URL grain (min doc_id — the
+    *      frontierBatch keep rule) — sitemap locs repeat per document;
+    *   3. TRAP gate, map-side upstream of every shuffle
+    *      ([[UrlFunctions.trapReport]]): the `?sid=` arm drops here,
+    *      before robots or scheduling spend anything on it;
+    *   4. RFC 9309 robots gate ([[Robots.robotsAllowed]], broadcast
+    *      rule table);
+    *   5. frontier schedule: broadcast host authority (the 3-round
+    *      exact-tier PageRank), per-host politeness slot window,
+    *      crawl-delay pacing ([[Robots.crawlDelays]]);
+    *   6. BUDGET: a global fetch budget of 12 split across hosts by
+    *      largest-remainder quotas over authority
+    *      ([[graft.ops.Apportion.largestRemainder]]) — small enough
+    *      that the allowance BINDS (slot ≤ quota gates every host);
+    *   7. anchor-text signal harvested from the SCHEDULED fetches only
+    *      ([[UrlFunctions.extractAnchorPairs]]) — the retrieval prior
+    *      the next cycle starts from.
+    *
+    * One output table, two grains (the flagship convention): a
+    * disposition row per discovered URL (stage ∈ trap / denied /
+    * over_budget / scheduled, with slot, authority, quota, pacing) and
+    * an `anchor` row per (target host, term) vote. The oracle replays
+    * all seven stages from the same fixture strings.
+    */
+  def q_crawl_loop_e2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixture = robotsFixtureUrls(spark, dir)
+      .withColumn("host", UrlFunctions.urlHost(col("url")))
+      .withColumn("bucket", expr("doc_id div 10").cast("long"))
+    // 1a. the host's sitemapindex (q_sitemap_index build)
+    val idxXml = fixture.select("host", "bucket").distinct()
+      .select(col("host"), concat(
+        lit("<sitemap><loc>http://"), col("host"), lit("/sitemap-"),
+        col("bucket"), lit(".xml</loc>"),
+        when(col("bucket") % 2 === 0, concat(lit("<lastmod>2026-0"),
+          (col("bucket") % 9 + 1).cast("string"), lit("-01</lastmod>")))
+          .otherwise(lit("")),
+        lit("</sitemap>")).as("block"))
+      .groupBy("host")
+      .agg(concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+        concat_ws("", collect_list(col("block"))),
+        lit("</sitemapindex>")).as("xml"))
+    val children = Robots.sitemapIndexEntries(idxXml, "host", "xml")
+      .select(col("host"),
+        regexp_extract(col("loc"), "sitemap-(\\d+)\\.xml", 1)
+          .cast("long").as("bucket"))
+    // 1b. child urlsets (q_sitemap_entries build, bucket-partitioned)
+    val urlsetXml = fixture
+      .select(col("host"), col("bucket"), concat(
+        lit("<url><loc>"), col("url"), lit("</loc>"),
+        when(col("doc_id") % 2 === 0, concat(lit("<lastmod>2026-"),
+          lpad((col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+          lit("-15</lastmod>"))).otherwise(lit("")),
+        lit("</url>")).as("block"))
+      .groupBy("host", "bucket")
+      .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        concat_ws("", collect_list(col("block"))),
+        lit("</urlset>")).as("xml"))
+    // the crawler fetches only children the INDEX names
+    val fetched = children.join(urlsetXml, Seq("host", "bucket"))
+    val discovered = Robots.sitemapEntries(fetched, "host", "xml")
+      .select(col("loc").as("url")).distinct()
+    // 2. URL grain with the frontier keep rule's min doc_id
+    val withId = discovered.join(
+      robotsFixtureUrls(spark, dir).groupBy("url")
+        .agg(min(col("doc_id")).as("doc_id")),
+      Seq("url"))
+    // 3. trap gate — map-side, before any downstream exchange
+    val trapChecked = UrlFunctions.trapReport(withId, "url")
+      .withColumn("host", UrlFunctions.urlHost(col("url")))
+    val trapRows = trapChecked.filter(col("is_trap"))
+      .select(col("doc_id"), col("url"), col("host"))
+    // 4. robots gate
+    val decided = Robots.robotsAllowed(
+      trapChecked.filter(!col("is_trap")).select("doc_id", "url"),
+      robotsRules(spark), "GraftBot", "doc_id")
+    val deniedRows = decided.filter(!col("allowed"))
+      .select(col("doc_id"), col("url"), col("host"))
+    // 5. schedule: broadcast authority + per-host politeness slots
+    val ranks = frontierAuthority(spark)
+    val delays = Robots.crawlDelays(robotsBodies.toDF("host", "robots_txt"),
+      "host", "robots_txt", "GraftBot")
+    val slotW = Window.partitionBy("host").orderBy("doc_id")
+    val sched = decided.filter(col("allowed"))
+      .join(broadcast(ranks), Seq("host"), "left")
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("slot", row_number().over(slotW).cast("long"))
+      .withColumn("fetch_after",
+        (col("slot") - 1).cast("double") *
+          coalesce(col("crawl_delay"), lit(0.0)))
+    // 6. the binding fetch allowance: largest-remainder quotas over
+    // authority, slot ≤ quota is this cycle's fetch set
+    val quotas = graft.ops.Apportion.largestRemainder(
+        ranks.withColumn("w",
+          floor(col("host_rank") * 1e6 + 0.5).cast("long")),
+        "host", "w", budget = 12L)
+      .select(col("key").as("host"), col("quota"))
+    val withQuota = sched.join(broadcast(quotas), Seq("host"), "left")
+      .withColumn("quota", coalesce(col("quota"), lit(0L)))
+    val scheduled = withQuota.filter(col("slot") <= col("quota"))
+    // 7. anchor-text votes harvested from the scheduled fetches
+    val anchors = scheduled
+      .select(col("doc_id"), col("url"),
+        explode(UrlFunctions.extractAnchorPairs(col("url"),
+          linkFixturePage)).as("a"))
+      .select(UrlFunctions.urlHost(col("a.link")).as("host"),
+        explode(TextFunctions.tokens(col("a.anchor"))).as("term"))
+      .groupBy("host", "term")
+      .agg(count(lit(1)).as("n"))
+    def disp(df: DataFrame, stage: String, full: Boolean): DataFrame =
+      df.select(col("doc_id"), col("url"), col("host"),
+        lit(stage).as("stage"),
+        (if (full) col("host_rank") else lit(null).cast("double"))
+          .as("host_rank"),
+        (if (full) col("slot") else lit(null).cast("long")).as("slot"),
+        (if (full) col("quota") else lit(null).cast("long")).as("quota"),
+        (if (full) col("fetch_after") else lit(null).cast("double"))
+          .as("fetch_after"),
+        lit(null).cast("string").as("term"),
+        lit(null).cast("long").as("n"))
+    disp(trapRows, "trap", full = false)
+      .unionByName(disp(deniedRows, "denied", full = false))
+      .unionByName(disp(withQuota.filter(col("slot") > col("quota")),
+        "over_budget", full = true))
+      .unionByName(disp(scheduled, "scheduled", full = true))
+      .unionByName(anchors.select(
+        lit(null).cast("long").as("doc_id"),
+        lit(null).cast("string").as("url"),
+        col("host"), lit("anchor").as("stage"),
+        lit(null).cast("double").as("host_rank"),
+        lit(null).cast("long").as("slot"),
+        lit(null).cast("long").as("quota"),
+        lit(null).cast("double").as("fetch_after"),
+        col("term"), col("n")))
+  }
 
   /** Sitemap ROUND-TRIP at corpus scale ([[Robots.sitemapEntries]]):
     * every document contributes a `<url>` block (loc always; lastmod
@@ -3191,6 +3379,7 @@ object QueriesLLM {
     "q_domain_cap_psl" -> (q_domain_cap_psl _),
     "q_robots_filter" -> (q_robots_filter _),
     "q_crawl_frontier" -> (q_crawl_frontier _),
+    "q_crawl_loop_e2e" -> (q_crawl_loop_e2e _),
     "q_sitemap_entries" -> (q_sitemap_entries _),
     "q_sitemap_index" -> (q_sitemap_index _),
     "q_dataset_card" -> (q_dataset_card _),
@@ -5216,34 +5405,7 @@ object QueriesLLM {
            |), pr AS (
            |  SELECT * FROM (${graft.ops.PageRank.oracleSql(
                  frontierEdgesCte, iterations = 3)}) t
-           |), kept3 AS (
-           |  SELECT * FROM kv
-           |  WHERE k IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
-           |), marked3 AS (
-           |  SELECT *, CASE WHEN k = 'user-agent' AND
-           |      coalesce(lag(k) OVER (PARTITION BY host ORDER BY line_no), 'x') <> 'user-agent'
-           |    THEN 1 ELSE 0 END AS new_group
-           |  FROM kept3
-           |), grp3 AS (
-           |  SELECT *, sum(new_group) OVER (PARTITION BY host ORDER BY line_no) AS group_id
-           |  FROM marked3
-           |), agents3 AS (
-           |  SELECT host, group_id, lower(v) AS agent FROM grp3 WHERE k = 'user-agent'
-           |), del3 AS (
-           |  SELECT host, group_id, TRY_CAST(v AS DOUBLE) AS cd
-           |  FROM grp3 WHERE k = 'crawl-delay' AND TRY_CAST(v AS DOUBLE) IS NOT NULL
-           |), exact3 AS (
-           |  SELECT DISTINCT host FROM agents3 WHERE agent = 'graftbot'
-           |), sel3 AS (
-           |  SELECT DISTINCT a.host, a.group_id
-           |  FROM agents3 a LEFT JOIN exact3 e ON a.host = e.host
-           |  WHERE (e.host IS NOT NULL AND a.agent = 'graftbot')
-           |     OR (e.host IS NULL AND a.agent = '*')
-           |), hostdelay AS (
-           |  SELECT d.host, max(d.cd) AS crawl_delay
-           |  FROM del3 d JOIN sel3 s ON d.host = s.host AND d.group_id = s.group_id
-           |  GROUP BY 1
-           |), fr AS (
+           |), $crawlDelayChainSql, fr AS (
            |  SELECT d.doc_id,
            |    'http://' || d.host || d.path AS url,
            |    d.host,
@@ -5255,6 +5417,183 @@ object QueriesLLM {
            |SELECT fr.*,
            |  (fr.slot - 1)::DOUBLE * coalesce(hd.crawl_delay, 0.0::DOUBLE) AS fetch_after
            |FROM fr LEFT JOIN hostdelay hd ON fr.host = hd.host""".stripMargin),
+
+    // the pre-fetch crawl loop, all seven stages replayed: sitemap
+    // index + urlset round-trip → URL-grain min-id dedup → trap
+    // features → robots decision (selr from the shared chain) → slot
+    // window + crawl delays → largest-remainder quotas (budget 12) →
+    // anchor votes from the scheduled set only. Every block is the
+    // corresponding standalone oracle's machinery spliced on the
+    // composed grain.
+    "q_crawl_loop_e2e" ->
+      (robotsChainSql +
+        s""", bkts AS (
+           |  SELECT DISTINCT host, (doc_id // 10)::BIGINT AS bucket FROM urls
+           |), iblocks AS (
+           |  SELECT host,
+           |    '<sitemap><loc>http://' || host || '/sitemap-' || bucket::VARCHAR
+           |    || '.xml</loc>' ||
+           |    CASE WHEN bucket % 2 = 0 THEN '<lastmod>2026-0' ||
+           |      (bucket % 9 + 1)::VARCHAR || '-01</lastmod>' ELSE '' END ||
+           |    '</sitemap>' AS block
+           |  FROM bkts
+           |), ixmls AS (
+           |  SELECT host, '<?xml version="1.0"?><sitemapindex>' ||
+           |    string_agg(block, '') || '</sitemapindex>' AS xml
+           |  FROM iblocks GROUP BY 1
+           |), ientries AS (
+           |  SELECT host, unnest(regexp_extract_all(xml,
+           |    '<sitemap>(.*?)</sitemap>', 1)) AS entry
+           |  FROM ixmls
+           |), ichild AS (
+           |  SELECT host, TRY_CAST(regexp_extract(
+           |      regexp_extract(entry, '<loc>\\s*(.*?)\\s*</loc>', 1),
+           |      'sitemap-(\\d+)\\.xml', 1) AS BIGINT) AS bucket
+           |  FROM ientries
+           |  WHERE regexp_extract(entry, '<loc>\\s*(.*?)\\s*</loc>', 1) <> ''
+           |), ublocks AS (
+           |  SELECT host, (doc_id // 10)::BIGINT AS bucket,
+           |    '<url><loc>http://' || host || path || '</loc>' ||
+           |    CASE WHEN doc_id % 2 = 0 THEN '<lastmod>2026-' ||
+           |      lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-15</lastmod>'
+           |      ELSE '' END ||
+           |    '</url>' AS block
+           |  FROM urls
+           |), uxmls AS (
+           |  SELECT host, bucket, '<?xml version="1.0"?><urlset>' ||
+           |    string_agg(block, '') || '</urlset>' AS xml
+           |  FROM ublocks GROUP BY 1, 2
+           |), fetched AS (
+           |  SELECT u.xml FROM ichild c
+           |  JOIN uxmls u ON c.host = u.host AND c.bucket = u.bucket
+           |), uentries AS (
+           |  SELECT unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS entry
+           |  FROM fetched
+           |), disc AS (
+           |  SELECT DISTINCT regexp_extract(entry, '<loc>\\s*(.*?)\\s*</loc>', 1) AS url
+           |  FROM uentries
+           |  WHERE regexp_extract(entry, '<loc>\\s*(.*?)\\s*</loc>', 1) <> ''
+           |), cand0 AS (
+           |  SELECT d.url, min(u.doc_id)::BIGINT AS doc_id
+           |  FROM disc d JOIN (
+           |    SELECT doc_id, 'http://' || host || path AS url FROM urls) u
+           |    ON d.url = u.url
+           |  GROUP BY 1
+           |), feat AS (
+           |  SELECT doc_id, url,
+           |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+           |    CASE WHEN contains(regexp_replace(url, '#.*$$', ''), '?')
+           |      THEN regexp_replace(regexp_replace(url, '#.*$$', ''), '^[^?]*\\?', '')
+           |      ELSE '' END AS query
+           |  FROM cand0
+           |), featx AS (
+           |  SELECT doc_id, url,
+           |    list_filter(string_split(path0, '/'), s -> length(s) > 0) AS segs,
+           |    list_filter(string_split(query, '&'), p -> length(p) > 0) AS params
+           |  FROM feat
+           |), trapv AS (
+           |  SELECT doc_id, url,
+           |    lower(regexp_extract(url,
+           |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+           |    (len(segs)::BIGINT > 10
+           |      OR (len(segs) - len(list_distinct(segs)))::BIGINT >= 3
+           |      OR len(params)::BIGINT > 8
+           |      OR len(list_filter(params, p ->
+           |        regexp_matches(p, '(?i)^(phpsessid|sid|sessionid|jsessionid|session_id)='))) > 0
+           |    ) AS is_trap
+           |  FROM featx
+           |), posttrap AS (
+           |  SELECT doc_id, url, host,
+           |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$$', 1) AS pathq
+           |  FROM trapv WHERE NOT is_trap
+           |), candx AS (
+           |  SELECT p.doc_id, p.url, p.host, r.rule_no, r.directive, r.pattern
+           |  FROM posttrap p LEFT JOIN selr r
+           |    ON p.host = r.host AND regexp_matches(p.pathq, r.rx)
+           |), winx AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY length(pattern) DESC, directive, rule_no) AS rn
+           |  FROM candx
+           |), decidedx AS (
+           |  SELECT doc_id, url, host,
+           |    (pattern IS NULL OR directive = 'allow') AS allowed
+           |  FROM winx WHERE rn = 1
+           |), pr AS (
+           |  SELECT * FROM (${graft.ops.PageRank.oracleSql(
+                 frontierEdgesCte, iterations = 3)}) t
+           |), $crawlDelayChainSql, fr AS (
+           |  SELECT d.doc_id, d.url, d.host, p.rank AS host_rank,
+           |    row_number() OVER (PARTITION BY d.host ORDER BY d.doc_id)::BIGINT AS slot
+           |  FROM decidedx d LEFT JOIN pr p ON d.host = p.id
+           |  WHERE d.allowed
+           |), frd AS (
+           |  SELECT fr.*,
+           |    (fr.slot - 1)::DOUBLE * coalesce(hd.crawl_delay, 0.0::DOUBLE) AS fetch_after
+           |  FROM fr LEFT JOIN hostdelay hd ON fr.host = hd.host
+           |), wsrc AS (
+           |  SELECT id AS key, floor(rank * 1000000 + 0.5)::BIGINT AS weight
+           |  FROM pr WHERE floor(rank * 1000000 + 0.5) > 0
+           |), tot AS (
+           |  SELECT sum(weight)::BIGINT AS W FROM wsrc
+           |), sc AS (
+           |  SELECT key, weight, (weight * 12) // W AS q,
+           |    (weight * 12) % W AS rem
+           |  FROM wsrc, tot
+           |), asum AS (
+           |  SELECT sum(q)::BIGINT AS a FROM sc
+           |), rankedq AS (
+           |  SELECT *, row_number() OVER (ORDER BY rem DESC, key) AS rn FROM sc
+           |), quotasx AS (
+           |  SELECT key AS host,
+           |    (q + CASE WHEN rn <= (12 - (SELECT a FROM asum))
+           |      THEN 1 ELSE 0 END)::BIGINT AS quota
+           |  FROM rankedq
+           |), frq AS (
+           |  SELECT f.*, coalesce(qq.quota, 0)::BIGINT AS quota
+           |  FROM frd f LEFT JOIN quotasx qq ON f.host = qq.host
+           |), schedx AS (
+           |  SELECT * FROM frq WHERE slot <= quota
+           |), apages AS (
+           |  SELECT doc_id, url, $pageHtmlSql AS html FROM schedx
+           |), atags AS (
+           |  SELECT url,
+           |    regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"[^>]*>([^<]*)</a>', 1) AS hrefs,
+           |    regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"[^>]*>([^<]*)</a>', 2) AS texts
+           |  FROM apages
+           |), apairs AS (
+           |  SELECT url, unnest(list_zip(hrefs, texts)) AS pr2 FROM atags
+           |), aresolved AS (
+           |  SELECT ${resolveCaseSql("pr2[1]", "url")} AS link, pr2[2] AS anchor
+           |  FROM apairs
+           |), aterms AS (
+           |  SELECT lower(regexp_extract(link,
+           |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS dst_host,
+           |    unnest(list_filter(string_split(anchor, ' '), t -> length(t) > 0)) AS term
+           |  FROM aresolved WHERE link IS NOT NULL
+           |), anchorx AS (
+           |  SELECT dst_host, term, count(*)::BIGINT AS n FROM aterms GROUP BY 1, 2
+           |)
+           |SELECT doc_id, url, host, 'trap' AS stage,
+           |  NULL::DOUBLE AS host_rank, NULL::BIGINT AS slot,
+           |  NULL::BIGINT AS quota, NULL::DOUBLE AS fetch_after,
+           |  NULL::VARCHAR AS term, NULL::BIGINT AS n
+           |FROM trapv WHERE is_trap
+           |UNION ALL
+           |SELECT doc_id, url, host, 'denied', NULL::DOUBLE, NULL::BIGINT,
+           |  NULL::BIGINT, NULL::DOUBLE, NULL::VARCHAR, NULL::BIGINT
+           |FROM decidedx WHERE NOT allowed
+           |UNION ALL
+           |SELECT doc_id, url, host, 'over_budget', host_rank, slot, quota,
+           |  fetch_after, NULL::VARCHAR, NULL::BIGINT
+           |FROM frq WHERE slot > quota
+           |UNION ALL
+           |SELECT doc_id, url, host, 'scheduled', host_rank, slot, quota,
+           |  fetch_after, NULL::VARCHAR, NULL::BIGINT
+           |FROM schedx
+           |UNION ALL
+           |SELECT NULL::BIGINT, NULL::VARCHAR, dst_host, 'anchor',
+           |  NULL::DOUBLE, NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE, term, n
+           |FROM anchorx""".stripMargin),
 
     // one-shot schedule over ALL discoveries: bare URLs dedup to min
     // doc_id, robots-allowed rows get authority + per-host slots — the

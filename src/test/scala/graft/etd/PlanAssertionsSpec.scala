@@ -421,6 +421,30 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"a global sort exchange would funnel the key set:\n$p")
   }
 
+  test("crawl-loop flagship: no cartesian; rule/authority/delay/quota " +
+      "tables all broadcast; bump set is TakeOrdered (VERDICT r17 #6)") {
+    val p = plan(graft.queries.QueriesLLM.q_crawl_loop_e2e(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    // robots packed rules, host authority, crawl delays, and quotas
+    // are all host-cardinality — every one must ride a broadcast; the
+    // corpus side shuffles only for the sitemap assembly aggregations
+    // and the per-host slot window
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"host-grain dimension joins must broadcast:\n$p")
+    // the budget's bump set is per-partition heaps + driver merge,
+    // never a range-partitioned global sort (the Apportion pin,
+    // composed)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"quota bump set must plan TakeOrdered:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort exchange anywhere in the loop:\n$p")
+    // trap verdict is map-side column algebra upstream of the robots
+    // join — no per-URL window in the gate chain (only the slot window
+    // partitions by host)
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      s"no per-URL window allowed:\n$p")
+  }
+
   test("expectations: rule count does not change the plan shape (one scan)") {
     import graft.ops.Expectations.Rule
     val docs = spark.read.parquet(s"$dir/documents.parquet")
