@@ -95,6 +95,68 @@ object QueriesLLM {
        |    0.0), 6) AS mrr
        |FROM runagg r LEFT JOIN idealagg i USING (query_id)""".stripMargin
 
+  /** The coded IVF-PQ replay up to a `ranked0` CTE (query_id,
+    * neighbor_id, score, rank) for queries `[qLo, qHi)` — written once
+    * (the bm25ChainSql pattern), shared by `q_ann_ivfpq` and
+    * `q_rank_eval_dense`'s metric chain so the eval can never drift
+    * from the search it claims to score.
+    */
+  private def ivfPqRankedSql(qLo: Int, qHi: Int,
+                             idxBound: Long = Long.MaxValue): String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+       |), idx AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $idxBound
+       |), subs AS (SELECT unnest(range(4)) AS j),
+       |assigned AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+       |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+       |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       |       * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
+       |  FROM idx e CROSS JOIN cents c
+       |), cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS r
+       |    FROM assigned) WHERE r = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS r
+       |    FROM assigned WHERE vec_id >= $qLo AND vec_id < $qHi) WHERE r <= 2
+       |), dists AS (
+       |  SELECT e.vec_id, s.j, c.cid,
+       |    list_sum(list_transform(
+       |      list_zip(e.embedding[s.j*16+1 : s.j*16+16], c.cv[s.j*16+1 : s.j*16+16]),
+       |      p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS d2
+       |  FROM idx e CROSS JOIN subs s CROSS JOIN cents c
+       |), codes AS (
+       |  SELECT vec_id, j, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY d2 ASC, cid) AS r FROM dists) WHERE r = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS query_id, s.j, c.cid,
+       |    list_sum(list_transform(
+       |      list_zip(q.embedding[s.j*16+1 : s.j*16+16], c.cv[s.j*16+1 : s.j*16+16]),
+       |      p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS ip
+       |  FROM embeddings q CROSS JOIN subs s CROSS JOIN cents c
+       |  WHERE q.vec_id >= $qLo AND q.vec_id < $qHi
+       |), scored AS (
+       |  SELECT l.query_id, n.vec_id AS neighbor_id,
+       |    max(CASE WHEN l.j = 0 THEN ip END) + max(CASE WHEN l.j = 1 THEN ip END)
+       |      + max(CASE WHEN l.j = 2 THEN ip END) + max(CASE WHEN l.j = 3 THEN ip END) AS score
+       |  FROM codes n JOIN lut l ON n.j = l.j AND n.code = l.cid
+       |  JOIN cells cl ON cl.vec_id = n.vec_id
+       |  JOIN probes p ON p.query_id = l.query_id AND p.cell = cl.cell
+       |  WHERE n.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |), ranked0 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)""".stripMargin
+
   /** BM25 replay up to the `ranked` CTE — shared by `q_bm25_topk`
     * (and its indexed/pruned/incremental aliases) and `q_rank_eval`'s
     * metric chain (written once).
@@ -457,6 +519,39 @@ object QueriesLLM {
     val docs = table(spark, dir, "documents")
     val run = Retrieval.tfidfCosineTopK(docs, "doc_id", "text",
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
+    Retrieval.rankEval(run, evalQrels(spark, dir), k = 5)
+  }
+
+  /** The THIRD corner of the serving-eval triangle (VERDICT r17 #7):
+    * [[Retrieval.rankEval]]'s metric chain over the DENSE scorer — the
+    * persisted coded-index ANN search
+    * ([[Similarity.buildIvfPqIndex]] → [[Similarity.ivfPqTopKCoded]],
+    * the ~10 B/row call shape a 100 TB deployment runs) — against the
+    * SAME graded qrels that score BM25 and tf-idf, with the same query
+    * ids (0-2). Three eval rows per query id across the three oracles
+    * say which scorer family fits this corpus — the whole point of
+    * carrying an eval harness.
+    */
+  def q_rank_eval_dense(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val base = firstKCodebook(emb)
+    val m = 4
+    val sub = 16
+    val cb = Array.tabulate(m, base.length)((j, i) =>
+      base(i).slice(j * sub, (j + 1) * sub))
+    val queries = emb.filter(col("vec_id") < 3)
+      .orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    // judged-only evaluation (the TREC pool convention): the index is
+    // the qrels universe (vec_id < 300), so the metrics grade ranking
+    // quality within the judged pool instead of scoring unjudged
+    // neighbors as misses
+    val index = Similarity.buildIvfPqIndex(
+      emb.filter(col("vec_id") < 300), "vec_id", "embedding", base, cb)
+    val ranking = Similarity.probeRanking(base)
+    val run = Similarity.ivfPqTopKCoded(index, "id", "codes", "cell",
+        q => ranking(q).take(2), cb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     Retrieval.rankEval(run, evalQrels(spark, dir), k = 5)
   }
 
@@ -3393,6 +3488,7 @@ object QueriesLLM {
     "q_corpus_diff" -> (q_corpus_diff _),
     "q_rank_eval" -> (q_rank_eval _),
     "q_rank_eval_tfidf" -> (q_rank_eval_tfidf _),
+    "q_rank_eval_dense" -> (q_rank_eval_dense _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
@@ -5051,59 +5147,19 @@ object QueriesLLM {
         |SELECT query_id, neighbor_id, rank, round(score, 6) AS score
         |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_ann_ivfpq" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
-        |), subs AS (SELECT unnest(range(4)) AS j),
-        |assigned AS (
-        |  SELECT e.vec_id, c.cid,
-        |    list_sum(list_transform(list_zip(e.embedding, c.cv),
-        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
-        |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
-        |       * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS ccos
-        |  FROM embeddings e CROSS JOIN cents c
-        |), cells AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY ccos DESC, cid) AS r
-        |    FROM assigned) WHERE r = 1
-        |), probes AS (
-        |  SELECT vec_id AS query_id, cid AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY ccos DESC, cid) AS r
-        |    FROM assigned WHERE vec_id >= 10 AND vec_id < 13) WHERE r <= 2
-        |), dists AS (
-        |  SELECT e.vec_id, s.j, c.cid,
-        |    list_sum(list_transform(
-        |      list_zip(e.embedding[s.j*16+1 : s.j*16+16], c.cv[s.j*16+1 : s.j*16+16]),
-        |      p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS d2
-        |  FROM embeddings e CROSS JOIN subs s CROSS JOIN cents c
-        |), codes AS (
-        |  SELECT vec_id, j, cid AS code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
-        |      ORDER BY d2 ASC, cid) AS r FROM dists) WHERE r = 1
-        |), lut AS (
-        |  SELECT q.vec_id AS query_id, s.j, c.cid,
-        |    list_sum(list_transform(
-        |      list_zip(q.embedding[s.j*16+1 : s.j*16+16], c.cv[s.j*16+1 : s.j*16+16]),
-        |      p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS ip
-        |  FROM embeddings q CROSS JOIN subs s CROSS JOIN cents c
-        |  WHERE q.vec_id >= 10 AND q.vec_id < 13
-        |), scored AS (
-        |  SELECT l.query_id, n.vec_id AS neighbor_id,
-        |    max(CASE WHEN l.j = 0 THEN ip END) + max(CASE WHEN l.j = 1 THEN ip END)
-        |      + max(CASE WHEN l.j = 2 THEN ip END) + max(CASE WHEN l.j = 3 THEN ip END) AS score
-        |  FROM codes n JOIN lut l ON n.j = l.j AND n.code = l.cid
-        |  JOIN cells cl ON cl.vec_id = n.vec_id
-        |  JOIN probes p ON p.query_id = l.query_id AND p.cell = cl.cell
-        |  WHERE n.vec_id <> l.query_id
-        |  GROUP BY 1, 2
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, neighbor_id) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, neighbor_id, rank, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+      (ivfPqRankedSql(10, 13) +
+        """
+          |SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+          |FROM ranked0 WHERE rank <= 5""".stripMargin),
+    // the dense corner of the serving-eval triangle: the SAME coded
+    // IVF-PQ replay over query ids 0-2 piped into the SAME metric
+    // chain that scores BM25 and tf-idf
+    "q_rank_eval_dense" ->
+      (ivfPqRankedSql(0, 3, idxBound = 300L) +
+        """, ranked AS (
+          |  SELECT query_id, neighbor_id AS doc_id, rank
+          |  FROM ranked0 WHERE rank <= 5
+          |)""".stripMargin + rankEvalMetricSql(5)),
     "q_unigram_seed" ->
       """WITH words AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS word

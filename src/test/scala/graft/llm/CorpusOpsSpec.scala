@@ -86,4 +86,67 @@ class CorpusOpsSpec extends AnyFunSuite {
       .as[(Long, Double, Double, Double)].collect().head
     assert(got == ((1L, 1.0, 1.0, 1.0)))
   }
+
+  test("rankEval: ONE metric chain serves all three scorer families — " +
+      "metrics depend only on (query, doc, rank) triples (VERDICT r17 #7)") {
+    // a tiny shared corpus where each scorer family produces a run in
+    // the same (query_id, doc_id, rank) contract: BM25 and tf-idf over
+    // the texts, the coded IVF-PQ ANN over matching embeddings
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "beta beta delta"),
+      (2L, "gamma delta alpha"), (3L, "alpha alpha beta"),
+      (4L, "delta gamma beta")).toDF("doc_id", "text")
+    val dim = 64
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() - 0.5f)
+    }
+    val emb = (0L to 4L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val qrels = Seq((0L, 1L, 2.0), (0L, 2L, 1.0), (1L, 3L, 3.0))
+      .toDF("query_id", "doc_id", "rel")
+    val queries = docs.filter($"doc_id" < 2)
+    val bm25 = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "doc_id", "text", k = 3)
+    val tfidf = Retrieval.tfidfCosineTopK(docs, "doc_id", "text",
+      queries, "doc_id", "text", k = 3)
+    val base = (0 until 2).map(i => vec(100 + i)).toArray
+    val cb = Array.tabulate(2, 2)((j, i) =>
+      vec(200 + 10 * j + i).slice(0, dim / 2))
+    val qvecs = (0L to 1L).map(i => i -> vec(i))
+    val dense = graft.llm.Similarity.ivfPqTopKCoded(
+      graft.llm.Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        base, cb),
+      "id", "codes", "cell", _ => Seq(1L, 2L), cb, qvecs, k = 3)
+    val runs = Seq(
+      bm25.select($"query_id", $"doc_id", $"rank"),
+      tfidf.select($"query_id", $"doc_id", $"rank"),
+      dense.select($"query_id", $"neighbor_id".as("doc_id"), $"rank"))
+    runs.foreach { run =>
+      val a = Retrieval.rankEval(run, qrels, k = 3)
+        .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+      // the chain sees only the rank triples: re-partitioned, column-
+      // reordered, or row-shuffled copies of the run score identically
+      val b = Retrieval.rankEval(
+          run.select($"rank", $"doc_id", $"query_id").repartition(7),
+          qrels.repartition(3), k = 3)
+        .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(a == b, "metrics must be a pure function of the run triples")
+      assert(a.map(_._1) == Seq(0L, 1L))
+      a.foreach { case (_, ndcg, recall, mrr) =>
+        assert(ndcg >= 0.0 && ndcg <= 1.0 && recall >= 0.0 &&
+          recall <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
+      }
+    }
+    // two scorers that emit the SAME ranking must score the SAME
+    // metrics — the chain cannot favor a scorer family
+    val sameAsBm25 = bm25.select($"query_id", $"doc_id", $"rank")
+    val viaDenseContract = bm25
+      .select($"query_id", $"doc_id".as("neighbor_id"), $"rank")
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+    assert(
+      Retrieval.rankEval(sameAsBm25, qrels, 3)
+        .as[(Long, Double, Double, Double)].collect().toSet ==
+      Retrieval.rankEval(viaDenseContract, qrels, 3)
+        .as[(Long, Double, Double, Double)].collect().toSet)
+  }
 }
