@@ -395,4 +395,37 @@ object Impute {
       count(when(col(diffC) < 0, 1)).as("negative_diffs"),
       count(when(col(avgC) < 0, 1)).as("negative_avgs"))
   }
+
+  /** `round_to_sig_figs` (impute.py:243-246, the helper inside
+    * `equal_sig_fig`): round to `sigFigs` significant figures with
+    * Python `round` semantics — correctly-rounded DECIMAL rounding of
+    * the exact binary value, half-to-even — which is exactly
+    * `BigDecimal(x).setScale(n, HALF_EVEN)` over the raw double (the
+    * string-valueOf constructor would pre-round and break ties).
+    * Closes the last unported reference pair (VERDICT r17 missing #2);
+    * the ORACLE discipline stays hash-exact — this exists for callers
+    * porting reference TESTS that assert with sig-fig tolerance.
+    */
+  def roundToSigFigs(x: Double, sigFigs: Int): Double = {
+    require(sigFigs >= 1, "roundToSigFigs: sigFigs must be >= 1")
+    if (x == 0.0 || x.isNaN || x.isInfinite) x
+    else {
+      val n = sigFigs - math.floor(math.log10(math.abs(x))).toInt - 1
+      new java.math.BigDecimal(x)
+        .setScale(n, java.math.RoundingMode.HALF_EVEN).doubleValue()
+    }
+  }
+
+  /** `equal_sig_fig` (impute.py:214-257): equality up to `sigFigs`
+    * significant figures — both sides rounded via [[roundToSigFigs]],
+    * then compared with `math.isclose`'s relative-tolerance rule at
+    * rel_tol = 10^-sigFigs (`a == b or |a−b| ≤ rel·max(|a|,|b|)`).
+    */
+  def equalSigFig(a: Double, b: Double, sigFigs: Int): Boolean = {
+    val ar = roundToSigFigs(a, sigFigs)
+    val br = roundToSigFigs(b, sigFigs)
+    val tol = math.pow(10.0, -sigFigs)
+    ar == br ||
+      math.abs(ar - br) <= tol * math.max(math.abs(ar), math.abs(br))
+  }
 }
