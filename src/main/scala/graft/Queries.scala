@@ -346,6 +346,34 @@ object Queries {
         (floor(col("auth") * 1e6 + 0.5) / 1e6).as("auth"))
   }
 
+  /** Convergence-stopped HITS over the same order graph
+    * ([[graft.ops.Hits.hitsUntil]], the [[q_pagerank_converged]]
+    * contract on both score vectors): iterate until the decimal-exact
+    * L1 delta Σ(|Δhub| + |Δauth|) is ≤ the epsilon, cap 5. The oracle
+    * ([[graft.ops.Hits.oracleSqlConverged]]) replays every round AND
+    * every delta and resolves the stop round itself.
+    */
+  def q_hits_converged(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+    val (scores, rounds) = graft.ops.Hits.hitsUntil(edges,
+      epsilon = hitsConvergedEps, maxIterations = 5)
+    scores.select(col("id"),
+      (floor(col("hub") * 1e6 + 0.5) / 1e6).as("hub"),
+      (floor(col("auth") * 1e6 + 0.5) / 1e6).as("auth"),
+      lit(rounds.toLong).as("stop_round"))
+  }
+
+  // probed per-round deltas on the order graph: 2.2 → 5e-3 → 1.5e-4 →
+  // 4e-6 → 1.2e-7 (bipartite HITS contracts ~40× per round); 1e-5
+  // stops at round 3 (sf0.001) / 4 (sf0.01, sf0.1) inside the cap —
+  // tier-dependent stop rounds are the point: the oracle RESOLVES the
+  // stop from the same deltas instead of assuming one
+  private val hitsConvergedEps: Double = 1e-5
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -359,6 +387,7 @@ object Queries {
     "q_pagerank" -> (q_pagerank _),
     "q_pagerank_converged" -> (q_pagerank_converged _),
     "q_hits" -> (q_hits _),
+    "q_hits_converged" -> (q_hits_converged _),
     "q_pagerank_weighted" -> (q_pagerank_weighted _),
     "q_pivot" -> (q_pivot _),
     "q_unpivot" -> (q_unpivot _),
@@ -405,6 +434,9 @@ object Queries {
         epsilon = 0.5, maxIterations = 8),
     "q_hits" ->
       graft.ops.Hits.oracleSql(pagerankEdgesCte, iterations = 3),
+    "q_hits_converged" ->
+      graft.ops.Hits.oracleSqlConverged(pagerankEdgesCte,
+        epsilon = hitsConvergedEps, maxIterations = 5),
     "q_pagerank_weighted" ->
       graft.ops.PageRank.oracleSqlWeighted(pagerankWeightedEdgesCte,
         iterations = 3),

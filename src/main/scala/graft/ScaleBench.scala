@@ -155,6 +155,8 @@ object ScaleBench {
       servingScale(spark, outDir, listener)
     if (args.contains("graphscale") || args.isEmpty)
       graphScale(spark, srcDir, listener)
+    if (args.contains("graphscale100")) // opt-in: ~50M-edge decade, minutes
+      graphScale100(spark, srcDir, listener)
     spark.stop()
   }
 
@@ -208,6 +210,102 @@ object ScaleBench {
           graft.ops.Hits.hits(e, 3).count()
         }
       }
+    } finally graft.Checkpoints.free(base)
+  }
+
+  /** The NEXT decade (VERDICT r17 #8): the same three iterations over
+    * ~100× the base edge set (~50M distinct edges — one disjoint
+    * node-offset copy per k, built as a single crossJoin-with-range
+    * branch so the plan stays O(1) regardless of the copy count, not a
+    * 100-way union). Run next to the 10× tier in the SAME session so
+    * the decade ratio is apples-to-apples. The default auto-salt path
+    * stays engaged (saltJoin = 0 resolves from the degree aggregate;
+    * the disjoint copies keep each hub's degree at base scale, so auto
+    * correctly stays at 1 — the lever is armed, the graph just has no
+    * hot hub, exactly what a well-sharded crawl graph looks like).
+    * Claims: shuffle bytes stay edge-linear decade over decade and
+    * wall amortizes BELOW linear (fixed per-round costs — codegen,
+    * broadcast builds, scheduler — stop mattering as the edge grain
+    * dominates).
+    */
+  private def graphScale100(spark: SparkSession, srcDir: String,
+                            listener: TaskMetricsProbe): Unit = {
+    def time(label: String, tier: String)(body: => Long): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"graph":"$label","tier":"$tier","sec":$sec%.2f,"rows":$rows,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+    }
+    val li = SparkEntry.table(spark, srcDir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val ord = SparkEntry.table(spark, srcDir, "orders")
+      .select("o_orderkey", "o_custkey")
+    val base = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"),
+        col("l_quantity").as("weight"))
+      .localCheckpoint()
+    try {
+      def copies(n: Int) = base
+        .crossJoin(spark.range(n).select((col("id") * 10000000L).as("__off")))
+        .select((col("src") + col("__off")).as("src"),
+          (col("dst") + col("__off")).as("dst"), col("weight"))
+      // untimed 1x warm round: the three iterations are JIT-heavy
+      // (~20 s of codegen on a cold JVM — the Bench warmup lesson);
+      // without it the FIRST timed tier absorbs compilation and the
+      // decade ratio reads amortization that is really warm-up
+      graft.ops.PageRank.pageRank(base, 1).count()
+      graft.ops.PageRank.pageRankWeighted(base, 1).count()
+      graft.ops.Hits.hits(base, 1).count()
+      // partitions scale with the edge count so ROWS PER TASK stay
+      // ~constant across the decade — the lever a real cluster pulls.
+      // Two measured traps at the 100× tier (r18):
+      //  - fixed 32 partitions put 1.7M contribution rows into each
+      //    hash-aggregate task: 4.5-6.8 GB peak task memory, and the
+      //    default 8 GB heap died with UNABLE_TO_ACQUIRE_MEMORY —
+      //    the single-process memory wall the reference's ">100 GB
+      //    RAM" guidance describes;
+      //  - raising shuffle.partitions to 256 alone did NOT help:
+      //    AQE's partition COALESCING re-merged them to its 64 MB
+      //    byte target (peak task 7.4-11.7 GB, unchanged), because
+      //    the coalescer optimizes bytes-per-partition, not
+      //    memory-per-task. The honest lever pair is partitions +
+      //    coalescing floor (or a larger advisory size) — disabled
+      //    here for the big tier exactly as a cluster job would pin
+      //    spark.sql.adaptive.coalescePartitions.minPartitionNum.
+      val basePart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val tiers = Seq(("10x", copies(10), basePart, true),
+        ("100x", copies(100), basePart * 8, false))
+      for ((tier, e0, parts, coalesce) <- tiers) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+          coalesce)
+        // INPUT splits must scale with the data too: the synthetic
+        // n-fold crossJoin inherits the 32-partition cached base, so
+        // the first map-side partial aggregate would run on 32 tasks
+        // of n/10 × 1.7M rows each and grow a 7-12 GB hash map per
+        // task before spilling (measured at 100×, partition-count-
+        // INDEPENDENT because it sits before any exchange). File-
+        // sourced edges split by maxPartitionBytes and never see
+        // this; the repartition makes the synthetic input behave
+        // like real input.
+        val e = e0.repartition(parts)
+        time("pagerank_3r", tier) {
+          graft.ops.PageRank.pageRank(e, 3).count()
+        }
+        time("pagerank_weighted_3r", tier) {
+          graft.ops.PageRank.pageRankWeighted(e, 3).count()
+        }
+        time("hits_3r", tier) {
+          graft.ops.Hits.hits(e, 3).count()
+        }
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", basePart)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", true)
     } finally graft.Checkpoints.free(base)
   }
 

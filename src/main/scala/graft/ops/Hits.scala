@@ -345,4 +345,39 @@ object Hits {
          |  floor(auth * 1000000 + 0.5) / 1000000 AS auth
          |FROM s$iterations""".stripMargin
   }
+
+  /** The DuckDB oracle for [[hitsUntil]] — the [[PageRank
+    * .oracleSqlConverged]] contract on both score vectors: unroll
+    * `maxIterations` rounds, compute each round's decimal-exact L1
+    * delta Σ(|Δhub| + |Δauth|) with the identical expression tree the
+    * Scala loop uses, resolve the stop round as the least k with
+    * delta ≤ epsilon (else the cap), and emit that round's scores
+    * with the stop round.
+    */
+  def oracleSqlConverged(edgesCte: String, epsilon: Double,
+                         maxIterations: Int): String = {
+    val base = oracleSql(edgesCte, maxIterations)
+    val head = base.substring(0, base.lastIndexOf("\nSELECT id,"))
+    val deltas = (1 to maxIterations).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT $k::BIGINT AS k,
+         |    sum((abs(a.hub - b.hub) + abs(a.auth - b.auth))::DECIMAL(38,18))::DOUBLE AS delta
+         |  FROM s$k a JOIN s${k - 1} b ON a.id = b.id
+         |)""".stripMargin
+    }
+    val deltasUnion = (1 to maxIterations)
+      .map(k => s"SELECT k, delta FROM d$k").mkString(" UNION ALL ")
+    val scoresUnion = (1 to maxIterations)
+      .map(k => s"SELECT $k::BIGINT AS k, id, hub, auth FROM s$k")
+      .mkString(" UNION ALL ")
+    (head +: deltas).mkString(",\n") + ",\n" +
+      s"""stop AS (
+         |  SELECT coalesce(min(k), $maxIterations::BIGINT) AS k
+         |  FROM ($deltasUnion) WHERE delta <= $epsilon
+         |)
+         |SELECT id, floor(hub * 1000000 + 0.5) / 1000000 AS hub,
+         |  floor(auth * 1000000 + 0.5) / 1000000 AS auth,
+         |  (SELECT k FROM stop) AS stop_round
+         |FROM ($scoresUnion) WHERE k = (SELECT k FROM stop)""".stripMargin
+  }
 }
