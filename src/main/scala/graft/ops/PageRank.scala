@@ -304,7 +304,31 @@ object PageRank {
   def pageRankWeighted(edges: DataFrame, iterations: Int,
                        damping: Double = 0.85,
                        checkpointEvery: Int = 4,
-                       saltJoin: Int = 1): DataFrame = {
+                       saltJoin: Int = 1): DataFrame =
+    runWeighted(edges, iterations, damping, checkpointEvery, saltJoin,
+      epsilon = None)._1
+
+  /** CONVERGENCE-STOPPED weighted power iteration — the
+    * [[pageRankUntil]] contract over the link-count-weighted form,
+    * completing the family: iterate until the decimal-exact L1 delta
+    * of successive rank vectors is ≤ `epsilon`, or `maxIterations`
+    * rounds; returns (ranks, roundsRun). Same determinism argument
+    * (order-free decimal sums, fixed IEEE trees), same per-round
+    * materialization cost.
+    */
+  def pageRankWeightedUntil(edges: DataFrame, epsilon: Double,
+                            maxIterations: Int = 100,
+                            damping: Double = 0.85,
+                            saltJoin: Int = 1): (DataFrame, Int) = {
+    require(epsilon >= 0.0, "pageRankWeightedUntil: epsilon must be >= 0")
+    runWeighted(edges, maxIterations, damping, 1, saltJoin,
+      epsilon = Some(epsilon))
+  }
+
+  private def runWeighted(edges: DataFrame, iterations: Int,
+                          damping: Double, checkpointEvery: Int,
+                          saltJoin: Int,
+                          epsilon: Option[Double]): (DataFrame, Int) = {
     def massSum(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,18)")).cast("double")
     require(iterations >= 0, "pageRankWeighted: iterations must be >= 0")
@@ -324,41 +348,67 @@ object PageRank {
       val nD = lit(n.toDouble)
       val d = lit(damping)
       var ranks = nodes.withColumn("rank", lit(1.0) / nD).localCheckpoint()
+      // one weighted round — the single definition both loops execute
+      def oneRound(prev: DataFrame): DataFrame = {
+        val eOut = e.select(col("src").as("__es"), col("dst").as("__ed"),
+          col("w").as("__w"))
+        val withW = prev.join(outW, prev("id") === outW("src"), "left")
+        val linked = withW.filter(col("sw").isNotNull)
+        val joined =
+          if (saltJoin > 1)
+            Skew.saltedJoin(eOut,
+              linked.select(col("id").as("__es"), col("rank"), col("sw")),
+              Seq("__es"), saltJoin, saltBy = Seq("__ed"))
+          else linked.join(eOut, linked("id") === col("__es"))
+        val contribs = joined
+          .select(col("__ed").as("id"),
+            (col("rank") * (col("__w") / col("sw"))).as("c"))
+        val sums = contribs.groupBy(col("id")).agg(massSum(col("c")).as("s"))
+        val dangling = withW.filter(col("sw").isNull)
+          .agg(coalesce(massSum(col("rank")), lit(0.0)).as("m"))
+        nodes
+          .join(sums, Seq("id"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"),
+            ((lit(1.0) - d) / nD +
+              d * (coalesce(col("s"), lit(0.0)) + col("m") / nD))
+              .as("rank"))
+      }
       var cut = ranks
       var i = 0
       try {
-        while (i < iterations) {
-          val eOut = e.select(col("src").as("__es"), col("dst").as("__ed"),
-            col("w").as("__w"))
-          val withW = ranks.join(outW, ranks("id") === outW("src"), "left")
-          val linked = withW.filter(col("sw").isNotNull)
-          val joined =
-            if (saltJoin > 1)
-              Skew.saltedJoin(eOut,
-                linked.select(col("id").as("__es"), col("rank"), col("sw")),
-                Seq("__es"), saltJoin, saltBy = Seq("__ed"))
-            else linked.join(eOut, linked("id") === col("__es"))
-          val contribs = joined
-            .select(col("__ed").as("id"),
-              (col("rank") * (col("__w") / col("sw"))).as("c"))
-          val sums = contribs.groupBy(col("id")).agg(massSum(col("c")).as("s"))
-          val dangling = withW.filter(col("sw").isNull)
-            .agg(coalesce(massSum(col("rank")), lit(0.0)).as("m"))
-          ranks = nodes
-            .join(sums, Seq("id"), "left")
-            .crossJoin(broadcast(dangling))
-            .select(col("id"),
-              ((lit(1.0) - d) / nD +
-                d * (coalesce(col("s"), lit(0.0)) + col("m") / nD))
-                .as("rank"))
-          if ((i + 1) % checkpointEvery == 0 || i + 1 == iterations) {
-            ranks = ranks.localCheckpoint()
-            graft.Checkpoints.free(cut)
-            cut = ranks
-          }
-          i += 1
+        epsilon match {
+          case None =>
+            while (i < iterations) {
+              ranks = oneRound(ranks)
+              if ((i + 1) % checkpointEvery == 0 || i + 1 == iterations) {
+                ranks = ranks.localCheckpoint()
+                graft.Checkpoints.free(cut)
+                cut = ranks
+              }
+              i += 1
+            }
+            (ranks, i)
+          case Some(eps) =>
+            var converged = false
+            while (i < iterations && !converged) {
+              val next = oneRound(ranks).localCheckpoint()
+              val delta = ranks.select(col("id"), col("rank").as("__old"))
+                .join(next.select(col("id"), col("rank").as("__new")),
+                  Seq("id"))
+                .agg(coalesce(
+                  sum(abs(col("__new") - col("__old"))
+                    .cast("decimal(38,18)")).cast("double"),
+                  lit(0.0)))
+                .collect().head.getDouble(0)
+              graft.Checkpoints.free(cut)
+              ranks = next
+              cut = next
+              converged = delta <= eps
+              i += 1
+            }
+            (ranks, i)
         }
-        ranks
       } finally if (cut ne ranks) graft.Checkpoints.free(cut)
     } finally graft.Checkpoints.free(e)
   }

@@ -261,4 +261,22 @@ class PageRankSpec extends AnyFunSuite {
     val (_, nCap) = PageRank.pageRankUntil(df, 0.0, maxIterations = 2)
     assert(nCap == 2)
   }
+
+  test("pageRankWeightedUntil: same contract on the weighted form — " +
+      "deterministic stop, bit-equal to the fixed API at the stop round") {
+    val wrnd = new scala.util.Random(67)
+    val wedges = edges.map { case (s, t) => (s, t, 1.0 + wrnd.nextInt(9)) }
+    val df = wedges.toDF("src", "dst", "weight")
+    val (r1, n1) = PageRank.pageRankWeightedUntil(df.repartition(3), 1e-4,
+      maxIterations = 60)
+    val (r2, n2) = PageRank.pageRankWeightedUntil(df.repartition(11), 1e-4,
+      maxIterations = 60, saltJoin = 4)
+    assert(n1 == n2, "stop round must not depend on partitioning or salt")
+    assert(n1 > 1 && n1 < 60)
+    val m1 = r1.as[(Long, Double)].collect().toMap
+    assert(m1 == r2.as[(Long, Double)].collect().toMap)
+    val fixed = PageRank.pageRankWeighted(df, n1)
+      .as[(Long, Double)].collect().toMap
+    assert(m1 == fixed, "epsilon path must be bit-identical to the fixed path")
+  }
 }
