@@ -249,6 +249,9 @@ object ScaleBench {
         (col("l_suppkey").cast("long") + 1000000L).as("dst"),
         col("l_quantity").as("weight"))
       .localCheckpoint()
+    // captured OUTSIDE the try so the finally can restore it even when
+    // the 100x tier dies mid-flight (review finding r18)
+    val basePart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     try {
       def copies(n: Int) = base
         .crossJoin(spark.range(n).select((col("id") * 10000000L).as("__off")))
@@ -277,7 +280,6 @@ object ScaleBench {
       //    coalescing floor (or a larger advisory size) — disabled
       //    here for the big tier exactly as a cluster job would pin
       //    spark.sql.adaptive.coalescePartitions.minPartitionNum.
-      val basePart = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val tiers = Seq(("10x", copies(10), basePart, true),
         ("100x", copies(100), basePart * 8, false))
       for ((tier, e0, parts, coalesce) <- tiers) {
@@ -304,9 +306,15 @@ object ScaleBench {
           graft.ops.Hits.hits(e, 3).count()
         }
       }
+    } finally {
+      // restore INSIDE the finally (review finding r18): the 100x tier
+      // is exactly where the documented OOM can fire, and a leaked
+      // 8x-partition / coalescing-off config would poison whatever
+      // runs next in the session
       spark.conf.set("spark.sql.shuffle.partitions", basePart)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", true)
-    } finally graft.Checkpoints.free(base)
+      graft.Checkpoints.free(base)
+    }
   }
 
   /** r17 s3 retrieval-serving + asymmetric-dedup shapes at the 20x

@@ -31,14 +31,13 @@ final case class EtdOptions(
     weatherDataFolderPath: Option[String] = None,
     weatherStationsSummaryFile: Option[String] = None) {
 
-  /** `aggregate.py:324`'s safe-name rule: lowercase, every non-word
-    * run → one underscore. `(?U)` makes Java's `\W` Unicode-aware like
-    * Python's `re.sub(r"\W+")` (ADVICE r16: without it a display name
-    * containing `é` maps to a different file name than the reference
-    * writes, breaking the line-for-line path-convention claim).
+  /** `aggregate.py:324`'s safe-name rule — delegates to the ONE
+    * canonical implementation ([[Sources.safeName]]; review finding
+    * r18: the rule was duplicated and the same Unicode bug had to be
+    * fixed twice; a one-sided future fix would silently map the same
+    * stage name to two different file paths across the etd modules).
     */
-  def safeName(name: String): String =
-    name.toLowerCase.replaceAll("(?U)\\W+", "_")
+  def safeName(name: String): String = Sources.safeName(name)
 
   /** `household_{interval}.parquet` under the aggregate folder
     * (`load_data.py:47-49`; interval `default` is the unresampled

@@ -411,8 +411,17 @@ object Impute {
     if (x == 0.0 || x.isNaN || x.isInfinite) x
     else {
       val n = sigFigs - math.floor(math.log10(math.abs(x))).toInt - 1
-      new java.math.BigDecimal(x)
+      val r = new java.math.BigDecimal(x)
         .setScale(n, java.math.RoundingMode.HALF_EVEN).doubleValue()
+      // Python's round raises OverflowError when the decimal-rounded
+      // value exceeds double range (e.g. MaxValue at 1 sig fig rounds
+      // UP to 2e308); silently returning Infinity would make
+      // equalSigFig compare infinities instead of failing loud
+      // (review finding r18)
+      if (r.isInfinite)
+        throw new ArithmeticException(
+          "roundToSigFigs: rounded value too large to represent")
+      r
     }
   }
 

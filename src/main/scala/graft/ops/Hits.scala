@@ -311,40 +311,49 @@ object Hits {
     * ~6^iterations times — materialization keeps the replay linear in
     * rounds, exactly like the Spark side's per-round frames.
     */
-  def oracleSql(edgesCte: String, iterations: Int): String = {
-    val head =
-      s"""WITH edges0 AS ($edgesCte),
-         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges0),
-         |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-         |s0 AS (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS hub,
-         |  1.0::DOUBLE / (SELECT n FROM nn) AS auth FROM nodes)""".stripMargin
-    val iters = (1 to iterations).map { k =>
-      val p = s"s${k - 1}"
-      s"""hr$k AS MATERIALIZED (
-         |  SELECT e.src AS id, sum(a.auth::DECIMAL(38,18))::DOUBLE AS s
-         |  FROM $p a JOIN e ON e.dst = a.id GROUP BY 1
-         |), hm$k AS (
-         |  SELECT coalesce(sum(s::DECIMAL(38,18))::DOUBLE, 0.0::DOUBLE) AS t FROM hr$k
-         |), h$k AS MATERIALIZED (
-         |  SELECT n.id, coalesce(hr.s, 0.0::DOUBLE) / (SELECT t FROM hm$k) AS hub
-         |  FROM nodes n LEFT JOIN hr$k hr ON n.id = hr.id
-         |), ar$k AS MATERIALIZED (
-         |  SELECT e.dst AS id, sum(h.hub::DECIMAL(38,18))::DOUBLE AS s
-         |  FROM h$k h JOIN e ON e.src = h.id GROUP BY 1
-         |), am$k AS (
-         |  SELECT coalesce(sum(s::DECIMAL(38,18))::DOUBLE, 0.0::DOUBLE) AS t FROM ar$k
-         |), s$k AS MATERIALIZED (
-         |  SELECT h.id, h.hub,
-         |    coalesce(ar.s, 0.0::DOUBLE) / (SELECT t FROM am$k) AS auth
-         |  FROM h$k h LEFT JOIN ar$k ar ON h.id = ar.id
-         |)""".stripMargin
-    }
-    (head +: iters).mkString(",\n") +
+  /** The shared head + per-round CTE generators both oracles compose
+    * (review finding r18: the converged form previously carved its
+    * prefix out of [[oracleSql]]'s string with `substring`/
+    * `lastIndexOf` — brittle surgery that would throw or emit
+    * malformed SQL if the tail format changed; the generators ARE the
+    * shared artifact now).
+    */
+  private def oracleRoundsHead(edgesCte: String): String =
+    s"""WITH edges0 AS ($edgesCte),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges0),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |s0 AS (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS hub,
+       |  1.0::DOUBLE / (SELECT n FROM nn) AS auth FROM nodes)""".stripMargin
+
+  private def oracleRoundSql(k: Int): String = {
+    val p = s"s${k - 1}"
+    s"""hr$k AS MATERIALIZED (
+       |  SELECT e.src AS id, sum(a.auth::DECIMAL(38,18))::DOUBLE AS s
+       |  FROM $p a JOIN e ON e.dst = a.id GROUP BY 1
+       |), hm$k AS (
+       |  SELECT coalesce(sum(s::DECIMAL(38,18))::DOUBLE, 0.0::DOUBLE) AS t FROM hr$k
+       |), h$k AS MATERIALIZED (
+       |  SELECT n.id, coalesce(hr.s, 0.0::DOUBLE) / (SELECT t FROM hm$k) AS hub
+       |  FROM nodes n LEFT JOIN hr$k hr ON n.id = hr.id
+       |), ar$k AS MATERIALIZED (
+       |  SELECT e.dst AS id, sum(h.hub::DECIMAL(38,18))::DOUBLE AS s
+       |  FROM h$k h JOIN e ON e.src = h.id GROUP BY 1
+       |), am$k AS (
+       |  SELECT coalesce(sum(s::DECIMAL(38,18))::DOUBLE, 0.0::DOUBLE) AS t FROM ar$k
+       |), s$k AS MATERIALIZED (
+       |  SELECT h.id, h.hub,
+       |    coalesce(ar.s, 0.0::DOUBLE) / (SELECT t FROM am$k) AS auth
+       |  FROM h$k h LEFT JOIN ar$k ar ON h.id = ar.id
+       |)""".stripMargin
+  }
+
+  def oracleSql(edgesCte: String, iterations: Int): String =
+    (oracleRoundsHead(edgesCte) +:
+      (1 to iterations).map(oracleRoundSql)).mkString(",\n") +
       s"""\nSELECT id, floor(hub * 1000000 + 0.5) / 1000000 AS hub,
          |  floor(auth * 1000000 + 0.5) / 1000000 AS auth
          |FROM s$iterations""".stripMargin
-  }
 
   /** The DuckDB oracle for [[hitsUntil]] — the [[PageRank
     * .oracleSqlConverged]] contract on both score vectors: unroll
@@ -356,8 +365,11 @@ object Hits {
     */
   def oracleSqlConverged(edgesCte: String, epsilon: Double,
                          maxIterations: Int): String = {
-    val base = oracleSql(edgesCte, maxIterations)
-    val head = base.substring(0, base.lastIndexOf("\nSELECT id,"))
+    require(maxIterations >= 1,
+      "oracleSqlConverged: maxIterations must be >= 1 — the generated " +
+        "round/delta unions cannot express the zero-round degenerate " +
+        "the Scala until() API allows")
+    val rounds = (1 to maxIterations).map(oracleRoundSql)
     val deltas = (1 to maxIterations).map { k =>
       s"""d$k AS MATERIALIZED (
          |  SELECT $k::BIGINT AS k,
@@ -370,7 +382,7 @@ object Hits {
     val scoresUnion = (1 to maxIterations)
       .map(k => s"SELECT $k::BIGINT AS k, id, hub, auth FROM s$k")
       .mkString(" UNION ALL ")
-    (head +: deltas).mkString(",\n") + ",\n" +
+    ((oracleRoundsHead(edgesCte) +: rounds) ++ deltas).mkString(",\n") + ",\n" +
       s"""stop AS (
          |  SELECT coalesce(min(k), $maxIterations::BIGINT) AS k
          |  FROM ($deltasUnion) WHERE delta <= $epsilon

@@ -466,30 +466,13 @@ object PageRank {
   def oracleSqlConverged(edgesCte: String, epsilon: Double,
                          maxIterations: Int,
                          damping: Double = 0.85): String = {
-    val d = damping.toString
-    val head =
-      s"""WITH edges0 AS ($edgesCte),
-         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges0),
-         |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-         |od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
-         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-         |r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    require(maxIterations >= 1,
+      "oracleSqlConverged: maxIterations must be >= 1 — the generated " +
+        "round/delta unions cannot express the zero-round degenerate " +
+        "the Scala until() API allows")
+    val head = oracleRoundsHead(edgesCte, materialized = true)
     val iters = (1 to maxIterations).map { k =>
-      val p = s"r${k - 1}"
-      s"""c$k AS (
-         |  SELECT e.dst AS id, r.rank / od.deg::DOUBLE AS c
-         |  FROM $p r JOIN od ON r.id = od.src JOIN e ON e.src = r.id
-         |), s$k AS MATERIALIZED (
-         |  SELECT id, sum(c::DECIMAL(38,18))::DOUBLE AS s FROM c$k GROUP BY 1
-         |), m$k AS (
-         |  SELECT coalesce(sum(r.rank::DECIMAL(38,18))::DOUBLE, 0.0::DOUBLE) AS m
-         |  FROM $p r LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL
-         |), r$k AS MATERIALIZED (
-         |  SELECT n.id,
-         |    (1.0::DOUBLE - $d) / (SELECT n FROM nn) +
-         |    $d * (coalesce(s.s, 0.0::DOUBLE) + (SELECT m FROM m$k) / (SELECT n FROM nn)) AS rank
-         |  FROM nodes n LEFT JOIN s$k s ON n.id = s.id
-         |), d$k AS MATERIALIZED (
+      s"""${oracleRoundSql(k, damping, materialized = true)}, d$k AS MATERIALIZED (
          |  SELECT $k::BIGINT AS k,
          |    sum(abs(a.rank - b.rank)::DECIMAL(38,18))::DOUBLE AS delta
          |  FROM r$k a JOIN r${k - 1} b ON a.id = b.id
@@ -511,37 +494,54 @@ object PageRank {
     (head +: iters).mkString(",\n") + ",\n" + tail
   }
 
+  /** The shared per-round CTE generators BOTH unweighted oracles
+    * compose (review finding r18: the converged oracle previously
+    * duplicated these trees, so a tweak to one could silently drift
+    * the other — the written-once rule now holds for the generator
+    * itself). `materialized` marks the hot CTEs MATERIALIZED for the
+    * converged form, whose every round is referenced by a delta too.
+    */
+  private def oracleRoundsHead(edgesCte: String,
+                               materialized: Boolean): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    s"""WITH edges0 AS ($edgesCte),
+       |e AS$m (SELECT DISTINCT src, dst FROM edges0),
+       |nodes AS$m (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       |od AS$m (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |r0 AS$m (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+  }
+
+  private def oracleRoundSql(k: Int, damping: Double,
+                             materialized: Boolean): String = {
+    val d = damping.toString
+    val m = if (materialized) " MATERIALIZED" else ""
+    val p = s"r${k - 1}"
+    s"""c$k AS (
+       |  SELECT e.dst AS id, r.rank / od.deg::DOUBLE AS c
+       |  FROM $p r JOIN od ON r.id = od.src JOIN e ON e.src = r.id
+       |), s$k AS$m (
+       |  SELECT id, sum(c::DECIMAL(38,18))::DOUBLE AS s FROM c$k GROUP BY 1
+       |), m$k AS (
+       |  SELECT coalesce(sum(r.rank::DECIMAL(38,18))::DOUBLE, 0.0::DOUBLE) AS m
+       |  FROM $p r LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL
+       |), r$k AS$m (
+       |  SELECT n.id,
+       |    (1.0::DOUBLE - $d) / (SELECT n FROM nn) +
+       |    $d * (coalesce(s.s, 0.0::DOUBLE) + (SELECT m FROM m$k) / (SELECT n FROM nn)) AS rank
+       |  FROM nodes n LEFT JOIN s$k s ON n.id = s.id
+       |)""".stripMargin
+  }
+
   /** The DuckDB oracle for [[pageRank]], generated for `iterations`
     * rounds over an `edges` CTE the caller supplies (must define
     * columns src, dst). Replays the exact expression trees.
     */
   def oracleSql(edgesCte: String, iterations: Int,
                 damping: Double = 0.85): String = {
-    val d = damping.toString
-    val head =
-      s"""WITH edges0 AS ($edgesCte),
-         |e AS (SELECT DISTINCT src, dst FROM edges0),
-         |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-         |od AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
-         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-         |r0 AS (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
-    val iters = (1 to iterations).map { k =>
-      val p = s"r${k - 1}"
-      s"""c$k AS (
-         |  SELECT e.dst AS id, r.rank / od.deg::DOUBLE AS c
-         |  FROM $p r JOIN od ON r.id = od.src JOIN e ON e.src = r.id
-         |), s$k AS (
-         |  SELECT id, sum(c::DECIMAL(38,18))::DOUBLE AS s FROM c$k GROUP BY 1
-         |), m$k AS (
-         |  SELECT coalesce(sum(r.rank::DECIMAL(38,18))::DOUBLE, 0.0::DOUBLE) AS m
-         |  FROM $p r LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL
-         |), r$k AS (
-         |  SELECT n.id,
-         |    (1.0::DOUBLE - $d) / (SELECT n FROM nn) +
-         |    $d * (coalesce(s.s, 0.0::DOUBLE) + (SELECT m FROM m$k) / (SELECT n FROM nn)) AS rank
-         |  FROM nodes n LEFT JOIN s$k s ON n.id = s.id
-         |)""".stripMargin
-    }
+    val head = oracleRoundsHead(edgesCte, materialized = false)
+    val iters = (1 to iterations).map(k =>
+      oracleRoundSql(k, damping, materialized = false))
     (head +: iters).mkString(",\n") +
       s"\nSELECT id, floor(rank * 1000000 + 0.5) / 1000000 AS rank FROM r$iterations"
   }

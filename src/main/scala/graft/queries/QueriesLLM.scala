@@ -1372,6 +1372,31 @@ object QueriesLLM {
       |  GROUP BY 1
       |)""".stripMargin
 
+  /** The anchor-text extraction chain (atags → apairs → aresolved →
+    * aterms) over a `(doc_id?, url, html)` CTE — written once (review
+    * finding r18: the crawl-loop flagship previously copy-pasted these
+    * 25 lines from `q_anchor_text`, so an href-regex fix in one could
+    * silently diverge the other). `aterms` exposes (dst_host, term);
+    * callers aggregate.
+    */
+  private def anchorChainSql(srcCte: String): String =
+    s"""atags AS (
+       |  SELECT url,
+       |    regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"[^>]*>([^<]*)</a>', 1) AS hrefs,
+       |    regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"[^>]*>([^<]*)</a>', 2) AS texts
+       |  FROM $srcCte
+       |), apairs AS (
+       |  SELECT url, unnest(list_zip(hrefs, texts)) AS pr2 FROM atags
+       |), aresolved AS (
+       |  SELECT ${resolveCaseSql("pr2[1]", "url")} AS link, pr2[2] AS anchor
+       |  FROM apairs
+       |), aterms AS (
+       |  SELECT lower(regexp_extract(link,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS dst_host,
+       |    unnest(list_filter(string_split(anchor, ' '), t -> length(t) > 0)) AS term
+       |  FROM aresolved WHERE link IS NOT NULL
+       |)""".stripMargin
+
   /** The shared RFC 9309 oracle chain (parse + decision through the
     * `win` CTE) — `q_robots_filter` adds the projection,
     * `q_crawl_frontier` composes scheduling on top. Written ONCE (the
@@ -1706,10 +1731,12 @@ object QueriesLLM {
     val fetched = children.join(urlsetXml, Seq("host", "bucket"))
     val discovered = Robots.sitemapEntries(fetched, "host", "xml")
       .select(col("loc").as("url")).distinct()
-    // 2. URL grain with the frontier keep rule's min doc_id
+    // 2. URL grain with the frontier keep rule's min doc_id (the
+    // extra host/bucket columns drop in the aggregate, so the fixture
+    // frame already in scope serves — review finding r18: no second
+    // fixture synthesis in a query whose wall is orchestration-bound)
     val withId = discovered.join(
-      robotsFixtureUrls(spark, dir).groupBy("url")
-        .agg(min(col("doc_id")).as("doc_id")),
+      fixture.groupBy("url").agg(min(col("doc_id")).as("doc_id")),
       Seq("url"))
     // 3. trap gate — map-side, before any downstream exchange
     val trapChecked = UrlFunctions.trapReport(withId, "url")
@@ -5611,22 +5638,7 @@ object QueriesLLM {
            |  SELECT * FROM frq WHERE slot <= quota
            |), apages AS (
            |  SELECT doc_id, url, $pageHtmlSql AS html FROM schedx
-           |), atags AS (
-           |  SELECT url,
-           |    regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"[^>]*>([^<]*)</a>', 1) AS hrefs,
-           |    regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"[^>]*>([^<]*)</a>', 2) AS texts
-           |  FROM apages
-           |), apairs AS (
-           |  SELECT url, unnest(list_zip(hrefs, texts)) AS pr2 FROM atags
-           |), aresolved AS (
-           |  SELECT ${resolveCaseSql("pr2[1]", "url")} AS link, pr2[2] AS anchor
-           |  FROM apairs
-           |), aterms AS (
-           |  SELECT lower(regexp_extract(link,
-           |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS dst_host,
-           |    unnest(list_filter(string_split(anchor, ' '), t -> length(t) > 0)) AS term
-           |  FROM aresolved WHERE link IS NOT NULL
-           |), anchorx AS (
+           |), ${anchorChainSql("apages")}, anchorx AS (
            |  SELECT dst_host, term, count(*)::BIGINT AS n FROM aterms GROUP BY 1, 2
            |)
            |SELECT doc_id, url, host, 'trap' AS stage,
@@ -5799,22 +5811,8 @@ object QueriesLLM {
     // anchor texts: href[i]/text[i] extracted by the SAME regex align
     // by construction; hrefs resolve through the shared resolve CASE
     "q_anchor_text" ->
-      (linkResolveSql + s""", atags AS (
-          |  SELECT url,
-          |    regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"[^>]*>([^<]*)</a>', 1) AS hrefs,
-          |    regexp_extract_all(html, '(?i)<a\\b[^>]*\\shref\\s*=\\s*"([^"#][^"]*)"[^>]*>([^<]*)</a>', 2) AS texts
-          |  FROM pages
-          |), apairs AS (
-          |  SELECT url, unnest(list_zip(hrefs, texts)) AS pr FROM atags
-          |), aresolved AS (
-          |  SELECT ${resolveCaseSql("pr[1]", "url")} AS link, pr[2] AS anchor
-          |  FROM apairs
-          |), aterms AS (
-          |  SELECT lower(regexp_extract(link,
-          |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS dst_host,
-          |    unnest(list_filter(string_split(anchor, ' '), t -> length(t) > 0)) AS term
-          |  FROM aresolved WHERE link IS NOT NULL
-          |)
+      (linkResolveSql + ", " + anchorChainSql("pages") +
+        """
           |SELECT dst_host, term, count(*)::BIGINT AS n
           |FROM aterms GROUP BY 1, 2""".stripMargin),
     // digest-grain full-outer diff; every status arm populated by the

@@ -235,5 +235,12 @@ class ImputeSpec extends AnyFunSuite {
     assert(!Impute.equalSigFig(1e-12, 0.0, 3)) // rel-tol, not abs-tol
     assert(Impute.equalSigFig(-5.5, -5.5004, 3))
     assert(!Impute.equalSigFig(1.0, 1.1, 3))
+    // Python raises OverflowError when the rounded value leaves double
+    // range (MaxValue at 1 sig fig rounds up to 2e308) — fail loud too
+    assertThrows[ArithmeticException](
+      Impute.roundToSigFigs(Double.MaxValue, 1))
+    // infinities and NaN pass through like Python's round
+    assert(Impute.roundToSigFigs(Double.PositiveInfinity, 3).isPosInfinity)
+    assert(Impute.roundToSigFigs(Double.NaN, 3).isNaN)
   }
 }
