@@ -249,9 +249,14 @@ object ScaleBench {
         (col("l_suppkey").cast("long") + 1000000L).as("dst"),
         col("l_quantity").as("weight"))
       .localCheckpoint()
-    // captured OUTSIDE the try so the finally can restore it even when
-    // the 100x tier dies mid-flight (review finding r18)
+    // captured OUTSIDE the try so the finally can restore them even
+    // when the 100x tier dies mid-flight (review finding r18) — BOTH
+    // confs, not just the partition count: restoring coalescing to a
+    // hardcoded true would itself poison a session that launched with
+    // it off
     val basePart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val baseCoalesce = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     try {
       def copies(n: Int) = base
         .crossJoin(spark.range(n).select((col("id") * 10000000L).as("__off")))
@@ -312,7 +317,8 @@ object ScaleBench {
       // 8x-partition / coalescing-off config would poison whatever
       // runs next in the session
       spark.conf.set("spark.sql.shuffle.partitions", basePart)
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", true)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        baseCoalesce)
       graft.Checkpoints.free(base)
     }
   }

@@ -302,15 +302,6 @@ object Hits {
       List.empty[DataFrame])
   }
 
-  /** The DuckDB oracle for [[hits]], generated for `iterations` rounds
-    * over an `edges` CTE the caller supplies (must define columns src,
-    * dst). Replays the exact expression trees: decimal sums, one
-    * division per node per normalization. Every per-round CTE is
-    * MATERIALIZED: each is referenced 2-3 times by the next level, so
-    * DuckDB's default inlining would re-evaluate the whole chain
-    * ~6^iterations times — materialization keeps the replay linear in
-    * rounds, exactly like the Spark side's per-round frames.
-    */
   /** The shared head + per-round CTE generators both oracles compose
     * (review finding r18: the converged form previously carved its
     * prefix out of [[oracleSql]]'s string with `substring`/
@@ -348,6 +339,15 @@ object Hits {
        |)""".stripMargin
   }
 
+  /** The DuckDB oracle for [[hits]], generated for `iterations` rounds
+    * over an `edges` CTE the caller supplies (must define columns src,
+    * dst). Replays the exact expression trees: decimal sums, one
+    * division per node per normalization. Every per-round CTE is
+    * MATERIALIZED: each is referenced 2-3 times by the next level, so
+    * DuckDB's default inlining would re-evaluate the whole chain
+    * ~6^iterations times — materialization keeps the replay linear in
+    * rounds, exactly like the Spark side's per-round frames.
+    */
   def oracleSql(edgesCte: String, iterations: Int): String =
     (oracleRoundsHead(edgesCte) +:
       (1 to iterations).map(oracleRoundSql)).mkString(",\n") +
