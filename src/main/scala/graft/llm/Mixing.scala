@@ -106,6 +106,47 @@ object Mixing {
         TextFunctions.round6(col("target_tokens") - col("planned_tokens")))
   }
 
+  /** TEMPERATURE-scaled mixture weights from the corpus itself (the
+    * multilingual/data-recipe standard: mBERT/XLM-R exponentiated
+    * sampling) — per source, w_s ∝ p_s^(1/T) where p_s is the source's
+    * token share. T = 1 reproduces natural proportions; T → ∞ flattens
+    * toward uniform — the knob that keeps low-resource sources from
+    * vanishing without hand-written weights. Output: (source,
+    * total_tokens, share, weight), weights normalized to 1 on the
+    * round6 grid; feed `weight` straight into [[mixturePlan]] (it
+    * re-normalizes, so the round6 grid is harmless).
+    *
+    * Portability discipline: token sums are decimal-exact; `share` is
+    * round6'd BEFORE the power so both engines exponentiate the
+    * identical double; the libm `pow` output lands on the round9 grid
+    * (the round9(ln) convention); the normalizing sum is decimal. One
+    * corpus aggregation; everything after is source-cardinality with
+    * two one-row broadcasts.
+    */
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+                         tokensCol: String,
+                         temperature: Double): DataFrame = {
+    require(temperature > 0.0,
+      "temperatureWeights: temperature must be > 0")
+    val inv = 1.0 / temperature
+    val perSource = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokensCol).cast("decimal(28,0)")).cast("double")
+        .as("total_tokens"))
+    val grand = perSource.agg(
+      sum(col("total_tokens").cast("decimal(38,6)")).cast("double")
+        .as("__tot"))
+    val scaled = perSource.crossJoin(broadcast(grand))
+      .withColumn("share",
+        TextFunctions.round6(col("total_tokens") / col("__tot")))
+      .withColumn("__tw",
+        TextFunctions.round9(pow(col("share"), lit(inv))))
+    val wsum = scaled.agg(
+      sum(col("__tw").cast("decimal(38,18)")).cast("double").as("__ws"))
+    scaled.crossJoin(broadcast(wsum))
+      .select(col("source"), col("total_tokens"), col("share"),
+        TextFunctions.round6(col("__tw") / col("__ws")).as("weight"))
+  }
+
   /** Expand a corpus to its planned epochs WITHOUT a shuffle: each
     * document emits floor(epochs_s) full copies plus one more iff its
     * hash falls under the fractional remainder — so the expanded corpus

@@ -3112,6 +3112,20 @@ object QueriesLLM {
       budget = 50000.0, maxEpochs = 2.5)
   }
 
+  /** Temperature-scaled mixture weights from the corpus's own token
+    * shares ([[Mixing.temperatureWeights]], r18): w_s ∝ share_s^(1/T)
+    * at T = 2 — the multilingual-sampling standard that lifts
+    * low-resource sources without hand-written weights. Oracle replays
+    * the decimal sums, the round6 share, the round9'd libm pow, and
+    * the decimal-normalized round6 weight.
+    */
+  def q_mixture_temperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("n_tokens",
+        size(TextFunctions.tokens(col("text"))).cast("long"))
+    Mixing.temperatureWeights(docs, "source", "n_tokens", temperature = 2.0)
+  }
+
   /** Epoch expansion under a fractional-epochs map: per (source,
     * epoch) document counts after [[Mixing.mixtureExpand]] — full
     * copies for the integer part, deterministic per-document hash
@@ -3478,6 +3492,7 @@ object QueriesLLM {
     "q_sample_weighted" -> (q_sample_weighted _),
     "q_shard_assign" -> (q_shard_assign _),
     "q_mixture_plan" -> (q_mixture_plan _),
+    "q_mixture_temperature" -> (q_mixture_temperature _),
     "q_mixture_expand" -> (q_mixture_expand _),
     "q_rrf_hybrid" -> (q_rrf_hybrid _),
     "q_dsir_weights" -> (q_dsir_weights _),
@@ -6324,6 +6339,29 @@ object QueriesLLM {
         |  planned_tokens,
         |  floor((target_tokens - planned_tokens) * 1000000 + 0.5) / 1000000 AS shortfall_tokens
         |FROM p""".stripMargin,
+    // temperature weights: decimal token sums, round6 share BEFORE the
+    // pow so both engines exponentiate the identical double, round9'd
+    // libm pow, decimal-normalized round6 weight (1/T = 0.5 literal)
+    "q_mixture_temperature" ->
+      """WITH agg AS (
+        |  SELECT source,
+        |    sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0))::DECIMAL(28,0))::DOUBLE AS total_tokens
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(total_tokens::DECIMAL(38,6))::DOUBLE AS t FROM agg
+        |), sh AS (
+        |  SELECT source, total_tokens,
+        |    floor(total_tokens / (SELECT t FROM tot) * 1000000 + 0.5) / 1000000 AS share
+        |  FROM agg
+        |), tw AS (
+        |  SELECT *, floor(pow(share, 0.5) * 1000000000 + 0.5) / 1000000000 AS w0
+        |  FROM sh
+        |), ws AS (
+        |  SELECT sum(w0::DECIMAL(38,18))::DOUBLE AS s FROM tw
+        |)
+        |SELECT source, total_tokens, share,
+        |  floor(w0 / (SELECT s FROM ws) * 1000000 + 0.5) / 1000000 AS weight
+        |FROM tw""".stripMargin,
     "q_kn_model" -> (knModelSql +
       """ SELECT u, v, w, c::BIGINT AS c,
         |  floor(p3 * 1000000 + 0.5) / 1000000 AS p

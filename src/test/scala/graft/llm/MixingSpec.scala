@@ -125,4 +125,39 @@ class MixingSpec extends AnyFunSuite {
     // expected mass tracks sum(prob): p=0.3 keeps ~30% (hash-uniform)
     assert(a.size > 100 && a.size < 200, s"${a.size} kept at p=0.3")
   }
+
+  test("temperatureWeights: T=1 reproduces shares; higher T flattens " +
+      "toward uniform; weights normalize; partitioning-invariant (r18)") {
+    // skewed corpus: 800 / 150 / 50 tokens across three sources
+    val rows = Seq.tabulate(80)(i => (i.toLong, "a", 10L)) ++
+      Seq.tabulate(30)(i => (100L + i, "b", 5L)) ++
+      Seq.tabulate(10)(i => (200L + i, "c", 5L))
+    val df = rows.toDF("doc_id", "source", "n_tok")
+    def weights(t: Double, parts: Int = 4): Map[String, (Double, Double)] =
+      Mixing.temperatureWeights(df.repartition(parts), "source", "n_tok", t)
+        .select("source", "share", "weight")
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val t1 = weights(1.0)
+    // T = 1: weight == share up to the two rounding grids
+    t1.foreach { case (s, (share, w)) =>
+      assert(math.abs(w - share) < 2e-6, s"$s: $w vs $share")
+    }
+    val t2 = weights(2.0)
+    val t100 = weights(100.0)
+    // flattening: the dominant source loses mass, the smallest gains,
+    // monotonically in T; at T=100 everything is near uniform
+    assert(t2("a")._2 < t1("a")._2 && t100("a")._2 < t2("a")._2)
+    assert(t2("c")._2 > t1("c")._2 && t100("c")._2 > t2("c")._2)
+    assert(math.abs(t100("a")._2 - 1.0 / 3) < 0.01)
+    // normalization on the round6 grid
+    Seq(t1, t2, t100).foreach { m =>
+      assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-5)
+    }
+    // deterministic under partitioning (decimal sums + fixed grids)
+    assert(weights(2.0, parts = 1) == weights(2.0, parts = 13))
+    // guard
+    assertThrows[IllegalArgumentException](
+      Mixing.temperatureWeights(df, "source", "n_tok", 0.0))
+  }
 }
