@@ -159,5 +159,21 @@ class MixingSpec extends AnyFunSuite {
     // guard
     assertThrows[IllegalArgumentException](
       Mixing.temperatureWeights(df, "source", "n_tok", 0.0))
+    // the advertised composition: the weight column feeds mixturePlan
+    // directly (the planner re-normalizes, so the round6 grid is
+    // harmless) — every source planned, targets ∝ temperature weights
+    val w2 = Mixing.temperatureWeights(df, "source", "n_tok", 2.0)
+      .select("source", "weight").as[(String, Double)].collect().toMap
+    val plan = Mixing.mixturePlan(df, "source", "n_tok", w2,
+        budget = 1000.0, maxEpochs = 10.0)
+      .select("source", "weight", "target_tokens")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(plan.keySet == w2.keySet)
+    val wSum = w2.values.sum
+    plan.foreach { case (s, (pw, target)) =>
+      assert(math.abs(pw - w2(s) / wSum) < 2e-6, s"$s plan weight")
+      assert(math.abs(target - pw * 1000.0) < 1e-3, s"$s target")
+    }
   }
 }
