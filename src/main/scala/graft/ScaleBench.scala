@@ -258,8 +258,16 @@ object ScaleBench {
     val baseCoalesce = spark.conf
       .get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     try {
+      // the copy stride is DERIVED from the measured max node id, not
+      // assumed (ADVICE r18: o_custkey crosses the old hardcoded 10M
+      // around sf ~67, and colliding copies would silently merge the
+      // disjoint graphs — inflating degrees and disarming the
+      // "auto-salt stays 1" claim the decade ratio rests on)
+      val stride = math.max(10000000L,
+        base.agg(greatest(max(col("src")), max(col("dst"))))
+          .collect().head.getLong(0) + 1L)
       def copies(n: Int) = base
-        .crossJoin(spark.range(n).select((col("id") * 10000000L).as("__off")))
+        .crossJoin(spark.range(n).select((col("id") * stride).as("__off")))
         .select((col("src") + col("__off")).as("src"),
           (col("dst") + col("__off")).as("dst"), col("weight"))
       // untimed 1x warm round: the three iterations are JIT-heavy

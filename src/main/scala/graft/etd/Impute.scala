@@ -408,7 +408,18 @@ object Impute {
     */
   def roundToSigFigs(x: Double, sigFigs: Int): Double = {
     require(sigFigs >= 1, "roundToSigFigs: sigFigs must be >= 1")
-    if (x == 0.0 || x.isNaN || x.isInfinite) x
+    // non-finite input RAISES in the reference too (ADVICE r18): the
+    // Python helper computes int(floor(log10(abs(x)))), which throws
+    // OverflowError for ±inf and ValueError for NaN — passing them
+    // through here would make equalSigFig(inf, inf, n) quietly true
+    // where the reference fails loud
+    if (x.isInfinite)
+      throw new ArithmeticException(
+        "roundToSigFigs: infinite input (reference raises OverflowError)")
+    if (x.isNaN)
+      throw new ArithmeticException(
+        "roundToSigFigs: NaN input (reference raises ValueError)")
+    if (x == 0.0) x
     else {
       val n = sigFigs - math.floor(math.log10(math.abs(x))).toInt - 1
       val r = new java.math.BigDecimal(x)

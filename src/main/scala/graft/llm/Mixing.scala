@@ -132,12 +132,24 @@ object Mixing {
     val perSource = df.groupBy(col(sourceCol).as("source"))
       .agg(sum(col(tokensCol).cast("decimal(28,0)")).cast("double")
         .as("total_tokens"))
-    val grand = perSource.agg(
-      sum(col("total_tokens").cast("decimal(38,6)")).cast("double")
-        .as("__tot"))
-    val scaled = perSource.crossJoin(broadcast(grand))
+    // loud-failure guard (ADVICE r18, the Apportion/Hits discipline):
+    // a negative per-source total makes share negative and
+    // pow(share, 1/T) NaN, which would silently poison the normalizing
+    // sum and every weight. Same one-row aggregate the broadcast
+    // carried, resolved on the driver; lit(tot) is the identical double.
+    val grandRow = perSource.agg(
+      coalesce(sum(col("total_tokens").cast("decimal(38,6)"))
+        .cast("double"), lit(0.0)),
+      coalesce(min(col("total_tokens")), lit(0.0))).collect().head
+    val (tot, mn) = (grandRow.getDouble(0), grandRow.getDouble(1))
+    require(mn >= 0.0,
+      s"temperatureWeights: per-source token totals must be >= 0 " +
+        s"(min $mn) — a negative share would exponentiate to NaN")
+    require(tot > 0.0,
+      s"temperatureWeights: corpus token total must be > 0 (got $tot)")
+    val scaled = perSource
       .withColumn("share",
-        TextFunctions.round6(col("total_tokens") / col("__tot")))
+        TextFunctions.round6(col("total_tokens") / lit(tot)))
       .withColumn("__tw",
         TextFunctions.round9(pow(col("share"), lit(inv))))
     val wsum = scaled.agg(

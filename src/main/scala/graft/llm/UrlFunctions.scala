@@ -142,13 +142,23 @@ object UrlFunctions {
     * (it then matches nothing, same as before normalization existed).
     */
   private[llm] def punycodeSuffix(suffix: String): String =
-    suffix.split('.').map { l =>
-      val ascii =
-        if (l.forall(_ < 128)) l
-        else try java.net.IDN.toASCII(l)
-        catch { case _: IllegalArgumentException => l }
-      ascii.toLowerCase
-    }.mkString(".")
+    suffix.split('.')
+      .map(org.apache.spark.sql.graft.IdnUtil.asciiLabel).mkString(".")
+
+  /** HOST-side IDN normalization — the symmetric twin of the rule-side
+    * [[punycodeSuffix]] (VERDICT r18 #7): hosts arriving in Unicode
+    * form (pasted URLs, IRIs from sitemaps) punycode-encoded per label
+    * via the SAME `IDN.toASCII` mapping the rule parse uses, so they
+    * hit the same rules their crawl-normalized `xn--` twins hit.
+    * A native codegen expression with an all-ASCII-lowercase zero-copy
+    * fast path ([[org.apache.spark.sql.graft.IdnUtil.asciiHost]]) —
+    * effectively free on the ≫99% of hosts that arrive punycode.
+    * [[registeredDomainPsl]]/[[registeredDomainTable]] apply it inside
+    * their host canonicalization; exposed for pipelines that key on
+    * hosts elsewhere (frontier dedup, per-host quotas).
+    */
+  def idnAsciiHost(host: Column): Column =
+    org.apache.spark.sql.graft.IdnExpressions.idnAsciiHost(host)
 
   /** PSL-syntax lines → distinct (suffix, is_wildcard, is_exception)
     * triples, punycode-normalized — the ONE parsed form both
@@ -214,10 +224,13 @@ object UrlFunctions {
     * dot(s) stripped — `example.com.` is the same authority as
     * `example.com` (RFC 1034 root label) and crawls carry both; the
     * unstripped form would split to a trailing empty label and
-    * "register" garbage like `com.`.
+    * "register" garbage like `com.` — and (r19) IDN-punycoded per
+    * label ([[idnAsciiHost]]), so a Unicode host resolves exactly like
+    * its crawl-normalized `xn--` twin instead of falling to the
+    * implicit `*` rule.
     */
   private def canonHost(host: Column): Column =
-    regexp_replace(lower(host), "\\.+$", "")
+    idnAsciiHost(regexp_replace(lower(host), "\\.+$", ""))
 
   /** The (host, domain) MAPPING behind [[registeredDomainPsl]],
     * exposed so a pipeline that touches the same hosts repeatedly

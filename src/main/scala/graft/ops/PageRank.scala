@@ -197,10 +197,22 @@ object PageRank {
             .join(prev.select(col("id"), col("rank").as("__pr")), Seq("id"), "left")
             .select(col("id"),
               coalesce(col("__pr"), lit(1.0) / nD).as("rank"))
+          // loud-failure guard (ADVICE r18, the Hits.hitsFrom discipline):
+          // a degenerate initRanks (all-zero or net-negative over the
+          // current node set) has zero/negative L1 mass, and the
+          // renormalizing division would mint NaNs that ride silently
+          // through every iteration. The mass is a one-row aggregate
+          // either way; resolving it on the driver costs nothing extra
+          // and the lit() divisor is the identical double the broadcast
+          // column carried.
           val mass = carried.agg(
-            sum(col("rank").cast("decimal(38,18)")).cast("double").as("m"))
-          carried.crossJoin(broadcast(mass))
-            .select(col("id"), (col("rank") / col("m")).as("rank"))
+            sum(col("rank").cast("decimal(38,18)")).cast("double"))
+            .collect().head.getDouble(0)
+          require(mass > 0.0,
+            s"pageRankFrom: carried rank mass must be > 0 before " +
+              s"renormalization (got $mass) — initRanks is degenerate " +
+              "over the current node set")
+          carried.select(col("id"), (col("rank") / lit(mass)).as("rank"))
       }).localCheckpoint()
       // one power-iteration round — the SINGLE definition both the
       // fixed-iteration and the epsilon-stopped loops execute

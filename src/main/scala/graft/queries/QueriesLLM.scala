@@ -1127,29 +1127,49 @@ object QueriesLLM {
     * `!city.kawasaki.jp` wildcard+exception pair. Oracle replays the
     * algorithm per row with the same parsed rule lists inlined.
     */
-  private def synthHost: Column =
-    when(col("doc_id") % 16 === 0, lit("Sub.Shop.Example.CO.UK"))
-      .when(col("doc_id") % 16 === 1, lit("news.example.com.au"))
-      .when(col("doc_id") % 16 === 2, lit("a.b.example.com"))
-      .when(col("doc_id") % 16 === 3, lit("example.com"))
-      .when(col("doc_id") % 16 === 4, lit("www.ck"))
-      .when(col("doc_id") % 16 === 5, lit("foo.bar.ck"))
-      .when(col("doc_id") % 16 === 6, lit("deep.host.example.school.nz"))
-      .when(col("doc_id") % 16 === 7, lit("co.uk")) // public suffix: null
-      // r17 arms: rules OUTSIDE the old snapshot subset — only the
-      // bundled complete list resolves these
-      .when(col("doc_id") % 16 === 8, lit("myblog.blogspot.com")) // private-section rule
-      .when(col("doc_id") % 16 === 9, lit("sub.site.pvt.k12.ma.us")) // 4-label rule
-      .when(col("doc_id") % 16 === 10, lit("shop.example.xn--55qx5d.cn")) // IDN rule 公司.cn, punycode host
-      .when(col("doc_id") % 16 === 11, lit("a.b.kawasaki.jp")) // *.kawasaki.jp wildcard
-      .when(col("doc_id") % 16 === 12, lit("www.city.kawasaki.jp")) // !city.kawasaki.jp exception
-      // r18 arms (VERDICT r17 #1): MULTI-LABEL fully-IDN suffixes —
-      // both suffix labels arrive punycode on real crawls while the
-      // list carries them Unicode; unnormalized they'd silently fall
-      // to the implicit `*` rule
-      .when(col("doc_id") % 16 === 13, lit("a.shop.xn--55qx5d.xn--j6w193g")) // 公司.香港
-      .when(col("doc_id") % 16 === 14, lit("xn--fiq228c.xn--fiqs8s")) // IDN registrant under IDN TLD 中国
-      .otherwise(lit("host.unknowntld")) // implicit * rule
+  private[queries] val synthHostArms: Vector[String] = Vector(
+    "Sub.Shop.Example.CO.UK",
+    "news.example.com.au",
+    "a.b.example.com",
+    "example.com",
+    "www.ck",
+    "foo.bar.ck",
+    "deep.host.example.school.nz",
+    "co.uk", // public suffix: null
+    // r17 arms: rules OUTSIDE the old snapshot subset — only the
+    // bundled complete list resolves these
+    "myblog.blogspot.com", // private-section rule
+    "sub.site.pvt.k12.ma.us", // 4-label rule
+    "shop.example.xn--55qx5d.cn", // IDN rule 公司.cn, punycode host
+    "a.b.kawasaki.jp", // *.kawasaki.jp wildcard
+    "www.city.kawasaki.jp", // !city.kawasaki.jp exception
+    // r18 arms (VERDICT r17 #1): MULTI-LABEL fully-IDN suffixes —
+    // both suffix labels arrive punycode on real crawls while the
+    // list carries them Unicode; unnormalized they'd silently fall
+    // to the implicit `*` rule
+    "a.shop.xn--55qx5d.xn--j6w193g", // 公司.香港
+    "xn--fiq228c.xn--fiqs8s", // IDN registrant under IDN TLD 中国
+    // r19 arms (VERDICT r18 #7): hosts arriving in UNICODE form — the
+    // OTHER direction of the punycode round trip. Arm 15 is arm 13's
+    // Unicode twin and must land on the same public suffix; arm 16
+    // exercises the IDNA2003 ß→ss mapping (WWW.Straße.DE →
+    // www.strasse.de under the plain `de` rule)
+    "B.Shop.公司.香港",
+    "WWW.Straße.DE",
+    "host.unknowntld") // implicit * rule (the `otherwise` arm)
+
+  /** Host fixture for the PSL queries: arm `doc_id % synthHostArms.size`
+    * of [[synthHostArms]] — the ONE list the Spark when-chain and the
+    * generated DuckDB CASE both derive from, so fixture and oracle
+    * cannot drift.
+    */
+  private def synthHost: Column = {
+    val m = synthHostArms.size
+    synthHostArms.init.zipWithIndex.foldRight(
+      lit(synthHostArms.last): Column) { case ((h, i), acc) =>
+      when(col("doc_id") % m === i, lit(h)).otherwise(acc)
+    }
+  }
 
   /** Crawl-trap URL fixture, five arms per doc_id % 5: benign shallow
     * path / calendar-loop repetition / session-id parameter / faceted
@@ -3989,28 +4009,32 @@ object QueriesLLM {
     val normals = lst(parsed.collect { case (s, false, false) => s })
     val wilds = lst(parsed.collect { case (s, true, _) => s })
     val excs = lst(parsed.collect { case (s, _, true) => s })
+    // both CASEs derive from the ONE shared arm list the Spark fixture
+    // uses; `ahost` carries the generation-time IDN-punycoded canonical
+    // form (the idnAsciiHost precedent of the inlined punycoded RULE
+    // lists above — DuckDB has no punycode, so the literal fixture arms
+    // are normalized here, r19 Unicode-host arms)
+    val m = graft.queries.QueriesLLM.synthHostArms.size
+    def caseOf(f: String => String) = {
+      val arms = graft.queries.QueriesLLM.synthHostArms
+      arms.init.zipWithIndex.map { case (h, i) =>
+        s"    WHEN $i THEN '${f(h)}'"
+      }.mkString("\n") + s"\n    ELSE '${f(arms.last)}'"
+    }
+    def canon(h: String): String =
+      org.apache.spark.sql.graft.IdnUtil.asciiHost(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          h.toLowerCase(java.util.Locale.ROOT).replaceAll("\\.+$", "")))
+        .toString
     s"""WITH hosts AS (
-      |  SELECT doc_id, lower(CASE doc_id % 16
-      |    WHEN 0 THEN 'Sub.Shop.Example.CO.UK'
-      |    WHEN 1 THEN 'news.example.com.au'
-      |    WHEN 2 THEN 'a.b.example.com'
-      |    WHEN 3 THEN 'example.com'
-      |    WHEN 4 THEN 'www.ck'
-      |    WHEN 5 THEN 'foo.bar.ck'
-      |    WHEN 6 THEN 'deep.host.example.school.nz'
-      |    WHEN 7 THEN 'co.uk'
-      |    WHEN 8 THEN 'myblog.blogspot.com'
-      |    WHEN 9 THEN 'sub.site.pvt.k12.ma.us'
-      |    WHEN 10 THEN 'shop.example.xn--55qx5d.cn'
-      |    WHEN 11 THEN 'a.b.kawasaki.jp'
-      |    WHEN 12 THEN 'www.city.kawasaki.jp'
-      |    WHEN 13 THEN 'a.shop.xn--55qx5d.xn--j6w193g'
-      |    WHEN 14 THEN 'xn--fiq228c.xn--fiqs8s'
-      |    ELSE 'host.unknowntld' END) AS host
+      |  SELECT doc_id, lower(CASE doc_id % $m
+      |${caseOf(identity)} END) AS host,
+      |  CASE doc_id % $m
+      |${caseOf(canon)} END AS ahost
       |  FROM documents
       |), base AS (
-      |  SELECT doc_id, host, string_split(host, '.') AS parts,
-      |    len(string_split(host, '.')) AS n
+      |  SELECT doc_id, host, string_split(ahost, '.') AS parts,
+      |    len(string_split(ahost, '.')) AS n
       |  FROM hosts
       |), pslscored AS (
       |  SELECT doc_id, host, parts, n,

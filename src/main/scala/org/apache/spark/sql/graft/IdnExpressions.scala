@@ -1,0 +1,94 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Host-side IDN (punycode) normalization — the symmetric twin of the
+  * RULE-side normalization `graft.llm.UrlFunctions.punycodeSuffix`
+  * applies when parsing the public-suffix list (ADVICE/VERDICT r18 #7:
+  * rules were normalized since r16, but a host arriving in UNICODE
+  * form — a pasted URL, an IRI from a sitemap — still missed every
+  * punycode rule and silently fell to the implicit `*` rule the other
+  * direction).
+  *
+  * Per-label semantics, BYTE-IDENTICAL to `punycodeSuffix` by
+  * construction (UrlFunctions delegates to [[IdnUtil.asciiLabel]]):
+  * split on '.', labels that are pure ASCII pass through, non-ASCII
+  * labels go through the JDK's `IDN.toASCII` (IDNA2003 + nameprep —
+  * the 公司 → xn--55qx5d mapping crawl hosts arrive in), a label the
+  * encoder rejects is kept verbatim (it then matches nothing, same as
+  * before normalization existed), every label lowercased.
+  *
+  * Shipped as a native expression (nullSafeEval + doGenCode calling
+  * one static method) rather than a UDF so it stays inside whole-stage
+  * codegen; the all-ASCII-lowercase fast path returns the input
+  * UTF8String untouched — zero allocation on the ≫99% of crawl hosts
+  * that are already punycode.
+  */
+object IdnUtil {
+
+  /** One label as the PSL matcher needs it: ASCII labels verbatim,
+    * Unicode labels punycode-encoded (fallback: the raw label when the
+    * encoder rejects it), lowercased. The single definition both the
+    * rule-side parse and the host-side expression share.
+    */
+  def asciiLabel(l: String): String = {
+    val ascii =
+      if (l.forall(_ < 128)) l
+      else try java.net.IDN.toASCII(l)
+      catch { case _: IllegalArgumentException => l }
+    ascii.toLowerCase
+  }
+
+  /** Whole-host normalization: [[asciiLabel]] per '.'-separated label.
+    * Fast path: a host that is already pure printable-ASCII lowercase
+    * comes back as the SAME UTF8String (no split, no alloc).
+    */
+  def asciiHost(host: UTF8String): UTF8String = {
+    val n = host.numBytes()
+    var i = 0
+    var clean = true
+    while (clean && i < n) {
+      val b = host.getByte(i)
+      // any non-ASCII byte (high bit) or ASCII uppercase forces the
+      // slow path; everything else passes through byte-identical
+      if (b < 0 || (b >= 'A' && b <= 'Z')) clean = false
+      i += 1
+    }
+    if (clean) host
+    // -1 limit keeps trailing empty labels, so the slow path is
+    // byte-identical to the fast path on any ASCII input (a trailing
+    // '.' survives both; canonical callers strip it upstream anyway)
+    else UTF8String.fromString(
+      host.toString.split("\\.", -1).map(asciiLabel).mkString("."))
+  }
+}
+
+/** `idn_ascii_host(host)` — see [[IdnUtil.asciiHost]]. */
+case class IdnAsciiHost(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    IdnUtil.asciiHost(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.IdnUtil.asciiHost($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): IdnAsciiHost =
+    copy(child = newChild)
+
+  override def prettyName: String = "idn_ascii_host"
+}
+
+object IdnExpressions {
+  def idnAsciiHost(c: Column): Column =
+    ExpressionUtils.column(IdnAsciiHost(ExpressionUtils.expression(c)))
+}

@@ -239,8 +239,13 @@ class ImputeSpec extends AnyFunSuite {
     // range (MaxValue at 1 sig fig rounds up to 2e308) — fail loud too
     assertThrows[ArithmeticException](
       Impute.roundToSigFigs(Double.MaxValue, 1))
-    // infinities and NaN pass through like Python's round
-    assert(Impute.roundToSigFigs(Double.PositiveInfinity, 3).isPosInfinity)
-    assert(Impute.roundToSigFigs(Double.NaN, 3).isNaN)
+    // non-finite input raises in the reference too (int(floor(log10(x)))
+    // is OverflowError for ±inf, ValueError for NaN) — ADVICE r18
+    assertThrows[ArithmeticException](
+      Impute.roundToSigFigs(Double.PositiveInfinity, 3))
+    assertThrows[ArithmeticException](
+      Impute.roundToSigFigs(Double.NegativeInfinity, 3))
+    assertThrows[ArithmeticException](
+      Impute.roundToSigFigs(Double.NaN, 3))
   }
 }

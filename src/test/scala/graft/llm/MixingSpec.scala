@@ -156,9 +156,16 @@ class MixingSpec extends AnyFunSuite {
     }
     // deterministic under partitioning (decimal sums + fixed grids)
     assert(weights(2.0, parts = 1) == weights(2.0, parts = 13))
-    // guard
+    // guards: non-positive temperature; negative per-source totals
+    // (a negative share would exponentiate to NaN and silently poison
+    // every weight — ADVICE r18); empty/zero corpus
     assertThrows[IllegalArgumentException](
       Mixing.temperatureWeights(df, "source", "n_tok", 0.0))
+    val negDf = (rows :+ ((300L, "d", -2000L))).toDF("doc_id", "source", "n_tok")
+    assertThrows[IllegalArgumentException](
+      Mixing.temperatureWeights(negDf, "source", "n_tok", 2.0))
+    assertThrows[IllegalArgumentException](
+      Mixing.temperatureWeights(df.limit(0), "source", "n_tok", 2.0))
     // the advertised composition: the weight column feeds mixturePlan
     // directly (the planner re-normalizes, so the round6 grid is
     // harmless) — every source planned, targets ∝ temperature weights

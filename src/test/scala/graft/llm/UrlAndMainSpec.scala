@@ -177,6 +177,41 @@ class UrlAndMainSpec extends AnyFunSuite {
     assert(sGot(s"b.$puny.cn") == None)
   }
 
+  test("Unicode HOSTS punycode-normalize symmetrically (VERDICT r18 #7): " +
+      "idnAsciiHost + the urlHost→registeredDomainPsl chain") {
+    // idnAsciiHost semantics: per-label IDN, lowercase, ASCII labels
+    // verbatim, encoder-rejected labels verbatim, zero-copy fast path
+    val enc = Seq(
+      "B.Shop.公司.香港",   // mixed-case Unicode, multi-IDN-label
+      "WWW.Straße.DE",      // IDNA2003 ß→ss mapping
+      "already.ascii.com",  // fast path: byte-identical passthrough
+      "MiXeD.Case.COM"      // ASCII slow path: lowercases only
+    ).toDF("h").select(UrlFunctions.idnAsciiHost(col("h")))
+      .as[String].collect()
+    assert(enc(0) == "b.shop.xn--55qx5d.xn--j6w193g")
+    assert(enc(1) == "www.strasse.de")
+    assert(enc(2) == "already.ascii.com")
+    assert(enc(3) == "mixed.case.com")
+    // the full chain a pasted URL travels: urlHost extracts the
+    // Unicode authority, registeredDomainPsl resolves it to the SAME
+    // registered domain its crawl-normalized xn-- twin resolves to
+    val psl = UrlFunctions.pslRulesTable(spark)
+    val urls = Seq(
+      "https://B.Shop.公司.香港/a?x=1",
+      "https://a.shop.xn--55qx5d.xn--j6w193g/b", // the punycode twin
+      "http://WWW.Straße.DE/",
+      "https://公司.香港/" // the host IS the public suffix: null
+    ).toDF("u").withColumn("host", UrlFunctions.urlHost(col("u")))
+    val got = UrlFunctions.registeredDomainPsl(urls, "host", "domain", psl)
+      .select("host", "domain").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("b.shop.公司.香港") == Some("shop.xn--55qx5d.xn--j6w193g"))
+    assert(got("a.shop.xn--55qx5d.xn--j6w193g")
+      == Some("shop.xn--55qx5d.xn--j6w193g"), "twin must agree")
+    assert(got("www.straße.de") == Some("strasse.de"))
+    assert(got("公司.香港") == None)
+  }
+
   test("extractLinks: quote styles, resolution arms, scheme drops, " +
       "pathless base") {
     val html = """<a href="/abs">a</a><A HREF='single'>s</A>""" +

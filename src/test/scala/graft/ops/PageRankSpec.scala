@@ -105,6 +105,22 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("warm start fails loud on a degenerate carried vector " +
+      "(zero/negative mass — ADVICE r18, the hitsFrom discipline)") {
+    val e = edges.toDF("src", "dst")
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    // all-zero carried ranks: renormalizing would divide by zero mass
+    // and mint NaNs that ride silently through every iteration
+    val zeros = nodes.map(v => (v, 0.0)).toDF("id", "rank")
+    val exZ = intercept[IllegalArgumentException](
+      PageRank.pageRankFrom(e, zeros, 2))
+    assert(exZ.getMessage.contains("degenerate"))
+    // net-negative carried mass fails the same way
+    val negs = nodes.map(v => (v, -1.0 / nodes.size)).toDF("id", "rank")
+    assertThrows[IllegalArgumentException](
+      PageRank.pageRankFrom(e, negs, 2))
+  }
+
   test("invariant under partitioning; multi-edges collapse") {
     val dupEdges = edges ++ edges.take(50) // repeat some edges
     val a = PageRank.pageRank(dupEdges.toDF("src", "dst").repartition(1), 3)
