@@ -987,6 +987,84 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Archive index for the incremental CONTAINMENT screen (VERDICT r18
+    * #3 — the [[jaccardIndex]]/[[jaccardDedupAgainst]] contract for the
+    * asymmetric detector): (archive_id, n, full) rows, each archive
+    * document's FULL hash-ascending shingle list. Full, not a prefix,
+    * because containment's required overlap o = ceil(t·|A|) bounds only
+    * the CONTAINED (snapshot) side — the container side has no
+    * derivable length bound (the [[containmentJoin]] asymmetry), so
+    * completeness needs every container shingle indexed. The upside of
+    * paying full width: the index is THRESHOLD-INDEPENDENT — one build
+    * serves screens at ANY t (no `t_build` guard needed — the
+    * jaccardIndex failure mode cannot exist here) — and APPEND-ONLY by
+    * construction (rows are per-document facts under the fixed hash
+    * order; no corpus statistic to go stale), so re-crawl acceptance
+    * unions new rows in, never rebuilds.
+    */
+  def containmentIndex(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3): DataFrame =
+    jaccardSets(df, idCol, textCol, shingleSize)
+      .select(col("__id").as("archive_id"),
+        size(col("__set")).cast("long").as("n"),
+        sort_array(col("__set")).as("full"))
+
+  /** Incremental CONTAINMENT screen — the re-crawl use case
+    * [[containmentJoin]] was built for, against a PERSISTED archive:
+    * drop every snapshot document whose shingle set is contained
+    * (|A ∩ B| / |A| >= `threshold`) in SOME archived document — the
+    * truncation/quote/partial-mirror arriving AFTER its source was
+    * archived, which the symmetric [[jaccardDedupAgainst]] structurally
+    * misses (the stub's Jaccard against its source collapses toward
+    * |A|/|B|). Same completeness bound as the batch form: the
+    * snapshot's pigeonhole prefix (|A| − ceil(t·|A|) + 1 shingles,
+    * fixed hash order) against the index's FULL lists plus the
+    * one-sided size filter |B| >= t·|A| and the positional prune; exact
+    * [[containmentBySets]] verify on candidates only, unrounded at the
+    * boundary. Archive PAYLOAD is touched only through a semi join on
+    * candidate ids (the [[jaccardDedupAgainst]] scale shape). A
+    * snapshot doc with an EMPTY shingle set survives (empty scores 0 —
+    * the [[jaccardBySets]] contract); within-snapshot containment is
+    * [[containmentJoin]]'s job.
+    */
+  def containmentDedupAgainst(df: DataFrame, idCol: String, textCol: String,
+                              index: DataFrame, archiveText: DataFrame,
+                              archiveIdCol: String, archiveTextCol: String,
+                              threshold: Double,
+                              shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentDedupAgainst: threshold must be in (0, 1], got $threshold")
+    // the snapshot re-shingles twice (prefix build + verify side)
+    // without a cut; lazy checkpoint, caller frees via Checkpoints.free
+    val snapSets = jaccardSets(df, idCol, textCol, shingleSize)
+      .localCheckpoint(false)
+    val snapPref = jaccardPrefixesFixedOrder(snapSets, threshold)
+      .select(col("__id"), col("__n").as("__na"),
+        posexplode(col("__prefix")).as(Seq("__pa", "__h")))
+    val archFull = index.select(col("archive_id"), col("n").as("__nb"),
+      posexplode(col("full")).as(Seq("__pb", "__h")))
+    val candidates = candidatePairsBounded(snapPref, archFull,
+      pairCond = lit(true),
+      sizeOk = col("__nb") >= lit(threshold) * col("__na") - lit(1e-9),
+      overlapBound = ceil(lit(threshold) * col("__na") - lit(1e-9)))
+    val snapCand = snapSets
+      .join(candidates.select(col("__id")).distinct(), Seq("__id"), "left_semi")
+      .select(col("__id"), col("__set").as("__sa"))
+    val archCand = jaccardSets(
+        archiveText.join(
+          candidates.select(col("archive_id").as(archiveIdCol)).distinct(),
+          Seq(archiveIdCol), "left_semi"),
+        archiveIdCol, archiveTextCol, shingleSize)
+      .select(col("__id").as("archive_id"), col("__set").as("__sb"))
+    val dropped = candidates
+      .join(snapCand, Seq("__id"))
+      .join(archCand, Seq("archive_id"))
+      // unrounded at the boundary, the jaccardScreen discipline
+      .filter(containmentBySets(col("__sa"), col("__sb")) >= threshold)
+      .select(col("__id").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // Benchmark decontamination
   // ------------------------------------------------------------------

@@ -79,7 +79,17 @@ object Mixing {
                   maxEpochs: Double = 4.0): DataFrame = {
     require(weights.nonEmpty, "mixturePlan: weights must be non-empty")
     require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be > 0")
-    val totalW = weights.values.sum
+    // Σweights through DECIMAL-18 arithmetic, not an IEEE fold: a Map's
+    // iteration order is not deterministic across Scala collection
+    // sizes, and an order-dependent ulp in the normalizer would leak
+    // into every round6 boundary. This is the same sum DuckDB computes
+    // for sum(w::DECIMAL(38,18))::DOUBLE, which is what lets the
+    // TEMPERED composition ([[temperatureWeights]] → here) replay the
+    // normalizer cross-engine (r19).
+    val totalW = weights.values
+      .map(v => new java.math.BigDecimal(v)
+        .setScale(18, java.math.RoundingMode.HALF_EVEN))
+      .reduce(_ add _).doubleValue()
     val weightExpr = coalesce(
       element_at(
         map(weights.toSeq.sortBy(_._1).flatMap { case (k, w) =>

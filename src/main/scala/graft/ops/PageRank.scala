@@ -513,36 +513,85 @@ object PageRank {
     * itself). `materialized` marks the hot CTEs MATERIALIZED for the
     * converged form, whose every round is referenced by a delta too.
     */
-  private def oracleRoundsHead(edgesCte: String,
-                               materialized: Boolean): String = {
+  /** `ns` prefixes every CTE name (ns = "" is byte-identical to the
+    * pre-r19 output) — the lever [[oracleSqlWarmStart]] uses to put TWO
+    * independent edge sets in one WITH chain. `lead = false` drops the
+    * leading `WITH ` so the block can continue an open chain;
+    * `withR0 = false` drops the uniform start so the caller can splice
+    * its own (the warm-start carried/renormalized r0).
+    */
+  private def oracleRoundsHead(edgesCte: String, materialized: Boolean,
+                               ns: String = "", lead: Boolean = true,
+                               withR0: Boolean = true): String = {
     val m = if (materialized) " MATERIALIZED" else ""
-    s"""WITH edges0 AS ($edgesCte),
-       |e AS$m (SELECT DISTINCT src, dst FROM edges0),
-       |nodes AS$m (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-       |od AS$m (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
-       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-       |r0 AS$m (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    val w = if (lead) "WITH " else ""
+    val base =
+      s"""$w${ns}edges0 AS ($edgesCte),
+         |${ns}e AS$m (SELECT DISTINCT src, dst FROM ${ns}edges0),
+         |${ns}nodes AS$m (SELECT src AS id FROM ${ns}e UNION SELECT dst AS id FROM ${ns}e),
+         |${ns}od AS$m (SELECT src, count(*)::BIGINT AS deg FROM ${ns}e GROUP BY 1),
+         |${ns}nn AS (SELECT count(*)::DOUBLE AS n FROM ${ns}nodes)""".stripMargin
+    if (!withR0) base
+    else base +
+      s""",
+         |${ns}r0 AS$m (SELECT id, 1.0::DOUBLE / (SELECT n FROM ${ns}nn) AS rank FROM ${ns}nodes)""".stripMargin
   }
 
   private def oracleRoundSql(k: Int, damping: Double,
-                             materialized: Boolean): String = {
+                             materialized: Boolean,
+                             ns: String = ""): String = {
     val d = damping.toString
     val m = if (materialized) " MATERIALIZED" else ""
-    val p = s"r${k - 1}"
-    s"""c$k AS (
+    val p = s"${ns}r${k - 1}"
+    s"""${ns}c$k AS (
        |  SELECT e.dst AS id, r.rank / od.deg::DOUBLE AS c
-       |  FROM $p r JOIN od ON r.id = od.src JOIN e ON e.src = r.id
-       |), s$k AS$m (
-       |  SELECT id, sum(c::DECIMAL(38,18))::DOUBLE AS s FROM c$k GROUP BY 1
-       |), m$k AS (
+       |  FROM $p r JOIN ${ns}od od ON r.id = od.src JOIN ${ns}e e ON e.src = r.id
+       |), ${ns}s$k AS$m (
+       |  SELECT id, sum(c::DECIMAL(38,18))::DOUBLE AS s FROM ${ns}c$k GROUP BY 1
+       |), ${ns}m$k AS (
        |  SELECT coalesce(sum(r.rank::DECIMAL(38,18))::DOUBLE, 0.0::DOUBLE) AS m
-       |  FROM $p r LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL
-       |), r$k AS$m (
+       |  FROM $p r LEFT JOIN ${ns}od od ON r.id = od.src WHERE od.src IS NULL
+       |), ${ns}r$k AS$m (
        |  SELECT n.id,
-       |    (1.0::DOUBLE - $d) / (SELECT n FROM nn) +
-       |    $d * (coalesce(s.s, 0.0::DOUBLE) + (SELECT m FROM m$k) / (SELECT n FROM nn)) AS rank
-       |  FROM nodes n LEFT JOIN s$k s ON n.id = s.id
+       |    (1.0::DOUBLE - $d) / (SELECT n FROM ${ns}nn) +
+       |    $d * (coalesce(s.s, 0.0::DOUBLE) + (SELECT m FROM ${ns}m$k) / (SELECT n FROM ${ns}nn)) AS rank
+       |  FROM ${ns}nodes n LEFT JOIN ${ns}s$k s ON n.id = s.id
        |)""".stripMargin
+  }
+
+  /** The DuckDB oracle for the INCREMENTAL serving path (VERDICT r18
+    * #5): cold-start `iters1` rounds over `edgesCte1` (the bootstrap
+    * build), then [[pageRankFrom]]-carry that vector into `iters2`
+    * rounds over `edgesCte2` (the accumulated graph after more deltas
+    * folded in) — new nodes enter at 1/N of the NEW node set, the
+    * carried vector decimal-renormalizes to mass 1, exactly the
+    * expression trees runCounted's init branch executes. Pins the
+    * warm-start MACHINERY cross-engine, not just a fixed-round result.
+    */
+  def oracleSqlWarmStart(edgesCte1: String, iters1: Int,
+                         edgesCte2: String, iters2: Int,
+                         damping: Double = 0.85): String = {
+    require(iters1 >= 1 && iters2 >= 1,
+      "oracleSqlWarmStart: both phases need >= 1 round")
+    val p1 = oracleRoundsHead(edgesCte1, materialized = true, ns = "a_")
+    val r1 = (1 to iters1).map(k =>
+      oracleRoundSql(k, damping, materialized = true, ns = "a_"))
+    val p2 = oracleRoundsHead(edgesCte2, materialized = true, ns = "b_",
+      lead = false, withR0 = false)
+    val carried =
+      s"""b_carried AS MATERIALIZED (
+         |  SELECT n.id,
+         |    coalesce(p.rank, 1.0::DOUBLE / (SELECT n FROM b_nn)) AS rank
+         |  FROM b_nodes n LEFT JOIN a_r$iters1 p ON n.id = p.id
+         |), b_mass AS (
+         |  SELECT sum(rank::DECIMAL(38,18))::DOUBLE AS m FROM b_carried
+         |), b_r0 AS MATERIALIZED (
+         |  SELECT id, rank / (SELECT m FROM b_mass) AS rank FROM b_carried
+         |)""".stripMargin
+    val r2 = (1 to iters2).map(k =>
+      oracleRoundSql(k, damping, materialized = true, ns = "b_"))
+    (((p1 +: r1) :+ p2 :+ carried) ++ r2).mkString(",\n") +
+      s"\nSELECT id, floor(rank * 1000000 + 0.5) / 1000000 AS rank FROM b_r$iters2"
   }
 
   /** The DuckDB oracle for [[pageRank]], generated for `iterations`

@@ -646,6 +646,31 @@ object QueriesLLM {
       .select("doc_id")
   }
 
+  /** Incremental CONTAINMENT screen
+    * ([[graft.llm.Dedup.containmentDedupAgainst]], VERDICT r18 #3):
+    * even doc_ids form the archive (FULL-list index via
+    * [[graft.llm.Dedup.containmentIndex]]), odd doc_ids plus 30
+    * TRUNCATIONS of archive docs (their first 12 tokens — the re-crawl
+    * stub shape: containment ≈ 1 while Jaccard collapses toward
+    * |stub|/|source|) form the snapshot; survivors are snapshot docs
+    * contained (≥ 0.8) in NO archived doc. The oracle computes
+    * brute-force cross-corpus ground truth, so the hash compare proves
+    * the asymmetric prefix-vs-full-index screen lost nothing.
+    */
+  def q_containment_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val archive = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+    val stub = concat_ws(" ",
+      slice(filter(split(col("text"), " "), t => length(t) > 0), 1, 12))
+    val snapshot = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      .unionByName(archive.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 100000L).as("doc_id"), stub.as("text")))
+    val idx = Dedup.containmentIndex(archive, "doc_id", "text")
+    Dedup.containmentDedupAgainst(snapshot, "doc_id", "text",
+        idx, archive, "doc_id", "text", threshold = 0.8)
+      .select("doc_id")
+  }
+
   /** Near-dup clustering endgame: connected components over the LSH
     * candidate graph (iterative min-label propagation). Oracle-checked via
     * DuckDB's recursive CTE transitive closure — component minima are
@@ -1970,6 +1995,81 @@ object QueriesLLM {
     * dedup, and — the part only this query checks driver-side — the
     * digest-index screen BETWEEN batches.
     */
+  /** Incremental AUTHORITY maintenance
+    * ([[graft.streaming.StreamingAuthority]], VERDICT r18 #5 — the
+    * last spec-only streaming maintainer gets its DuckDB oracle):
+    * batch 1's pages append host-edge deltas to a fresh edge log, the
+    * COLD bootstrap ranks build over [[StreamingAuthority.loadEdges]],
+    * batch 2 appends more deltas, [[StreamingAuthority.compactEdges]]
+    * folds the log (a results no-op — deltas are additive), and
+    * [[StreamingAuthority.refreshRanks]] WARM-starts from the
+    * bootstrap vector. The oracle replays the full two-phase machinery
+    * ([[graft.ops.PageRank.oracleSqlWarmStart]]): phase-1 rounds over
+    * batch-1 edges, carried/renormalized start (new hosts at 1/N),
+    * phase-2 rounds over the folded edge set. Host fixture is pure
+    * doc_id arithmetic — batch 2 (doc_id ≥ 250, the
+    * q_frontier_incremental split) introduces NEW src hosts (h20+)
+    * and NEW dst hosts (n5+), so the carry/renormalize arms are
+    * load-bearing, and `hub.example` never authors a page, keeping a
+    * dangling node in every round.
+    */
+  def q_authority_incremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingAuthority
+    val pages = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("http://h"), (col("doc_id") / 13).cast("long"),
+          lit(".example/p"), col("doc_id")).as("url"),
+        concat(
+          lit("<html><a href=\"http://h"),
+          (col("doc_id") * 7 % 41).cast("long"),
+          lit(".example/x\">a</a><a href=\"http://hub.example/y\">b</a>"),
+          lit("<a href=\"http://n"), (col("doc_id") / 50).cast("long"),
+          lit(".example/z\">c</a></html>")).as("html"))
+    val graphDir = java.nio.file.Files
+      .createTempDirectory("graft_authority_").toString
+    try {
+      StreamingAuthority.appendBatch(graphDir, "url", "html")(
+        pages.filter(col("doc_id") < 250), 0L)
+      // cold bootstrap over the batch-1 graph
+      val r1 = graft.ops.PageRank.pageRank(
+        StreamingAuthority.loadEdges(spark, graphDir)
+          .select(col("src_host").as("src"), col("dst_host").as("dst")),
+        iterations = 2)
+      StreamingAuthority.appendBatch(graphDir, "url", "html")(
+        pages.filter(col("doc_id") >= 250), 1L)
+      // fold the log mid-stream: must not change any rank downstream
+      StreamingAuthority.compactEdges(spark, graphDir)
+      StreamingAuthority.refreshRanks(spark, graphDir, r1, iterations = 2)
+        .select(col("id").as("host"),
+          (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+    } finally {
+      // refreshRanks' result is localCheckpoint-materialized, so the
+      // log directory is disposable once the call returns
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(graphDir)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  /** The per-batch edge CTE [[q_authority_incremental]]'s oracle feeds
+    * [[graft.ops.PageRank.oracleSqlWarmStart]]: the same doc_id
+    * arithmetic as the Spark fixture, three out-links per page,
+    * self-loops dropped at the edge grain like
+    * [[graft.streaming.StreamingAuthority.appendBatch]].
+    */
+  private def authorityEdgesCte(where: String): String =
+    s"""SELECT src, dst FROM (
+       |  SELECT 'h' || (doc_id // 13)::VARCHAR || '.example' AS src,
+       |    unnest(['h' || ((doc_id * 7) % 41)::VARCHAR || '.example',
+       |            'hub.example',
+       |            'n' || (doc_id // 50)::VARCHAR || '.example']) AS dst
+       |  FROM documents WHERE $where
+       |) WHERE src <> dst""".stripMargin
+
   def q_crawl_incremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.streaming.StreamingCrawl
@@ -3146,6 +3246,28 @@ object QueriesLLM {
     Mixing.temperatureWeights(docs, "source", "n_tokens", temperature = 2.0)
   }
 
+  /** The COMPOSED recipe path (VERDICT r18 #8, the standalone-oracle-
+    * splice convention): [[Mixing.temperatureWeights]] at T = 2 →
+    * collect the source-cardinality weight table (a handful of rows by
+    * contract) → feed it to [[Mixing.mixturePlan]] as the weight map —
+    * the full corpus-derived data recipe with no hand-written weights.
+    * The oracle splices the q_mixture_temperature chain into the
+    * q_mixture_plan chain, with the plan's weight normalizer computed
+    * as the SAME decimal-18 sum mixturePlan now uses (order-free, so
+    * the collected Map's iteration order cannot matter).
+    */
+  def q_mixture_plan_tempered(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("n_tokens",
+        size(TextFunctions.tokens(col("text"))).cast("long"))
+    val w = Mixing.temperatureWeights(docs, "source", "n_tokens",
+        temperature = 2.0)
+      .select("source", "weight").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Mixing.mixturePlan(docs, "source", "n_tokens", w,
+      budget = 50000.0, maxEpochs = 2.5)
+  }
+
   /** Epoch expansion under a fractional-epochs map: per (source,
     * epoch) document counts after [[Mixing.mixtureExpand]] — full
     * copies for the integer part, deterministic per-document hash
@@ -3504,6 +3626,7 @@ object QueriesLLM {
     "q_containment_join" -> (q_containment_join _),
     "q_dedup_containment" -> (q_dedup_containment _),
     "q_jaccard_incremental" -> (q_jaccard_incremental _),
+    "q_containment_incremental" -> (q_containment_incremental _),
     "q_dedup_complete" -> (q_dedup_complete _),
     "q_expectations" -> (q_expectations _),
     "q_expectations_metrics" -> (q_expectations_metrics _),
@@ -3512,6 +3635,7 @@ object QueriesLLM {
     "q_sample_weighted" -> (q_sample_weighted _),
     "q_shard_assign" -> (q_shard_assign _),
     "q_mixture_plan" -> (q_mixture_plan _),
+    "q_mixture_plan_tempered" -> (q_mixture_plan_tempered _),
     "q_mixture_temperature" -> (q_mixture_temperature _),
     "q_mixture_expand" -> (q_mixture_expand _),
     "q_rrf_hybrid" -> (q_rrf_hybrid _),
@@ -3554,6 +3678,7 @@ object QueriesLLM {
     "q_domain_cap" -> (q_domain_cap _),
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
+    "q_authority_incremental" -> (q_authority_incremental _),
     "q_warc_roundtrip" -> (q_warc_roundtrip _),
     "q_unigram_seed" -> (q_unigram_seed _),
     "q_unigram_tokens" -> (q_unigram_tokens _),
@@ -4321,6 +4446,50 @@ object QueriesLLM {
         |  JOIN shd a ON a.side = 'a' AND c.aid = a.doc_id
         |  WHERE len(list_intersect(s.ds, a.ds))::DOUBLE
         |      / len(list_distinct(s.ds || a.ds)) >= 0.5
+        |)
+        |SELECT doc_id FROM snap
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // brute-force cross-corpus CONTAINMENT ground truth: snapshot =
+    // odds + 12-token truncations of archived evens; drop when
+    // |snap ∩ arch| / |snap| >= 0.8 for some archive doc (empty
+    // snapshot shingle sets score 0 and survive)
+    "q_containment_incremental" ->
+      """WITH arch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |), snap AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(list_filter(string_split(text, ' '),
+        |      t -> length(t) > 0)[1:12], ' ') AS text
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 60
+        |), uni AS (
+        |  SELECT 'a' AS side, doc_id, text FROM arch
+        |  UNION ALL
+        |  SELECT 's' AS side, doc_id, text FROM snap
+        |), toks AS (
+        |  SELECT side, doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w FROM uni
+        |), sh AS (
+        |  SELECT side, doc_id, CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |    ELSE [] END AS shingles
+        |  FROM toks
+        |), shd AS (
+        |  SELECT side, doc_id,
+        |    list_distinct(list_transform(shingles, s -> ('0x'||substr(md5(s),1,15))::BIGINT)) AS ds
+        |  FROM sh
+        |), inv AS (
+        |  SELECT side, doc_id, unnest(ds) AS h FROM shd
+        |), cand AS (
+        |  SELECT DISTINCT s.doc_id AS sid, a.doc_id AS aid
+        |  FROM inv s JOIN inv a ON s.h = a.h AND s.side = 's' AND a.side = 'a'
+        |), dropped AS (
+        |  SELECT DISTINCT c.sid AS doc_id
+        |  FROM cand c
+        |  JOIN shd s ON s.side = 's' AND c.sid = s.doc_id
+        |  JOIN shd a ON a.side = 'a' AND c.aid = a.doc_id
+        |  WHERE len(s.ds) > 0 AND
+        |    len(list_intersect(s.ds, a.ds))::DOUBLE / len(s.ds) >= 0.8
         |)
         |SELECT doc_id FROM snap
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
@@ -5428,6 +5597,14 @@ object QueriesLLM {
          |)
          |SELECT min(doc_id) AS doc_id, main, n_tokens
          |FROM t WHERE n_tokens >= 5 GROUP BY main, n_tokens""".stripMargin),
+    // two-phase warm-start replay: bootstrap rounds over batch-1 edges,
+    // carried/renormalized vector, refresh rounds over the folded set —
+    // the host column matches the Spark side's id alias
+    "q_authority_incremental" ->
+      ("SELECT id AS host, rank FROM (\n" +
+        graft.ops.PageRank.oracleSqlWarmStart(
+          authorityEdgesCte("doc_id < 250"), iters1 = 2,
+          authorityEdgesCte("true"), iters2 = 2) + "\n)"),
     "q_url_normalize" -> (urlChainSql +
       s"""
         |SELECT doc_id, url, host, $domainCaseSql AS domain
@@ -6386,6 +6563,50 @@ object QueriesLLM {
         |SELECT source, total_tokens, share,
         |  floor(w0 / (SELECT s FROM ws) * 1000000 + 0.5) / 1000000 AS weight
         |FROM tw""".stripMargin,
+    // the tempered composition: q_mixture_temperature's chain spliced
+    // into q_mixture_plan's, the plan-side normalizer the decimal-18
+    // sum of the round6 temperature weights (mixturePlan's totalW)
+    "q_mixture_plan_tempered" ->
+      """WITH agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0))::DECIMAL(28,0))::DOUBLE AS total_tokens
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(total_tokens::DECIMAL(38,6))::DOUBLE AS t FROM agg
+        |), sh AS (
+        |  SELECT source, n_docs, total_tokens,
+        |    floor(total_tokens / (SELECT t FROM tot) * 1000000 + 0.5) / 1000000 AS share
+        |  FROM agg
+        |), tw AS (
+        |  SELECT *, floor(pow(share, 0.5) * 1000000000 + 0.5) / 1000000000 AS w0
+        |  FROM sh
+        |), ws AS (
+        |  SELECT sum(w0::DECIMAL(38,18))::DOUBLE AS s FROM tw
+        |), tempered AS (
+        |  SELECT source, n_docs, total_tokens,
+        |    floor(w0 / (SELECT s FROM ws) * 1000000 + 0.5) / 1000000 AS tw6
+        |  FROM tw
+        |), wsum AS (
+        |  SELECT sum(tw6::DECIMAL(38,18))::DOUBLE AS s FROM tempered
+        |), weighted AS (
+        |  SELECT source, n_docs, total_tokens,
+        |    floor(tw6 / (SELECT s FROM wsum) * 1000000 + 0.5) / 1000000 AS weight
+        |  FROM tempered
+        |), t AS (
+        |  SELECT *, floor(weight * 50000 * 1000000 + 0.5) / 1000000 AS target_tokens
+        |  FROM weighted
+        |), e AS (
+        |  SELECT *, floor(least(2.5, CASE WHEN total_tokens > 0
+        |      THEN target_tokens / total_tokens ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS epochs
+        |  FROM t
+        |), p AS (
+        |  SELECT *, floor(epochs * total_tokens * 1000000 + 0.5) / 1000000 AS planned_tokens
+        |  FROM e
+        |)
+        |SELECT source, n_docs, total_tokens, weight, target_tokens, epochs,
+        |  planned_tokens,
+        |  floor((target_tokens - planned_tokens) * 1000000 + 0.5) / 1000000 AS shortfall_tokens
+        |FROM p""".stripMargin,
     "q_kn_model" -> (knModelSql +
       """ SELECT u, v, w, c::BIGINT AS c,
         |  floor(p3 * 1000000 + 0.5) / 1000000 AS p
