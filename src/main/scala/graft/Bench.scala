@@ -270,6 +270,52 @@ object Bench {
     "q_hits" -> 3.8, "q_containment_join" -> 2.1,
     "q_tfidf_cosine" -> 2.6, "q_phrase_search" -> 1.9)
 
+  /** Per-query pinned process-CPU SECONDS (VERDICT r18 #4 — the
+    * LOAD-INDEPENDENT second gate): the per-query CEILING of two clean
+    * same-binary r19 protocol readings (offsets 1.02 / 1.04; see
+    * BENCH_REFERENCE.md's CPU column). Ceiling, not median: measured
+    * session-to-session CPU spread reaches ~1.9x on sub-second queries
+    * (JIT/GC attribution noise dominates tiny readings), so pinning the
+    * ceiling keeps every clean session comfortably under the 2.5x alert
+    * line while a real 3x plan regression still clears it. Wall on this
+    * box drifts ±30% on identical binaries over a day (PERFNOTES r18
+    * close: 71.2 s at offset 0.92 in the morning vs 97.3 s at 1.20 in
+    * the evening — an environment-level parallel-throughput cap);
+    * per-query process-CPU is what the query actually computes and
+    * moves only when the PLAN moves, so a real regression trips
+    * [[alertReasons]]'s `cpu_vs_pin` even on a day the wall offset
+    * would absorb it, and a drifted wall alone never does.
+    */
+  val referenceCpuSec: Map[String, Double] = Map(
+    "q_agg_pricing" -> 0.92, "q_pipeline_e2e" -> 13.97,
+    "q_pipeline_full13" -> 138.33, "q_i7_impute_cascade" -> 8.23,
+    "q_i1_avg_diff" -> 3.29, "q_i10_summary_house" -> 8.79,
+    "q_i11_cumsum_rebuild" -> 1.96, "q_i13_energy_balance" -> 1.71,
+    "q_a8_resample" -> 1.68, "q_a6a7_project_agg" -> 1.15,
+    "q_w1_rolling" -> 0.84, "q_w12_mark_coldest" -> 0.57,
+    "q_weather_table" -> 3.30, "q_j3_weather_join" -> 2.98,
+    "q_dedup_exact" -> 0.69, "q_dedup_spans" -> 1.09,
+    "q_minhash_sig" -> 0.71, "q_minhash_fast" -> 6.72,
+    "q_lsh_pairs" -> 0.90, "q_near_dup_jaccard" -> 2.78,
+    "q_jaccard_join" -> 2.83, "q_simhash" -> 0.89,
+    "q_embed_cosine_dup" -> 1.17, "q_embed_dup_ivf" -> 1.00,
+    "q_ann_topk" -> 0.51, "q_ann_pq" -> 0.93,
+    "q_ann_ivfpq" -> 0.85, "q_bpe_pairs" -> 0.63,
+    "q_text_quality" -> 0.59, "q_text_fingerprint" -> 0.30,
+    "q_text_bigram_lm" -> 2.20, "q_kn_score" -> 7.66,
+    "q_bm25_topk" -> 2.45, "q_bm25_indexed" -> 2.90,
+    "q_bm25_incremental" -> 3.35, "q_contamination_bloom" -> 1.85,
+    "q_curation_e2e" -> 8.27, "q_image_neardup_e2e" -> 5.40,
+    "q_cc_pipeline" -> 2.94, "q_asof_join" -> 1.05,
+    "q_pagerank" -> 16.44, "q_fuzzy_join" -> 2.39,
+    "q_profile_fold" -> 1.35, "q_warc_roundtrip" -> 0.93,
+    "q_wordpiece_tokens" -> 2.06, "q_crawl_incremental" -> 4.94,
+    "q_semdedup_twolevel" -> 2.36, "q_training_data_e2e" -> 9.56,
+    "q_blocklist_filter" -> 1.07, "q_sitemap_entries" -> 0.54,
+    "q_hits" -> 17.06, "q_containment_join" -> 3.51,
+    "q_tfidf_cosine" -> 3.93, "q_phrase_search" -> 0.93,
+    "q_crawl_loop_e2e" -> 15.31)
+
   /** The per-query within-run alert decision (VERDICT r16 #1), pure so
     * the poisoned-artifact histories pin it in BenchDetectorSpec:
     *  - `dispersion`: the query's own runs disagree >2x median/min
@@ -278,20 +324,29 @@ object Bench {
     *    WHILE median wall > 1.5x the pinned median — stolen cores, not
     *    a plan regression (regressions keep the cores busy);
     *  - `slow_vs_pin`: median > 2.5x the pinned median (r16's poisoned
-    *    q_simhash read 20x; the JIT-warm-up families max out ~1.6x).
+    *    q_simhash read 20x; the JIT-warm-up families max out ~1.6x);
+    *  - `cpu_vs_pin` (r19, VERDICT r18 #4): median process-CPU seconds
+    *    > 2.5x the pinned CPU — the LOAD-INDEPENDENT regression gate.
+    *    Wall drifts ±30% on identical binaries (the r18 morning/evening
+    *    71.2 vs 97.3 s pair); CPU seconds move only with the plan, so
+    *    this fires on a real regression even when a drifted-slow day
+    *    would let the wall gates absorb it, and never on drift alone.
     * Any reason ⇒ the caller re-runs the whole block once and keeps the
     * cleaner block.
     */
   def alertReasons(name: String, medianSec: Double, dispersion: Double,
-                   cpuWall: Double): List[String] = {
+                   cpuWall: Double, cpuSec: Double = -1.0): List[String] = {
     val pinSec = referenceMedians.get(name)
     val pinCw = referenceCpuWall.get(name)
+    val pinCpu = referenceCpuSec.get(name)
     List(
       if (dispersion > 2.0) Some("dispersion") else None,
       if (cpuWall > 0 && pinCw.exists(cpuWall < 0.7 * _) &&
           pinSec.exists(medianSec > 1.5 * _)) Some("cpu_wall_collapse")
       else None,
       if (pinSec.exists(medianSec > 2.5 * _)) Some("slow_vs_pin")
+      else None,
+      if (cpuSec > 0 && pinCpu.exists(cpuSec > 2.5 * _)) Some("cpu_vs_pin")
       else None).flatten
   }
 
@@ -542,6 +597,7 @@ object Bench {
     val procCpu0 = procCpuSec
     val wall0 = System.nanoTime()
     var cpuRatios = List.empty[(String, Double)]
+    var cpuSecs = List.empty[(String, Double)]
     var dispersions = List.empty[(String, Double)]
     // (name, reasons, first median, rerun median) per alerted query
     var alerts = List.empty[(String, List[String], Double, Double)]
@@ -560,26 +616,29 @@ object Bench {
             // (lazy-checkpoint cuts, stray caches) is freed so run r+1
             // measures the query, not run r's residue (VERDICT r10 #1)
             val keep = Checkpoints.persistentIds(spark)
-            def timedBlock(tag: String): Seq[(Double, Double)] =
+            def timedBlock(tag: String): Seq[(Double, Double, Double)] =
               (1 to runs).map { r =>
                 val g0 = gcMillis
                 val c0 = procCpuSec
                 val t0 = System.nanoTime()
                 materialize(fn(spark, sfDir))
                 val sec = (System.nanoTime() - t0) / 1e9
-                // process-CPU/wall per run: on a quiet local[32] box a
-                // CPU-bound query's ratio is stable round-over-round; a
-                // collapsed ratio on unchanged code means the host stole
-                // the cores, not that the plan regressed (VERDICT r12 #1)
-                val ratio = if (c0 < 0) -1.0 else (procCpuSec - c0) / sec
+                // process-CPU per run (and its /wall ratio): on a quiet
+                // local[32] box a CPU-bound query's ratio is stable
+                // round-over-round; a collapsed ratio on unchanged code
+                // means the host stole the cores, not that the plan
+                // regressed (VERDICT r12 #1). The raw CPU seconds are
+                // the r19 load-independent gate ([[referenceCpuSec]]).
+                val cpu = if (c0 < 0) -1.0 else procCpuSec - c0
+                val ratio = if (c0 < 0) -1.0 else cpu / sec
                 // per-run detail to stderr: medians hide run-over-run
                 // drift (state accumulation, JIT, GC) — this line is how
                 // a 2x median discrepancy gets attributed (VERDICT r8 #1)
                 System.err.println(
                   f"[bench] $name $tag $r: $sec%.2fs gc=${gcMillis - g0}ms " +
-                    f"cpu/wall=$ratio%.1f")
+                    f"cpu/wall=$ratio%.1f cpu=$cpu%.2fs")
                 Checkpoints.sweep(spark, keep) // after the clock stops
-                (sec, ratio)
+                (sec, ratio, cpu)
               }
             // ---- within-run contention signals (VERDICT r16 #1: the
             // whole-run offset detector was evaded twice; a poisoned
@@ -596,28 +655,32 @@ object Bench {
             // cleaner (smaller-median) block, so one transiently-stolen
             // scheduling window can no longer poison the round artifact.
             // A REAL regression reproduces in the rerun and stays slow.
-            def stats(b: Seq[(Double, Double)]): (Double, Double, Double) = {
+            def stats(b: Seq[(Double, Double, Double)])
+                : (Double, Double, Double, Double) = {
               val walls = b.map(_._1)
               (median(walls),
                 median(walls) / math.max(walls.min, 1e-3),
-                median(b.map(_._2)))
+                median(b.map(_._2)),
+                median(b.map(_._3)))
             }
             val first = timedBlock("run")
-            val (med1, disp1, cpu1) = stats(first)
-            val reasons = alertReasons(name, med1, disp1, cpu1)
+            val (med1, disp1, cpu1, cpuSec1) = stats(first)
+            val reasons = alertReasons(name, med1, disp1, cpu1, cpuSec1)
             val chosen =
               if (reasons.isEmpty) first
               else {
                 System.err.println(s"[bench] $name ALERT " +
                   s"(${reasons.mkString("+")}): median ${num(med1)}s " +
-                  s"disp ${num(disp1)} cpu/wall ${num(cpu1)} — auto-rerun")
+                  s"disp ${num(disp1)} cpu/wall ${num(cpu1)} " +
+                  s"cpu ${num(cpuSec1)}s — auto-rerun")
                 val second = timedBlock("rerun")
                 val med2 = stats(second)._1
                 alerts ::= (name, reasons, med1, med2)
                 if (med2 < med1) second else first
               }
-            val (medF, dispF, cpuF) = stats(chosen)
+            val (medF, dispF, cpuF, cpuSecF) = stats(chosen)
             cpuRatios ::= (name, cpuF)
+            cpuSecs ::= (name, cpuSecF)
             dispersions ::= (name, dispF)
             name -> medF
           } catch {
@@ -702,6 +765,14 @@ object Bench {
     val ratios = cpuRatios.reverse
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    // per-query process-CPU seconds (r19, VERDICT r18 #4): the
+    // load-independent readings referenceCpuSec pins. Full payload
+    // only — the stdout line must stay inside the driver's 2000-char
+    // tail window (the BENCH_r16 truncation lesson)
+    val cpuSecsJson = cpuSecs.reverse
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val cpuTotal = cpuSecs.map(_._2).filter(_ >= 0).sum
     val dispJson = dispersions.reverse
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
@@ -728,9 +799,9 @@ object Bench {
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val stdoutLine =
-      s"""{"metric":"total","value":${num(total, 3)},"queries":$qsCompact,$shared,"alerts":$alertsCompactJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"queries":$qsCompact,$shared,"cpu_total_sec":${num(cpuTotal, 1)},"alerts":$alertsCompactJson}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"queries":$qs,$shared,"alerts":$alertsFullJson,"cpu_wall_ratio":$ratios,"dispersion":$dispJson,"alert_detail":$alertDetail}"""
+      s"""{"metric":"total","value":$total,"queries":$qs,$shared,"cpu_total_sec":${num(cpuTotal, 1)},"alerts":$alertsFullJson,"cpu_wall_ratio":$ratios,"cpu_sec":$cpuSecsJson,"dispersion":$dispJson,"alert_detail":$alertDetail}"""
     println(stdoutLine)
     if (stdoutLine.length > 1900)
       System.err.println(s"[bench] WARNING stdout line ${stdoutLine.length}" +

@@ -157,6 +157,8 @@ object ScaleBench {
       graphScale(spark, srcDir, listener)
     if (args.contains("graphscale100")) // opt-in: ~50M-edge decade, minutes
       graphScale100(spark, srcDir, listener)
+    if (args.contains("dedupscale10")) // opt-in: ~1M-doc dedup/ANN decade
+      dedupScale10(spark, outDir, listener)
     spark.stop()
   }
 
@@ -249,14 +251,6 @@ object ScaleBench {
         (col("l_suppkey").cast("long") + 1000000L).as("dst"),
         col("l_quantity").as("weight"))
       .localCheckpoint()
-    // captured OUTSIDE the try so the finally can restore them even
-    // when the 100x tier dies mid-flight (review finding r18) — BOTH
-    // confs, not just the partition count: restoring coalescing to a
-    // hardcoded true would itself poison a session that launched with
-    // it off
-    val basePart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val baseCoalesce = spark.conf
-      .get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     try {
       // the copy stride is DERIVED from the measured max node id, not
       // assumed (ADVICE r18: o_custkey crosses the old hardcoded 10M
@@ -277,38 +271,17 @@ object ScaleBench {
       graft.ops.PageRank.pageRank(base, 1).count()
       graft.ops.PageRank.pageRankWeighted(base, 1).count()
       graft.ops.Hits.hits(base, 1).count()
-      // partitions scale with the edge count so ROWS PER TASK stay
-      // ~constant across the decade — the lever a real cluster pulls.
-      // Two measured traps at the 100× tier (r18):
-      //  - fixed 32 partitions put 1.7M contribution rows into each
-      //    hash-aggregate task: 4.5-6.8 GB peak task memory, and the
-      //    default 8 GB heap died with UNABLE_TO_ACQUIRE_MEMORY —
-      //    the single-process memory wall the reference's ">100 GB
-      //    RAM" guidance describes;
-      //  - raising shuffle.partitions to 256 alone did NOT help:
-      //    AQE's partition COALESCING re-merged them to its 64 MB
-      //    byte target (peak task 7.4-11.7 GB, unchanged), because
-      //    the coalescer optimizes bytes-per-partition, not
-      //    memory-per-task. The honest lever pair is partitions +
-      //    coalescing floor (or a larger advisory size) — disabled
-      //    here for the big tier exactly as a cluster job would pin
-      //    spark.sql.adaptive.coalescePartitions.minPartitionNum.
-      val tiers = Seq(("10x", copies(10), basePart, true),
-        ("100x", copies(100), basePart * 8, false))
-      for ((tier, e0, parts, coalesce) <- tiers) {
-        spark.conf.set("spark.sql.shuffle.partitions", parts)
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
-          coalesce)
-        // INPUT splits must scale with the data too: the synthetic
-        // n-fold crossJoin inherits the 32-partition cached base, so
-        // the first map-side partial aggregate would run on 32 tasks
-        // of n/10 × 1.7M rows each and grow a 7-12 GB hash map per
-        // task before spilling (measured at 100×, partition-count-
-        // INDEPENDENT because it sits before any exchange). File-
-        // sourced edges split by maxPartitionBytes and never see
-        // this; the repartition makes the synthetic input behave
-        // like real input.
-        val e = e0.repartition(parts)
+      // NO manual conf at either tier (VERDICT r18 #1): the three
+      // levers the r18 run pulled by hand — edge-proportional
+      // partitions, the AQE coalescing floor, and the fat-input
+      // respread — now auto-size INSIDE the operators from the edge
+      // count each run already takes ([[graft.ops.GraphMemory]]),
+      // applied-and-restored around each iteration. This verb now
+      // MEASURES that path: the 100× tier runs on whatever conf the
+      // session launched with, and the default 8 GB heap must survive
+      // where r18's unsized run died with UNABLE_TO_ACQUIRE_MEMORY.
+      val tiers = Seq(("10x", copies(10)), ("100x", copies(100)))
+      for ((tier, e) <- tiers) {
         time("pagerank_3r", tier) {
           graft.ops.PageRank.pageRank(e, 3).count()
         }
@@ -319,15 +292,115 @@ object ScaleBench {
           graft.ops.Hits.hits(e, 3).count()
         }
       }
-    } finally {
-      // restore INSIDE the finally (review finding r18): the 100x tier
-      // is exactly where the documented OOM can fire, and a leaked
-      // 8x-partition / coalescing-off config would poison whatever
-      // runs next in the session
-      spark.conf.set("spark.sql.shuffle.partitions", basePart)
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
-        baseCoalesce)
-      graft.Checkpoints.free(base)
+    } finally graft.Checkpoints.free(base)
+  }
+
+  /** The dedup/ANN decade (VERDICT r18 #6 — the graphscale100
+    * treatment for the OTHER two flagships): [[graft.llm.Dedup
+    * .nearDedupComplete]] and the persisted coded IVF-PQ search at the
+    * scaled corpus (100k docs / 100k vectors) vs 10× of it (~1M — ten
+    * substitution-cipher / shifted copies, the generate() construction
+    * continued, so copies share almost no shingles and vectors stay
+    * distinct). Claims measured per tier:
+    *  - dedup shuffle tracks CANDIDATES, not docs² — candidate pairs
+    *    (the positional-filtered verify input) are counted per tier
+    *    next to the shuffle bytes, so the decade ratio is attributable:
+    *    docs² grows 100×, candidates and shuffle must not;
+    *  - coded ANN search reads scale with the PROBED CELLS, not the
+    *    corpus (input_bytes per tier on the cell-bucketed index);
+    *  - peak task memory stays partition-bounded at both tiers (the
+    *    graphscale100 memory column).
+    */
+  private def dedupScale10(spark: SparkSession, outDir: String,
+                           listener: TaskMetricsProbe): Unit = {
+    import graft.llm.{Dedup, Similarity}
+    def time(label: String, tier: String, extra: String = "")
+            (body: => Long): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"dedupscale":"$label","tier":"$tier","sec":$sec%.2f,""" +
+        s""""rows":$rows,$extra""" +
+        s""""input_bytes":${listener.totInput},""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+    }
+    // ---- near-dedup-complete decade (threshold 0.8 — the compliance
+    // screen regime; candidates counted per tier for the attribution)
+    val docs1 = SparkEntry.table(spark, outDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val alpha = "etaoinsrhl"
+    def docTier(n: Int): DataFrame =
+      (0 until n).map { i =>
+        val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+        docs1.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
+          .withColumn("text", translate(col("text"), alpha, rot))
+      }.reduce(_ unionByName _)
+    for ((tier, d) <- Seq(("1x", docTier(1)), ("10x", docTier(10)))) {
+      val dd = d.localCheckpoint()
+      try {
+        val nDocs = dd.count()
+        // candidate pairs entering verify — the quantity shuffle must
+        // track (computed untimed, outside the measured block)
+        val sets = Dedup.jaccardSets(dd, "doc_id", "text")
+          .localCheckpoint(false)
+        val pref = Dedup.jaccardPrefixes(sets, 0.8)
+        val pa = pref.select(col("__id").as("id_a"), col("__n").as("__na"),
+          posexplode(col("__prefix")).as(Seq("__pa", "__h")))
+        val pb = pref.select(col("__id").as("id_b"), col("__n").as("__nb"),
+          posexplode(col("__prefix")).as(Seq("__pb", "__h")))
+        val nCand = Dedup.candidatePairsPositional(pa, pb, 0.8,
+          col("id_a") < col("id_b")).count()
+        graft.Checkpoints.free(sets)
+        time("near_dedup_complete", tier,
+          s""""n_docs":$nDocs,"cand_pairs":$nCand,""") {
+          Dedup.nearDedupComplete(dd, "doc_id", "text", threshold = 0.8)
+            .count()
+        }
+      } finally graft.Checkpoints.free(dd)
+    }
+    // ---- coded IVF-PQ search decade (the denseSplit serving shape at
+    // 10×: build+persist per tier untimed, search measured — reads must
+    // track probed cells, not corpus size)
+    val emb1 = SparkEntry.table(spark, outDir, "embeddings")
+    def embTier(n: Int): DataFrame =
+      (0 until n).map { i =>
+        emb1.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L))
+          .withColumn("embedding",
+            transform(col("embedding"), x => x + lit(i.toFloat * 0.0001f)))
+      }.reduce(_ unionByName _)
+    val coarse = graft.queries.QueriesLLM.firstKCodebook(emb1)
+    val m = 4; val sub = coarse.head.length / m
+    val pqCb = Array.tabulate(m, coarse.length)((j, i) =>
+      coarse(i).slice(j * sub, (j + 1) * sub))
+    val qVecs = emb1.filter(col("vec_id") >= 8 && col("vec_id") < 208)
+      .orderBy("vec_id").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val ranking = Similarity.probeRanking(coarse)
+    for ((tier, n) <- Seq(("1x", 1), ("10x", 10))) {
+      val e = embTier(n).localCheckpoint()
+      try {
+        val nVecs = e.count()
+        val table = s"ivfpq_idx10_$tier"
+        graft.etd.Sources.writeBucketed(
+          Similarity.buildIvfPqIndex(e, "vec_id", "embedding", coarse, pqCb),
+          table, s"$outDir/__ivfpq10_$tier", buckets = 32,
+          bucketCols = Seq("cell"), sortCols = Seq("cell"))
+        val idx = spark.table(table)
+        // warm once (codegen), measure the second search
+        Similarity.ivfPqTopKCoded(idx, "id", "codes", "cell",
+            q => ranking(q).take(2), pqCb, qVecs, k = 5)
+          .write.format("noop").mode("overwrite").save()
+        time("ivfpq_coded_search", tier,
+          s""""n_vecs":$nVecs,"n_queries":${qVecs.size},""") {
+          Similarity.ivfPqTopKCoded(idx, "id", "codes", "cell",
+              q => ranking(q).take(2), pqCb, qVecs, k = 5)
+            .count()
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+      } finally graft.Checkpoints.free(e)
     }
   }
 

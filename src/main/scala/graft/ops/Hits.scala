@@ -108,8 +108,12 @@ object Hits {
     require(checkpointEvery >= 1, "hits: checkpointEvery must be >= 1")
     def massSum(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,18)")).cast("double")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint()
+    // memory auto-sizing (VERDICT r18 #1, the [[PageRank]] discipline):
+    // edge-proportional partitions + AQE coalescing floor + fat-input
+    // respread above the trigger, restored in the finally; decimal
+    // sums keep every byte identical under any partitioning.
+    val (e, restoreConf) = GraphMemory.sizedEdges(
+      edges.select(col("src"), col("dst")), _.distinct())
     try {
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
@@ -203,7 +207,10 @@ object Hits {
         pending.foreach(graft.Checkpoints.free(_))
         if (cut ne scores) graft.Checkpoints.free(cut)
       }
-    } finally graft.Checkpoints.free(e)
+    } finally {
+      restoreConf()
+      graft.Checkpoints.free(e)
+    }
   }
 
   /** ONE score-update round over distinct edges `e` and node table

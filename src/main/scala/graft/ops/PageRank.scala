@@ -170,8 +170,14 @@ object PageRank {
       else sum(c)
     require(iterations >= 0, "pageRank: iterations must be >= 0")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint()
+    // memory auto-sizing (VERDICT r18 #1): above the trigger the
+    // edge collapse AND the iteration run on edge-proportional
+    // partitions with the AQE coalescing floor pinned and a fat input
+    // respread — conf restored in the finally. Exact-tier results are
+    // partitioning-invariant (order-free decimal sums), so this cannot
+    // move a byte; below the trigger the plan is byte-identical.
+    val (e, restoreConf) = GraphMemory.sizedEdges(
+      edges.select(col("src"), col("dst")), _.distinct())
     try {
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
@@ -286,7 +292,10 @@ object PageRank {
             (ranks, i)
         }
       } finally if (cut ne ranks) graft.Checkpoints.free(cut)
-    } finally graft.Checkpoints.free(e)
+    } finally {
+      restoreConf()
+      graft.Checkpoints.free(e)
+    }
   }
 
   /** WEIGHTED damped PageRank: edge (u, v, w) contributes
@@ -346,11 +355,14 @@ object PageRank {
     require(iterations >= 0, "pageRankWeighted: iterations must be >= 0")
     require(checkpointEvery >= 1,
       "pageRankWeighted: checkpointEvery must be >= 1")
-    val e = edges.select(col("src"), col("dst"),
-        col("weight").cast("double").as("w"))
-      .filter(col("w") > 0.0)
-      .groupBy(col("src"), col("dst")).agg(massSum(col("w")).as("w"))
-      .localCheckpoint()
+    // the unweighted form's memory auto-sizing, same trigger and
+    // restore discipline (weighted sums are decimal too — no byte
+    // can move); the collapse here is the weight-sum aggregation
+    val (e, restoreConf) = GraphMemory.sizedEdges(
+      edges.select(col("src"), col("dst"),
+          col("weight").cast("double").as("w"))
+        .filter(col("w") > 0.0),
+      _.groupBy(col("src"), col("dst")).agg(massSum(col("w")).as("w")))
     try {
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
@@ -422,7 +434,10 @@ object PageRank {
             (ranks, i)
         }
       } finally if (cut ne ranks) graft.Checkpoints.free(cut)
-    } finally graft.Checkpoints.free(e)
+    } finally {
+      restoreConf()
+      graft.Checkpoints.free(e)
+    }
   }
 
   /** The DuckDB oracle for [[pageRankWeighted]], generated for

@@ -63,4 +63,36 @@ class BenchDetectorSpec extends AnyFunSuite {
       Bench.referenceMedians.contains(q) && !Bench.referenceCpuWall.contains(q))
     assert(missing.isEmpty, s"cpu/wall pins missing for: $missing")
   }
+
+  test("cpu_vs_pin (r19): wall drift never fires it; a real CPU " +
+      "regression fires it even when drift hides the wall") {
+    // the r18 morning/evening pair ran IDENTICAL binaries: totals
+    // 71.2 s at offset 0.92 vs 97.3 s at offset 1.20 — ~1.37x wall on
+    // zero plan change, single-core throughput stable. A drifted-slow
+    // reading (wall 1.37x pin, CPU at pin) must stay alert-free:
+    // q_pagerank pin 3.53 s wall / 16.44 CPU-s — evening-shaped reading
+    assert(Bench.alertReasons("q_pagerank", 3.53 * 1.37, 1.3,
+      16.44 / (3.53 * 1.37), 16.44).isEmpty)
+    // a REAL plan regression burns cores: CPU 3x pin. On a drifted-FAST
+    // day the wall can sit under slow_vs_pin's 2.5x while the work
+    // tripled — the load-independent gate is what catches it
+    val rs = Bench.alertReasons("q_pagerank", 3.53 * 2.0, 1.3,
+      (16.44 * 3.0) / (3.53 * 2.0), 16.44 * 3.0)
+    assert(rs == List("cpu_vs_pin"))
+    // boundary: 2.5x CPU at healthy wall fires cpu_vs_pin alone
+    assert(Bench.alertReasons("q_simhash", 0.40, 1.2, 6.0, 0.89 * 2.6) ==
+      List("cpu_vs_pin"))
+    assert(Bench.alertReasons("q_simhash", 0.40, 1.2, 5.0, 0.89 * 2.4)
+      .isEmpty)
+    // unpinned or unmeasured CPU (cpuSec <= 0, the default) never fires
+    assert(Bench.alertReasons("q_not_pinned_yet", 1.0, 1.2, 2.0, 99.0)
+      .isEmpty)
+    assert(Bench.alertReasons("q_pagerank", 3.5, 1.2, 4.0).isEmpty)
+  }
+
+  test("every headline query with a median pin also carries a CPU-seconds pin") {
+    val missing = Bench.headline.filter(q =>
+      Bench.referenceMedians.contains(q) && !Bench.referenceCpuSec.contains(q))
+    assert(missing.isEmpty, s"cpu-seconds pins missing for: $missing")
+  }
 }
