@@ -328,15 +328,24 @@ object ScaleBench {
         s""""max_task_peak_mem":${listener.maxPeakMem}}""")
     }
     // ---- near-dedup-complete decade (threshold 0.8 — the compliance
-    // screen regime; candidates counted per tier for the attribution)
+    // screen regime; candidates counted per tier for the attribution).
+    // The tier cipher uses an alphabet DISJOINT from generate()'s
+    // "etaoinsrhl": the scaled corpus is already rotation-ciphered, and
+    // rotations over the SAME alphabet compose cyclically — tier copy i
+    // of generate copy j would collapse to net rotation (i+j) mod 10,
+    // minting ~20-deep EXACT-duplicate classes whose pair counts grow
+    // quadratically (measured: 108× candidates for 10× docs — a fixture
+    // artifact, not an operator property). Disjoint alphabets compose
+    // independently (10×10 distinct combined ciphers), so the 10× tier
+    // keeps the 1× tier's duplication depth.
     val docs1 = SparkEntry.table(spark, outDir, "documents")
       .select(col("doc_id"), col("text"))
-    val alpha = "etaoinsrhl"
+    val alpha2 = "dcumfpgwyb"
     def docTier(n: Int): DataFrame =
       (0 until n).map { i =>
-        val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+        val rot = alpha2.drop(i % alpha2.length) + alpha2.take(i % alpha2.length)
         docs1.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
-          .withColumn("text", translate(col("text"), alpha, rot))
+          .withColumn("text", translate(col("text"), alpha2, rot))
       }.reduce(_ unionByName _)
     for ((tier, d) <- Seq(("1x", docTier(1)), ("10x", docTier(10)))) {
       val dd = d.localCheckpoint()
@@ -371,18 +380,25 @@ object ScaleBench {
           .withColumn("embedding",
             transform(col("embedding"), x => x + lit(i.toFloat * 0.0001f)))
       }.reduce(_ unionByName _)
-    val coarse = graft.queries.QueriesLLM.firstKCodebook(emb1)
-    val m = 4; val sub = coarse.head.length / m
-    val pqCb = Array.tabulate(m, coarse.length)((j, i) =>
-      coarse(i).slice(j * sub, (j + 1) * sub))
-    val qVecs = emb1.filter(col("vec_id") >= 8 && col("vec_id") < 208)
+    val qVecs = emb1.filter(col("vec_id") >= 208 && col("vec_id") < 408)
       .orderBy("vec_id").select("vec_id", "embedding")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
-    val ranking = Similarity.probeRanking(coarse)
-    for ((tier, n) <- Seq(("1x", 1), ("10x", 10))) {
+    // three arms: both tiers at the FIXED 8-cell codebook (reads grow
+    // with the corpus at a constant nprobe/nlist fraction — the honest
+    // reading of "reads track probed cells"), plus the 10× tier at a
+    // √N-scaled codebook (the documented auto-nlist rule): same probe
+    // count, ~√10-smaller cell fraction, so reads must FALL relative
+    // to the fixed-nlist 10× arm even though the corpus is identical.
+    for ((tier, n, nlist) <- Seq(("1x", 1, 8), ("10x", 10, 8),
+        ("10x_nlist25", 10, 25))) {
       val e = embTier(n).localCheckpoint()
       try {
         val nVecs = e.count()
+        val coarse = graft.queries.QueriesLLM.firstKCodebook(emb1, nlist)
+        val m = 4; val sub = coarse.head.length / m
+        val pqCb = Array.tabulate(m, coarse.length)((j, i) =>
+          coarse(i).slice(j * sub, (j + 1) * sub))
+        val ranking = Similarity.probeRanking(coarse)
         val table = s"ivfpq_idx10_$tier"
         graft.etd.Sources.writeBucketed(
           Similarity.buildIvfPqIndex(e, "vec_id", "embedding", coarse, pqCb),
@@ -394,9 +410,22 @@ object ScaleBench {
             q => ranking(q).take(2), pqCb, qVecs, k = 5)
           .write.format("noop").mode("overwrite").save()
         time("ivfpq_coded_search", tier,
-          s""""n_vecs":$nVecs,"n_queries":${qVecs.size},""") {
+          s""""n_vecs":$nVecs,"nlist":$nlist,"n_queries":${qVecs.size},""") {
           Similarity.ivfPqTopKCoded(idx, "id", "codes", "cell",
               q => ranking(q).take(2), pqCb, qVecs, k = 5)
+            .count()
+        }
+        // NARROW batch: 200 queries sharing one vector → the whole
+        // batch probes 2 of nlist cells, so the r19 scan-level prune
+        // must cut input_bytes to ~2/nlist of the wide batch's (a wide
+        // batch legitimately touches every cell — reads tracking
+        // probed cells is only OBSERVABLE on a narrow one)
+        val qNarrow = qVecs.take(1).flatMap { case (_, v) =>
+          (0 until 200).map(i => (900000L + i, v)) }
+        time("ivfpq_coded_search_narrow", tier,
+          s""""n_vecs":$nVecs,"nlist":$nlist,"n_queries":${qNarrow.size},""") {
+          Similarity.ivfPqTopKCoded(idx, "id", "codes", "cell",
+              q => ranking(q).take(2), pqCb, qNarrow, k = 5)
             .count()
         }
         spark.sql(s"DROP TABLE IF EXISTS $table")

@@ -1031,14 +1031,67 @@ object Dedup {
                               index: DataFrame, archiveText: DataFrame,
                               archiveIdCol: String, archiveTextCol: String,
                               threshold: Double,
-                              shingleSize: Int = 3): DataFrame = {
+                              shingleSize: Int = 3): DataFrame =
+    containmentScreen(df, idCol, textCol, index, archiveText, archiveIdCol,
+      archiveTextCol, threshold, shingleSize,
+      jaccardPrefixesFixedOrder(_, threshold))
+
+  /** [[containmentIndex]] under FROZEN df order — the
+    * [[jaccardIndexFrozen]] contract for the asymmetric screen: returns
+    * (index, dfTable); persist BOTH. The full lists order by the
+    * archive's df table, so snapshot prefixes (built by
+    * [[containmentDedupAgainstFrozen]] under the SAME frozen order)
+    * prune with df-grade selectivity — boilerplate shingles sit LAST in
+    * every list and enter prefixes only for all-boilerplate documents.
+    * Same freshness contract as the Jaccard twin: archive growth
+    * appends rows under the ORIGINAL order (consistency, not
+    * freshness, is what the completeness bound needs); refreshing the
+    * order itself is an out-of-band rebuild.
+    */
+  def containmentIndexFrozen(df: DataFrame, idCol: String, textCol: String,
+                             shingleSize: Int = 3): (DataFrame, DataFrame) = {
+    val sets = jaccardSets(df, idCol, textCol, shingleSize)
+    val dfTable = jaccardDf(sets)
+    val index = orderedFull(sets, dfTable)
+      .select(col("__id").as("archive_id"), col("__n").as("n"),
+        col("__full").as("full"))
+    (index, dfTable.select(col("__h").as("shingle_hash"), col("__df").as("df")))
+  }
+
+  /** [[containmentDedupAgainst]] against a [[containmentIndexFrozen]]
+    * pair: snapshot prefixes order by the index's frozen df table, the
+    * [[jaccardDedupAgainstFrozen]] discipline applied to the
+    * asymmetric screen.
+    */
+  def containmentDedupAgainstFrozen(df: DataFrame, idCol: String,
+                                    textCol: String, index: DataFrame,
+                                    dfTable: DataFrame,
+                                    archiveText: DataFrame,
+                                    archiveIdCol: String,
+                                    archiveTextCol: String,
+                                    threshold: Double,
+                                    shingleSize: Int = 3): DataFrame = {
+    val order = dfTable.select(col("shingle_hash").as("__h"),
+      col("df").as("__df"))
+    containmentScreen(df, idCol, textCol, index, archiveText, archiveIdCol,
+      archiveTextCol, threshold, shingleSize,
+      jaccardPrefixesWithOrder(_, order, threshold))
+  }
+
+  private def containmentScreen(df: DataFrame, idCol: String,
+                                textCol: String, index: DataFrame,
+                                archiveText: DataFrame,
+                                archiveIdCol: String,
+                                archiveTextCol: String, threshold: Double,
+                                shingleSize: Int,
+                                prefixer: DataFrame => DataFrame): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
-      s"containmentDedupAgainst: threshold must be in (0, 1], got $threshold")
+      s"containment screen: threshold must be in (0, 1], got $threshold")
     // the snapshot re-shingles twice (prefix build + verify side)
     // without a cut; lazy checkpoint, caller frees via Checkpoints.free
     val snapSets = jaccardSets(df, idCol, textCol, shingleSize)
       .localCheckpoint(false)
-    val snapPref = jaccardPrefixesFixedOrder(snapSets, threshold)
+    val snapPref = prefixer(snapSets)
       .select(col("__id"), col("__n").as("__na"),
         posexplode(col("__prefix")).as(Seq("__pa", "__h")))
     val archFull = index.select(col("archive_id"), col("n").as("__nb"),

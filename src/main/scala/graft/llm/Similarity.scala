@@ -639,7 +639,35 @@ object Similarity {
     }: _*)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
-    index.select(col(idCol).as("neighbor_id"), col(codesCol).as("__codes"),
+    // SCAN-level prune (r19, found by the dedupscale10 soak): the
+    // per-row explode×array_contains below applies each query's exact
+    // probe set but cannot reach the parquet reader — without this
+    // coarse In-filter on the UNION of probed cells, every search read
+    // the whole index regardless of probes (measured: input_bytes
+    // tracked the corpus, not the cells). On the cell-sorted bucketed
+    // index the In pushes down to row-group stats, so a narrow batch
+    // reads only its cells' row groups — the ~10 B/row promise made
+    // real at the I/O layer. Results are unchanged: the union filter
+    // is strictly weaker than the per-query one that follows.
+    val allCells = queries.iterator
+      .flatMap(q => probeCells(q._2)).toSeq.distinct
+    val pruned0 =
+      if (allCells.isEmpty) index
+      else index.filter(col(cellCol).isin(allCells: _*))
+    // concentration guard (r19, same soak): on a cell-bucketed index a
+    // NARROW batch's pruned scan lands on a handful of buckets, and the
+    // expensive part — the explode×LUT scoring — then runs on those few
+    // tasks (measured: 3-4× the wide batch's wall on 1/4 of the reads).
+    // When the probed cells cover less than half the scan's partitions,
+    // respread before scoring: the exchange moves only pruned ~10 B/row
+    // code rows, so it costs ~nothing next to the CPU it re-parallelizes;
+    // a wide batch (cells ≈ partitions) skips it and pays no exchange.
+    val scanParts = math.max(1, pruned0.rdd.getNumPartitions)
+    val pruned =
+      if (allCells.nonEmpty && allCells.size < scanParts / 2)
+        pruned0.repartition(scanParts)
+      else pruned0
+    pruned.select(col(idCol).as("neighbor_id"), col(codesCol).as("__codes"),
         col(cellCol).as("__cell"), explode(qarr).as("__q"))
       .filter(array_contains(col("__q.cells"), col("__cell")))
       .select(col("__q.query_id").as("query_id"), col("neighbor_id"),
