@@ -59,6 +59,43 @@ class CodedIndexSpec extends AnyFunSuite {
       s"search must not scan the vector column:\n$plan")
   }
 
+  test("scan-level cell prune reaches the parquet reader (r19): the " +
+      "union-of-probes IN filter is pushed; respread preserves results") {
+    val corpus = (1L to 400L).map(i => (i, v(i.toInt).toSeq)).toDF("id", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_push").toString
+    graft.etd.Sources.writeBucketed(
+      Similarity.buildIvfPqIndex(corpus, "id", "v", coarse, cb),
+      "ivfpq_idx_push_spec", s"$tmp/idx", buckets = 8,
+      bucketCols = Seq("cell"), sortCols = Seq("cell"))
+    val idx = spark.table("ivfpq_idx_push_spec")
+    val ranking = Similarity.probeRanking(coarse)
+    // narrow batch: every query probes cell 1 only (axis-0 vectors)
+    val narrow = (0 until 5).map(i =>
+      (900L + i, Array(1f, 0.01f * i, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val search = Similarity.ivfPqTopKCoded(idx, "id", "codes", "cell",
+      q => ranking(q).take(1), cb, narrow, k = 3)
+    val plan = search.queryExecution.executedPlan.toString
+    // the prune must reach the scan: a pushed In/EqualTo on cell —
+    // without it the first dedupscale10 soak measured every search
+    // reading the WHOLE index regardless of probes
+    assert(plan.contains("PushedFilters: [") &&
+      (plan.contains("In(cell") || plan.contains("EqualTo(cell")),
+      s"cell prune must be pushed into the index scan:\n$plan")
+    // 1 probed cell on an 8-partition scan trips the concentration
+    // respread — results must be byte-equal to an unrespread reference
+    // (the window orders by (score desc, neighbor_id): partitioning-free)
+    val got = search.select("query_id", "neighbor_id", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val inline = Similarity.ivfPqTopK(corpus, "id", "v", coarse, cb,
+        narrow, k = 3, nprobe = 1)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(got == inline, s"pruned+respread search diverged:\n$got\nvs\n$inline")
+    spark.sql("DROP TABLE IF EXISTS ivfpq_idx_push_spec")
+  }
+
   test("probeRanking: 1-based cells ranked by centroid cosine; zero-norm probes nothing") {
     val ranking = Similarity.probeRanking(coarse)
     // a vector along axis 0 ranks cell 1 first; along axis 1, cell 2
