@@ -2045,14 +2045,101 @@ object QueriesLLM {
     } finally {
       // refreshRanks' result is localCheckpoint-materialized, so the
       // log directory is disposable once the call returns
-      scala.util.Try {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(graphDir)
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      deleteTempDir(graphDir)
     }
+  }
+
+  /** Best-effort recursive delete of a query-scoped temp directory —
+    * shared by the incremental-maintainer queries, whose results are
+    * all localCheckpoint-materialized before the log dir goes away.
+    */
+  private def deleteTempDir(dir: String): Unit =
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+
+  /** Incremental LM-counts maintenance
+    * ([[graft.streaming.StreamingLm]] — the log-structured trigram
+    * count table, previously spec-pinned only, gets its DuckDB
+    * oracle): the even-doc_id training slice arrives as two
+    * [[graft.streaming.StreamingLm.appendBatch]] micro-batches into a
+    * fresh count log, [[graft.streaming.StreamingLm.compactCounts]]
+    * folds the log mid-stream, batch 2 REPLAYS after the fold (the
+    * ledgered no-op — a regression here doubles its trigram counts
+    * and silently corrupts every probability downstream), and the
+    * model trains from [[graft.streaming.StreamingLm.loadCounts]].
+    * Counts are additive, so stream-fold-then-train must equal
+    * training on everything at once: same oracle as [[q_kn_model]].
+    */
+  def q_lm_incremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingLm
+    val even = table(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+    val countsDir = java.nio.file.Files
+      .createTempDirectory("graft_lmcounts_").toString
+    try {
+      StreamingLm.appendBatch(countsDir, "doc_id", "text")(
+        even.filter(col("doc_id") < 250), 0L)
+      StreamingLm.appendBatch(countsDir, "doc_id", "text")(
+        even.filter(col("doc_id") >= 250), 1L)
+      StreamingLm.compactCounts(spark, countsDir)
+      // post-fold replay of batch 2: the ledger must make it a no-op
+      StreamingLm.appendBatch(countsDir, "doc_id", "text")(
+        even.filter(col("doc_id") >= 250), 1L)
+      NgramLm.modelTable(NgramLm.trainFromCounts(
+        StreamingLm.loadCounts(spark, countsDir).localCheckpoint()))
+    } finally deleteTempDir(countsDir)
+  }
+
+  /** Incremental coded-ANN-index maintenance
+    * ([[graft.streaming.StreamingSimilarity]] — the IVF-PQ serving
+    * index, previously spec-pinned only, gets its DuckDB oracle): the
+    * embeddings corpus arrives as two
+    * [[graft.streaming.StreamingSimilarity.appendBatch]] micro-batches
+    * into a fresh index log (map-only encode per batch),
+    * [[graft.streaming.StreamingSimilarity.compactIndex]] cell-clusters
+    * the log mid-stream (a results no-op — the row set is unchanged),
+    * batch 2 REPLAYS after the fold (ledgered no-op — a regression
+    * doubles its rows and shifts the ADC ranks), and the same 3-query
+    * 2-probe search as [[q_ann_ivfpq]] runs over the loaded log.
+    * Row-stateless encoding means stream-fold-then-search must equal
+    * the one-shot build: same oracle as [[q_ann_ivfpq]].
+    */
+  def q_similarity_incremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingSimilarity
+    val emb = table(spark, dir, "embeddings")
+    val base = firstKCodebook(emb)
+    val m = 4
+    val sub = 16
+    val cb = Array.tabulate(m, base.length)((j, i) =>
+      base(i).slice(j * sub, (j + 1) * sub))
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 13)
+      .orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_simidx_").toString
+    try {
+      StreamingSimilarity.appendBatch(indexDir, "vec_id", "embedding",
+        base, cb)(emb.filter(col("vec_id") < 250), 0L)
+      StreamingSimilarity.appendBatch(indexDir, "vec_id", "embedding",
+        base, cb)(emb.filter(col("vec_id") >= 250), 1L)
+      StreamingSimilarity.compactIndex(spark, indexDir)
+      // post-fold replay of batch 2: the ledger must make it a no-op
+      StreamingSimilarity.appendBatch(indexDir, "vec_id", "embedding",
+        base, cb)(emb.filter(col("vec_id") >= 250), 1L)
+      val idx = StreamingSimilarity.loadIndex(spark, indexDir)
+        .localCheckpoint()
+      val ranking = Similarity.probeRanking(base)
+      Similarity.ivfPqTopKCoded(idx, "id", "codes", "cell",
+          q => ranking(q).take(2), cb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("score"), 6).as("score"))
+    } finally deleteTempDir(indexDir)
   }
 
   /** The per-batch edge CTE [[q_authority_incremental]]'s oracle feeds
@@ -3679,6 +3766,8 @@ object QueriesLLM {
     "q_cc_pipeline" -> (q_cc_pipeline _),
     "q_crawl_incremental" -> (q_crawl_incremental _),
     "q_authority_incremental" -> (q_authority_incremental _),
+    "q_lm_incremental" -> (q_lm_incremental _),
+    "q_similarity_incremental" -> (q_similarity_incremental _),
     "q_warc_roundtrip" -> (q_warc_roundtrip _),
     "q_unigram_seed" -> (q_unigram_seed _),
     "q_unigram_tokens" -> (q_unigram_tokens _),
@@ -6687,6 +6776,10 @@ object QueriesLLM {
     oracles0 +
       ("q_bm25_indexed" -> oracles0("q_bm25_topk")) +
       ("q_bm25_incremental" -> oracles0("q_bm25_topk")) +
+      // additive counts: stream-fold-then-train == train-on-union
+      ("q_lm_incremental" -> oracles0("q_kn_model")) +
+      // row-stateless encode: stream-fold-then-search == one-shot build
+      ("q_similarity_incremental" -> oracles0("q_ann_ivfpq")) +
       ("q_bm25_pruned" -> oracles0("q_bm25_topk")) +
       ("q_semdedup_table" -> oracles0("q_semdedup")) +
       ("q_contamination_bloom" -> oracles0("q_contamination")) +
