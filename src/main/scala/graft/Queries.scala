@@ -147,6 +147,72 @@ object Queries {
       .withColumn("duration_us", col("t_end") - col("t_start"))
   }
 
+  /** Sessionization through the REAL Structured Streaming path
+    * ([[graft.streaming.StreamingSessions.sessionStats]] — native
+    * `session_window` + watermark, driven as an actual streaming
+    * query, not a batch replay of a foreachBatch hook): the events
+    * table is normalized to (user_id, ts TIMESTAMP, value), written
+    * out, and re-read through a parquet FILE-SOURCE stream; one
+    * far-future sentinel row (user_id = -1) advances the global
+    * watermark past every real session's end, and Spark's no-data
+    * micro-batch then flushes the closed sessions to the append-mode
+    * memory sink. Output is the emitted session table (sentinel
+    * filtered, timestamps back to exact µs). The oracle replays the
+    * inclusive-merge session cut in SQL — a new session only on
+    * `t - prev > gap`, the same boundary rule `session_window`
+    * merges by (StreamingSessionsSpec pins the boundary) — so start,
+    * end (= last event + gap), count, and sum of every emitted
+    * session must match the batch definition exactly.
+    */
+  def q_sessionize_stream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
+    val gapUs = 1800L * 1000000L
+    val ev = graft.SparkEntry.eventsWithMicros(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        timestamp_micros(col("t_us")).as("ts"), col("value"))
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sess_stream_").toString
+    val sink = "q_sessionize_stream_sink"
+    try {
+      val src = s"$tmp/in"
+      ev.write.mode("overwrite").parquet(src)
+      // the sentinel: beyond every real session's end (+gap) plus an
+      // hour of slack, so watermark(= global max ts - 0s) > end for
+      // every real session; its OWN session never closes and is
+      // filtered below by user_id
+      spark.range(1).select(lit(-1L).as("user_id"),
+          timestamp_micros(lit(maxUs + 2 * gapUs + 3600L * 1000000L)).as("ts"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(src)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("value", DoubleType)))
+      val query = graft.streaming.StreamingSessions
+        .sessionStats(spark.readStream.schema(schema).parquet(src),
+          gap = "30 minutes", lateness = "0 seconds")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      spark.table(sink)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_micros(col("t_start")).as("t_start_us"),
+          unix_micros(col("t_end")).as("t_end_us"),
+          col("n_events"), col("sum_value"))
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(sink)
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   /** Funnel analysis: for each user, the ordered view → click →
     * purchase progression (each stage's first timestamp AT OR AFTER
     * the previous stage's), plus the depth reached — the standard
@@ -383,6 +449,7 @@ object Queries {
     "q_asof_join" -> (q_asof_join _),
     "q_range_join" -> (q_range_join _),
     "q_sessionize" -> (q_sessionize _),
+    "q_sessionize_stream" -> (q_sessionize_stream _),
     "q_funnel" -> (q_funnel _),
     "q_pagerank" -> (q_pagerank _),
     "q_pagerank_converged" -> (q_pagerank_converged _),
@@ -482,6 +549,27 @@ object Queries {
         |  round(sum(value), 6) AS sum_value,
         |  max(t_us) - min(t_us) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // the streamed session_window run must emit exactly the batch
+    // gap-cut sessions, with end = last event + gap (the merged
+    // window's exclusive end)
+    "q_sessionize_stream" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS t_us, value FROM events
+        |), g AS (
+        |  SELECT *, CASE WHEN t_us - lag(t_us, 1) OVER
+        |      (PARTITION BY user_id ORDER BY t_us, event_id) > 1800000000
+        |    THEN 1 ELSE 0 END AS gap
+        |  FROM ev
+        |), s AS (
+        |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
+        |  FROM g
+        |)
+        |SELECT user_id, min(t_us) AS t_start_us,
+        |  max(t_us) + 1800000000 AS t_end_us,
+        |  count(*)::BIGINT AS n_events,
+        |  round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "q_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS t_us FROM events

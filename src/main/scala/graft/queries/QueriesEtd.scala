@@ -480,6 +480,167 @@ object QueriesEtd {
         round(col("Meter"), 6).as("max_meter"),
         col("value").as("avg_value"))
 
+  /** A8 through the REAL Structured Streaming path
+    * ([[graft.streaming.StreamingResample.resampleStream]] — tumbling
+    * `window` + watermark driven as an actual streaming query, the
+    * same harness as `q_sessionize_stream`): the shimmed readings are
+    * written out and re-read through a parquet file-source stream,
+    * resampled to the 5-minute ETD grain with the library's
+    * min-count-gated sum/max aggregates, and one far-future sentinel
+    * row (huis = -1) advances the watermark so every real bucket
+    * closes and flushes in Spark's no-data micro-batch. Streaming
+    * deliberately does NOT densify empty buckets (a stream cannot
+    * know a bucket stayed empty until the watermark passes — the
+    * batch compaction owns the spine), so the oracle is the gated
+    * aggregation over OCCUPIED buckets only; the gate's null arm is
+    * still on the compared path via all-error buckets (meter null on
+    * every row). Decimal sums keep the fold order-independent.
+    */
+  def q_resample_stream(spark: SparkSession, dir: String): DataFrame = {
+    val base = readings(spark, dir).select(
+      col(ProjectId), col(HouseId), col(ReadingDate),
+      col("MeterDiff").cast("decimal(28,10)").as("MeterDiffDec"),
+      col("Meter"))
+    val maxUs = base.agg(max(unix_micros(col(ReadingDate)))).head().getLong(0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_resample_stream_").toString
+    val sink = "q_resample_stream_sink"
+    try {
+      val src = s"$tmp/in"
+      base.write.mode("overwrite").parquet(src)
+      // sentinel 2h out: watermark(= max ts - 1h lateness) then clears
+      // every real 5-min bucket's end; its own bucket never closes and
+      // is filtered by huis below
+      spark.range(1).select(lit(-1L).as(ProjectId), lit(-1L).as(HouseId),
+          timestamp_micros(lit(maxUs + 7200L * 1000000L)).as(ReadingDate),
+          lit(null).cast("decimal(28,10)").as("MeterDiffDec"),
+          lit(null).cast("double").as("Meter"))
+        .coalesce(1).write.mode("append").parquet(src)
+      val query = graft.streaming.StreamingResample
+        .resampleStream(
+          spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+          Seq("MeterDiffDec" -> "sum", "Meter" -> "max"), "5min")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      spark.table(sink)
+        .filter(col(HouseId) >= 0)
+        .select(col(ProjectId).as("project"), col(HouseId).as("huis"),
+          col(ReadingDate).cast("long").as("bucket_s"),
+          col("MeterDiffDec").cast("decimal(20,6)").cast("double").as("sum_diff"),
+          round(col("Meter"), 6).as("max_meter"))
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(sink)
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  /** The IMPUTE CASCADE through the REAL Structured Streaming path
+    * ([[graft.streaming.StreamingImpute.imputeStream]] —
+    * `flatMapGroupsWithState` per-house gap state, driven as an actual
+    * streaming query): the shimmed cumulative meters (null while the
+    * meter is dark) replay through a parquet file-source stream; a gap
+    * CLOSES when the next non-null cumulative arrives, at which point
+    * every slot of the gap — closing row included — emits with the
+    * cascade's fill (near-zero jump → 0.0, else linear round10(jump/n);
+    * the shim's cumulative is monotone, so the negative branch is
+    * spec-only territory). Pre-first-observation rows flush unimputed;
+    * open tail gaps are NOT emitted (the stream cannot know the jump —
+    * the batch backfill owns them), so no sentinel is needed:
+    * emissions flush in the producing micro-batch, and the oracle
+    * replays exactly the CLOSED-group subset — per-house groups keyed
+    * by the count of preceding observations, closed = containing an
+    * observation.
+    */
+  def q_impute_stream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StreamingImpute
+    val base = readings(spark, dir).select(col(HouseId).as("huis"),
+      col("t_us").as("tsSec"), col("Meter").as("cum"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_impute_stream_").toString
+    val sink = "q_impute_stream_sink"
+    try {
+      val src = s"$tmp/in"
+      base.write.mode("overwrite").parquet(src)
+      val query = StreamingImpute.imputeStream(
+          spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src).as[StreamingImpute.CumReading])
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      spark.table(sink)
+        .select(col("huis"), col("tsSec").as("t_us"),
+          round(col("diff"), 6).as("diff6"),
+          col("imputeType").as("impute_type"),
+          col("isImputed").cast("int").as("is_imputed"))
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(sink)
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  /** Streaming gap DETECTION through the real `flatMapGroupsWithState`
+    * path ([[graft.streaming.GapDetection.detectGaps]] — one LastSeen
+    * long per house, the I3 gap-grouping's streaming counterpart): the
+    * shimmed reading times (second grain, deduplicated — equal
+    * timestamps would make the lag nondeterministic in BOTH engines)
+    * replay through a parquet file-source stream and every skipped
+    * ≥2-step stretch emits a gap record in the producing micro-batch
+    * (append emission is immediate — no watermark, no sentinel). The
+    * oracle is the batch lag form: from = prev + step, to = ts - step,
+    * missed = (ts - prev) / step - 1, emitted only when missed ≥ 1.
+    */
+  def q_gap_stream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.GapDetection
+    val base = readings(spark, dir)
+      .select(col(HouseId).as("huis"),
+        expr("t_us div 1000000").as("tsSec"))
+      .distinct()
+      .withColumn("value", lit(0.0))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_gap_stream_").toString
+    val sink = "q_gap_stream_sink"
+    try {
+      val src = s"$tmp/in"
+      base.write.mode("overwrite").parquet(src)
+      val query = GapDetection.detectGaps(
+          spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src).as[GapDetection.Reading])
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      spark.table(sink)
+        .select(col("huis"), col("fromSec").as("from_sec"),
+          col("toSec").as("to_sec"), col("missedSlots").as("missed_slots"))
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(sink)
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   /** A5/A6/A7/J6/J7 — project aggregation with the 60% gate + n. */
   def q_a6a7_project_agg(spark: SparkSession, dir: String): DataFrame =
     ProjectAggregate.aggregate(
@@ -749,6 +910,9 @@ object QueriesEtd {
     "q_i11_cumsum_rebuild" -> (q_i11_cumsum_rebuild _),
     "q_i12_project_diff" -> (q_i12_project_diff _),
     "q_a8_resample" -> (q_a8_resample _),
+    "q_resample_stream" -> (q_resample_stream _),
+    "q_impute_stream" -> (q_impute_stream _),
+    "q_gap_stream" -> (q_gap_stream _),
     "q_a6a7_project_agg" -> (q_a6a7_project_agg _),
     "q_i13_energy_balance" -> (q_i13_energy_balance _),
     "q_i14_power" -> (q_i14_power _),
@@ -891,6 +1055,71 @@ object QueriesEtd {
         |  round(a.avg_value,6) AS avg_value
         |FROM spine s LEFT JOIN agg a
         |  ON s.project = a.project AND s.huis = a.huis AND s.b_s = a.b_s""".stripMargin),
+    // streamed gap detection: the batch lag form over deduplicated
+    // second-grain reading times; ≥2-step stretches only
+    "q_gap_stream" -> (shimSql +
+      """, t AS (
+        |  SELECT DISTINCT huis, t_us//1000000 AS ts_sec FROM r
+        |), l AS (
+        |  SELECT huis, ts_sec,
+        |    lag(ts_sec) OVER (PARTITION BY huis ORDER BY ts_sec) AS prev
+        |  FROM t
+        |)
+        |SELECT huis, prev + 300 AS from_sec, ts_sec - 300 AS to_sec,
+        |  (ts_sec - prev)//300 - 1 AS missed_slots
+        |FROM l
+        |WHERE prev IS NOT NULL AND (ts_sec - prev)//300 - 1 >= 1""".stripMargin),
+    // streamed impute cascade: per-house groups keyed by the count of
+    // PRECEDING observations (grp); a group is one closed gap + its
+    // closing observation (or the pre-first-observation prefix at
+    // grp 0); open tail groups never emit. round10-then-round6 mirrors
+    // the cascade's fill rounding; jumps are non-negative by shim
+    // construction (monotone cumulative), so HALF_UP == floor(+0.5).
+    "q_impute_stream" -> (shimSql +
+      """, h AS (
+        |  SELECT huis, t_us, meter,
+        |    coalesce(count(meter) OVER (PARTITION BY huis ORDER BY t_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+        |  FROM r
+        |), gg AS (
+        |  SELECT huis, grp, count(*) AS n, count(meter) AS n_close,
+        |    max(meter) AS close_cum
+        |  FROM h GROUP BY 1, 2
+        |), pv AS (
+        |  SELECT g.huis, g.grp, g.n, g.close_cum - p.close_cum AS jump
+        |  FROM gg g JOIN gg p ON g.huis = p.huis AND p.grp = g.grp - 1
+        |  WHERE g.n_close = 1
+        |), g0 AS (
+        |  SELECT huis FROM gg WHERE grp = 0 AND n_close = 1
+        |)
+        |SELECT h.huis, h.t_us,
+        |  CASE
+        |    WHEN h.grp = 0 THEN NULL
+        |    WHEN pv.n = 1 THEN floor(pv.jump * 1000000 + 0.5) / 1000000
+        |    WHEN pv.jump < 1e-8 THEN 0.0
+        |    ELSE floor(floor(pv.jump / pv.n * 10000000000 + 0.5)
+        |      / 10000000000 * 1000000 + 0.5) / 1000000
+        |  END AS diff6,
+        |  CASE WHEN h.grp = 0 OR pv.n = 1 THEN NULL
+        |       WHEN pv.jump < 1e-8 THEN 2 ELSE 4 END AS impute_type,
+        |  CASE WHEN h.grp = 0 OR pv.n = 1 THEN 0 ELSE 1 END AS is_imputed
+        |FROM h
+        |LEFT JOIN pv ON h.huis = pv.huis AND h.grp = pv.grp
+        |WHERE (h.grp = 0 AND h.huis IN (SELECT huis FROM g0))
+        |   OR pv.grp IS NOT NULL""".stripMargin),
+    // streamed tumbling-window resample: occupied 5-min buckets only
+    // (no densify — the stream cannot know a bucket stayed empty),
+    // min_count 1 gates on non-null counts, so all-error buckets
+    // exercise the null arm
+    "q_resample_stream" -> (shimSql +
+      """, bk AS (
+        |  SELECT *, (t_us//300000000)*300 AS b_s FROM r
+        |)
+        |SELECT project, huis, b_s AS bucket_s,
+        |  CASE WHEN count(meter_diff) >= 1
+        |    THEN sum(meter_diff::DECIMAL(28,10))::DECIMAL(20,6)::DOUBLE END AS sum_diff,
+        |  CASE WHEN count(meter) >= 1 THEN round(max(meter),6) END AS max_meter
+        |FROM bk GROUP BY 1, 2, 3""".stripMargin),
     "q_a6a7_project_agg" -> (shimSql +
       """, bk AS (
         |  SELECT *, (t_us//21600000000)*21600 AS b_s FROM r

@@ -3434,6 +3434,88 @@ object QueriesLLM {
         col("quality"))
   }
 
+  /** Corpus curation through the REAL Structured Streaming path
+    * ([[graft.streaming.StreamingCuration.curateStream]] — quality
+    * gate → PII redaction → `dropDuplicatesWithinWatermark` exact
+    * dedup, as ONE streaming query over a parquet file-source stream):
+    * the q_curation_e2e corpus (per-copy PII suffixes, so exact twins
+    * collapse only BECAUSE redaction runs before dedup) replays with
+    * doc_id-derived event times. The stream keeps the FIRST arrival
+    * per digest (batch keeps min-id — a canonical-selection difference
+    * the object doc owns), so the output is the winner-INDEPENDENT
+    * projection: the distinct redacted-content digests that survived
+    * the gate. Written as ONE file so a micro-batch boundary can never
+    * put a duplicate pair across the watermark horizon.
+    */
+  def q_curation_stream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingCuration
+    val base = dupCorpus(spark, dir)
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com")))
+      .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+      .select("doc_id", "text", "ts")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_curation_stream_").toString
+    val sink = "q_curation_stream_sink"
+    try {
+      val src = s"$tmp/in"
+      base.coalesce(1).write.mode("overwrite").parquet(src)
+      val query = StreamingCuration.curateStream(
+          spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src),
+          "text", "ts", minQuality = 0.25, lateness = "2 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      spark.table(sink).select(col("content_hash")).localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(sink)
+      deleteTempDir(tmp)
+    }
+  }
+
+  /** LSH near-dup candidate generation through the REAL Structured
+    * Streaming path ([[graft.streaming.StreamingNearDup]] —
+    * `bandedStream`'s fused-shingle-pass typed map feeding
+    * `candidatePairs`' per-bucket `flatMapGroupsWithState`): the dup
+    * corpus replays through a parquet file-source stream; each
+    * arriving document pairs against its band buckets' EXISTING
+    * members, so the emitted multiset is exactly one row per
+    * (shared bucket, unordered pair) however the micro-batches fall —
+    * the oracle is the bands self-join WITHOUT the final distinct
+    * (dedup of repeated pairs across bands belongs to the downstream
+    * compaction, as in the batch path). Fixture buckets max out at 9
+    * members (measured), so the 1000-cap divergence between the
+    * stream's first-k keep and the batch's drop-bucket rule is
+    * unreachable.
+    */
+  def q_neardup_stream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    val base = dupCorpus(spark, dir).select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_neardup_stream_").toString
+    val sink = "q_neardup_stream_sink"
+    try {
+      val src = s"$tmp/in"
+      base.write.mode("overwrite").parquet(src)
+      val query = StreamingNearDup.candidatePairs(
+          StreamingNearDup.bandedStream(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src), "doc_id", "text")
+            .as[StreamingNearDup.BandedDoc])
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      spark.table(sink)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"))
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(sink)
+      deleteTempDir(tmp)
+    }
+  }
+
   /** The curation DROP LEDGER ([[Curation.curateAudit]], r15): one row
     * per input document with the stage that eliminated it (`kept` /
     * `gate` / `exact_dup` / `near_dup`) and its quality score — the
@@ -3728,6 +3810,8 @@ object QueriesLLM {
     "q_rrf_hybrid" -> (q_rrf_hybrid _),
     "q_dsir_weights" -> (q_dsir_weights _),
     "q_curation_e2e" -> (q_curation_e2e _),
+    "q_curation_stream" -> (q_curation_stream _),
+    "q_neardup_stream" -> (q_neardup_stream _),
     "q_curation_audit" -> (q_curation_audit _),
     "q_blocklist_filter" -> (q_blocklist_filter _),
     "q_training_data_e2e" -> (q_training_data_e2e _),
@@ -3976,7 +4060,12 @@ object QueriesLLM {
     * differ per query (kept rows for q_curation_e2e, the disposition
     * ledger for q_curation_audit).
     */
-  private lazy val curationChainSql: String = {
+  /** The gate + redact PREFIX of the curation chain (corpus0 → qual →
+    * red) — shared by the full batch chain below and by
+    * [[q_curation_stream]]'s oracle, so the suffix/gate/redaction
+    * replay is written once.
+    */
+  private lazy val curationGateSql: String = {
       val e = TextFunctions.emailRe
       val i = TextFunctions.ipv4Re
       val p = TextFunctions.phoneRe
@@ -4002,7 +4091,12 @@ object QueriesLLM {
          |      '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS text,
          |    quality
          |  FROM qual WHERE quality >= 0.25
-         |), keepx AS (
+         |)""".stripMargin
+  }
+
+  private lazy val curationChainSql: String = {
+      curationGateSql +
+      """, keepx AS (
          |  SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(text)
          |), corpus AS (
          |  SELECT r.doc_id, r.text, r.quality FROM red r JOIN keepx k ON r.doc_id = k.doc_id
@@ -4304,6 +4398,13 @@ object QueriesLLM {
       " SELECT doc_id, seed, mh AS minhash FROM sig"),
     "q_lsh_pairs" -> (dupCorpusSql + minhashSql +
       """ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin),
+    // the streamed candidate generator: same bands, NO distinct — one
+    // row per shared bucket per unordered pair, the multiset the
+    // per-bucket state machine emits regardless of batching
+    "q_neardup_stream" -> (dupCorpusSql + minhashSql +
+      """ SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin),
     "q_minhash_fast" -> (dupCorpusSql +
@@ -4932,6 +5033,13 @@ object QueriesLLM {
         """
          |SELECT c.doc_id, md5(c.text) AS content_hash, c.quality
          |FROM corpus c ANTI JOIN drops d ON c.doc_id = d.doc_id""".stripMargin),
+    // the streamed intake: gate + redact shared with the chain above;
+    // the distinct surviving digests are winner-independent, so the
+    // stream's first-arrival keep and the batch's min-id keep agree
+    "q_curation_stream" ->
+      (curationGateSql +
+        """
+         |SELECT DISTINCT md5(text) AS content_hash FROM red""".stripMargin),
     // the drop ledger: same chain, final projection = disposition CASE
     // over the gate (quality), exact-keep (keepx), and near-dup-drop
     // (drops) sets
