@@ -159,6 +159,8 @@ object ScaleBench {
       graphScale100(spark, srcDir, listener)
     if (args.contains("dedupscale10")) // opt-in: ~1M-doc dedup/ANN decade
       dedupScale10(spark, outDir, listener)
+    if (args.contains("retrievalscale10")) // opt-in: ~1M-doc BM25 decade
+      retrievalScale10(spark, outDir, listener)
     spark.stop()
   }
 
@@ -430,6 +432,87 @@ object ScaleBench {
         }
         spark.sql(s"DROP TABLE IF EXISTS $table")
       } finally graft.Checkpoints.free(e)
+    }
+  }
+
+  /** The RETRIEVAL decade (the graphscale100/dedupscale10 treatment
+    * for the lexical serving flagship): BM25 postings build+persist
+    * and the pruned term-bucketed search at the scaled corpus (100k
+    * docs) vs 10× of it (~1M), with the 10× tier in TWO constructions
+    * that separate the two growth laws a serving deployment cares
+    * about:
+    *  - `10x_dense`: plain id-offset copies (same texts) — the
+    *    vocabulary stays fixed and every query term's posting list
+    *    grows 10×, so pruned-search reads must grow ~linearly WITH
+    *    the matched posting mass;
+    *  - `10x_disjoint`: rotation-ciphered copies over the
+    *    dedupscale10 alphabet — the corpus grows 10× but the query
+    *    terms' posting lists DON'T, so pruned-search reads must stay
+    *    ~flat even though the index is 10× larger. Reads tracking
+    *    matched postings (not corpus size) is only observable here.
+    * The build row claims postings-linear shuffle: total postings grow
+    * ~10× per 10× docs in BOTH constructions, and peak task memory
+    * stays partition-bounded.
+    */
+  private def retrievalScale10(spark: SparkSession, outDir: String,
+                               listener: TaskMetricsProbe): Unit = {
+    import graft.llm.Retrieval
+    def time(label: String, tier: String, extra: String = "")
+            (body: => Long): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"retrievalscale":"$label","tier":"$tier","sec":$sec%.2f,""" +
+        s""""rows":$rows,$extra""" +
+        s""""input_bytes":${listener.totInput},""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+    }
+    val docs1 = SparkEntry.table(spark, outDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val alpha = "dcumfpgwyb" // dedupScale10's generate()-disjoint alphabet
+    def tierDocs(n: Int, cipher: Boolean): DataFrame =
+      (0 until n).map { i =>
+        val base = docs1.withColumn("doc_id",
+          col("doc_id") + lit(i.toLong * 1000000000L))
+        if (cipher && i > 0) {
+          val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+          base.withColumn("text", translate(col("text"), alpha, rot))
+        } else base
+      }.reduce(_ unionByName _)
+    for ((tier, n, cipher) <- Seq(("1x", 1, false), ("10x_dense", 10, false),
+        ("10x_disjoint", 10, true))) {
+      val d = tierDocs(n, cipher).localCheckpoint()
+      try {
+        val nDocs = d.count()
+        // stats is its own corpus pass (avgdl + N) — materialized
+        // untimed so the build row measures the postings pass alone
+        val (post, stats) = Retrieval.buildPostings(d, "doc_id", "text")
+        val statsC = stats.localCheckpoint()
+        val table = s"bm25_idx10_$tier"
+        time("bm25_build_persist", tier, s""""n_docs":$nDocs,""") {
+          graft.etd.Sources.writeBucketed(post, table,
+            s"$outDir/__bm2510_$tier", buckets = 32,
+            bucketCols = Seq("term"), sortCols = Seq("term"))
+          spark.table(table).count()
+        }
+        val idx = spark.table(table)
+        // the 3-doc query frame is materialized TINY before timing —
+        // left lazy it re-scans the whole checkpointed corpus per
+        // search, and that read (751 MB at 10×) buries the index read
+        // the row exists to measure
+        val q = d.filter(col("doc_id") < 3).localCheckpoint()
+        // warm once (codegen + driver term collect), measure the second
+        Retrieval.searchPostingsPruned(idx, statsC, q, "doc_id", "text",
+          k = 5).write.format("noop").mode("overwrite").save()
+        time("bm25_pruned_search", tier, s""""n_docs":$nDocs,""") {
+          Retrieval.searchPostingsPruned(idx, statsC, q, "doc_id", "text",
+            k = 5).count()
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+      } finally graft.Checkpoints.free(d)
     }
   }
 
