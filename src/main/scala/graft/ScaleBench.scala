@@ -161,6 +161,8 @@ object ScaleBench {
       dedupScale10(spark, outDir, listener)
     if (args.contains("retrievalscale10")) // opt-in: ~1M-doc BM25 decade
       retrievalScale10(spark, outDir, listener)
+    if (args.contains("streamscale10")) // opt-in: streaming state-law decade
+      streamScale10(spark)
     spark.stop()
   }
 
@@ -514,6 +516,99 @@ object ScaleBench {
         spark.sql(s"DROP TABLE IF EXISTS $table")
       } finally graft.Checkpoints.free(d)
     }
+  }
+
+  /** The STREAMING state-law decade: the maintainers' scale posture is
+    * argued as "state is bounded by the watermark horizon, not the
+    * stream" — this verb MEASURES it on real streaming queries
+    * (file-source micro-batches, noop sink, state read from
+    * `StreamingQueryProgress.stateOperators`). Two stateful shapes:
+    *  - `dedup_horizon`: [[graft.streaming.StreamingDedup.dedupStream]]
+    *    over an all-distinct constant-rate stream — max state rows must
+    *    PLATEAU at ~horizon × rate: flat on a 10×-LONGER stream
+    *    (`10x_long`), ~10× on a 10×-FASTER one (`10x_rate`);
+    *  - `sessions_horizon`: [[graft.streaming.StreamingSessions
+    *    .sessionStats]] with all-distinct users (each event its own
+    *    session) — same law for the session-window store.
+    * `final_state_rows` additionally pins that eviction really runs
+    * (the end-of-stream store holds the tail horizon, not history).
+    */
+  private def streamScale10(spark: SparkSession): Unit = {
+    def runArm(label: String, arm: String, nRows: Long, rowsPerSec: Long)
+              (mk: DataFrame => DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_streamscale_").toString
+      try {
+        val src = s"$tmp/in"
+        // constant INGEST CHUNK (10k rows/micro-batch) across arms —
+        // sliced by row count alone, a 10×-longer stream rode in
+        // 10×-bigger batches and max_state measured the chunk, not the
+        // store law (first run: 112k "max state" that was 100k of
+        // batch + 12k of horizon)
+        val slices = math.max(10L, nRows / 10000L).toInt
+        val per = nRows / slices
+        // time-ordered slices, one file each -> one micro-batch each
+        // (watermark advances between batches, so eviction is LIVE
+        // during the run, not a post-hoc property)
+        (0 until slices).foreach { s =>
+          spark.range(s * per, (s + 1) * per)
+            .select(col("id"),
+              // exact integer µs: rowsPerSec divides 1e6 by contract
+              timestamp_micros(col("id") * lit(1000000L / rowsPerSec))
+                .as("ts"))
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        // a 10× arm runs ~100 micro-batches; keep every progress event
+        // so max-over-progress sees the whole run
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
+        val stream = spark.readStream
+          .schema(spark.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val t0 = System.nanoTime()
+        val q = mk(stream).writeStream.format("noop")
+          .option("checkpointLocation", s"$tmp/ck").start()
+        try q.processAllAvailable() finally q.stop()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress.toSeq
+        val states = progs.flatMap(_.stateOperators.toSeq)
+        val maxState = states.map(_.numRowsTotal).maxOption.getOrElse(0L)
+        val maxMem = states.map(_.memoryUsedBytes).maxOption.getOrElse(0L)
+        val lastState = progs.reverse
+          .find(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        println(f"""{"streamscale":"$label","tier":"$arm","sec":$sec%.2f,""" +
+          s""""rows":$nRows,"rows_per_sec":$rowsPerSec,""" +
+          s""""max_state_rows":$maxState,"max_state_mem":$maxMem,""" +
+          s""""final_state_rows":$lastState}""")
+      } finally {
+        scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(tmp)
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+    // exact dedup: every text distinct, 60 s horizon -> plateau at
+    // ~horizon x rate however long the stream runs
+    def dedupQ(df: DataFrame): DataFrame =
+      graft.streaming.StreamingDedup.dedupStream(
+        df.select(col("id"),
+          concat(lit("doc "), col("id")).as("text"), col("ts")),
+        "text", "ts", lateness = "60 seconds")
+    runArm("dedup_horizon", "1x", 100000L, 100L)(dedupQ)
+    runArm("dedup_horizon", "10x_long", 1000000L, 100L)(dedupQ)
+    runArm("dedup_horizon", "10x_rate", 1000000L, 1000L)(dedupQ)
+    // session windows: all-distinct users, 60 s gap + 10 s lateness ->
+    // open-session store plateaus at ~(gap + lateness) x rate
+    def sessQ(df: DataFrame): DataFrame =
+      graft.streaming.StreamingSessions.sessionStats(
+        df.select(col("id").as("user_id"), col("ts"),
+          lit(1.0).as("value")),
+        gap = "60 seconds", lateness = "10 seconds")
+    runArm("sessions_horizon", "1x", 100000L, 100L)(sessQ)
+    runArm("sessions_horizon", "10x_long", 1000000L, 100L)(sessQ)
   }
 
   /** r17 s3 retrieval-serving + asymmetric-dedup shapes at the 20x
