@@ -165,52 +165,33 @@ object Queries {
     * session must match the batch definition exactly.
     */
   def q_sessionize_stream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
     val gapUs = 1800L * 1000000L
     val ev = graft.SparkEntry.eventsWithMicros(spark, dir)
       .select(col("user_id").cast("long").as("user_id"),
         timestamp_micros(col("t_us")).as("ts"), col("value"))
-    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_sess_stream_").toString
-    val sink = "q_sessionize_stream_sink"
-    try {
-      val src = s"$tmp/in"
-      ev.write.mode("overwrite").parquet(src)
-      // the sentinel: beyond every real session's end (+gap) plus an
-      // hour of slack, so watermark(= global max ts - 0s) > end for
-      // every real session; its OWN session never closes and is
-      // filtered below by user_id
-      spark.range(1).select(lit(-1L).as("user_id"),
-          timestamp_micros(lit(maxUs + 2 * gapUs + 3600L * 1000000L)).as("ts"),
-          lit(0.0).as("value"))
-        .coalesce(1).write.mode("append").parquet(src)
-      val schema = StructType(Seq(
-        StructField("user_id", LongType), StructField("ts", TimestampType),
-        StructField("value", DoubleType)))
-      val query = graft.streaming.StreamingSessions
-        .sessionStats(spark.readStream.schema(schema).parquet(src),
-          gap = "30 minutes", lateness = "0 seconds")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
-      spark.table(sink)
-        .filter(col("user_id") >= 0)
+    // loud on a degenerate fixture: a null max means an empty events
+    // table, which no sentinel can wake (the repo's empty-input
+    // discipline — fail with the cause, not an NPE downstream)
+    val maxRow = ev.agg(max(unix_micros(col("ts")))).head()
+    require(!maxRow.isNullAt(0),
+      s"q_sessionize_stream: events table at $dir is empty")
+    val maxUs = maxRow.getLong(0)
+    // the sentinel: beyond every real session's end (+gap) plus an
+    // hour of slack, so watermark(= global max ts - 0s) > end for
+    // every real session; its OWN session never closes and is
+    // filtered below by user_id
+    val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
+      timestamp_micros(lit(maxUs + 2 * gapUs + 3600L * 1000000L)).as("ts"),
+      lit(0.0).as("value"))
+    graft.queries.StreamHarness.run(spark, "q_sessionize_stream_sink",
+        ev, extra = Some(sentinel))(
+      s => graft.streaming.StreamingSessions.sessionStats(s,
+        gap = "30 minutes", lateness = "0 seconds"))(
+      _.filter(col("user_id") >= 0)
         .select(col("user_id"),
           unix_micros(col("t_start")).as("t_start_us"),
           unix_micros(col("t_end")).as("t_end_us"),
-          col("n_events"), col("sum_value"))
-        .localCheckpoint()
-    } finally {
-      spark.catalog.dropTempView(sink)
-      scala.util.Try {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(tmp)
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+          col("n_events"), col("sum_value")))
   }
 
   /** Funnel analysis: for each user, the ordered view → click →

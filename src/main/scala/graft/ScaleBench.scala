@@ -474,7 +474,14 @@ object ScaleBench {
     }
     val docs1 = SparkEntry.table(spark, outDir, "documents")
       .select(col("doc_id"), col("text"))
-    val alpha = "dcumfpgwyb" // dedupScale10's generate()-disjoint alphabet
+    // FULL-alphabet Caesar rotation: every letter of every term moves,
+    // so a tier copy shares no tokens with any other copy. The first
+    // cut rotated only dedupScale10's 10-letter alphabet and leaked —
+    // terms containing none of those letters (most high-frequency
+    // words) stayed tier-invariant and their postings grew 10× inside
+    // the "disjoint" arm (r19 review; the leak showed as 16.4 MB of
+    // disjoint search shuffle vs 5.97 at 1×).
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
     def tierDocs(n: Int, cipher: Boolean): DataFrame =
       (0 until n).map { i =>
         val base = docs1.withColumn("doc_id",
@@ -487,13 +494,15 @@ object ScaleBench {
     for ((tier, n, cipher) <- Seq(("1x", 1, false), ("10x_dense", 10, false),
         ("10x_disjoint", 10, true))) {
       val d = tierDocs(n, cipher).localCheckpoint()
+      val table = s"bm25_idx10_$tier"
+      var statsC: DataFrame = null
+      var q: DataFrame = null
       try {
         val nDocs = d.count()
         // stats is its own corpus pass (avgdl + N) — materialized
         // untimed so the build row measures the postings pass alone
         val (post, stats) = Retrieval.buildPostings(d, "doc_id", "text")
-        val statsC = stats.localCheckpoint()
-        val table = s"bm25_idx10_$tier"
+        statsC = stats.localCheckpoint()
         time("bm25_build_persist", tier, s""""n_docs":$nDocs,""") {
           graft.etd.Sources.writeBucketed(post, table,
             s"$outDir/__bm2510_$tier", buckets = 32,
@@ -505,7 +514,7 @@ object ScaleBench {
         // left lazy it re-scans the whole checkpointed corpus per
         // search, and that read (751 MB at 10×) buries the index read
         // the row exists to measure
-        val q = d.filter(col("doc_id") < 3).localCheckpoint()
+        q = d.filter(col("doc_id") < 3).localCheckpoint()
         // warm once (codegen + driver term collect), measure the second
         Retrieval.searchPostingsPruned(idx, statsC, q, "doc_id", "text",
           k = 5).write.format("noop").mode("overwrite").save()
@@ -513,8 +522,12 @@ object ScaleBench {
           Retrieval.searchPostingsPruned(idx, statsC, q, "doc_id", "text",
             k = 5).count()
         }
+      } finally {
         spark.sql(s"DROP TABLE IF EXISTS $table")
-      } finally graft.Checkpoints.free(d)
+        graft.Checkpoints.free(d)
+        if (statsC != null) graft.Checkpoints.free(statsC)
+        if (q != null) graft.Checkpoints.free(q)
+      }
     }
   }
 
@@ -534,6 +547,18 @@ object ScaleBench {
     * (the end-of-stream store holds the tail horizon, not history).
     */
   private def streamScale10(spark: SparkSession): Unit = {
+    // a 10× arm runs ~100 micro-batches; keep every progress event so
+    // max-over-progress sees the whole run — applied once for the verb
+    // and RESTORED after (a leaked session conf would follow every
+    // later verb's streaming queries)
+    val progKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val progPrev = spark.conf.getOption(progKey)
+    spark.conf.set(progKey, "256")
+    try streamScale10Arms(spark)
+    finally progPrev.fold(spark.conf.unset(progKey))(spark.conf.set(progKey, _))
+  }
+
+  private def streamScale10Arms(spark: SparkSession): Unit = {
     def runArm(label: String, arm: String, nRows: Long, rowsPerSec: Long)
               (mk: DataFrame => DataFrame): Unit = {
       val tmp = java.nio.file.Files
@@ -558,9 +583,6 @@ object ScaleBench {
                 .as("ts"))
             .coalesce(1).write.mode("append").parquet(src)
         }
-        // a 10× arm runs ~100 micro-batches; keep every progress event
-        // so max-over-progress sees the whole run
-        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
         val stream = spark.readStream
           .schema(spark.read.parquet(src).schema)
           .option("maxFilesPerTrigger", "1").parquet(src)
@@ -580,15 +602,7 @@ object ScaleBench {
           s""""rows":$nRows,"rows_per_sec":$rowsPerSec,""" +
           s""""max_state_rows":$maxState,"max_state_mem":$maxMem,""" +
           s""""final_state_rows":$lastState}""")
-      } finally {
-        scala.util.Try {
-          import scala.jdk.CollectionConverters._
-          val root = java.nio.file.Paths.get(tmp)
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
-      }
+      } finally graft.queries.StreamHarness.deleteTempDir(tmp)
     }
     // exact dedup: every text distinct, 60 s horizon -> plateau at
     // ~horizon x rate however long the stream runs

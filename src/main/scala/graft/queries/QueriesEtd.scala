@@ -501,45 +501,28 @@ object QueriesEtd {
       col(ProjectId), col(HouseId), col(ReadingDate),
       col("MeterDiff").cast("decimal(28,10)").as("MeterDiffDec"),
       col("Meter"))
-    val maxUs = base.agg(max(unix_micros(col(ReadingDate)))).head().getLong(0)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_resample_stream_").toString
-    val sink = "q_resample_stream_sink"
-    try {
-      val src = s"$tmp/in"
-      base.write.mode("overwrite").parquet(src)
-      // sentinel 2h out: watermark(= max ts - 1h lateness) then clears
-      // every real 5-min bucket's end; its own bucket never closes and
-      // is filtered by huis below
-      spark.range(1).select(lit(-1L).as(ProjectId), lit(-1L).as(HouseId),
-          timestamp_micros(lit(maxUs + 7200L * 1000000L)).as(ReadingDate),
-          lit(null).cast("decimal(28,10)").as("MeterDiffDec"),
-          lit(null).cast("double").as("Meter"))
-        .coalesce(1).write.mode("append").parquet(src)
-      val query = graft.streaming.StreamingResample
-        .resampleStream(
-          spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
-          Seq("MeterDiffDec" -> "sum", "Meter" -> "max"), "5min")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
-      spark.table(sink)
-        .filter(col(HouseId) >= 0)
+    // loud on a degenerate fixture (empty-input discipline)
+    val maxRow = base.agg(max(unix_micros(col(ReadingDate)))).head()
+    require(!maxRow.isNullAt(0),
+      s"q_resample_stream: shimmed readings at $dir are empty")
+    val maxUs = maxRow.getLong(0)
+    // sentinel 2h out: watermark(= max ts - 1h lateness) then clears
+    // every real 5-min bucket's end; its own bucket never closes and
+    // is filtered by huis below
+    val sentinel = spark.range(1)
+      .select(lit(-1L).as(ProjectId), lit(-1L).as(HouseId),
+        timestamp_micros(lit(maxUs + 7200L * 1000000L)).as(ReadingDate),
+        lit(null).cast("decimal(28,10)").as("MeterDiffDec"),
+        lit(null).cast("double").as("Meter"))
+    StreamHarness.run(spark, "q_resample_stream_sink",
+        base, extra = Some(sentinel))(
+      s => graft.streaming.StreamingResample.resampleStream(s,
+        Seq("MeterDiffDec" -> "sum", "Meter" -> "max"), "5min"))(
+      _.filter(col(HouseId) >= 0)
         .select(col(ProjectId).as("project"), col(HouseId).as("huis"),
           col(ReadingDate).cast("long").as("bucket_s"),
           col("MeterDiffDec").cast("decimal(20,6)").cast("double").as("sum_diff"),
-          round(col("Meter"), 6).as("max_meter"))
-        .localCheckpoint()
-    } finally {
-      spark.catalog.dropTempView(sink)
-      scala.util.Try {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(tmp)
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+          round(col("Meter"), 6).as("max_meter")))
   }
 
   /** The IMPUTE CASCADE through the REAL Structured Streaming path
@@ -564,34 +547,13 @@ object QueriesEtd {
     import graft.streaming.StreamingImpute
     val base = readings(spark, dir).select(col(HouseId).as("huis"),
       col("t_us").as("tsSec"), col("Meter").as("cum"))
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_impute_stream_").toString
-    val sink = "q_impute_stream_sink"
-    try {
-      val src = s"$tmp/in"
-      base.write.mode("overwrite").parquet(src)
-      val query = StreamingImpute.imputeStream(
-          spark.readStream.schema(spark.read.parquet(src).schema)
-            .parquet(src).as[StreamingImpute.CumReading])
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
-      spark.table(sink)
-        .select(col("huis"), col("tsSec").as("t_us"),
-          round(col("diff"), 6).as("diff6"),
-          col("imputeType").as("impute_type"),
-          col("isImputed").cast("int").as("is_imputed"))
-        .localCheckpoint()
-    } finally {
-      spark.catalog.dropTempView(sink)
-      scala.util.Try {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(tmp)
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+    StreamHarness.run(spark, "q_impute_stream_sink", base)(
+      s => StreamingImpute.imputeStream(
+        s.as[StreamingImpute.CumReading]).toDF())(
+      _.select(col("huis"), col("tsSec").as("t_us"),
+        round(col("diff"), 6).as("diff6"),
+        col("imputeType").as("impute_type"),
+        col("isImputed").cast("int").as("is_imputed")))
   }
 
   /** Streaming gap DETECTION through the real `flatMapGroupsWithState`
@@ -613,32 +575,10 @@ object QueriesEtd {
         expr("t_us div 1000000").as("tsSec"))
       .distinct()
       .withColumn("value", lit(0.0))
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_gap_stream_").toString
-    val sink = "q_gap_stream_sink"
-    try {
-      val src = s"$tmp/in"
-      base.write.mode("overwrite").parquet(src)
-      val query = GapDetection.detectGaps(
-          spark.readStream.schema(spark.read.parquet(src).schema)
-            .parquet(src).as[GapDetection.Reading])
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
-      spark.table(sink)
-        .select(col("huis"), col("fromSec").as("from_sec"),
-          col("toSec").as("to_sec"), col("missedSlots").as("missed_slots"))
-        .localCheckpoint()
-    } finally {
-      spark.catalog.dropTempView(sink)
-      scala.util.Try {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(tmp)
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+    StreamHarness.run(spark, "q_gap_stream_sink", base)(
+      s => GapDetection.detectGaps(s.as[GapDetection.Reading]).toDF())(
+      _.select(col("huis"), col("fromSec").as("from_sec"),
+        col("toSec").as("to_sec"), col("missedSlots").as("missed_slots")))
   }
 
   /** A5/A6/A7/J6/J7 — project aggregation with the 60% gate + n. */

@@ -2049,18 +2049,12 @@ object QueriesLLM {
     }
   }
 
-  /** Best-effort recursive delete of a query-scoped temp directory —
-    * shared by the incremental-maintainer queries, whose results are
-    * all localCheckpoint-materialized before the log dir goes away.
+  /** Query-scoped temp-dir cleanup, shared repo-wide (the streamed
+    * oracles, the ledger-fold queries, and ScaleBench all tear down
+    * through the one definition in [[StreamHarness.deleteTempDir]]).
     */
   private def deleteTempDir(dir: String): Unit =
-    scala.util.Try {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    StreamHarness.deleteTempDir(dir)
 
   /** Incremental LM-counts maintenance
     * ([[graft.streaming.StreamingLm]] — the log-structured trigram
@@ -3454,24 +3448,11 @@ object QueriesLLM {
         lit(" contact user"), col("doc_id"), lit("@example.com")))
       .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
       .select("doc_id", "text", "ts")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_curation_stream_").toString
-    val sink = "q_curation_stream_sink"
-    try {
-      val src = s"$tmp/in"
-      base.coalesce(1).write.mode("overwrite").parquet(src)
-      val query = StreamingCuration.curateStream(
-          spark.readStream.schema(spark.read.parquet(src).schema)
-            .parquet(src),
-          "text", "ts", minQuality = 0.25, lateness = "2 hours")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
-      spark.table(sink).select(col("content_hash")).localCheckpoint()
-    } finally {
-      spark.catalog.dropTempView(sink)
-      deleteTempDir(tmp)
-    }
+    StreamHarness.run(spark, "q_curation_stream_sink", base,
+        oneFile = true)(
+      s => StreamingCuration.curateStream(s, "text", "ts",
+        minQuality = 0.25, lateness = "2 hours"))(
+      _.select(col("content_hash")))
   }
 
   /** LSH near-dup candidate generation through the REAL Structured
@@ -3493,27 +3474,11 @@ object QueriesLLM {
     import spark.implicits._
     import graft.streaming.StreamingNearDup
     val base = dupCorpus(spark, dir).select(col("doc_id"), col("text"))
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_neardup_stream_").toString
-    val sink = "q_neardup_stream_sink"
-    try {
-      val src = s"$tmp/in"
-      base.write.mode("overwrite").parquet(src)
-      val query = StreamingNearDup.candidatePairs(
-          StreamingNearDup.bandedStream(
-            spark.readStream.schema(spark.read.parquet(src).schema)
-              .parquet(src), "doc_id", "text")
-            .as[StreamingNearDup.BandedDoc])
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
-      spark.table(sink)
-        .select(col("idA").as("id_a"), col("idB").as("id_b"))
-        .localCheckpoint()
-    } finally {
-      spark.catalog.dropTempView(sink)
-      deleteTempDir(tmp)
-    }
+    StreamHarness.run(spark, "q_neardup_stream_sink", base)(
+      s => StreamingNearDup.candidatePairs(
+        StreamingNearDup.bandedStream(s, "doc_id", "text")
+          .as[StreamingNearDup.BandedDoc]).toDF())(
+      _.select(col("idA").as("id_a"), col("idB").as("id_b")))
   }
 
   /** The curation DROP LEDGER ([[Curation.curateAudit]], r15): one row

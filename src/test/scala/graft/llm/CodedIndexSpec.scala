@@ -63,6 +63,7 @@ class CodedIndexSpec extends AnyFunSuite {
       "union-of-probes IN filter is pushed; respread preserves results") {
     val corpus = (1L to 400L).map(i => (i, v(i.toInt).toSeq)).toDF("id", "v")
     val tmp = java.nio.file.Files.createTempDirectory("ivfpq_push").toString
+    try {
     graft.etd.Sources.writeBucketed(
       Similarity.buildIvfPqIndex(corpus, "id", "v", coarse, cb),
       "ivfpq_idx_push_spec", s"$tmp/idx", buckets = 8,
@@ -93,7 +94,12 @@ class CodedIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getInt(3))).toSet
     assert(got == inline, s"pruned+respread search diverged:\n$got\nvs\n$inline")
-    spark.sql("DROP TABLE IF EXISTS ivfpq_idx_push_spec")
+    } finally {
+      // finally, so a failed assertion can't strand the external table
+      // in the shared test catalog or the tmp dir on disk
+      spark.sql("DROP TABLE IF EXISTS ivfpq_idx_push_spec")
+      graft.queries.StreamHarness.deleteTempDir(tmp)
+    }
   }
 
   test("probeRanking: 1-based cells ranked by centroid cosine; zero-norm probes nothing") {
