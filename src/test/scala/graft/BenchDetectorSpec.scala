@@ -79,15 +79,33 @@ class BenchDetectorSpec extends AnyFunSuite {
     val rs = Bench.alertReasons("q_pagerank", 3.53 * 2.0, 1.3,
       (16.44 * 3.0) / (3.53 * 2.0), 16.44 * 3.0)
     assert(rs == List("cpu_vs_pin"))
-    // boundary: 2.5x CPU at healthy wall fires cpu_vs_pin alone
-    assert(Bench.alertReasons("q_simhash", 0.40, 1.2, 6.0, 0.89 * 2.6) ==
+    // boundary: 2.5x CPU at healthy wall fires cpu_vs_pin alone (on a
+    // pin big enough to clear the +2 s absolute-excess floor)
+    assert(Bench.alertReasons("q_pagerank", 3.5, 1.2, 11.7, 16.44 * 2.6) ==
       List("cpu_vs_pin"))
-    assert(Bench.alertReasons("q_simhash", 0.40, 1.2, 5.0, 0.89 * 2.4)
+    assert(Bench.alertReasons("q_pagerank", 3.5, 1.2, 10.8, 16.44 * 2.4)
       .isEmpty)
     // unpinned or unmeasured CPU (cpuSec <= 0, the default) never fires
     assert(Bench.alertReasons("q_not_pinned_yet", 1.0, 1.2, 2.0, 99.0)
       .isEmpty)
     assert(Bench.alertReasons("q_pagerank", 3.5, 1.2, 4.0).isEmpty)
+  }
+
+  test("sub-second contention spikes stay alert-free under the " +
+      "absolute-excess floors (r19 close readings)") {
+    // the r19 closing evening box (offsets 1.15-1.16, contended=false):
+    // q_blocklist_filter wall 1.148 vs pin 0.46 (2.50x but +0.69 s) and
+    // q_sitemap_entries' collapse-shaped sub-second wall — environment,
+    // not plan; both must stay clean under the +1 s wall floor
+    assert(Bench.alertReasons("q_blocklist_filter", 1.148, 1.4, 0.9).isEmpty)
+    // a GC landing on a tiny row triples its CPU-seconds without the
+    // plan changing: q_embed_dup_ivf CPU pin 0.69, spiked reading 1.9
+    // (2.75x but +1.2 s) — clean under the +2 s CPU floor
+    assert(Bench.alertReasons("q_embed_dup_ivf", 0.55, 1.3, 3.0, 1.9).isEmpty)
+    // the floors must NOT absorb real poison: the r16 q_simhash row
+    // (7.17 s over a 0.35 pin, +6.8 s) still alerts on both gates
+    val rs = Bench.alertReasons("q_simhash", 7.17, 1.0, 1.16)
+    assert(rs.contains("slow_vs_pin") && rs.contains("cpu_wall_collapse"))
   }
 
   test("every headline query with a median pin also carries a CPU-seconds pin") {
