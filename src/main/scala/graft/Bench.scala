@@ -331,8 +331,22 @@ object Bench {
     *    71.2 vs 97.3 s pair); CPU seconds move only with the plan, so
     *    this fires on a real regression even when a drifted-slow day
     *    would let the wall gates absorb it, and never on drift alone.
-    * Any reason ⇒ the caller re-runs the whole block once and keeps the
-    * cleaner block.
+    * Every ratio gate ALSO requires an absolute excess over its pin
+    * (+1 s wall, +2 s CPU — r19 close): the contended-evening runs
+    * showed sub-second rows alerting from environment alone (one GC
+    * attributes whole CPU-seconds to whichever tiny query it lands
+    * on). DELIBERATE blind spot: a query whose pin is small enough
+    * that 2.5x never clears the floor (wall pin < ~0.67 s, CPU pin
+    * < ~1.33 s) cannot fire its ratio gate at all — a sub-second-row
+    * regression is immaterial to the 55-query total, still has
+    * dispersion cover, and grows into the gates the moment it matters
+    * (the r16 poisons sat 7-18 s over their pins).
+    * Any reason ⇒ the caller re-runs the whole block once; a rerun
+    * that is alert-free is kept outright (so a GC-poisoned CPU reading
+    * can't ride a marginally-smaller wall median into the artifact),
+    * otherwise the smaller-median block wins. Only reasons that RECUR
+    * in the rerun stay in the headline `alerts` map; the rest report
+    * under `alerts_resolved`.
     */
   def alertReasons(name: String, medianSec: Double, dispersion: Double,
                    cpuWall: Double, cpuSec: Double = -1.0): List[String] = {
@@ -708,15 +722,22 @@ object Bench {
                 val (med2, disp2, cpu2, cpuSec2) = stats(second)
                 // a REAL regression reproduces in the rerun (the
                 // documented contract); a transient steal does not —
-                // classify so the headline `alerts` map carries only
-                // PERSISTENT alerts and a judge/driver gate on it
-                // doesn't trip over one stolen scheduling window
-                // (self-resolved entries keep full detail under
-                // `alerts_resolved`)
-                if (alertReasons(name, med2, disp2, cpu2, cpuSec2).nonEmpty)
-                  alerts ::= (name, reasons, med1, med2)
+                // an alert is PERSISTENT only when the SAME reason
+                // recurs (a rerun-only transient, e.g. one anomalously
+                // fast run tripping dispersion, must not relabel a
+                // self-resolved alert as persistent under a reason
+                // that never reproduced). Self-resolved entries keep
+                // full detail under `alerts_resolved`.
+                val reasons2 = alertReasons(name, med2, disp2, cpu2, cpuSec2)
+                val recurring = reasons.intersect(reasons2)
+                if (recurring.nonEmpty) alerts ::= (name, recurring, med1, med2)
                 else resolved ::= (name, reasons, med1, med2)
-                if (med2 < med1) second else first
+                // keep the alert-free block when one exists — selecting
+                // on wall median alone could publish the FIRST block's
+                // poisoned CPU reading (GC-inflated cpu_vs_pin at a
+                // clean wall) into cpu_sec while reporting "resolved"
+                if (reasons2.isEmpty) second
+                else if (med2 < med1) second else first
               }
             val (medF, dispF, cpuF, cpuSecF) = stats(chosen)
             cpuRatios ::= (name, cpuF)
@@ -826,10 +847,11 @@ object Bench {
     val alertsCompactJson =
       if (alerts.size <= 6) alertsFullJson
       else s"""{"_alert_count":"${alerts.size}"}"""
+    val resolvedFullJson = resolved.reverse
+      .map { case (k, rs, _, _) => "\"" + k + "\":\"" + rs.mkString("+") + "\"" }
+      .mkString("{", ",", "}")
     val resolvedCompactJson =
-      if (resolved.size <= 6) resolved.reverse
-        .map { case (k, rs, _, _) => "\"" + k + "\":\"" + rs.mkString("+") + "\"" }
-        .mkString("{", ",", "}")
+      if (resolved.size <= 6) resolvedFullJson
       else s"""{"_resolved_count":"${resolved.size}"}"""
     val alertDetail = (alerts.reverse.map { case (k, rs, m1, m2) =>
       s"""{"query":"$k","reasons":${rs.map("\"" + _ + "\"").mkString("[", ",", "]")},"persisted":true,"first_median":${num(m1, 3)},"rerun_median":${num(m2, 3)}}"""
@@ -848,7 +870,7 @@ object Bench {
     val stdoutLine =
       s"""{"metric":"total","value":${num(total, 3)},"queries":$qsCompact,$shared,"cpu_total_sec":${num(cpuTotal, 1)},"alerts":$alertsCompactJson,"alerts_resolved":$resolvedCompactJson}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"queries":$qs,$shared,"cpu_total_sec":${num(cpuTotal, 1)},"alerts":$alertsFullJson,"alerts_resolved":$resolvedCompactJson,"cpu_wall_ratio":$ratios,"cpu_sec":$cpuSecsJson,"dispersion":$dispJson,"alert_detail":$alertDetail}"""
+      s"""{"metric":"total","value":$total,"queries":$qs,$shared,"cpu_total_sec":${num(cpuTotal, 1)},"alerts":$alertsFullJson,"alerts_resolved":$resolvedFullJson,"cpu_wall_ratio":$ratios,"cpu_sec":$cpuSecsJson,"dispersion":$dispJson,"alert_detail":$alertDetail}"""
     println(stdoutLine)
     if (stdoutLine.length > 1900)
       System.err.println(s"[bench] WARNING stdout line ${stdoutLine.length}" +

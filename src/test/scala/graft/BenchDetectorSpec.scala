@@ -94,14 +94,21 @@ class BenchDetectorSpec extends AnyFunSuite {
   test("sub-second contention spikes stay alert-free under the " +
       "absolute-excess floors (r19 close readings)") {
     // the r19 closing evening box (offsets 1.15-1.16, contended=false):
-    // q_blocklist_filter wall 1.148 vs pin 0.46 (2.50x but +0.69 s) and
-    // q_sitemap_entries' collapse-shaped sub-second wall — environment,
-    // not plan; both must stay clean under the +1 s wall floor
+    // q_blocklist_filter wall 1.148 vs pin 0.40 (2.87x but +0.75 s) —
+    // environment, not plan; clean under the +1 s wall floor
     assert(Bench.alertReasons("q_blocklist_filter", 1.148, 1.4, 0.9).isEmpty)
+    // q_sitemap_entries' collapse-shaped sub-second reading: wall
+    // 0.497 vs pin 0.20 at a collapsed cpu/wall ratio (pin 2.7) —
+    // the ratio conditions hold but the +1 s floor suppresses
+    assert(Bench.alertReasons("q_sitemap_entries", 0.497, 1.3, 0.8).isEmpty)
     // a GC landing on a tiny row triples its CPU-seconds without the
-    // plan changing: q_embed_dup_ivf CPU pin 0.69, spiked reading 1.9
-    // (2.75x but +1.2 s) — clean under the +2 s CPU floor
-    assert(Bench.alertReasons("q_embed_dup_ivf", 0.55, 1.3, 3.0, 1.9).isEmpty)
+    // plan changing: q_embed_dup_ivf CPU pin 1.00, spiked reading 2.8
+    // (2.8x ratio FIRES, but +1.8 s sits under the +2 s CPU floor —
+    // the covering value for the cpuExcess branch)
+    assert(Bench.alertReasons("q_embed_dup_ivf", 0.55, 1.3, 3.0, 2.8).isEmpty)
+    // ...and 3.2 clears both the ratio and the floor — fires
+    assert(Bench.alertReasons("q_embed_dup_ivf", 0.55, 1.3, 3.0, 3.2) ==
+      List("cpu_vs_pin"))
     // the floors must NOT absorb real poison: the r16 q_simhash row
     // (7.17 s over a 0.35 pin, +6.8 s) still alerts on both gates
     val rs = Bench.alertReasons("q_simhash", 7.17, 1.0, 1.16)
