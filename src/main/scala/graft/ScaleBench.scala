@@ -163,6 +163,8 @@ object ScaleBench {
       retrievalScale10(spark, outDir, listener)
     if (args.contains("streamscale10")) // opt-in: streaming state-law decade
       streamScale10(spark)
+    if (args.contains("ccscale10")) // opt-in: pointer-doubling CC decade
+      ccScale10(spark, listener)
     spark.stop()
   }
 
@@ -297,6 +299,54 @@ object ScaleBench {
         }
       }
     } finally graft.Checkpoints.free(base)
+  }
+
+  /** The CONNECTED-COMPONENTS decade (VERDICT r19 #8 — the graphscale
+    * treatment for [[graft.llm.Dedup.clusterPairs]]): min-label
+    * pointer doubling over a deterministic path-block graph (64-node
+    * chains — diameter 64, so the doubling loop converges in the same
+    * ~7 rounds at every tier; the decade changes ONLY the edge grain)
+    * at 1× (500k pairs) and 10× (5M pairs). The 10× tier's DOUBLED
+    * edge list (~9.8M rows) crosses the [[graft.ops.GraphMemory]]
+    * trigger, so this verb also measures the new `sizedFrom` levers
+    * end-to-end: rounds on edge-proportional partitions, conf restored
+    * after. Claims: per-round shuffle is edge-linear (total shuffle
+    * ~10×/decade at equal round count), max task peak memory stays
+    * flat (the levers hold rows/task ~constant), and results are the
+    * exact block structure (rows = one cluster per 64-node chain).
+    */
+  private def ccScale10(spark: SparkSession,
+                        listener: TaskMetricsProbe): Unit = {
+    def time(label: String, tier: String)(body: => Long): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"""{"ccscale":"$label","tier":"$tier","sec":$sec%.2f,"rows":$rows,""" +
+        s""""shuffle_write_bytes":${listener.totShuffleWrite},""" +
+        s""""max_task_peak_mem":${listener.maxPeakMem}}""")
+    }
+    // chains of 64 consecutive ids: every id links its successor except
+    // the last of each block — n input rows minus the block boundaries
+    def pairs(n: Long) = spark.range(n)
+      .filter(col("id") % 64 =!= 63)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    // untimed warm round: the loop's codegen classes compile once
+    val warm = graft.llm.Dedup.clusterPairs(pairs(10000L))
+    warm.count()
+    graft.Checkpoints.free(warm)
+    for ((tier, n) <- Seq(("1x", 500000L), ("10x", 5000000L))) {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      time("cc_pointer_doubling", tier) {
+        val c = graft.llm.Dedup.clusterPairs(pairs(n))
+        val k = c.select("cluster_id").distinct().count()
+        graft.Checkpoints.free(c)
+        k
+      }
+      require(spark.conf.get("spark.sql.shuffle.partitions") == before,
+        "ccscale10: the sizing levers must not outlive the CC call")
+    }
   }
 
   /** The dedup/ANN decade (VERDICT r18 #6 — the graphscale100
@@ -623,6 +673,72 @@ object ScaleBench {
         gap = "60 seconds", lateness = "10 seconds")
     runArm("sessions_horizon", "1x", 100000L, 100L)(sessQ)
     runArm("sessions_horizon", "10x_long", 1000000L, 100L)(sessQ)
+    // ---- custom-state machines (VERDICT r19 #7): the r19 arms covered
+    // the BUILT-IN state stores (dropDuplicatesWithinWatermark,
+    // session_window); these cover the flatMapGroupsWithState machines
+    // (StreamingImpute's gap cascade, GapDetection's LastSeen). Their
+    // per-key state is ONE bounded record, so total state follows the
+    // HOUSE-COUNT horizon and stream LENGTH drops out entirely — a
+    // stronger law than the dedup/session horizon×rate plateau: 10×
+    // more slots per house must leave max_state_rows flat at ~houses,
+    // and 10× more houses must grow it exactly 10×.
+    def stateArm(label: String, arm: String, houses: Long,
+                 slotsPerHouse: Long)(mk: DataFrame => DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_streamscale_").toString
+      try {
+        val n = houses * slotsPerHouse
+        val src = s"$tmp/in"
+        val slices = math.max(10L, n / 10000L).toInt
+        val per = n / slices
+        // time-ordered slices: row id → (house = id % houses, slot =
+        // id / houses), so every batch advances ALL houses one-ish slot
+        // — the fleet shape. Every 7th slot is dark (null cum), keeping
+        // open-gap state live across batches, and closing next slot.
+        (0 until slices).foreach { s =>
+          spark.range(s * per, (s + 1) * per)
+            .select((col("id") % houses).as("huis"),
+              ((col("id") / houses) * 300L).as("tsSec"),
+              when((col("id") / houses) % 7 === 3, lit(null))
+                .otherwise((col("id") / houses).cast("double") * 1.5)
+                .as("cum"),
+              lit(null).cast("double").as("avg"),
+              col("id").cast("double").as("value"))
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        val stream = spark.readStream
+          .schema(spark.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val t0 = System.nanoTime()
+        val q = mk(stream).writeStream.format("noop")
+          .option("checkpointLocation", s"$tmp/ck").start()
+        try q.processAllAvailable() finally q.stop()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val states = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        val maxState = states.map(_.numRowsTotal).maxOption.getOrElse(0L)
+        val maxMem = states.map(_.memoryUsedBytes).maxOption.getOrElse(0L)
+        println(f"""{"streamscale":"$label","tier":"$arm","sec":$sec%.2f,""" +
+          s""""rows":$n,"houses":$houses,"slots_per_house":$slotsPerHouse,""" +
+          s""""max_state_rows":$maxState,"max_state_mem":$maxMem}""")
+      } finally graft.queries.StreamHarness.deleteTempDir(tmp)
+    }
+    import spark.implicits._
+    def imputeQ(df: DataFrame): DataFrame =
+      graft.streaming.StreamingImpute.imputeStreamScaled(
+        df.select("huis", "tsSec", "cum", "avg")
+          .as[graft.streaming.StreamingImpute.CumReadingAvg]).toDF()
+    stateArm("impute_horizon", "1x", 10000L, 10L)(imputeQ)
+    stateArm("impute_horizon", "10x_long", 10000L, 100L)(imputeQ)
+    stateArm("impute_horizon", "10x_houses", 100000L, 10L)(imputeQ)
+    def gapQ(df: DataFrame): DataFrame =
+      graft.streaming.GapDetection.detectGaps(
+        df.select("huis", "tsSec", "value")
+          // drop every 7th slot so each house emits real gap records
+          .filter((col("tsSec") / 300L) % 7 =!= 3)
+          .as[graft.streaming.GapDetection.Reading]).toDF()
+    stateArm("gap_horizon", "1x", 10000L, 10L)(gapQ)
+    stateArm("gap_horizon", "10x_long", 10000L, 100L)(gapQ)
+    stateArm("gap_horizon", "10x_houses", 100000L, 10L)(gapQ)
   }
 
   /** r17 s3 retrieval-serving + asymmetric-dedup shapes at the 20x

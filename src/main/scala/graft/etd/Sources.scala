@@ -182,7 +182,7 @@ object Sources {
     * writes — same rule as `EtdOptions.safeName`).
     */
   def safeName(name: String): String =
-    name.toLowerCase.replaceAll("(?U)\\W+", "_")
+    name.toLowerCase(java.util.Locale.ROOT).replaceAll("(?U)\\W+", "_")
 
   def writeStage(df: DataFrame, dir: String, name: String,
                  partitionByProject: Boolean = false,

@@ -387,11 +387,28 @@ object Dedup {
     * round count (r10's leak: every generation lived for the JVM's life).
     * The returned frame is itself a checkpoint; the caller frees it with
     * [[graft.Checkpoints.free]] after its consumers have run.
+    *
+    * Memory auto-sizing (VERDICT r19 #8): the per-round join + min
+    * aggregation has the same shuffle-partition-vs-edges memory shape
+    * as the PageRank/HITS rounds, so the rounds now run under
+    * [[graft.ops.GraphMemory.sizedFrom]] levers — edge-proportional
+    * partitions with the AQE coalescing floor pinned above the trigger
+    * (restored in the finally); below it (every fixture/bench path)
+    * nothing is touched and the plan is byte-identical. Results cannot
+    * move: min-label propagation is partitioning-independent by
+    * construction.
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    // the edge build is map-only (no collapse aggregation), so unlike
+    // PageRank/HITS there is nothing to protect BEFORE materialization:
+    // checkpoint first, then size the rounds from the materialized
+    // count — a count over checkpointed blocks, not an extra pass over
+    // the (often derived) candidate-pair plan
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
+    val restoreConf =
+      graft.ops.GraphMemory.sizedFrom(edges.sparkSession, edges.count())
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -418,7 +435,10 @@ object Dedup {
         converged = changed == 0
         i += 1
       }
-    } finally graft.Checkpoints.free(edges)
+    } finally {
+      restoreConf()
+      graft.Checkpoints.free(edges)
+    }
     if (!converged)
       throw new IllegalStateException(
         s"clusterPairs did not converge within $maxIter rounds — component " +

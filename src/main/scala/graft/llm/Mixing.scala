@@ -139,9 +139,16 @@ object Mixing {
     require(temperature > 0.0,
       "temperatureWeights: temperature must be > 0")
     val inv = 1.0 / temperature
+    // materialized BEFORE the guard aggregate (ADVICE r19): the
+    // driver-side grand-total collect and the returned plan both
+    // consume `perSource`, so an un-cut subtree would aggregate the
+    // full corpus twice. Source-cardinality rows — the checkpoint is
+    // a handful of blocks; the caller/harness sweeps them (the
+    // lazily-checkpointed-result ownership rule in graft.Checkpoints).
     val perSource = df.groupBy(col(sourceCol).as("source"))
       .agg(sum(col(tokensCol).cast("decimal(28,0)")).cast("double")
         .as("total_tokens"))
+      .localCheckpoint()
     // loud-failure guard (ADVICE r18, the Apportion/Hits discipline):
     // a negative per-source total makes share negative and
     // pow(share, 1/T) NaN, which would silently poison the normalizing

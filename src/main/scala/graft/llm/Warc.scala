@@ -167,7 +167,8 @@ object Warc {
     while (line != null && line.nonEmpty) {
       val i = line.indexOf(':')
       if (i > 0)
-        headers.update(line.substring(0, i).trim.toLowerCase,
+        headers.update(
+          line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT),
           line.substring(i + 1).trim)
       line = readLine(in)
     }
@@ -209,7 +210,7 @@ object Warc {
     val status = lines.headOption
       .flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption).getOrElse(0)
     val cType = lines.drop(1)
-      .find(_.toLowerCase.startsWith("content-type:"))
+      .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
       .map(_.substring("content-type:".length).trim).getOrElse("")
     (status, cType,
       java.util.Arrays.copyOfRange(payload, bound + boundLen, payload.length))

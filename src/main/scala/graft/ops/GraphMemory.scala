@@ -1,6 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 
 /** Memory auto-sizing for the iterative graph operators (VERDICT r18
   * #1): [[PageRank]] and [[Hits]] already count edges and nodes every
@@ -35,10 +38,28 @@ import org.apache.spark.sql.DataFrame
   * count once the frame is materialized (a heavily multi-edged input
   * would otherwise leave the rounds over-tasked).
   *
+  * Phase 1's count is a real extra pass over the raw input (for a
+  * derived edge frame like `q_pagerank`'s lineitem⋈orders join it
+  * re-executes the whole upstream plan — the query's only r19 bench
+  * regression, +0.53 s). VERDICT r19 #1: a NO-JOB statistics screen
+  * ([[rowBound]]) now proves fixture/bench-scale inputs below the
+  * trigger from leaf metadata alone (parquet footers, Range/local
+  * row counts) and skips phase 1 entirely — the collapse needs no
+  * levers below trigger, and the rounds are still sized from the
+  * post-collapse count either way. When no sound bound exists
+  * (unbounded-amplification nodes, unreadable leaves), phase 1 runs
+  * exactly as before — at real scale leaf statistics alone exceed the
+  * trigger, so the screen can only cut the small-input tax, never the
+  * protection.
+  *
   * Levers are applied-and-restored around the iteration (the r18
   * graphScale100 finally-block discipline, moved into the operators):
-  * session conf mutates only until the returned restore runs, and
-  * results cannot change — the exact tiers sum through order-free
+  * session conf mutates only until the returned restore runs — and on
+  * ANY throw after the conf is applied, `sizedEdges` restores before
+  * rethrowing (ADVICE r19: the collapse checkpoint is exactly where
+  * the documented 55M-edge OOM fires; a leaked conf would outlive the
+  * failure into the caller's session, which ScaleBench keeps using).
+  * Results cannot change — the exact tiers sum through order-free
   * decimals (spec-pinned partitioning invariance), which is what makes
   * auto-sizing correctness-free. Below the trigger edge count
   * (fixture / bench scale) nothing is touched and plans stay
@@ -58,7 +79,27 @@ object GraphMemory {
     */
   val maxPartitions: Int = 65536
 
+  /** Per-join output allowance in [[rowBound]]: an equi-join's output
+    * is bounded by the fact side for PK-FK shapes (every edge-building
+    * join here) and by modest fan-out for many-to-many ones; 4× per
+    * join keeps the screen honest without a cardinality estimator. The
+    * allowance can only mis-skip when a join amplifies its LEAF rows
+    * more than 4× AND the amplified count lands above the trigger —
+    * and even then only the one collapse runs unlevered (it spills,
+    * sort-based fallback); the rounds re-size from the collapsed count
+    * regardless.
+    */
+  val screenJoinAllowance: Long = 4L
+
+  /** Footer-read cap: beyond this many files the input is either
+    * already huge (screen would decline anyway) or listing/footer IO
+    * stops being "free" on a remote store — decline and let phase 1
+    * count.
+    */
+  val screenMaxFooterFiles: Int = 64
+
   private val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
+  private val noRestore: () => Unit = () => ()
 
   /** Partition count holding rows/task ≈ [[targetRowsPerTask]] —
     * never below the session's current setting (small graphs keep
@@ -67,6 +108,74 @@ object GraphMemory {
   def autoPartitions(totalEdges: Long, current: Int): Int = {
     val want = (totalEdges + targetRowsPerTask - 1) / targetRowsPerTask
     math.max(current, math.min(maxPartitions.toLong, want).toInt)
+  }
+
+  /** NO-JOB upper bound on `df`'s row count, from plan statistics
+    * alone — `None` when no sound bound exists. Leaves contribute
+    * exact counts (parquet footers read driver-side, `Range`
+    * arithmetic, local-relation lengths, materialized cache stats);
+    * row-preserving/reducing operators pass the bound through; each
+    * join multiplies it by [[screenJoinAllowance]]; any node that can
+    * amplify unboundedly (Generate/explode, typed flatMap, Expand, …)
+    * or a leaf with no exact statistic declines the screen.
+    */
+  private[ops] def rowBound(df: DataFrame): Option[BigInt] = {
+    var leaves = BigInt(0)
+    var joins = 0
+    var known = true
+    df.queryExecution.optimizedPlan.foreach {
+      case _ if !known => ()
+      case l: LeafNode => leafRows(l) match {
+        case Some(r) => leaves += r
+        case None => known = false
+      }
+      case _: Join => joins += 1
+      // row-preserving or row-reducing relational nodes only; anything
+      // unlisted (Generate, Expand, typed map/flatMap, …) declines
+      case _: Project | _: Filter | _: Aggregate | _: Distinct
+         | _: Window | _: Sort | _: GlobalLimit | _: LocalLimit
+         | _: Union | _: SubqueryAlias | _: Repartition
+         | _: RepartitionByExpression | _: Deduplicate | _: Sample => ()
+      case _ => known = false
+    }
+    if (!known) None
+    else Some(leaves * BigInt(screenJoinAllowance).pow(joins))
+  }
+
+  /** Exact row count for one leaf, without running a job — or `None`. */
+  private def leafRows(l: LeafNode): Option[BigInt] = l match {
+    case r: Range => Some(r.numElements)
+    case lr: LocalRelation => Some(BigInt(lr.data.length))
+    case rel: LogicalRelation => rel.relation match {
+      case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+        parquetRows(fs)
+      case _ => None
+    }
+    // e.g. a materialized InMemoryRelation carries its exact count;
+    // LogicalRDD and v2 relations generally don't → decline
+    case other => other.stats.rowCount
+  }
+
+  /** Sum of footer row counts across the relation's data files —
+    * driver-side metadata reads, no Spark job; `None` past the file
+    * cap or on any read failure (the screen then declines, which is
+    * the safe direction: phase 1 counts).
+    */
+  private def parquetRows(fs: HadoopFsRelation): Option[BigInt] = {
+    val files = fs.location.inputFiles
+    if (files.length > screenMaxFooterFiles) None
+    else try {
+      val hconf = fs.sparkSession.sessionState.newHadoopConf()
+      var total = BigInt(0)
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), hconf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try total += reader.getRecordCount
+        finally reader.close()
+      }
+      Some(total)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Set shuffle partitions + the AQE coalescing floor; returns the
@@ -88,52 +197,88 @@ object GraphMemory {
     }
   }
 
+  /** Levers for an iteration whose edge frame is ALREADY materialized
+    * (VERDICT r19 #8, the pointer-doubling CC: building its doubled
+    * edge list is map-only — no aggregation to protect — so the conf
+    * sizes from the materialized count alone; the count job reads
+    * checkpointed blocks, not the upstream plan). Returns the restore
+    * closure for the caller's finally; below the trigger nothing is
+    * touched.
+    */
+  def sizedFrom(spark: org.apache.spark.sql.SparkSession,
+                edgeCount: Long): () => Unit = {
+    val cur = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val parts = autoPartitions(edgeCount, cur)
+    if (parts > cur) applyConf(spark, parts) else noRestore
+  }
+
   /** Build the materialized edge frame for an iteration under
     * auto-sized levers. `raw` is the operator's projected edge input
     * (pre-collapse); `collapse` is its dedup/weight-sum aggregation.
     * Returns (materialized frame, restore-closure for the finally).
     *
-    * Phase 1: one map-only count of `raw` sizes the conf so the
-    * collapse itself survives, and a fat raw input (rows per split
-    * > 2× the target) is respread first — the collapse's map-side
-    * partial aggregation runs on the INPUT's splits. Phase 2: once the
-    * collapsed frame is materialized, the conf is refined to its true
-    * row count for the rounds. Below the trigger both phases are
-    * no-ops and the built plan is byte-identical to an unlevered one.
+    * When the statistics screen ([[rowBound]]) proves `raw` below the
+    * trigger, phase 1 (the protective raw count) is skipped — the
+    * collapse runs unlevered on a byte-identical plan, and the rounds
+    * size from the post-collapse count (a backstop that still engages
+    * the levers should the join allowance ever under-bound). Otherwise
+    * phase 1 counts `raw` so the collapse itself survives, respreads a
+    * fat raw input (rows per split > 2× the target — the map-side
+    * partial aggregation runs on the INPUT's splits), and phase 2
+    * refines the conf to the true collapsed count for the rounds. Any
+    * throw after the conf is applied restores it before rethrowing.
     */
   def sizedEdges(raw: DataFrame,
                  collapse: DataFrame => DataFrame): (DataFrame, () => Unit) = {
     val spark = raw.sparkSession
     val cur = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val rawCount = raw.count()
-    val preParts = autoPartitions(rawCount, cur)
-    var restore: () => Unit = () => ()
-    var input = raw
-    if (preParts > cur) {
-      restore = applyConf(spark, preParts)
-      val inParts = math.max(1, raw.rdd.getNumPartitions)
-      if (rawCount / inParts > 2 * targetRowsPerTask)
-        input = raw.repartition(preParts)
+    val trigger = BigInt(cur) * targetRowsPerTask
+    if (rowBound(raw).exists(_ <= trigger)) {
+      // screened below trigger: no phase 1, no levers, default-level
+      // checkpoint — the exact below-trigger path, minus the count
+      val e = collapse(raw).localCheckpoint()
+      val finalParts = autoPartitions(e.count(), cur)
+      val restore =
+        if (finalParts > cur) applyConf(spark, finalParts) else noRestore
+      (e, restore)
+    } else {
+      val rawCount = raw.count()
+      val preParts = autoPartitions(rawCount, cur)
+      var restore: () => Unit = noRestore
+      var input = raw
+      try {
+        if (preParts > cur) {
+          restore = applyConf(spark, preParts)
+          val inParts = math.max(1, raw.rdd.getNumPartitions)
+          if (rawCount / inParts > 2 * targetRowsPerTask)
+            input = raw.repartition(preParts)
+        }
+        // above the trigger the checkpoint stores SERIALIZED (still
+        // memory-first, disk-spillable): the r19 re-measure showed the
+        // DESERIALIZED default is the 8 GB heap's biggest tenant at 55M
+        // edges (MemoryStore SizeEstimator OOMs while 32 shuffle writers
+        // hold their buffers) — serialized rows are ~3-4× smaller and
+        // evictable; the per-round deserialization cost is map-side and
+        // edge-linear. Below the trigger the default level keeps the
+        // fixture/bench path byte-identical.
+        val e =
+          if (preParts > cur)
+            collapse(input).localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          else collapse(input).localCheckpoint()
+        val finalParts = autoPartitions(e.count(), cur)
+        if (preParts > cur && finalParts != preParts) {
+          restore()
+          restore =
+            if (finalParts > cur) applyConf(spark, finalParts) else noRestore
+        }
+        (e, restore)
+      } catch {
+        // the conf must not outlive a failed sizing (ADVICE r19): the
+        // collapse checkpoint is exactly where the documented 55M-edge
+        // OOM fires, and the session keeps running after catching it
+        case t: Throwable => restore(); throw t
+      }
     }
-    // above the trigger the checkpoint stores SERIALIZED (still
-    // memory-first, disk-spillable): the r19 re-measure showed the
-    // DESERIALIZED default is the 8 GB heap's biggest tenant at 55M
-    // edges (MemoryStore SizeEstimator OOMs while 32 shuffle writers
-    // hold their buffers) — serialized rows are ~3-4× smaller and
-    // evictable; the per-round deserialization cost is map-side and
-    // edge-linear. Below the trigger the default level keeps the
-    // fixture/bench path byte-identical.
-    val e =
-      if (preParts > cur)
-        collapse(input).localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      else collapse(input).localCheckpoint()
-    val finalParts = autoPartitions(e.count(), cur)
-    if (preParts > cur && finalParts != preParts) {
-      restore()
-      restore =
-        if (finalParts > cur) applyConf(spark, finalParts) else () => ()
-    }
-    (e, restore)
   }
 }

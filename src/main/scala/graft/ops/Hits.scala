@@ -121,36 +121,45 @@ object Hits {
       require(n > 0, "hits: empty graph")
       // normalized uniform start: both scores begin at 1/N, so round 1
       // is already on the same grid as every later round
-      var scores = (init match {
+      var scores = init match {
         case None => nodes
           .withColumn("hub", lit(1.0) / lit(n.toDouble))
           .withColumn("auth", lit(1.0) / lit(n.toDouble))
+          .localCheckpoint()
         case Some(prev) =>
+          // materialized BEFORE the mass aggregate (ADVICE r19, the
+          // PageRank warm-start fix): the driver-side collect and the
+          // returned plan both consume `carried`, so an un-cut subtree
+          // would run the nodes⟕prev join twice per warm start
           val carried = nodes
             .join(prev.select(col("id"), col("hub").as("__ph"),
               col("auth").as("__pa")), Seq("id"), "left")
             .select(col("id"),
               coalesce(col("__ph"), lit(1.0) / lit(n.toDouble)).as("hub"),
               coalesce(col("__pa"), lit(1.0) / lit(n.toDouble)).as("auth"))
-          // loud-failure guard (ADVICE r17): a degenerate initScores
-          // (all-zero or net-negative hub/auth over the current node
-          // set) has zero L1 mass, and the renormalizing division would
-          // mint NaNs that ride silently through every iteration — the
-          // same discipline as Apportion's overflow guards. The mass is
-          // a one-row aggregate either way; resolving it on the driver
-          // costs nothing extra and the lit() divisor is the identical
-          // double the broadcast column carried.
-          val massRow = carried.agg(
-            massSum(col("hub")), massSum(col("auth"))).collect().head
-          val (hm, am) = (massRow.getDouble(0), massRow.getDouble(1))
-          require(hm > 0.0 && am > 0.0,
-            s"hitsFrom: carried L1 mass must be > 0 after renormalization " +
-              s"(hub mass $hm, auth mass $am) — initScores is degenerate " +
-              "over the current node set")
-          carried.select(col("id"), (col("hub") / lit(hm)).as("hub"),
-            (col("auth") / lit(am)).as("auth"))
-      })
-        .localCheckpoint()
+            .localCheckpoint()
+          try {
+            // loud-failure guard (ADVICE r17): a degenerate initScores
+            // (all-zero or net-negative hub/auth over the current node
+            // set) has zero L1 mass, and the renormalizing division
+            // would mint NaNs that ride silently through every
+            // iteration — the same discipline as Apportion's overflow
+            // guards. The mass is a one-row aggregate either way;
+            // resolving it on the driver costs nothing extra and the
+            // lit() divisor is the identical double the broadcast
+            // column carried.
+            val massRow = carried.agg(
+              massSum(col("hub")), massSum(col("auth"))).collect().head
+            val (hm, am) = (massRow.getDouble(0), massRow.getDouble(1))
+            require(hm > 0.0 && am > 0.0,
+              s"hitsFrom: carried L1 mass must be > 0 after renormalization " +
+                s"(hub mass $hm, auth mass $am) — initScores is degenerate " +
+                "over the current node set")
+            carried.select(col("id"), (col("hub") / lit(hm)).as("hub"),
+              (col("auth") / lit(am)).as("auth"))
+              .localCheckpoint()
+          } finally graft.Checkpoints.free(carried)
+      }
       var cut = scores
       // node-grain per-round aggregates (hubRaw/authRaw) materialized
       // inside oneRound; they are freed only once a DOWNSTREAM scores

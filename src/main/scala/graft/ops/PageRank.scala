@@ -196,30 +196,39 @@ object PageRank {
         }
       val nD = lit(n.toDouble)
       val d = lit(damping)
-      var ranks = (init match {
-        case None => nodes.withColumn("rank", lit(1.0) / nD)
+      var ranks = init match {
+        case None =>
+          nodes.withColumn("rank", lit(1.0) / nD).localCheckpoint()
         case Some(prev) =>
+          // materialized BEFORE the mass aggregate (ADVICE r19): the
+          // driver-side collect and the returned plan both consume
+          // `carried`, so an un-cut subtree would run the nodes⟕prev
+          // join twice per warm start
           val carried = nodes
             .join(prev.select(col("id"), col("rank").as("__pr")), Seq("id"), "left")
             .select(col("id"),
               coalesce(col("__pr"), lit(1.0) / nD).as("rank"))
-          // loud-failure guard (ADVICE r18, the Hits.hitsFrom discipline):
-          // a degenerate initRanks (all-zero or net-negative over the
-          // current node set) has zero/negative L1 mass, and the
-          // renormalizing division would mint NaNs that ride silently
-          // through every iteration. The mass is a one-row aggregate
-          // either way; resolving it on the driver costs nothing extra
-          // and the lit() divisor is the identical double the broadcast
-          // column carried.
-          val mass = carried.agg(
-            sum(col("rank").cast("decimal(38,18)")).cast("double"))
-            .collect().head.getDouble(0)
-          require(mass > 0.0,
-            s"pageRankFrom: carried rank mass must be > 0 before " +
-              s"renormalization (got $mass) — initRanks is degenerate " +
-              "over the current node set")
-          carried.select(col("id"), (col("rank") / lit(mass)).as("rank"))
-      }).localCheckpoint()
+            .localCheckpoint()
+          try {
+            // loud-failure guard (ADVICE r18, the Hits.hitsFrom
+            // discipline): a degenerate initRanks (all-zero or
+            // net-negative over the current node set) has zero/negative
+            // L1 mass, and the renormalizing division would mint NaNs
+            // that ride silently through every iteration. The mass is a
+            // one-row aggregate either way; resolving it on the driver
+            // costs nothing extra and the lit() divisor is the
+            // identical double the broadcast column carried.
+            val mass = carried.agg(
+              sum(col("rank").cast("decimal(38,18)")).cast("double"))
+              .collect().head.getDouble(0)
+            require(mass > 0.0,
+              s"pageRankFrom: carried rank mass must be > 0 before " +
+                s"renormalization (got $mass) — initRanks is degenerate " +
+                "over the current node set")
+            carried.select(col("id"), (col("rank") / lit(mass)).as("rank"))
+              .localCheckpoint()
+          } finally graft.Checkpoints.free(carried)
+      }
       // one power-iteration round — the SINGLE definition both the
       // fixed-iteration and the epsilon-stopped loops execute
       def oneRound(prev: DataFrame): DataFrame = {

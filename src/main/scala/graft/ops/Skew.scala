@@ -46,7 +46,8 @@ object Skew {
                  salt: Int, joinType: String = "inner",
                  saltBy: Seq[String] = Nil): DataFrame = {
     require(Seq("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
-      .contains(joinType.toLowerCase), s"saltedJoin does not support $joinType")
+      .contains(joinType.toLowerCase(java.util.Locale.ROOT)),
+      s"saltedJoin does not support $joinType")
     val bigS = big.withColumn("__salt", rowSalt(big, salt, saltBy))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))

@@ -3395,6 +3395,60 @@ object QueriesLLM {
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
   }
 
+  /** The BM25 index maintained through the REAL Structured Streaming
+    * path (VERDICT r19 #3 — extends the r19 real-stream verification
+    * class to the log-structured maintainer family, whose
+    * `q_*_incremental` oracles replay `appendBatch` as batch calls):
+    * the corpus arrives as a parquet file-source stream under
+    * `maxFilesPerTrigger = 1` (three files → three micro-batches), the
+    * actual `writeStream.foreachBatch` sink drives
+    * [[graft.streaming.StreamingRetrieval.appendBatch]] with
+    * `autoCompactEvery = 2` so a compaction folds the log MID-stream
+    * (batches 0-1 collapse into the `batch_id = -1` generation while
+    * batch 2 is still in flight; the load then folds a mixed
+    * generation set), and serving runs the PRUNED scan over the loaded
+    * log — the query batch's term set pushed into the on-disk postings
+    * read as a literal `In`, the O(query)-bytes path retrievalscale10
+    * measured. Stream-maintain + fold + pruned-search must equal
+    * build-on-everything: same oracle as `q_bm25_topk`, checked
+    * independently.
+    */
+  def q_bm25_stream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingRetrieval
+    val docs = table(spark, dir, "documents").select("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bm25stream_").toString
+    try {
+      val src = s"$tmp/in"
+      docs.filter(col("doc_id") < 150).coalesce(1)
+        .write.mode("overwrite").parquet(src)
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 350).coalesce(1)
+        .write.mode("append").parquet(src)
+      docs.filter(col("doc_id") >= 350).coalesce(1)
+        .write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val query = StreamingRetrieval.maintainIndex(stream, "doc_id", "text",
+          s"$tmp/index", s"$tmp/ckpt", autoCompactEvery = 2).start()
+      try query.processAllAvailable() finally query.stop()
+      val (post, termDf, stats) =
+        StreamingRetrieval.loadIndex(spark, s"$tmp/index")
+      val queries = docs.filter(col("doc_id") < 3)
+      // the searchPostingsPruned serving discipline over the streamed
+      // log: the batch's terms reach the postings parquet scan as
+      // PushedFilters In(term, ...) — bounded by the query batch
+      val terms = queries
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .distinct().collect().map(_.getString(0))
+      Retrieval.searchPostingsNorm(
+          post.filter(col("term").isin(terms.toIndexedSeq: _*)),
+          termDf, stats, queries, "doc_id", "text", k = 5)
+        .localCheckpoint()
+    } finally deleteTempDir(tmp)
+  }
+
   /** Hybrid retrieval: RRF-fuse the BM25 run (first 3 documents as
     * queries) with a dense brute-force cosine run for the same query ids
     * over the embeddings corpus (vec_id aligned with doc_id, the usual
@@ -3748,6 +3802,7 @@ object QueriesLLM {
     "q_rerank" -> (q_rerank _),
     "q_bm25_indexed" -> (q_bm25_indexed _),
     "q_bm25_incremental" -> (q_bm25_incremental _),
+    "q_bm25_stream" -> (q_bm25_stream _),
     "q_corpus_sketch" -> (q_corpus_sketch _),
     "q_profile_fold" -> (q_profile_fold _),
     "q_embed_covariance" -> (q_embed_covariance _),
@@ -6849,6 +6904,9 @@ object QueriesLLM {
     oracles0 +
       ("q_bm25_indexed" -> oracles0("q_bm25_topk")) +
       ("q_bm25_incremental" -> oracles0("q_bm25_topk")) +
+      // real-stream maintain + mid-stream fold + pruned serve == build
+      // on the union (VERDICT r19 #3)
+      ("q_bm25_stream" -> oracles0("q_bm25_topk")) +
       // additive counts: stream-fold-then-train == train-on-union
       ("q_lm_incremental" -> oracles0("q_kn_model")) +
       // row-stateless encode: stream-fold-then-search == one-shot build

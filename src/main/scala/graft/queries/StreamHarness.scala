@@ -36,7 +36,13 @@ private[graft] object StreamHarness {
     * never split correlated rows, e.g. a duplicate pair across a
     * dedup-state horizon), then return `project(emitted)` eagerly
     * materialized. `extra` rows (e.g. a far-future watermark sentinel)
-    * append AFTER the base write, landing in a later micro-batch.
+    * append AFTER the base write — but with no maxFilesPerTrigger the
+    * file source consumes every available file in the FIRST micro-batch,
+    * so base and sentinel usually share one batch (ADVICE r19): nothing
+    * here guarantees multi-batch ordering, and flush correctness rests
+    * on the end-of-batch watermark update plus Spark's no-data
+    * micro-batch, which together close and emit watermark-expired state
+    * regardless of how the files were batched.
     */
   def run(spark: SparkSession, sink: String, base: DataFrame,
           extra: Option[DataFrame] = None, oneFile: Boolean = false)

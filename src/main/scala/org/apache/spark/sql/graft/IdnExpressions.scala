@@ -41,7 +41,10 @@ object IdnUtil {
       if (l.forall(_ < 128)) l
       else try java.net.IDN.toASCII(l)
       catch { case _: IllegalArgumentException => l }
-    ascii.toLowerCase
+    // Locale.ROOT (ADVICE r19): default-locale lowercasing is not
+    // ASCII-stable — a Turkish-locale JVM lowercases 'I' to dotless
+    // 'ı', silently de-normalizing every mixed-case host
+    ascii.toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Whole-host normalization: [[asciiLabel]] per '.'-separated label.

@@ -88,6 +88,57 @@ class GraphMemorySpec extends AnyFunSuite {
     graft.Checkpoints.free(e)
   }
 
+  test("rowBound: exact on Range/local leaves, per-join allowance, " +
+      "declines on amplifiers and statistic-less leaves") {
+    val r = spark.range(1000L)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    assert(GraphMemory.rowBound(r).contains(BigInt(1000)))
+    val l = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(GraphMemory.rowBound(l.filter(col("src") > 0))
+      .contains(BigInt(2)))
+    // a join multiplies the leaf sum by the documented allowance
+    assert(GraphMemory.rowBound(r.join(l, Seq("src")))
+      .contains(BigInt(1002) * GraphMemory.screenJoinAllowance))
+    // explode can amplify unboundedly — the screen must decline
+    assert(GraphMemory.rowBound(
+      l.select(explode(array(col("src"), col("dst"))).as("x"))).isEmpty)
+    // a localCheckpoint leaf (LogicalRDD) inherits its ORIGIN plan's
+    // stats — exact here (LocalRelation origin), so the screen may
+    // use it; an origin without a row count propagates None instead
+    val c = l.localCheckpoint()
+    try assert(GraphMemory.rowBound(c).contains(BigInt(2)))
+    finally graft.Checkpoints.free(c)
+  }
+
+  test("rowBound reads exact parquet footer counts; the q_pagerank " +
+      "join shape screens below trigger and skips phase 1 (conf untouched)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gm_").toString
+    try {
+      spark.range(5000L)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+        .write.mode("overwrite").parquet(s"$tmp/a")
+      spark.range(300L).select(col("id").as("k"))
+        .write.mode("overwrite").parquet(s"$tmp/b")
+      val a = spark.read.parquet(s"$tmp/a")
+      val b = spark.read.parquet(s"$tmp/b")
+      assert(GraphMemory.rowBound(a).contains(BigInt(5000)),
+        "footer row counts must be exact, not byte heuristics")
+      val raw = a.join(b, Seq("k"))
+        .select(col("k").as("src"), col("v").as("dst"))
+      assert(GraphMemory.rowBound(raw)
+        .contains(BigInt(5300) * GraphMemory.screenJoinAllowance))
+      val before = parts
+      val (e, restore) = GraphMemory.sizedEdges(raw, _.distinct())
+      assert(parts == before,
+        "a screened-small input must leave the session conf untouched")
+      assert(spark.conf.getOption(minKey).isEmpty)
+      assert(e.count() == 300L, "the collapse must still have applied")
+      restore()
+      assert(parts == before)
+      graft.Checkpoints.free(e)
+    } finally graft.queries.StreamHarness.deleteTempDir(tmp)
+  }
+
   test("restore() re-applies a PRE-EXISTING coalescing floor verbatim") {
     spark.conf.set(minKey, "7")
     try {
