@@ -22,8 +22,11 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bench-only entries (q_pipeline_full13 &c) are explainable too —
+    // the r20 verdict's plans/ deliverable needs them (r21)
+    val registry = SparkEntry.queries ++ Bench.benchOnly
     names.foreach { n =>
-      SparkEntry.queries.get(n).foreach { fn =>
+      registry.get(n).foreach { fn =>
         println(s"==== $n ====")
         fn(spark, sfDir).explain("formatted")
       }

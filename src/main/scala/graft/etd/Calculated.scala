@@ -32,7 +32,8 @@ object Calculated {
     // replaces in place like the old withColumn chain instead of
     // emitting duplicate names that break later references
     def level(d: DataFrame, outs: Seq[(String, Column)]): DataFrame =
-      outs.map(_._1).foldLeft(d)(_ drop _)
+      d.drop(outs.map(_._1): _*) // one varargs drop: each single-name
+        // drop was a full analyzer pass over the ~150-column tree (r21)
         .select(star +: outs.map { case (n, c) => c.as(n) }: _*)
     val l1 = level(df.withColumnRenamed("Zon-opwekTotaalDiff", "ZonopwekBruto"),
       Seq(

@@ -262,39 +262,69 @@ object Impute {
 
     val star = col("*")
 
-    // S1 — boundary lags (ONE lag window node serves every column).
-    val s1 = df.select(star +: cums.flatMap { c =>
+    // S1 — boundary lags + house-factor sums in ONE window node: the
+    // lag frames and the whole-house aggregate frames share the same
+    // (project, house) partitioning and ReadingDate order, so Catalyst
+    // plans them as one WindowExec with per-frame processors — the
+    // separate house-factor pass (the old S5) re-materialized every
+    // ~150-column row once more for sums that were computable here
+    // (r21: each full-width window pass is ~5% of the cascade stage's
+    // measured 115 CPU-s). The raw (nullable) lag of isNa is kept: S2b
+    // derives the old S3 lag node's group-first detection from it
+    // arithmetically, which removes another full-width window pass.
+    val hAll = houseAll
+    val s1 = df.select(star +: (cums.flatMap { c =>
       val isNa = col(diffCol(c)).isNull
       val cumSeen = col(c).isNotNull && isNa
+      val comparable = col(avgCol(c)).isNotNull && col(diffCol(c)).isNotNull &&
+        col(diffCol(c)) >= 0
       Seq(
-        (isNa && !coalesce(lag(isNa, 1).over(wH), lit(false))).as(s"__gapstart_$c"),
-        coalesce(lag(cumSeen, 1).over(wH), lit(false)).as(s"__lagseen_$c"))
-    }: _*)
+        lag(isNa, 1).over(wH).as(s"__lagisna_$c"),
+        coalesce(lag(cumSeen, 1).over(wH), lit(false)).as(s"__lagseen_$c"),
+        lag(col(c), 1).over(wH).as(s"__lagcum_$c"),
+        sum(when(comparable, col(avgCol(c)))).over(hAll).as(s"__asum_$c"),
+        sum(when(comparable, col(diffCol(c)))).over(hAll).as(s"__dsum_$c"),
+        sum(comparable.cast("long")).over(hAll).as(s"__ncmp_$c"))
+    } :+ count(lit(1)).over(hAll).as("__ntot")): _*)
 
-    // S2 — running group ids (one running-frame window node).
+    // S2 — running group ids (one running-frame window node). The gap
+    // start is derived from the raw lag: lag(isNa) null (house head)
+    // coalesces to false exactly like the old dedicated column.
+    def gapStart(c: String) =
+      col(diffCol(c)).isNull && !coalesce(col(s"__lagisna_$c"), lit(false))
+    def bumpLong(c: String) =
+      (col(s"__lagseen_$c") || gapStart(c)).cast("long")
     val s2 = s1.select(star +: cums.map { c =>
-      sum((col(s"__lagseen_$c") || col(s"__gapstart_$c")).cast("long"))
-        .over(runningHouse).as(s"__grp_$c")
-    }: _*)
-    val s2b = s2.select(star +: cums.map { c =>
-      when(col(diffCol(c)).isNull, col(s"__grp_$c")).as(cvgC(c))
+      sum(bumpLong(c)).over(runningHouse).as(s"__grp_$c")
     }: _*)
 
-    // S3 — group-first detection + prev candidates (one lag node).
-    val s3 = s2b.select(star +: cums.map { c =>
-      val grp = col(cvgC(c))
-      val first = grp.isNotNull && !(lag(grp, 1).over(wH) <=> grp)
-      val p = lag(col(c), 1).over(wH)
-      when(first && p >= 0, p).as(s"__prevcand_$c") // negative prev invalid
-    }: _*)
-    val s3b = s3.select(star +: cums.map { c =>
-      coalesce(col(avgCol(c)), lit(0.0)).as(s"__iv_$c")
+    // S2b — one projection: the NA-masked group id, the impute values,
+    // the house factor (old S5b), and the group-first prev candidate
+    // (old S3) WITHOUT a third lag pass: the previous row's group id is
+    // exact integer arithmetic over this row's running sum —
+    // grp(i-1) = grp(i) - bump(i) — and the previous row's masked cvg
+    // is that value under lag(isNa), which is null at the house head
+    // exactly like the lag the old node computed.
+    val s2b = s2.select(star +: cums.flatMap { c =>
+      val grp = col(s"__grp_$c")
+      val cvg = when(col(diffCol(c)).isNull, grp)
+      val lagCvg = when(col(s"__lagisna_$c"), grp - bumpLong(c))
+      val first = cvg.isNotNull && !(lagCvg <=> cvg)
+      val p = col(s"__lagcum_$c")
+      val ratio = when(col(s"__dsum_$c") =!= 0.0,
+        col(s"__asum_$c") / col(s"__dsum_$c")) // inf guard
+      Seq(
+        cvg.as(cvgC(c)),
+        coalesce(col(avgCol(c)), lit(0.0)).as(s"__iv_$c"),
+        when(first && p >= 0, p).as(s"__prevcand_$c"), // negative prev invalid
+        when(col(s"__ncmp_$c") <= col("__ntot") / 2.0, lit(1.0))
+          .otherwise(coalesce(ratio, lit(1.0))).as(s"__hf_$c"))
     }: _*)
 
     // S4 — per-gap whole-group windows (one window node PER COLUMN — each
     // column has its own group ids — but all reuse the (project, house)
     // partitioning: local sorts, no exchanges).
-    val s4 = s3b.select(star +: cums.flatMap { c =>
+    val s4 = s2b.select(star +: cums.flatMap { c =>
       val grp = col(cvgC(c))
       val g = gapAllC(c)
       Seq(
@@ -303,30 +333,13 @@ object Impute {
         last(col(c), ignoreNulls = true).over(g).as(s"__endraw_$c"),
         when(grp.isNotNull, sum(col(s"__iv_$c")).over(g)).as(s"__ij_$c"))
     }: _*)
-    val s4b = s4.select(star +: cums.flatMap { c =>
+    val s5b = s4.select(star +: cums.flatMap { c =>
       val grp = col(cvgC(c))
       val e = col(s"__endraw_$c")
       val end = when(grp.isNotNull && !(e < 0), e) // end<0 -> NA
       Seq(
         end.as(s"__end_$c"),
         (end - col(s"__prev_$c")).as(s"__jump_$c"))
-    }: _*)
-
-    // S5 — house factor sums (one whole-house window node for all columns).
-    val hAll = houseAll
-    val s5 = s4b.select(star +: (cums.flatMap { c =>
-      val comparable = col(avgCol(c)).isNotNull && col(diffCol(c)).isNotNull &&
-        col(diffCol(c)) >= 0
-      Seq(
-        sum(when(comparable, col(avgCol(c)))).over(hAll).as(s"__asum_$c"),
-        sum(when(comparable, col(diffCol(c)))).over(hAll).as(s"__dsum_$c"),
-        sum(comparable.cast("long")).over(hAll).as(s"__ncmp_$c"))
-    } :+ count(lit(1)).over(hAll).as("__ntot")): _*)
-    val s5b = s5.select(star +: cums.map { c =>
-      val ratio = when(col(s"__dsum_$c") =!= 0.0,
-        col(s"__asum_$c") / col(s"__dsum_$c")) // inf guard
-      when(col(s"__ncmp_$c") <= col("__ntot") / 2.0, lit(1.0))
-        .otherwise(coalesce(ratio, lit(1.0))).as(s"__hf_$c")
     }: _*)
 
     // S6 — cascade + thresholds for ALL columns in TWO projections. The
@@ -377,7 +390,8 @@ object Impute {
     }.toSeq: _*)
 
     val tempDrop = cums.flatMap(c => Seq(
-      s"__gapstart_$c", s"__lagseen_$c", s"__grp_$c", s"__prevcand_$c",
+      s"__lagisna_$c", s"__lagseen_$c", s"__lagcum_$c", s"__grp_$c",
+      s"__prevcand_$c",
       s"__iv_$c", s"__prev_$c", s"__endraw_$c", s"__ij_$c",
       s"__end_$c", s"__jump_$c", s"__asum_$c", s"__dsum_$c", s"__ncmp_$c",
       s"__hf_$c")) ++ Seq("__ntot") ++

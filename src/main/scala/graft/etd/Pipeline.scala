@@ -98,6 +98,16 @@ object Pipeline {
     // One shuffle serves all per-house windows of every column below
     // (mirrors sort_for_impute, impute.py:415-441, as a physical hint);
     // a co-located input skips it and only sorts within partitions.
+    // AQE's byte-based coalescing is deliberately left in charge of the
+    // exchange's partition count after two r21 A/Bs on the
+    // 16-physical-core bench box: pinning the full thread count (32)
+    // doubled the cascade stage's CPU (115 -> 213 CPU-s, hyperthread
+    // contention) at unchanged wall, and pinning a rows-derived 13
+    // (vs AQE's coalesced 7) raised CPU 137 -> 198 with the wall flat
+    // — the cascade's row churn is memory-bandwidth-bound, so extra
+    // tasks burn cycles without buying wall. Bytes-per-partition is a
+    // poor proxy for this stage's work, but the coalesced count beat
+    // every pinned alternative on real hardware.
     lazy val sorted =
       if (assumeColocated)
         household.sortWithinPartitions(ProjectId, HouseId, ReadingDate)

@@ -119,7 +119,7 @@ object GraphMemory {
     * amplify unboundedly (Generate/explode, typed flatMap, Expand, …)
     * or a leaf with no exact statistic declines the screen.
     */
-  private[ops] def rowBound(df: DataFrame): Option[BigInt] = {
+  private[graft] def rowBound(df: DataFrame): Option[BigInt] = {
     var leaves = BigInt(0)
     var joins = 0
     var known = true
@@ -133,7 +133,8 @@ object GraphMemory {
       // row-preserving or row-reducing relational nodes only; anything
       // unlisted (Generate, Expand, typed map/flatMap, …) declines
       case _: Project | _: Filter | _: Aggregate | _: Distinct
-         | _: Window | _: Sort | _: GlobalLimit | _: LocalLimit
+         | _: Window | _: WindowGroupLimit | _: Sort
+         | _: GlobalLimit | _: LocalLimit
          | _: Union | _: SubqueryAlias | _: Repartition
          | _: RepartitionByExpression | _: Deduplicate | _: Sample => ()
       case _ => known = false
@@ -230,6 +231,19 @@ object GraphMemory {
     */
   def sizedEdges(raw: DataFrame,
                  collapse: DataFrame => DataFrame): (DataFrame, () => Unit) = {
+    val (e, _, restore) = sizedEdgesCounted(raw, collapse)
+    (e, restore)
+  }
+
+  /** [[sizedEdges]] plus the collapsed frame's row count, which the
+    * sizing already computes and previously discarded — callers that
+    * need the edge count (e.g. [[PageRank]]'s hub-salt screen, r21)
+    * reuse it instead of running another aggregation job over the
+    * materialized frame.
+    */
+  def sizedEdgesCounted(raw: DataFrame,
+                        collapse: DataFrame => DataFrame)
+      : (DataFrame, Long, () => Unit) = {
     val spark = raw.sparkSession
     val cur = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val trigger = BigInt(cur) * targetRowsPerTask
@@ -237,10 +251,11 @@ object GraphMemory {
       // screened below trigger: no phase 1, no levers, default-level
       // checkpoint — the exact below-trigger path, minus the count
       val e = collapse(raw).localCheckpoint()
-      val finalParts = autoPartitions(e.count(), cur)
+      val n = e.count()
+      val finalParts = autoPartitions(n, cur)
       val restore =
         if (finalParts > cur) applyConf(spark, finalParts) else noRestore
-      (e, restore)
+      (e, n, restore)
     } else {
       val rawCount = raw.count()
       val preParts = autoPartitions(rawCount, cur)
@@ -266,13 +281,14 @@ object GraphMemory {
             collapse(input).localCheckpoint(true,
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
           else collapse(input).localCheckpoint()
-        val finalParts = autoPartitions(e.count(), cur)
+        val n = e.count()
+        val finalParts = autoPartitions(n, cur)
         if (preParts > cur && finalParts != preParts) {
           restore()
           restore =
             if (finalParts > cur) applyConf(spark, finalParts) else noRestore
         }
-        (e, restore)
+        (e, n, restore)
       } catch {
         // the conf must not outlive a failed sizing (ADVICE r19): the
         // collapse checkpoint is exactly where the documented 55M-edge

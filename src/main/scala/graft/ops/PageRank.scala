@@ -176,7 +176,7 @@ object PageRank {
     // respread — conf restored in the finally. Exact-tier results are
     // partitioning-invariant (order-free decimal sums), so this cannot
     // move a byte; below the trigger the plan is byte-identical.
-    val (e, restoreConf) = GraphMemory.sizedEdges(
+    val (e, edgeCount, restoreConf) = GraphMemory.sizedEdgesCounted(
       edges.select(col("src"), col("dst")), _.distinct())
     try {
       val nodes = e.select(col("src").as("id"))
@@ -187,6 +187,16 @@ object PageRank {
       val salt =
         if (saltJoin > 0) saltJoin
         else if (iterations == 0) 1
+        // salt splits ONE hub's edge rows across tasks; when the whole
+        // edge set fits a single task's row budget there is no
+        // straggler to fix, so the degree-stats job (one extra
+        // aggregation over e per run) is skipped outright — the r21
+        // fixture-graph measurement: autoSaltJoin engaged on ~50-edge
+        // crawl fixtures (perTask=1 makes any hub "hot") and bought
+        // nothing but a salted plan and a collect. Results are salt-
+        // invariant (order-free decimal sums, spec-pinned), and the
+        // count is the one sizedEdgesCounted already ran.
+        else if (edgeCount < GraphMemory.targetRowsPerTask) 1
         else {
           val s = outdeg
             .agg(max(col("deg")).as("mx"), sum(col("deg")).as("tot"))

@@ -729,18 +729,28 @@ object QueriesEtd {
   def full13Input(spark: SparkSession, dir: String): DataFrame = {
     val cums = Model.cumulativeColumns
     val v = abs(col("value"))
-    val grid = fabricatedDiffs(spark, dir)
+    val wGrid = Window.partitionBy(ProjectId, HouseId).orderBy("t_us")
+    val running = wGrid.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE window node builds the 5-minute grid slot AND all 13 running
+    // meters (r21): the slot index and the cumulative sums share the
+    // (project, house) partitioning, and ReadingDate is strictly
+    // monotone in t_us per house (row_number over per-house-unique
+    // t_us), so ordering the sums by t_us instead of the derived
+    // ReadingDate is byte-identical and saves a second full sort. The
+    // select also projects away the shim's pass-through baggage
+    // (ts/props/event fields): nothing downstream reads them, but they
+    // rode every full-width window pass of the cascade and the
+    // materialized checkpoint (guide §2.3 — project early).
+    fabricatedDiffs(spark, dir)
       .withColumn("GasgebruikDiff", round(v / 22, 6))
       .withColumn("WarmteproductieWarmtepompDiff", round(v / 28, 6))
       .withColumn("WatergebruikWarmTapwaterDiff", round(v / 16, 6))
-      .withColumn(ReadingDate, timestamp_seconds(
-        lit(1704067200L) + (row_number().over(
-          Window.partitionBy(ProjectId, HouseId).orderBy("t_us")) - 1)
-          .cast("long") * 300L))
-    val wHouse = Window.partitionBy(ProjectId, HouseId).orderBy(ReadingDate)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.select(col("*") +:
-      cums.map(c => sum(Model.diffCol(c)).over(wHouse).as(c)): _*)
+      .select(Seq(col(ProjectId), col(HouseId),
+        timestamp_seconds(lit(1704067200L) +
+          (row_number().over(wGrid) - 1).cast("long") * 300L)
+          .as(ReadingDate)) ++
+        cums.map(c => col(Model.diffCol(c))) ++
+        cums.map(c => sum(Model.diffCol(c)).over(running).as(c)): _*)
   }
 
   def q_pipeline_full13(spark: SparkSession, dir: String): DataFrame = {
