@@ -422,15 +422,20 @@ object Dedup {
           labels.select(col("id").as("id_a"), col("label").as("id_b")))
         val neighborMin = dynEdges.join(labels, dynEdges("id_b") === labels("id"))
           .groupBy(dynEdges("id_a").as("nid")).agg(min("label").as("nlabel"))
+        // LAZY checkpoint + the convergence count in ONE action (r21):
+        // the count scans every partition, so it materializes the cut
+        // exactly like the old eager checkpoint did, and the separate
+        // materialization job disappears — one job per round instead
+        // of two (the rounds are driver-latency-bound at bench scale).
         val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
           .select(labels("id"), labels("label").as("old"),
             least(labels("label"), coalesce(col("nlabel"), labels("label")))
               .as("label"))
-          .localCheckpoint() // eager: fully materialized on return …
-        graft.Checkpoints.free(labels) // … so the old generation is dead
+          .localCheckpoint(eager = false)
         // the old label rode along through the checkpoint, so convergence
         // is a filter over materialized blocks — no join, no shuffle
         val changed = updated.filter(col("label") =!= col("old")).count()
+        graft.Checkpoints.free(labels) // new generation is live; old is dead
         labels = updated.drop("old")
         converged = changed == 0
         i += 1

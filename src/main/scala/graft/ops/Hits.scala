@@ -189,7 +189,10 @@ object Hits {
             var converged = false
             while (i < iterations && !converged) {
               val (nextRaw, tmps) = oneRoundCut(nodes, e, scores, saltJoin)
-              val next = nextRaw.localCheckpoint()
+              // LAZY cut: the delta aggregate touches every partition
+              // of `next`, so it materializes the checkpoint in the
+              // same job — one job per round instead of two (r21)
+              val next = nextRaw.localCheckpoint(eager = false)
               // decimal-exact L1 delta over BOTH vectors: per-node
               // terms are fixed IEEE ops, the cross-node sum order-
               // free — the stop decision cannot depend on partitioning

@@ -290,7 +290,10 @@ object PageRank {
           case Some(eps) =>
             var converged = false
             while (i < iterations && !converged) {
-              val next = oneRound(ranks).localCheckpoint()
+              // LAZY cut: the delta aggregate touches every partition
+              // of `next`, so it materializes the checkpoint in the
+              // same job — one job per round instead of two (r21)
+              val next = oneRound(ranks).localCheckpoint(eager = false)
               // decimal-exact L1 delta: |Δ| per node is one IEEE
               // subtraction, the cross-node sum order-free — so the
               // stop decision cannot depend on partitioning
