@@ -524,7 +524,10 @@ object Bench {
     // position-independent.
     try {
       import org.apache.spark.sql.functions.col
-      val tiny = graft.etd.Impute.imputeColumn(
+      // the batched single-column engine — the path the q_i* entries
+      // actually run since r21 (warming the sequential imputeColumn
+      // would compile the wrong codegen classes)
+      val tiny = graft.queries.QueriesEtd.imputeOne(
         graft.queries.QueriesEtd.withAverages(
           graft.queries.QueriesEtd.readings(spark, sfDir)
             .filter(col("user_id") < 2)),

@@ -388,8 +388,26 @@ object QueriesEtd {
   /** I7/I8 — the full impute cascade via Impute.imputeColumn (library
     * end-to-end: I3..I9 with no thresholds registered for MeterDiff).
     */
+  /** Single-column impute for the query entries via the BATCHED engine
+    * (the optimized implementation the pipeline runs — r21: one fewer
+    * lag pass and the house-factor frames folded into the boundary-lag
+    * window node), renamed to the fixed gap-column names the summaries
+    * expect. `Impute.imputeColumn` stays untouched as the sequential
+    * reference implementation ImputeSpec pins the batched engine
+    * against; every consumer below is additionally hash-pinned by its
+    * DuckDB oracle.
+    */
+  private[graft] def imputeOne(df: DataFrame, cum: String,
+                               keepGapCols: Boolean = false): DataFrame = {
+    val out = Impute.imputeColumnsBatched(df, Seq(cum), keepGapCols)
+    if (keepGapCols)
+      out.withColumnRenamed(s"__cvg_$cum", "cumulative_value_group")
+        .withColumnRenamed(s"__gap_length_$cum", "gap_length")
+    else out
+  }
+
   def q_i7_impute_cascade(spark: SparkSession, dir: String): DataFrame =
-    Impute.imputeColumn(withAverages(readings(spark, dir)), "Meter",
+    imputeOne(withAverages(readings(spark, dir)), "Meter",
         keepGapCols = true)
       .filter(col("cumulative_value_group").isNotNull)
       .select(col(HouseId).as("huis"), col("t_us"),
@@ -660,7 +678,7 @@ object QueriesEtd {
     // every branch re-runs the cascade windows (exchange reuse caches
     // only the shuffle). Both consumers aggregate by house, so the
     // partitioning also feeds their groupBys shuffle-free.
-    val imputed = Impute.imputeColumn(withAverages(readings(spark, dir)),
+    val imputed = imputeOne(withAverages(readings(spark, dir)),
         "Meter", keepGapCols = true)
       .repartition(col(ProjectId), col(HouseId))
     ImputeSummaries.householdSummary(
@@ -679,7 +697,7 @@ object QueriesEtd {
     */
   def q_a11_summary_project(spark: SparkSession, dir: String): DataFrame = {
     // shared exchange at the branch point — see q_i10_summary_house
-    val imputed = Impute.imputeColumn(withAverages(readings(spark, dir)),
+    val imputed = imputeOne(withAverages(readings(spark, dir)),
         "Meter", keepGapCols = true)
       .repartition(col(ProjectId), col(HouseId))
     ImputeSummaries.projectSummary(
@@ -823,7 +841,7 @@ object QueriesEtd {
     * are house-unique, which would make every percentage 0 or 100).
     */
   def q_qa_reading_date_stats(spark: SparkSession, dir: String): DataFrame = {
-    val imputed = Impute.imputeColumn(withAverages(readings(spark, dir)),
+    val imputed = imputeOne(withAverages(readings(spark, dir)),
       "Meter", keepGapCols = true)
     ImputeSummaries.readingDateStats(imputed, Seq("Meter"), dateCol = "b_us")
       .select(col(ProjectId).as("project"), col("b_us"),
