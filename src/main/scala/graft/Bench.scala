@@ -290,36 +290,45 @@ object Bench {
     * moves only when the PLAN moves, so a real regression trips
     * [[alertReasons]]'s `cpu_vs_pin` even on a day the wall offset
     * would absorb it, and a drifted wall alone never does.
+    *
+    * r21 (VERDICT r20 #7): ceilings re-derived with a THIRD clean
+    * session — per-query max of the r19-derived pins and the r21
+    * closing clean protocol run (BENCH_r21_full.json, offset 1.14,
+    * contended false, alerts {}). q_pipeline_full13's ceiling reflects
+    * the r21 cascade optimization (215 -> 145 CPU-s on the new plan);
+    * rows the r21 box read hotter than r19 (q_hits, q_pagerank,
+    * q_jaccard_join, …) widen toward the ceiling as designed.
     */
   val referenceCpuSec: Map[String, Double] = Map(
-    "q_agg_pricing" -> 0.92, "q_pipeline_e2e" -> 13.97,
-    "q_pipeline_full13" -> 138.33, "q_i7_impute_cascade" -> 8.23,
-    "q_i1_avg_diff" -> 3.29, "q_i10_summary_house" -> 8.79,
+    "q_agg_pricing" -> 1.26, "q_pipeline_e2e" -> 13.97,
+    "q_pipeline_full13" -> 145.09, "q_i7_impute_cascade" -> 8.23,
+    "q_i1_avg_diff" -> 3.65, "q_i10_summary_house" -> 9.70,
     "q_i11_cumsum_rebuild" -> 1.96, "q_i13_energy_balance" -> 1.71,
     "q_a8_resample" -> 1.68, "q_a6a7_project_agg" -> 1.15,
-    "q_w1_rolling" -> 0.84, "q_w12_mark_coldest" -> 0.57,
-    "q_weather_table" -> 3.30, "q_j3_weather_join" -> 2.98,
-    "q_dedup_exact" -> 0.69, "q_dedup_spans" -> 1.09,
-    "q_minhash_sig" -> 0.71, "q_minhash_fast" -> 6.72,
-    "q_lsh_pairs" -> 0.90, "q_near_dup_jaccard" -> 2.78,
-    "q_jaccard_join" -> 2.83, "q_simhash" -> 0.89,
-    "q_embed_cosine_dup" -> 1.17, "q_embed_dup_ivf" -> 1.00,
-    "q_ann_topk" -> 0.51, "q_ann_pq" -> 0.93,
-    "q_ann_ivfpq" -> 0.85, "q_bpe_pairs" -> 0.63,
-    "q_text_quality" -> 0.59, "q_text_fingerprint" -> 0.30,
-    "q_text_bigram_lm" -> 2.20, "q_kn_score" -> 7.66,
+    "q_w1_rolling" -> 0.84, "q_w12_mark_coldest" -> 0.68,
+    "q_weather_table" -> 3.30, "q_j3_weather_join" -> 3.47,
+    "q_dedup_exact" -> 0.70, "q_dedup_spans" -> 1.13,
+    "q_minhash_sig" -> 0.86, "q_minhash_fast" -> 6.72,
+    "q_lsh_pairs" -> 1.17, "q_near_dup_jaccard" -> 2.78,
+    "q_jaccard_join" -> 3.41, "q_simhash" -> 1.12,
+    "q_embed_cosine_dup" -> 1.43, "q_embed_dup_ivf" -> 1.17,
+    "q_ann_topk" -> 0.56, "q_ann_pq" -> 1.07,
+    "q_ann_ivfpq" -> 1.15, "q_bpe_pairs" -> 0.79,
+    "q_text_quality" -> 0.59, "q_text_fingerprint" -> 0.47,
+    "q_text_bigram_lm" -> 2.94, "q_kn_score" -> 7.75,
     "q_bm25_topk" -> 2.45, "q_bm25_indexed" -> 2.90,
     "q_bm25_incremental" -> 3.35, "q_contamination_bloom" -> 1.85,
     "q_curation_e2e" -> 8.27, "q_image_neardup_e2e" -> 5.40,
     "q_cc_pipeline" -> 2.94, "q_asof_join" -> 1.05,
-    "q_pagerank" -> 16.44, "q_fuzzy_join" -> 2.39,
-    "q_profile_fold" -> 1.35, "q_warc_roundtrip" -> 0.93,
-    "q_wordpiece_tokens" -> 2.06, "q_crawl_incremental" -> 4.94,
-    "q_semdedup_twolevel" -> 2.36, "q_training_data_e2e" -> 9.56,
-    "q_blocklist_filter" -> 1.07, "q_sitemap_entries" -> 0.54,
-    "q_hits" -> 17.06, "q_containment_join" -> 3.51,
+    "q_pagerank" -> 21.49, "q_fuzzy_join" -> 2.39,
+    "q_profile_fold" -> 1.42, "q_warc_roundtrip" -> 1.13,
+    "q_wordpiece_tokens" -> 2.06, "q_crawl_incremental" -> 5.86,
+    "q_semdedup_twolevel" -> 2.36, "q_training_data_e2e" -> 10.91,
+    "q_blocklist_filter" -> 1.07, "q_sitemap_entries" -> 0.56,
+    "q_hits" -> 19.22, "q_containment_join" -> 3.51,
     "q_tfidf_cosine" -> 3.93, "q_phrase_search" -> 0.93,
-    "q_crawl_loop_e2e" -> 15.31)
+    "q_crawl_loop_e2e" -> 15.31
+  )
 
   /** The per-query within-run alert decision (VERDICT r16 #1), pure so
     * the poisoned-artifact histories pin it in BenchDetectorSpec:

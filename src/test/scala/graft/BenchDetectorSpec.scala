@@ -69,21 +69,23 @@ class BenchDetectorSpec extends AnyFunSuite {
     // the r18 morning/evening pair ran IDENTICAL binaries: totals
     // 71.2 s at offset 0.92 vs 97.3 s at offset 1.20 — ~1.37x wall on
     // zero plan change, single-core throughput stable. A drifted-slow
-    // reading (wall 1.37x pin, CPU at pin) must stay alert-free:
-    // q_pagerank pin 3.53 s wall / 16.44 CPU-s — evening-shaped reading
+    // reading (wall 1.37x pin, CPU at pin) must stay alert-free.
+    // Arms are PIN-RELATIVE (r21: the ceilings re-derive each time a
+    // clean session is folded in, so hardcoded CPU values would rot)
+    val cpuPin = Bench.referenceCpuSec("q_pagerank")
     assert(Bench.alertReasons("q_pagerank", 3.53 * 1.37, 1.3,
-      16.44 / (3.53 * 1.37), 16.44).isEmpty)
+      cpuPin / (3.53 * 1.37), cpuPin).isEmpty)
     // a REAL plan regression burns cores: CPU 3x pin. On a drifted-FAST
     // day the wall can sit under slow_vs_pin's 2.5x while the work
     // tripled — the load-independent gate is what catches it
     val rs = Bench.alertReasons("q_pagerank", 3.53 * 2.0, 1.3,
-      (16.44 * 3.0) / (3.53 * 2.0), 16.44 * 3.0)
+      (cpuPin * 3.0) / (3.53 * 2.0), cpuPin * 3.0)
     assert(rs == List("cpu_vs_pin"))
     // boundary: 2.5x CPU at healthy wall fires cpu_vs_pin alone (on a
     // pin big enough to clear the +2 s absolute-excess floor)
-    assert(Bench.alertReasons("q_pagerank", 3.5, 1.2, 11.7, 16.44 * 2.6) ==
+    assert(Bench.alertReasons("q_pagerank", 3.5, 1.2, 11.7, cpuPin * 2.6) ==
       List("cpu_vs_pin"))
-    assert(Bench.alertReasons("q_pagerank", 3.5, 1.2, 10.8, 16.44 * 2.4)
+    assert(Bench.alertReasons("q_pagerank", 3.5, 1.2, 10.8, cpuPin * 2.4)
       .isEmpty)
     // unpinned or unmeasured CPU (cpuSec <= 0, the default) never fires
     assert(Bench.alertReasons("q_not_pinned_yet", 1.0, 1.2, 2.0, 99.0)
@@ -102,13 +104,21 @@ class BenchDetectorSpec extends AnyFunSuite {
     // the ratio conditions hold but the +1 s floor suppresses
     assert(Bench.alertReasons("q_sitemap_entries", 0.497, 1.3, 0.8).isEmpty)
     // a GC landing on a tiny row triples its CPU-seconds without the
-    // plan changing: q_embed_dup_ivf CPU pin 1.00, spiked reading 2.8
-    // (2.8x ratio FIRES, but +1.8 s sits under the +2 s CPU floor —
-    // the covering value for the cpuExcess branch)
-    assert(Bench.alertReasons("q_embed_dup_ivf", 0.55, 1.3, 3.0, 2.8).isEmpty)
-    // ...and 3.2 clears both the ratio and the floor — fires
-    assert(Bench.alertReasons("q_embed_dup_ivf", 0.55, 1.3, 3.0, 3.2) ==
-      List("cpu_vs_pin"))
+    // plan changing: q_embed_dup_ivf's spiked reading at pin + 1.8 s
+    // clears the 2.5x ratio on a ~1 s pin but sits under the +2 s CPU
+    // floor — the covering value for the cpuExcess branch (pin-relative
+    // since r21: the ceilings re-derive per clean session)
+    val ivfPin = Bench.referenceCpuSec("q_embed_dup_ivf")
+    // the covering value (ratio fires, floor suppresses) only exists
+    // while 2.5x·pin < pin + 2 s, i.e. pin < 1.33 — if the ceiling ever
+    // grows past that, pick a smaller-pinned row for this arm
+    assert(ivfPin < 1.33, s"q_embed_dup_ivf CPU pin $ivfPin too large " +
+      "for the floor-covering arm — re-anchor this test on a <1.33 pin")
+    assert(Bench.alertReasons("q_embed_dup_ivf", 0.55, 1.3, 3.0,
+      math.max(ivfPin * 2.5, ivfPin + 1.8)).isEmpty)
+    // ...and pin + 2.1 clears both the ratio and the floor — fires
+    assert(Bench.alertReasons("q_embed_dup_ivf", 0.55, 1.3, 3.0,
+      ivfPin + 2.01) == List("cpu_vs_pin"))
     // the floors must NOT absorb real poison: the r16 q_simhash row
     // (7.17 s over a 0.35 pin, +6.8 s) still alerts on both gates
     val rs = Bench.alertReasons("q_simhash", 7.17, 1.0, 1.16)
